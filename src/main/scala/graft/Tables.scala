@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Registry for the driver-generated test tables (TESTDATA.md).
+  *
+  * Mirrors the reference's catalog-of-named-tables model
+  * (reference localsql/localsql.py:31, :302-313) re-expressed as Spark
+  * temp views over parquet: zero-copy, lazily read, and fully visible
+  * to Catalyst (predicate pushdown / column pruning reach the scan).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    // reader rejects. Read nanos as raw long (session conf set in
+    // Session.builder) and convert to a microsecond timestamp here, so
+    // downstream SQL sees a plain TimestampType column.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(dir, name))
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    else df
+  }
+
+  /** Register every test table as a temp view. Lazy: no IO beyond the
+    * parquet footer until an action runs, so calling this per-query is
+    * cheap. View registration is the Spark analog of the reference's
+    * `self.tables[name] = df` (localsql/localsql.py:308). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+/** Window-function coverage (SURVEY.md §2.5 window table): ranking,
+  * offset, aggregate-as-window, ROWS/RANGE frames, named windows.
+  * Every PARTITION BY keeps windows bounded so the plan scales: no
+  * global single-partition sorts on the big tables.
+  */
+object Windows {
+
+  val qs: Seq[Q] = Seq(
+
+    Q.sql("q34_win_rownum_topk",
+      """SELECT c_mktsegment, o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_int
+        |FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) t
+        |WHERE rn <= 3
+        |ORDER BY c_mktsegment, price_int DESC, o_orderkey""".stripMargin),
+
+    Q.sql("q35_win_ranks",
+      """SELECT s_suppkey,
+        |  rank()       OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist()    OVER w, 6) AS cdist,
+        |  ntile(4)     OVER w AS quartile
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    Q.sql("q36_win_lag_lead",
+      """SELECT event_id, user_id,
+        |  round(value - coalesce(lag(value)  OVER w, 0.0), 2) AS delta_prev,
+        |  round(coalesce(lead(value) OVER w, 0.0), 2) AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id
+        |LIMIT 3000""".stripMargin),
+
+    Q.sql("q37_win_running_sum",
+      """SELECT event_id, user_id,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+        |    AS running_total
+        |FROM events
+        |ORDER BY event_id
+        |LIMIT 3000""".stripMargin),
+
+    Q.sql("q38_win_rows_frame",
+      """SELECT event_id, user_id,
+        |  round(CAST(avg(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+        |    AS moving_avg3
+        |FROM events
+        |ORDER BY event_id
+        |LIMIT 3000""".stripMargin),
+
+    Q.sql("q39_win_range_frame",
+      """SELECT o_orderkey, o_orderpriority,
+        |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |                 RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)
+        |    AS near_cheaper_cnt
+        |FROM orders
+        |WHERE o_orderkey <= 3000
+        |ORDER BY o_orderkey""".stripMargin),
+
+    Q.sql("q40_win_first_last",
+      """SELECT s_suppkey, s_nationkey,
+        |  first_value(s_name) OVER w AS richest,
+        |  last_value(s_name)  OVER (PARTITION BY s_nationkey
+        |    ORDER BY s_acctbal DESC, s_suppkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest,
+        |  nth_value(s_name, 2) OVER w AS second
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // gap-based sessionization over the events table: lag → gap flag →
+    // running sum = session id → per-session aggregation. The batch twin
+    // of the Structured Streaming path in graft.streaming.
+    Q.sql2("q41_sessionize",
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN unix_timestamp(ts) - unix_timestamp(
+        |           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |         > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), sessions AS (
+        |  SELECT user_id, event_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, count(DISTINCT session_id) AS session_cnt,
+        |       count(*) AS event_cnt
+        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN date_diff('second',
+        |           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+        |         > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), sessions AS (
+        |  SELECT user_id, event_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, count(DISTINCT session_id) AS session_cnt,
+        |       count(*) AS event_cnt
+        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+}
