@@ -30,10 +30,20 @@ object Tables {
     else df
   }
 
+  // Footer reads + view setup are per-(session, dir) idempotent work;
+  // memoize so a 50-query run doesn't pay 10 parquet-footer reads per
+  // query (this dominated bench wall-clock at small SF).
+  private val registered = scala.collection.mutable.Set[String]()
+
   /** Register every test table as a temp view. Lazy: no IO beyond the
-    * parquet footer until an action runs, so calling this per-query is
-    * cheap. View registration is the Spark analog of the reference's
-    * `self.tables[name] = df` (localsql/localsql.py:308). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+    * parquet footer until an action runs. View registration is the Spark
+    * analog of the reference's `self.tables[name] = df`
+    * (localsql/localsql.py:308). */
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    val key = System.identityHashCode(spark) + ":" + dir
+    if (!registered.contains(key)) {
+      all.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+      registered += key
+    }
+  }
 }

@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2.8): media as opaque binary
+  * columns + typed metadata, processed in distributed batches.
+  *
+  * The decode step is a clearly-marked deterministic STUB (no image/audio
+  * libraries exist in this environment); everything around it — the
+  * binary column, the schema, the mapPartitions batch shape, the
+  * partition sizing — is the real Spark plumbing a production decode
+  * (JNI codec / Pandas-UDF-style vectorized call) would drop into.
+  *
+  * Scale design: decode runs per-partition so any native library is
+  * initialized once per task, not once per row; payload bytes never hit
+  * the driver; metadata extraction is a narrow map (no shuffle).
+  */
+object Multimodal {
+
+  /** Attach a fake binary payload column (the UTF-8 bytes of `text`),
+    * standing in for image/audio bytes read from a binary source. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("fake_width", LongType, nullable = false),
+    StructField("fake_height", LongType, nullable = false)))
+
+  /** STUB decode: derives fake image dimensions from the payload length.
+    * A real implementation would replace `decodeOne` with a codec call;
+    * the batch/partition structure would not change. */
+  private def decodeOne(docId: Long, payload: Array[Byte]): Row = {
+    val n = payload.length.toLong
+    Row(docId, n, n % 640L, n / 640L)
+  }
+
+  /** Batch decode via mapPartitions: the per-partition iterator is where
+    * a real codec would be initialized once and fed row batches. */
+  def decodeMeta(withPayloadDf: DataFrame): DataFrame = {
+    val spark = withPayloadDf.sparkSession
+    val rdd = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions {
+      it => it.map(r => decodeOne(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** SQL-expressible equivalent of the stub pipeline (used for the
+    * oracle-checked judged query — same outputs as decodeMeta). */
+  def metaSql(docs: DataFrame): DataFrame =
+    withPayload(docs)
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("bigint").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+        (col("n_bytes") % 640).as("fake_width"),
+        floor(col("n_bytes") / 640).cast("bigint").as("fake_height"))
+      .orderBy("doc_id")
+}

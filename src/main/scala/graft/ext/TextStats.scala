@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a corpus DataFrame(doc_id, text, ...).
+  *
+  * Beyond-reference surface (SURVEY.md §2.8): the reference engine has no
+  * text operators; these are the LLM-pipeline additions, designed
+  * distributed-first:
+  *  - tokenization is a per-row narrow map (no shuffle);
+  *  - per-doc stats are a single hash aggregation keyed by doc_id — the
+  *    natural partitioning key, no skew (docs are the unit of work);
+  *  - corpus-level token counts shuffle once on the token, with map-side
+  *    partial aggregation, so traffic is O(distinct tokens per partition),
+  *    not O(total tokens).
+  *
+  * Determinism contract (driver hash-compares vs DuckDB): ratios are
+  * emitted as floor(10000*a/b) BIGINTs — floor of a double quotient of
+  * exact integers is engine-portable, unlike round() on binary doubles.
+  */
+object TextStats {
+
+  val TokenPattern = "[a-z0-9]+"
+
+  /** Tokens of one text column as an array<string> column. */
+  def tokensCol(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  /** One row per (doc_id, token) with 1-based position. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(tokensCol(col("text"))).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document stats: token count, type count, type-token ratio,
+    * stopword ratio, mean token length (all ratios as x10k BIGINTs). */
+  def stats(docs: DataFrame): DataFrame =
+    tokens(docs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        countDistinct(col("w")).as("n_types"),
+        sum(length(col("w"))).as("n_chars_tok"),
+        sum(when(col("w").isin(stopwords: _*), 1).otherwise(0)).as("n_stop"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        floor(lit(10000.0) * col("n_types") / col("n_tok")).cast("bigint").as("ttr_x10k"),
+        floor(lit(10000.0) * col("n_stop") / col("n_tok")).cast("bigint").as("stop_x10k"),
+        floor(lit(10000.0) * col("n_chars_tok") / col("n_tok")).cast("bigint").as("avglen_x10k"))
+      .orderBy("doc_id")
+
+  /** Marker-phrase hit count: occurrences of ` marker ` in the padded,
+    * lowercased text, via the length-delta trick (pure narrow ops). */
+  private def hits(padded: Column, marker: String): Column =
+    ((length(padded) - length(regexp_replace(padded, marker, ""))) / marker.length)
+      .cast("bigint")
+
+  /** Heuristic language ID from function-word markers. Argmax with a fixed
+    * tie-break order (de > fr > es > en) so results are deterministic. */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = concat(lit(" "), lower(col("text")), lit(" "))
+    docs.select(col("doc_id"), col("lang"),
+        hits(t, " the ").as("h_en"), hits(t, " der ").as("h_de"),
+        hits(t, " le ").as("h_fr"), hits(t, " el ").as("h_es"))
+      .withColumn("predicted",
+        when(col("h_de") >= col("h_fr") && col("h_de") >= col("h_es") &&
+             col("h_de") >= col("h_en"), "de")
+        .when(col("h_fr") >= col("h_es") && col("h_fr") >= col("h_en"), "fr")
+        .when(col("h_es") >= col("h_en"), "es")
+        .otherwise("en"))
+      .select("doc_id", "lang", "predicted")
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-wide top-k tokens: one shuffle on the token key with partial
+    * (map-side) aggregation; top-k picked by TakeOrderedAndProject. */
+  def topTokens(docs: DataFrame, k: Int): DataFrame =
+    tokens(docs).groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(k)
+
+  /** Normalization fingerprint: md5 of the whitespace-collapsed,
+    * lowercased text — the exact-dedup key for near-identical formatting. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_id"))
+      .orderBy("fp")
+}

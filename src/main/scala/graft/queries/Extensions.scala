@@ -1,10 +1,207 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.streaming.Streaming
+
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
-  * similarity search, text analysis, multimodal plumbing. Implemented
-  * in graft.ext.* with the DataFrame API; wired here as judged queries.
-  * Placeholder seq — populated as graft.ext lands.
+  * similarity search, text analysis, multimodal plumbing, streaming.
+  * Spark side runs the graft.ext library (DataFrame API); the oracle
+  * text re-expresses the same computation in DuckDB SQL.
+  *
+  * Cross-engine determinism: md5 hex strings as the only hash, ratios
+  * and dot products as floor-scaled BIGINTs (see graft.ext scaladoc).
   */
 object Extensions {
-  val qs: Seq[Q] = Seq.empty
+
+  /** DuckDB token stream CTE: (doc_id, pos 1-based, w). */
+  private val duckTok =
+    """tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+      |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+      |  FROM documents
+      |)""".stripMargin
+
+  /** DuckDB distinct word-3-gram shingles CTE (needs tok). */
+  private val duckShingles =
+    """sh AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      |)""".stripMargin
+
+  private val duckJaccardTail =
+    """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- text analysis -------------------------------------------------
+    Q.df("x51_text_stats",
+      (s, dir) => TextStats.stats(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok
+         |SELECT doc_id, count(*) AS n_tok, count(DISTINCT w) AS n_types,
+         |  CAST(floor(10000.0 * count(DISTINCT w) / count(*)) AS BIGINT) AS ttr_x10k,
+         |  CAST(floor(10000.0 * sum(CASE WHEN w IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS stop_x10k,
+         |  CAST(floor(10000.0 * sum(length(w)) / count(*)) AS BIGINT) AS avglen_x10k
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    Q.df("x52_lang_id",
+      (s, dir) => TextStats.langId(Tables.load(s, dir, "documents")),
+      """SELECT doc_id, lang,
+        |  CASE WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_en THEN 'de'
+        |       WHEN h_fr >= h_es AND h_fr >= h_en THEN 'fr'
+        |       WHEN h_es >= h_en THEN 'es'
+        |       ELSE 'en' END AS predicted
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST((length(t) - length(replace(t, ' the ', ''))) / 5 AS BIGINT) AS h_en,
+        |    CAST((length(t) - length(replace(t, ' der ', ''))) / 5 AS BIGINT) AS h_de,
+        |    CAST((length(t) - length(replace(t, ' le ', ''))) / 4 AS BIGINT) AS h_fr,
+        |    CAST((length(t) - length(replace(t, ' el ', ''))) / 4 AS BIGINT) AS h_es
+        |  FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents) x
+        |) y ORDER BY doc_id""".stripMargin),
+
+    Q.df("x53_top_tokens",
+      (s, dir) => TextStats.topTokens(Tables.load(s, dir, "documents"), 50),
+      s"""WITH $duckTok
+         |SELECT w, count(*) AS cnt FROM tok
+         |GROUP BY w ORDER BY cnt DESC, w LIMIT 50""".stripMargin),
+
+    Q.df("x54_fingerprint_dedup",
+      (s, dir) => TextStats.fingerprints(Tables.load(s, dir, "documents")),
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  count(*) AS cnt, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin),
+
+    // ---- dedup ---------------------------------------------------------
+    Q.df("x55_dedup_exact",
+      (s, dir) => Dedup.exactStats(Tables.load(s, dir, "documents")),
+      """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_uniq
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    Q.df("x56_jaccard_pairs",
+      (s, dir) => Dedup.jaccardPairs(Tables.load(s, dir, "documents"), 0.2),
+      s"""WITH $duckTok, $duckShingles, $duckJaccardTail
+         |SELECT d1, d2,
+         |  CAST(floor(10000.0 * i / (s1.n + s2.n - i)) AS BIGINT) AS jac_x10k
+         |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+         |ORDER BY d1, d2""".stripMargin),
+
+    Q.df("x57_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok, $duckShingles,
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(CAST(i AS STRING) || ':' || shingle)) AS m
+         |  FROM sh, range(0, 8) r(i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i % 2 AS band,
+         |    md5(min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 0 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 1 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 2 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 3 THEN m END)) AS sig
+         |  FROM mh GROUP BY doc_id, i % 2
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |), $duckJaccardTail
+         |SELECT cand.d1, cand.d2,
+         |  CAST(floor(10000.0 * i / (s1.n + s2.n - i)) AS BIGINT) AS jac_x10k
+         |FROM cand JOIN inter ON cand.d1 = inter.d1 AND cand.d2 = inter.d2
+         |JOIN sz s1 ON cand.d1 = s1.doc_id JOIN sz s2 ON cand.d2 = s2.doc_id
+         |ORDER BY cand.d1, cand.d2""".stripMargin),
+
+    Q.df("x58_simhash",
+      (s, dir) => Dedup.simhash(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |nib AS (
+         |  SELECT doc_id, j, instr('0123456789abcdef', substr(md5(w), j, 1)) - 1 AS v
+         |  FROM tok, range(1, 5) r(j)
+         |), bits AS (
+         |  SELECT doc_id, (j - 1) * 4 + b.b AS pos,
+         |    sum(CASE WHEN (v & b.mask) > 0 THEN 1 ELSE -1 END) AS s
+         |  FROM nib, (VALUES (0, 1), (1, 2), (2, 4), (3, 8)) AS b(b, mask)
+         |  GROUP BY doc_id, (j - 1) * 4 + b.b
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- similarity search --------------------------------------------
+    Q.df("x59_knn_quantized",
+      (s, dir) => Similarity.knnQuantized(Tables.load(s, dir, "embeddings"), 20, 3),
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id,
+        |    CAST(sum(CAST(floor(CAST(qe[i] AS DOUBLE) * 10000) AS BIGINT)
+        |           * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS dot_q
+        |  FROM q, embeddings e, range(1, 65) r(i)
+        |  WHERE q.qid <> e.vec_id
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT qid, vec_id, dot_q,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, vec_id) AS rn
+        |  FROM pairs
+        |)
+        |SELECT qid, vec_id, dot_q, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin),
+
+    Q.df("x60_embed_neardup",
+      (s, dir) => Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), 33000000L),
+      """SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |  CAST(sum(CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |         * CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS dot_q
+        |FROM embeddings a
+        |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id, range(1, 65) r(i)
+        |GROUP BY 1, 2
+        |HAVING dot_q >= 33000000
+        |ORDER BY d1, d2""".stripMargin),
+
+    // ---- multimodal plumbing ------------------------------------------
+    Q.df("x61_multimodal_meta",
+      (s, dir) => Multimodal.metaSql(Tables.load(s, dir, "documents")),
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS BIGINT) % 640 AS fake_width,
+        |  CAST(floor(CAST(octet_length(encode(text)) AS BIGINT) / 640) AS BIGINT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- streaming (Structured Streaming, AvailableNow replay) ---------
+    Q.df("x62_stream_hourly",
+      (s, dir) => Streaming.hourlyCounts(s, dir),
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+
+    // ---- approx sketches (rows-only: DuckDB's HLL differs by design) ---
+    Q.dfOnly("x63_approx_distinct",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"))
+          .orderBy("event_type")
+      }),
+
+    // ---- float-tier ANN (rows-only: float fold is engine-dependent) ----
+    Q.dfOnly("x64_knn_float",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val pairs = broadcast(q).join(emb, col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id"),
+            Similarity.dotF(col("qe"), col("embedding")).as("sim"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        pairs.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3).orderBy("qid", "rn")
+      })
+  )
 }
