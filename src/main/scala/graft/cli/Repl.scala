@@ -1,0 +1,105 @@
+package graft.cli
+
+import scala.io.StdIn
+import graft.engine.Session
+import graft.io.Save
+
+/** Interactive SQL shell over discovered files — the reference's REPL
+  * surface (localsql/localsql.py:269-364) on the Spark engine.
+  *
+  * Supported, matching the reference:
+  *  - positional files, `-d DIR`, `-r` recursive, `-q SQL` one-shot,
+  *    `-jn` JSON-normalize mode (CLI: ref :269-279)
+  *  - specials: `\t` tables, `\td` table descriptions, `\s file`
+  *    export, `\q` quit, unknown `\x` -> help (ref :155-214)
+  *  - bare table name -> schema info (ref :226-228)
+  *  - `/t` suffix -> transposed (vertical) display (ref :349-358)
+  *
+  * Not carried over: the `\lpy` raw-Python eval mode — its Spark analog
+  * is the spark-shell Dataset API itself (SURVEY.md §2.6).
+  */
+object Repl {
+
+  def main(args: Array[String]): Unit = {
+    var files = List.empty[String]
+    var dir: Option[String] = None
+    var recursive = false
+    var query: Option[String] = None
+    var jsonNormalize = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-d" => dir = Some(args(i + 1)); i += 1
+        case "-r" => recursive = true
+        case "-q" => query = Some(args(i + 1)); i += 1
+        case "-jn" => jsonNormalize = true
+        case f => files = files :+ f
+      }
+      i += 1
+    }
+    val base = Session.local("graft-repl")
+    val session = new Session(base.spark, jsonNormalize = jsonNormalize)
+    files.foreach { f =>
+      session.loadFile(f) match {
+        case Some(name) => println(s"Load '$f' as table '$name'")
+        case None => println(s"Unknown file type or load error: $f")
+      }
+    }
+    dir.orElse(if (recursive) Some(".") else None).foreach { d =>
+      session.loadDir(d, recursive).foreach(n => println(s"Load table '$n'"))
+    }
+    if (session.tables.isEmpty && query.isEmpty)
+      println("Warning: no tables loaded")
+
+    query match {
+      case Some(q) => run(session, q)
+      case None => loop(session)
+    }
+    session.spark.stop()
+  }
+
+  private def loop(session: Session): Unit = {
+    var done = false
+    while (!done) {
+      print("lsql> ")
+      Console.flush()
+      val line = StdIn.readLine()
+      if (line == null || line.trim == "\\q") done = true
+      else if (line.trim.nonEmpty) run(session, line.trim)
+    }
+  }
+
+  private[cli] def run(session: Session, raw: String): Unit = {
+    val (line, transpose) =
+      if (raw.endsWith("/t")) (raw.dropRight(2).trim, true) else (raw, false)
+    try {
+      if (line.startsWith("\\")) special(session, line)
+      else if (session.tables.contains(line)) println(session.info(line))
+      else {
+        val df = session.sql(line)
+        if (transpose) df.show(20, truncate = 0, vertical = true)
+        else df.show(50, truncate = false)
+      }
+    } catch {
+      case e: Exception =>
+        // surface Catalyst errors cleanly (ref error rewriting :235-242)
+        println(e.getMessage.linesIterator.take(4).mkString("\n"))
+    }
+  }
+
+  private def special(session: Session, cmd: String): Unit =
+    cmd.split("\\s+", 2) match {
+      case Array("\\t") => session.tableNames.foreach(println)
+      case Array("\\td") =>
+        session.describeTables().foreach { case (n, r, c, b) =>
+          println(f"$n%-30s rows=$r%-10d cols=$c%-5d bytes=$b")
+        }
+      case Array("\\s", file) =>
+        session.latestResult match {
+          case Some(df) => Save.save(df, file); println(s"Saved to $file")
+          case None => println("There is no result to save")
+        }
+      case _ =>
+        println("""Special commands: \t tables, \td describe, \s FILE save last result, \q quit""")
+    }
+}

@@ -1,0 +1,59 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** SQLite-dialect shims (SURVEY.md §2.5 scalar table): the handful of
+  * SQLite functions a reference user would expect that Spark does not
+  * spell the same way. Registered as SQL functions so `spark.sql`
+  * accepts reference-style queries.
+  *
+  * Kept deliberately small: everything else in the SQLite surface maps
+  * to a same-name or trivially-renamed Spark builtin (see SURVEY.md),
+  * and builtins stay inside whole-stage codegen. These UDFs sit on the
+  * slow path only when a query actually uses a SQLite-ism.
+  */
+object Dialect {
+
+  /** Unix-glob -> regex (for SQLite GLOB). Supports * ? [set]. */
+  private[engine] def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          val close = glob.indexOf(']', i + 1)
+          if (close < 0) { sb.append("\\[") }
+          else { sb.append(glob.substring(i, close + 1)); i = close }
+        case c if "\\.^$+{}()|".indexOf(c) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('$').toString
+  }
+
+  def register(spark: SparkSession): Unit = {
+    // SQLite typeof(x): storage-class name of the value
+    spark.udf.register("typeof", (x: Any) => x match {
+      case null => "null"
+      case _: Long | _: Int | _: Short | _: Byte | _: Boolean => "integer"
+      case _: Double | _: Float => "real"
+      case _: Array[Byte] => "blob"
+      case _ => "text"
+    })
+    // SQLite GLOB: case-sensitive unix glob match
+    spark.udf.register("glob", (s: String, pat: String) =>
+      if (s == null || pat == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(s.matches(globToRegex(pat))))
+    // SQLite quote(x): SQL-literal form of a value
+    spark.udf.register("quote", (s: String) =>
+      if (s == null) "NULL" else "'" + s.replace("'", "''") + "'")
+    // SQLite julianday(date): days since noon UTC, 24 Nov 4714 BC
+    spark.udf.register("julianday", (ts: java.sql.Timestamp) =>
+      if (ts == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(ts.getTime / 86400000.0 + 2440587.5))
+  }
+}

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local SparkSession for all specs (one JVM, sequential). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .appName("graft-test")
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmpDir(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_test")
+
+  def writeFile(dir: java.nio.file.Path, name: String, content: String): String = {
+    val p = dir.resolve(name)
+    java.nio.file.Files.writeString(p, content)
+    p.toString
+  }
+}

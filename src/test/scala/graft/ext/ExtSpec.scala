@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+
+/** Extension-operator invariants on the sf0.001 corpus (the oracle gate
+  * at sf0.01 checks exact values; these specs check structural
+  * properties and the paths the oracle can't reach). */
+class ExtSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.load(spark, dir, "documents")
+  private lazy val emb = Tables.load(spark, dir, "embeddings")
+
+  test("mapPartitions decode equals the SQL twin (multimodal stub)") {
+    val viaPartitions = Multimodal.decodeMeta(Multimodal.withPayload(docs))
+      .orderBy("doc_id").collect().toSeq
+    val viaSql = Multimodal.metaSql(docs).collect().toSeq
+    assert(viaPartitions == viaSql)
+  }
+
+  test("knnQuantized: k rows per query, descending, no self-match") {
+    val r = Similarity.knnQuantized(emb, 5, 3).collect()
+    assert(r.length == 15)
+    r.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+      assert(rows.map(_.getLong(2)).toSeq.reverse.sorted.reverse == rows.map(_.getLong(2)).toSeq)
+      assert(!rows.exists(_.getLong(1) == qid))
+    }
+  }
+
+  test("jaccard pairs are symmetric-free (d1 < d2) and within [0, 10000]") {
+    val r = Dedup.jaccardPairs(docs, 0.2).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getLong(0) < x.getLong(1)))
+    assert(r.forall(x => x.getLong(2) >= 2000 && x.getLong(2) <= 10000))
+  }
+
+  test("minhash-LSH candidates verify to high jaccard (planted near-dups)") {
+    val lsh = Dedup.minhashLshPairs(docs).collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.forall(_.getLong(2) >= 5000)) // candidates are true near-dups
+  }
+
+  test("simhash: 16-bit range, deterministic across runs") {
+    val a = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+    assert(a.forall { case (_, h) => h >= 0 && h < 65536 })
+  }
+
+  test("text stats: ratios bounded, token counts positive") {
+    val r = TextStats.stats(docs).collect()
+    assert(r.length == docs.count())
+    assert(r.forall(_.getLong(1) > 0))
+    assert(r.forall(x => x.getLong(3) > 0 && x.getLong(3) <= 10000))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ingest
+
+import graft.SparkSpec
+
+/** File readers vs the reference's ingestion semantics, over fixtures
+  * generated to FIXTURES.md §A's documented shapes (content per
+  * README.md examples — regenerated, not copied). */
+class ReadersSpec extends SparkSpec {
+
+  test("format/compression sniff (ref localsql.py:86-97)") {
+    assert(Readers.sniff("a.csv") == (Some("csv"), None))
+    assert(Readers.sniff("a.json.gz") == (Some("json"), Some("gz")))
+    assert(Readers.sniff("a.csv.bz2") == (Some("csv"), Some("bz2")))
+    assert(Readers.sniff("a.xlsx") == (Some("xlsx"), None))
+    assert(Readers.sniff("a.txt") == (None, None))
+    assert(Readers.sniff("noext") == (None, None))
+    assert(Readers.sniff("weird.gz") == (None, None)) // compressor without format
+  }
+
+  test("csv: header + type inference") {
+    val d = tmpDir()
+    val p = writeFile(d, "csv.csv", "id,b,c\n1,4,7\n2,5,8\n3,6,9\n")
+    val df = Readers.read(spark, p).get
+    assert(df.columns.toSeq == Seq("id", "b", "c"))
+    assert(df.count() == 3)
+    assert(df.schema("id").dataType.typeName == "integer")
+  }
+
+  test("NDJSON with sparse keys: union-of-keys schema, nulls, no float upcast") {
+    val d = tmpDir()
+    val p = writeFile(d, "lines.json", """{"id":1,"b":4}""" + "\n" +
+      """{"id":2,"b":5}""" + "\n" + """{"id":3,"c":6}""" + "\n")
+    val df = Readers.read(spark, p).get
+    assert(df.columns.sorted.toSeq == Seq("b", "c", "id"))
+    assert(df.schema("b").dataType.typeName == "long") // no float64 upcast (SURVEY §7.5)
+    assert(df.where("c IS NULL").count() == 2)
+  }
+
+  test("whole-document JSON array fallback (multiLine)") {
+    val d = tmpDir()
+    val p = writeFile(d, "one.json",
+      """[{"id":1,"b":4},{"id":2,"c":5},{"id":3,"d":6}]""")
+    val df = Readers.read(spark, p).get
+    assert(df.columns.sorted.toSeq == Seq("b", "c", "d", "id"))
+    assert(df.count() == 3)
+  }
+
+  test("nested values stringified by default (ref :72-76); native with flag off") {
+    val d = tmpDir()
+    val content = """{"id":1,"nest":{"a":1,"b":[1,2,3]}}""" + "\n" +
+      """{"id":2,"c":6}""" + "\n"
+    val p = writeFile(d, "lines_nested.json", content)
+    val strified = Readers.read(spark, p).get
+    assert(strified.schema("nest").dataType.typeName == "string")
+    assert(strified.where("id = 1").head.getAs[String]("nest").contains("\"a\":1"))
+    val native = Readers.json(spark, p, stringifyNested = false)
+    assert(native.schema("nest").dataType.typeName == "struct")
+  }
+
+  test("jsonNormalize: dotted column names (ref -jn, README.md:84-90)") {
+    val d = tmpDir()
+    val content = """{"id":1,"nest":{"a":1,"b":[1,2,3]}}""" + "\n" +
+      """{"id":2,"c":6}""" + "\n"
+    val p = writeFile(d, "lines_nested.json", content)
+    val df = Readers.jsonNormalize(spark, p)
+    assert(df.columns.contains("nest.a"))
+    assert(df.columns.contains("nest.b"))
+    assert(df.select(org.apache.spark.sql.functions.col("`nest.a`")).where("id = 1").head.getLong(0) == 1L)
+  }
+
+  test("gzip NDJSON reads transparently (ref :121-122)") {
+    val d = tmpDir()
+    val raw = """{"id":1,"b":4}""" + "\n" + """{"id":2,"b":5}""" + "\n"
+    val gz = d.resolve("lines.json.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+    out.write(raw.getBytes("UTF-8")); out.close()
+    val df = Readers.read(spark, gz.toString).get
+    assert(df.count() == 2)
+  }
+}
