@@ -55,5 +55,34 @@ object Dialect {
     spark.udf.register("julianday", (ts: java.sql.Timestamp) =>
       if (ts == null) null.asInstanceOf[java.lang.Double]
       else java.lang.Double.valueOf(ts.getTime / 86400000.0 + 2440587.5))
+    // SQLite date-modifier strings: datetime(ts, '+1 day') etc.
+    // (SURVEY.md §2.5 scalar table: "modifier strings need a translation
+    // helper"). Supports the common modifiers; unknown -> error.
+    spark.udf.register("sqlite_date", (ts: java.sql.Timestamp, mod: String) =>
+      if (ts == null || mod == null) null else applyModifier(ts, mod.trim))
+  }
+
+  private val NumUnit = """([+-]?\d+)\s+(day|days|month|months|year|years|hour|hours|minute|minutes|second|seconds)""".r
+
+  private[engine] def applyModifier(ts: java.sql.Timestamp, mod: String): java.sql.Timestamp = {
+    val utc = java.time.ZoneOffset.UTC
+    val t = ts.toInstant.atZone(utc)
+    val out = mod.toLowerCase match {
+      case NumUnit(n, unit) =>
+        val k = n.toLong
+        unit.stripSuffix("s") match {
+          case "day"    => t.plusDays(k)
+          case "month"  => t.plusMonths(k)
+          case "year"   => t.plusYears(k)
+          case "hour"   => t.plusHours(k)
+          case "minute" => t.plusMinutes(k)
+          case "second" => t.plusSeconds(k)
+        }
+      case "start of day"   => t.toLocalDate.atStartOfDay(utc)
+      case "start of month" => t.toLocalDate.withDayOfMonth(1).atStartOfDay(utc)
+      case "start of year"  => t.toLocalDate.withDayOfYear(1).atStartOfDay(utc)
+      case other => throw new IllegalArgumentException(s"unsupported modifier: $other")
+    }
+    java.sql.Timestamp.from(out.toInstant)
   }
 }

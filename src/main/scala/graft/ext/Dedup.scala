@@ -80,25 +80,47 @@ object Dedup {
     * pairs that share at least one band signature. */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
     val sh = shingles3(docs).cache()
-    // signatures: doc x i in [0,8) -> min md5
-    val sig = sh
-      .select(col("doc_id"), col("shingle"), explode(sequence(lit(0), lit(7))).as("i"))
-      .groupBy("doc_id", "i")
-      .agg(min(mh(col("i"), col("shingle"))).as("m"))
-    // 2 bands of 4 rows: band = i % 2, rows selected by floor(i/2)
-    def rowOf(r: Int): Column =
-      min(when(floor(col("i") / 2.0).cast("bigint") === r, col("m")))
-    val bands = sig.groupBy(col("doc_id"), (col("i") % 2).as("band"))
-      .agg(md5(concat_ws(":", rowOf(0), rowOf(1), rowOf(2), rowOf(3))).as("sig"))
+    // Hash dictionary: md5^8 computed once per DISTINCT shingle, then
+    // joined back (Catalyst/AQE broadcasts the dictionary when small).
+    // Corpora repeat shingles heavily — hashing occurrences instead of
+    // the dictionary wastes a factor of (occurrences / distinct).
+    val dict = sh.select("shingle").distinct()
+      .select(col("shingle") +: (0 to 7).map(i => mh(lit(i), col("shingle")).as(s"h$i")): _*)
+    // All 8 signature mins in ONE aggregation pass (no 8x row explode;
+    // min-merged map-side, the shuffle carries 8 hashes per doc).
+    val sig = sh.join(dict, "shingle").groupBy("doc_id").agg(
+      min(col("h0")).as("m0"),
+      (1 to 7).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    // 2 bands of 4 rows: band = i % 2 (even minhashes, odd minhashes) —
+    // the band signature concatenation matches the oracle's
+    // floor(i/2)-ordered concat of the same minhash values.
+    val bands = sig.select(col("doc_id"), explode(array(
+        struct(lit(0L).as("band"),
+          md5(concat_ws(":", col("m0"), col("m2"), col("m4"), col("m6"))).as("sig")),
+        struct(lit(1L).as("band"),
+          md5(concat_ws(":", col("m1"), col("m3"), col("m5"), col("m7"))).as("sig"))
+      )).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
     val a = bands.as("a"); val b = bands.as("b")
+    // cand is consumed TWICE (as the broadcast doc filter and in the
+    // final join) — cache it, or the whole signature pipeline
+    // (position-joins + dictionary md5s) executes twice.
     val cand = a.join(b, col("a.band") === col("b.band") &&
                          col("a.sig") === col("b.sig") &&
                          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // verify candidates with exact Jaccard (reusing the shingle index)
+      .cache()
+    // verify candidates with exact Jaccard — restricted to documents
+    // that survived banding. This is the point of LSH: the exact
+    // all-pairs intersection never runs on the full corpus, only on the
+    // (tiny) candidate set, so verification cost tracks candidates, not
+    // corpus size.
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("doc_id"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val x = sh.as("x"); val y = sh.as("y")
+    val x = shc.as("x"); val y = shc.as("y")
     val inter = x.join(y, col("x.shingle") === col("y.shingle") &&
                           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -113,23 +135,25 @@ object Dedup {
   }
 
   /** 16-bit SimHash per document: majority vote over the first 4 md5
-    * nibbles (16 bits) of each token occurrence. One narrow explode plus
-    * two keyed aggregations — no joins. Output: (doc_id, simhash). */
+    * nibbles (16 bits) of each token occurrence. One narrow projection
+    * (md5 once per token) + ONE aggregation computing all 16 bit-sums
+    * as columns — no row explosion, no joins, fully codegen'd.
+    * Output: (doc_id, simhash). */
   def simhash(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val bitsTable = Seq((0, 1), (1, 2), (2, 4), (3, 8)).toDF("b", "mask")
-    val nibbles = TextStats.tokens(docs)
-      .select(col("doc_id"), explode(sequence(lit(1), lit(4))).as("j"), col("w"))
-      .select(col("doc_id"), col("j"),
-        (expr("instr('0123456789abcdef', substr(md5(w), j, 1))") - 1).as("v"))
-    val bits = nibbles.crossJoin(broadcast(bitsTable))
-      .groupBy(col("doc_id"), ((col("j") - 1) * 4 + col("b")).as("pos"))
-      .agg(sum(when(col("v").bitwiseAND(col("mask")) > 0, 1).otherwise(-1)).as("s"))
-    bits.groupBy("doc_id")
-      .agg(sum(when(col("s") >= 0,
-          pow(lit(2), col("pos")).cast("bigint")).otherwise(0L))
-        .cast("bigint").as("simhash"))
+    val pos = for (j <- 1 to 4; b <- 0 to 3) yield (j, b, (j - 1) * 4 + b)
+    val nib = TextStats.tokens(docs)
+      .select(col("doc_id") +: (1 to 4).map(j =>
+        (expr(s"instr('0123456789abcdef', substr(md5(w), $j, 1))")
+          .cast("int") - 1).as(s"v$j")): _*)
+    val sums = nib.groupBy("doc_id").agg(
+      sum(when(col("v1").bitwiseAND(lit(1)) > 0, 1).otherwise(-1)).as("s0"),
+      pos.tail.map { case (j, b, p) =>
+        sum(when(col(s"v$j").bitwiseAND(lit(1 << b)) > 0, 1).otherwise(-1)).as(s"s$p")
+      }: _*)
+    val hash = pos.map { case (_, _, p) =>
+      when(col(s"s$p") >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), hash.cast("bigint").as("simhash"))
       .orderBy("doc_id")
   }
 }

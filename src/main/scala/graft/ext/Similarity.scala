@@ -42,14 +42,24 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Quantized dot via the native codegen'd expression (see
+    * graft.functions.QuantDot — same arithmetic as [[dotQ]], fused into
+    * whole-stage codegen, no per-pair array allocation). */
+  private def dotQNative(df: DataFrame, a: Column, b: Column): Column = {
+    graft.functions.QuantDot.register(df.sparkSession)
+    call_function("quant_dot", a, b)
+  }
+
   /** Brute-force top-k neighbors for query vectors (vec_id < nQueries),
-    * ranked by quantized dot product. Output: (qid, vec_id, dot_q, rn). */
+    * ranked by quantized dot product. The small query side is broadcast;
+    * each partition scores its corpus slice in a codegen'd loop.
+    * Output: (qid, vec_id, dot_q, rn). */
   def knnQuantized(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val pairs = broadcast(q).join(emb, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        dotQ(col("qe"), col("embedding")).as("dot_q"))
+        dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vec_id"))
     pairs.withColumn("rn", row_number().over(w).cast("bigint"))
@@ -57,16 +67,22 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Integer dot of two ALREADY-quantized vectors (no per-pair
+    * re-quantization). */
+  private def dotQPre(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** Near-duplicate pairs inside coarse blocks (IVF-style: `label` is
     * the coarse quantizer cell). Only intra-block pairs are generated —
     * the join is keyed on label, so it shuffles and parallelizes by
-    * block instead of materializing the full cross product. */
+    * block instead of materializing the cross product; scoring runs in
+    * the codegen'd quant_dot loop fused with the join. */
   def nearDupPairs(emb: DataFrame, minDotQ: Long): DataFrame = {
     val a = emb.as("a"); val b = emb.as("b")
     a.join(b, col("a.label") === col("b.label") &&
               col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-        dotQ(col("a.embedding"), col("b.embedding")).as("dot_q"))
+        dotQNative(emb, col("a.embedding"), col("b.embedding")).as("dot_q"))
       .where(col("dot_q") >= minDotQ)
       .orderBy("d1", "d2")
   }

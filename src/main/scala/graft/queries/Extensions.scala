@@ -189,15 +189,17 @@ object Extensions {
           .orderBy("event_type")
       }),
 
-    // ---- float-tier ANN (rows-only: float fold is engine-dependent) ----
+    // ---- float-tier ANN (rows-only: float fold is engine-dependent;
+    // uses the native codegen'd float_dot expression) -------------------
     Q.dfOnly("x64_knn_float",
       (s, dir) => {
+        graft.functions.FloatDot.register(s)
         val emb = Tables.load(s, dir, "embeddings")
         val q = emb.where(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val pairs = broadcast(q).join(emb, col("qid") =!= col("vec_id"))
           .select(col("qid"), col("vec_id"),
-            Similarity.dotF(col("qe"), col("embedding")).as("sim"))
+            call_function("float_dot", col("qe"), col("embedding")).as("sim"))
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
         pairs.withColumn("rn", row_number().over(w))
