@@ -134,6 +134,38 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Connected components over a near-dup pair list: every document
+    * labeled with the smallest doc_id reachable through pairs (its
+    * cluster representative); unpaired documents are their own cluster.
+    *
+    * Scale design: iterative min-label propagation — each round is one
+    * shuffle (join labels to edges + min-aggregate), converging in
+    * O(component diameter) rounds, the standard large-graph CC pattern
+    * (vs a driver-side union-find, which would need all edges on one
+    * node). Near-dup components are tiny and shallow, so this
+    * terminates in 2-3 rounds in practice.
+    * Output: (doc_id, cluster_id). */
+  def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.select(col("doc_id"), col("cluster_id"))
+        .union(viaNeighbor)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .where(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** 16-bit SimHash per document: majority vote over the first 4 md5
     * nibbles (16 bits) of each token occurrence. One narrow projection
     * (md5 once per token) + ONE aggregation computing all 16 bit-sums

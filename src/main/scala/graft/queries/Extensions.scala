@@ -164,6 +164,62 @@ object Extensions {
         |HAVING dot_q >= 33000000
         |ORDER BY d1, d2""".stripMargin),
 
+    // near-dup clusters: pair list -> connected components (the step a
+    // real dedup pipeline runs after LSH+verify, to pick one keeper per
+    // group). Oracle: recursive-CTE transitive closure over the same
+    // Jaccard>=0.2 pairs.
+    Q.df("x66_neardup_clusters",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.clusters(docs, Dedup.jaccardPairs(docs, 0.2))
+      },
+      s"""WITH RECURSIVE $duckTok, $duckShingles, $duckJaccardTail,
+         |pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+         |)
+         |SELECT a AS doc_id, min(b) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+
+    // batch session windows (gap-based), the Spark-native sessionize
+    // operator; oracle re-derives sessions with the lag/running-sum CTE.
+    Q.df("x65_session_window",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+          .agg(count(lit(1)).as("event_cnt"))
+          .select(col("user_id"),
+            date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            col("event_cnt"))
+          .orderBy("user_id", "session_start")
+      },
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS event_cnt
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin),
+
     // ---- multimodal plumbing ------------------------------------------
     Q.df("x61_multimodal_meta",
       (s, dir) => Multimodal.metaSql(Tables.load(s, dir, "documents")),

@@ -84,6 +84,23 @@ object Parity {
         |  CAST(floor(julian(o_orderdate) - 0.5) AS BIGINT) AS jd
         |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin),
 
+    Q.sql("q73_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS cnt,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY flag, status""".stripMargin),
+
+    Q.sql("q74_cube",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  count(*) AS cnt
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, prio""".stripMargin),
+
     dsql("q72_date_modifiers",
       """SELECT o_orderkey,
         |  CAST(CAST(sqlite_date(o_orderdate, '+1 day') AS DATE) AS STRING) AS next_day,

@@ -41,6 +41,21 @@ class ExtSpec extends SparkSpec {
     assert(lsh.forall(_.getLong(2) >= 5000)) // candidates are true near-dups
   }
 
+  test("clusters: labels are component minima (idempotent under re-clustering)") {
+    val pairs = Dedup.jaccardPairs(docs, 0.2).select("d1", "d2").cache()
+    val labels = Dedup.clusters(docs, pairs).cache()
+    // every doc labeled, label <= doc_id
+    assert(labels.count() == docs.count())
+    assert(labels.where(org.apache.spark.sql.functions.col("cluster_id") >
+      org.apache.spark.sql.functions.col("doc_id")).count() == 0)
+    // paired docs share a label
+    val l = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.collect().foreach { r =>
+      assert(l(r.getLong(0)) == l(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} in different clusters")
+    }
+  }
+
   test("simhash: 16-bit range, deterministic across runs") {
     val a = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
