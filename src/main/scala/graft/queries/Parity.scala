@@ -101,6 +101,65 @@ object Parity {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, prio""".stripMargin),
 
+    Q.sql2("q75_pivot",
+      """SELECT * FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
+        |PIVOT (count(*) FOR o_orderpriority
+        |       IN ('1-URGENT' AS urgent, '3-MEDIUM' AS medium, '5-LOW' AS low))
+        |ORDER BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    Q.sql2("q76_array_hof",
+      """SELECT vec_id, size(embedding) AS dim,
+        |  CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 10000) AS BIGINT) AS first_q,
+        |  aggregate(transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+        |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS qsum,
+        |  size(filter(embedding, x -> x > 0)) AS n_pos
+        |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin,
+      """SELECT vec_id, len(embedding) AS dim,
+        |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) AS first_q,
+        |  CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS BIGINT) AS qsum,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos
+        |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin),
+
+    Q.sql2("q77_from_json_struct",
+      """SELECT s.k % 5 AS km, count(*) AS cnt
+        |FROM (SELECT from_json(props, 'k INT') AS s FROM events) t
+        |GROUP BY s.k % 5 ORDER BY km""".stripMargin,
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 5 AS km,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY km""".stripMargin),
+
+    Q(name = "q78_udaf_xor",
+      run = (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.functions.XorAgg.register(s)
+        s.sql("""SELECT user_id % 10 AS g, xor_agg(event_id) AS x
+                |FROM events GROUP BY user_id % 10 ORDER BY g""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT user_id % 10 AS g, bit_xor(event_id) AS x
+          |FROM events GROUP BY 1 ORDER BY g""".stripMargin)),
+
+    Q.df("q79_salted_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir, "events")
+        graft.ext.Salting.saltedCountSum(ev, "event_type",
+            col("value").cast("decimal(18,2)"), col("event_id"), 32)
+          .select(col("event_type"), col("cnt"),
+            expr("CAST(round(sum_val, 2) AS DOUBLE)").as("sum_val"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     dsql("q72_date_modifiers",
       """SELECT o_orderkey,
         |  CAST(CAST(sqlite_date(o_orderdate, '+1 day') AS DATE) AS STRING) AS next_day,
