@@ -235,6 +235,22 @@ object Extensions {
         |  event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
 
+    // arbitrary stateful streaming: flatMapGroupsWithState sessionizer
+    Q.df("x68_stream_sessions_state",
+      (s, dir) => Streaming.sessionizeStateful(s, dir),
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |)
+        |SELECT user_id,
+        |  CAST(sum(new_session) AS BIGINT) AS session_cnt,
+        |  count(*) AS event_cnt
+        |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // ---- approx sketches (rows-only: DuckDB's HLL differs by design) ---
     Q.dfOnly("x63_approx_distinct",
       (s, dir) => {

@@ -160,6 +160,46 @@ object Parity {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_val
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    Q.sql2("q80_string_fns2",
+      """SELECT p_partkey,
+        |  hex(encode(substr(p_name, 1, 4), 'UTF-8')) AS name_hex,
+        |  ascii(p_brand) AS brand_ascii,
+        |  chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
+        |  repeat(p_brand, 2) AS brand2,
+        |  reverse(p_type) AS type_rev,
+        |  format_string('%d|%s', p_size, p_brand) AS formatted,
+        |  left(p_name, 3) AS l3, right(p_name, 3) AS r3
+        |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin,
+      """SELECT p_partkey,
+        |  hex(encode(substr(p_name, 1, 4))) AS name_hex,
+        |  ascii(p_brand) AS brand_ascii,
+        |  chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
+        |  repeat(p_brand, 2) AS brand2,
+        |  reverse(p_type) AS type_rev,
+        |  printf('%d|%s', p_size, p_brand) AS formatted,
+        |  left(p_name, 3) AS l3, right(p_name, 3) AS r3
+        |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin),
+
+    Q.sql2("q81_win_ignore_nulls",
+      """SELECT s_suppkey,
+        |  lag(nullif(s_acctbal, 0.0), 2, -1.0) OVER w AS lag2,
+        |  first_value(CASE WHEN s_acctbal > 5000 THEN s_name END) IGNORE NULLS
+        |    OVER (PARTITION BY s_nationkey ORDER BY s_suppkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS first_rich
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+      """SELECT s_suppkey,
+        |  lag(nullif(s_acctbal, 0.0), 2, -1.0) OVER w AS lag2,
+        |  first_value(CASE WHEN s_acctbal > 5000 THEN s_name END IGNORE NULLS)
+        |    OVER (PARTITION BY s_nationkey ORDER BY s_suppkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS first_rich
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin),
+
     dsql("q72_date_modifiers",
       """SELECT o_orderkey,
         |  CAST(CAST(sqlite_date(o_orderdate, '+1 day') AS DATE) AS STRING) AS next_day,

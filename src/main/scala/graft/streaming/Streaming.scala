@@ -62,4 +62,59 @@ object Streaming {
     q.awaitTermination()
     spark.table(name).orderBy("hour", "event_type")
   }
+
+  /** Arbitrary stateful streaming: per-user sessionization via
+    * flatMapGroupsWithState — the custom-state escape hatch for logic
+    * window()/session_window() can't express. State is one small
+    * object per user key (bounded by user cardinality); events arrive
+    * unordered within a group and are sorted inside the handler.
+    * Output per user: session count and event count with a 30-minute
+    * gap rule — equal to the batch lag/running-sum derivation, which
+    * is what the oracle checks. */
+  def sessionizeStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "stream_sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val src = spark.readStream.schema(eventsRawSchema).parquet(stage.toString)
+      .select(col("user_id"), (col("ts") / 1000L).cast(LongType).as("ts_us"))
+      .as[(Long, Long)]
+    val gapUs = 1800L * 1000000L
+    val sessions = src.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        // state: (sessionCnt, eventCnt, lastTsUs)
+        case (user: Long, rows: Iterator[(Long, Long)],
+              state: GroupState[(Long, Long, Long)]) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          var (nSess, nEv, last) = state.getOption.getOrElse((0L, 0L, Long.MinValue))
+          sorted.foreach { ts =>
+            if (last == Long.MinValue || ts - last > gapUs) nSess += 1
+            nEv += 1
+            last = ts
+          }
+          state.update((nSess, nEv, last))
+          Iterator((user, nSess, nEv))
+      }
+      .toDF("user_id", "session_cnt", "event_cnt")
+    val q = sessions.writeStream
+      .format("memory").queryName(name).outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update mode appends one row per key per batch; keep the last state
+    // per user (AvailableNow may split the backlog into several batches)
+    val t = spark.table(name)
+    t.groupBy("user_id")
+      .agg(max(struct(col("event_cnt"), col("session_cnt"))).as("s"))
+      .select(col("user_id"), col("s.session_cnt").as("session_cnt"),
+        col("s.event_cnt").as("event_cnt"))
+      .orderBy("user_id")
+  }
 }
