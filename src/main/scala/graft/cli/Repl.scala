@@ -69,6 +69,10 @@ object Repl {
     }
   }
 
+  /** `\pp` pretty-print toggle (ref :203-206): truncate + 20 rows vs
+    * full-width 50 rows. */
+  private var pretty = false
+
   private[cli] def run(session: Session, raw: String): Unit = {
     val (line, transpose) =
       if (raw.endsWith("/t")) (raw.dropRight(2).trim, true) else (raw, false)
@@ -78,12 +82,18 @@ object Repl {
       else {
         val df = session.sql(line)
         if (transpose) df.show(20, truncate = 0, vertical = true)
+        else if (pretty) df.show(20, truncate = 24)
         else df.show(50, truncate = false)
       }
     } catch {
       case e: Exception =>
-        // surface Catalyst errors cleanly (ref error rewriting :235-242)
-        println(e.getMessage.linesIterator.take(4).mkString("\n"))
+        // surface Catalyst errors cleanly (ref error rewriting :235-242):
+        // keep the message, drop the internal plan fragment / stack noise
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+        println(msg.linesIterator
+          .takeWhile(l => !l.trim.startsWith("'") && !l.contains("SQLSTATE"))
+          .take(3).mkString("\n")
+          + msg.linesIterator.find(_.contains("SQLSTATE")).map("\n" + _).getOrElse(""))
     }
   }
 
@@ -94,12 +104,15 @@ object Repl {
         session.describeTables().foreach { case (n, r, c, b) =>
           println(f"$n%-30s rows=$r%-10d cols=$c%-5d bytes=$b")
         }
+      case Array("\\pp") =>
+        pretty = !pretty
+        println(s"Pretty print: ${if (pretty) "on" else "off"}")
       case Array("\\s", file) =>
         session.latestResult match {
           case Some(df) => Save.save(df, file); println(s"Saved to $file")
           case None => println("There is no result to save")
         }
       case _ =>
-        println("""Special commands: \t tables, \td describe, \s FILE save last result, \q quit""")
+        println("""Special commands: \t tables, \td describe, \pp pretty toggle, \s FILE save last result, \q quit""")
     }
 }

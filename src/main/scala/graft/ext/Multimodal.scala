@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -46,6 +46,42 @@ object Multimodal {
       it => it.map(r => decodeOne(r.getLong(0), r.getAs[Array[Byte]](1)))
     }
     spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Frame sampling: split each payload into fixed-size frames (the
+    * video-frame / audio-chunk access pattern) — one output row per
+    * (doc, frame) with its byte length. Pure narrow ops: the explode
+    * happens where the payload already lives, frames never concentrate
+    * on one node. Output: (doc_id, frame_no, frame_bytes). */
+  def sampleFrames(docs: DataFrame, frameSize: Int): DataFrame =
+    withPayload(docs)
+      .select(col("doc_id"), octet_length(col("payload")).as("n"),
+        col("payload"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""CASE WHEN n = 0 THEN array()
+             |ELSE transform(sequence(0, CAST(ceil(n / $frameSize.0) AS INT) - 1),
+             |  i -> octet_length(substring(payload, i * $frameSize + 1, $frameSize)))
+             |END""".stripMargin)).as(Seq("f0", "frame_bytes")))
+      .select(col("doc_id"), (col("f0") + 1).cast("bigint").as("frame_no"),
+        col("frame_bytes").cast("bigint"))
+      .orderBy("doc_id", "frame_no")
+
+  /** STUB feature extraction: a 4-bin character-class histogram as the
+    * "embedding" of the payload (a real extractor would be a model
+    * call; the fixed-length-vector output schema and the narrow
+    * batch shape are the part that survives). Output: (doc_id,
+    * features: array<bigint>[4]). */
+  def extractFeatures(docs: DataFrame): DataFrame = {
+    def bin(pattern: String): Column =
+      length(regexp_replace(lower(col("text")), pattern, ""))
+    val total = length(lower(col("text")))
+    docs.select(col("doc_id"), array(
+        (total - bin("[a-g]")).cast("bigint"),
+        (total - bin("[h-n]")).cast("bigint"),
+        (total - bin("[o-t]")).cast("bigint"),
+        (total - bin("[u-z0-9]")).cast("bigint")).as("features"))
+      .orderBy("doc_id")
   }
 
   /** SQL-expressible equivalent of the stub pipeline (used for the

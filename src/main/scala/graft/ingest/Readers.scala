@@ -61,6 +61,12 @@ object Readers {
            jsonNormalizeMode: Boolean = false): Option[DataFrame] = {
     val name = java.nio.file.Paths.get(path).getFileName.toString
     sniff(name) match {
+      // gz/bz2/xz decompress transparently inside Spark's text readers
+      // (codec by extension); zip is not a Hadoop codec, so unpack the
+      // first entry to a temp file first (ref list localsql.py:91).
+      case (Some(fmt @ ("csv" | "json")), Some("zip")) =>
+        val plain = decompressToTemp(path, "zip", "." + fmt)
+        read(spark, plain, stringifyNested, jsonNormalizeMode)
       case (Some("csv"), _) => Some(csv(spark, path))
       case (Some("json"), _) =>
         Some(if (jsonNormalizeMode) jsonNormalize(spark, path)
@@ -70,12 +76,12 @@ object Readers {
         // xlsx is already a zip; a second compression layer must be
         // unpacked before the ZipFile reader can seek (ref supports
         // this via fsspec; rare in practice).
-        Some(Xlsx.read(spark, decompressToTemp(path, comp)))
+        Some(Xlsx.read(spark, decompressToTemp(path, comp, ".xlsx")))
       case _ => None
     }
   }
 
-  private def decompressToTemp(path: String, comp: String): String = {
+  private def decompressToTemp(path: String, comp: String, suffix: String): String = {
     import java.io._
     import java.nio.file.Files
     val in: InputStream = comp match {
@@ -84,9 +90,9 @@ object Readers {
         val z = new java.util.zip.ZipInputStream(new FileInputStream(path))
         z.getNextEntry; z
       case other => throw new IllegalArgumentException(
-        s"unsupported xlsx compression: $other")
+        s"unsupported compression: $other")
     }
-    val tmp = Files.createTempFile("graft_xlsx", ".xlsx")
+    val tmp = Files.createTempFile("graft_unpack", suffix)
     Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     in.close()
     tmp.toString

@@ -228,6 +228,34 @@ object Extensions {
         |  CAST(floor(CAST(octet_length(encode(text)) AS BIGINT) / 640) AS BIGINT) AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // frame sampling over binary payloads (video/audio chunk access)
+    Q.df("x69_mm_frames",
+      (s, dir) => Multimodal.sampleFrames(Tables.load(s, dir, "documents"), 256),
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |  CAST(least(256, octet_length(encode(text)) - (i - 1) * 256) AS BIGINT)
+        |    AS frame_bytes
+        |FROM documents, range(1, 1000) r(i)
+        |WHERE (i - 1) * 256 < octet_length(encode(text))
+        |ORDER BY doc_id, frame_no""".stripMargin),
+
+    // stub feature extraction: fixed-length char-class histogram vector
+    Q.df("x70_mm_features",
+      (s, dir) => {
+        val f = Multimodal.extractFeatures(Tables.load(s, dir, "documents"))
+        f.select(col("doc_id"),
+          element_at(col("features"), 1).as("b0"),
+          element_at(col("features"), 2).as("b1"),
+          element_at(col("features"), 3).as("b2"),
+          element_at(col("features"), 4).as("b3"))
+      },
+      """SELECT doc_id,
+        |  CAST(length(t) - length(regexp_replace(t, '[a-g]', '', 'g')) AS BIGINT) AS b0,
+        |  CAST(length(t) - length(regexp_replace(t, '[h-n]', '', 'g')) AS BIGINT) AS b1,
+        |  CAST(length(t) - length(regexp_replace(t, '[o-t]', '', 'g')) AS BIGINT) AS b2,
+        |  CAST(length(t) - length(regexp_replace(t, '[u-z0-9]', '', 'g')) AS BIGINT) AS b3
+        |FROM (SELECT doc_id, lower(text) AS t FROM documents) x
+        |ORDER BY doc_id""".stripMargin),
+
     // ---- streaming (Structured Streaming, AvailableNow replay) ---------
     Q.df("x62_stream_hourly",
       (s, dir) => Streaming.hourlyCounts(s, dir),

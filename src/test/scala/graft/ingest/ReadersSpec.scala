@@ -68,6 +68,18 @@ class ReadersSpec extends SparkSpec {
     assert(df.select(org.apache.spark.sql.functions.col("`nest.a`")).where("id = 1").head.getLong(0) == 1L)
   }
 
+  test("zip-compressed csv unpacks and reads (ref :91)") {
+    val d = tmpDir()
+    val zip = d.resolve("data.csv.zip")
+    val zos = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(zip))
+    zos.putNextEntry(new java.util.zip.ZipEntry("data.csv"))
+    zos.write("id,v\n1,10\n2,20\n".getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val df = Readers.read(spark, zip.toString).get
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("id", "v"))
+  }
+
   test("gzip NDJSON reads transparently (ref :121-122)") {
     val d = tmpDir()
     val raw = """{"id":1,"b":4}""" + "\n" + """{"id":2,"b":5}""" + "\n"
