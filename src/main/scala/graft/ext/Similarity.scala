@@ -72,6 +72,86 @@ object Similarity {
   private def dotQPre(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Deterministic mini k-means over the embedding column: centroids
+    * initialized from the first k vectors (stable), a fixed number of
+    * Lloyd iterations, assignment by the codegen'd quantized dot
+    * (max similarity). Each iteration is one broadcast (k centroids)
+    * plus one keyed aggregation — the standard distributed k-means
+    * shape; at 100 TB you'd sample for the fit and assign in one extra
+    * pass. Returns (vec_id, cell). */
+  def kmeansCells(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansFit(emb, k, iters)._1
+
+  /** k-means fit returning both the assignment and the final centroids
+    * (needed by multi-probe search to rank cells per query). */
+  def kmeansFit(emb: DataFrame, k: Int, iters: Int): (DataFrame, Array[(Int, Array[Float])]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var centroids: Array[(Int, Array[Float])] = emb
+      .where(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val cdf = broadcast(centroids.toSeq.map { case (i, v) => (i, v) }
+        .toDF("cell", "centroid"))
+      assigned = emb.crossJoin(cdf)
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          dotQNative(emb, col("embedding"), col("centroid")).as("sim"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      // new centroids: elementwise mean per cell
+      centroids = assigned.groupBy("cell")
+        .agg(collect_list("embedding").as("vs"))
+        .collect()
+        .map { r =>
+          val vs = r.getSeq[scala.collection.Seq[Float]](1)
+          val dim = vs.head.length
+          val mean = Array.tabulate(dim)(d => (vs.map(_(d).toDouble).sum / vs.size).toFloat)
+          (r.getInt(0), mean)
+        }
+    }
+    (assigned.select(col("vec_id"), col("cell")), centroids)
+  }
+
+  /** IVF-probed ANN: queries search only their `nprobe` nearest cells
+    * instead of the whole corpus — the coarse-quantizer pruning that
+    * makes billion-vector search tractable (probing more cells trades
+    * compute for recall; recall < 1 by design). Returns the same
+    * schema as [[knnQuantized]]. */
+  def knnIvf(emb: DataFrame, nQueries: Int, k: Int, cells: Int,
+             nprobe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (assign, centroids) = kmeansFit(emb, cells, 3)
+    val corpus = emb.join(assign.cache(), "vec_id")
+    val cdf = broadcast(centroids.toSeq.map { case (i, v) => (i, v) }
+      .toDF("cell", "centroid"))
+    // each query probes its nprobe best cells (ranked by the same
+    // quantized similarity used for scoring)
+    val qCells = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(cdf)
+      .withColumn("crn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(dotQNative(emb, col("qe"), col("centroid")).desc, col("cell"))))
+      .where(col("crn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cell"))
+    val pairs = broadcast(qCells).join(corpus, Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
+      .distinct()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w).cast("bigint"))
+      .where(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   /** Near-duplicate pairs inside coarse blocks (IVF-style: `label` is
     * the coarse quantizer cell). Only intra-block pairs are generated —
     * the join is keyed on label, so it shuffles and parallelizes by

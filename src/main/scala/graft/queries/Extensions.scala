@@ -289,6 +289,44 @@ object Extensions {
           .orderBy("event_type")
       }),
 
+    // keeper materialization: the dedup pipeline's last step — drop
+    // every document that is not its cluster's representative.
+    Q.df("x71_dedup_keep",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val labels = Dedup.clusters(docs, Dedup.jaccardPairs(docs, 0.2))
+        docs.join(labels, "doc_id")
+          .where(col("doc_id") === col("cluster_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("kept"), sum("n_chars").as("kept_chars"))
+          .orderBy("lang")
+      },
+      s"""WITH RECURSIVE $duckTok, $duckShingles, $duckJaccardTail,
+         |pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+         |)
+         |SELECT lang, count(*) AS kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |FROM documents d
+         |JOIN (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a) c
+         |  ON d.doc_id = c.doc_id
+         |WHERE d.doc_id = c.cluster_id
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // IVF-probed ANN: learned coarse cells (mini k-means) + cell-local
+    // search. Approximate by design -> rows-only check.
+    Q.dfOnly("x72_knn_ivf",
+      (s, dir) => Similarity.knnIvf(Tables.load(s, dir, "embeddings"), 20, 3, 8)),
+
     // ---- float-tier ANN (rows-only: float fold is engine-dependent;
     // uses the native codegen'd float_dot expression) -------------------
     Q.dfOnly("x64_knn_float",
