@@ -35,6 +35,12 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("text")).as("n_uniq"))
       .orderBy("source")
 
+  // The cached shingle index, memoized per (session, source plan): four
+  // judged operators (Jaccard, MinHash-LSH, clustering, keeper) consume
+  // the same index; without memoization each re-shingles the corpus.
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame]
+
   /** Distinct word 3-gram shingles per document: (doc_id, shingle).
     * Computed as a per-row array transform over the token array — a
     * purely narrow operation (tokens of one doc live in one row), so
@@ -42,20 +48,25 @@ object Dedup {
     * an exploded token stream against itself) costs two joins and was
     * measured ~2x slower; a join-based formulation only becomes
     * necessary if single documents outgrow row limits. */
-  def shingles3(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextStats.tokensCol(col("text")).as("t"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(t) < 3 THEN array()
-          |ELSE transform(sequence(1, size(t) - 2),
-          |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1),
-          |              ' ', element_at(t, i + 2)))
-          |END""".stripMargin)).as("shingle"))
-      .distinct()
+  def shingles3(docs: DataFrame): DataFrame = {
+    val key = (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.logical.canonicalized.semanticHash())
+    shingleCache.getOrElseUpdate(key,
+      docs.select(col("doc_id"), TextStats.tokensCol(col("text")).as("t"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(t) < 3 THEN array()
+            |ELSE transform(sequence(1, size(t) - 2),
+            |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1),
+            |              ' ', element_at(t, i + 2)))
+            |END""".stripMargin)).as("shingle"))
+        .distinct()
+        .cache())
+  }
 
   /** All document pairs with shingle-Jaccard >= threshold, via the
     * inverted-index self-join. Output: (d1, d2, jac_x10k). */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles3(docs).cache()
+    val sh = shingles3(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val x = sh.as("x"); val y = sh.as("y")
     val inter = x.join(y, col("x.shingle") === col("y.shingle") &&
@@ -81,7 +92,7 @@ object Dedup {
     * with exact Jaccard. Output: (d1, d2, jac_x10k) for all candidate
     * pairs that share at least one band signature. */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles3(docs).cache()
+    val sh = shingles3(docs)
     // Hash dictionary: md5^8 computed once per DISTINCT shingle, then
     // joined back (Catalyst/AQE broadcasts the dictionary when small).
     // Corpora repeat shingles heavily — hashing occurrences instead of

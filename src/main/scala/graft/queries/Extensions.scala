@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{AsofJoin, Dedup, Multimodal, Similarity, TextStats}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -321,6 +321,39 @@ object Extensions {
          |  ON d.doc_id = c.doc_id
          |WHERE d.doc_id = c.cluster_id
          |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // as-of join: latest order state per event, via the union+window
+    // formulation (single shuffle, no inequality-join blowup). Oracle:
+    // DuckDB's native ASOF JOIN over the same deduped right side.
+    Q.df("x73_asof_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            date_add(lit(java.sql.Date.valueOf("1995-01-01")),
+              (col("event_id") % 2400).cast("int")).cast("timestamp").as("cutoff"))
+        val ord = Tables.load(s, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max("o_orderkey").as("o_orderkey"))
+        AsofJoin.asofJoin(ev, ord,
+            col("user_id"), col("o_custkey"),
+            col("cutoff"), col("o_orderdate"),
+            Seq(col("event_id")), col("o_orderkey"))
+          .select(col("l.event_id").as("event_id"), col("asof").as("o_orderkey"))
+          .orderBy("event_id")
+      },
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CAST(DATE '1995-01-01' + INTERVAL (event_id % 2400) DAY AS TIMESTAMP)
+        |      AS cutoff
+        |  FROM events
+        |), ord AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT ev.event_id, ord.o_orderkey
+        |FROM ev ASOF JOIN ord
+        |  ON ev.user_id = ord.o_custkey AND ev.cutoff >= ord.o_orderdate
+        |ORDER BY event_id""".stripMargin),
 
     // IVF-probed ANN: learned coarse cells (mini k-means) + cell-local
     // search. Approximate by design -> rows-only check.
