@@ -200,6 +200,18 @@ object Parity {
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_suppkey)
         |ORDER BY s_suppkey""".stripMargin),
 
+    Q.sql2("q82_percentile_disc",
+      """SELECT l_returnflag,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_qty,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.5) AS med_qty,
+        |  quantile_disc(l_quantity, 0.9) AS p90_qty,
+        |  quantile_disc(l_extendedprice, 0.5) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     dsql("q72_date_modifiers",
       """SELECT o_orderkey,
         |  CAST(CAST(sqlite_date(o_orderdate, '+1 day') AS DATE) AS STRING) AS next_day,

@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-quality regression guards: the properties that keep the
+  * headline queries scalable are asserted on the PLAN, so a future
+  * change that silently un-broadcasts a dimension or stops pushing a
+  * filter fails here, not at 100 TB. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q14 multi-join: all five dimension joins broadcast, no SMJ") {
+    val p = plan("q14_multi_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 5, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q14: region filter is pushed to the parquet scan") {
+    val p = plan("q14_multi_join_revenue")
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(r_name,ASIA)"), p)
+  }
+
+  test("q01: scan reads only the seven needed lineitem columns") {
+    val p = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
+    assert(read.split(",").length == 7, read)
+    assert(!read.contains("l_orderkey"), read)
+  }
+
+  test("q34 top-k: window stays partitioned (no single-partition global sort before rank)") {
+    val p = plan("q34_win_rownum_topk")
+    assert(p.contains("hashpartitioning(c_mktsegment"), p)
+  }
+
+  test("x59 knn: query side is broadcast (corpus never shuffles for the join)") {
+    val p = ext.Similarity.knnQuantized(
+      Tables.load(spark, dir, "embeddings"), 5, 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
