@@ -79,6 +79,29 @@ object Extensions {
         |  count(*) AS cnt, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin),
 
+    // polynomial rolling hash (Rabin-Karp) as the document fingerprint —
+    // computed as a per-row left fold over the character codes (narrow,
+    // no shuffle; comparable incrementally at chunk boundaries at scale).
+    Q.sql2("x74_rolling_fingerprint",
+      """SELECT doc_id,
+        |  aggregate(
+        |    transform(sequence(1, length(t)),
+        |      i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+        |    CAST(0 AS BIGINT),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ')) AS t
+        |      FROM documents) x
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(t) + 1),
+        |        i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |      FROM documents) x
+        |ORDER BY doc_id""".stripMargin),
+
     // ---- dedup ---------------------------------------------------------
     Q.df("x55_dedup_exact",
       (s, dir) => Dedup.exactStats(Tables.load(s, dir, "documents")),
