@@ -36,11 +36,8 @@ object Similarity {
     aggregate(zip_with(quantize(a), quantize(b), (x, y) => x * y),
       lit(0L), (acc, x) => acc + x)
 
-  /** Double-precision dot product (bench tier, deterministic order via
-    * left fold but not cross-engine exact). */
-  def dotF(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  // (the float-tier dot is the native graft.functions.FloatDot
+  //  expression — see x64; a HOF formulation was measured ~7x slower)
 
   /** Quantized dot via the native codegen'd expression (see
     * graft.functions.QuantDot — same arithmetic as [[dotQ]], fused into
@@ -66,11 +63,6 @@ object Similarity {
       .where(col("rn") <= k)
       .orderBy("qid", "rn")
   }
-
-  /** Integer dot of two ALREADY-quantized vectors (no per-pair
-    * re-quantization). */
-  private def dotQPre(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Deterministic mini k-means over the embedding column: centroids
     * initialized from the first k vectors (stable), a fixed number of
