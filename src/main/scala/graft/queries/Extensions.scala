@@ -286,6 +286,12 @@ object Extensions {
         |  event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
 
+    // streaming exact dedup: per-key state across the replayed backlog
+    Q.df("x76_stream_dedup",
+      (s, dir) => Streaming.streamDistinctUsers(s, dir),
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin),
+
     // arbitrary stateful streaming: flatMapGroupsWithState sessionizer
     Q.df("x68_stream_sessions_state",
       (s, dir) => Streaming.sessionizeStateful(s, dir),

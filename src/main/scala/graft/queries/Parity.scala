@@ -212,6 +212,38 @@ object Parity {
         |  quantile_disc(l_extendedprice, 0.5) AS med_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    Q.sql2("q83_string_predicates",
+      """SELECT p_partkey,
+        |  translate(p_brand, '#', '_') AS brand_t,
+        |  contains(p_name, 'olt') AS has_olt,
+        |  startswith(p_type, 'PROMO') AS is_promo,
+        |  endswith(p_type, 'STEEL') AS is_steel,
+        |  CAST(position('a' IN p_name) AS BIGINT) AS first_a
+        |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin,
+      """SELECT p_partkey,
+        |  translate(p_brand, '#', '_') AS brand_t,
+        |  contains(p_name, 'olt') AS has_olt,
+        |  starts_with(p_type, 'PROMO') AS is_promo,
+        |  ends_with(p_type, 'STEEL') AS is_steel,
+        |  CAST(position('a' IN p_name) AS BIGINT) AS first_a
+        |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin),
+
+    Q.sql2("q84_bitwise",
+      """SELECT s_suppkey,
+        |  s_suppkey & 255 AS low_byte,
+        |  s_suppkey | 1024 AS with_flag,
+        |  CAST(s_suppkey ^ 9999 AS BIGINT) AS xored,
+        |  shiftleft(s_suppkey, 3) AS shl,
+        |  shiftright(s_suppkey, 1) AS shr
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+      """SELECT s_suppkey,
+        |  s_suppkey & 255 AS low_byte,
+        |  s_suppkey | 1024 AS with_flag,
+        |  CAST(xor(s_suppkey, 9999) AS BIGINT) AS xored,
+        |  s_suppkey << 3 AS shl,
+        |  s_suppkey >> 1 AS shr
+        |FROM supplier ORDER BY s_suppkey""".stripMargin),
+
     dsql("q72_date_modifiers",
       """SELECT o_orderkey,
         |  CAST(CAST(sqlite_date(o_orderdate, '+1 day') AS DATE) AS STRING) AS next_day,

@@ -63,6 +63,31 @@ object Streaming {
     spark.table(name).orderBy("hour", "event_type")
   }
 
+  /** Streaming exact dedup: dropDuplicates over an unbounded stream
+    * keeps per-key state so each key is emitted once — here replayed
+    * over the events backlog. Only the key column is emitted (which row
+    * of a duplicate group wins is stream-order-dependent; the key set
+    * is deterministic, and is what the oracle checks). */
+  def streamDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val src = spark.readStream.schema(eventsRawSchema).parquet(stage.toString)
+      .select("user_id", "event_type")
+    val q = src.dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type")
+      .writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "event_type")
+  }
+
   /** Arbitrary stateful streaming: per-user sessionization via
     * flatMapGroupsWithState — the custom-state escape hatch for logic
     * window()/session_window() can't express. State is one small
