@@ -82,16 +82,17 @@ object Extensions {
     // polynomial rolling hash (Rabin-Karp) as the document fingerprint —
     // computed as a per-row left fold over the character codes (narrow,
     // no shuffle; comparable incrementally at chunk boundaries at scale).
-    Q.sql2("x74_rolling_fingerprint",
-      """SELECT doc_id,
-        |  aggregate(
-        |    transform(sequence(1, length(t)),
-        |      i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
-        |    CAST(0 AS BIGINT),
-        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
-        |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ')) AS t
-        |      FROM documents) x
-        |ORDER BY doc_id""".stripMargin,
+    Q(name = "x74_rolling_fingerprint",
+      run = (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.functions.RollingHash.register(s)
+        s.sql(
+          """SELECT doc_id,
+            |  rolling_hash(trim(regexp_replace(lower(text), '\\s+', ' '))) AS rhash
+            |FROM documents
+            |ORDER BY doc_id""".stripMargin)
+      },
+      oracle = Some(
       """SELECT doc_id,
         |  list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
@@ -100,7 +101,7 @@ object Extensions {
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
         |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
         |      FROM documents) x
-        |ORDER BY doc_id""".stripMargin),
+        |ORDER BY doc_id""".stripMargin)),
 
     // ---- dedup ---------------------------------------------------------
     Q.df("x55_dedup_exact",
