@@ -244,6 +244,18 @@ object Parity {
         |  s_suppkey >> 1 AS shr
         |FROM supplier ORDER BY s_suppkey""".stripMargin),
 
+    Q.sql2("q85_unpivot",
+      """SELECT s_suppkey, metric, val
+        |FROM (SELECT s_suppkey, s_acctbal AS bal,
+        |             CAST(s_nationkey AS DOUBLE) AS nk FROM supplier)
+        |UNPIVOT (val FOR metric IN (bal, nk))
+        |ORDER BY s_suppkey, metric""".stripMargin,
+      """SELECT s_suppkey, metric, val FROM (
+        |  UNPIVOT (SELECT s_suppkey, s_acctbal AS bal,
+        |           CAST(s_nationkey AS DOUBLE) AS nk FROM supplier)
+        |  ON bal, nk INTO NAME metric VALUE val
+        |) ORDER BY s_suppkey, metric""".stripMargin),
+
     dsql("q72_date_modifiers",
       """SELECT o_orderkey,
         |  CAST(CAST(sqlite_date(o_orderdate, '+1 day') AS DATE) AS STRING) AS next_day,
