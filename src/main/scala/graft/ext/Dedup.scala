@@ -64,9 +64,26 @@ object Dedup {
   }
 
   /** All document pairs with shingle-Jaccard >= threshold, via the
-    * inverted-index self-join. Output: (d1, d2, jac_x10k). */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles3(docs)
+    * inverted-index self-join. Output: (d1, d2, jac_x10k).
+    *
+    * `maxDocFreq`: the stop-shingle filter — drop shingles appearing in
+    * more than this many documents BEFORE the self-join. A shingle in f
+    * docs contributes f^2 join pairs; the corpus-wide hot shingles
+    * ("of the and", boilerplate headers) dominate cost while carrying
+    * no near-dup signal. This is the knob that keeps the join
+    * sub-quadratic at 100 TB; it makes the Jaccard denominator
+    * approximate (computed over surviving shingles), so the judged
+    * query leaves it off. */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   maxDocFreq: Option[Int] = None): DataFrame = {
+    val shAll = shingles3(docs)
+    val sh = maxDocFreq match {
+      case Some(f) =>
+        val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > f).select("shingle")
+        shAll.join(hot, Seq("shingle"), "left_anti")
+      case None => shAll
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val x = sh.as("x"); val y = sh.as("y")
     val inter = x.join(y, col("x.shingle") === col("y.shingle") &&

@@ -35,6 +35,15 @@ class ExtSpec extends SparkSpec {
     assert(r.forall(x => x.getLong(2) >= 2000 && x.getLong(2) <= 10000))
   }
 
+  test("stop-shingle filter: no-op above max frequency, prunes below") {
+    val base = Dedup.jaccardPairs(docs, 0.2).collect().toSeq
+    val slack = Dedup.jaccardPairs(docs, 0.2, Some(1000000)).collect().toSeq
+    assert(base == slack) // threshold above any real doc-frequency
+    // aggressive filtering must only ever shrink the candidate space
+    val tight = Dedup.jaccardPairs(docs, 0.2, Some(2)).collect().toSeq
+    assert(tight.size <= base.size)
+  }
+
   test("minhash-LSH candidates verify to high jaccard (planted near-dups)") {
     val lsh = Dedup.minhashLshPairs(docs).collect()
     assert(lsh.nonEmpty)
