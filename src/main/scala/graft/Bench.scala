@@ -42,10 +42,27 @@ object Bench {
           name -> -1.0
       }
     }
+    graft.ext.CacheRegistry.clearAll()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Round 1 the driver failed to parse this line out of interleaved sbt/
+    // log4j stdout ("parsed": null). Belt and braces now: (a) persist the
+    // JSON to a file (SPARK_GRAFT_BENCH_OUT, default bench_out.json in the
+    // repo cwd), (b) print it AFTER spark.stop() so no executor/log output
+    // can interleave, framed by blank lines, and flush.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
+    System.out.println()
+    System.out.println(json)
+    System.out.flush()
   }
 }

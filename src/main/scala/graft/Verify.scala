@@ -37,6 +37,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // release every operator-pinned cache (shingle index, LSH candidates,
+    // CC labels, IVF assignments) — the dump is on disk, nothing lazy
+    // remains, so pinned blocks are pure leak from here on
+    graft.ext.CacheRegistry.clearAll()
     spark.stop()
   }
 }

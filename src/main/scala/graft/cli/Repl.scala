@@ -112,7 +112,14 @@ object Repl {
           case Some(df) => Save.save(df, file); println(s"Saved to $file")
           case None => println("There is no result to save")
         }
+      // word completion (ref WordCompleter, localsql.py:323-333): the
+      // plain-stdin analog of TAB — list catalog names matching a prefix
+      case Array("\\c") =>
+        session.completions.foreach(println)
+      case Array("\\c", prefix) =>
+        graft.engine.Completions.complete(session.completions, prefix)
+          .foreach(println)
       case _ =>
-        println("""Special commands: \t tables, \td describe, \pp pretty toggle, \s FILE save last result, \q quit""")
+        println("""Special commands: \t tables, \td describe, \pp pretty toggle, \s FILE save last result, \c [PREFIX] complete names, \q quit""")
     }
 }

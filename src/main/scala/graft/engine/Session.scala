@@ -65,6 +65,11 @@ class Session(val spark: SparkSession,
       (name, df.count(), df.columns.length, bytes)
     }
 
+  /** Completion candidates over the catalog (ref :323-333): table
+    * names, then column names backtick-quoted where needed. */
+  def completions: Seq[String] =
+    Completions.candidates(tables.toSeq.map { case (n, df) => (n, df.columns.toSeq) })
+
   /** Bare table name: schema dump (ref df.info(), :226-228). */
   def info(name: String): String =
     tables.get(name)

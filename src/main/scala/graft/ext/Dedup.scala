@@ -38,8 +38,15 @@ object Dedup {
   // The cached shingle index, memoized per (session, source plan): four
   // judged operators (Jaccard, MinHash-LSH, clustering, keeper) consume
   // the same index; without memoization each re-shingles the corpus.
+  // Evicted via CacheRegistry.clearAll() -> clearShingleCache().
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame]
+
+  /** Unpersist and forget every memoized shingle index. */
+  private[ext] def clearShingleCache(): Unit = {
+    shingleCache.values.foreach(_.unpersist(blocking = false))
+    shingleCache.clear()
+  }
 
   /** Distinct word 3-gram shingles per document: (doc_id, shingle).
     * Computed as a per-row array transform over the token array — a
@@ -60,7 +67,7 @@ object Dedup {
             |              ' ', element_at(t, i + 2)))
             |END""".stripMargin)).as("shingle"))
         .distinct()
-        .cache())
+        .cache())  // evicted by clearShingleCache (CacheRegistry.clearAll)
   }
 
   /** All document pairs with shingle-Jaccard >= threshold, via the
@@ -105,42 +112,51 @@ object Dedup {
   private def mh(i: Column, shingle: Column): Column =
     md5(concat(i.cast("string"), lit(":"), shingle))
 
-  /** MinHash(k=8) + LSH(2 bands x 4 rows) near-dup candidates, verified
-    * with exact Jaccard. Output: (d1, d2, jac_x10k) for all candidate
-    * pairs that share at least one band signature. */
-  def minhashLshPairs(docs: DataFrame): DataFrame = {
+  /** MinHash(numHashes) + LSH(bands bands x numHashes/bands rows)
+    * near-dup candidates, verified with exact Jaccard. Output:
+    * (d1, d2, jac_x10k) for all candidate pairs that share at least one
+    * band signature.
+    *
+    * Defaults (8 hashes, 2 bands) match the judged oracle; more hashes
+    * and more bands raise recall at higher candidate volume — standard
+    * LSH tuning, now a caller knob. Band b's signature concatenates the
+    * minhashes at indices {b, b+bands, b+2*bands, ...}, which for the
+    * default reduces to the oracle's (even, odd) split. */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 8,
+                      bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0 && bands >= 1 && numHashes >= bands,
+      s"numHashes=$numHashes must be a positive multiple of bands=$bands")
     val sh = shingles3(docs)
-    // Hash dictionary: md5^8 computed once per DISTINCT shingle, then
+    // Hash dictionary: md5^k computed once per DISTINCT shingle, then
     // joined back (Catalyst/AQE broadcasts the dictionary when small).
     // Corpora repeat shingles heavily — hashing occurrences instead of
     // the dictionary wastes a factor of (occurrences / distinct).
     val dict = sh.select("shingle").distinct()
-      .select(col("shingle") +: (0 to 7).map(i => mh(lit(i), col("shingle")).as(s"h$i")): _*)
-    // All 8 signature mins in ONE aggregation pass (no 8x row explode;
-    // min-merged map-side, the shuffle carries 8 hashes per doc).
+      .select(col("shingle") +:
+        (0 until numHashes).map(i => mh(lit(i), col("shingle")).as(s"h$i")): _*)
+    // All signature mins in ONE aggregation pass (no k-way row explode;
+    // min-merged map-side, the shuffle carries k hashes per doc).
     val sig = sh.join(dict, "shingle").groupBy("doc_id").agg(
       min(col("h0")).as("m0"),
-      (1 to 7).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-    // 2 bands of 4 rows: band = i % 2 (even minhashes, odd minhashes) —
-    // the band signature concatenation matches the oracle's
-    // floor(i/2)-ordered concat of the same minhash values.
-    val bands = sig.select(col("doc_id"), explode(array(
-        struct(lit(0L).as("band"),
-          md5(concat_ws(":", col("m0"), col("m2"), col("m4"), col("m6"))).as("sig")),
-        struct(lit(1L).as("band"),
-          md5(concat_ws(":", col("m1"), col("m3"), col("m5"), col("m7"))).as("sig"))
-      )).as("b"))
+      (1 until numHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd.toLong).as("band"),
+        md5(concat_ws(":",
+          (bnd until numHashes by bands).map(i => col(s"m$i")): _*)).as("sig"))
+    }
+    val bandDf = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-    val a = bands.as("a"); val b = bands.as("b")
+    val a = bandDf.as("a"); val b = bandDf.as("b")
     // cand is consumed TWICE (as the broadcast doc filter and in the
     // final join) — cache it, or the whole signature pipeline
-    // (position-joins + dictionary md5s) executes twice.
-    val cand = a.join(b, col("a.band") === col("b.band") &&
-                         col("a.sig") === col("b.sig") &&
-                         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-      .cache()
+    // (position-joins + dictionary md5s) executes twice. Pinned via
+    // CacheRegistry so the session can reclaim it.
+    val cand = CacheRegistry.pin(
+      a.join(b, col("a.band") === col("b.band") &&
+                col("a.sig") === col("b.sig") &&
+                col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct())
     // verify candidates with exact Jaccard — restricted to documents
     // that survived banding. This is the point of LSH: the exact
     // all-pairs intersection never runs on the full corpus, only on the
@@ -177,7 +193,8 @@ object Dedup {
     * Output: (doc_id, cluster_id). */
   def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val fwd = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    val edges = CacheRegistry.pin(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
     var changed = 1L
     while (changed > 0) {
@@ -193,6 +210,7 @@ object Dedup {
       labels.unpersist()
       labels = next
     }
+    CacheRegistry.pin(labels)  // already cached; recorded for clearAll
     labels.orderBy("doc_id")
   }
 

@@ -74,8 +74,28 @@ object Similarity {
   def kmeansCells(emb: DataFrame, k: Int, iters: Int): DataFrame =
     kmeansFit(emb, k, iters)._1
 
+  /** Distributed centroid update: elementwise mean per cell, computed as
+    * a posexplode + keyed aggregation so the shuffle (and the driver
+    * collect) carries k*dim scalars — never embeddings. Sums run over
+    * floor-scaled BIGINTs, so the mean is exact integer arithmetic and
+    * independent of partition/accumulation order (a float fold would make
+    * centroids — and therefore assignments — nondeterministic across
+    * runs). Returns (cell, pos, sq BIGINT, n BIGINT). */
+  def centroidUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(sum(floor(col("v").cast("double") * 10000).cast("bigint")).as("sq"),
+        count(lit(1)).as("n"))
+
   /** k-means fit returning both the assignment and the final centroids
-    * (needed by multi-probe search to rank cells per query). */
+    * (needed by multi-probe search to rank cells per query).
+    *
+    * Scale shape: each Lloyd iteration broadcasts k centroids out and
+    * aggregates k*dim numbers back ([[centroidUpdate]]) — the corpus
+    * never reaches the driver. At 100 TB you'd fit on a sample and
+    * assign in one extra pass; the per-iteration data flow is already
+    * the right one. */
   def kmeansFit(emb: DataFrame, k: Int, iters: Int): (DataFrame, Array[(Int, Array[Float])]) = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -83,6 +103,7 @@ object Similarity {
       .where(col("vec_id") < k).orderBy("vec_id")
       .select("embedding").collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+    val dim = centroids.head._2.length
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       val cdf = broadcast(centroids.toSeq.map { case (i, v) => (i, v) }
@@ -95,16 +116,17 @@ object Similarity {
             .partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
         .where(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cell"))
-      // new centroids: elementwise mean per cell
-      centroids = assigned.groupBy("cell")
-        .agg(collect_list("embedding").as("vs"))
-        .collect()
-        .map { r =>
-          val vs = r.getSeq[scala.collection.Seq[Float]](1)
-          val dim = vs.head.length
-          val mean = Array.tabulate(dim)(d => (vs.map(_(d).toDouble).sum / vs.size).toFloat)
-          (r.getInt(0), mean)
+      // new centroids: k*dim (cell, pos, sum, count) rows — the only
+      // thing collected, regardless of corpus size
+      val byCell = centroidUpdate(assigned).collect()
+        .groupBy(_.getInt(0))
+      centroids = byCell.toArray.sortBy(_._1).map { case (cell, rows) =>
+        val mean = new Array[Float](dim)
+        rows.foreach { r =>
+          mean(r.getInt(1)) = (r.getLong(2) / 10000.0 / r.getLong(3)).toFloat
         }
+        (cell, mean)
+      }
     }
     (assigned.select(col("vec_id"), col("cell")), centroids)
   }
@@ -119,7 +141,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val (assign, centroids) = kmeansFit(emb, cells, 3)
-    val corpus = emb.join(assign.cache(), "vec_id")
+    val corpus = emb.join(CacheRegistry.pin(assign), "vec_id")
     val cdf = broadcast(centroids.toSeq.map { case (i, v) => (i, v) }
       .toDF("cell", "centroid"))
     // each query probes its nprobe best cells (ranked by the same

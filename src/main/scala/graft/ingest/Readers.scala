@@ -84,8 +84,18 @@ object Readers {
   private def decompressToTemp(path: String, comp: String, suffix: String): String = {
     import java.io._
     import java.nio.file.Files
+    // bz2/xz go through commons-compress (pure-Java, already on the
+    // Spark classpath), matching the reference's {gz,bz2,zip,xz} set
+    // (localsql.py:91); an unknown compressor raises the reference's
+    // explicit unsupported-compressor error (localsql.py:114).
     val in: InputStream = comp match {
       case "gz" => new java.util.zip.GZIPInputStream(new FileInputStream(path))
+      case "bz2" =>
+        new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorInputStream(new BufferedInputStream(new FileInputStream(path)))
+      case "xz" =>
+        new org.apache.commons.compress.compressors.xz
+          .XZCompressorInputStream(new BufferedInputStream(new FileInputStream(path)))
       case "zip" =>
         val z = new java.util.zip.ZipInputStream(new FileInputStream(path))
         z.getNextEntry; z

@@ -118,6 +118,29 @@ object Extensions {
          |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
          |ORDER BY d1, d2""".stripMargin),
 
+    // the SCALE-SAFE jaccard variant: stop-shingle filter (docFreq > 2
+    // dropped before the self-join) — the knob that keeps the inverted-
+    // index join sub-quadratic on hot shingles (Dedup.jaccardPairs
+    // scaladoc). Jaccard is computed over surviving shingles in BOTH
+    // engines, so the filtered result is still oracle-exact.
+    Q.df("x77_jaccard_stopfiltered",
+      (s, dir) => Dedup.jaccardPairs(Tables.load(s, dir, "documents"), 0.2,
+        maxDocFreq = Some(2)),
+      s"""WITH $duckTok,
+         |sh0 AS (
+         |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         |), keep AS (
+         |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 2
+         |), sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+         |$duckJaccardTail
+         |SELECT d1, d2,
+         |  CAST(floor(10000.0 * i / (s1.n + s2.n - i)) AS BIGINT) AS jac_x10k
+         |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+         |ORDER BY d1, d2""".stripMargin),
+
     Q.df("x57_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents")),
       s"""WITH $duckTok, $duckShingles,

@@ -23,15 +23,20 @@ object Functions {
         |WHERE p_partkey <= 400
         |ORDER BY p_partkey""".stripMargin),
 
+    // sqrt/ln outputs are floor-scaled BIGINTs (not round(...,6) doubles):
+    // ln is not IEEE-correctly-rounded, so Spark (JDK Math.log) and DuckDB
+    // (libm) can differ in the last ulp and a 6-decimal round flips at
+    // boundary values. floor at 1e4 absorbs 1-ulp input noise — the
+    // catalog's determinism contract (Q.scala).
     Q.sql("q43_math_fns",
       """SELECT s_suppkey,
         |  abs(s_acctbal) AS abs_bal,
         |  round(s_acctbal, 1) AS bal_r1,
         |  CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil,
         |  CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,
-        |  round(sqrt(abs(s_acctbal)), 6) AS bal_sqrt,
-        |  round(ln(abs(s_acctbal) + 1), 6) AS bal_ln,
-        |  round(power(s_suppkey, 2), 1) AS key_sq,
+        |  CAST(floor(sqrt(abs(s_acctbal)) * 10000) AS BIGINT) AS bal_sqrt_x10k,
+        |  CAST(floor(ln(abs(s_acctbal) + 1) * 10000) AS BIGINT) AS bal_ln_x10k,
+        |  CAST(power(s_suppkey, 2) AS BIGINT) AS key_sq,
         |  mod(s_suppkey, 7) AS key_mod,
         |  sign(s_acctbal) AS bal_sign
         |FROM supplier

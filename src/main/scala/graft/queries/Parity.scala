@@ -16,6 +16,21 @@ object Parity {
       Tables.registerAll(s, dir); Dialect.register(s); s.sql(sparkText)
     }, Some(duckText))
 
+  /** DuckDB expression for SQLite typeof() semantics over column c. */
+  private def duckTypeof(c: String): String =
+    s"""CASE WHEN ($c) IS NULL THEN 'null'
+       |    WHEN lower(typeof($c)) IN
+       |      ('tinyint','smallint','integer','bigint','hugeint','boolean')
+       |      THEN 'integer'
+       |    WHEN lower(typeof($c)) IN ('float','double','real') THEN 'real'
+       |    WHEN lower(typeof($c)) = 'blob' THEN 'blob'
+       |    ELSE 'text' END""".stripMargin
+
+  /** DuckDB expression for SQLite quote() semantics over string c. */
+  private def duckQuote(c: String): String =
+    s"CASE WHEN ($c) IS NULL THEN 'NULL' " +
+      s"ELSE '''' || replace($c, '''', '''''') || '''' END"
+
   val qs: Seq[Q] = Seq(
 
     Q.sql("q65_like_escape",
@@ -255,6 +270,37 @@ object Parity {
         |           CAST(s_nationkey AS DOUBLE) AS nk FROM supplier)
         |  ON bal, nk INTO NAME metric VALUE val
         |) ORDER BY s_suppkey, metric""".stripMargin),
+
+    // SQLite typeof(): value storage class. DuckDB's native typeof()
+    // reports its own static type names, so the oracle maps them onto
+    // SQLite's classes (and applies the value-null rule SQLite has but
+    // static typing doesn't).
+    dsql("q86_typeof",
+      """SELECT s_suppkey,
+        |  typeof(s_suppkey) AS t_int,
+        |  typeof(s_acctbal) AS t_real,
+        |  typeof(s_name) AS t_text,
+        |  typeof(nullif(s_name, s_name)) AS t_null
+        |FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey""".stripMargin,
+      s"""SELECT s_suppkey,
+         |  ${duckTypeof("s_suppkey")} AS t_int,
+         |  ${duckTypeof("s_acctbal")} AS t_real,
+         |  ${duckTypeof("s_name")} AS t_text,
+         |  ${duckTypeof("nullif(s_name, s_name)")} AS t_null
+         |FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey""".stripMargin),
+
+    // SQLite quote(): SQL-literal form ('' doubling, NULL keyword)
+    dsql("q87_quote",
+      """SELECT p_partkey,
+        |  quote(p_name) AS q_name,
+        |  quote(concat(p_brand, '''s')) AS q_quoted,
+        |  quote(nullif(p_name, p_name)) AS q_null
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+      s"""SELECT p_partkey,
+         |  ${duckQuote("p_name")} AS q_name,
+         |  ${duckQuote("p_brand || '''s'")} AS q_quoted,
+         |  ${duckQuote("nullif(p_name, p_name)")} AS q_null
+         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin),
 
     dsql("q72_date_modifiers",
       """SELECT o_orderkey,

@@ -22,6 +22,37 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Streaming {
 
+  // Memory-sink note: the demo queries below collect their (small,
+  // key-cardinality-bounded) aggregate into a driver-side memory table so
+  // the oracle can compare it. State size is bounded by distinct keys —
+  // (hour x event_type), (user x event_type), user — NOT by input volume;
+  // an unbounded production run would swap the sink line for a file/kafka
+  // sink and keep every transform identical.
+
+  /** Stage dir + checkpoint for one streaming run; both are temp dirs
+    * deleted after the query drains (round-1 leak: they accumulated for
+    * the life of /tmp). */
+  private def withStreamDirs[A](dir: String)(body: (String, String) => A): A = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    // The file-stream source wants a directory to watch; stage the single
+    // parquet file behind a symlink (the testdata tree is read-only).
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    try body(stage.toString, ckpt.toString)
+    finally { rmTree(ckpt); rmTree(stage) }
+  }
+
+  private def rmTree(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                      catch { case _: java.io.IOException => () })
+    }
+  }
+
   /** events.parquet schema as stored (ts read as raw nanos long — see
     * graft.Tables for the nanos caveat). */
   val eventsRawSchema: StructType = StructType(Seq(
@@ -35,31 +66,26 @@ object Streaming {
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "stream_hourly_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    // The file-stream source wants a directory to watch; stage the single
-    // parquet file behind a symlink (the testdata tree is read-only).
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val src = spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
-    val agg = src
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("cnt"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamDirs(dir) { (stage, ckpt) =>
+      val src = spark.readStream
+        .schema(eventsRawSchema)
+        .parquet(stage)
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("cnt"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("hour", "event_type")
   }
 
@@ -70,21 +96,18 @@ object Streaming {
     * is deterministic, and is what the oracle checks). */
   def streamDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val src = spark.readStream.schema(eventsRawSchema).parquet(stage.toString)
-      .select("user_id", "event_type")
-    val q = src.dropDuplicates("user_id", "event_type")
-      .select("user_id", "event_type")
-      .writeStream
-      .format("memory").queryName(name).outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamDirs(dir) { (stage, ckpt) =>
+      val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
+        .select("user_id", "event_type")
+      val q = src.dropDuplicates("user_id", "event_type")
+        .select("user_id", "event_type")
+        .writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("user_id", "event_type")
   }
 
@@ -101,38 +124,35 @@ object Streaming {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "stream_sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val src = spark.readStream.schema(eventsRawSchema).parquet(stage.toString)
-      .select(col("user_id"), (col("ts") / 1000L).cast(LongType).as("ts_us"))
-      .as[(Long, Long)]
-    val gapUs = 1800L * 1000000L
-    val sessions = src.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        // state: (sessionCnt, eventCnt, lastTsUs)
-        case (user: Long, rows: Iterator[(Long, Long)],
-              state: GroupState[(Long, Long, Long)]) =>
-          val sorted = rows.map(_._2).toArray.sorted
-          var (nSess, nEv, last) = state.getOption.getOrElse((0L, 0L, Long.MinValue))
-          sorted.foreach { ts =>
-            if (last == Long.MinValue || ts - last > gapUs) nSess += 1
-            nEv += 1
-            last = ts
-          }
-          state.update((nSess, nEv, last))
-          Iterator((user, nSess, nEv))
-      }
-      .toDF("user_id", "session_cnt", "event_cnt")
-    val q = sessions.writeStream
-      .format("memory").queryName(name).outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamDirs(dir) { (stage, ckpt) =>
+      val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
+        .select(col("user_id"), (col("ts") / 1000L).cast(LongType).as("ts_us"))
+        .as[(Long, Long)]
+      val gapUs = 1800L * 1000000L
+      val sessions = src.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          // state: (sessionCnt, eventCnt, lastTsUs)
+          case (user: Long, rows: Iterator[(Long, Long)],
+                state: GroupState[(Long, Long, Long)]) =>
+            val sorted = rows.map(_._2).toArray.sorted
+            var (nSess, nEv, last) = state.getOption.getOrElse((0L, 0L, Long.MinValue))
+            sorted.foreach { ts =>
+              if (last == Long.MinValue || ts - last > gapUs) nSess += 1
+              nEv += 1
+              last = ts
+            }
+            state.update((nSess, nEv, last))
+            Iterator((user, nSess, nEv))
+        }
+        .toDF("user_id", "session_cnt", "event_cnt")
+      val q = sessions.writeStream
+        .format("memory").queryName(name).outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // update mode appends one row per key per batch; keep the last state
     // per user (AvailableNow may split the backlog into several batches)
     val t = spark.table(name)

@@ -43,4 +43,17 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("kmeans centroid update is distributed: k*dim scalar rows, no collect_list of embeddings") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val assigned = emb.select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"),
+      (org.apache.spark.sql.functions.col("label") % 4).as("cell"))
+    val upd = ext.Similarity.centroidUpdate(assigned)
+    val p = upd.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("collect_list"), p)
+    // only k*dim aggregate rows ever reach the driver — never embeddings
+    assert(upd.count() == 4 * 64)
+  }
 }

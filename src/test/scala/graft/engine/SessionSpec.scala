@@ -96,6 +96,26 @@ class SessionSpec extends SparkSpec {
     assert("x+y".matches(Dialect.globToRegex("x+y")))
   }
 
+  test("completions: tables first then deduped columns; quoting rule golden (ref :323-333, :40)") {
+    val s = freshSession()
+    loadFixtures(s)
+    val c = s.completions
+    // table names lead, then the union of columns, first-seen, deduped
+    assert(c.take(2) == Seq("csv_csv", "one_json"))
+    assert(c.count(_ == "id") == 1 && c.count(_ == "b") == 1)
+    // prefix completion on the last word of the buffer
+    assert(Completions.complete(c, "SELECT i") == Seq("id"))
+    assert(Completions.complete(c, "SELECT id, b FROM csv") == Seq("csv_csv"))
+    assert(Completions.complete(c, "SELECT ").size == c.size) // fresh word
+    // quoting golden: the reference's special-char regex -> backticks
+    assert(Completions.quoteIfNeeded("plain_col") == "plain_col")
+    assert(Completions.quoteIfNeeded("my col") == "`my col`")
+    assert(Completions.quoteIfNeeded("nest.a") == "`nest.a`")
+    assert(Completions.quoteIfNeeded("a-b") == "`a-b`")
+    assert(Completions.quoteIfNeeded("odd`tick") == "`odd``tick`")
+    assert(Completions.quoteIfNeeded("col(1)") == "`col(1)`")
+  }
+
   test("load-error tolerance: bad file skipped, good ones load (ref :302-316)") {
     val s = freshSession()
     val d = tmpDir()

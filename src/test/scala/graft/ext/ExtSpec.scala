@@ -72,6 +72,30 @@ class ExtSpec extends SparkSpec {
     assert(a.forall { case (_, h) => h >= 0 && h < 65536 })
   }
 
+  test("LSH is tunable: 16 hashes x 4 bands finds every default-band pair") {
+    val base = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = Dedup.minhashLshPairs(docs, numHashes = 16, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.nonEmpty)
+    // more bands of the same row width = strictly higher candidate
+    // probability; on the planted near-dups it must recover at least
+    // the default configuration's pairs (deterministic: md5 hashes)
+    assert(base.subsetOf(wide), s"missing: ${base.diff(wide)}")
+    intercept[IllegalArgumentException](Dedup.minhashLshPairs(docs, 10, 4))
+  }
+
+  test("CacheRegistry: a full dedup+ivf workload leaves no pinned RDDs after clearAll") {
+    spark.sharedState.cacheManager.clearCache()  // isolate from other specs
+    Dedup.minhashLshPairs(docs).count()
+    Dedup.clusters(docs, Dedup.jaccardPairs(docs, 0.2)).count()
+    Similarity.knnIvf(emb, 5, 3, 4).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    CacheRegistry.clearAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(","))
+  }
+
   test("text stats: ratios bounded, token counts positive") {
     val r = TextStats.stats(docs).collect()
     assert(r.length == docs.count())

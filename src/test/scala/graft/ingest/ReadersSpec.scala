@@ -89,4 +89,26 @@ class ReadersSpec extends SparkSpec {
     val df = Readers.read(spark, gz.toString).get
     assert(df.count() == 2)
   }
+
+  test("bz2- and xz-compressed xlsx round-trip (ref {gz,bz2,zip,xz} x xlsx, :91)") {
+    import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream
+    import org.apache.commons.compress.compressors.xz.XZCompressorOutputStream
+    val d = tmpDir()
+    val plain = d.resolve("excel.xlsx").toString
+    val src = spark.createDataFrame(Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      .toDF("id", "name")
+    Xlsx.write(src, plain)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(plain))
+    val bz2 = d.resolve("excel.xlsx.bz2")
+    val ob = new BZip2CompressorOutputStream(java.nio.file.Files.newOutputStream(bz2))
+    ob.write(bytes); ob.close()
+    val xz = d.resolve("excel.xlsx.xz")
+    val ox = new XZCompressorOutputStream(java.nio.file.Files.newOutputStream(xz))
+    ox.write(bytes); ox.close()
+    for (p <- Seq(bz2, xz)) {
+      val df = Readers.read(spark, p.toString).get
+      assert(df.columns.toSeq == Seq("id", "name"), p)
+      assert(df.count() == 3, p)
+    }
+  }
 }
