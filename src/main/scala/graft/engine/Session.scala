@@ -58,11 +58,16 @@ class Session(val spark: SparkSession,
 
   /** `\td`: (table, rows, columns, bytes) like get_tables_descr
     * (ref :50-54); bytes from the optimized plan's stats, which is the
-    * Spark-native size notion (no full materialization needed). */
+    * Spark-native size notion (no full materialization needed). Row
+    * count comes from plan statistics when the optimizer knows it
+    * (computed stats / CBO) — a df.count() per table is a full scan
+    * each, which at 100 TB turns `\td` into a cluster-wide job; the
+    * scan only runs when stats are absent. */
   def describeTables(): Seq[(String, Long, Int, BigInt)] =
     tables.toSeq.map { case (name, df) =>
-      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      (name, df.count(), df.columns.length, bytes)
+      val stats = df.queryExecution.optimizedPlan.stats
+      val rows = stats.rowCount.map(_.toLong).getOrElse(df.count())
+      (name, rows, df.columns.length, stats.sizeInBytes)
     }
 
   /** Completion candidates over the catalog (ref :323-333): table

@@ -80,6 +80,35 @@ object TextStats {
     tokens(docs).groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(k)
 
+  /** BPE-ish piece pattern: letter runs, single digits, single
+    * punctuation marks — the GPT-2-style pre-tokenization shape (letters
+    * merge, digits don't). A portable regex both engines count the same
+    * way; the real BPE merge table is a model artifact, not an engine
+    * operator. */
+  val PiecePattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  /** C4-style quality gate, fully distributed (one narrow projection +
+    * one keyed aggregation — the same shape as [[stats]]):
+    *   keep = enough tokens AND stopword ratio above floor AND mean
+    *   token length in a sane band — the classic boilerplate/garbage
+    *   heuristics from the C4 paper's cleaning pipeline, over exact
+    *   integer ratios so the decision is engine-portable.
+    * Output: (doc_id, n_tok, n_pieces, stop_x10k, avglen_x10k, keep). */
+  def qualityFilter(docs: DataFrame, minTokens: Long = 20,
+                    minStopX10k: Long = 100,
+                    avgLenBandX10k: (Long, Long) = (30000L, 80000L)): DataFrame = {
+    val pieces = docs.select(col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit(PiecePattern), lit(0)))
+        .cast("bigint").as("n_pieces"))
+    stats(docs).join(pieces, "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("n_pieces"),
+        col("stop_x10k"), col("avglen_x10k"),
+        (col("n_tok") >= minTokens && col("stop_x10k") >= minStopX10k &&
+         col("avglen_x10k") >= avgLenBandX10k._1 &&
+         col("avglen_x10k") <= avgLenBandX10k._2).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Normalization fingerprint: md5 of the whitespace-collapsed,
     * lowercased text — the exact-dedup key for near-identical formatting. */
   def fingerprints(docs: DataFrame): DataFrame =

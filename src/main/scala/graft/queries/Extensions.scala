@@ -73,6 +73,28 @@ object Extensions {
          |SELECT w, count(*) AS cnt FROM tok
          |GROUP BY w ORDER BY cnt DESC, w LIMIT 50""".stripMargin),
 
+    // C4-style quality gate + BPE-ish piece count (the cleaning pass a
+    // training-data pipeline runs before dedup): min tokens, stopword
+    // floor, mean-token-length band — all exact integer ratios.
+    Q.df("x78_quality_filter",
+      (s, dir) => TextStats.qualityFilter(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |st AS (
+         |  SELECT doc_id, count(*) AS n_tok,
+         |    CAST(floor(10000.0 * sum(CASE WHEN w IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS stop_x10k,
+         |    CAST(floor(10000.0 * sum(length(w)) / count(*)) AS BIGINT) AS avglen_x10k
+         |  FROM tok GROUP BY doc_id
+         |), pc AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_pieces
+         |  FROM documents
+         |)
+         |SELECT st.doc_id AS doc_id, n_tok, n_pieces, stop_x10k, avglen_x10k,
+         |  (n_tok >= 20 AND stop_x10k >= 100
+         |   AND avglen_x10k BETWEEN 30000 AND 80000) AS keep
+         |FROM st JOIN pc ON st.doc_id = pc.doc_id
+         |ORDER BY st.doc_id""".stripMargin),
+
     Q.df("x54_fingerprint_dedup",
       (s, dir) => TextStats.fingerprints(Tables.load(s, dir, "documents")),
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
