@@ -338,6 +338,19 @@ object Extensions {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin),
 
+    // stream-static join: per-batch enrichment against a batch dimension
+    // (stateless join; only the event_type aggregate is stateful)
+    Q.df("x79_stream_static_join",
+      (s, dir) => Streaming.streamStaticJoin(s, dir),
+      """SELECT event_type,
+        |  count(*) AS matched_events,
+        |  CAST(sum(n_orders) AS BIGINT) AS sum_orders
+        |FROM events e
+        |JOIN (SELECT o_custkey, count(*) AS n_orders
+        |      FROM orders GROUP BY o_custkey) d
+        |  ON e.user_id = d.o_custkey
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // arbitrary stateful streaming: flatMapGroupsWithState sessionizer
     Q.df("x68_stream_sessions_state",
       (s, dir) => Streaming.sessionizeStateful(s, dir),

@@ -89,6 +89,33 @@ object Streaming {
     spark.table(name).orderBy("hour", "event_type")
   }
 
+  /** Stream-static join: the replayed event stream enriched against a
+    * static dimension (per-customer order counts), then aggregated by
+    * event type. The join side is a plain batch DataFrame — Spark
+    * re-plans it per micro-batch, no state is kept for the join itself
+    * (state is only the tiny event_type aggregate), which is why
+    * stream-static enrichment scales to unbounded streams. Output:
+    * (event_type, matched_events, sum_orders). */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_enrich_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val dim = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    withStreamDirs(dir) { (stage, ckpt) =>
+      val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
+        .select(col("user_id"), col("event_type"))
+      val q = src.join(dim, col("user_id") === col("o_custkey"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("matched_events"), sum("n_orders").as("sum_orders"))
+        .writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("event_type")
+  }
+
   /** Streaming exact dedup: dropDuplicates over an unbounded stream
     * keeps per-key state so each key is emitted once — here replayed
     * over the events backlog. Only the key column is emitted (which row

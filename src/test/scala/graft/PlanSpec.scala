@@ -44,6 +44,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x77 stop-shingle filter: hot shingles removed via anti-join BEFORE the pair self-join") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = ext.Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))
+      .queryExecution.executedPlan.toString
+    // the frequency filter must appear as an anti-join in the physical
+    // plan — that is the stage that keeps the self-join sub-quadratic
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("kmeans centroid update is distributed: k*dim scalar rows, no collect_list of embeddings") {
     val emb = Tables.load(spark, dir, "embeddings")
     val assigned = emb.select(
