@@ -165,7 +165,9 @@ object Dedup {
     val candDocs = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
     val shc = sh.join(broadcast(candDocs), Seq("doc_id"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // sizes only of candidate docs (every d1/d2 is in candDocs): the
+    // full-corpus aggregation would be a second complete pass at scale
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val x = shc.as("x"); val y = shc.as("y")
     val inter = x.join(y, col("x.shingle") === col("y.shingle") &&
                           col("x.doc_id") < col("y.doc_id"))

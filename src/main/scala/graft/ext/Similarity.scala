@@ -154,11 +154,13 @@ object Similarity {
           .orderBy(dotQNative(emb, col("qe"), col("centroid")).desc, col("cell"))))
       .where(col("crn") <= nprobe)
       .select(col("qid"), col("qe"), col("cell"))
+    // no distinct needed: each corpus vector is assigned to exactly one
+    // cell (rn === 1 in kmeansFit), so (qid, vec_id) pairs are unique —
+    // a distinct here would be a full extra shuffle of the scored pairs
     val pairs = broadcast(qCells).join(corpus, Seq("cell"))
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
-      .distinct()
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vec_id"))
     pairs.withColumn("rn", row_number().over(w).cast("bigint"))
