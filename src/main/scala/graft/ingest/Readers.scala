@@ -61,11 +61,13 @@ object Readers {
            jsonNormalizeMode: Boolean = false): Option[DataFrame] = {
     val name = java.nio.file.Paths.get(path).getFileName.toString
     sniff(name) match {
-      // gz/bz2/xz decompress transparently inside Spark's text readers
-      // (codec by extension); zip is not a Hadoop codec, so unpack the
-      // first entry to a temp file first (ref list localsql.py:91).
-      case (Some(fmt @ ("csv" | "json")), Some("zip")) =>
-        val plain = decompressToTemp(path, "zip", "." + fmt)
+      // gz/bz2 decompress transparently inside Spark's text readers
+      // (Hadoop codec by extension); zip is not a Hadoop codec and xz
+      // has NO default Hadoop codec either — without this branch an
+      // .xz file is read as raw compressed bytes, not an error — so
+      // both unpack to a temp file first (ref list localsql.py:91).
+      case (Some(fmt @ ("csv" | "json")), Some(comp @ ("zip" | "xz"))) =>
+        val plain = decompressToTemp(path, comp, "." + fmt)
         read(spark, plain, stringifyNested, jsonNormalizeMode)
       case (Some("csv"), _) => Some(csv(spark, path))
       case (Some("json"), _) =>

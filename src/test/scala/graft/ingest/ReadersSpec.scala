@@ -90,6 +90,23 @@ class ReadersSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("xz csv decompresses correctly (no default Hadoop xz codec) and bz2 csv reads transparently") {
+    import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream
+    import org.apache.commons.compress.compressors.xz.XZCompressorOutputStream
+    val d = tmpDir()
+    val raw = "id,v\n1,10\n2,20\n3,30\n".getBytes("UTF-8")
+    val xz = d.resolve("data.csv.xz")
+    val ox = new XZCompressorOutputStream(java.nio.file.Files.newOutputStream(xz))
+    ox.write(raw); ox.close()
+    val dfx = Readers.read(spark, xz.toString).get
+    assert(dfx.columns.toSeq == Seq("id", "v") && dfx.count() == 3)
+    val bz2 = d.resolve("data.csv.bz2")
+    val ob = new BZip2CompressorOutputStream(java.nio.file.Files.newOutputStream(bz2))
+    ob.write(raw); ob.close()
+    val dfb = Readers.read(spark, bz2.toString).get
+    assert(dfb.columns.toSeq == Seq("id", "v") && dfb.count() == 3)
+  }
+
   test("bz2- and xz-compressed xlsx round-trip (ref {gz,bz2,zip,xz} x xlsx, :91)") {
     import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream
     import org.apache.commons.compress.compressors.xz.XZCompressorOutputStream
