@@ -47,9 +47,27 @@ object Similarity {
     call_function("quant_dot", a, b)
   }
 
+  /** Rank scored (qid, vec_id, dot_q) pairs to top-k per query via the
+    * bounded-heap aggregate (graft.functions.TopKAgg): partial top-k
+    * buffers combine map-side, so the exchange carries at most k rows
+    * per (partition, query) instead of every scored pair — the window
+    * (`row_number` over qid) formulation shuffles + sorts the full
+    * |queries| x |corpus| pair set, which is the part of brute-force
+    * kNN that actually breaks at scale. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val fn = graft.functions.TopKAgg.register(pairs.sparkSession, k)
+    pairs.groupBy("qid")
+      .agg(call_function(fn, col("dot_q"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("qid"), col("s.id").as("vec_id"), col("s.score").as("dot_q"),
+        (col("i") + 1).cast("bigint").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Brute-force top-k neighbors for query vectors (vec_id < nQueries),
     * ranked by quantized dot product. The small query side is broadcast;
-    * each partition scores its corpus slice in a codegen'd loop.
+    * each partition scores its corpus slice in a codegen'd loop and
+    * folds it straight into a bounded top-k buffer ([[rankTopK]]).
     * Output: (qid, vec_id, dot_q, rn). */
   def knnQuantized(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = emb.where(col("vec_id") < nQueries)
@@ -57,11 +75,7 @@ object Similarity {
     val pairs = broadcast(q).join(emb, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vec_id"))
-    pairs.withColumn("rn", row_number().over(w).cast("bigint"))
-      .where(col("rn") <= k)
-      .orderBy("qid", "rn")
+    rankTopK(pairs, k)
   }
 
   /** Deterministic mini k-means over the embedding column: centroids
@@ -161,11 +175,7 @@ object Similarity {
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vec_id"))
-    pairs.withColumn("rn", row_number().over(w).cast("bigint"))
-      .where(col("rn") <= k)
-      .orderBy("qid", "rn")
+    rankTopK(pairs, k)
   }
 
   /** Near-duplicate pairs inside coarse blocks (IVF-style: `label` is

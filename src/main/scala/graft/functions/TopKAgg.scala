@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** One (score, id) candidate flowing into the top-k aggregate. */
+case class ScoredId(score: Long, id: Long)
+
+/** Per-group top-k as a bounded partial aggregation (SURVEY.md §2.6
+  * extension surface; used by the kNN operators).
+  *
+  * The naive per-group top-k — `row_number() OVER (PARTITION BY qid
+  * ORDER BY score DESC)` then `rn <= k` — shuffles and sorts EVERY
+  * scored pair: |queries| x |corpus| rows through the exchange. This
+  * aggregate keeps a bounded buffer of the k best candidates instead;
+  * partial buffers combine map-side, so the shuffle carries at most k
+  * rows per (partition, group) — the difference between a kNN that
+  * tops out at millions of vectors and one that runs at 100 TB.
+  *
+  * Determinism: candidates are totally ordered by (score DESC, id ASC)
+  * — merge order cannot change the winning set, so the distributed
+  * result is bit-identical to the window formulation and hash-matches
+  * the DuckDB oracle.
+  */
+class TopKAgg(k: Int)
+    extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+
+  private def better(a: ScoredId, b: ScoredId): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  // keep the buffer bounded but don't re-sort on every row: prune
+  // lazily once it grows past 4k (amortized O(log k) per insert)
+  private def prune(b: Seq[ScoredId]): Seq[ScoredId] =
+    if (b.lengthCompare(k) <= 0) b
+    else b.sortWith(better).take(k)
+
+  override def zero: Seq[ScoredId] = Vector.empty
+  override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = {
+    val nb = b :+ a
+    if (nb.lengthCompare(4 * k) >= 0) prune(nb) else nb
+  }
+  override def merge(x: Seq[ScoredId], y: Seq[ScoredId]): Seq[ScoredId] =
+    prune(x ++ y)
+  override def finish(b: Seq[ScoredId]): Seq[ScoredId] =
+    prune(b).sortWith(better)
+
+  override def bufferEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+  override def outputEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+}
+
+object TopKAgg {
+  /** Register `top_k_<k>(score, id)` for the given k. */
+  def register(spark: SparkSession, k: Int): String = {
+    val name = s"top_k_$k"
+    spark.udf.register(name, udaf(new TopKAgg(k), Encoders.product[ScoredId]))
+    name
+  }
+}

@@ -44,6 +44,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x59 knn: top-k is a partial aggregation, not a window over all scored pairs") {
+    val p = ext.Similarity.knnQuantized(
+      Tables.load(spark, dir, "embeddings"), 5, 3)
+      .queryExecution.executedPlan.toString
+    // bounded-heap TopKAgg plans as ObjectHashAggregate with a partial
+    // stage; a Window here would mean the full pair set is shuffled+sorted
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("x77 stop-shingle filter: hot shingles removed via anti-join BEFORE the pair self-join") {
     val docs = Tables.load(spark, dir, "documents")
     val p = ext.Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))

@@ -18,6 +18,24 @@ class ExtSpec extends SparkSpec {
     assert(viaPartitions == viaSql)
   }
 
+  test("TopKAgg ranking equals the window formulation exactly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    graft.functions.QuantDot.register(spark)
+    val pairs = broadcast(q).join(emb, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        call_function("quant_dot", col("qe"), col("embedding")).as("dot_q"))
+    val w = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vec_id"))
+    val viaWindow = pairs.withColumn("rn", row_number().over(w).cast("bigint"))
+      .where(col("rn") <= 3).orderBy("qid", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val viaAgg = Similarity.knnQuantized(emb, 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+  }
+
   test("knnQuantized: k rows per query, descending, no self-match") {
     val r = Similarity.knnQuantized(emb, 5, 3).collect()
     assert(r.length == 15)
