@@ -113,6 +113,18 @@ object Functions {
         |GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10
         |ORDER BY k_mod""".stripMargin),
 
+    // SQLite string corners round 2: negative substr start (count from
+    // end), ascii/chr codepoints, charset trims — identical spelling and
+    // semantics in Spark SQL and DuckDB, so one text serves both.
+    Q.sql("q88_string_fns3",
+      """SELECT p_partkey,
+        |  substr(p_name, -5, 5) AS tail5,
+        |  ascii(p_name) AS first_cp,
+        |  chr(65 + CAST(p_partkey % 26 AS INT)) AS cycle_chr,
+        |  trim(LEADING 'a' FROM p_name) AS no_lead_a,
+        |  trim(TRAILING 's' FROM p_name) AS no_trail_s
+        |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin),
+
     Q.sql("q50_conditional_fns",
       """SELECT c_custkey,
         |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg,
