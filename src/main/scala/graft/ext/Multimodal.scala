@@ -67,6 +67,30 @@ object Multimodal {
         col("frame_bytes").cast("bigint"))
       .orderBy("doc_id", "frame_no")
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("resized", BinaryType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("resized_bytes", LongType, nullable = false)))
+
+  /** STUB resize/downsample: keep every `stride`-th payload byte (a real
+    * implementation would be a codec downscale / audio resample in the
+    * same per-partition loop). The resized payload is produced and kept
+    * distributed — only its length is exposed to the oracle-checked
+    * query. Output: (doc_id, resized, n_bytes, resized_bytes). */
+  def resize(withPayloadDf: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = withPayloadDf.sparkSession
+    val rdd = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions {
+      it => it.map { r =>
+        val p = r.getAs[Array[Byte]](1)
+        val out = Array.tabulate((p.length + stride - 1) / stride)(i => p(i * stride))
+        Row(r.getLong(0), out, p.length.toLong, out.length.toLong)
+      }
+    }
+    spark.createDataFrame(rdd, resizedSchema)
+  }
+
   /** STUB feature extraction: a 4-bin character-class histogram as the
     * "embedding" of the payload (a real extractor would be a model
     * call; the fixed-length-vector output schema and the narrow

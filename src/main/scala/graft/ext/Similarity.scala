@@ -102,17 +102,41 @@ object Similarity {
       .agg(sum(floor(col("v").cast("double") * 10000).cast("bigint")).as("sq"),
         count(lit(1)).as("n"))
 
+  /** Assign every vector to its max-similarity cell given FIXED
+    * centroids — the incremental pass: at 100 TB you fit once on a
+    * sample ([[kmeansFit]]) and run only this (one broadcast + one
+    * map-collapsing aggregation) over new corpus partitions.
+    *
+    * The argmax is `max_by` over a (sim, -cell) total order rather than
+    * a `row_number` window: the k scored copies of a vector are
+    * produced in the same task (the centroid side is broadcast), so the
+    * partial aggregate collapses them map-side and the exchange carries
+    * one row per vector — a window would shuffle and sort all k.
+    * Returns (vec_id, embedding, cell). */
+  def assignCells(emb: DataFrame,
+                  centroids: Array[(Int, Array[Float])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.toSeq.toDF("cell", "centroid"))
+    emb.crossJoin(cdf)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        dotQNative(emb, col("embedding"), col("centroid")).as("sim"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cell"), col("embedding")),
+        struct(col("sim"), (-col("cell")).as("tb"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cell").as("cell"))
+  }
+
   /** k-means fit returning both the assignment and the final centroids
     * (needed by multi-probe search to rank cells per query).
     *
-    * Scale shape: each Lloyd iteration broadcasts k centroids out and
-    * aggregates k*dim numbers back ([[centroidUpdate]]) — the corpus
-    * never reaches the driver. At 100 TB you'd fit on a sample and
-    * assign in one extra pass; the per-iteration data flow is already
-    * the right one. */
+    * Scale shape: each Lloyd iteration broadcasts k centroids out
+    * ([[assignCells]]) and aggregates k*dim numbers back
+    * ([[centroidUpdate]]) — the corpus never reaches the driver. At
+    * 100 TB you'd fit on a sample and assign in one extra pass; the
+    * per-iteration data flow is already the right one. */
   def kmeansFit(emb: DataFrame, k: Int, iters: Int): (DataFrame, Array[(Int, Array[Float])]) = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     var centroids: Array[(Int, Array[Float])] = emb
       .where(col("vec_id") < k).orderBy("vec_id")
       .select("embedding").collect()
@@ -120,16 +144,7 @@ object Similarity {
     val dim = centroids.head._2.length
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      val cdf = broadcast(centroids.toSeq.map { case (i, v) => (i, v) }
-        .toDF("cell", "centroid"))
-      assigned = emb.crossJoin(cdf)
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          dotQNative(emb, col("embedding"), col("centroid")).as("sim"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+      assigned = assignCells(emb, centroids)
       // new centroids: k*dim (cell, pos, sum, count) rows — the only
       // thing collected, regardless of corpus size
       val byCell = centroidUpdate(assigned).collect()
@@ -142,6 +157,11 @@ object Similarity {
         (cell, mean)
       }
     }
+    // one final assignment so the returned (assignment, centroids) pair
+    // is CONSISTENT: inside the loop the assignment predates the last
+    // centroid update, and an index built from the stale labels would
+    // disagree with query-side probes ranked by the final centroids
+    assigned = assignCells(emb, centroids)
     (assigned.select(col("vec_id"), col("cell")), centroids)
   }
 

@@ -307,6 +307,20 @@ object Extensions {
         |WHERE (i - 1) * 256 < octet_length(encode(text))
         |ORDER BY doc_id, frame_no""".stripMargin),
 
+    // stub resize/downsample over binary payloads (every 4th byte);
+    // the distributed resized payload stays binary — the oracle checks
+    // the byte accounting
+    Q.df("x80_mm_resize",
+      (s, dir) => Multimodal.resize(
+          Multimodal.withPayload(Tables.load(s, dir, "documents")), 4)
+        .select(col("doc_id"), col("n_bytes"), col("resized_bytes"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(floor((octet_length(encode(text)) + 3) / 4.0) AS BIGINT)
+        |    AS resized_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // stub feature extraction: fixed-length char-class histogram vector
     Q.df("x70_mm_features",
       (s, dir) => {

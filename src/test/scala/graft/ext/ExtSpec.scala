@@ -114,6 +114,25 @@ class ExtSpec extends SparkSpec {
       spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(","))
   }
 
+  test("assignCells with fitted centroids reproduces the fit's own assignment") {
+    val (assigned, centroids) = Similarity.kmeansFit(emb, 4, 2)
+    val fitLabels = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val reassigned = Similarity.assignCells(emb, centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(reassigned == fitLabels)
+  }
+
+  test("resize stub: stride-4 byte accounting, payload stays distributed") {
+    val r = Multimodal.resize(Multimodal.withPayload(docs), 4).collect()
+    assert(r.length == docs.count())
+    r.foreach { row =>
+      val n = row.getLong(2); val m = row.getLong(3)
+      assert(m == (n + 3) / 4, s"$n -> $m")
+      assert(row.getAs[Array[Byte]](1).length == m)
+    }
+  }
+
   test("text stats: ratios bounded, token counts positive") {
     val r = TextStats.stats(docs).collect()
     assert(r.length == docs.count())
