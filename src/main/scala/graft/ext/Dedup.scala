@@ -35,6 +35,21 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("text")).as("n_uniq"))
       .orderBy("source")
 
+  /** Keep-latest dedup: one surviving row id per key, chosen by a total
+    * version order — "latest crawl of each URL", "newest revision of
+    * each doc". Implemented as a `max_by` aggregation, NOT a
+    * `row_number` window: partial argmax buffers merge map-side, so the
+    * exchange carries one (key, winner) pair per map partition instead
+    * of shuffling and sorting every version of every key. The order
+    * column set must be a TOTAL order (pass a unique tie-breaker) or
+    * the distributed argmax is nondeterministic.
+    * Output: (key, keep_id). */
+  def keepLatest(df: DataFrame, key: Column, id: Column,
+                 version: Column*): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(max_by(id, struct(version: _*)).as("keep_id"))
+      .orderBy("key")
+
   // The cached shingle index, memoized per (session, source plan): four
   // judged operators (Jaccard, MinHash-LSH, clustering, keeper) consume
   // the same index; without memoization each re-shingles the corpus.

@@ -59,3 +59,44 @@ object TopKAgg {
     name
   }
 }
+
+/** Double-scored candidate for the float-tier ranking. */
+case class ScoredIdD(score: Double, id: Long)
+
+/** [[TopKAgg]] with a double score — same bounded-buffer partial
+  * aggregation for the float kNN tier (where scores are IEEE dots and
+  * the ranking, like the scores, is engine-local). */
+class TopKAggD(k: Int)
+    extends Aggregator[ScoredIdD, Seq[ScoredIdD], Seq[ScoredIdD]] {
+
+  private def better(a: ScoredIdD, b: ScoredIdD): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  private def prune(b: Seq[ScoredIdD]): Seq[ScoredIdD] =
+    if (b.lengthCompare(k) <= 0) b
+    else b.sortWith(better).take(k)
+
+  override def zero: Seq[ScoredIdD] = Vector.empty
+  override def reduce(b: Seq[ScoredIdD], a: ScoredIdD): Seq[ScoredIdD] = {
+    val nb = b :+ a
+    if (nb.lengthCompare(4 * k) >= 0) prune(nb) else nb
+  }
+  override def merge(x: Seq[ScoredIdD], y: Seq[ScoredIdD]): Seq[ScoredIdD] =
+    prune(x ++ y)
+  override def finish(b: Seq[ScoredIdD]): Seq[ScoredIdD] =
+    prune(b).sortWith(better)
+
+  override def bufferEncoder: Encoder[Seq[ScoredIdD]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredIdD]]()
+  override def outputEncoder: Encoder[Seq[ScoredIdD]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredIdD]]()
+}
+
+object TopKAggD {
+  /** Register `top_kd_<k>(score, id)` for the given k. */
+  def register(spark: SparkSession, k: Int): String = {
+    val name = s"top_kd_$k"
+    spark.udf.register(name, udaf(new TopKAggD(k), Encoders.product[ScoredIdD]))
+    name
+  }
+}

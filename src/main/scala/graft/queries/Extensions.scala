@@ -391,6 +391,26 @@ object Extensions {
           .orderBy("event_type")
       }),
 
+    // keep-latest dedup: newest event per user via distributed argmax
+    // (max_by partial aggregation — no per-key window sort). Oracle
+    // re-derives the winner with a row_number window.
+    Q.df("x81_keep_latest",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        Dedup.keepLatest(ev, col("user_id"), col("event_id"),
+            col("ts"), col("event_id"))
+          .select(col("key").as("user_id"), col("keep_id").as("event_id"))
+      },
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY (epoch_ns(ts) // 1000) DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin),
+        // (epoch_ns // 1000: rank at Spark's microsecond precision — the
+        // parquet column is TIMESTAMP(NANOS), and a sub-microsecond delta
+        // would otherwise break ties differently in the two engines)
+
     // keeper materialization: the dedup pipeline's last step — drop
     // every document that is not its cluster's representative.
     Q.df("x71_dedup_keep",
@@ -467,16 +487,22 @@ object Extensions {
     Q.dfOnly("x64_knn_float",
       (s, dir) => {
         graft.functions.FloatDot.register(s)
+        val fn = graft.functions.TopKAggD.register(s, 3)
         val emb = Tables.load(s, dir, "embeddings")
         val q = emb.where(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val pairs = broadcast(q).join(emb, col("qid") =!= col("vec_id"))
           .select(col("qid"), col("vec_id"),
             call_function("float_dot", col("qe"), col("embedding")).as("sim"))
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-        pairs.withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 3).orderBy("qid", "rn")
+        // bounded-heap top-k (same shape as the quantized tier): the
+        // exchange carries 3 rows per partition per query, never the
+        // full scored pair set
+        pairs.groupBy("qid")
+          .agg(call_function(fn, col("sim"), col("vec_id")).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("i", "s")))
+          .select(col("qid"), col("s.id").as("vec_id"),
+            col("s.score").as("sim"), (col("i") + 1).cast("bigint").as("rn"))
+          .orderBy("qid", "rn")
       })
   )
 }
