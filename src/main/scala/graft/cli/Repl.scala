@@ -20,36 +20,53 @@ import graft.io.Save
   */
 object Repl {
 
+  val Version = "graft/0.2.0"
+
   def main(args: Array[String]): Unit = {
     var files = List.empty[String]
     var dir: Option[String] = None
     var recursive = false
     var query: Option[String] = None
     var jsonNormalize = false
+    var verbose = false
+    var silent = false
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "-d" => dir = Some(args(i + 1)); i += 1
-        case "-r" => recursive = true
-        case "-q" => query = Some(args(i + 1)); i += 1
-        case "-jn" => jsonNormalize = true
+        case "-d" | "--directory" => dir = Some(args(i + 1)); i += 1
+        case "-r" | "--recursive" => recursive = true
+        case "-q" | "--query" => query = Some(args(i + 1)); i += 1
+        case "-jn" | "--json-normalize" => jsonNormalize = true
+        case "-v" | "--verbose" => verbose = true
+        case "-s" | "--silent" => silent = true
+        case "-V" | "--version" => println(Version); return
         case f => files = files :+ f
       }
       i += 1
     }
+    // informational output goes through eprint, suppressed by -s and
+    // enriched by -v — the reference's silent/verbose modes
+    // (localsql.py:57-64, :306-309)
+    def eprint(msg: => String): Unit = if (!silent) println(msg)
     val base = Session.local("graft-repl")
+    if (verbose) base.spark.sparkContext.setLogLevel("INFO")
     val session = new Session(base.spark, jsonNormalize = jsonNormalize)
+    def describe(name: String): String = {
+      val df = session.tables(name)
+      if (verbose) s"table=$name, columns=${df.columns.length}, rows=${df.count()}"
+      else s"table '$name'"
+    }
     files.foreach { f =>
       session.loadFile(f) match {
-        case Some(name) => println(s"Load '$f' as table '$name'")
-        case None => println(s"Unknown file type or load error: $f")
+        case Some(name) => eprint(s"Load '$f' as ${describe(name)}")
+        case None => eprint(s"Unknown file type or load error: $f")
       }
     }
     dir.orElse(if (recursive) Some(".") else None).foreach { d =>
-      session.loadDir(d, recursive).foreach(n => println(s"Load table '$n'"))
+      session.loadDir(d, recursive).foreach(n => eprint(s"Load ${describe(n)}"))
     }
     if (session.tables.isEmpty && query.isEmpty)
-      println("Warning: no tables loaded")
+      eprint("Warning: no tables loaded. Try -r, -d or --help")
 
     query match {
       case Some(q) => run(session, q)
