@@ -80,6 +80,25 @@ object TextStats {
     tokens(docs).groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(k)
 
+  /** Corpus-wide top-k word n-grams (language-model co-occurrence
+    * statistics). n-grams are formed inside each row's token array — a
+    * narrow transform, zero shuffles — then counted with one keyed
+    * aggregation exactly like [[topTokens]]. Counts OCCURRENCES
+    * (including repeats within a document), unlike the dedup shingle
+    * index which is per-doc distinct. */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    require(n >= 2, s"use topTokens for n=1; got n=$n")
+    val parts = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ' ', ")
+    docs.select(TextStats.tokensCol(col("text")).as("t"))
+      .select(explode(expr(
+        s"""CASE WHEN size(t) < $n THEN array()
+           |ELSE transform(sequence(1, size(t) - ${n - 1}),
+           |  i -> concat($parts))
+           |END""".stripMargin)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram")).limit(k)
+  }
+
   /** BPE-ish piece pattern: letter runs, single digits, single
     * punctuation marks — the GPT-2-style pre-tokenization shape (letters
     * merge, digits don't). A portable regex both engines count the same

@@ -95,6 +95,16 @@ object Extensions {
          |FROM st JOIN pc ON st.doc_id = pc.doc_id
          |ORDER BY st.doc_id""".stripMargin),
 
+    // corpus-wide bigram counts (LM co-occurrence stats): occurrence
+    // counting, not the dedup index's per-doc-distinct shingles
+    Q.df("x82_top_bigrams",
+      (s, dir) => TextStats.topNgrams(Tables.load(s, dir, "documents"), 2, 50),
+      s"""WITH $duckTok
+         |SELECT a.w || ' ' || b.w AS ngram, count(*) AS cnt
+         |FROM tok a JOIN tok b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin),
+
     Q.df("x54_fingerprint_dedup",
       (s, dir) => TextStats.fingerprints(Tables.load(s, dir, "documents")),
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
