@@ -197,6 +197,35 @@ object Extensions {
          |JOIN sz s1 ON cand.d1 = s1.doc_id JOIN sz s2 ON cand.d2 = s2.doc_id
          |ORDER BY cand.d1, cand.d2""".stripMargin),
 
+    // the parameterized LSH path at production-shaped settings: 16
+    // minhashes in 4 bands of 4 rows (higher recall than the 8/2 demo
+    // config of x57) — oracle re-derives the same banding, so the
+    // tunable operator is hash-exact, not just spec-plausible
+    Q.df("x83_minhash_lsh_16x4",
+      (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+        numHashes = 16, bands = 4),
+      s"""WITH $duckTok, $duckShingles,
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(CAST(i AS STRING) || ':' || shingle)) AS m
+         |  FROM sh, range(0, 16) r(i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i % 4 AS band,
+         |    md5(min(CASE WHEN CAST(floor(i/4.0) AS BIGINT) = 0 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/4.0) AS BIGINT) = 1 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/4.0) AS BIGINT) = 2 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/4.0) AS BIGINT) = 3 THEN m END)) AS sig
+         |  FROM mh GROUP BY doc_id, i % 4
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |), $duckJaccardTail
+         |SELECT cand.d1, cand.d2,
+         |  CAST(floor(10000.0 * i / (s1.n + s2.n - i)) AS BIGINT) AS jac_x10k
+         |FROM cand JOIN inter ON cand.d1 = inter.d1 AND cand.d2 = inter.d2
+         |JOIN sz s1 ON cand.d1 = s1.doc_id JOIN sz s2 ON cand.d2 = s2.doc_id
+         |ORDER BY cand.d1, cand.d2""".stripMargin),
+
     Q.df("x58_simhash",
       (s, dir) => Dedup.simhash(Tables.load(s, dir, "documents")),
       s"""WITH $duckTok,
