@@ -12,9 +12,26 @@ class ReadersSpec extends SparkSpec {
     assert(Readers.sniff("a.json.gz") == (Some("json"), Some("gz")))
     assert(Readers.sniff("a.csv.bz2") == (Some("csv"), Some("bz2")))
     assert(Readers.sniff("a.xlsx") == (Some("xlsx"), None))
+    assert(Readers.sniff("a.parquet") == (Some("parquet"), None))
     assert(Readers.sniff("a.txt") == (None, None))
     assert(Readers.sniff("noext") == (None, None))
     assert(Readers.sniff("weird.gz") == (None, None)) // compressor without format
+  }
+
+  test("parquet reads natively (beyond-reference format); compressed parquet skipped") {
+    val d = tmpDir()
+    val p = d.resolve("data.parquet").toString
+    spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("id", "name")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    // spark writes a directory; point at the single part file like a
+    // user handing us one .parquet file
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(p)).iterator()
+    val file = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val df = Readers.read(spark, file.toString).get
+    assert(df.columns.sorted.toSeq == Seq("id", "name"))
+    assert(df.count() == 2)
+    assert(Readers.read(spark, d.resolve("x.parquet.gz").toString).isEmpty)
   }
 
   test("csv: header + type inference") {
