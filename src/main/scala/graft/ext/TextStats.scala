@@ -99,6 +99,37 @@ object TextStats {
       .orderBy(col("cnt").desc, col("ngram")).limit(k)
   }
 
+  /** Top TF-IDF-style term per document. The score is
+    * floor(10000 * tf * N / (n_tok * df)) — normalized term frequency
+    * times an inverse-document-frequency RATIO rather than the textbook
+    * log idf: a floored quotient of exact integers is bit-identical in
+    * every engine, while ln() differs in the last ulp between libm
+    * implementations (the q43 lesson). Rank order within a document is
+    * the same monotone idf story.
+    *
+    * Scale shape: two keyed aggregations (term-frequency by (doc, term),
+    * document-frequency by term), one scalar corpus count, and a
+    * min_by argmax per doc — partial-aggregated, no per-doc window sort.
+    * Output: (doc_id, top_term, score_x10k). */
+  def tfidfTopTerm(docs: DataFrame): DataFrame = {
+    val tok = tokens(docs)
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val ntok = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.count() // one scalar aggregate; broadcast as a literal
+    val scored = tf.join(ntok, "doc_id").join(dfreq, "w")
+      .select(col("doc_id"), col("w"),
+        floor(lit(10000.0) * col("tf") * lit(n) / (col("n_tok") * col("df")))
+          .cast("bigint").as("score"))
+    // argmax by (score desc, term asc) == min_by over (-score, term)
+    scored.groupBy("doc_id")
+      .agg(min_by(struct(col("w"), col("score")),
+        struct((-col("score")).as("ns"), col("w"))).as("best"))
+      .select(col("doc_id"), col("best.w").as("top_term"),
+        col("best.score").as("score_x10k"))
+      .orderBy("doc_id")
+  }
+
   /** BPE-ish piece pattern: letter runs, single digits, single
     * punctuation marks — the GPT-2-style pre-tokenization shape (letters
     * merge, digits don't). A portable regex both engines count the same

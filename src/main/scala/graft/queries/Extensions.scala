@@ -95,6 +95,29 @@ object Extensions {
          |FROM st JOIN pc ON st.doc_id = pc.doc_id
          |ORDER BY st.doc_id""".stripMargin),
 
+    // TF-IDF relevance: top term per document by an all-integer
+    // tf * (N/df) ratio score (ln-free: cross-engine exact)
+    Q.df("x84_tfidf_top_term",
+      (s, dir) => TextStats.tfidfTopTerm(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |nt AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+         |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.w,
+         |    CAST(floor(10000.0 * tf.tf * nn.n / (nt.n_tok * dfq.df)) AS BIGINT)
+         |      AS score
+         |  FROM tf JOIN nt ON tf.doc_id = nt.doc_id
+         |          JOIN dfq ON tf.w = dfq.w, nn
+         |)
+         |SELECT doc_id, w AS top_term, score AS score_x10k FROM (
+         |  SELECT doc_id, w, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, w) AS rn
+         |  FROM sc
+         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
     // corpus-wide bigram counts (LM co-occurrence stats): occurrence
     // counting, not the dedup index's per-doc-distinct shingles
     Q.df("x82_top_bigrams",
