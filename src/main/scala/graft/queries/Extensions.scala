@@ -265,6 +265,35 @@ object Extensions {
          |  CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // simhash near-dup matching: 4-bit nibble banding (pigeonhole: any
+    // pair within hamming 3 of a 16-bit sketch shares a nibble) +
+    // exact popcount verify — the hamming analog of LSH banding
+    Q.df("x85_simhash_neardup",
+      (s, dir) => Dedup.simhashNearDups(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |nib AS (
+         |  SELECT doc_id, j, instr('0123456789abcdef', substr(md5(w), j, 1)) - 1 AS v
+         |  FROM tok, range(1, 5) r(j)
+         |), bits AS (
+         |  SELECT doc_id, (j - 1) * 4 + b.b AS pos,
+         |    sum(CASE WHEN (v & b.mask) > 0 THEN 1 ELSE -1 END) AS s
+         |  FROM nib, (VALUES (0, 1), (1, 2), (2, 4), (3, 8)) AS b(b, mask)
+         |  GROUP BY doc_id, (j - 1) * 4 + b.b
+         |), sk AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (b * 4)) & 15 AS nib
+         |  FROM sk, range(0, 4) r(b)
+         |)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.b = b.b AND a.nib = b.nib AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY d1, d2""".stripMargin),
+
     // ---- similarity search --------------------------------------------
     Q.df("x59_knn_quantized",
       (s, dir) => Similarity.knnQuantized(Tables.load(s, dir, "embeddings"), 20, 3),

@@ -63,6 +63,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("x81/x84 argmax ops aggregate partially — no per-key window sort") {
+    for (q <- Seq("x81_keep_latest", "x84_tfidf_top_term")) {
+      val p = plan(q)
+      // max_by/min_by over struct buffers plan as SortAggregate,
+      // numeric ones as HashAggregate — both run partial+final (one
+      // row per key per partition through the exchange); the failure
+      // mode guarded against is a Window shuffling every version
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"), s"$q: $p")
+      assert(!p.contains("Window"), s"$q: $p")
+    }
+  }
+
   test("kmeans centroid update is distributed: k*dim scalar rows, no collect_list of embeddings") {
     val emb = Tables.load(spark, dir, "embeddings")
     val assigned = emb.select(
