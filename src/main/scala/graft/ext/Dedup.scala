@@ -197,6 +197,48 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Normalization fingerprint column (whitespace-collapsed lowercased
+    * md5) — the cross-batch exact-dedup key. */
+  private def fpCol: Column =
+    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+
+  /** Incremental dedup: documents of the NEW batch whose normalized
+    * fingerprint does not appear in the existing corpus — the daily
+    * ingestion pass. One anti-join keyed on a 16-byte hash: the shuffle
+    * carries fingerprints, never document bodies, and the corpus side
+    * is reusable as a materialized fingerprint table.
+    * Output: (doc_id) of genuinely new documents. */
+  def incrementalNew(newBatch: DataFrame, corpus: DataFrame): DataFrame = {
+    val nw = newBatch.select(col("doc_id"), fpCol.as("fp"))
+    val old = corpus.select(fpCol.as("fp"))
+    nw.join(old, Seq("fp"), "left_anti").select("doc_id").orderBy("doc_id")
+  }
+
+  /** Decontamination: documents of the evaluation set whose normalized
+    * fingerprint ALSO appears in the training set (train/test overlap —
+    * the contamination check every training pipeline runs before
+    * shipping an eval). Same 16-byte-key join shape as
+    * [[incrementalNew]], with semi in place of anti.
+    * Output: (doc_id) of contaminated eval documents. */
+  def contamination(eval_ : DataFrame, train: DataFrame): DataFrame = {
+    val ev = eval_.select(col("doc_id"), fpCol.as("fp"))
+    val tr = train.select(fpCol.as("fp"))
+    ev.join(tr, Seq("fp"), "left_semi").select("doc_id").orderBy("doc_id")
+  }
+
+  /** Fuzzy decontamination: evaluation documents whose 16-bit SimHash
+    * sketch collides with any training document's sketch — catches the
+    * near-verbatim overlap that exact fingerprints miss (this corpus's
+    * planted dups are near-dups; [[contamination]] finds zero of them,
+    * this finds them all). Same semi-join shape, keyed on the sketch;
+    * the training side reduces to its distinct sketch set first.
+    * Output: (doc_id) of contaminated eval documents. */
+  def contaminationFuzzy(eval_ : DataFrame, train: DataFrame): DataFrame = {
+    val ev = simhash(eval_)
+    val tr = simhash(train).select("simhash").distinct()
+    ev.join(tr, Seq("simhash"), "left_semi").select("doc_id").orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs within a hamming radius, banded for scale:
     * a 16-bit sketch is split into 4 nibbles; two sketches within
     * hamming distance 3 must agree on at least one nibble (pigeonhole),

@@ -159,6 +159,54 @@ object Extensions {
         |ORDER BY doc_id""".stripMargin)),
 
     // ---- dedup ---------------------------------------------------------
+    // incremental dedup: the src19 batch arrives against the src0-18
+    // corpus; anti-join on the 16-byte normalization fingerprint
+    Q.df("x86_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.incrementalNew(
+          docs.where(col("source") === "src19"),
+          docs.where(col("source") =!= "src19"))
+      },
+      """SELECT n.doc_id FROM documents n
+        |WHERE n.source = 'src19' AND NOT EXISTS (
+        |  SELECT 1 FROM documents o
+        |  WHERE o.source <> 'src19'
+        |    AND md5(trim(regexp_replace(lower(o.text), '\s+', ' ', 'g'))) =
+        |        md5(trim(regexp_replace(lower(n.text), '\s+', ' ', 'g'))))
+        |ORDER BY n.doc_id""".stripMargin),
+
+    // decontamination: eval docs (src19) whose SimHash sketch collides
+    // with the training split — the fuzzy train/test overlap check
+    // (exact fingerprints find nothing here; the planted overlaps are
+    // near-dups)
+    Q.df("x87_contamination",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.contaminationFuzzy(
+          docs.where(col("source") === "src19"),
+          docs.where(col("source") =!= "src19"))
+      },
+      s"""WITH $duckTok,
+         |nib AS (
+         |  SELECT doc_id, j, instr('0123456789abcdef', substr(md5(w), j, 1)) - 1 AS v
+         |  FROM tok, range(1, 5) r(j)
+         |), bits AS (
+         |  SELECT doc_id, (j - 1) * 4 + b.b AS pos,
+         |    sum(CASE WHEN (v & b.mask) > 0 THEN 1 ELSE -1 END) AS s
+         |  FROM nib, (VALUES (0, 1), (1, 2), (2, 4), (3, 8)) AS b(b, mask)
+         |  GROUP BY doc_id, (j - 1) * 4 + b.b
+         |), sk AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |)
+         |SELECT n.doc_id FROM sk n JOIN documents dn ON n.doc_id = dn.doc_id
+         |WHERE dn.source = 'src19' AND EXISTS (
+         |  SELECT 1 FROM sk o JOIN documents dd ON o.doc_id = dd.doc_id
+         |  WHERE dd.source <> 'src19' AND o.simhash = n.simhash)
+         |ORDER BY n.doc_id""".stripMargin),
+
     Q.df("x55_dedup_exact",
       (s, dir) => Dedup.exactStats(Tables.load(s, dir, "documents")),
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_uniq

@@ -133,6 +133,18 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup / contamination: identity and disjoint-split properties") {
+    import org.apache.spark.sql.functions.col
+    // a batch checked against itself: nothing is new, everything contaminated
+    assert(Dedup.incrementalNew(docs, docs).count() == 0)
+    assert(Dedup.contamination(docs, docs).count() == docs.count())
+    // all-unique corpus split in two: every new doc is new, exact overlap empty
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 =!= 0)
+    assert(Dedup.incrementalNew(a, b).count() == a.count())
+    assert(Dedup.contamination(a, b).count() == 0)
+  }
+
   test("text stats: ratios bounded, token counts positive") {
     val r = TextStats.stats(docs).collect()
     assert(r.length == docs.count())
