@@ -130,6 +130,29 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Token-window chunking with overlap — the context-window packing
+    * prep step (long document -> training sequences): chunk i covers
+    * tokens [i*stride+1, i*stride+window]. Entirely narrow (the windows
+    * of one document are sliced from its own token array in-row — zero
+    * shuffles, unlike a position self-join); the chunk content is
+    * carried as an md5 so downstream exact-dedup of chunks joins on 16
+    * bytes. Output: (doc_id, chunk_no, chunk_len, chunk_hash). */
+  def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= stride && stride >= 1,
+      s"need window >= stride >= 1, got window=$window stride=$stride")
+    docs.select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(t) = 0 THEN array()
+           |ELSE transform(
+           |  sequence(0, CAST(floor((size(t) - 1) / $stride) AS INT)),
+           |  i -> slice(t, i * $stride + 1, $window))
+           |END""".stripMargin)).as(Seq("c0", "chunk")))
+      .select(col("doc_id"), (col("c0") + 1).cast("bigint").as("chunk_no"),
+        size(col("chunk")).cast("bigint").as("chunk_len"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
   /** BPE-ish piece pattern: letter runs, single digits, single
     * punctuation marks — the GPT-2-style pre-tokenization shape (letters
     * merge, digits don't). A portable regex both engines count the same

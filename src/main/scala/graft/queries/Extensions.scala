@@ -95,6 +95,22 @@ object Extensions {
          |FROM st JOIN pc ON st.doc_id = pc.doc_id
          |ORDER BY st.doc_id""".stripMargin),
 
+    // token-window chunking (context-window packing prep): 40-token
+    // windows at stride 30, content carried as md5 for chunk-level dedup
+    Q.df("x88_chunking",
+      (s, dir) => TextStats.chunk(Tables.load(s, dir, "documents"), 40, 30),
+      s"""WITH $duckTok,
+         |nn AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1)
+         |SELECT t.doc_id, CAST(r.i + 1 AS BIGINT) AS chunk_no,
+         |  count(*) AS chunk_len,
+         |  md5(string_agg(t.w, ' ' ORDER BY t.pos)) AS chunk_hash
+         |FROM nn CROSS JOIN range(0, 1000) r(i)
+         |JOIN tok t ON t.doc_id = nn.doc_id
+         |          AND t.pos >= r.i * 30 + 1 AND t.pos <= r.i * 30 + 40
+         |WHERE r.i <= CAST(floor((nn.n - 1) / 30.0) AS BIGINT)
+         |GROUP BY t.doc_id, r.i
+         |ORDER BY t.doc_id, chunk_no""".stripMargin),
+
     // TF-IDF relevance: top term per document by an all-integer
     // tf * (N/df) ratio score (ln-free: cross-engine exact)
     Q.df("x84_tfidf_top_term",
