@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with a 100+-query workload needs real heap headroom: at
+  // 8g the storage pool + shuffle spill churn degenerates into full-GC
+  // stalls that add 20-40s to whichever heavy query hits the pressure
+  // point (measured: same query 1s in isolation, 26-40s mid-suite).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting operators for training-data
+  * pipelines (beyond-reference, SURVEY.md §2.8).
+  *
+  * Everything here keys off a content hash (md5 of the row key), never
+  * off `rand()`: the assignment of a row is a pure function of the row,
+  * so it is reproducible across runs, engines, cluster sizes, and data
+  * re-partitionings — the property a 100 TB pipeline needs so that
+  * re-running a stage (or backfilling one shard) lands every row in the
+  * same split/sample. All operators are a single narrow projection (and,
+  * for the stratified summary, one keyed aggregation) — zero shuffles
+  * for the per-row outputs, no driver participation.
+  *
+  * The hash bucket is the first two hex chars of md5 (256 buckets);
+  * fixed-length lowercase hex compares lexicographically = numerically,
+  * so thresholds are expressed as hex-string literals and the whole
+  * decision is engine-portable (md5 is bit-identical everywhere, unlike
+  * any float or RNG path).
+  */
+object Sampling {
+
+  /** 256-bucket content hash of a key column: substr(md5(key), 1, 2). */
+  def hashBucket(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 2)
+
+  /** Deterministic train/valid/test split: ~80/10/10 by hash bucket
+    * (train < 0xcc = 204/256, valid < 0xe6 = 230/256, else test).
+    * Output: (key, split) — one narrow pass, no shuffle. */
+  def hashSplit(df: DataFrame, key: String): DataFrame =
+    df.select(col(key),
+        when(hashBucket(col(key)) < "cc", "train")
+          .when(hashBucket(col(key)) < "e6", "valid")
+          .otherwise("test").as("split"))
+      .orderBy(key)
+
+  /** Stratified deterministic sample summary: within every stratum the
+    * SAME hash rule keeps ~keep256/256 of rows, so strata stay
+    * proportionally represented without a per-stratum pass or any
+    * coordination. Output per stratum: total, kept, and the realized
+    * keep rate as an exact x10k ratio. */
+  def stratifiedSample(df: DataFrame, stratum: String, key: String,
+                       keep256: Int = 64): DataFrame = {
+    val thr = f"$keep256%02x"
+    df.groupBy(stratum)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(hashBucket(col(key)) < thr, 1L).otherwise(0L)).as("n_kept"))
+      .select(col(stratum), col("n_total"), col("n_kept"),
+        floor(lit(10000.0) * col("n_kept") / col("n_total"))
+          .cast("bigint").as("kept_x10k"))
+      .orderBy(stratum)
+  }
+}

@@ -182,6 +182,52 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition stats — the "is this document mostly one
+    * phrase repeated" signal (duplicate-fraction heuristics from the
+    * Gopher/MassiveText cleaning rules): per document, the fraction of
+    * tokens accounted for by the single most frequent token, and the
+    * fraction of bigram occurrences accounted for by the most frequent
+    * bigram. High values = boilerplate/spam; a training pipeline drops
+    * or down-weights them.
+    *
+    * Scale shape: two keyed aggregations per signal ((doc, term) counts,
+    * then a per-doc max+sum), all partial-aggregated on the natural
+    * doc_id key — no windows, no self-joins. Ratios are floor-scaled
+    * exact-integer quotients (engine-portable).
+    * Output: (doc_id, n_tok, top_token_x10k, top_bigram_x10k). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val tf = tokens(docs).groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val t1 = tf.groupBy("doc_id")
+      .agg(max("tf").as("max_tf"), sum("tf").as("n_tok"))
+    val bf = docs.select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) < 2 THEN array()
+          |ELSE transform(sequence(1, size(t) - 1),
+          |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+          |END""".stripMargin)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("bf"))
+    val b1 = bf.groupBy("doc_id")
+      .agg(max("bf").as("max_bf"), sum("bf").as("n_bg"))
+    t1.join(b1, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        floor(lit(10000.0) * col("max_tf") / col("n_tok"))
+          .cast("bigint").as("top_token_x10k"),
+        coalesce(floor(lit(10000.0) * col("max_bf") / col("n_bg"))
+          .cast("bigint"), lit(0L)).as("top_bigram_x10k"))
+      .orderBy("doc_id")
+  }
+
+  /** PII-style scrubbing: redact digit runs, emails, and bare URLs from
+    * a string column — the privacy pass a corpus runs before training.
+    * Pure narrow regexp_replace chain (whole-stage codegen, no shuffle);
+    * patterns chosen engine-portable (POSIX-ish classes only). */
+  def scrub(c: Column): Column = {
+    val noUrl = regexp_replace(c, "https?://[^ ]+", "<URL>")
+    val noEmail = regexp_replace(noUrl,
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9]+", "<N>")
+  }
+
   /** Normalization fingerprint: md5 of the whitespace-collapsed,
     * lowercased text — the exact-dedup key for near-identical formatting. */
   def fingerprints(docs: DataFrame): DataFrame =

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{AsofJoin, Dedup, Multimodal, Sampling, Similarity, TextStats}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -658,6 +658,125 @@ object Extensions {
           .select(col("qid"), col("s.id").as("vec_id"),
             col("s.score").as("sim"), (col("i") + 1).cast("bigint").as("rn"))
           .orderBy("qid", "rn")
-      })
+      }),
+
+    // ---- corpus curation: repetition, splits, sampling, scrubbing ----
+
+    // Gopher/MassiveText repetition signals: top-token and top-bigram
+    // occupancy fractions (boilerplate/spam detector)
+    Q.df("x89_repetition_stats",
+      (s, dir) => TextStats.repetitionStats(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg
+         |       FROM tok a JOIN tok b
+         |         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |t1 AS (SELECT doc_id, max(tf) AS max_tf,
+         |         CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1),
+         |bf AS (SELECT doc_id, bg, count(*) AS bf FROM bg GROUP BY 1, 2),
+         |b1 AS (SELECT doc_id, max(bf) AS max_bf,
+         |         CAST(sum(bf) AS BIGINT) AS n_bg FROM bf GROUP BY 1)
+         |SELECT t1.doc_id, t1.n_tok,
+         |  CAST(floor(10000.0 * t1.max_tf / t1.n_tok) AS BIGINT)
+         |    AS top_token_x10k,
+         |  coalesce(CAST(floor(10000.0 * b1.max_bf / b1.n_bg) AS BIGINT), 0)
+         |    AS top_bigram_x10k
+         |FROM t1 LEFT JOIN b1 ON t1.doc_id = b1.doc_id
+         |ORDER BY t1.doc_id""".stripMargin),
+
+    // deterministic content-hash train/valid/test split (~80/10/10):
+    // assignment is a pure function of the key — reproducible across
+    // runs, engines, and repartitionings, unlike any rand() path
+    Q.df("x90_hash_split",
+      (s, dir) => Sampling.hashSplit(Tables.load(s, dir, "documents"), "doc_id"),
+      """SELECT doc_id,
+        |  CASE WHEN h < 'cc' THEN 'train'
+        |       WHEN h < 'e6' THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        |      FROM documents) x
+        |ORDER BY doc_id""".stripMargin),
+
+    // stratified deterministic sampling: same hash rule inside every
+    // stratum keeps strata proportionally represented, no coordination
+    Q.df("x91_stratified_sample",
+      (s, dir) => Sampling.stratifiedSample(
+        Tables.load(s, dir, "documents"), "source", "doc_id", 64),
+      """SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(floor(10000.0 * sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |                               THEN 1 ELSE 0 END) / count(*)) AS BIGINT)
+        |    AS kept_x10k
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // per-stratum quantile gate: keep documents strictly longer than
+    // their source's median length (groupwise percentile + semi-join
+    // back — the "filter by corpus statistic" shape)
+    Q.df("x92_median_length_filter",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.createOrReplaceTempView("documents")
+        s.sql(
+          """SELECT d.doc_id, d.source, d.n_chars, m.med_chars
+            |FROM documents d
+            |JOIN (SELECT source,
+            |        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+            |          AS BIGINT) AS med_chars
+            |      FROM documents GROUP BY source) m
+            |  ON d.source = m.source
+            |WHERE d.n_chars > m.med_chars
+            |ORDER BY d.doc_id""".stripMargin)
+      },
+      """SELECT d.doc_id, d.source, d.n_chars, m.med_chars
+        |FROM documents d
+        |JOIN (SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT)
+        |        AS med_chars
+        |      FROM documents GROUP BY source) m
+        |  ON d.source = m.source
+        |WHERE d.n_chars > m.med_chars
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // Z-order (Morton) layout key over (p_size, p_partkey): the
+    // clustering key a multi-dimension data-skipping rewrite sorts by
+    Q.df("x93_zorder_key",
+      (s, dir) => graft.ext.Layout.partZorder(Tables.load(s, dir, "part")),
+      s"""SELECT p_partkey,
+         |  ${graft.ext.Layout.zorderSql("p_size", "p_partkey", 8)} AS zkey
+         |FROM part ORDER BY zkey, p_partkey""".stripMargin),
+
+    // PII scrub: redact URLs, emails, digit runs (privacy pass before
+    // training); narrow regexp_replace chain, zero shuffles
+    Q.df("x94_pii_scrub",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.where(col("event_id") < 2000)
+          .select(col("event_id"), TextStats.scrub(col("props")).as("scrubbed"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(props, 'https?://[^ ]+', '<URL>', 'g'),
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<N>', 'g') AS scrubbed
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin),
+
+    // distributed per-label centroids over embeddings: the k-means
+    // update step as a judged operator — only partial (label, pos) sums
+    // cross the shuffle; exact quantized-integer arithmetic throughout
+    Q.df("x95_label_centroids",
+      (s, dir) => Similarity.labelCentroids(Tables.load(s, dir, "embeddings")),
+      """SELECT label, CAST(pos AS INT) AS pos, count(*) AS n_vecs,
+        |  CAST(sum(q) AS BIGINT) AS sum_q,
+        |  CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS centroid_x10k
+        |FROM (
+        |  SELECT label,
+        |    generate_subscripts(embedding, 1) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+        |  FROM embeddings
+        |) x GROUP BY label, pos ORDER BY label, pos""".stripMargin)
   )
 }

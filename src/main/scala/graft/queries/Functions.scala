@@ -38,7 +38,7 @@ object Functions {
         |  CAST(floor(ln(abs(s_acctbal) + 1) * 10000) AS BIGINT) AS bal_ln_x10k,
         |  CAST(power(s_suppkey, 2) AS BIGINT) AS key_sq,
         |  mod(s_suppkey, 7) AS key_mod,
-        |  sign(s_acctbal) AS bal_sign
+        |  CAST(sign(s_acctbal) AS BIGINT) AS bal_sign
         |FROM supplier
         |ORDER BY s_suppkey""".stripMargin),
 

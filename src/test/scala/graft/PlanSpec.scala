@@ -87,4 +87,22 @@ class PlanSpec extends SparkSpec {
     // only k*dim aggregate rows ever reach the driver — never embeddings
     assert(upd.count() == 4 * 64)
   }
+
+  test("x90/x93 per-row curation ops stay narrow: no join, no agg, one sort exchange") {
+    for (q <- Seq("x90_hash_split", "x93_zorder_key")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: $p")
+      assert(!p.contains("HashAggregate"), s"$q: $p")
+      // the only exchange is the final presentation sort's range partition
+      assert("Exchange".r.findAllIn(p).length <= 1, s"$q: $p")
+    }
+  }
+
+  test("x89/x95 aggregation ops partial-aggregate and never window-sort") {
+    for (q <- Seq("x89_repetition_stats", "x95_label_centroids")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: $p")
+      assert(p.contains("HashAggregate"), s"$q: $p")
+    }
+  }
 }

@@ -151,4 +151,71 @@ class ExtSpec extends SparkSpec {
     assert(r.forall(_.getLong(1) > 0))
     assert(r.forall(x => x.getLong(3) > 0 && x.getLong(3) <= 10000))
   }
+
+  test("repetition stats: fractions in (0, 10000], bigram <= token bound") {
+    val r = TextStats.repetitionStats(docs).collect()
+    assert(r.length == docs.count())
+    r.foreach { row =>
+      val top = row.getLong(2); val bg = row.getLong(3)
+      assert(top > 0 && top <= 10000, s"top-token frac $top")
+      assert(bg >= 0 && bg <= 10000, s"top-bigram frac $bg")
+    }
+  }
+
+  test("hash split: deterministic, total, ~80/10/10") {
+    val r1 = Sampling.hashSplit(docs, "doc_id").collect().toSeq
+    val r2 = Sampling.hashSplit(docs, "doc_id").collect().toSeq
+    assert(r1 == r2) // pure function of the key
+    val bySplit = r1.groupBy(_.getString(1)).view.mapValues(_.size).toMap
+    assert(bySplit.values.sum == docs.count())
+    assert(bySplit("train") > bySplit("valid") && bySplit("train") > bySplit("test"))
+  }
+
+  test("stratified sample: every stratum sampled at a similar rate") {
+    val r = Sampling.stratifiedSample(docs, "source", "doc_id", 64).collect()
+    assert(r.length == 20) // 20 sources in the corpus
+    r.foreach { row =>
+      val rate = row.getLong(3)
+      // 64/256 = 25% nominal; strata of 25 docs swing, but stay sane
+      assert(rate > 0 && rate < 6000, s"stratum rate $rate")
+    }
+  }
+
+  test("zorder key: bounded, and neighbors in either dim stay close") {
+    val part = Tables.load(spark, dir, "part")
+    val r = graft.ext.Layout.partZorder(part).collect()
+    assert(r.forall(x => x.getLong(1) >= 0 && x.getLong(1) < (1L << 16)))
+    // interleave(1,1)=3, interleave(2,2)=12: z-distance tracks both dims
+    import spark.implicits._
+    val z = Seq((1, 1), (2, 2), (255, 255)).toDF("a", "b")
+      .select(graft.ext.Layout.zorderKey(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"), 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z.sameElements(Array(3L, 12L, 65535L)))
+  }
+
+  test("scrub redacts urls, emails, and numbers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val in = Seq("visit https://x.io/a?b=1 or mail a.b@c.de x9",
+      "no pii here").toDF("s")
+    val out = in.select(TextStats.scrub(col("s"))).collect().map(_.getString(0))
+    assert(out(0) == "visit <URL> or mail <EMAIL> x<N>")
+    assert(out(1) == "no pii here")
+  }
+
+  test("label centroids: |labels| x dim rows, exact sums match a direct fold") {
+    val r = Similarity.labelCentroids(emb).collect()
+    val labels = emb.select("label").distinct().count()
+    assert(r.length == labels * 64)
+    // cross-check one cell against a driver-side fold
+    val l0p1 = r.find(x => x.getInt(0) == 0 && x.getInt(1) == 1).get
+    val direct = emb.collect()
+      .filter(_.getInt(2) == 0)
+      .map(row => math.floor(
+        row.getSeq[Float](1).head.toDouble * 10000).toLong)
+    assert(l0p1.getLong(3) == direct.sum)
+    assert(l0p1.getLong(2) == direct.length)
+  }
 }

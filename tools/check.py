@@ -1,88 +1,84 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate.
+"""Local oracle check: replicate the driver's DuckDB compare.
 
-Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check.py [verify_out_dir] [sf_dir]
+Reads each <name>/ parquet under verify_out_dir, runs the matching SQL from
+oracle_sql.json in DuckDB over the sf_dir parquet tables, sorts columns by
+name, and compares row count, schema (column names), and values.
 
-Reads each <name>/ parquet result written by graft.Verify, runs the
-matching oracle SQL from oracle_sql.json in DuckDB over the same parquet
-tables, sorts columns by name, and compares shapes + values (exact for
-ints/strings/dates, 1e-9 relative for floats — plus reports whether the
-match is bit-exact, since the driver hash-compares).
+The driver's gate hashes values bit-exactly, so floats are compared by
+repr() first; rows that only match after rounding are tagged
+"(float-inexact!)" and counted as FAILURES — they would fail the driver.
 """
-import sys, os, json, glob, math
+import sys, json, glob, os
 import duckdb
-import pyarrow.parquet as pq
+import pandas as pd
+import numpy as np
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+out = sys.argv[1] if len(sys.argv) > 1 else "target/verify_out"
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
-def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
-    n_pass = n_fail = n_rows_only = 0
-    for name in names:
-        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
-        if not files:
-            print(f"FAIL  {name}: no parquet output"); n_fail += 1; continue
-        spark_tbl = pq.read_table(files[0])
-        spark_df = spark_tbl.to_pandas()
-        if name not in oracle:
-            status = "ok" if len(spark_df) > 0 else "EMPTY"
-            print(f"ROWS  {name}: rows={len(spark_df)} {status}")
-            n_rows_only += 1
-            if len(spark_df) == 0: n_fail += 1
-            continue
-        try:
-            duck_df = con.execute(oracle[name]).df()
-        except Exception as e:
-            print(f"FAIL  {name}: oracle error: {e}"); n_fail += 1; continue
-        s = spark_df.reindex(sorted(spark_df.columns), axis=1)
-        d = duck_df.reindex(sorted(duck_df.columns), axis=1)
-        if list(s.columns) != list(d.columns):
-            print(f"FAIL  {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
-            n_fail += 1; continue
-        if len(s) != len(d):
-            print(f"FAIL  {name}: rows spark={len(s)} duck={len(d)}")
-            n_fail += 1; continue
-        mismatch, inexact = compare(s, d)
-        if mismatch:
-            print(f"FAIL  {name}: {mismatch}"); n_fail += 1
-        else:
-            tag = " (float-inexact!)" if inexact else ""
-            print(f"PASS  {name}: rows={len(s)}{tag}")
-            n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
-          f"of {len(names)} queries")
-    sys.exit(1 if n_fail else 0)
+with open(os.path.join(out, "oracle_sql.json")) as f:
+    oracles = json.load(f)
 
-def compare(s, d):
-    """Return (mismatch_desc|None, any_float_inexact)."""
-    inexact = False
-    for col in s.columns:
-        sv, dv = s[col].tolist(), d[col].tolist()
-        for i, (a, b) in enumerate(zip(sv, dv)):
-            na, nb = a is None or (isinstance(a, float) and math.isnan(a)), \
-                     b is None or (isinstance(b, float) and math.isnan(b))
-            if na or nb:
-                if na != nb:
-                    return f"col {col} row {i}: {a!r} vs {b!r}", inexact
-                continue
-            if isinstance(a, float) or isinstance(b, float):
-                fa, fb = float(a), float(b)
-                if fa != fb:
-                    if abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb)):
-                        inexact = True
-                    else:
-                        return f"col {col} row {i}: {a!r} vs {b!r}", inexact
-            else:
-                if str(a) != str(b):
-                    return f"col {col} row {i}: {a!r} vs {b!r}", inexact
-    return None, inexact
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = os.path.join(sf, f"{t}.parquet")
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-if __name__ == "__main__":
-    main()
+def norm(df, rounded):
+    df = df.reindex(sorted(df.columns), axis=1)
+    def cell(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return "NULL"
+        if isinstance(v, float):
+            return repr(round(v, 9)) if rounded else repr(v)
+        if isinstance(v, bytes):
+            return v.hex()
+        return str(v)
+    return [[cell(v) for v in row] for row in df.itertuples(index=False)]
+
+names = sorted(d for d in os.listdir(out)
+               if os.path.isdir(os.path.join(out, d)))
+fails, rows_only = [], []
+for name in names:
+    files = glob.glob(os.path.join(out, name, "*.parquet"))
+    if not files:
+        fails.append((name, "no spark output"))
+        continue
+    sdf = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+    if name not in oracles:
+        rows_only.append((name, len(sdf)))
+        continue
+    try:
+        odf = con.execute(oracles[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}"))
+        continue
+    if len(sdf) != len(odf):
+        fails.append((name, f"rows {len(sdf)} vs {len(odf)}"))
+        continue
+    if sorted(sdf.columns) != sorted(odf.columns):
+        fails.append((name, f"schema {sorted(sdf.columns)} vs {sorted(odf.columns)}"))
+        continue
+    a, b = norm(sdf, False), norm(odf, False)
+    if a == b:
+        print(f"PASS {name} ({len(sdf)} rows)")
+        continue
+    ar, br = norm(sdf, True), norm(odf, True)
+    if ar == br:
+        diff = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+        fails.append((name, f"(float-inexact!) row {diff}: {a[diff]} vs {b[diff]}"))
+        continue
+    diff = next((i for i, (x, y) in enumerate(zip(ar, br)) if x != y), -1)
+    fails.append((name, f"values differ at row {diff}: "
+                        f"{ar[diff] if diff >= 0 else ''} vs {br[diff] if diff >= 0 else ''}"))
+
+for name, n in rows_only:
+    print(f"ROWS-ONLY {name} ({n} rows)")
+for name, why in fails:
+    print(f"FAIL {name}: {why}")
+print(f"\n{len(names)-len(fails)}/{len(names)} ok, {len(fails)} failed, {len(rows_only)} rows-only")
+sys.exit(1 if fails else 0)
