@@ -763,6 +763,37 @@ object Extensions {
         |    '[0-9]+', '<N>', 'g') AS scrubbed
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin),
 
+    // stream-stream interval join (funnel attribution): signups matched
+    // to same-user purchases within 1 hour, watermarks on both sides —
+    // drained over the backlog it equals the batch self-join
+    Q.df("x96_stream_stream_join",
+      (s, dir) => Streaming.streamStreamJoin(s, dir),
+      """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+        |FROM events s JOIN events p
+        |  ON s.user_id = p.user_id
+        | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin),
+
+    // Bloom-prefiltered incremental dedup: corpus fingerprints -> Bloom
+    // sketch -> only the maybe-duplicate slice of the new batch pays the
+    // exact anti-join; result is exactly incrementalNew's (fpp-bounded
+    // candidate cost, zero wrong answers)
+    Q.df("x97_bloom_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.incrementalNewBloom(
+          docs.where(col("source") === "src19"),
+          docs.where(col("source") =!= "src19"))
+      },
+      """SELECT n.doc_id FROM documents n
+        |WHERE n.source = 'src19' AND NOT EXISTS (
+        |  SELECT 1 FROM documents o
+        |  WHERE o.source <> 'src19'
+        |    AND md5(trim(regexp_replace(lower(o.text), '\s+', ' ', 'g'))) =
+        |        md5(trim(regexp_replace(lower(n.text), '\s+', ' ', 'g'))))
+        |ORDER BY n.doc_id""".stripMargin),
+
     // distributed per-label centroids over embeddings: the k-means
     // update step as a judged operator — only partial (label, pos) sums
     // cross the shuffle; exact quantized-integer arithmetic throughout

@@ -116,6 +116,44 @@ object Streaming {
     spark.table(name).orderBy("event_type")
   }
 
+  /** Stream-stream interval join: signups matched to the same user's
+    * purchases within the following hour — both sides unbounded
+    * streams. This is the stateful join shape (funnel/attribution)
+    * that needs watermarks on BOTH inputs plus a time-range join
+    * condition: together they bound how long either side's rows stay
+    * in join state, so state is O(events inside the watermark
+    * horizon), not O(stream). Drained over the backlog with
+    * AvailableNow, the append-mode result equals the batch self-join,
+    * which is what the oracle checks.
+    * Output: (user_id, signup_id, purchase_id). */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "stream_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    withStreamDirs(dir) { (stage, ckpt) =>
+      def side(evType: String, idAs: String, tsAs: String, userAs: String) =
+        spark.readStream.schema(eventsRawSchema).parquet(stage)
+          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+          .where(col("event_type") === evType)
+          .select(col("event_id").as(idAs), col("ts").as(tsAs),
+            col("user_id").as(userAs))
+          .withWatermark(tsAs, "1 hour")
+      val signups = side("signup", "signup_id", "ts_s", "user_id")
+      val purchases = side("purchase", "purchase_id", "ts_p", "p_user_id")
+      val joined = signups.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("ts_p") >= col("ts_s") &&
+          col("ts_p") <= col("ts_s") + expr("INTERVAL 1 HOUR"))
+        .select("user_id", "signup_id", "purchase_id")
+      val q = joined.writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("user_id", "signup_id", "purchase_id")
+  }
+
   /** Streaming exact dedup: dropDuplicates over an unbounded stream
     * keeps per-key state so each key is emitted once — here replayed
     * over the events backlog. Only the key column is emitted (which row

@@ -205,6 +205,18 @@ class ExtSpec extends SparkSpec {
     assert(out(1) == "no pii here")
   }
 
+  test("bloom-prefiltered incremental dedup equals the exact anti-join") {
+    import org.apache.spark.sql.functions.col
+    val nw = docs.where(col("doc_id") % 7 === 0)
+    val old = docs.where(col("doc_id") % 7 =!= 0)
+    val exact = Dedup.incrementalNew(nw, old).collect().toSeq
+    // loose filter (high fpp) forces plenty of maybe-dup verifications
+    val viaBloom = Dedup.incrementalNewBloom(nw, old, fpp = 0.5).collect().toSeq
+    assert(viaBloom == exact)
+    // identity check: a batch against itself is fully filtered
+    assert(Dedup.incrementalNewBloom(docs, docs).count() == 0)
+  }
+
   test("label centroids: |labels| x dim rows, exact sums match a direct fold") {
     val r = Similarity.labelCentroids(emb).collect()
     val labels = emb.select("label").distinct().count()

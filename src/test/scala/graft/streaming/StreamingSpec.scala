@@ -27,4 +27,23 @@ class StreamingSpec extends SparkSpec {
     assert(graftTmpDirs() == before,
       s"leaked: ${graftTmpDirs().diff(before).mkString(",")}")
   }
+
+  test("stream-stream join equals the batch interval self-join") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streaming.streamStreamJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ev = graft.Tables.load(spark, dir, "events")
+    val s = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("ts_s"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("ts_p"))
+    val batch = s.join(p, col("user_id") === col("p_user_id") &&
+        col("ts_p") >= col("ts_s") &&
+        col("ts_p") <= col("ts_s") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "signup_id", "purchase_id")
+      .orderBy("user_id", "signup_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
