@@ -794,6 +794,81 @@ object Extensions {
         |        md5(trim(regexp_replace(lower(n.text), '\s+', ' ', 'g'))))
         |ORDER BY n.doc_id""".stripMargin),
 
+    // sliding (hopping) event-time windows: each event lands in 2
+    // overlapping 2h windows on a 1h hop — the rate-over-sliding-horizon
+    // aggregation; one Expand + one keyed agg, no self-join
+    Q.df("x98_sliding_window",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("event_type"), col("cnt"))
+          .orderBy("win_start", "event_type")
+      },
+      """SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS cnt
+        |FROM (SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS win_start,
+        |        event_type
+        |      FROM events CROSS JOIN (VALUES (0), (1)) k(k)) w
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin),
+
+    // exact distributed Pearson correlation: all accumulations are
+    // order-independent BIGINT sums (quantity is integral; price floored
+    // to dollars), so the per-group moments are bit-identical in every
+    // engine; the final formula is a fixed IEEE double expression
+    // (*, /, sqrt are correctly rounded — unlike ln, the q43 lesson)
+    Q.sql("x99_grouped_corr",
+      """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(floor(10000.0 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |       sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |            (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT)
+        |    AS corr_x10k
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) *
+        |             CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) *
+        |             CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+        |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT) *
+        |             CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+        |  FROM lineitem GROUP BY l_returnflag
+        |) t ORDER BY l_returnflag""".stripMargin),
+
+    // single-pass column profiling (null counts + cardinalities for
+    // every column in ONE scan — the new-data-drop sanity check)
+    Q.df("x100_profile",
+      (s, dir) => graft.ext.Profile.profile(Tables.load(s, dir, "orders")),
+      """SELECT col_name, n_rows, n_null, n_distinct FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*),
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_custkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*),
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_totalprice) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*),
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderdate) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*),
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderpriority) FROM orders
+        |) p ORDER BY col_name""".stripMargin),
+
     // distributed per-label centroids over embeddings: the k-means
     // update step as a judged operator — only partial (label, pos) sums
     // cross the shuffle; exact quantized-integer arithmetic throughout

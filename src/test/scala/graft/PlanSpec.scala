@@ -98,6 +98,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x100 profile reads the table once (single scan for all columns)") {
+    val p = plan("x100_profile")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
   test("x89/x95 aggregation ops partial-aggregate and never window-sort") {
     for (q <- Seq("x89_repetition_stats", "x95_label_centroids")) {
       val p = plan(q)

@@ -217,6 +217,14 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.incrementalNewBloom(docs, docs).count() == 0)
   }
 
+  test("profile counts nulls and distincts per column") {
+    import spark.implicits._
+    val df = Seq((1, Some("a")), (2, None), (3, Some("a"))).toDF("id", "s")
+    val r = Profile.profile(df).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("id", 3L, 0L, 3L), ("s", 3L, 1L, 1L)))
+  }
+
   test("label centroids: |labels| x dim rows, exact sums match a direct fold") {
     val r = Similarity.labelCentroids(emb).collect()
     val labels = emb.select("label").distinct().count()
