@@ -267,6 +267,31 @@ object Dedup {
     ev.join(tr, Seq("simhash"), "left_semi").select("doc_id").orderBy("doc_id")
   }
 
+  /** N-gram-overlap decontamination score (the published GPT-3-style
+    * check): for every evaluation document, the fraction of its
+    * distinct word 3-grams that also occur anywhere in the training
+    * corpus. A high overlap means the eval doc is effectively inside
+    * the training set even when no exact or near-dup fingerprint fires.
+    *
+    * Scale shape: both sides reduce to distinct shingles first; the hit
+    * count is a semi-join keyed on the shingle (shuffle carries distinct
+    * shingles, not documents), then two small per-doc aggregations.
+    * Ratio is a floor-scaled exact-integer quotient.
+    * Output: (doc_id, n_shingles, n_hit, overlap_x10k). */
+  def ngramOverlap(eval_ : DataFrame, train: DataFrame): DataFrame = {
+    val ev = shingles3(eval_)
+    val tr = shingles3(train).select("shingle").distinct()
+    val tot = ev.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hit = ev.join(tr, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        floor(lit(10000.0) * coalesce(col("n_hit"), lit(0L)) / col("n_shingles"))
+          .cast("bigint").as("overlap_x10k"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs within a hamming radius, banded for scale:
     * a 16-bit sketch is split into 4 nibbles; two sketches within
     * hamming distance 3 must agree on at least one nibble (pigeonhole),

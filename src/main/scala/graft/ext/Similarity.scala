@@ -78,6 +78,29 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** Brute-force top-k by EXACT COSINE: quantized dot over quantized
+    * norms. Numerator and both squared norms are exact BIGINTs; the
+    * single double expression floor(10000 * dot / sqrt(nx * ny)) uses
+    * only IEEE-correctly-rounded ops (*, /, sqrt), so the score — and
+    * the ranking — is bit-identical across engines, unlike any
+    * float-fold cosine. Same broadcast + bounded-heap shape as
+    * [[knnQuantized]]. Output: (qid, vec_id, cos_x10k, rn). */
+  def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    def norm2(v: Column): Column =
+      aggregate(quantize(v), lit(0L), (acc, x) => acc + x * x)
+    val withN = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val q = withN.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("n2").as("qn2"))
+    val pairs = broadcast(q).join(withN, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        floor(lit(10000.0) * dotQNative(emb, col("qe"), col("embedding")) /
+          sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+          .cast("bigint").as("dot_q"))
+    rankTopK(pairs, k).withColumnRenamed("dot_q", "cos_x10k")
+  }
+
   /** Deterministic mini k-means over the embedding column: centroids
     * initialized from the first k vectors (stable), a fixed number of
     * Lloyd iterations, assignment by the codegen'd quantized dot

@@ -794,6 +794,73 @@ object Extensions {
         |        md5(trim(regexp_replace(lower(n.text), '\s+', ' ', 'g'))))
         |ORDER BY n.doc_id""".stripMargin),
 
+    // exact-cosine top-k: quantized dot over quantized norms — the only
+    // double math is one IEEE-exact (*, /, sqrt) scalar expression, so
+    // ranking is engine-identical (a float-fold cosine is not)
+    Q.df("x101_cosine_topk",
+      (s, dir) => Similarity.cosineTopK(Tables.load(s, dir, "embeddings"), 20, 3),
+      """WITH n2 AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |           * CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS n2
+        |  FROM embeddings, range(1, 65) r(i) GROUP BY 1
+        |), pairs AS (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    CAST(sum(CAST(floor(CAST(q.embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |           * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS dot_q
+        |  FROM embeddings q, embeddings e, range(1, 65) r(i)
+        |  WHERE q.vec_id < 20 AND q.vec_id <> e.vec_id
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT p.qid, p.vec_id,
+        |    CAST(floor(10000.0 * p.dot_q /
+        |         sqrt(CAST(nq.n2 AS DOUBLE) * CAST(ne.n2 AS DOUBLE))) AS BIGINT)
+        |      AS cos_x10k
+        |  FROM pairs p JOIN n2 nq ON nq.vec_id = p.qid
+        |               JOIN n2 ne ON ne.vec_id = p.vec_id
+        |), ranked AS (
+        |  SELECT qid, vec_id, cos_x10k,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY cos_x10k DESC, vec_id) AS rn
+        |  FROM scored
+        |)
+        |SELECT qid, vec_id, cos_x10k, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin),
+
+    // GPT-3-style n-gram-overlap decontamination: fraction of each eval
+    // doc's distinct 3-grams that appear anywhere in the training side;
+    // semi-join keyed on the shingle, never a doc-pair join
+    Q.df("x102_ngram_overlap",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.ngramOverlap(
+          docs.where(col("source") === "src19"),
+          docs.where(col("source") =!= "src19"))
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT a.doc_id, a.source,
+        |    a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |), tr AS (SELECT DISTINCT shingle FROM sh WHERE source <> 'src19'),
+        |ev AS (SELECT doc_id, shingle FROM sh WHERE source = 'src19'),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
+        |hit AS (
+        |  SELECT doc_id, count(*) AS n_hit FROM ev
+        |  WHERE shingle IN (SELECT shingle FROM tr) GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.n_shingles,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(floor(10000.0 * coalesce(h.n_hit, 0) / t.n_shingles) AS BIGINT)
+        |    AS overlap_x10k
+        |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin),
+
     // sliding (hopping) event-time windows: each event lands in 2
     // overlapping 2h windows on a 1h hop — the rate-over-sliding-horizon
     // aggregation; one Expand + one keyed agg, no self-join

@@ -217,6 +217,22 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.incrementalNewBloom(docs, docs).count() == 0)
   }
 
+  test("cosine top-k: scores bounded by x10k, k rows per query, descending") {
+    val r = Similarity.cosineTopK(emb, 5, 3).collect()
+    assert(r.length == 5 * 3)
+    assert(r.forall(x => math.abs(x.getLong(2)) <= 10000))
+    r.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRn = rows.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(byRn.sameElements(byRn.sorted(Ordering[Long].reverse)))
+    }
+  }
+
+  test("ngram overlap: a corpus against itself is fully contaminated") {
+    val r = Dedup.ngramOverlap(docs, docs).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getLong(3) == 10000L))
+  }
+
   test("profile counts nulls and distincts per column") {
     import spark.implicits._
     val df = Seq((1, Some("a")), (2, None), (3, Some("a"))).toDF("id", "s")
