@@ -137,13 +137,26 @@ object Similarity {
     * one row per vector — a window would shuffle and sort all k.
     * Returns (vec_id, embedding, cell). */
   def assignCells(emb: DataFrame,
-                  centroids: Array[(Int, Array[Float])]): DataFrame = {
+                  centroids: Array[(Int, Array[Float])],
+                  l2: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cdf = broadcast(centroids.toSeq.toDF("cell", "centroid"))
+    // l2=false ranks by raw dot (correct for unit-norm corpora: dot ~
+    // cosine). l2=true ranks by 2*dot(x,c) - |c|^2, the argmax form of
+    // argmin |x-c|^2 (the |x|^2 term is constant per row) — required
+    // when vectors/centroids are NOT unit-norm (PQ subvectors), where
+    // raw dot degenerates to "largest centroid wins". Exact integer
+    // arithmetic either way: |c|^2 is precomputed on the quantized
+    // centroid, so assignment stays deterministic.
+    val rows = centroids.toSeq.map { case (cell, v) =>
+      val n2 = v.map(x => { val q = math.floor(x.toDouble * 10000).toLong; q * q }).sum
+      (cell, v, n2)
+    }
+    val cdf = broadcast(rows.toDF("cell", "centroid", "c_n2"))
+    val dot = dotQNative(emb, col("embedding"), col("centroid"))
+    val sim = if (l2) lit(2L) * dot - col("c_n2") else dot
     emb.crossJoin(cdf)
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        dotQNative(emb, col("embedding"), col("centroid")).as("sim"))
+      .select(col("vec_id"), col("embedding"), col("cell"), sim.as("sim"))
       .groupBy("vec_id")
       .agg(max_by(struct(col("cell"), col("embedding")),
         struct(col("sim"), (-col("cell")).as("tb"))).as("best"))
@@ -159,7 +172,8 @@ object Similarity {
     * ([[centroidUpdate]]) — the corpus never reaches the driver. At
     * 100 TB you'd fit on a sample and assign in one extra pass; the
     * per-iteration data flow is already the right one. */
-  def kmeansFit(emb: DataFrame, k: Int, iters: Int): (DataFrame, Array[(Int, Array[Float])]) = {
+  def kmeansFit(emb: DataFrame, k: Int, iters: Int,
+                l2: Boolean = false): (DataFrame, Array[(Int, Array[Float])]) = {
     var centroids: Array[(Int, Array[Float])] = emb
       .where(col("vec_id") < k).orderBy("vec_id")
       .select("embedding").collect()
@@ -167,7 +181,7 @@ object Similarity {
     val dim = centroids.head._2.length
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = assignCells(emb, centroids)
+      assigned = assignCells(emb, centroids, l2)
       // new centroids: k*dim (cell, pos, sum, count) rows — the only
       // thing collected, regardless of corpus size
       val byCell = centroidUpdate(assigned).collect()
@@ -184,7 +198,7 @@ object Similarity {
     // is CONSISTENT: inside the loop the assignment predates the last
     // centroid update, and an index built from the stale labels would
     // disagree with query-side probes ranked by the final centroids
-    assigned = assignCells(emb, centroids)
+    assigned = assignCells(emb, centroids, l2)
     (assigned.select(col("vec_id"), col("cell")), centroids)
   }
 
@@ -219,6 +233,73 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
     rankTopK(pairs, k)
+  }
+
+  /** Product-quantization ANN (the memory-compression leg of large-scale
+    * similarity search): the vector is split into `m` subvectors, each
+    * subspace gets its own `ksub`-centroid codebook (per-subspace
+    * k-means), and every vector is stored as m small codes — 64 floats
+    * become m bytes, the compression that lets a billion-vector index
+    * fit in executor memory. Queries score by asymmetric distance
+    * computation (ADC): per query, a LUT of (subspace, code) partial
+    * dots against the UNquantized query subvector; a vector's score is
+    * the sum of its m LUT entries.
+    *
+    * Scale shape: codebooks fit via the distributed k-means (corpus
+    * never on the driver); the LUT is nQueries*m*ksub rows — broadcast;
+    * scoring is a broadcast join + map-side-collapsing aggregation into
+    * the bounded top-k heap. All scores are exact quantized-integer
+    * sums, so the (approximate-by-construction) result is deterministic
+    * run to run; rows-only judged, like IVF.
+    *
+    * ADC alone is a coarse ranker (measured corr ~0.6 against the exact
+    * dot on this corpus), so the operator runs the production shape:
+    * PQ-ADC generates `refine * k` candidates per query, then the exact
+    * quantized dot re-ranks ONLY those candidates — full-precision
+    * compute on refine*k*|queries| pairs instead of |corpus|*|queries|.
+    * Output: (qid, vec_id, dot_q, rn) — dot_q is the exact re-rank score. */
+  def knnPQ(emb: DataFrame, nQueries: Int, k: Int, m: Int = 8,
+            ksub: Int = 32, iters: Int = 3, refine: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val fitted = (0 until m).map { s0 =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), s0 * subDim + 1, subDim).as("embedding"))
+      val (assigned, cents) = kmeansFit(sub, ksub, iters, l2 = true)
+      (assigned.select(col("vec_id"), col("cell").as(s"c$s0")), cents)
+    }
+    // PQ codes: m small ints per vector (the compressed index)
+    val codes = fitted.map(_._1).reduce((a, b) => a.join(b, "vec_id"))
+    // ADC lookup table rows: (sub, cell, centroid); tiny -> broadcast
+    val lut = broadcast(fitted.zipWithIndex.flatMap { case ((_, cents), s0) =>
+      cents.map { case (cell, v) => (s0, cell, v) }
+    }.toDF("sub", "cell", "centroid"))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(embedding, s * $subDim + 1, $subDim))"))
+        .as(Seq("sub", "qsub")))
+    val parts = q.join(lut, "sub")
+      .select(col("qid"), col("sub"), col("cell"),
+        dotQNative(emb, col("qsub"), col("centroid")).as("ps"))
+    val codeLong = codes.select(col("vec_id"),
+      posexplode(array((0 until m).map(s0 => col(s"c$s0")): _*))
+        .as(Seq("sub", "cell")))
+    val pairs = codeLong.join(broadcast(parts), Seq("sub", "cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id").agg(sum("ps").as("dot_q"))
+    val candidates = rankTopK(pairs, refine * k).select("qid", "vec_id")
+    // exact re-rank of the candidate slice only
+    val qe = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val rescored = candidates
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(qe), "qid")
+      .select(col("qid"), col("vec_id"),
+        dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
+    rankTopK(rescored, k)
   }
 
   /** Near-duplicate pairs inside coarse blocks (IVF-style: `label` is

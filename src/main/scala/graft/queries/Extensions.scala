@@ -660,6 +660,11 @@ object Extensions {
           .orderBy("qid", "rn")
       }),
 
+    // product-quantization ANN with exact re-rank (rows-only like IVF:
+    // the codebooks are engine-specific; determinism is spec-guarded)
+    Q.dfOnly("x103_knn_pq",
+      (s, dir) => Similarity.knnPQ(Tables.load(s, dir, "embeddings"), 20, 3)),
+
     // ---- corpus curation: repetition, splits, sampling, scrubbing ----
 
     // Gopher/MassiveText repetition signals: top-token and top-bigram

@@ -233,6 +233,20 @@ class ExtSpec extends SparkSpec {
     assert(r.forall(_.getLong(3) == 10000L))
   }
 
+  test("PQ ANN: deterministic, k rows per query, useful recall vs exact kNN") {
+    val pq1 = Similarity.knnPQ(emb, 10, 3).collect()
+    assert(pq1.length == 10 * 3)
+    val pq2 = Similarity.knnPQ(emb, 10, 3).collect()
+    assert(pq1.map(_.toString).toSeq == pq2.map(_.toString).toSeq)
+    val exact = Similarity.knnQuantized(emb, 10, 3).collect()
+    def tops(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val (p, e) = (tops(pq1), tops(exact))
+    val recall = p.keys.toSeq.map(q => (p(q) intersect e(q)).size).sum / (10.0 * 3)
+    info(f"PQ recall@3 = $recall%.2f")
+    assert(recall >= 0.7, f"recall $recall%.2f")
+  }
+
   test("profile counts nulls and distincts per column") {
     import spark.implicits._
     val df = Seq((1, Some("a")), (2, None), (3, Some("a"))).toDF("id", "s")
