@@ -717,6 +717,76 @@ object Extensions {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
     // per-stratum quantile gate: keep documents strictly longer than
+    // per-group winsorization: clip event values into their type's
+    // [p10, p90] band — the robust-statistics outlier treatment before
+    // any mean-based downstream stat; groupwise percentiles + join-back
+    // + least/greatest, all integer outputs (value is clipped cents)
+    Q.sql2("x104_winsorize",
+      """SELECT e.event_id, e.event_type,
+        |  CAST(least(greatest(floor(e.value * 100), p.lo), p.hi) AS BIGINT)
+        |    AS clipped_cents
+        |FROM events e
+        |JOIN (SELECT event_type,
+        |        percentile_disc(0.1) WITHIN GROUP (ORDER BY floor(value * 100)) AS lo,
+        |        percentile_disc(0.9) WITHIN GROUP (ORDER BY floor(value * 100)) AS hi
+        |      FROM events GROUP BY event_type) p
+        |  ON e.event_type = p.event_type
+        |WHERE e.event_id < 3000
+        |ORDER BY e.event_id""".stripMargin,
+      """SELECT e.event_id, e.event_type,
+        |  CAST(least(greatest(floor(e.value * 100), p.lo), p.hi) AS BIGINT)
+        |    AS clipped_cents
+        |FROM events e
+        |JOIN (SELECT event_type,
+        |        quantile_disc(floor(value * 100), 0.1) AS lo,
+        |        quantile_disc(floor(value * 100), 0.9) AS hi
+        |      FROM events GROUP BY event_type) p
+        |  ON e.event_type = p.event_type
+        |WHERE e.event_id < 3000
+        |ORDER BY e.event_id""".stripMargin),
+
+    // conversion funnel: per signed-up user, the first purchase AT OR
+    // AFTER their first signup (two keyed aggregations + one join —
+    // never an event-pair blowup), rolled into the corpus conversion
+    // summary; lag sums are exact integer milliseconds
+    Q.sql2("x105_funnel",
+      """WITH fs AS (
+        |  SELECT user_id, min(unix_millis(ts)) AS first_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |), fp AS (
+        |  SELECT e.user_id, min(unix_millis(e.ts)) AS first_purchase
+        |  FROM events e JOIN fs ON e.user_id = fs.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND unix_millis(e.ts) >= fs.first_signup
+        |  GROUP BY e.user_id
+        |)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN fp.first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_converted,
+        |  CAST(floor(10000.0 * sum(CASE WHEN fp.first_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |       / count(*)) AS BIGINT) AS conv_x10k,
+        |  CAST(coalesce(sum(fp.first_purchase - fs.first_signup), 0) AS BIGINT)
+        |    AS total_lag_ms
+        |FROM fs LEFT JOIN fp ON fs.user_id = fp.user_id""".stripMargin,
+      """WITH fs AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS first_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |), fp AS (
+        |  SELECT e.user_id, min(epoch_ms(e.ts)) AS first_purchase
+        |  FROM events e JOIN fs ON e.user_id = fs.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_ms(e.ts) >= fs.first_signup
+        |  GROUP BY e.user_id
+        |)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN fp.first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_converted,
+        |  CAST(floor(10000.0 * sum(CASE WHEN fp.first_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |       / count(*)) AS BIGINT) AS conv_x10k,
+        |  CAST(coalesce(sum(fp.first_purchase - fs.first_signup), 0) AS BIGINT)
+        |    AS total_lag_ms
+        |FROM fs LEFT JOIN fp ON fs.user_id = fp.user_id""".stripMargin),
+
     // their source's median length (groupwise percentile + semi-join
     // back — the "filter by corpus statistic" shape)
     Q.df("x92_median_length_filter",
