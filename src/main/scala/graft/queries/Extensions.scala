@@ -717,6 +717,52 @@ object Extensions {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
     // per-stratum quantile gate: keep documents strictly longer than
+    // skew-mitigated equi-join: big side salted, dimension replicated
+    // per salt bucket — row-for-row equal to the plain join (the
+    // oracle), with hot keys spread over `buckets` reducers
+    Q.df("x106_salted_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select("user_id", "event_type", "event_id")
+        val dim = Tables.load(s, dir, "orders")
+          .groupBy(col("o_custkey").as("user_id"))
+          .agg(count(lit(1)).as("n_orders"))
+        graft.ext.Salting.saltedJoin(ev, dim, "user_id", col("event_id"), 8)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("matched"),
+            sum("n_orders").cast("bigint").as("sum_orders"))
+          .orderBy("event_type")
+      },
+      """SELECT e.event_type, count(*) AS matched,
+        |  CAST(sum(d.n_orders) AS BIGINT) AS sum_orders
+        |FROM events e
+        |JOIN (SELECT o_custkey AS user_id, count(*) AS n_orders
+        |      FROM orders GROUP BY 1) d
+        |  ON e.user_id = d.user_id
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
+
+    // histogram-sketch quantile estimation: one pass builds a 1024-bin
+    // equi-width histogram (mergeable, streaming-friendly — the
+    // deterministic cousin of t-digest); quantiles read off the
+    // cumulative bin counts. Bin edges are exact integers, so the
+    // estimate is engine-identical; the exact-percentile q82 is the
+    // per-group sort-based alternative this avoids at scale
+    Q.sql("x107_binned_quantiles",
+      """WITH bins AS (
+        |  SELECT CAST(floor(l_extendedprice / 110) AS BIGINT) AS bin,
+        |         count(*) AS c
+        |  FROM lineitem GROUP BY 1
+        |), cum AS (
+        |  SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum,
+        |         (SELECT count(*) FROM lineitem) AS n
+        |  FROM bins
+        |)
+        |SELECT
+        |  CAST(min(CASE WHEN cum >= 0.50 * n THEN bin * 110 END) AS BIGINT) AS p50_est,
+        |  CAST(min(CASE WHEN cum >= 0.90 * n THEN bin * 110 END) AS BIGINT) AS p90_est,
+        |  CAST(min(CASE WHEN cum >= 0.99 * n THEN bin * 110 END) AS BIGINT) AS p99_est
+        |FROM cum""".stripMargin),
+
     // per-group winsorization: clip event values into their type's
     // [p10, p90] band — the robust-statistics outlier treatment before
     // any mean-based downstream stat; groupwise percentiles + join-back

@@ -247,6 +247,20 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall $recall%.2f")
   }
 
+  test("salted join is row-for-row equal to the plain join") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select("user_id", "event_type", "event_id")
+    val dim = graft.Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val salted = Salting.saltedJoin(ev, dim, "user_id", col("event_id"), 8)
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    val plain = ev.join(dim, "user_id")
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    assert(salted.nonEmpty && salted == plain)
+  }
+
   test("profile counts nulls and distincts per column") {
     import spark.implicits._
     val df = Seq((1, Some("a")), (2, None), (3, Some("a"))).toDF("id", "s")
