@@ -129,7 +129,16 @@ object Streaming {
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "stream_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    withStreamDirs(dir) { (stage, ckpt) =>
+    // A stream-stream join keeps FOUR state stores per shuffle partition
+    // (two per side), each with its own checkpoint directory and
+    // per-batch commit — at the session's 32 partitions that is 128
+    // store commits for one micro-batch, pure fixed overhead at demo
+    // scale. Pin the stream's state partitioning to 8 (the partition
+    // count is baked into the checkpoint at first start; a production
+    // run sizes it to the cluster once, the same way). Restored after.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try withStreamDirs(dir) { (stage, ckpt) =>
       def side(evType: String, idAs: String, tsAs: String, userAs: String) =
         spark.readStream.schema(eventsRawSchema).parquet(stage)
           .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
@@ -151,6 +160,7 @@ object Streaming {
         .start()
       q.awaitTermination()
     }
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name).orderBy("user_id", "signup_id", "purchase_id")
   }
 
