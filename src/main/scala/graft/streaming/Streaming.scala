@@ -31,7 +31,16 @@ object Streaming {
 
   /** Stage dir + checkpoint for one streaming run; both are temp dirs
     * deleted after the query drains (round-1 leak: they accumulated for
-    * the life of /tmp). */
+    * the life of /tmp).
+    *
+    * Also pins the stream's state partitioning to 8 for the duration:
+    * every stateful operator commits one state store per shuffle
+    * partition per micro-batch (a stream-stream join keeps four), so
+    * the session's 32 partitions mean up to 128 checkpoint commits of
+    * pure fixed overhead at demo scale (measured 14s -> 3s on the
+    * stream-stream join). The partition count is baked into a stream's
+    * checkpoint at first start; a production run sizes it to its
+    * cluster once, exactly like this. Restored afterwards. */
   private def withStreamDirs[A](dir: String)(body: (String, String) => A): A = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
     // The file-stream source wants a directory to watch; stage the single
@@ -40,8 +49,14 @@ object Streaming {
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try body(stage.toString, ckpt.toString)
-    finally { rmTree(ckpt); rmTree(stage) }
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rmTree(ckpt); rmTree(stage)
+    }
   }
 
   private def rmTree(root: java.nio.file.Path): Unit = {
@@ -129,16 +144,7 @@ object Streaming {
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "stream_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    // A stream-stream join keeps FOUR state stores per shuffle partition
-    // (two per side), each with its own checkpoint directory and
-    // per-batch commit — at the session's 32 partitions that is 128
-    // store commits for one micro-batch, pure fixed overhead at demo
-    // scale. Pin the stream's state partitioning to 8 (the partition
-    // count is baked into the checkpoint at first start; a production
-    // run sizes it to the cluster once, the same way). Restored after.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try withStreamDirs(dir) { (stage, ckpt) =>
+    withStreamDirs(dir) { (stage, ckpt) =>
       def side(evType: String, idAs: String, tsAs: String, userAs: String) =
         spark.readStream.schema(eventsRawSchema).parquet(stage)
           .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
@@ -160,7 +166,6 @@ object Streaming {
         .start()
       q.awaitTermination()
     }
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name).orderBy("user_id", "signup_id", "purchase_id")
   }
 
