@@ -37,6 +37,30 @@ object Sampling {
           .otherwise("test").as("split"))
       .orderBy(key)
 
+  /** Balanced per-stratum downsample: exactly `n` rows from every
+    * stratum (fewer only if the stratum is smaller), chosen as the n
+    * smallest content hashes — the class-balancing step of a training
+    * mix (equal documents per source/language regardless of raw skew).
+    * Hash-ranked selection keeps the choice deterministic and stable
+    * under data growth: a stratum's selection only changes where new
+    * rows hash below the old cutoff.
+    *
+    * Scale shape: one shuffle on the stratum key into a bounded
+    * per-group top-n (min_by semantics via window over the hash order —
+    * partitions stay bounded by stratum count; rank fn, not a global
+    * sort). Output: (stratum, key, h) for the selected rows. */
+  def balancedSample(df: DataFrame, stratum: String, key: String,
+                     n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(stratum), col(key),
+        md5(col(key).cast("string")).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("h"), col(key))))
+      .where(col("rn") <= n)
+      .select(col(stratum), col(key), col("h"))
+      .orderBy(stratum, key)
+  }
+
   /** Stratified deterministic sample summary: within every stratum the
     * SAME hash rule keeps ~keep256/256 of rows, so strata stay
     * proportionally represented without a per-stratum pass or any

@@ -716,6 +716,19 @@ object Extensions {
         |    AS kept_x10k
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
+    // balanced per-stratum downsample: exactly n rows per stratum by
+    // smallest content hash — the class-balancing step of a training
+    // mix, deterministic and stable under corpus growth
+    Q.df("x108_balanced_sample",
+      (s, dir) => Sampling.balancedSample(
+        Tables.load(s, dir, "documents"), "source", "doc_id", 5),
+      """SELECT source, doc_id, h FROM (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |) x WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin),
+
     // per-stratum quantile gate: keep documents strictly longer than
     // skew-mitigated equi-join: big side salted, dimension replicated
     // per salt bucket — row-for-row equal to the plain join (the

@@ -98,6 +98,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x101 cosine top-k: broadcast + bounded heap, never a full-pair window") {
+    val p = ext.Similarity.cosineTopK(
+      Tables.load(spark, dir, "embeddings"), 5, 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ObjectHashAggregate") && !p.contains("Window"), p)
+  }
+
   test("x100 profile reads the table once (single scan for all columns)") {
     val p = plan("x100_profile")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
