@@ -1,0 +1,23 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog integrity: SparkEntry.queries is a Map, so a duplicated
+  * query name would SILENTLY drop one implementation (and the driver
+  * would never notice the missing row). Guard the invariant here. */
+class CatalogSpec extends AnyFunSuite {
+
+  test("no query-name collisions; every query has a well-formed name") {
+    val names = (queries.Relational.qs ++ queries.Windows.qs ++
+      queries.Functions.qs ++ queries.Parity.qs ++ queries.Extensions.qs)
+      .map(_.name)
+    val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
+    assert(SparkEntry.queries.size == names.size)
+    assert(names.forall(_.matches("[qx][0-9]+_[a-z0-9_]+")), names.filterNot(_.matches("[qx][0-9]+_[a-z0-9_]+")))
+  }
+
+  test("every oracle belongs to a registered query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
