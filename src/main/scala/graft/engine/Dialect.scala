@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
 object Dialect {
 
   /** Unix-glob -> regex (for SQLite GLOB). Supports * ? [set]. */
-  private[engine] def globToRegex(glob: String): String = {
+  private[graft] def globToRegex(glob: String): String = {
     val sb = new StringBuilder("^")
     var i = 0
     while (i < glob.length) {
@@ -36,6 +36,11 @@ object Dialect {
   }
 
   def register(spark: SparkSession): Unit = {
+    // glob-on-literal rewrites to a native codegen'd RLIKE (see
+    // graft.plans.GlobToRLike); idempotent add
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.GlobToRLike))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.GlobToRLike
     // SQLite typeof(x): storage-class name of the value
     spark.udf.register("typeof", (x: Any) => x match {
       case null => "null"

@@ -98,6 +98,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q70: glob-on-literal UDF predicate is rewritten to a native RLIKE") {
+    val p = plan("q70_glob")
+    assert(p.toLowerCase.contains("rlike"), p)
+    assert(!p.contains("UDF"), p)
+  }
+
   test("x101 cosine top-k: broadcast + bounded heap, never a full-pair window") {
     val p = ext.Similarity.cosineTopK(
       Tables.load(spark, dir, "embeddings"), 5, 3)
