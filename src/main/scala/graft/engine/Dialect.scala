@@ -38,9 +38,11 @@ object Dialect {
   def register(spark: SparkSession): Unit = {
     // glob-on-literal rewrites to a native codegen'd RLIKE (see
     // graft.plans.GlobToRLike); idempotent add
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.GlobToRLike))
+    val rules = Seq(graft.plans.GlobToRLike, graft.plans.DialectRewrites)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.GlobToRLike
+        spark.experimental.extraOptimizations ++ missing
     // SQLite typeof(x): storage-class name of the value
     spark.udf.register("typeof", (x: Any) => x match {
       case null => "null"

@@ -104,6 +104,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("UDF"), p)
   }
 
+  test("q71/q87: julianday and quote UDFs are rewritten to native expressions") {
+    for (q <- Seq("q71_julianday", "q87_quote")) {
+      val p = plan(q)
+      assert(!p.contains("UDF"), s"$q: $p")
+    }
+  }
+
   test("x101 cosine top-k: broadcast + bounded heap, never a full-pair window") {
     val p = ext.Similarity.cosineTopK(
       Tables.load(spark, dir, "embeddings"), 5, 3)
