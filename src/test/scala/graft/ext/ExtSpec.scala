@@ -247,6 +247,24 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall $recall%.2f")
   }
 
+  test("wide simhash extends the narrow sketch; 60-bit banding finds the planted dups") {
+    // same md5 nibbles, same majority votes: low 16 bits must agree
+    val s16 = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s60 = Dedup.simhashWide(docs, 15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s16.keySet == s60.keySet)
+    assert(s16.forall { case (id, h) => (s60(id) & 0xFFFFL) == h })
+    // banded near-dup matching in the 60-bit space still recalls the
+    // corpus's planted near-verbatim duplicates
+    val pairs = Dedup.simhashNearDups60(docs).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(p => p.getLong(0) < p.getLong(1) && p.getLong(2) <= 3))
+    // far fewer accidental candidates than the 16-bit demo space
+    val pairs16 = Dedup.simhashNearDups(docs).count()
+    assert(pairs.length <= pairs16)
+  }
+
   test("salted join is row-for-row equal to the plain join") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, dir, "events")
