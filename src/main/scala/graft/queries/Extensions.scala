@@ -223,6 +223,37 @@ object Extensions {
          |  WHERE dd.source <> 'src19' AND o.simhash = n.simhash)
          |ORDER BY n.doc_id""".stripMargin),
 
+    // the production-width simhash path, oracle-judged: 60-bit sketch,
+    // four 15-bit LSH bands (32768 buckets/band), popcount verify
+    Q.df("x109_simhash60_neardup",
+      (s, dir) => Dedup.simhashNearDups60(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |nib AS (
+         |  SELECT doc_id, j, instr('0123456789abcdef', substr(md5(w), j, 1)) - 1 AS v
+         |  FROM tok, range(1, 16) r(j)
+         |), bits AS (
+         |  SELECT doc_id, (j - 1) * 4 + b.b AS pos,
+         |    sum(CASE WHEN (v & b.mask) > 0 THEN 1 ELSE -1 END) AS s
+         |  FROM nib, (VALUES (0, 1), (1, 2), (2, 4), (3, 8)) AS b(b, mask)
+         |  GROUP BY doc_id, (j - 1) * 4 + b.b
+         |), sk AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, simhash, b.b AS band,
+         |    (simhash >> (b.b * 15)) & 32767 AS nib15
+         |  FROM sk, (VALUES (0), (1), (2), (3)) AS b(b)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |    a.simhash AS h1, b.simhash AS h2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.nib15 = b.nib15 AND a.doc_id < b.doc_id
+         |)
+         |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+         |ORDER BY d1, d2""".stripMargin),
+
     Q.df("x55_dedup_exact",
       (s, dir) => Dedup.exactStats(Tables.load(s, dir, "documents")),
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_uniq
