@@ -15,9 +15,14 @@ import org.apache.spark.sql.types._
   */
 object Dialect {
 
-  /** Unix-glob -> regex (for SQLite GLOB). Supports * ? [set]. */
+  /** Unix-glob -> regex (for SQLite GLOB). Supports * ? [set].
+    * Anchored with \A...\z, not ^...$: under String.matches (the UDF)
+    * both spell "whole string", but the optimizer rewrite
+    * (graft.plans.GlobToRLike) evaluates via Matcher.find, where '$'
+    * also matches just before a trailing '\n' — \z keeps the two
+    * evaluation paths bit-identical on newline-terminated values. */
   private[graft] def globToRegex(glob: String): String = {
-    val sb = new StringBuilder("^")
+    val sb = new StringBuilder("\\A")
     var i = 0
     while (i < glob.length) {
       glob(i) match {
@@ -32,7 +37,7 @@ object Dialect {
       }
       i += 1
     }
-    sb.append('$').toString
+    sb.append("\\z").toString
   }
 
   def register(spark: SparkSession): Unit = {

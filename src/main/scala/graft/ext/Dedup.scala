@@ -235,7 +235,11 @@ object Dedup {
     val old = corpus.select(fpCol.as("fp"))
     val bloom = old.stat.bloomFilter("fp", math.max(old.count(), 1L), fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
-    val might = udf((s: String) => bloomB.value.mightContainString(s))
+    // null-safe probe: a null fingerprint (null text) must route to the
+    // definitelyNew branch — the anti-join in incrementalNew keeps
+    // null-fp rows as new (null never equals), and mightContainString
+    // would NPE on null.
+    val might = udf((s: String) => s != null && bloomB.value.mightContainString(s))
     val definitelyNew = nw.where(!might(col("fp")))
     val verified = nw.where(might(col("fp")))
       .join(old, Seq("fp"), "left_anti")
@@ -370,9 +374,13 @@ object Dedup {
     * (4 bits each): majority vote per bit over every token occurrence.
     * One narrow projection (md5 once per token) + ONE aggregation with
     * 4*nibbles bit-sum columns — no row explosion, no joins, fully
-    * codegen'd. nibbles=4 is the judged 16-bit sketch; nibbles=16 is
-    * the production 64-bit sketch (md5 has 32 hex digits, so any width
-    * up to 128 bits comes from the same single hash call).
+    * codegen'd. nibbles=4 is the judged 16-bit sketch; nibbles=15 (the
+    * cap — 60 bits, the widest sketch that fits a positive BIGINT and
+    * so stays oracle-comparable) is the production width used by
+    * [[simhashNearDups60]]. md5 has 32 hex digits, so a wider encoding
+    * (two BIGINT halves) could reach 128 bits without extra hashing,
+    * but 60 bits is already past the published 64-bit SimHash regime's
+    * collision behavior for corpus-scale dedup.
     * Output: (doc_id, simhash) — bit p of the sketch = majority of md5
     * nibble p/4, bit p%4, identical for every width (a wider sketch
     * EXTENDS a narrower one; the low bits agree). */

@@ -48,9 +48,15 @@ object Salting {
     * dimension side. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltCol: Column, buckets: Int): DataFrame = {
-    val b = big.withColumn("_salt", pmod(hash(saltCol), lit(buckets)))
-    val s = small.withColumn("_salt",
+    // The working salt column must not collide with user data: a fixed
+    // "_salt" would silently overwrite an existing user column (or make
+    // the join key ambiguous). Pick a name absent from both schemas.
+    val taken = (big.columns ++ small.columns).toSet
+    val salt = Iterator.from(0).map(i => s"__graft_salt_$i")
+      .find(!taken.contains(_)).get
+    val b = big.withColumn(salt, pmod(hash(saltCol), lit(buckets)))
+    val s = small.withColumn(salt,
       explode(sequence(lit(0), lit(buckets - 1))))
-    b.join(s, Seq(key, "_salt")).drop("_salt")
+    b.join(s, Seq(key, salt)).drop(salt)
   }
 }

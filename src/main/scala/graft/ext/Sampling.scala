@@ -68,10 +68,17 @@ object Sampling {
     * keep rate as an exact x10k ratio. */
   def stratifiedSample(df: DataFrame, stratum: String, key: String,
                        keep256: Int = 64): DataFrame = {
-    val thr = f"$keep256%02x"
+    // keep256 > 255 would format as a 3-char hex ("100") and compare
+    // lexicographically BELOW most 2-char buckets — silently keeping
+    // ~6% instead of 100% — so validate and special-case "keep all".
+    require(keep256 >= 0 && keep256 <= 256,
+      s"keep256 must be in [0, 256]; got $keep256")
+    val kept: Column =
+      if (keep256 == 256) lit(true)
+      else hashBucket(col(key)) < f"$keep256%02x"
     df.groupBy(stratum)
       .agg(count(lit(1)).as("n_total"),
-        sum(when(hashBucket(col(key)) < thr, 1L).otherwise(0L)).as("n_kept"))
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
       .select(col(stratum), col("n_total"), col("n_kept"),
         floor(lit(10000.0) * col("n_kept") / col("n_total"))
           .cast("bigint").as("kept_x10k"))

@@ -14,7 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * per row, and can never participate in scan-level filtering. The
   * rewritten RLike is a codegen'd native expression evaluated inside
   * the scan's generated loop. Semantics are identical: the UDF anchors
-  * its regex (^...$) and `RLike` uses the same Java regex engine, and
+  * its regex (\A...\z — ^/$ would let RLike's find-mode '$' match
+  * before a trailing newline) and `RLike` uses the same Java regex
+  * engine, and
   * both null-propagate on a null input column; the rewrite only fires
   * for a literal pattern (a dynamic pattern keeps the UDF).
   *

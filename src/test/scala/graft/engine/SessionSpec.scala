@@ -91,9 +91,27 @@ class SessionSpec extends SparkSpec {
   }
 
   test("glob->regex translation corners") {
-    assert(Dialect.globToRegex("a[bc]d") == "^a[bc]d$")
-    assert(Dialect.globToRegex("*.csv") == "^.*\\.csv$")
+    assert(Dialect.globToRegex("a[bc]d") == "\\Aa[bc]d\\z")
+    assert(Dialect.globToRegex("*.csv") == "\\A.*\\.csv\\z")
     assert("x+y".matches(Dialect.globToRegex("x+y")))
+  }
+
+  test("glob: newline-terminated value matches identically via UDF and RLIKE rewrite") {
+    // ^...$ anchoring would diverge: String.matches (UDF path) rejects a
+    // trailing '\n' while RLike's find-mode '$' matches just before it —
+    // \A...\z keeps the two paths bit-identical (ADVICE r2).
+    val s = freshSession()
+    import spark.implicits._
+    val df = Seq("hello", "hello\n", "hello\nworld").toDF("v")
+    df.createOrReplaceTempView("nl_vals")
+    // literal pattern -> optimizer rewrites to RLIKE (PlanSpec guards this)
+    val viaRewrite = s.sql(
+      "SELECT v FROM nl_vals WHERE glob(v, 'h*o') ORDER BY v").collect().map(_.getString(0))
+    // dynamic pattern -> stays a UDF (rewrite needs a literal)
+    val viaUdf = s.sql(
+      "SELECT v FROM nl_vals WHERE glob(v, concat('h*', 'o')) ORDER BY v").collect().map(_.getString(0))
+    assert(viaRewrite.toSeq == Seq("hello"))
+    assert(viaUdf.toSeq == viaRewrite.toSeq)
   }
 
   test("completions: tables first then deduped columns; quoting rule golden (ref :323-333, :40)") {

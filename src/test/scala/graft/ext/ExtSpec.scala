@@ -265,6 +265,31 @@ class ExtSpec extends SparkSpec {
     assert(pairs.length <= pairs16)
   }
 
+  test("stratifiedSample: keep256 bounds validated; 256 keeps all, 0 keeps none") {
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(docs, "source", "doc_id", 257).collect())
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(docs, "source", "doc_id", -1).collect())
+    val all = Sampling.stratifiedSample(docs, "source", "doc_id", 256).collect()
+    assert(all.forall(r => r.getLong(1) == r.getLong(2) && r.getLong(3) == 10000L))
+    val none = Sampling.stratifiedSample(docs, "source", "doc_id", 0).collect()
+    assert(none.forall(r => r.getLong(2) == 0L))
+  }
+
+  test("bloom dedup handles null-text rows (kept as new, like the anti-join)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // null out one new-batch document's text: its fingerprint is null,
+    // which must route to the definitely-new branch, not NPE in the probe
+    val nw = docs.where(col("doc_id") % 7 === 0)
+      .withColumn("text",
+        when(col("doc_id") === 0, lit(null: String)).otherwise(col("text")))
+    val old = docs.where(col("doc_id") % 7 =!= 0)
+    val exact = Dedup.incrementalNew(nw, old).collect().toSeq
+    val viaBloom = Dedup.incrementalNewBloom(nw, old).collect().toSeq
+    assert(viaBloom == exact)
+    assert(viaBloom.exists(_.getLong(0) == 0L)) // the null-text row is new
+  }
+
   test("salted join is row-for-row equal to the plain join") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, dir, "events")
@@ -277,6 +302,22 @@ class ExtSpec extends SparkSpec {
     val plain = ev.join(dim, "user_id")
       .orderBy("event_id").collect().map(_.toString).toSeq
     assert(salted.nonEmpty && salted == plain)
+  }
+
+  test("salted join does not clobber a user column named like the salt") {
+    import org.apache.spark.sql.functions._
+    // a pre-existing "__graft_salt_0" column must survive untouched: the
+    // operator picks the next free internal name instead (ADVICE r2 —
+    // a fixed name silently overwrote user data)
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select("user_id", "event_id")
+      .withColumn("__graft_salt_0", col("event_id") * 2)
+    val dim = graft.Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val out = Salting.saltedJoin(ev, dim, "user_id", col("event_id"), 4)
+    assert(out.columns.contains("__graft_salt_0"))
+    assert(out.where(col("__graft_salt_0") =!= col("event_id") * 2).count() == 0)
   }
 
   test("profile counts nulls and distincts per column") {
