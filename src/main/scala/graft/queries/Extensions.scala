@@ -31,6 +31,18 @@ object Extensions {
       |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
       |)""".stripMargin
 
+  /** DuckDB stop-filtered shingles (needs tok): shingles in more than
+    * `maxDf` docs dropped BEFORE any pair generation — the sub-quadratic
+    * candidate path (mirrors Dedup.jaccardPairs(maxDocFreq=Some(f))). */
+  private def duckShinglesFiltered(maxDf: Int) =
+    s"""sh0 AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+       |), keep AS (
+       |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $maxDf
+       |), sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle))""".stripMargin
+
   private val duckJaccardTail =
     """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
@@ -277,13 +289,7 @@ object Extensions {
       (s, dir) => Dedup.jaccardPairs(Tables.load(s, dir, "documents"), 0.2,
         maxDocFreq = Some(2)),
       s"""WITH $duckTok,
-         |sh0 AS (
-         |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
-         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-         |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-         |), keep AS (
-         |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 2
-         |), sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+         |${duckShinglesFiltered(2)},
          |$duckJaccardTail
          |SELECT d1, d2,
          |  CAST(floor(10000.0 * i / (s1.n + s2.n - i)) AS BIGINT) AS jac_x10k
@@ -421,14 +427,17 @@ object Extensions {
 
     // near-dup clusters: pair list -> connected components (the step a
     // real dedup pipeline runs after LSH+verify, to pick one keeper per
-    // group). Oracle: recursive-CTE transitive closure over the same
-    // Jaccard>=0.2 pairs.
+    // group). Candidate pairs come from the SUB-QUADRATIC stop-filtered
+    // generator (maxDocFreq=2, the x77 path) — the composition a 100 TB
+    // run uses; the unfiltered all-pairs join stays judged on its own
+    // as x56. Oracle: recursive-CTE transitive closure over the same
+    // stop-filtered Jaccard>=0.2 pairs.
     Q.df("x66_neardup_clusters",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        Dedup.clusters(docs, Dedup.jaccardPairs(docs, 0.2))
+        Dedup.clusters(docs, Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2)))
       },
-      s"""WITH RECURSIVE $duckTok, $duckShingles, $duckJaccardTail,
+      s"""WITH RECURSIVE $duckTok, ${duckShinglesFiltered(2)}, $duckJaccardTail,
          |pairs AS (
          |  SELECT d1, d2 FROM inter
          |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
@@ -598,18 +607,22 @@ object Extensions {
         // would otherwise break ties differently in the two engines)
 
     // keeper materialization: the dedup pipeline's last step — drop
-    // every document that is not its cluster's representative.
+    // every document that is not its cluster's representative. Same
+    // sub-quadratic candidate generator as x66 (stop-filtered shingles),
+    // so the full judged pipeline — shingle -> filtered pairs -> CC ->
+    // keep — is the shape that survives a 100 TB corpus.
     Q.df("x71_dedup_keep",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val labels = Dedup.clusters(docs, Dedup.jaccardPairs(docs, 0.2))
+        val labels = Dedup.clusters(docs,
+          Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2)))
         docs.join(labels, "doc_id")
           .where(col("doc_id") === col("cluster_id"))
           .groupBy("lang")
           .agg(count(lit(1)).as("kept"), sum("n_chars").as("kept_chars"))
           .orderBy("lang")
       },
-      s"""WITH RECURSIVE $duckTok, $duckShingles, $duckJaccardTail,
+      s"""WITH RECURSIVE $duckTok, ${duckShinglesFiltered(2)}, $duckJaccardTail,
          |pairs AS (
          |  SELECT d1, d2 FROM inter
          |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
