@@ -290,6 +290,29 @@ class ExtSpec extends SparkSpec {
     assert(viaBloom.exists(_.getLong(0) == 0L)) // the null-text row is new
   }
 
+  test("bloom sizing runs zero Spark jobs (plan stats, not a counting scan)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val old = docs.where(org.apache.spark.sql.functions.col("doc_id") % 7 =!= 0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val cap = Dedup.bloomCapacity(
+        old.select(org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")).as("fp")))
+      Thread.sleep(1000) // listener bus is async; let any job event land
+      assert(cap >= 1024L)
+      assert(jobs.get() == 0, s"sizing launched ${jobs.get()} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // caller-supplied estimate is honored verbatim too (same answer)
+    val nw = docs.where(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+    val viaEstimate =
+      Dedup.incrementalNewBloom(nw, old, expectedItems = Some(500L)).collect().toSeq
+    assert(viaEstimate == Dedup.incrementalNew(nw, old).collect().toSeq)
+  }
+
   test("salted join is row-for-row equal to the plain join") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, dir, "events")
