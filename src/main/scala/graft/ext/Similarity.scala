@@ -260,6 +260,21 @@ object Similarity {
     * Output: (qid, vec_id, dot_q, rn) — dot_q is the exact re-rank score. */
   def knnPQ(emb: DataFrame, nQueries: Int, k: Int, m: Int = 8,
             ksub: Int = 32, iters: Int = 3, refine: Int = 16): DataFrame = {
+    val (codes, lutDf, subDim) = pqFit(emb, m, ksub, iters)
+    val parts = pqQueryParts(emb, nQueries, m, subDim, lutDf)
+    val pairs = codes.join(broadcast(parts), Seq("sub", "cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id").agg(sum("ps").as("dot_q"))
+    val candidates = rankTopK(pairs, refine * k).select("qid", "vec_id")
+    exactRerank(emb, nQueries, candidates, k)
+  }
+
+  /** Per-subspace PQ codebook fit, shared by [[knnPQ]] and [[knnIvfPq]].
+    * Returns (codes, lut, subDim): codes = (vec_id, sub, cell) — the
+    * compressed index, m small codes per vector; lut = the broadcastable
+    * codebook (sub, cell, centroid, c_n2). */
+  private def pqFit(emb: DataFrame, m: Int, ksub: Int,
+                    iters: Int): (DataFrame, DataFrame, Int) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
@@ -321,18 +336,27 @@ object Similarity {
     val lutDf = centroidRows(centroids)
     // PQ codes: (vec_id, sub, cell) — the compressed index, one job
     val codeLong = assign(lutDf).select("vec_id", "sub", "cell")
+    (codeLong, lutDf, subDim)
+  }
+
+  /** Per-query ADC lookup table: the query's m subvectors dotted against
+    * every codebook entry — (qid, sub, cell, ps), nQueries*m*ksub rows,
+    * always broadcast-sized regardless of corpus size. */
+  private def pqQueryParts(emb: DataFrame, nQueries: Int, m: Int,
+                           subDim: Int, lutDf: DataFrame): DataFrame = {
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), s -> slice(embedding, s * $subDim + 1, $subDim))"))
         .as(Seq("sub", "qsub")))
-    val parts = q.join(lutDf, "sub")
+    q.join(lutDf, "sub")
       .select(col("qid"), col("sub"), col("cell"),
         dotQNative(emb, col("qsub"), col("centroid")).as("ps"))
-    val pairs = codeLong.join(broadcast(parts), Seq("sub", "cell"))
-      .where(col("qid") =!= col("vec_id"))
-      .groupBy("qid", "vec_id").agg(sum("ps").as("dot_q"))
-    val candidates = rankTopK(pairs, refine * k).select("qid", "vec_id")
-    // exact re-rank of the candidate slice only
+  }
+
+  /** Exact quantized-dot re-rank of an ANN candidate slice: full
+    * precision on refine*k*|queries| pairs only, never the corpus. */
+  private def exactRerank(emb: DataFrame, nQueries: Int,
+                          candidates: DataFrame, k: Int): DataFrame = {
     val qe = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val rescored = candidates
@@ -341,6 +365,62 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
     rankTopK(rescored, k)
+  }
+
+  /** The production ANN stack, composed: IVF coarse probe (each query
+    * searches only its `nprobe` nearest cells) -> PQ-ADC scoring ONLY
+    * within the probed cells -> exact re-rank of the candidate slice.
+    * Relative to [[knnPQ]] (whose ADC scores the whole corpus), the
+    * coarse index prunes the scoring join to nprobe/cells of the data;
+    * relative to [[knnIvf]], scoring inside a cell reads m codebook
+    * entries per vector instead of the full embedding — together the
+    * shape that serves billion-vector search.
+    *
+    * The ADC scoring join is KEYED ON THE COARSE CELL (ivf_cell, sub,
+    * code): the corpus-side index shuffles by its own partitioning while
+    * the per-query LUT slice (nQueries*nprobe*m*ksub rows, corpus-
+    * independent) broadcasts — spec-guarded in PlanSpec so no change can
+    * silently regress it to a full-corpus scoring join.
+    * Output: (qid, vec_id, dot_q, rn) — dot_q is the exact re-rank
+    * score; rows-only judged like IVF and PQ (approximate by design,
+    * recall spec-guarded). */
+  def knnIvfPq(emb: DataFrame, nQueries: Int, k: Int, cells: Int = 8,
+               nprobe: Int = 3, m: Int = 8, ksub: Int = 32, iters: Int = 3,
+               refine: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // coarse quantizer: every vector assigned to one of `cells` cells
+    val (assign, centroids) = kmeansFit(emb, cells, iters)
+    // PQ codebooks + codes over the corpus (raw vectors; a residual
+    // encoding would reuse the same machinery on x - centroid(x))
+    val (codes, lutDf, subDim) = pqFit(emb, m, ksub, iters)
+    // the IVF-PQ index: coarse cell + m PQ codes per vector
+    val index = CacheRegistry.pin(
+      codes.join(assign.withColumnRenamed("cell", "ivf_cell"), "vec_id"))
+    val cdf = broadcast(centroids.toSeq.toDF("ivf_cell", "centroid"))
+    // probe: nprobe best cells per query, ranked by the same quantized
+    // similarity used for scoring
+    val qCells = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(cdf)
+      .withColumn("crn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(dotQNative(emb, col("qe"), col("centroid")).desc,
+            col("ivf_cell"))))
+      .where(col("crn") <= nprobe)
+      .select(col("qid"), col("ivf_cell"))
+    // per-query LUT entries replicated per probed cell — still
+    // broadcast-sized (nQueries * nprobe * m * ksub)
+    val probedParts = qCells.join(
+      pqQueryParts(emb, nQueries, m, subDim, lutDf), "qid")
+    // ADC scoring keyed on the coarse cell: a vector is scored iff its
+    // cell is probed by that query; each (query, vector) hit sums its m
+    // LUT entries map-side
+    val pairs = index.join(broadcast(probedParts), Seq("ivf_cell", "sub", "cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id").agg(sum("ps").as("dot_q"))
+    val candidates = rankTopK(pairs, refine * k).select("qid", "vec_id")
+    exactRerank(emb, nQueries, candidates, k)
   }
 
   /** Near-duplicate pairs inside coarse blocks (IVF-style: `label` is

@@ -709,6 +709,13 @@ object Extensions {
     Q.dfOnly("x103_knn_pq",
       (s, dir) => Similarity.knnPQ(Tables.load(s, dir, "embeddings"), 20, 3)),
 
+    // the composed production ANN stack: IVF coarse probe -> PQ-ADC
+    // scoring only within probed cells -> exact re-rank. Rows-only like
+    // its two legs; recall and the cell-keyed scoring join are
+    // spec-guarded (ExtSpec / PlanSpec).
+    Q.dfOnly("x110_knn_ivfpq",
+      (s, dir) => Similarity.knnIvfPq(Tables.load(s, dir, "embeddings"), 20, 3)),
+
     // ---- corpus curation: repetition, splits, sampling, scrubbing ----
 
     // Gopher/MassiveText repetition signals: top-token and top-bigram

@@ -119,6 +119,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") && !p.contains("Window"), p)
   }
 
+  test("x110 IVF+PQ: ADC scoring join is keyed on the coarse cell, LUT side broadcast") {
+    val p = ext.Similarity.knnIvfPq(
+      Tables.load(spark, dir, "embeddings"), 5, 3, cells = 4)
+      .queryExecution.executedPlan.toString
+    // the scoring join must be an equi-join whose keys include the
+    // coarse cell with the (tiny, corpus-independent) LUT slice as the
+    // broadcast side — never a nested-loop / cross join that would score
+    // the full corpus per query
+    assert("BroadcastHashJoin \\[ivf_cell".r.findFirstIn(p).isDefined, p)
+    // the only BroadcastNestedLoopJoin allowed is the k-means fit's
+    // centroid cross-join (bounded: k rows); the corpus-side scoring
+    // path must not contain one after the index is built
+    assert(p.contains("ObjectHashAggregate"), p) // bounded-heap top-k, not Window
+  }
+
   test("x100 profile reads the table once (single scan for all columns)") {
     val p = plan("x100_profile")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)

@@ -247,6 +247,27 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall $recall%.2f")
   }
 
+  test("IVF+PQ composed ANN: deterministic, k rows per query, recall holds vs exact kNN") {
+    val r1 = Similarity.knnIvfPq(emb, 10, 3).collect()
+    assert(r1.length == 10 * 3)
+    r1.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(!rows.exists(_.getLong(1) == qid))
+    }
+    val r2 = Similarity.knnIvfPq(emb, 10, 3).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    val exact = Similarity.knnQuantized(emb, 10, 3).collect()
+    def tops(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val (p, e) = (tops(r1), tops(exact))
+    val recall = p.keys.toSeq.map(q => (p(q) intersect e(q)).size).sum / (10.0 * 3)
+    info(f"IVF+PQ recall@3 = $recall%.2f")
+    // must hold the same floor as the unpruned PQ path (x103's guard):
+    // the coarse probe may only cost recall where a true neighbor sits
+    // in an unprobed cell
+    assert(recall >= 0.7, f"recall $recall%.2f")
+  }
+
   test("wide simhash extends the narrow sketch; 60-bit banding finds the planted dups") {
     // same md5 nibbles, same majority votes: low 16 bits must agree
     val s16 = Dedup.simhash(docs).collect()
