@@ -541,6 +541,19 @@ object Extensions {
         |  event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
 
+    // the FILE-sink streaming path (append mode): results written as
+    // parquet by executors — no driver-bound memory sink. Append emits
+    // a window exactly once when the watermark (max ts - 1h) passes its
+    // end, so the oracle counts only watermark-closed windows.
+    Q.df("x111_stream_file_sink",
+      (s, dir) => Streaming.hourlyCountsFileSink(s, dir),
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS cnt
+        |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+
     // streaming exact dedup: per-key state across the replayed backlog
     Q.df("x76_stream_dedup",
       (s, dir) => Streaming.streamDistinctUsers(s, dir),

@@ -104,6 +104,54 @@ object Streaming {
     spark.table(name).orderBy("hour", "event_type")
   }
 
+  /** Hourly event counts through a FILE sink in append mode — the
+    * unbounded-production counterpart of [[hourlyCounts]]: results are
+    * parquet files on (distributed) storage, written by executors, and
+    * NOTHING flows through the driver — the shape that removes the
+    * memory sink's driver bound entirely. Append mode emits each
+    * window exactly once, when the watermark passes the window end, so
+    * the files are immutable and exactly-once per window.
+    *
+    * Consequence the oracle mirrors: windows NOT yet closed by the
+    * final watermark (watermark = max event time - 1h) are still in
+    * state when the backlog drains and are not in the output — that is
+    * the correct semantics of an unbounded append-mode stream, not a
+    * loss. Output: (hour, event_type, cnt) for every closed window. */
+  def hourlyCountsFileSink(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withStreamDirs(dir) { (stage, ckpt) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_stream_out")
+      try {
+        val src = spark.readStream
+          .schema(eventsRawSchema)
+          .parquet(stage)
+          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        val agg = src
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"), col("cnt"))
+        val q = agg.writeStream
+          .format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // re-materialize the (key-cardinality-bounded) sink contents so
+        // the temp output dir can be cleaned up like the checkpoint
+        val back = spark.read.parquet(out.toString)
+        val schema = back.schema
+        val rows = back.orderBy("hour", "event_type").collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+          .orderBy("hour", "event_type")
+      } finally rmTree(out)
+    }
+  }
+
   /** Stream-static join: the replayed event stream enriched against a
     * static dimension (per-customer order counts), then aggregated by
     * event type. The join side is a plain batch DataFrame — Spark
