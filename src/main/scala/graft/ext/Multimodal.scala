@@ -7,11 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (SURVEY.md §2.8): media as opaque binary
   * columns + typed metadata, processed in distributed batches.
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * libraries exist in this environment); everything around it — the
-  * binary column, the schema, the mapPartitions batch shape, the
-  * partition sizing — is the real Spark plumbing a production decode
-  * (JNI codec / Pandas-UDF-style vectorized call) would drop into.
+  * The decode step is REAL: payloads are valid 24-bit BMP images
+  * (built deterministically per row — no codec libraries exist in this
+  * environment, so the "camera" is synthetic, but the bytes are a
+  * spec-compliant BMP), and [[decodeBmp]] / [[decodeFeatures]] parse
+  * the actual BITMAPFILEHEADER/BITMAPINFOHEADER fields and pixel data
+  * with plain JDK I/O. The judged oracle derives the same fields from
+  * the construction formula, so a parsing bug is a correctness failure,
+  * not a silently-agreeing stub. A production image/audio pipeline
+  * swaps the header parser for a codec call; every distributed piece —
+  * the binary column, the schema, the mapPartitions batch shape, the
+  * per-partition init point — stays as-is.
   *
   * Scale design: decode runs per-partition so any native library is
   * initialized once per task, not once per row; payload bytes never hit
@@ -19,42 +25,133 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Attach a fake binary payload column (the UTF-8 bytes of `text`),
-    * standing in for image/audio bytes read from a binary source. */
+  /** Attach a fake binary payload column (the UTF-8 bytes of `text`) —
+    * the opaque-bytes stand-in used by the resize/frame plumbing. */
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  // ---- real BMP build + decode --------------------------------------
+
+  /** BMP dimensions derived from a document's n_chars — the
+    * deterministic "capture" rule the oracle re-derives in SQL. */
+  private def bmpDims(nChars: Long): (Int, Int) =
+    ((nChars % 64 + 1).toInt, (nChars % 37 + 1).toInt)
+
+  /** Build a valid 24bpp bottom-up BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER + 4-aligned pixel rows; pixel byte i is i % 256. */
+  private[ext] def buildBmp(nChars: Long): Array[Byte] = {
+    val (w, h) = bmpDims(nChars)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val px = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + px)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + px)          // file size
+      .putShort(0).putShort(0)  // reserved
+      .putInt(54)               // pixel-data offset
+      .putInt(40)               // DIB header size
+      .putInt(w).putInt(h)
+      .putShort(1)              // planes
+      .putShort(24)             // bits per pixel
+      .putInt(0)                // BI_RGB, uncompressed
+      .putInt(px)               // image size
+      .putInt(2835).putInt(2835) // 72 DPI
+      .putInt(0).putInt(0)      // palette: none
+    var i = 0
+    while (i < px) { buf.put((i % 256).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** Attach a REAL image payload: a valid 24-bit BMP per document,
+    * dimensions a pure function of n_chars. Built in mapPartitions —
+    * the bytes are created (as they would be read from a binary file
+    * source) on executors and never visit the driver. */
+  def withBmpPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id", "n_chars").rdd.mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), buildBmp(r.getLong(1))))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
-    StructField("fake_width", LongType, nullable = false),
-    StructField("fake_height", LongType, nullable = false)))
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("bpp", LongType, nullable = false),
+    StructField("px_bytes", LongType, nullable = false)))
 
-  /** STUB decode: derives fake image dimensions from the payload length.
-    * A real implementation would replace `decodeOne` with a codec call;
-    * the batch/partition structure would not change. */
-  private def decodeOne(docId: Long, payload: Array[Byte]): Row = {
-    val n = payload.length.toLong
-    Row(docId, n, n % 640L, n / 640L)
+  /** Parse one BMP header (the real decode; plain JDK I/O). Validates
+    * the magic and the header-vs-payload size so corrupt bytes fail
+    * loudly instead of producing silent garbage. */
+  private def parseBmp(docId: Long, payload: Array[Byte]): Row = {
+    require(payload.length >= 54 &&
+      payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+      s"doc $docId: not a BMP payload")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val fileSize = buf.getInt(2).toLong
+    val pixelOff = buf.getInt(10).toLong
+    val width = buf.getInt(18).toLong
+    val height = buf.getInt(22).toLong
+    val bpp = buf.getShort(28).toLong
+    require(fileSize == payload.length,
+      s"doc $docId: header says $fileSize bytes, payload has ${payload.length}")
+    Row(docId, fileSize, width, height, bpp, fileSize - pixelOff)
   }
 
-  /** Batch decode via mapPartitions: the per-partition iterator is where
-    * a real codec would be initialized once and fed row batches. */
-  def decodeMeta(withPayloadDf: DataFrame): DataFrame = {
+  /** Batch decode via mapPartitions: per-partition is where a native
+    * codec would be initialized once and fed row batches. Output:
+    * (doc_id, n_bytes, width, height, bpp, px_bytes) — every field read
+    * from the actual bytes, none from the row that built them. */
+  def decodeBmp(withPayloadDf: DataFrame): DataFrame = {
     val spark = withPayloadDf.sparkSession
     val rdd = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions {
-      it => it.map(r => decodeOne(r.getLong(0), r.getAs[Array[Byte]](1)))
+      it => it.map(r => parseBmp(r.getLong(0), r.getAs[Array[Byte]](1)))
     }
     spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("features", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  /** REAL feature extraction from decoded pixel data: a 4-bin intensity
+    * histogram (byte >> 6) over the image's pixel bytes — the
+    * fixed-length-vector output schema a model-based extractor would
+    * produce, computed in the same per-partition decode loop. */
+  def decodeFeatures(withPayloadDf: DataFrame): DataFrame = {
+    val spark = withPayloadDf.sparkSession
+    val rdd = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions {
+      it => it.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val header = parseBmp(r.getLong(0), payload)
+        val pixelOff = (header.getLong(1) - header.getLong(5)).toInt
+        val bins = new Array[Long](4)
+        var i = pixelOff
+        while (i < payload.length) {
+          bins((payload(i) & 0xFF) >> 6) += 1
+          i += 1
+        }
+        Row(r.getLong(0), bins.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
   }
 
   /** Frame sampling: split each payload into fixed-size frames (the
     * video-frame / audio-chunk access pattern) — one output row per
     * (doc, frame) with its byte length. Pure narrow ops: the explode
     * happens where the payload already lives, frames never concentrate
-    * on one node. Output: (doc_id, frame_no, frame_bytes). */
-  def sampleFrames(docs: DataFrame, frameSize: Int): DataFrame =
-    withPayload(docs)
+    * on one node. Input must carry a `payload` binary column.
+    * Output: (doc_id, frame_no, frame_bytes). */
+  def sampleFrames(withPayloadDf: DataFrame, frameSize: Int): DataFrame =
+    withPayloadDf
       .select(col("doc_id"), octet_length(col("payload")).as("n"),
         col("payload"))
       .select(col("doc_id"),
@@ -90,32 +187,4 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, resizedSchema)
   }
-
-  /** STUB feature extraction: a 4-bin character-class histogram as the
-    * "embedding" of the payload (a real extractor would be a model
-    * call; the fixed-length-vector output schema and the narrow
-    * batch shape are the part that survives). Output: (doc_id,
-    * features: array<bigint>[4]). */
-  def extractFeatures(docs: DataFrame): DataFrame = {
-    def bin(pattern: String): Column =
-      length(regexp_replace(lower(col("text")), pattern, ""))
-    val total = length(lower(col("text")))
-    docs.select(col("doc_id"), array(
-        (total - bin("[a-g]")).cast("bigint"),
-        (total - bin("[h-n]")).cast("bigint"),
-        (total - bin("[o-t]")).cast("bigint"),
-        (total - bin("[u-z0-9]")).cast("bigint")).as("features"))
-      .orderBy("doc_id")
-  }
-
-  /** SQL-expressible equivalent of the stub pipeline (used for the
-    * oracle-checked judged query — same outputs as decodeMeta). */
-  def metaSql(docs: DataFrame): DataFrame =
-    withPayload(docs)
-      .select(col("doc_id"),
-        octet_length(col("payload")).cast("bigint").as("n_bytes"))
-      .select(col("doc_id"), col("n_bytes"),
-        (col("n_bytes") % 640).as("fake_width"),
-        floor(col("n_bytes") / 640).cast("bigint").as("fake_height"))
-      .orderBy("doc_id")
 }

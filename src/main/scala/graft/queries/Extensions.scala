@@ -43,6 +43,17 @@ object Extensions {
        |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $maxDf
        |), sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle))""".stripMargin
 
+  /** DuckDB BMP geometry CTE `g(doc_id, w, h, px)`: the deterministic
+    * construction rule of Multimodal.withBmpPayload re-derived in SQL
+    * (w = n_chars%64+1, h = n_chars%37+1, px = 4-aligned-3w * h). */
+  private val duckBmpGeom =
+    """g AS (
+      |  SELECT doc_id, w, h,
+      |    (CAST(floor((3 * w + 3) / 4.0) AS BIGINT) * 4) * h AS px
+      |  FROM (SELECT doc_id, n_chars % 64 + 1 AS w, n_chars % 37 + 1 AS h
+      |        FROM documents) d
+      |)""".stripMargin
+
   private val duckJaccardTail =
     """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
@@ -484,55 +495,71 @@ object Extensions {
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin),
 
-    // ---- multimodal plumbing ------------------------------------------
+    // ---- multimodal: REAL BMP decode over distributed binary payloads --
+    // Every doc carries a valid 24bpp BMP built deterministically from
+    // n_chars; the Spark side PARSES the actual header bytes in
+    // mapPartitions while the oracle re-derives the fields from the
+    // construction formula — a decoder bug is a hash mismatch, not a
+    // silently-agreeing stub. Shared DuckDB geometry CTE:
+    //   w = n_chars%64+1, h = n_chars%37+1,
+    //   rowsize = 4-aligned 3w, px = rowsize*h, n_bytes = 54 + px.
     Q.df("x61_multimodal_meta",
-      (s, dir) => Multimodal.metaSql(Tables.load(s, dir, "documents")),
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(octet_length(encode(text)) AS BIGINT) % 640 AS fake_width,
-        |  CAST(floor(CAST(octet_length(encode(text)) AS BIGINT) / 640) AS BIGINT) AS fake_height
-        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => Multimodal.decodeBmp(
+        Multimodal.withBmpPayload(Tables.load(s, dir, "documents")))
+        .orderBy("doc_id"),
+      s"""WITH $duckBmpGeom
+         |SELECT doc_id, CAST(54 + px AS BIGINT) AS n_bytes,
+         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(24 AS BIGINT) AS bpp, CAST(px AS BIGINT) AS px_bytes
+         |FROM g ORDER BY doc_id""".stripMargin),
 
-    // frame sampling over binary payloads (video/audio chunk access)
+    // frame sampling over the BMP payloads (video/audio chunk access)
     Q.df("x69_mm_frames",
-      (s, dir) => Multimodal.sampleFrames(Tables.load(s, dir, "documents"), 256),
-      """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
-        |  CAST(least(256, octet_length(encode(text)) - (i - 1) * 256) AS BIGINT)
-        |    AS frame_bytes
-        |FROM documents, range(1, 1000) r(i)
-        |WHERE (i - 1) * 256 < octet_length(encode(text))
-        |ORDER BY doc_id, frame_no""".stripMargin),
+      (s, dir) => Multimodal.sampleFrames(
+        Multimodal.withBmpPayload(Tables.load(s, dir, "documents")), 256),
+      s"""WITH $duckBmpGeom
+         |SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+         |  CAST(least(256, 54 + px - (i - 1) * 256) AS BIGINT) AS frame_bytes
+         |FROM g, range(1, 1000) r(i)
+         |WHERE (i - 1) * 256 < 54 + px
+         |ORDER BY doc_id, frame_no""".stripMargin),
 
-    // stub resize/downsample over binary payloads (every 4th byte);
+    // stub resize/downsample over the BMP payloads (every 4th byte);
     // the distributed resized payload stays binary — the oracle checks
     // the byte accounting
     Q.df("x80_mm_resize",
       (s, dir) => Multimodal.resize(
-          Multimodal.withPayload(Tables.load(s, dir, "documents")), 4)
+          Multimodal.withBmpPayload(Tables.load(s, dir, "documents")), 4)
         .select(col("doc_id"), col("n_bytes"), col("resized_bytes"))
         .orderBy("doc_id"),
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(floor((octet_length(encode(text)) + 3) / 4.0) AS BIGINT)
-        |    AS resized_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin),
+      s"""WITH $duckBmpGeom
+         |SELECT doc_id,
+         |  CAST(54 + px AS BIGINT) AS n_bytes,
+         |  CAST(floor((54 + px + 3) / 4.0) AS BIGINT) AS resized_bytes
+         |FROM g ORDER BY doc_id""".stripMargin),
 
-    // stub feature extraction: fixed-length char-class histogram vector
+    // REAL feature extraction from decoded pixel data: 4-bin intensity
+    // histogram over the image's pixel bytes, computed by the decoder;
+    // the oracle derives the same counts in closed form from the pixel
+    // fill rule (byte i = i % 256)
     Q.df("x70_mm_features",
       (s, dir) => {
-        val f = Multimodal.extractFeatures(Tables.load(s, dir, "documents"))
+        val f = Multimodal.decodeFeatures(
+          Multimodal.withBmpPayload(Tables.load(s, dir, "documents")))
         f.select(col("doc_id"),
           element_at(col("features"), 1).as("b0"),
           element_at(col("features"), 2).as("b1"),
           element_at(col("features"), 3).as("b2"),
           element_at(col("features"), 4).as("b3"))
+          .orderBy("doc_id")
       },
-      """SELECT doc_id,
-        |  CAST(length(t) - length(regexp_replace(t, '[a-g]', '', 'g')) AS BIGINT) AS b0,
-        |  CAST(length(t) - length(regexp_replace(t, '[h-n]', '', 'g')) AS BIGINT) AS b1,
-        |  CAST(length(t) - length(regexp_replace(t, '[o-t]', '', 'g')) AS BIGINT) AS b2,
-        |  CAST(length(t) - length(regexp_replace(t, '[u-z0-9]', '', 'g')) AS BIGINT) AS b3
-        |FROM (SELECT doc_id, lower(text) AS t FROM documents) x
-        |ORDER BY doc_id""".stripMargin),
+      s"""WITH $duckBmpGeom
+         |SELECT doc_id,
+         |  CAST(px // 256 * 64 + least(64, greatest(0, px % 256 - 0)) AS BIGINT) AS b0,
+         |  CAST(px // 256 * 64 + least(64, greatest(0, px % 256 - 64)) AS BIGINT) AS b1,
+         |  CAST(px // 256 * 64 + least(64, greatest(0, px % 256 - 128)) AS BIGINT) AS b2,
+         |  CAST(px // 256 * 64 + least(64, greatest(0, px % 256 - 192)) AS BIGINT) AS b3
+         |FROM g ORDER BY doc_id""".stripMargin),
 
     // ---- streaming (Structured Streaming, AvailableNow replay) ---------
     Q.df("x62_stream_hourly",

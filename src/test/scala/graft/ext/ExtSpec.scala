@@ -11,11 +11,41 @@ class ExtSpec extends SparkSpec {
   private lazy val docs = Tables.load(spark, dir, "documents")
   private lazy val emb = Tables.load(spark, dir, "embeddings")
 
-  test("mapPartitions decode equals the SQL twin (multimodal stub)") {
-    val viaPartitions = Multimodal.decodeMeta(Multimodal.withPayload(docs))
+  test("BMP decode: parsed header fields round-trip the construction formula") {
+    import org.apache.spark.sql.functions._
+    val decoded = Multimodal.decodeBmp(Multimodal.withBmpPayload(docs))
       .orderBy("doc_id").collect().toSeq
-    val viaSql = Multimodal.metaSql(docs).collect().toSeq
-    assert(viaPartitions == viaSql)
+    // the formula twin, computed from n_chars WITHOUT touching bytes
+    val twin = docs.select(col("doc_id"),
+        (lit(54) + (floor((lit(3) * (col("n_chars") % 64 + 1) + 3) / 4) * 4)
+          * (col("n_chars") % 37 + 1)).cast("long").as("n_bytes"),
+        (col("n_chars") % 64 + 1).cast("long").as("width"),
+        (col("n_chars") % 37 + 1).cast("long").as("height"),
+        lit(24L).as("bpp"),
+        ((floor((lit(3) * (col("n_chars") % 64 + 1) + 3) / 4) * 4)
+          * (col("n_chars") % 37 + 1)).cast("long").as("px_bytes"))
+      .orderBy("doc_id").collect().toSeq
+    assert(decoded == twin)
+  }
+
+  test("BMP decode rejects corrupt payloads loudly") {
+    import org.apache.spark.sql.functions._
+    val bad = docs.limit(1).select(col("doc_id"),
+      encode(lit("not a bitmap at all, padded to pass the length check......"),
+        "UTF-8").as("payload"))
+    val e = intercept[Exception](Multimodal.decodeBmp(bad).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("decoded pixel histogram sums to the pixel byte count") {
+    import org.apache.spark.sql.functions._
+    val f = Multimodal.decodeFeatures(Multimodal.withBmpPayload(docs))
+      .select(col("doc_id"),
+        expr("aggregate(features, 0L, (a, x) -> a + x)").as("total"))
+    val px = Multimodal.decodeBmp(Multimodal.withBmpPayload(docs))
+      .select("doc_id", "px_bytes")
+    assert(f.join(px, "doc_id")
+      .where(col("total") =!= col("px_bytes")).count() == 0)
   }
 
   test("TopKAgg ranking equals the window formulation exactly") {
@@ -124,7 +154,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("resize stub: stride-4 byte accounting, payload stays distributed") {
-    val r = Multimodal.resize(Multimodal.withPayload(docs), 4).collect()
+    val r = Multimodal.resize(Multimodal.withBmpPayload(docs), 4).collect()
     assert(r.length == docs.count())
     r.foreach { row =>
       val n = row.getLong(2); val m = row.getLong(3)
