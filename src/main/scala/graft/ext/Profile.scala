@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling (beyond-reference, SURVEY.md §2.8): the
@@ -9,19 +9,27 @@ import org.apache.spark.sql.functions._
   * catalog surface (localsql/localsql.py:226-228).
   *
   * Scale shape: ONE pass over the table — all per-column aggregates run
-  * in a single aggregation (Catalyst plans the multiple DISTINCTs via
-  * Expand), then the 1-row wide result is stacked to one row per column
-  * driver-side-free. Never one scan per column: at 100 TB, 6 columns
-  * must not mean 6 table reads.
+  * in a single aggregation, then the 1-row wide result is stacked to
+  * one row per column driver-side-free. Never one scan per column: at
+  * 100 TB, 6 columns must not mean 6 table reads.
+  *
+  * Two tiers:
+  *  - [[profile]]: EXACT distinct counts. Catalyst plans the multiple
+  *    DISTINCTs via Expand — the input is replicated once per distinct
+  *    column before the shuffle, fine for narrow tables.
+  *  - [[profileApprox]]: HLL++ cardinalities (approx_count_distinct).
+  *    No Expand, no distinct shuffle at all — each column keeps one
+  *    fixed-size sketch per partition, so the aggregation stays a
+  *    single partial+final pass no matter how many columns the table
+  *    has. The 100 TB tier for wide tables (r2 verdict note on x100).
   */
 object Profile {
 
-  /** (col_name, n_rows, n_null, n_distinct) for every column of df. */
-  def profile(df: DataFrame): DataFrame = {
+  private def stacked(df: DataFrame, distinctAgg: Column => Column): DataFrame = {
     val cols = df.columns.toSeq
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null__$c"),
-      countDistinct(col(c)).as(s"dist__$c"))) :+ count(lit(1)).as("n_rows")
+      distinctAgg(col(c)).as(s"dist__$c"))) :+ count(lit(1)).as("n_rows")
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stack = cols
       .map(c => s"'$c', `null__$c`, `dist__$c`")
@@ -30,4 +38,15 @@ object Profile {
       .select("col_name", "n_rows", "n_null", "n_distinct")
       .orderBy("col_name")
   }
+
+  /** (col_name, n_rows, n_null, n_distinct) for every column of df —
+    * exact cardinalities, one scan. */
+  def profile(df: DataFrame): DataFrame = stacked(df, countDistinct(_))
+
+  /** [[profile]] with HLL++ cardinalities: one scan, one aggregation
+    * pass, NO per-column Expand replication — columns cost a fixed-size
+    * sketch each instead of an input copy (plan-guarded in PlanSpec).
+    * rsd is the HLL relative standard deviation knob. */
+  def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame =
+    stacked(df, approx_count_distinct(_, rsd))
 }

@@ -1161,6 +1161,42 @@ object Extensions {
         |    count(DISTINCT o_orderpriority) FROM orders
         |) p ORDER BY col_name""".stripMargin),
 
+    // the approx tier of x100 (rows-only like x63: HLL sketches are
+    // engine-specific): one scan, one aggregation, NO per-column Expand
+    // replication — the wide-table 100 TB profile; exact x100 stays
+    // judged alongside
+    Q.dfOnly("x112_profile_approx",
+      (s, dir) => graft.ext.Profile.profileApprox(
+        Tables.load(s, dir, "orders"))),
+
+    // the sketch-based winsorize (x104's documented 100 TB path): clip
+    // bounds read off per-group cumulative 50-cent equi-width histogram
+    // bins (the mergeable one-pass sketch of x107) instead of exact
+    // per-group percentile sorts; bin edges are exact integers so the
+    // whole query is engine-identical and fully oracle-checked
+    Q.sql("x113_winsorize_binned",
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 / 50) AS BIGINT) AS bin, count(*) AS c
+        |  FROM events GROUP BY event_type, bin
+        |), cum AS (
+        |  SELECT event_type, bin, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM b
+        |), q AS (
+        |  SELECT event_type,
+        |    CAST(min(CASE WHEN cum >= 0.10 * n THEN bin * 50 END) AS BIGINT) AS lo,
+        |    CAST(min(CASE WHEN cum >= 0.90 * n THEN bin * 50 END) AS BIGINT) AS hi
+        |  FROM cum GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type,
+        |  CAST(least(greatest(floor(e.value * 100), q.lo), q.hi) AS BIGINT)
+        |    AS clipped_cents
+        |FROM events e JOIN q ON e.event_type = q.event_type
+        |WHERE e.event_id < 3000
+        |ORDER BY e.event_id""".stripMargin),
+
     // distributed per-label centroids over embeddings: the k-means
     // update step as a judged operator — only partial (label, pos) sums
     // cross the shuffle; exact quantized-integer arithmetic throughout

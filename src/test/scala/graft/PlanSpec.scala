@@ -139,6 +139,14 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("x112 approx profile: single scan AND no Expand replication of the input") {
+    val p = plan("x112_profile_approx")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    // the exact tier pays an Expand (one input copy per distinct
+    // column); the HLL tier must not — that is its 100 TB advantage
+    assert(!p.contains("Expand"), p)
+  }
+
   test("x89/x95 aggregation ops partial-aggregate and never window-sort") {
     for (q <- Seq("x89_repetition_stats", "x95_label_centroids")) {
       val p = plan(q)

@@ -394,6 +394,21 @@ class ExtSpec extends SparkSpec {
     assert(out.where(col("__graft_salt_0") =!= col("event_id") * 2).count() == 0)
   }
 
+  test("approx profile matches exact rows/nulls; HLL distincts within 15%") {
+    val orders = graft.Tables.load(spark, dir, "orders")
+    val exact = Profile.profile(orders).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approx = Profile.profileApprox(orders).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (c, (rows, nulls, dist)) =>
+      assert(rows == exact(c)._1 && nulls == exact(c)._2, c)
+      val ed = exact(c)._3.toDouble
+      assert(math.abs(dist - ed) <= math.max(2.0, 0.15 * ed),
+        s"$c: approx $dist vs exact ${exact(c)._3}")
+    }
+  }
+
   test("profile counts nulls and distincts per column") {
     import spark.implicits._
     val df = Seq((1, Some("a")), (2, None), (3, Some("a"))).toDF("id", "s")
