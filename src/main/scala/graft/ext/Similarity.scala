@@ -423,6 +423,80 @@ object Similarity {
     exactRerank(emb, nQueries, candidates, k)
   }
 
+  /** Sub-quadratic embedding near-dup: random-hyperplane SimHash
+    * (Charikar's LSH for cosine) + hamming banding + exact-cosine
+    * verify — the scale path for embedding near-dup, where
+    * [[nearDupPairs]] is the within-block brute force. Each vector gets
+    * a `bits`-bit sketch: bit b is the sign of its projection onto a
+    * deterministic pseudo-random hyperplane (entries ±1 from md5
+    * parity of "b:pos" — reproducible in any engine, so the judged
+    * query is hash-exact, unlike an RNG-seeded LSH). Sketches band
+    * into 4-bit nibbles (pigeonhole: hamming <= 3 pairs always share a
+    * band), candidates verify with the EXACT quantized cosine, and
+    * only candidate pairs ever touch full embeddings.
+    *
+    * Scale shape: sketch build is two keyed aggregations over
+    * posexploded (vec, pos) rows with a broadcast (bits x dim) sign
+    * table; candidate generation is an equality join on (band, nibble);
+    * the cosine verify joins embeddings for candidate ids only. Nothing
+    * is ever all-pairs. Output: (d1, d2, cos_x10k) with
+    * cos_x10k >= minCosX10k. */
+  def embedSimhashNearDups(emb: DataFrame, bits: Int = 16,
+                           minCosX10k: Long = 8000): DataFrame = {
+    require(bits >= 4 && bits <= 60 && bits % 4 == 0,
+      s"bits must be a multiple of 4 in [4, 60]; got $bits")
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    // deterministic hyperplane signs: ±1 by md5 first-nibble parity
+    val signs = broadcast(
+      spark.range(0, bits).selectExpr("id AS b")
+        .crossJoin(spark.range(1, dim + 1).selectExpr("id AS pos"))
+        .select(col("b"), col("pos"),
+          when(expr("instr('02468ace', substr(md5(concat(cast(b AS string), " +
+            "':', cast(pos AS string))), 1, 1))") > 0, 1L)
+            .otherwise(-1L).as("sgn")))
+    val q = emb.select(col("vec_id"),
+        posexplode(quantize(col("embedding"))).as(Seq("pos0", "qv")))
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("qv"))
+    // bit b = sign of the exact-integer projection onto hyperplane b
+    val proj = q.join(signs, "pos")
+      .groupBy("vec_id", "b")
+      .agg(sum(col("qv") * col("sgn")).as("proj"))
+    val sk = proj.groupBy("vec_id")
+      .agg(sum(expr("CASE WHEN proj >= 0 THEN CAST(pow(2, b) AS BIGINT) " +
+        "ELSE 0 END")).cast("bigint").as("sketch"))
+    // 4-bit banding + popcount prefilter (hamming <= 3 of 16 bits keeps
+    // only sharply-aligned sketches as candidates)
+    val nBands = bits / 4
+    val bands = sk.select(col("vec_id"), col("sketch"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sketch"), b * 4).bitwiseAND(lit(15L)).as("nib"))): _*)).as("x"))
+      .select(col("vec_id"), col("sketch"),
+        col("x.band").as("band"), col("x.nib").as("nib"))
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b, col("a.band") === col("b.band") &&
+                         col("a.nib") === col("b.nib") &&
+                         col("a.vec_id") < col("b.vec_id"))
+      .where(bit_count(col("a.sketch").bitwiseXOR(col("b.sketch"))) <= 3)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
+    // exact-cosine verify, candidates only (the x101 arithmetic: exact
+    // BIGINT dot and norms, one correctly-rounded double expression)
+    val withN = emb.select(col("vec_id"), col("embedding"),
+      aggregate(quantize(col("embedding")), lit(0L),
+        (acc, x) => acc + x * x).as("n2"))
+    cand.join(withN.as("ea"), col("d1") === col("ea.vec_id"))
+      .join(withN.as("eb"), col("d2") === col("eb.vec_id"))
+      .select(col("d1"), col("d2"),
+        floor(lit(10000.0) *
+          dotQNative(emb, col("ea.embedding"), col("eb.embedding")) /
+          sqrt(col("ea.n2").cast("double") * col("eb.n2").cast("double")))
+          .cast("bigint").as("cos_x10k"))
+      .where(col("cos_x10k") >= minCosX10k)
+      .orderBy("d1", "d2")
+  }
+
   /** Near-duplicate pairs inside coarse blocks (IVF-style: `label` is
     * the coarse quantizer cell). Only intra-block pairs are generated —
     * the join is keyed on label, so it shuffles and parallelizes by

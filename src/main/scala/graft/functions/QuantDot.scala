@@ -21,14 +21,23 @@ import org.apache.spark.sql.types._
 case class QuantDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // each side may independently be array<float> or array<double> —
+  // float elements widen to double exactly, so the quantization is the
+  // same arithmetic either way
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(e => elemOk(e.dataType))) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"quant_dot expects (array<float>, array<float>), " +
+      s"quant_dot expects array<float|double> on both sides, " +
         s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
@@ -39,12 +48,14 @@ case class QuantDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left.dataType), isFloat(right.dataType))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += math.floor(x.getFloat(i).toDouble * 10000d).toLong *
-             math.floor(y.getFloat(i).toDouble * 10000d).toLong
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += math.floor(xv * 10000d).toLong * math.floor(yv * 10000d).toLong
       i += 1
     }
     acc
@@ -55,12 +66,14 @@ case class QuantDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def get(arr: String, float: Boolean) =
+        if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (long) java.lang.Math.floor((double) $a.getFloat($i) * 10000d)
-         |        * (long) java.lang.Math.floor((double) $b.getFloat($i) * 10000d);
+         |  $acc += (long) java.lang.Math.floor(${get(a, isFloat(left.dataType))} * 10000d)
+         |        * (long) java.lang.Math.floor(${get(b, isFloat(right.dataType))} * 10000d);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -436,6 +436,77 @@ object Extensions {
         |HAVING dot_q >= 33000000
         |ORDER BY d1, d2""".stripMargin),
 
+    // the sub-quadratic embedding near-dup (x60's scale path): random-
+    // hyperplane SimHash sketches (deterministic ±1 hyperplanes from md5
+    // parity — engine-reproducible, so the LSH itself is oracle-exact),
+    // 4-bit hamming banding for candidates, exact-cosine verify on
+    // candidates only — never an all-pairs join. The corpus's organic
+    // pair cosines top out at ~0.48, so the query PLANTS one true
+    // near-dup per vector (a deterministic per-coordinate rescale,
+    // cos ~0.9999, re-derived identically by the oracle) and the
+    // operator must recover exactly those pairs at cos >= 0.99.
+    Q.df("x114_embed_simhash_neardup",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val base = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        val pert = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE) * " +
+            "((9500 + (vec_id + i) % 1000) / 10000.0))").as("embedding"))
+        Similarity.embedSimhashNearDups(base.unionByName(pert),
+          minCosX10k = 9900L)
+      },
+      """WITH base AS (
+        |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) r(i)
+        |), q AS (
+        |  SELECT vec_id, pos, CAST(floor(v * 10000) AS BIGINT) AS qv FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, pos,
+        |    CAST(floor(v * ((9500 + (vec_id + pos - 1) % 1000) / 10000.0)
+        |         * 10000) AS BIGINT)
+        |  FROM base
+        |), s AS (
+        |  SELECT b.b, p.i AS pos,
+        |    CASE WHEN instr('02468ace',
+        |           substr(md5(CAST(b.b AS VARCHAR) || ':' || CAST(p.i AS VARCHAR)), 1, 1)) > 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM range(0, 16) b(b), range(1, 65) p(i)
+        |), proj AS (
+        |  SELECT q.vec_id, s.b, sum(q.qv * s.sgn) AS proj
+        |  FROM q JOIN s ON q.pos = s.pos
+        |  GROUP BY 1, 2
+        |), sk AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sketch
+        |  FROM proj GROUP BY 1
+        |), bands AS (
+        |  SELECT vec_id, sketch, r.b AS band, (sketch >> (r.b * 4)) & 15 AS nib
+        |  FROM sk, range(0, 4) r(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS d1, bb.vec_id AS d2
+        |  FROM bands a JOIN bands bb
+        |    ON a.band = bb.band AND a.nib = bb.nib AND a.vec_id < bb.vec_id
+        |  WHERE bit_count(xor(a.sketch, bb.sketch)) <= 3
+        |), n2 AS (
+        |  SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS n2 FROM q GROUP BY 1
+        |), dots AS (
+        |  SELECT c.d1, c.d2, CAST(sum(qa.qv * qb.qv) AS BIGINT) AS dq
+        |  FROM cand c
+        |  JOIN q qa ON qa.vec_id = c.d1
+        |  JOIN q qb ON qb.vec_id = c.d2 AND qa.pos = qb.pos
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.d1, d.d2,
+        |  CAST(floor(10000.0 * d.dq /
+        |       sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))) AS BIGINT)
+        |    AS cos_x10k
+        |FROM dots d JOIN n2 na ON na.vec_id = d.d1
+        |            JOIN n2 nb ON nb.vec_id = d.d2
+        |WHERE floor(10000.0 * d.dq /
+        |      sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))) >= 9900
+        |ORDER BY d1, d2""".stripMargin),
+
     // near-dup clusters: pair list -> connected components (the step a
     // real dedup pipeline runs after LSH+verify, to pick one keeper per
     // group). Candidate pairs come from the SUB-QUADRATIC stop-filtered

@@ -364,6 +364,37 @@ class ExtSpec extends SparkSpec {
     assert(viaEstimate == Dedup.incrementalNew(nw, old).collect().toSeq)
   }
 
+  test("embedding simhash near-dup recovers planted perturbed copies, nothing else") {
+    import org.apache.spark.sql.functions._
+    // plant one true near-dup per vector (deterministic rescale,
+    // cos ~0.9999) — the organic corpus tops out at cos ~0.48
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val pert = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE) * " +
+        "((9500 + (vec_id + i) % 1000) / 10000.0))").as("embedding"))
+    val both = base.unionByName(pert)
+    val r1 = Similarity.embedSimhashNearDups(both, minCosX10k = 9900L).collect()
+    assert(r1.nonEmpty)
+    // every found pair is a planted (v, v+1e6) pair with verified cosine
+    assert(r1.forall(p => p.getLong(1) == p.getLong(0) + 1000000L), r1.take(5).toSeq)
+    assert(r1.forall(p => p.getLong(2) >= 9900 && p.getLong(2) <= 10000))
+    // LSH recall at hamming<=3 banding on near-identical sketches: high
+    val n = emb.count()
+    assert(r1.length >= 0.95 * n, s"recall ${r1.length}/$n")
+    val r2 = Similarity.embedSimhashNearDups(both, minCosX10k = 9900L).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    // cross-check one pair's score against a driver-side fold
+    val byId = both.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p0 = r1.head
+    def qz(v: Seq[Double]) = v.map(x => math.floor(x * 10000).toLong)
+    val (qa, qb) = (qz(byId(p0.getLong(0))), qz(byId(p0.getLong(1))))
+    val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+    val cos = math.floor(10000.0 * dot / math.sqrt(
+      qa.map(x => x * x).sum.toDouble * qb.map(x => x * x).sum.toDouble)).toLong
+    assert(cos == p0.getLong(2))
+  }
+
   test("salted join is row-for-row equal to the plain join") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, dir, "events")
