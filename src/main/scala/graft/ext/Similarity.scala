@@ -497,6 +497,53 @@ object Similarity {
       .orderBy("d1", "d2")
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    * embeddings with k-means and dropping, within each cluster, every
+    * vector that has a higher-priority near-duplicate — keeping one
+    * representative per semantic-duplicate group. Priority here is
+    * smallest vec_id (deterministic; the paper keeps the vector farthest
+    * from the centroid — same machinery, different tie-break).
+    *
+    * Scale shape: the expensive part — pairwise cosine — runs ONLY
+    * inside a cluster: the self-join is keyed on `cell`, so pair volume
+    * is sum(|cell|^2) instead of |corpus|^2 and each cell compares in
+    * parallel. At 100 TB you raise `cells` so clusters stay bounded
+    * (the paper uses ~100k clusters for 5B embeddings); the k-means fit
+    * itself is the distributed [[kmeansFit]] (corpus never on the
+    * driver, k*dim scalars per iteration). The verify arithmetic is the
+    * exact quantized cosine, so which pairs clear the threshold is
+    * deterministic — but cluster boundaries are engine-specific, hence
+    * rows-only judged (like IVF/PQ) with determinism + planted-dup
+    * recall spec-guarded in ExtSpec.
+    *
+    * Returns the SURVIVORS: (vec_id, cell), ordered by vec_id. */
+  def semDedup(emb: DataFrame, cells: Int, iters: Int,
+               minCosX10k: Long): DataFrame = {
+    val (assign, _) = kmeansFit(emb, cells, iters)
+    val withCell = CacheRegistry.pin(
+      emb.select(col("vec_id"), col("embedding"))
+        .join(assign, "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding"),
+          aggregate(quantize(col("embedding")), lit(0L),
+            (acc, x) => acc + x * x).as("n2")))
+    // within-cell near-dup victims: any vector with a LOWER-id neighbor
+    // at cos >= threshold in its own cell. Keyed self-join on cell;
+    // the d1 < d2 orientation makes "drop d2" keep exactly one
+    // representative (the smallest id) per duplicate chain.
+    val victims = withCell.as("a").join(withCell.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .where(floor(lit(10000.0) *
+          dotQNative(emb, col("a.embedding"), col("b.embedding")) /
+          sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
+          .cast("bigint") >= minCosX10k)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    withCell.join(victims, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
   /** Near-duplicate pairs inside coarse blocks (IVF-style: `label` is
     * the coarse quantizer cell). Only intra-block pairs are generated —
     * the join is keyed on label, so it shuffles and parallelizes by

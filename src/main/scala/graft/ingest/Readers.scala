@@ -25,9 +25,9 @@ object Readers {
 
   val Compressions = Set("gz", "bz2", "zip", "xz")
   // csv/xlsx/json are the reference's formats (localsql.py:78); parquet
-  // is a beyond-reference addition — the native format of the scale
-  // path (columnar, predicate pushdown, partition pruning)
-  val Formats = Set("csv", "xlsx", "json", "parquet")
+  // and orc are beyond-reference additions — the columnar formats of
+  // the scale path (predicate pushdown, partition pruning)
+  val Formats = Set("csv", "xlsx", "json", "parquet", "orc")
 
   /** (format, compression) from a file name, e.g. `a.json.gz` ->
     * (json, Some(gz)); `b.csv` -> (csv, None); unknown -> format None. */
@@ -76,10 +76,11 @@ object Readers {
       case (Some("json"), _) =>
         Some(if (jsonNormalizeMode) jsonNormalize(spark, path)
              else json(spark, path, stringifyNested))
-      // parquet is internally compressed; a second layer is unsupported
-      // (falls through to the unknown-format skip)
+      // parquet/orc are internally compressed; a second layer is
+      // unsupported (falls through to the unknown-format skip)
       case (Some("parquet"), None) => Some(spark.read.parquet(path))
-      case (Some("parquet"), Some(_)) => None
+      case (Some("orc"), None) => Some(spark.read.orc(path))
+      case (Some("parquet" | "orc"), Some(_)) => None
       case (Some("xlsx"), None) => Some(Xlsx.read(spark, path))
       case (Some("xlsx"), Some(comp)) =>
         // xlsx is already a zip; a second compression layer must be

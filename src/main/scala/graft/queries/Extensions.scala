@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.ext.{AsofJoin, Dedup, Multimodal, Pack, Sampling, Similarity, TextStats}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -1282,6 +1282,53 @@ object Extensions {
         |    generate_subscripts(embedding, 1) AS pos,
         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
         |  FROM embeddings
-        |) x GROUP BY label, pos ORDER BY label, pos""".stripMargin)
+        |) x GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+
+    // sequence packing (concat-and-chunk pretraining prep): documents
+    // routed to 16 md5 buckets, packed greedily into 256-token context
+    // windows by the running token total within each bucket — the only
+    // shuffle is the bucket-partitioned window, so packing parallelizes
+    // by bucket (raise the bucket count at scale, ext.Pack scaladoc)
+    Q.df("x115_sequence_pack",
+      (s, dir) => Pack.packManifest(Tables.load(s, dir, "documents"), 256),
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(instr('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+        |      AS bucket
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |), p AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS pack_id
+        |  FROM c
+        |)
+        |SELECT bucket, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY bucket, pack_id
+        |ORDER BY bucket, pack_id""".stripMargin),
+
+    // SemDeDup: k-means clusters + within-cluster near-dup drop (keep
+    // smallest id). Same planted near-dups as x114 (rescaled copies at
+    // cos ~0.9999) so the operator has real work; rows-only judged
+    // because cluster boundaries are engine-specific (like IVF/PQ) —
+    // planted-dup removal + determinism are spec-guarded in ExtSpec.
+    Q.dfOnly("x116_semdedup",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val base = emb.select(col("vec_id"), col("embedding"))
+        val pert = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CAST(CAST(x AS DOUBLE) * " +
+            "((9500 + (vec_id + i) % 1000) / 10000.0) AS FLOAT))")
+            .as("embedding"))
+        Similarity.semDedup(base.unionByName(pert),
+          cells = 8, iters = 3, minCosX10k = 9900L)
+      })
   )
 }

@@ -395,6 +395,67 @@ class ExtSpec extends SparkSpec {
     assert(cos == p0.getLong(2))
   }
 
+  test("semdedup drops planted near-dups, keeps originals, and is deterministic") {
+    import org.apache.spark.sql.functions._
+    // same planting as the judged x116: a rescaled copy (cos ~0.9999)
+    // of every vector under vec_id + 1e6
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val pert = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(CAST(x AS DOUBLE) * " +
+        "((9500 + (vec_id + i) % 1000) / 10000.0) AS FLOAT))").as("embedding"))
+    val both = base.unionByName(pert)
+    val r1 = Similarity.semDedup(both, cells = 8, iters = 3,
+      minCosX10k = 9900L).collect()
+    val n = emb.count()
+    val survivors = r1.map(_.getLong(0)).toSet
+    // every original survives: it is the smallest id of its dup group,
+    // and organic pair cosines top out at ~0.48, far below 0.99
+    assert((0L until n).forall(survivors.contains), "an original was dropped")
+    // most planted copies land in their original's cluster and are
+    // dropped (a copy can only survive if k-means split the pair across
+    // cells — rare at cos ~0.9999)
+    val keptCopies = survivors.count(_ >= 1000000L)
+    assert(keptCopies <= 0.05 * n, s"$keptCopies of $n planted copies survived")
+    // deterministic end to end (exact integer k-means + exact verify)
+    val r2 = Similarity.semDedup(both, cells = 8, iters = 3,
+      minCosX10k = 9900L).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+  }
+
+  test("sequence packing matches a driver-side greedy replay") {
+    import org.apache.spark.sql.functions._
+    val manifest = Pack.packManifest(docs, 256).collect().toSeq
+    // replay: same bucket rule, same doc order, same greedy running sum
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy(_._1)
+    def bucketOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "0123456789abcdef".indexOf(f"${md(0) & 0xff}%02x".charAt(0)).toLong
+    }
+    val expected = rows.groupBy { case (id, _) => bucketOf(id) }.toSeq
+      .flatMap { case (bucket, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (id, nTok) =>
+          val off = cum; cum += nTok
+          (bucket, math.floorDiv(off, 256L), id, nTok)
+        }
+      }
+      .groupBy { case (b, p, _, _) => (b, p) }.toSeq
+      .map { case ((b, p), xs) =>
+        (b, p, xs.size.toLong, xs.map(_._4).sum, xs.map(_._3).min, xs.map(_._3).max)
+      }
+      .sortBy { case (b, p, _, _, _, _) => (b, p) }
+    val got = manifest.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got == expected)
+    // a pack never starts beyond the window boundary: each doc's offset
+    // determines its pack, so consecutive packs within a bucket are
+    // monotone and dense in token space
+    assert(manifest.nonEmpty)
+  }
+
   test("salted join is row-for-row equal to the plain join") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, dir, "events")

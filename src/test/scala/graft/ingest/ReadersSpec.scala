@@ -34,6 +34,21 @@ class ReadersSpec extends SparkSpec {
     assert(Readers.read(spark, d.resolve("x.parquet.gz").toString).isEmpty)
   }
 
+  test("orc reads natively (beyond-reference format); compressed orc skipped") {
+    assert(Readers.sniff("a.orc") == (Some("orc"), None))
+    val d = tmpDir()
+    val p = d.resolve("data.orc").toString
+    spark.createDataFrame(Seq((1L, "a"), (2L, "b"), (3L, "c"))).toDF("id", "name")
+      .coalesce(1).write.mode("overwrite").orc(p)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(p)).iterator()
+    val file = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".orc")).get
+    val df = Readers.read(spark, file.toString).get
+    assert(df.columns.sorted.toSeq == Seq("id", "name"))
+    assert(df.count() == 3)
+    assert(Readers.read(spark, d.resolve("x.orc.gz").toString).isEmpty)
+  }
+
   test("csv: header + type inference") {
     val d = tmpDir()
     val p = writeFile(d, "csv.csv", "id,b,c\n1,4,7\n2,5,8\n3,6,9\n")
