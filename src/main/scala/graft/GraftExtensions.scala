@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatDot, QuantDot}
+import graft.functions.{FloatDot, QuantDot, StripAccents}
 
 /** SparkSessionExtensions entry point: makes the graft native functions
   * available in ANY session via standard Spark configuration —
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("quant_dot"),
       new ExpressionInfo(classOf[QuantDot].getName, "quant_dot"),
       (children: Seq[Expression]) => QuantDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (children: Seq[Expression]) => StripAccents(children.head)))
   }
 }

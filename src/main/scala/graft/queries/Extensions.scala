@@ -1329,6 +1329,27 @@ object Extensions {
             .as("embedding"))
         Similarity.semDedup(base.unionByName(pert),
           cells = 8, iters = 3, minCosX10k = 9900L)
-      })
+      }),
+
+    // Unicode text normalization (multilingual-corpus fold-in pass):
+    // accents injected deterministically via translate, then stripped by
+    // the native codegen'd strip_accents expression (NFD -> drop
+    // combining marks -> NFC) — judged against DuckDB's utf8proc-backed
+    // strip_accents on the same injected text. Narrow per-row map, zero
+    // shuffles; ASCII rows skip the normalizer entirely (fast path).
+    Q.df("x117_normalize",
+      (s, dir) => {
+        graft.functions.StripAccents.register(s)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            translate(col("text"), "aeioucn", "áéíóúçñ").as("accented"))
+          .select(col("doc_id"), col("accented"),
+            call_function("strip_accents", col("accented")).as("clean"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  translate(text, 'aeioucn', 'áéíóúçñ') AS accented,
+        |  strip_accents(translate(text, 'aeioucn', 'áéíóúçñ')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }
