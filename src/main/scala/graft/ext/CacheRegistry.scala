@@ -16,6 +16,9 @@ object CacheRegistry {
 
   private val pinned =
     java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+  private val checkpointed =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.rdd.RDD[_]]())
 
   /** Cache df and remember it for later [[clearAll]]. */
   def pin(df: DataFrame): DataFrame = {
@@ -23,12 +26,35 @@ object CacheRegistry {
     df.cache()
   }
 
-  /** Unpersist every pinned DataFrame and forget it. Also clears the
-    * memoized shingle index (Dedup.shingles3). */
+  /** Eagerly local-checkpoint df — materialize it and TRUNCATE its
+    * lineage — and remember the persisted checkpoint RDD for
+    * [[clearAll]]. This is the tool for iterative operators
+    * (Dedup.clusters): a cache alone keeps the logical plan growing
+    * (analysis cost compounds per round), while a checkpoint resets it
+    * to a leaf scan. The backing blocks outlive the returned DataFrame
+    * until released, hence the registry.
+    *
+    * After clearAll the returned DataFrame is UNRECOVERABLE (its
+    * lineage is gone with the blocks) — callers must fully consume it
+    * within the workload, same contract as [[pin]]. */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val chk = df.localCheckpoint()
+    chk.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(rdd => checkpointed.add(rdd))
+    chk
+  }
+
+  /** Unpersist every pinned DataFrame and checkpoint RDD, and forget
+    * them. Also clears the memoized shingle index (Dedup.shingles3). */
   def clearAll(): Unit = {
     pinned.synchronized {
       pinned.forEach(df => { df.unpersist(blocking = false); () })
       pinned.clear()
+    }
+    checkpointed.synchronized {
+      checkpointed.forEach(rdd => { rdd.unpersist(blocking = false); () })
+      checkpointed.clear()
     }
     Dedup.clearShingleCache()
   }

@@ -359,27 +359,40 @@ object Dedup {
     * (vs a driver-side union-find, which would need all edges on one
     * node). Near-dup components are tiny and shallow, so this
     * terminates in 2-3 rounds in practice.
-    * Output: (doc_id, cluster_id). */
+    *
+    * Every round LOCAL-CHECKPOINTS its label frontier instead of merely
+    * caching it: `next` references `labels` twice (identity + via-edge),
+    * so without lineage truncation the logical plan doubles per round —
+    * 2^rounds copies of the candidate-generation subtree — and Catalyst
+    * re-analysis/canonicalization of that exponential plan comes to
+    * dominate wall time (measured 3-8x the actual execution at sf0.1;
+    * the iterative-algorithm trap GraphX checkpoints for). On a cluster
+    * deployment the same call sites would use reliable checkpointing to
+    * survive executor loss; local checkpoint is the right single-node
+    * tier. Output: (doc_id, cluster_id). */
   def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val fwd = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-    val edges = CacheRegistry.pin(
-      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    // checkpoint the PAIR list before mirroring it: edges references the
+    // pair subtree twice (forward + reversed), so this both truncates
+    // the expensive candidate-generation lineage and keeps it from
+    // executing once per branch
+    val fwd = CacheRegistry.checkpoint(
+      pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = CacheRegistry.checkpoint(
+      docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
     var changed = 1L
     while (changed > 0) {
       val viaNeighbor = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("cluster_id"))
-      val next = labels.select(col("doc_id"), col("cluster_id"))
-        .union(viaNeighbor)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .cache()
+      val next = CacheRegistry.checkpoint(
+        labels.select(col("doc_id"), col("cluster_id"))
+          .union(viaNeighbor)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .where(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
       labels = next
     }
-    CacheRegistry.pin(labels)  // already cached; recorded for clearAll
     labels.orderBy("doc_id")
   }
 
