@@ -5,12 +5,14 @@ import graft.ingest.Xlsx
 
 /** `\s filename` result export (ref localsql/localsql.py:171-193):
   * csv / json(NDJSON) / xlsx by extension; unknown extension is an
-  * error, as in the reference (:185-191).
+  * error, as in the reference (:185-191). parquet/orc are
+  * beyond-reference additions — the columnar round-trip formats of the
+  * scale path (readable back through `Readers.read`).
   *
   * The reference writes exactly one local file, so we match that
-  * contract driver-side for csv/json via a single-partition write;
-  * at scale a user calls `df.write` directly for a distributed,
-  * many-file dump — both surfaces exist here.
+  * contract driver-side for csv/json/parquet/orc via a
+  * single-partition write; at scale a user calls `df.write` directly
+  * for a distributed, many-file dump — both surfaces exist here.
   */
 object Save {
 
@@ -18,9 +20,11 @@ object Save {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv")) writeSingle(df, path, "csv")
     else if (lower.endsWith(".json")) writeSingle(df, path, "json")
+    else if (lower.endsWith(".parquet")) writeSingle(df, path, "parquet")
+    else if (lower.endsWith(".orc")) writeSingle(df, path, "orc")
     else if (lower.endsWith(".xlsx")) Xlsx.write(df, path)
     else throw new IllegalArgumentException(
-      s"This file type is not supported: $path (csv, json, xlsx)")
+      s"This file type is not supported: $path (csv, json, xlsx, parquet, orc)")
   }
 
   /** Distributed write to a temp dir, then move the single part file to

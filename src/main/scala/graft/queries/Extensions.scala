@@ -1350,6 +1350,42 @@ object Extensions {
       """SELECT doc_id,
         |  translate(text, 'aeioucn', 'áéíóúçñ') AS accented,
         |  strip_accents(translate(text, 'aeioucn', 'áéíóúçñ')) AS clean
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // bucketed range join (point-in-interval): events matched to the
+    // 8-day windows opened by each same-user order — executed as an
+    // EQUI-join on a coarse day bucket + exact refine, never the
+    // BroadcastNestedLoopJoin Spark plans for a raw BETWEEN (PlanSpec
+    // guards the plan shape). Oracle: the plain inequality join.
+    Q.df("x118_range_join",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            (col("event_id") % 2400).cast("bigint").as("d"))
+        val iv = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit(java.sql.Date.valueOf("1995-01-01"))).cast("bigint").as("st"))
+          .withColumn("en", col("st") + 7)
+        graft.ext.RangeJoin.bucketed(p, iv,
+            p("d"), iv("st"), iv("en"), bucketWidth = 4L,
+            keyCond = p("user_id") === iv("o_custkey"))
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_windows"),
+            min("o_orderkey").as("first_order"))
+          .orderBy("event_id")
+      },
+      """WITH p AS (
+        |  SELECT event_id, user_id, event_id % 2400 AS d FROM events
+        |), iv AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS st
+        |  FROM orders
+        |)
+        |SELECT p.event_id, count(*) AS n_windows,
+        |  min(iv.o_orderkey) AS first_order
+        |FROM p JOIN iv
+        |  ON p.user_id = iv.o_custkey AND p.d >= iv.st AND p.d <= iv.st + 7
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)
   )
 }

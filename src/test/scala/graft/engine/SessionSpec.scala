@@ -87,7 +87,15 @@ class SessionSpec extends SparkSpec {
     val xlsxOut = d.resolve("out.xlsx").toString
     Save.save(s.latestResult.get, xlsxOut)
     assert(graft.ingest.Xlsx.read(spark, xlsxOut).count() == 3)
-    intercept[IllegalArgumentException] { Save.save(s.latestResult.get, d.resolve("out.parquet").toString) }
+    // beyond-reference columnar round-trips: one file out, readable back
+    // through the ingestion dispatch
+    val pqOut = d.resolve("out.parquet").toString
+    Save.save(s.latestResult.get, pqOut)
+    assert(graft.ingest.Readers.read(spark, pqOut).get.count() == 3)
+    val orcOut = d.resolve("out.orc").toString
+    Save.save(s.latestResult.get, orcOut)
+    assert(graft.ingest.Readers.read(spark, orcOut).get.count() == 3)
+    intercept[IllegalArgumentException] { Save.save(s.latestResult.get, d.resolve("out.txt").toString) }
   }
 
   test("glob->regex translation corners") {

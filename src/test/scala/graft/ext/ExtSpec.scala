@@ -456,6 +456,43 @@ class ExtSpec extends SparkSpec {
     assert(manifest.nonEmpty)
   }
 
+  test("bucketed range join equals the naive inequality join, as an equi-join plan") {
+    import org.apache.spark.sql.functions._
+    val p = graft.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        (col("event_id") % 2400).cast("bigint").as("d"))
+    val iv = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderkey") % 2400).cast("bigint").as("st"))
+      .withColumn("en", col("st") + 10)
+    // keyed form: same pairs as the naive keyed inequality join
+    val bucketed = RangeJoin.bucketed(p, iv,
+        p("d"), iv("st"), iv("en"), 4L,
+        keyCond = p("user_id") === iv("o_custkey"))
+      .select("event_id", "o_orderkey")
+    val naive = p.join(iv, p("user_id") === iv("o_custkey") &&
+        p("d") >= iv("st") && p("d") <= iv("en"))
+      .select("event_id", "o_orderkey")
+    val got = bucketed.orderBy("event_id", "o_orderkey").collect().toSeq
+    val want = naive.orderBy("event_id", "o_orderkey").collect().toSeq
+    assert(got.nonEmpty && got == want)
+    assert(!bucketed.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    // KEY-LESS form — where the raw BETWEEN is the nested-loop trap:
+    // the bucketed rewrite must still agree AND plan an equi-join
+    val bNoKey = RangeJoin.bucketed(p, iv, p("d"), iv("st"), iv("en"), 4L)
+      .select("event_id", "o_orderkey")
+    val nNoKey = p.join(iv, p("d") >= iv("st") && p("d") <= iv("en"))
+      .select("event_id", "o_orderkey")
+    val gotNk = bNoKey.orderBy("event_id", "o_orderkey").collect().toSeq
+    val wantNk = nNoKey.orderBy("event_id", "o_orderkey").collect().toSeq
+    assert(gotNk.nonEmpty && gotNk == wantNk)
+    assert(!bNoKey.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(nNoKey.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
   test("salted join is row-for-row equal to the plain join") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, dir, "events")
