@@ -154,4 +154,20 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("HashAggregate"), s"$q: $p")
     }
   }
+
+  test("x115 packing: the window is partitioned by bucket, never a global sort") {
+    val p = plan("x115_sequence_pack")
+    // one Window over hashpartitioning(bucket, ...) — the packing
+    // parallelizes by bucket; a Window over a SinglePartition exchange
+    // would be the cumsum scale trap
+    assert(p.contains("Window"), p)
+    assert("hashpartitioning\\(bucket".r.findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("x118 range join plans as an equi-join, not a nested loop") {
+    val p = plan("x118_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
 }
