@@ -99,6 +99,37 @@ object TextStats {
       .orderBy(col("cnt").desc, col("ngram")).limit(k)
   }
 
+  /** Per-document out-of-vocabulary rate against the CORPUS-DERIVED
+    * top-`vocabSize` vocabulary — the "is this text mostly normal
+    * language" gate run before expensive model-based quality scoring.
+    * Documents whose token occurrences fall outside the corpus head
+    * vocabulary beyond `maxOovX10k` are flagged (gibberish, boilerplate
+    * in another charset, extraction failures).
+    *
+    * Scale shape: the two-pass corpus-statistic pattern — pass 1 derives
+    * the vocabulary with one keyed aggregation + bounded top-k
+    * (deterministic tie-break on the token), pass 2 joins the tiny
+    * vocab back (broadcast: vocabSize rows regardless of corpus size)
+    * and re-aggregates per document. Nothing corpus-sized ever
+    * concentrates.
+    * Output: (doc_id, n_tok, n_oov, oov_x10k, keep). */
+  def oovRate(docs: DataFrame, vocabSize: Int,
+              maxOovX10k: Long): DataFrame = {
+    val vocab = tokens(docs).groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("in_vocab"))
+    tokens(docs)
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        floor(lit(10000.0) * col("n_oov") / col("n_tok"))
+          .cast("bigint").as("oov_x10k"))
+      .withColumn("keep", (col("oov_x10k") <= maxOovX10k).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Top TF-IDF-style term per document. The score is
     * floor(10000 * tf * N / (n_tok * df)) — normalized term frequency
     * times an inverse-document-frequency RATIO rather than the textbook

@@ -1386,6 +1386,30 @@ object Extensions {
         |  min(iv.o_orderkey) AS first_order
         |FROM p JOIN iv
         |  ON p.user_id = iv.o_custkey AND p.d >= iv.st AND p.d <= iv.st + 7
-        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin),
+
+    // out-of-vocabulary gate against the corpus-derived top-20 vocab:
+    // the two-pass corpus-statistic shape — one keyed agg + bounded
+    // top-k for the vocabulary, then a broadcast join back (vocab rows
+    // are constant-size regardless of corpus) and one per-doc agg
+    Q.df("x119_oov_rate",
+      (s, dir) => TextStats.oovRate(
+        Tables.load(s, dir, "documents"), vocabSize = 20, maxOovX10k = 3000L),
+      s"""WITH $duckTok,
+         |vocab AS (
+         |  SELECT w FROM (
+         |    SELECT w, count(*) AS cnt FROM tok GROUP BY w
+         |    ORDER BY cnt DESC, w LIMIT 20) v
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_tok,
+         |    CAST(sum(CASE WHEN w NOT IN (SELECT w FROM vocab)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM tok GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tok, n_oov,
+         |  CAST(floor(10000.0 * n_oov / n_tok) AS BIGINT) AS oov_x10k,
+         |  CAST(CASE WHEN floor(10000.0 * n_oov / n_tok) <= 3000
+         |       THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin)
   )
 }
