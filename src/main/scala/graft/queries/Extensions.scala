@@ -1410,6 +1410,30 @@ object Extensions {
          |  CAST(floor(10000.0 * n_oov / n_tok) AS BIGINT) AS oov_x10k,
          |  CAST(CASE WHEN floor(10000.0 * n_oov / n_tok) <= 3000
          |       THEN 1 ELSE 0 END AS INT) AS keep
-         |FROM agg ORDER BY doc_id""".stripMargin)
+         |FROM agg ORDER BY doc_id""".stripMargin),
+
+    // score-ranked keep-best-n per stratum (the "best documents per
+    // domain" curation cut): per-source top-3 by length via the bounded
+    // -heap aggregate — the shuffle carries at most k rows per
+    // (partition, source), where the window formulation (the oracle)
+    // sorts every row; plan-guarded window-free
+    Q.df("x120_best_per_source",
+      (s, dir) => {
+        val fn = graft.functions.TopKAgg.register(s, 3)
+        Tables.load(s, dir, "documents")
+          .groupBy("source")
+          .agg(call_function(fn, col("n_chars"), col("doc_id")).as("top"))
+          .select(col("source"), posexplode(col("top")).as(Seq("i", "t")))
+          .select(col("source"), col("t.id").as("doc_id"),
+            col("t.score").as("n_chars"),
+            (col("i") + 1).cast("bigint").as("rn"))
+          .orderBy("source", "rn")
+      },
+      """SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin)
   )
 }

@@ -147,8 +147,9 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
   }
 
-  test("x89/x95 aggregation ops partial-aggregate and never window-sort") {
-    for (q <- Seq("x89_repetition_stats", "x95_label_centroids")) {
+  test("x89/x95/x120 aggregation ops partial-aggregate and never window-sort") {
+    for (q <- Seq("x89_repetition_stats", "x95_label_centroids",
+        "x120_best_per_source")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q: $p")
       assert(p.contains("HashAggregate"), s"$q: $p")
