@@ -116,6 +116,99 @@ object Multimodal {
     spark.createDataFrame(rdd, decodedSchema)
   }
 
+  // ---- real WAV build + decode --------------------------------------
+
+  /** WAV capture parameters derived from n_chars — the deterministic
+    * "microphone" rule the oracle re-derives in SQL: 8/12/16 kHz,
+    * mono/stereo, 16-bit PCM, 50-549 samples. */
+  private def wavParams(nChars: Long): (Int, Int, Int) =
+    ((8000 + (nChars % 3) * 4000).toInt, (1 + nChars % 2).toInt,
+      (nChars % 500 + 50).toInt)
+
+  /** Build a valid PCM WAV: RIFF header + 16-byte fmt chunk + data
+    * chunk; sample byte i is i % 256. */
+  private[ext] def buildWav(nChars: Long): Array[Byte] = {
+    val (rate, channels, nSamples) = wavParams(nChars)
+    val dataSize = nSamples * channels * 2 // 16-bit PCM
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+      .putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII"))
+      .putInt(16)                       // PCM fmt chunk size
+      .putShort(1)                      // audio format: PCM
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * channels * 2)      // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16)                     // bits per sample
+      .put("data".getBytes("US-ASCII"))
+      .putInt(dataSize)
+    var i = 0
+    while (i < dataSize) { buf.put((i % 256).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** Attach a REAL audio payload: a valid 16-bit PCM WAV per document,
+    * parameters a pure function of n_chars; same executor-side
+    * construction as [[withBmpPayload]]. */
+  def withWavPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id", "n_chars").rdd.mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), buildWav(r.getLong(1))))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val wavSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("bits", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("dur_sec_x10k", LongType, nullable = false)))
+
+  /** Parse one WAV header (real decode, JDK I/O): validates RIFF/WAVE
+    * magics, the fmt tag, and the declared sizes against the payload so
+    * corrupt bytes fail loudly. Duration is floor(10000 * samples /
+    * rate) — exact integer arithmetic, engine-portable. */
+  private def parseWav(docId: Long, payload: Array[Byte]): Row = {
+    require(payload.length >= 44 &&
+      payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E',
+      s"doc $docId: not a RIFF/WAVE payload")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt(16) == 16 && buf.getShort(20) == 1,
+      s"doc $docId: not plain PCM")
+    val channels = buf.getShort(22).toLong
+    val rate = buf.getInt(24).toLong
+    val bits = buf.getShort(34).toLong
+    val dataSize = buf.getInt(40).toLong
+    require(dataSize == payload.length - 44,
+      s"doc $docId: data chunk says $dataSize bytes, payload has ${payload.length - 44}")
+    val nSamples = dataSize / (channels * bits / 8)
+    Row(docId, rate, channels, bits, nSamples,
+      math.floor(10000.0 * nSamples / rate).toLong)
+  }
+
+  /** Batch WAV decode via mapPartitions — the audio twin of
+    * [[decodeBmp]]. Output: (doc_id, sample_rate, channels, bits,
+    * n_samples, dur_sec_x10k), every field read from the bytes. */
+  def decodeWav(withPayloadDf: DataFrame): DataFrame = {
+    val spark = withPayloadDf.sparkSession
+    val rdd = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions {
+      it => it.map(r => parseWav(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }
+    spark.createDataFrame(rdd, wavSchema)
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("features", ArrayType(LongType, containsNull = false),

@@ -584,6 +584,24 @@ object Extensions {
          |  CAST(24 AS BIGINT) AS bpp, CAST(px AS BIGINT) AS px_bytes
          |FROM g ORDER BY doc_id""".stripMargin),
 
+    // the audio twin of x61: every doc carries a valid 16-bit PCM WAV
+    // (RIFF built executor-side, parameters a pure function of n_chars)
+    // and the judged fields are parsed from the actual bytes — the
+    // oracle re-derives the construction formula, so a parser bug is a
+    // correctness failure
+    Q.df("x121_audio_meta",
+      (s, dir) => Multimodal.decodeWav(
+        Multimodal.withWavPayload(Tables.load(s, dir, "documents")))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  CAST(8000 + (n_chars % 3) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + n_chars % 2 AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(n_chars % 500 + 50 AS BIGINT) AS n_samples,
+        |  CAST(floor(10000.0 * (n_chars % 500 + 50) /
+        |       (8000 + (n_chars % 3) * 4000)) AS BIGINT) AS dur_sec_x10k
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // frame sampling over the BMP payloads (video/audio chunk access)
     Q.df("x69_mm_frames",
       (s, dir) => Multimodal.sampleFrames(

@@ -28,6 +28,27 @@ class ExtSpec extends SparkSpec {
     assert(decoded == twin)
   }
 
+  test("WAV decode: parsed fields round-trip the construction formula; corrupt rejected") {
+    import org.apache.spark.sql.functions._
+    val decoded = Multimodal.decodeWav(Multimodal.withWavPayload(docs))
+      .orderBy("doc_id").collect().toSeq
+    val twin = docs.select(col("doc_id"),
+        (lit(8000) + (col("n_chars") % 3) * 4000).cast("long").as("sample_rate"),
+        (lit(1) + col("n_chars") % 2).cast("long").as("channels"),
+        lit(16L).as("bits"),
+        (col("n_chars") % 500 + 50).cast("long").as("n_samples"),
+        floor(lit(10000.0) * (col("n_chars") % 500 + 50) /
+          (lit(8000) + (col("n_chars") % 3) * 4000)).cast("long")
+          .as("dur_sec_x10k"))
+      .orderBy("doc_id").collect().toSeq
+    assert(decoded == twin)
+    val bad = docs.limit(1).select(col("doc_id"),
+      encode(lit("RIFFxxxxNOPE definitely not audio, padded to length......"),
+        "UTF-8").as("payload"))
+    val e = intercept[Exception](Multimodal.decodeWav(bad).collect())
+    assert(e.getMessage != null)
+  }
+
   test("BMP decode rejects corrupt payloads loudly") {
     import org.apache.spark.sql.functions._
     val bad = docs.limit(1).select(col("doc_id"),
