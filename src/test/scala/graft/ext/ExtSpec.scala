@@ -514,6 +514,31 @@ class ExtSpec extends SparkSpec {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("range join property: equals the naive join on random intervals, any width") {
+    // deterministic pseudo-random fixture (seeded), negative values
+    // included — floor-based bucketing must stay exact across zero
+    val rnd = new scala.util.Random(42)
+    val spark0 = spark
+    import spark0.implicits._
+    val points = (1 to 300)
+      .map(i => (i.toLong, rnd.nextLong(2000) - 1000))
+      .toDF("pid", "ts")
+    val intervals = (1 to 120).map { i =>
+      val s = rnd.nextLong(2000) - 1000
+      (i.toLong, s, s + rnd.nextLong(90))
+    }.toDF("iid", "st", "en")
+    val naive = points.join(intervals,
+        points("ts") >= intervals("st") && points("ts") <= intervals("en"))
+      .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+    assert(naive.nonEmpty)
+    for (w <- Seq(1L, 3L, 7L, 100L, 5000L)) {
+      val got = RangeJoin.bucketed(points, intervals,
+          points("ts"), intervals("st"), intervals("en"), w)
+        .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+      assert(got == naive, s"width $w: ${got.size} vs ${naive.size}")
+    }
+  }
+
   test("salted join is row-for-row equal to the plain join") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, dir, "events")
