@@ -174,14 +174,18 @@ object Similarity {
     * per-iteration data flow is already the right one. */
   def kmeansFit(emb: DataFrame, k: Int, iters: Int,
                 l2: Boolean = false): (DataFrame, Array[(Int, Array[Float])]) = {
-    var centroids: Array[(Int, Array[Float])] = emb
+    // pin the corpus for the fit: every Lloyd iteration scans it (one
+    // assignment + one update pass), so an uncached source is re-read
+    // 2*iters times — at scale the fit input is a cached sample anyway
+    val embC = CacheRegistry.pin(emb)
+    var centroids: Array[(Int, Array[Float])] = embC
       .where(col("vec_id") < k).orderBy("vec_id")
       .select("embedding").collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
     val dim = centroids.head._2.length
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = assignCells(emb, centroids, l2)
+      assigned = assignCells(embC, centroids, l2)
       // new centroids: k*dim (cell, pos, sum, count) rows — the only
       // thing collected, regardless of corpus size
       val byCell = centroidUpdate(assigned).collect()
@@ -198,7 +202,7 @@ object Similarity {
     // is CONSISTENT: inside the loop the assignment predates the last
     // centroid update, and an index built from the stale labels would
     // disagree with query-side probes ranked by the final centroids
-    assigned = assignCells(emb, centroids, l2)
+    assigned = assignCells(embC, centroids, l2)
     (assigned.select(col("vec_id"), col("cell")), centroids)
   }
 
