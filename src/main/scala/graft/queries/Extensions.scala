@@ -1089,6 +1089,16 @@ object Extensions {
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
         |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin),
 
+    // foreachBatch sink: update-mode running totals appended to an
+    // upsert journal per micro-batch, compacted latest-batch-wins on
+    // read — the custom-sink exactly-once pattern; equals the batch
+    // aggregation over the drained backlog
+    Q.df("x122_stream_foreachbatch",
+      (s, dir) => Streaming.userTotalsForeachBatch(s, dir),
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // Bloom-prefiltered incremental dedup: corpus fingerprints -> Bloom
     // sketch -> only the maybe-duplicate slice of the new batch pays the
     // exact anti-join; result is exactly incrementalNew's (fpp-bounded

@@ -152,6 +152,61 @@ object Streaming {
     }
   }
 
+  /** Per-user running totals through a FOREACHBATCH sink — the
+    * custom-sink escape hatch of Structured Streaming, used exactly as
+    * production pipelines use it: an update-mode aggregation hands each
+    * micro-batch's CHANGED rows to arbitrary batch code, which appends
+    * them to an upsert journal (parquet keyed by batch id, written by
+    * executors); the serving read compacts the journal by taking each
+    * key's row from its latest batch. Retried batches rewrite the same
+    * (key, batch_id) rows with identical values, so the compaction is
+    * idempotent — exactly-once results over an at-least-once sink, the
+    * standard foreachBatch contract (a transactional store would MERGE
+    * instead; the streaming side is identical).
+    *
+    * State is bounded by user cardinality (running totals, no
+    * watermark needed); money is summed as floor-scaled cents so the
+    * result is engine-exact. Output: (user_id, n_events, cents). */
+  def userTotalsForeachBatch(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withStreamDirs(dir) { (stage, ckpt) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_feb_out")
+      try {
+        val src = spark.readStream
+          .schema(eventsRawSchema)
+          .parquet(stage)
+          .select(col("user_id"),
+            floor(col("value") * 100).cast("bigint").as("cents"))
+        val agg = src.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+        val q = agg.writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(out.toString)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // serving-side compaction: latest batch wins per key (ties from
+        // batch retries carry identical values)
+        val journal = spark.read.parquet(out.toString)
+        val latest = journal.groupBy("user_id")
+          .agg(max_by(struct(col("n_events"), col("cents")),
+            col("batch_id")).as("s"))
+          .select(col("user_id"), col("s.n_events").as("n_events"),
+            col("s.cents").as("cents"))
+        val schema = latest.schema
+        val rows = latest.orderBy("user_id").collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+          .orderBy("user_id")
+      } finally rmTree(out)
+    }
+  }
+
   /** Stream-static join: the replayed event stream enriched against a
     * static dimension (per-customer order counts), then aggregated by
     * event type. The join side is a plain batch DataFrame — Spark
