@@ -14,7 +14,8 @@ class StreamingSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.list(tmp).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(n => n.startsWith("graft_ckpt") || n.startsWith("graft_stream_src"))
+      .filter(n => n.startsWith("graft_ckpt") || n.startsWith("graft_stream_src") ||
+        n.startsWith("graft_feb_out") || n.startsWith("graft_stream_out"))
       .toSet
   }
 
@@ -24,8 +25,23 @@ class StreamingSpec extends SparkSpec {
     assert(r.count() > 0) // the query really ran (memory sink populated)
     val r2 = Streaming.streamStaticJoin(spark, dir)
     assert(r2.count() > 0)
+    val r3 = Streaming.userTotalsForeachBatch(spark, dir)
+    assert(r3.count() > 0)
     assert(graftTmpDirs() == before,
       s"leaked: ${graftTmpDirs().diff(before).mkString(",")}")
+  }
+
+  test("foreachBatch compaction equals the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streaming.userTotalsForeachBatch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("bigint")).as("cents"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
   }
 
   test("stream-stream join equals the batch interval self-join") {
