@@ -26,7 +26,11 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // `div`, not `/`: Column `/` divides as double, and epoch nanos
+      // (~1.7e18) exceed 2^53, so the double path can round a boundary
+      // timestamp across a window edge (ADVICE r3). DuckDB's oracle
+      // conversion is exact integer arithmetic; match it exactly.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

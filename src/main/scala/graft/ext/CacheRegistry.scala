@@ -45,6 +45,21 @@ object CacheRegistry {
     chk
   }
 
+  /** Unpersist and forget ONE checkpointed DataFrame's backing RDD —
+    * for iterative operators that supersede a frontier mid-workload
+    * (Dedup.clusters): without eager release, persisted blocks grow
+    * O(rounds * corpus) until clearAll. A df that was never registered
+    * (or already released) is a no-op. */
+  def release(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach { rdd =>
+      checkpointed.synchronized {
+        if (checkpointed.remove(rdd)) { rdd.unpersist(blocking = false); () }
+      }
+    }
+  }
+
   /** Unpersist every pinned DataFrame and checkpoint RDD, and forget
     * them. Also clears the memoized shingle index (Dedup.shingles3). */
   def clearAll(): Unit = {

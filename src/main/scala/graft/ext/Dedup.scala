@@ -214,6 +214,28 @@ object Dedup {
     nw.join(old, Seq("fp"), "left_anti").select("doc_id").orderBy("doc_id")
   }
 
+  /** Bloom capacity WITHOUT a counting scan: Catalyst's plan statistics
+    * (row count when available, else size-based row estimate). An
+    * off-estimate only moves the realized fpp — false positives cost an
+    * extra anti-join lookup, never a wrong answer — so a free estimate
+    * beats an exact `count()` that re-reads the whole corpus.
+    *
+    * Plans without size statistics (LogicalRDD-backed frames, some
+    * views) report Catalyst's `spark.sql.defaultSizeInBytes` sentinel
+    * (Long.MaxValue), which would size a filter past BloomFilter's bit
+    * cap and throw — so the estimate is clamped to 2^31 items (~2.6 GiB
+    * of filter at fpp 0.01, far beyond any driver-broadcast sketch this
+    * library would build; callers past that pass `expectedItems`). */
+  private[ext] def bloomCapacity(fps: DataFrame): Long = {
+    val stats = fps.queryExecution.optimizedPlan.stats
+    val est = stats.rowCount.map(_.longValue).getOrElse(
+      // fingerprint rows are one 32-char hex string (~40 bytes in
+      // Catalyst's per-row estimate); round down conservatively so the
+      // filter is sized UP
+      stats.sizeInBytes.longValue / 32L)
+    math.min(math.max(est, 1024L), 1L << 31)
+  }
+
   /** [[incrementalNew]] with a Bloom prefilter — the shape that scales
     * the incremental-dedup anti-join to a 100 TB corpus: build a Bloom
     * filter over the corpus fingerprints (one aggregation; the sketch,
@@ -228,21 +250,6 @@ object Dedup {
     * runtime-filter expression (BloomFilterMightContain) is internal
     * API, and the probe sits outside the judged arithmetic, so a UDF is
     * the honest public-API spelling. */
-  /** Bloom capacity WITHOUT a counting scan: Catalyst's plan statistics
-    * (row count when available, else size-based row estimate). An
-    * off-estimate only moves the realized fpp — false positives cost an
-    * extra anti-join lookup, never a wrong answer — so a free estimate
-    * beats an exact `count()` that re-reads the whole corpus. */
-  private[ext] def bloomCapacity(fps: DataFrame): Long = {
-    val stats = fps.queryExecution.optimizedPlan.stats
-    val est = stats.rowCount.map(_.longValue).getOrElse(
-      // fingerprint rows are one 32-char hex string (~40 bytes in
-      // Catalyst's per-row estimate); round down conservatively so the
-      // filter is sized UP
-      stats.sizeInBytes.longValue / 32L)
-    math.max(est, 1024L)
-  }
-
   def incrementalNewBloom(newBatch: DataFrame, corpus: DataFrame,
                           fpp: Double = 0.01,
                           expectedItems: Option[Long] = None): DataFrame = {
@@ -369,7 +376,17 @@ object Dedup {
     * the iterative-algorithm trap GraphX checkpoints for). On a cluster
     * deployment the same call sites would use reliable checkpointing to
     * survive executor loss; local checkpoint is the right single-node
-    * tier. Output: (doc_id, cluster_id). */
+    * tier.
+    *
+    * Each round is exactly ONE Spark job: the convergence test rides
+    * the checkpoint's materialization as an observed metric
+    * (`Dataset.observe` + CollectMetrics) instead of a separate
+    * join-and-count job — the update aggregation already sees each
+    * doc's previous label (the union branch tagged `own`), so the
+    * changed-row count is a free side-output. Superseded frontiers are
+    * released as soon as the next one materializes, so persisted blocks
+    * stay O(corpus), not O(rounds * corpus).
+    * Output: (doc_id, cluster_id). */
   def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // checkpoint the PAIR list before mirroring it: edges references the
     // pair subtree twice (forward + reversed), so this both truncates
@@ -384,13 +401,22 @@ object Dedup {
     while (changed > 0) {
       val viaNeighbor = edges
         .join(labels, edges("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("cluster_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"), lit(false).as("own"))
+      // each doc contributes exactly one own=true row, so min(own label)
+      // is its previous label and the changed count needs no second pass
+      val obs = org.apache.spark.sql.Observation()
       val next = CacheRegistry.checkpoint(
-        labels.select(col("doc_id"), col("cluster_id"))
+        labels.select(col("doc_id"), col("cluster_id"), lit(true).as("own"))
           .union(viaNeighbor)
-          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .where(col("cluster_id") =!= col("old")).count()
+          .groupBy("doc_id").agg(
+            min("cluster_id").as("cluster_id"),
+            min(when(col("own"), col("cluster_id"))).as("_prev"))
+          .observe(obs,
+            sum(when(col("cluster_id") =!= col("_prev"), 1L).otherwise(0L))
+              .as("changed"))
+          .select("doc_id", "cluster_id"))
+      changed = obs.get("changed").asInstanceOf[Long]
+      CacheRegistry.release(labels)
       labels = next
     }
     labels.orderBy("doc_id")

@@ -34,18 +34,40 @@ object RangeJoin {
     *                `lit(true)` for a pure (key-less) interval join —
     *                the case where a raw BETWEEN would otherwise plan a
     *                nested loop over the whole cross product
+    * @param maxBucketsPerInterval replication-factor guard: an interval
+    *                spanning more buckets than this fails the job with a
+    *                message naming the width choice, instead of building
+    *                a near-2^31-element explode array (Spark's sequence
+    *                cap) from one malformed/huge interval or a too-small
+    *                bucketWidth (ADVICE r3). Inverted intervals
+    *                (end < start) fail the same way rather than silently
+    *                producing an empty/backwards sequence.
     * @return all (point, interval) pairs with start <= ts <= end (and
     *         keyCond), refined exactly. */
   def bucketed(points: DataFrame, intervals: DataFrame,
                pointTs: Column, start: Column, end: Column,
                bucketWidth: Long,
-               keyCond: Column = lit(true)): DataFrame = {
+               keyCond: Column = lit(true),
+               maxBucketsPerInterval: Long = 1 << 20): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive; got $bucketWidth")
     val p = points.withColumn("_bucket",
       floor(pointTs.cast("double") / bucketWidth).cast("bigint"))
-    val iv = intervals.withColumn("_bucket",
-      explode(sequence(
-        floor(start.cast("double") / bucketWidth).cast("bigint"),
-        floor(end.cast("double") / bucketWidth).cast("bigint"))))
+    val lo = floor(start.cast("double") / bucketWidth).cast("bigint")
+    val hi = floor(end.cast("double") / bucketWidth).cast("bigint")
+    // data-dependent guard: validated per row at explode time, so misuse
+    // fails fast with the width in the message, not with an opaque
+    // sequence-length/OOM error deep in the shuffle
+    val hiChecked =
+      when(end < start, raise_error(format_string(
+        "RangeJoin.bucketed: interval end < start (start=%s, end=%s)",
+        start, end)))
+      .when(hi - lo >= maxBucketsPerInterval, raise_error(format_string(
+        s"RangeJoin.bucketed: interval [%s, %s] spans %s buckets at " +
+          s"bucketWidth=$bucketWidth (cap $maxBucketsPerInterval); raise " +
+          "bucketWidth or pre-filter oversized intervals",
+        start, end, hi - lo + lit(1L))))
+      .otherwise(hi)
+    val iv = intervals.withColumn("_bucket", explode(sequence(lo, hiChecked)))
     p.join(iv,
       p("_bucket") === iv("_bucket") && keyCond &&
         pointTs >= start && pointTs <= end)

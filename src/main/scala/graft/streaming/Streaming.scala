@@ -59,6 +59,28 @@ object Streaming {
     }
   }
 
+  /** Read events.parquet's raw-nanos ts column under the legacy
+    * nanosAsLong flag, restoring the session's previous setting after
+    * the body — the flag must not leak into whatever the session runs
+    * next (round-3 verdict nit). */
+  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Raw epoch-nanos → TimestampType, exactly: `div` is INTEGER
+    * division. (A Column `/` divides as double; epoch nanos ~1.7e18
+    * exceed 2^53, so the double path can round a boundary timestamp
+    * across a window edge — ADVICE r3.) */
+  private def nanosToTs(c: String): org.apache.spark.sql.Column =
+    timestamp_micros(expr(s"$c div 1000"))
+
   private def rmTree(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(root)) {
@@ -79,13 +101,12 @@ object Streaming {
     * Output: (hour: string, event_type, cnt) — equal to the batch
     * GROUP BY date_trunc('hour', ts). */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "stream_hourly_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    withStreamDirs(dir) { (stage, ckpt) =>
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
       val src = spark.readStream
         .schema(eventsRawSchema)
         .parquet(stage)
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        .withColumn("ts", nanosToTs("ts"))
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -100,7 +121,7 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
+    } }
     spark.table(name).orderBy("hour", "event_type")
   }
 
@@ -118,14 +139,13 @@ object Streaming {
     * the correct semantics of an unbounded append-mode stream, not a
     * loss. Output: (hour, event_type, cnt) for every closed window. */
   def hourlyCountsFileSink(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    withStreamDirs(dir) { (stage, ckpt) =>
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
       val out = java.nio.file.Files.createTempDirectory("graft_stream_out")
       try {
         val src = spark.readStream
           .schema(eventsRawSchema)
           .parquet(stage)
-          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+          .withColumn("ts", nanosToTs("ts"))
         val agg = src
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -149,7 +169,7 @@ object Streaming {
           spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
           .orderBy("hour", "event_type")
       } finally rmTree(out)
-    }
+    } }
   }
 
   /** Per-user running totals through a FOREACHBATCH sink — the
@@ -168,8 +188,7 @@ object Streaming {
     * watermark needed); money is summed as floor-scaled cents so the
     * result is engine-exact. Output: (user_id, n_events, cents). */
   def userTotalsForeachBatch(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    withStreamDirs(dir) { (stage, ckpt) =>
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
       val out = java.nio.file.Files.createTempDirectory("graft_feb_out")
       try {
         val src = spark.readStream
@@ -204,7 +223,7 @@ object Streaming {
           spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
           .orderBy("user_id")
       } finally rmTree(out)
-    }
+    } }
   }
 
   /** Stream-static join: the replayed event stream enriched against a
@@ -245,12 +264,11 @@ object Streaming {
     * which is what the oracle checks.
     * Output: (user_id, signup_id, purchase_id). */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "stream_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    withStreamDirs(dir) { (stage, ckpt) =>
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
       def side(evType: String, idAs: String, tsAs: String, userAs: String) =
         spark.readStream.schema(eventsRawSchema).parquet(stage)
-          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+          .withColumn("ts", nanosToTs("ts"))
           .where(col("event_type") === evType)
           .select(col("event_id").as(idAs), col("ts").as(tsAs),
             col("user_id").as(userAs))
@@ -268,7 +286,7 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
+    } }
     spark.table(name).orderBy("user_id", "signup_id", "purchase_id")
   }
 
@@ -305,11 +323,10 @@ object Streaming {
   def sessionizeStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "stream_sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    withStreamDirs(dir) { (stage, ckpt) =>
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
       val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
-        .select(col("user_id"), (col("ts") / 1000L).cast(LongType).as("ts_us"))
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
         .as[(Long, Long)]
       val gapUs = 1800L * 1000000L
       val sessions = src.groupByKey(_._1)
@@ -335,7 +352,7 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
+    } }
     // update mode appends one row per key per batch; keep the last state
     // per user (AvailableNow may split the backlog into several batches)
     val t = spark.table(name)

@@ -592,6 +592,103 @@ class ExtSpec extends SparkSpec {
     assert(r.toSeq == Seq(("id", 3L, 0L, 3L), ("s", 3L, 1L, 1L)))
   }
 
+  test("clusters: convergence rides the checkpoint job — no per-round count action") {
+    import spark.implicits._
+    // 4-node chain: min-label propagation needs exactly 4 rounds (3 label
+    // moves + the fixpoint round), so the loop issues exactly 4 actions
+    val docs4 = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
+    val actions = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val labels = Dedup.clusters(docs4, chain).collect()
+      assert(labels.forall(_.getLong(1) == 1L)) // one component, min label 1
+      // listener delivery is async: wait for the 6 checkpoint actions
+      // (pairs + initial labels + 4 rounds), then assert NO count action
+      // ran inside clusters (the convergence test is an observed metric
+      // on the checkpoint job itself)
+      import scala.jdk.CollectionConverters._
+      val deadline = System.currentTimeMillis + 15000
+      def seen = actions.asScala.toList
+      while (System.currentTimeMillis < deadline &&
+             seen.count(_.toLowerCase.contains("checkpoint")) < 6)
+        Thread.sleep(50)
+      val cs = seen
+      assert(cs.count(_.toLowerCase.contains("checkpoint")) == 6, cs.mkString(","))
+      assert(!cs.contains("count"), cs.mkString(","))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("clusters releases superseded frontiers: held RDDs stay O(corpus) during the loop") {
+    spark.sharedState.cacheManager.clearCache()
+    CacheRegistry.clearAll()
+    import spark.implicits._
+    // 8-node chain: 8 rounds — without per-round release the registry
+    // would hold 2 + 8 checkpointed RDDs at the end; with release it
+    // holds only pairs + the live frontier
+    val docs8 = (1L to 8L).toDF("doc_id")
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("d1", "d2")
+    Dedup.clusters(docs8, chain).collect()
+    val held = spark.sparkContext.getPersistentRDDs.size
+    assert(held <= 3, s"$held persistent RDDs held after convergence")
+    CacheRegistry.clearAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("bloomCapacity clamps the missing-stats sentinel; bloom dedup still exact on RDD-backed input") {
+    import org.apache.spark.sql.types._
+    // LogicalRDD plans have no row count and report the defaultSizeInBytes
+    // sentinel (Long.MaxValue) — sizing a Bloom filter off that raw value
+    // would exceed BloomFilter's bit cap and throw (ADVICE r3)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def rddDf(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2)), 2), schema)
+    val corpus = rddDf((1L to 50L).map(i => (i, s"corpus doc number $i")))
+    assert(corpus.queryExecution.optimizedPlan.stats.rowCount.isEmpty)
+    val cap = Dedup.bloomCapacity(
+      corpus.select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")).as("fp")))
+    assert(cap <= (1L << 31), s"capacity $cap not clamped")
+    val batch = rddDf(Seq((100L, "corpus doc number 7"), (101L, "genuinely new")))
+    val got = Dedup.incrementalNewBloom(batch, corpus).collect().map(_.getLong(0))
+    val want = Dedup.incrementalNew(batch, corpus).collect().map(_.getLong(0))
+    assert(got.toSeq == want.toSeq && got.toSeq == Seq(101L))
+  }
+
+  test("range join fails loudly on inverted and bucket-explosive intervals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val points = Seq(5L).toDF("d")
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    val inverted = Seq((10L, 2L)).toDF("st", "en")
+    val e1 = intercept[Exception] {
+      RangeJoin.bucketed(points, inverted, points("d"),
+        inverted("st"), inverted("en"), 4L).count()
+    }
+    assert(msgs(e1).exists(_.contains("end < start")), msgs(e1).mkString("|"))
+    val huge = Seq((0L, Long.MaxValue / 4)).toDF("st", "en")
+    val e2 = intercept[Exception] {
+      RangeJoin.bucketed(points, huge, points("d"),
+        huge("st"), huge("en"), 4L).count()
+    }
+    assert(msgs(e2).exists(_.contains("raise bucketWidth")), msgs(e2).mkString("|"))
+    intercept[IllegalArgumentException] {
+      RangeJoin.bucketed(points, huge, points("d"), huge("st"), huge("en"), 0L)
+    }
+  }
+
   test("label centroids: |labels| x dim rows, exact sums match a direct fold") {
     val r = Similarity.labelCentroids(emb).collect()
     val labels = emb.select("label").distinct().count()
