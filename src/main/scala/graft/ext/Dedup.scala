@@ -197,10 +197,13 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Normalization fingerprint column (whitespace-collapsed lowercased
-    * md5) — the cross-batch exact-dedup key. */
-  private def fpCol: Column =
-    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+  /** Normalization fingerprint (whitespace-collapsed lowercased md5) —
+    * the exact-dedup key used by every exact/incremental dedup operator
+    * and the curation pipeline ([[Curation]]). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  private def fpCol: Column = fingerprint(col("text"))
 
   /** Incremental dedup: documents of the NEW batch whose normalized
     * fingerprint does not appear in the existing corpus — the daily

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Dedup, Multimodal, Pack, Sampling, Similarity, TextStats}
+import graft.ext.{AsofJoin, Curation, Dedup, Multimodal, Pack, Sampling, Similarity, TextStats}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -1332,6 +1332,125 @@ object Extensions {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM t
         |), p AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS pack_id
+        |  FROM c
+        |)
+        |SELECT bucket, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY bucket, pack_id
+        |ORDER BY bucket, pack_id""".stripMargin),
+
+    // THE END-TO-END CURATION PIPELINE — every stage above composed as
+    // one DAG and judged as one query: quality gate (x78) -> exact
+    // dedup keep-min (x55 family) -> near-dup keeper (x71 pipeline) ->
+    // SimHash decontamination vs the held-out src19 split (x87) ->
+    // sequence packing (x115). The oracle is the same five stages
+    // composed as chained CTEs. Catches inter-stage schema drift that
+    // no per-stage judgment sees; PlanSpec guards the single-raw-scan
+    // property (every stage reads the pinned/checkpointed boundary).
+    Q.df("x123_curation_pipeline",
+      (s, dir) => Curation.curate(Tables.load(s, dir, "documents"), 256),
+      """WITH RECURSIVE
+        |tok0 AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |),
+        |st AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |    CAST(floor(10000.0 * sum(CASE WHEN w IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS stop_x10k,
+        |    CAST(floor(10000.0 * sum(length(w)) / count(*)) AS BIGINT) AS avglen_x10k
+        |  FROM tok0 GROUP BY doc_id
+        |),
+        |q AS (
+        |  SELECT doc_id FROM st
+        |  WHERE n_tok >= 20 AND stop_x10k >= 100
+        |    AND avglen_x10k BETWEEN 30000 AND 80000
+        |),
+        |base1 AS (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+        |  WHERE d.source <> 'src19'
+        |),
+        |ex AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM (SELECT doc_id,
+        |          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |        FROM base1)
+        |  GROUP BY fp
+        |),
+        |base2 AS (SELECT b.* FROM base1 b JOIN ex USING (doc_id)),
+        |tok AS (SELECT t.* FROM tok0 t JOIN base2 USING (doc_id)),
+        |sh0 AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |),
+        |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 2),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+        |),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs
+        |),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM base2
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        |),
+        |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |base3 AS (
+        |  SELECT b.* FROM base2 b JOIN labels c ON b.doc_id = c.doc_id
+        |  WHERE b.doc_id = c.cluster_id
+        |),
+        |nib AS (
+        |  SELECT doc_id, j, instr('0123456789abcdef', substr(md5(w), j, 1)) - 1 AS v
+        |  FROM tok0, range(1, 5) r(j)
+        |),
+        |bits AS (
+        |  SELECT doc_id, (j - 1) * 4 + b.b AS pos,
+        |    sum(CASE WHEN (v & b.mask) > 0 THEN 1 ELSE -1 END) AS s
+        |  FROM nib, (VALUES (0, 1), (1, 2), (2, 4), (3, 8)) AS b(b, mask)
+        |  GROUP BY doc_id, (j - 1) * 4 + b.b
+        |),
+        |sk AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id
+        |),
+        |base4 AS (
+        |  SELECT b3.* FROM base3 b3
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM sk n JOIN sk o ON n.simhash = o.simhash
+        |    JOIN documents dd ON o.doc_id = dd.doc_id
+        |    WHERE n.doc_id = b3.doc_id AND dd.source = 'src19')
+        |),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(instr('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+        |      AS bucket
+        |  FROM base4
+        |),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |),
+        |p AS (
         |  SELECT doc_id, bucket, n_tok,
         |    CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS pack_id
         |  FROM c

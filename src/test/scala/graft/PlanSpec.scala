@@ -171,4 +171,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
   }
+
+  test("x123 curation pipeline: raw source scanned once — final plan reads only staged boundaries") {
+    spark.sharedState.cacheManager.clearCache()
+    ext.CacheRegistry.clearAll()
+    val out = SparkEntry.queries("x123_curation_pipeline")(spark, dir)
+    // every stage reads either the pinned raw projection (InMemoryScan)
+    // or a checkpointed survivor boundary (RDD scan); a FileSourceScan
+    // of documents.parquet here would mean some stage re-reads the raw
+    // 100 TB source instead of the staged frame
+    val p = out.queryExecution.executedPlan
+    val fileScans = p.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("documents") => f
+    }
+    assert(fileScans.isEmpty, fileScans.mkString("\n"))
+    val ps = p.toString
+    assert(ps.contains("InMemoryTableScan") || ps.contains("Scan ExistingRDD"), ps)
+    assert(out.count() > 0)
+    ext.CacheRegistry.clearAll()
+  }
 }

@@ -689,6 +689,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("curation survivors: train-only, quality-gated, fingerprint-unique, uncontaminated") {
+    import org.apache.spark.sql.functions._
+    val surv = Curation.survivors(docs).cache()
+    try {
+      assert(surv.count() > 0)
+      // train split only
+      assert(surv.where(col("source") === "src19").count() == 0)
+      // every survivor passes the quality gate
+      val rejected = TextStats.qualityFilter(docs.where(col("source") =!= "src19"))
+        .where(!col("keep")).select("doc_id")
+      assert(surv.join(rejected, "doc_id").count() == 0)
+      // normalized fingerprints are unique after exact dedup
+      val fps = surv.select(Dedup.fingerprint(col("text")).as("fp"))
+      assert(fps.count() == fps.distinct().count())
+      // no survivor's sketch collides with the held-out eval split
+      assert(Dedup.contaminationFuzzy(surv,
+        docs.where(col("source") === "src19")).count() == 0)
+      // and the packed manifest accounts for every survivor exactly once
+      val m = Curation.curate(docs, 256)
+      assert(m.agg(sum("n_docs")).head.getLong(0) == surv.count())
+    } finally { surv.unpersist(); CacheRegistry.clearAll(); () }
+  }
+
   test("label centroids: |labels| x dim rows, exact sums match a direct fold") {
     val r = Similarity.labelCentroids(emb).collect()
     val labels = emb.select("label").distinct().count()
