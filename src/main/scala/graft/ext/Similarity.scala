@@ -385,44 +385,72 @@ object Similarity {
     * the per-query LUT slice (nQueries*nprobe*m*ksub rows, corpus-
     * independent) broadcasts — spec-guarded in PlanSpec so no change can
     * silently regress it to a full-corpus scoring join.
+    * With `residual = true` this is the actual FAISS IVF-PQ
+    * formulation: the PQ codebooks are fit on the RESIDUALS
+    * x − centroid(cell(x)) instead of the raw vectors. Residuals inside
+    * a cell occupy a much smaller ball than the raw corpus, so the same
+    * m×ksub codebook budget quantizes them with less error — better
+    * candidate ranking (higher recall) at identical index size and
+    * scoring cost. The ADC score decomposes exactly:
+    * dot(q, x) = dot(q, c_cell) + dot(q, r); the first term is one
+    * per-(query, probed-cell) constant carried on the (broadcast) probe
+    * rows, the second is the usual m-entry LUT sum — so the scoring
+    * join shape is UNCHANGED, only the codebooks move. The residual
+    * pass is one zip_with projection over the corpus (narrow, no
+    * shuffle).
+    *
     * Output: (qid, vec_id, dot_q, rn) — dot_q is the exact re-rank
     * score; rows-only judged like IVF and PQ (approximate by design,
-    * recall spec-guarded). */
+    * recall spec-guarded; the residual variant's recall floor is
+    * strictly above the raw variant's). */
   def knnIvfPq(emb: DataFrame, nQueries: Int, k: Int, cells: Int = 8,
                nprobe: Int = 3, m: Int = 8, ksub: Int = 32, iters: Int = 3,
-               refine: Int = 16): DataFrame = {
+               refine: Int = 16, residual: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // coarse quantizer: every vector assigned to one of `cells` cells
     val (assign, centroids) = kmeansFit(emb, cells, iters)
-    // PQ codebooks + codes over the corpus (raw vectors; a residual
-    // encoding would reuse the same machinery on x - centroid(x))
-    val (codes, lutDf, subDim) = pqFit(emb, m, ksub, iters)
-    // the IVF-PQ index: coarse cell + m PQ codes per vector
-    val index = CacheRegistry.pin(
-      codes.join(assign.withColumnRenamed("cell", "ivf_cell"), "vec_id"))
+    val assignR = assign.withColumnRenamed("cell", "ivf_cell")
     val cdf = broadcast(centroids.toSeq.toDF("ivf_cell", "centroid"))
+    // PQ codebooks + codes: raw vectors, or per-cell residuals (the
+    // FAISS IVF-PQ encoding — same machinery on x - centroid(x))
+    val pqInput =
+      if (!residual) emb.select("vec_id", "embedding")
+      else emb.select(col("vec_id"), col("embedding")).join(assignR, "vec_id")
+        .join(cdf.withColumnRenamed("centroid", "ccent"), "ivf_cell")
+        .select(col("vec_id"), expr(
+          "zip_with(embedding, ccent, (x, c) -> " +
+            "CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS FLOAT))")
+          .as("embedding"))
+    val (codes, lutDf, subDim) = pqFit(pqInput, m, ksub, iters)
+    // the IVF-PQ index: coarse cell + m PQ codes per vector
+    val index = CacheRegistry.pin(codes.join(assignR, "vec_id"))
     // probe: nprobe best cells per query, ranked by the same quantized
-    // similarity used for scoring
+    // similarity used for scoring; the per-cell dot is kept — it is the
+    // dot(q, c_cell) term of the residual decomposition
     val qCells = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .crossJoin(cdf)
+      .withColumn("cdot", dotQNative(emb, col("qe"), col("centroid")))
       .withColumn("crn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
-          .orderBy(dotQNative(emb, col("qe"), col("centroid")).desc,
-            col("ivf_cell"))))
+          .orderBy(col("cdot").desc, col("ivf_cell"))))
       .where(col("crn") <= nprobe)
-      .select(col("qid"), col("ivf_cell"))
+      .select(col("qid"), col("ivf_cell"), col("cdot"))
     // per-query LUT entries replicated per probed cell — still
     // broadcast-sized (nQueries * nprobe * m * ksub)
     val probedParts = qCells.join(
       pqQueryParts(emb, nQueries, m, subDim, lutDf), "qid")
     // ADC scoring keyed on the coarse cell: a vector is scored iff its
     // cell is probed by that query; each (query, vector) hit sums its m
-    // LUT entries map-side
+    // LUT entries map-side. A vector lives in exactly one cell, so
+    // max(cdot) is its cell's constant term (all m rows carry it).
+    val adcScore =
+      if (residual) (sum(col("ps")) + max(col("cdot"))).as("dot_q")
+      else sum(col("ps")).as("dot_q")
     val pairs = index.join(broadcast(probedParts), Seq("ivf_cell", "sub", "cell"))
       .where(col("qid") =!= col("vec_id"))
-      .groupBy("qid", "vec_id").agg(sum("ps").as("dot_q"))
+      .groupBy("qid", "vec_id").agg(adcScore)
     val candidates = rankTopK(pairs, refine * k).select("qid", "vec_id")
     exactRerank(emb, nQueries, candidates, k)
   }

@@ -845,6 +845,31 @@ object Extensions {
     Q.dfOnly("x110_knn_ivfpq",
       (s, dir) => Similarity.knnIvfPq(Tables.load(s, dir, "embeddings"), 20, 3)),
 
+    // the true FAISS IVF-PQ: codebooks fit on per-cell RESIDUALS
+    // x - centroid(cell(x)) — better recall at identical index size and
+    // scoring shape (spec-guarded strictly above the raw variant)
+    Q.dfOnly("x124_knn_ivfpq_residual",
+      (s, dir) => Similarity.knnIvfPq(Tables.load(s, dir, "embeddings"), 20, 3,
+        residual = true)),
+
+    // incremental ANN index maintenance — the daily-ingestion path of a
+    // production vector index: the coarse quantizer is fit ONCE on the
+    // base corpus, then a new batch is assigned against the FROZEN
+    // centroids (one broadcast + one argmax aggregation; no refit, no
+    // driver-side corpus). Rows-only judged like the other ANN ops
+    // (cell boundaries are engine-specific); ExtSpec guards that frozen
+    // assignment equals a full refit's for unchanged centroids.
+    Q.dfOnly("x125_ann_incremental_assign",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val base = emb.where(col("vec_id") < 400)
+        val batch = emb.where(col("vec_id") >= 400)
+        val (_, centroids) = Similarity.kmeansFit(base, 8, 3)
+        Similarity.assignCells(batch, centroids)
+          .select(col("vec_id"), col("cell").cast("bigint").as("cell"))
+          .orderBy("vec_id")
+      }),
+
     // ---- corpus curation: repetition, splits, sampling, scrubbing ----
 
     // Gopher/MassiveText repetition signals: top-token and top-bigram
@@ -1460,6 +1485,38 @@ object Extensions {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM p GROUP BY bucket, pack_id
         |ORDER BY bucket, pack_id""".stripMargin),
+
+    // the bucketed range join under DELIBERATE bucket skew: a quarter
+    // of the intervals collapse onto one [1200, 1207] window, so two
+    // buckets hold ~25% of the interval side — the hot-key regime every
+    // real interval join hits (flash-sale windows, maintenance
+    // outages). Key-less (pure containment), so the bucket IS the join
+    // key and the hot bucket IS a hot partition: AQE's skew-join split
+    // handles it at run time (PlanSpec asserts the split engages under
+    // production-shaped thresholds); result is exact either way, judged
+    // vs the plain BETWEEN join, aggregated per interval.
+    Q.df("x126_range_join_skew",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "events")
+          .select((col("event_id") % 2400).cast("bigint").as("d"))
+        val iv = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 4 === 0, lit(1200L))
+              .otherwise((col("o_orderkey") % 2400).cast("bigint")).as("st"))
+          .withColumn("en", col("st") + 7)
+        graft.ext.RangeJoin.bucketed(p, iv,
+            p("d"), iv("st"), iv("en"), bucketWidth = 4L)
+          .groupBy("o_orderkey").agg(count(lit(1)).as("n_events"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o.o_orderkey, count(*) AS n_events
+        |FROM (SELECT event_id % 2400 AS d FROM events) e
+        |JOIN (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 4 = 0 THEN 1200
+        |             ELSE o_orderkey % 2400 END AS st
+        |      FROM orders) o
+        |  ON e.d BETWEEN o.st AND o.st + 7
+        |GROUP BY o.o_orderkey ORDER BY o_orderkey""".stripMargin),
 
     // SemDeDup: k-means clusters + within-cluster near-dup drop (keep
     // smallest id). Same planted near-dups as x114 (rescaled copies at

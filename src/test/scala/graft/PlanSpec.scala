@@ -172,6 +172,47 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("x126 skewed range join: AQE splits the hot bucket at run time") {
+    // the x126 interval distribution pushes ~95% of interval rows into
+    // two buckets; with production-shaped AQE thresholds (scaled to the
+    // test corpus) the skew-join rule must split the hot partition —
+    // the runtime answer to range-join skew the RangeJoin scaladoc
+    // defers to AQE
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the SMJ path
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256b",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128b",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the x126 distribution, with multi-partition inputs: AQE splits a
+      // skewed reduce partition at MAP-OUTPUT granularity, so a
+      // single-file single-mapper scan (the sf0.001 parquet) leaves it
+      // nothing to split — exactly as on a real cluster, where the 100 TB
+      // scan has thousands of mappers (repartition(8) stands in for that)
+      import org.apache.spark.sql.functions._
+      val p0 = Tables.load(spark, dir, "events").repartition(8)
+        .select((col("event_id") % 2400).cast("bigint").as("d"))
+      val iv = Tables.load(spark, dir, "orders").repartition(8)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 4 === 0, lit(1200L))
+            .otherwise((col("o_orderkey") % 2400).cast("bigint")).as("st"))
+        .withColumn("en", col("st") + 7)
+      val out = ext.RangeJoin.bucketed(p0, iv, p0("d"), iv("st"), iv("en"), 4L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_events"))
+      // execute THIS Dataset so AQE finalizes its plan, then inspect it
+      assert(out.collect().nonEmpty)
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true"), p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("x123 curation pipeline: raw source scanned once — final plan reads only staged boundaries") {
     spark.sharedState.cacheManager.clearCache()
     ext.CacheRegistry.clearAll()

@@ -165,6 +165,30 @@ class ExtSpec extends SparkSpec {
       spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(","))
   }
 
+  test("incremental ANN maintenance: frozen-centroid batch assignment equals a full re-assignment") {
+    import org.apache.spark.sql.functions._
+    // fit once on the base corpus, then assign a new batch against the
+    // FROZEN centroids (the x125 maintenance path) — for unchanged
+    // centroids this must agree exactly with re-assigning everything
+    val base = emb.where(col("vec_id") < 400)
+    val batch = emb.where(col("vec_id") >= 400)
+    assert(batch.count() > 0)
+    val (assigned, centroids) = Similarity.kmeansFit(base, 4, 2)
+    val fitLabels = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val incr = Similarity.assignCells(batch, centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(incr.keySet.forall(_ >= 400L))
+    assert(incr.values.forall(c => c >= 0 && c < 4))
+    val full = Similarity.assignCells(emb, centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // base vectors keep the fit's own labels; batch vectors get exactly
+    // the incremental assignment — fit-once/assign-new loses nothing
+    fitLabels.foreach { case (id, c) => assert(full(id) == c, s"base $id") }
+    incr.foreach { case (id, c) => assert(full(id) == c, s"batch $id") }
+  }
+
   test("assignCells with fitted centroids reproduces the fit's own assignment") {
     val (assigned, centroids) = Similarity.kmeansFit(emb, 4, 2)
     val fitLabels = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -319,6 +343,28 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall $recall%.2f")
   }
 
+  test("residual IVF-PQ: recall strictly above the raw-vector encoding at identical cost") {
+    def tops(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val exact = tops(Similarity.knnQuantized(emb, 10, 3).collect())
+      val p = tops(rows)
+      p.keys.toSeq.map(q => (p(q) intersect exact(q)).size).sum / (10.0 * 3)
+    }
+    val res1 = Similarity.knnIvfPq(emb, 10, 3, residual = true).collect()
+    assert(res1.length == 10 * 3)
+    // deterministic across runs (md5-seeded planes, deterministic init)
+    val res2 = Similarity.knnIvfPq(emb, 10, 3, residual = true).collect()
+    assert(res1.map(_.toString).toSeq == res2.map(_.toString).toSeq)
+    val rRes = recallOf(res1)
+    val rRaw = recallOf(Similarity.knnIvfPq(emb, 10, 3).collect())
+    info(f"IVF+PQ recall@3: residual $rRes%.2f vs raw $rRaw%.2f")
+    // residual codebooks quantize a tighter ball: recall must be at
+    // least the raw encoding's, and above the x110 0.83 floor
+    assert(rRes >= rRaw, f"residual $rRes%.2f < raw $rRaw%.2f")
+    assert(rRes > 0.83, f"residual recall $rRes%.2f")
+  }
+
   test("wide simhash extends the narrow sketch; 60-bit banding finds the planted dups") {
     // same md5 nibbles, same majority votes: low 16 bits must agree
     val s16 = Dedup.simhash(docs).collect()
@@ -441,6 +487,46 @@ class ExtSpec extends SparkSpec {
     val r2 = Similarity.semDedup(both, cells = 8, iters = 3,
       minCosX10k = 9900L).collect()
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+  }
+
+  test("semdedup survivors are pairwise below the cosine threshold within every cell") {
+    import org.apache.spark.sql.functions._
+    // the in-suite oracle for rows-only x116: SemDeDup's defining
+    // postcondition — no two SURVIVORS in the same cell at or above the
+    // threshold (any such pair would mean the victim sweep missed one)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val pert = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(CAST(x AS DOUBLE) * " +
+        "((9500 + (vec_id + i) % 1000) / 10000.0) AS FLOAT))").as("embedding"))
+    val both = base.unionByName(pert)
+    val surv = Similarity.semDedup(both, cells = 8, iters = 3,
+      minCosX10k = 9900L)
+    val se = surv.join(both, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        aggregate(expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"), lit(0L),
+          (acc, x) => acc + x * x).as("n2"))
+    graft.functions.QuantDot.register(spark)
+    val overThreshold = se.as("a").join(se.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where(floor(lit(10000.0) *
+          call_function("quant_dot", col("a.embedding"), col("b.embedding")) /
+          sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
+          .cast("bigint") >= 9900L)
+    assert(overThreshold.count() == 0)
+  }
+
+  test("x63 HLL estimates stay within 3x the configured rsd of the in-query exact counts") {
+    // the in-suite oracle for rows-only x63: the query emits BOTH the
+    // HLL estimate and the exact distinct count; the estimate must sit
+    // inside 3 standard errors of Spark's default rsd (0.05)
+    val r = graft.SparkEntry.queries("x63_approx_distinct")(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val approx = row.getLong(1); val exact = row.getLong(2)
+      assert(math.abs(approx - exact) <= math.max(2.0, 3 * 0.05 * exact),
+        s"$row")
+    }
   }
 
   test("sequence packing matches a driver-side greedy replay") {
