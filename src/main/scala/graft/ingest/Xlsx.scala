@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
   */
 object Xlsx {
 
-  private def slurpSharedStrings(zip: ZipFile): IndexedSeq[String] = {
+  private[ingest] def slurpSharedStrings(zip: ZipFile): IndexedSeq[String] = {
     val entry = zip.getEntry("xl/sharedStrings.xml")
     if (entry == null) return IndexedSeq.empty
     parseStrings(zip.getInputStream(entry))
@@ -64,21 +64,31 @@ object Xlsx {
     letters.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
   }
 
-  /** Raw cell grid of the first worksheet (values as strings). */
-  private def readGrid(path: String): Seq[ArrayBuffer[Option[String]]] = {
-    val zip = new ZipFile(path)
-    try {
-      val shared = slurpSharedStrings(zip)
+  /** Streaming iterator over the first worksheet's rows (header
+    * included), shared strings resolved — constant memory regardless of
+    * sheet length. The driver reader slurps it whole; the DataSourceV2
+    * partitions ([[XlsxSource]]) each stream it and keep only their row
+    * range. Close releases the zip handle (also closed automatically at
+    * exhaustion). */
+  private[ingest] final class SheetRows(path: String)
+      extends Iterator[ArrayBuffer[Option[String]]] with AutoCloseable {
+    private val zip = new ZipFile(path)
+    private val shared = slurpSharedStrings(zip)
+    private val r = {
       val sheet = zip.getEntry("xl/worksheets/sheet1.xml")
       require(sheet != null, s"no xl/worksheets/sheet1.xml in $path")
-      val r = XMLInputFactory.newInstance.createXMLStreamReader(zip.getInputStream(sheet))
-      val rows = ArrayBuffer.empty[ArrayBuffer[Option[String]]]
+      XMLInputFactory.newInstance.createXMLStreamReader(zip.getInputStream(sheet))
+    }
+    private var pending: ArrayBuffer[Option[String]] = null
+    private var closed = false
+
+    private def advance(): Unit = {
       var row: ArrayBuffer[Option[String]] = null
       var cellType = ""
       var cellCol = 0
       var inV = false
       var v: StringBuilder = null
-      while (r.hasNext) {
+      while (pending == null && !closed && r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
@@ -104,18 +114,33 @@ object Xlsx {
                   row(cellCol) = Some(value)
                   inV = false
                 }
-              case "row" => rows += row; row = null
+              case "row" => pending = row; row = null
               case _ =>
             }
           case _ =>
         }
       }
-      r.close()
-      rows.toSeq
-    } finally zip.close()
+      if (pending == null) close()
+    }
+
+    override def hasNext: Boolean = {
+      if (pending == null && !closed) advance()
+      pending != null
+    }
+    override def next(): ArrayBuffer[Option[String]] = {
+      if (!hasNext) throw new NoSuchElementException
+      val out = pending; pending = null; out
+    }
+    override def close(): Unit = if (!closed) { closed = true; r.close(); zip.close() }
   }
 
-  private def inferType(values: Seq[String]): DataType = {
+  /** Raw cell grid of the first worksheet (values as strings). */
+  private def readGrid(path: String): Seq[ArrayBuffer[Option[String]]] = {
+    val it = new SheetRows(path)
+    try it.toList finally it.close()
+  }
+
+  private[ingest] def inferType(values: Seq[String]): DataType = {
     if (values.isEmpty) StringType
     else if (values.forall(s => scala.util.Try(s.trim.toLong).isSuccess)) LongType
     else if (values.forall(s => scala.util.Try(s.trim.toDouble).isSuccess)) DoubleType
