@@ -492,4 +492,57 @@ object Dedup {
       .distinct()
       .orderBy("d1", "d2")
   }
+
+  /** Passage-level exact dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): duplicated PASSAGES are removed
+    * from every document except their first occurrence, instead of
+    * dropping or keeping whole documents — the treatment that recovers
+    * the unique prose of boilerplate-heavy corpora (site chrome, license
+    * headers, syndicated paragraphs).
+    *
+    * The suffix-array formulation of the paper is inherently sequential;
+    * the distributed re-expression cuts every document into fixed
+    * `blockTokens`-token blocks (a narrow per-row transform — sequence +
+    * slice over the token array, no shuffle) and exact-dedups the blocks
+    * globally: one hash aggregation keyed by block text picks each
+    * block's first occurrence (min (doc_id, blk) — order-independent,
+    * so distributed-safe), one semi-join back marks survivors, and one
+    * aggregation keyed by doc_id reconstructs the retained text in block
+    * order from the row's own array (array_sort on (blk, text) structs —
+    * no collect_list ordering hazard). Three shuffles total, each keyed
+    * on a natural high-cardinality key; nothing quadratic, nothing on
+    * the driver — the 100 TB shape of passage dedup.
+    *
+    * Output per doc: (doc_id, n_blocks, n_kept, kept_md5) where kept_md5
+    * hashes the surviving text (NULL when every block of the doc first
+    * appeared elsewhere). */
+  def blockDedup(docs: DataFrame, blockTokens: Int = 8): DataFrame = {
+    require(blockTokens > 0, s"blockTokens must be positive; got $blockTokens")
+    val blocks = docs
+      .select(col("doc_id"), TextStats.tokensCol(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(toks) - 1) div $blockTokens),
+             |  i -> concat_ws(' ', slice(toks, i * $blockTokens + 1, $blockTokens)))"""
+            .stripMargin)).as(Seq("blk", "btxt")))
+    // first global occurrence of each distinct block text; min over
+    // (doc_id, blk) structs is associative, so partial aggregation
+    // combines map-side and merge order cannot change the winner
+    val first = blocks.groupBy("btxt")
+      .agg(min(struct(col("doc_id"), col("blk"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.blk").as("blk"),
+        col("btxt"))
+    val kept = blocks.join(first, Seq("doc_id", "blk", "btxt"), "left_semi")
+    val total = blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+    val survivors = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(blk, btxt))), x -> x.btxt)"),
+          " ")).as("kept_md5"))
+    total.join(survivors, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_md5"))
+      .orderBy("doc_id")
+  }
 }

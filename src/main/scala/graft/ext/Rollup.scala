@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental (mergeable-state) aggregation (beyond-reference,
+  * SURVEY.md §2.8): the daily-rollup pattern every 100 TB pipeline
+  * runs. Recomputing a corpus-wide aggregate from scratch on each new
+  * batch rescans everything ever ingested; the incremental shape
+  * materializes per-key PARTIAL aggregation state for each batch and
+  * folds new batches into the running state — each refresh touches
+  * only the delta.
+  *
+  * That only works when the state is ALGEBRAIC: count/sum/min/max
+  * merge by sum/sum/min/max, and derived statistics (mean here) are
+  * computed at read time from merged state, never stored. Merging is
+  * associative and commutative, so partials can be produced per day,
+  * per shard, per region — in any grouping, in any order — and still
+  * fold to exactly the full-scan answer, which is what the x134 oracle
+  * checks (merged halves == one-pass aggregation, hash-exact).
+  */
+object Rollup {
+
+  private val stateCols = Seq("n", "total_cents", "min_cents", "max_cents")
+
+  /** Per-key algebraic state for one batch: (key, n, total_cents,
+    * min_cents, max_cents). Values enter as exact integer cents so
+    * merge order cannot move a floating-point sum. */
+  def partials(batch: DataFrame, key: String, value: Column): DataFrame = {
+    val cents = floor(value * 100).cast("bigint")
+    batch.groupBy(key).agg(
+      count(lit(1)).as("n"),
+      sum(cents).as("total_cents"),
+      min(cents).as("min_cents"),
+      max(cents).as("max_cents"))
+  }
+
+  /** Fold any number of partial-state frames into one: sum the sums,
+    * min the mins, max the maxes. One union + one keyed aggregation
+    * over |keys| x |batches| STATE rows — the raw batches are never
+    * rescanned. */
+  def merge(key: String, parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "merge needs at least one partial frame")
+    parts.reduce(_.unionByName(_)).groupBy(key).agg(
+      sum("n").as("n"),
+      sum("total_cents").as("total_cents"),
+      min("min_cents").as("min_cents"),
+      max("max_cents").as("max_cents"))
+  }
+
+  /** Read-time view over merged state: derived mean (integer cents via
+    * `div` — exact, engine-portable) alongside the algebraic columns. */
+  def withMean(merged: DataFrame, key: String): DataFrame =
+    merged.select(col(key) +: stateCols.map(col) :+
+        expr("total_cents div n").as("mean_cents"): _*)
+      .orderBy(key)
+}

@@ -84,4 +84,44 @@ object Sampling {
           .cast("bigint").as("kept_x10k"))
       .orderBy(stratum)
   }
+
+  /** Temperature-based source mixing (the multilingual/multi-source
+    * sampling rule of mBERT/XLM-R and friends, alpha = 0.5): each
+    * stratum's share of a fixed document budget is proportional to
+    * sqrt(its raw count), flattening the head sources and boosting the
+    * tail without ever oversampling a row. Rows inside a stratum are
+    * chosen as the `target` smallest content hashes, so the selection
+    * is a pure function of the data — stable across runs, engines and
+    * repartitionings, and stable under growth (a stratum's picks only
+    * change where new rows hash below the old cutoff).
+    *
+    * Exactness across engines: weights are floor(sqrt(n)) — IEEE sqrt
+    * is correctly rounded in both JVMs and C libms and n < 2^52 keeps
+    * floor exact — and targets are INTEGER arithmetic (budget * w div
+    * total), so no float accumulation order can move a boundary.
+    *
+    * Scale shape: one keyed count (tiny result, broadcast back), one
+    * per-stratum bounded window over the hash order — partitions
+    * bounded by stratum count, never a global sort. Output: the
+    * selected (stratum, key) rows. */
+  def temperatureMix(df: DataFrame, stratum: String, key: String,
+                     budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights = df.groupBy(stratum)
+      .agg(count(lit(1)).as("n_raw"))
+      .select(col(stratum),
+        floor(sqrt(col("n_raw"))).cast("bigint").as("w"))
+    val total = weights.agg(sum("w").as("w_tot"))
+    val targets = weights.crossJoin(broadcast(total))
+      .select(col(stratum),
+        expr(s"($budget * w) div w_tot").as("target"))
+    df.select(col(stratum), col(key),
+        md5(col(key).cast("string")).as("h"))
+      .join(broadcast(targets), Seq(stratum))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("h"), col(key))))
+      .where(col("rn") <= col("target"))
+      .select(col(stratum), col(key))
+      .orderBy(stratum, key)
+  }
 }

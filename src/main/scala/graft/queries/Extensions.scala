@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Curation, Dedup, Multimodal, Pack, Sampling, Similarity, TextStats}
+import graft.ext.{AsofJoin, Curation, Dedup, Ids, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -1638,6 +1638,216 @@ object Extensions {
         |    row_number() OVER (PARTITION BY source
         |                       ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents) x
-        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin)
+        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin),
+
+    // ---- round 4: passage dedup, sketch-exact heavy hitters, mixing,
+    //      runtime filters, global ids, incremental rollups ----
+
+    // Lee-et-al-style passage-level exact dedup: fixed 8-token blocks
+    // deduped globally by first occurrence, documents reconstructed
+    // from their surviving blocks — removes boilerplate WITHIN docs
+    // instead of dropping whole docs (see Dedup.blockDedup scaladoc)
+    Q.df("x127_block_dedup",
+      (s, dir) => Dedup.blockDedup(Tables.load(s, dir, "documents"), 8),
+      s"""WITH $duckTok,
+         |blk AS (
+         |  SELECT doc_id, (pos - 1) // 8 AS blk,
+         |         string_agg(w, ' ' ORDER BY pos) AS btxt
+         |  FROM tok GROUP BY doc_id, (pos - 1) // 8
+         |),
+         |r AS (SELECT doc_id, blk, btxt,
+         |        row_number() OVER (PARTITION BY btxt
+         |                           ORDER BY doc_id, blk) AS rn
+         |      FROM blk),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks
+         |        FROM blk GROUP BY doc_id),
+         |srv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |          md5(string_agg(btxt, ' ' ORDER BY blk)) AS kept_md5
+         |        FROM r WHERE rn = 1 GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_blocks,
+         |  CAST(coalesce(s.n_kept, 0) AS BIGINT) AS n_kept, s.kept_md5
+         |FROM tot t LEFT JOIN srv s USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin),
+
+    // EXACT heavy hitters through a bounded sketch: Misra-Gries (256
+    // counters) guarantees a candidate superset of every token with
+    // frequency >= n/50, then one broadcast-semi-join recount makes the
+    // answer exact — the two-pass trick that never shuffles the full
+    // vocabulary (see functions.MisraGries scaladoc)
+    Q.df("x128_heavy_hitters",
+      (s, dir) => {
+        val fn = graft.functions.MisraGries.register(s, 256)
+        val tok = TextStats.tokens(Tables.load(s, dir, "documents"))
+          .select("w")
+        val cand = tok.agg(call_function(fn, col("w")).as("sk"))
+          .select(explode(map_keys(col("sk"))).as("w"))
+        val n = tok.agg(count(lit(1)).as("n_tok"))
+        tok.join(broadcast(cand), Seq("w"), "left_semi")
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(n))
+          // theta = 1/50: integer cross-multiply, no float threshold
+          .where(col("cnt") * 50 >= col("n_tok"))
+          .select(col("w"), col("cnt"))
+          .orderBy(col("cnt").desc, col("w"))
+      },
+      s"""WITH $duckTok
+         |SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         |FROM tok GROUP BY w
+         |HAVING 50 * count(*) >= (SELECT count(*) FROM tok)
+         |ORDER BY cnt DESC, w""".stripMargin),
+
+    // sketch tier of the x92 median gate (same pairing as exact x104 /
+    // sketch x113): percentile_approx's mergeable one-pass summary in
+    // place of the exact per-group sort. Rows-only like every
+    // engine-specific sketch; ExtSpec pins the estimate inside the
+    // sketch's rank-error band around the exact median.
+    Q.dfOnly("x129_median_gate_approx",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(percentile_approx(col("n_chars"), lit(0.5), lit(100))
+            .as("med_approx"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+
+    // temperature-based source mixing (alpha = 0.5): budget shares
+    // proportional to sqrt(stratum size), rows picked as the smallest
+    // content hashes — integer-exact targets, reproducible selection
+    // (see Sampling.temperatureMix scaladoc)
+    Q.df("x130_temperature_mix",
+      (s, dir) => Sampling.temperatureMix(
+        Tables.load(s, dir, "documents"), "source", "doc_id", 1000L),
+      """WITH c AS (SELECT source, count(*) AS n_raw
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, CAST(floor(sqrt(n_raw)) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM w),
+        |g AS (SELECT source, (1000 * w) // w_tot AS target FROM w, t),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.source, r.doc_id FROM r JOIN g USING (source)
+        |WHERE r.rn <= g.target
+        |ORDER BY r.source, r.doc_id""".stripMargin),
+
+    // runtime Bloom-filter join pruning: with the dimension side too
+    // big to broadcast, Catalyst's InjectRuntimeFilter builds a Bloom
+    // sketch of the SELECTIVE order keys at run time and pushes
+    // might_contain onto the fact scan — rows that cannot join are
+    // dropped before the shuffle, the runtime cousin of static
+    // pushdown. Confs scoped + restored; materialized (localCheckpoint)
+    // inside the scope so execution planning sees them. PlanSpec
+    // asserts the bloom probe lands on the fact side.
+    Q.df("x131_bloom_runtime_filter",
+      (s, dir) => SessionConf.withConfs(s)(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+        val li = Tables.load(s, dir, "lineitem")
+        val ord = Tables.load(s, dir, "orders")
+          .where(col("o_totalprice") > 450000.0)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(floor(col("l_extendedprice") * 100).cast("bigint"))
+              .as("revenue_cents"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint()
+      },
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 450000.0
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin),
+
+    // global contiguous 0..n-1 ids WITHOUT the single-partition window
+    // that row_number() OVER (ORDER BY ...) plans — range-partitioned
+    // sort + per-partition offsets (see Ids.contiguousIds scaladoc)
+    Q.df("x132_global_ids",
+      (s, dir) => Ids.contiguousIds(Tables.load(s, dir, "documents"), "doc_id"),
+      """SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS gid
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // stream-stream LEFT OUTER interval join: unmatched signups emitted
+    // exactly once at watermark-driven state eviction (purchase_id = -1)
+    // — "never converted" as a first-class streaming answer (see
+    // Streaming.streamStreamLeftOuterJoin scaladoc)
+    Q.df("x133_stream_outer_join",
+      (s, dir) => Streaming.streamStreamLeftOuterJoin(s, dir),
+      """SELECT s.user_id, s.event_id AS signup_id,
+        |  coalesce(p.event_id, -1) AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin),
+
+    // incremental rollup: per-batch ALGEBRAIC partials (count/sum/min/
+    // max as exact cents) merged into the corpus answer without
+    // rescanning the batches; mean derived at read time — provably
+    // equal to the one-pass aggregation (see Rollup scaladoc)
+    Q.df("x134_rollup_merge",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val merged = Rollup.merge("event_type",
+          Rollup.partials(ev.where(col("event_id") % 2 === 0),
+            "event_type", col("value")),
+          Rollup.partials(ev.where(col("event_id") % 2 =!= 0),
+            "event_type", col("value")))
+        Rollup.withMean(merged, "event_type")
+      },
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) // count(*) AS BIGINT)
+        |    AS mean_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // robust outlier detection via MAD (median absolute deviation):
+    // per-source median + MAD over n_chars, outliers = |x - med| >
+    // 3 * MAD — the robust-statistics twin of the winsorize family
+    // (x104/x113); percentile_disc keeps every number an exact element
+    // of the data, so the answer is engine-exact
+    Q.sql2("x135_mad_outliers",
+      """WITH med AS (
+        |  SELECT source,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+        |      AS BIGINT) AS med
+        |  FROM documents GROUP BY source),
+        |dev AS (
+        |  SELECT d.source, d.doc_id, abs(d.n_chars - m.med) AS ad, m.med
+        |  FROM documents d JOIN med m ON d.source = m.source),
+        |mad AS (
+        |  SELECT source,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)
+        |      AS BIGINT) AS mad
+        |  FROM dev GROUP BY source)
+        |SELECT v.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(v.med) AS med, min(a.mad) AS mad,
+        |  CAST(count(*) FILTER (WHERE v.ad > 3 * a.mad) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev v JOIN mad a ON v.source = a.source
+        |GROUP BY v.source ORDER BY v.source""".stripMargin,
+      """WITH med AS (
+        |  SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+        |  FROM documents GROUP BY source),
+        |dev AS (
+        |  SELECT d.source, d.doc_id, abs(d.n_chars - m.med) AS ad, m.med
+        |  FROM documents d JOIN med m ON d.source = m.source),
+        |mad AS (
+        |  SELECT source, CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad
+        |  FROM dev GROUP BY source)
+        |SELECT v.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(v.med) AS med, min(a.mad) AS mad,
+        |  CAST(count(*) FILTER (WHERE v.ad > 3 * a.mad) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev v JOIN mad a ON v.source = a.source
+        |GROUP BY v.source ORDER BY v.source""".stripMargin)
   )
 }

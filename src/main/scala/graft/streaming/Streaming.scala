@@ -290,6 +290,89 @@ object Streaming {
     spark.table(name).orderBy("user_id", "signup_id", "purchase_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join: every signup, matched to
+    * the same user's purchases within the following hour OR emitted
+    * once with a null purchase when the watermark proves no such
+    * purchase can still arrive — the attribution query where "never
+    * converted" is itself the answer. Inner interval joins (x96) emit
+    * on match; the outer variant additionally emits each unmatched
+    * left row exactly once, at state EVICTION time, which only happens
+    * when the watermark passes the row's join horizon.
+    *
+    * A finite backlog therefore needs the watermark pushed PAST the
+    * last real signup's horizon or the tail of the stream stays in
+    * state forever (correct unbounded semantics, but not the batch
+    * answer). The drain appends two sentinel files (user_id -1, event
+    * times beyond every real horizon) as separate micro-batches
+    * (maxFilesPerTrigger = 1): Spark applies the watermark computed at
+    * the END of batch N-1 to batch N's eviction, so sentinel batch one
+    * advances the watermark past every real event and sentinel batch
+    * two triggers the eviction sweep that flushes the remaining
+    * unmatched signups. Sentinels are filtered from the result; nulls
+    * are surfaced as purchase_id = -1 (engine-portable ORDER BY).
+    * Drained this way, append-mode output equals the batch LEFT JOIN,
+    * which is what the oracle checks. */
+  def streamStreamLeftOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_louter_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
+      // stage two sentinel batches past the real data's event horizon
+      val maxTs = spark.read.schema(eventsRawSchema)
+        .parquet(s"$stage/events.parquet")
+        .agg(max("ts")).head.getLong(0)
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      Seq(("sent1", maxTs + 3 * hourNs), ("sent2", maxTs + 4 * hourNs))
+        .zipWithIndex.foreach { case ((fname, ts), i) =>
+          val rows = Seq(
+            org.apache.spark.sql.Row(-1L, ts, -1L, "signup", 0.0, ""),
+            org.apache.spark.sql.Row(-1L, ts, -1L, "purchase", 0.0, ""))
+          val tmp = java.nio.file.Files.createTempDirectory("graft_sent")
+          try {
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, 1), eventsRawSchema)
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = java.nio.file.Files.list(tmp).iterator()
+            val target = java.nio.file.Paths.get(stage, s"$fname.parquet")
+            import scala.jdk.CollectionConverters._
+            part.asScala.filter(_.toString.endsWith(".parquet"))
+              .foreach(p => java.nio.file.Files.copy(p, target))
+            // the file source orders batches by modification time; space
+            // the sentinels so they drain strictly after the real data
+            target.toFile.setLastModified(
+              System.currentTimeMillis() + (i + 1) * 60000L)
+            ()
+          } finally rmTree(tmp)
+        }
+      def side(evType: String, idAs: String, tsAs: String, userAs: String) =
+        spark.readStream.schema(eventsRawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage)
+          .withColumn("ts", nanosToTs("ts"))
+          .where(col("event_type") === evType)
+          .select(col("event_id").as(idAs), col("ts").as(tsAs),
+            col("user_id").as(userAs))
+          .withWatermark(tsAs, "1 hour")
+      val signups = side("signup", "signup_id", "ts_s", "user_id")
+      val purchases = side("purchase", "purchase_id", "ts_p", "p_user_id")
+      val joined = signups.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("ts_p") >= col("ts_s") &&
+            col("ts_p") <= col("ts_s") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select("user_id", "signup_id", "purchase_id")
+      val q = joined.writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    spark.table(name)
+      .where(col("user_id") >= 0)
+      .select(col("user_id"), col("signup_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+      .orderBy("user_id", "signup_id", "purchase_id")
+  }
+
   /** Streaming exact dedup: dropDuplicates over an unbounded stream
     * keeps per-key state so each key is emitted once — here replayed
     * over the events backlog. Only the key column is emitted (which row

@@ -232,4 +232,48 @@ class PlanSpec extends SparkSpec {
     assert(out.count() > 0)
     ext.CacheRegistry.clearAll()
   }
+
+  test("x131 runtime bloom filter: might_contain probe injected on the fact side") {
+    import org.apache.spark.sql.functions._
+    ext.SessionConf.withConfs(spark)(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val li = Tables.load(spark, dir, "lineitem")
+      val ord = Tables.load(spark, dir, "orders")
+        .where(col("o_totalprice") > 450000.0)
+      val out = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"))
+      // InjectRuntimeFilter is a logical rule: the Bloom build aggregate
+      // over the SELECTIVE order keys appears as a scalar subquery whose
+      // might_contain probe filters the lineitem side before its shuffle
+      val p = out.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p)
+      assert(p.contains("bloom_filter_agg"), p)
+      // and the probe must sit on the FACT side: the filter that carries
+      // it references l_orderkey
+      assert("might_contain[^\\n]*l_orderkey".r.findFirstIn(p).isDefined, p)
+    }
+  }
+
+  test("x132 global ids avoid the single-partition window the SQL spelling plans") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    // the naive spelling: row_number over a global order — Catalyst can
+    // only satisfy an empty-partition window with a SinglePartition
+    // exchange: one task numbers the entire dataset
+    val naive = docs.select(col("doc_id"),
+        (row_number().over(Window.orderBy("doc_id")) - 1).as("gid"))
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("SinglePartition"), naive)
+    // the distributed spelling: no Window, no SinglePartition exchange —
+    // a range-partitioned sort followed by per-partition offset numbering
+    val ours = ext.Ids.contiguousIds(docs, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!ours.contains("Window"), ours)
+    assert(!ours.contains("SinglePartition"), ours)
+  }
 }

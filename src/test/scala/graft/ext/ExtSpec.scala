@@ -811,4 +811,129 @@ class ExtSpec extends SparkSpec {
     assert(l0p1.getLong(3) == direct.sum)
     assert(l0p1.getLong(2) == direct.length)
   }
+
+  test("block dedup: duplicated blocks keep only their first occurrence; full copies empty out") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 8-token blocks A, B, C; doc1 = A B, doc2 = B C (B duplicates
+    // doc1's), doc3 = A B (full copy of doc1 — nothing survives)
+    def blk(p: String) = (1 to 8).map(i => s"$p$i").mkString(" ")
+    val (a, b, c) = (blk("a"), blk("b"), blk("c"))
+    val corpus = Seq(
+      (1L, s"$a $b"), (2L, s"$b $c"), (3L, s"$a $b"))
+      .toDF("doc_id", "text")
+    val got = Dedup.blockDedup(corpus, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)))).toSeq
+    def m(s: String) = Some(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(got == Seq(
+      (1L, 2L, 2L, m(s"$a $b")),   // first occurrence of A and B
+      (2L, 2L, 1L, m(c)),          // B deduped away, C survives
+      (3L, 2L, 0L, None)))         // every block seen before
+  }
+
+  test("block dedup: partial tail blocks dedup by exact text like any other block") {
+    import spark.implicits._
+    // 10 tokens = one full block + one 2-token tail; the tail of doc1
+    // equals doc2's tail but doc2's FULL block differs -> only the tail
+    // dedups
+    def blk(p: String) = (1 to 8).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"${blk("a")} t1 t2"), (2L, s"${blk("b")} t1 t2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.blockDedup(corpus, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 2L), (2L, 2L, 1L)))
+  }
+
+  test("Misra-Gries: candidate superset + undercount bound hold under arbitrary merge order") {
+    // zipf-ish stream over 1000 distinct items, deterministic seed
+    val rnd = new scala.util.Random(42)
+    val n = 20000
+    val stream = Vector.fill(n) {
+      val r = rnd.nextDouble()
+      if (r < 0.5) s"hot${rnd.nextInt(5)}"          // 5 heavy items
+      else s"tail${rnd.nextInt(1000)}"
+    }
+    val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cap = 64
+    val mg = new graft.functions.MisraGries(cap)
+    // simulate 7 partitions reduced independently, merged in a shuffled
+    // order — the distributed execution shape
+    val parts = stream.grouped(n / 7 + 1).toSeq.map(
+      _.foldLeft(mg.zero)(mg.reduce))
+    val sketch = rnd.shuffle(parts).reduce(mg.merge)
+    assert(sketch.size <= cap)
+    val bound = n.toLong / (cap + 1)
+    exact.foreach { case (k, cnt) =>
+      // every counter undercounts by at most n/(cap+1)...
+      sketch.get(k).foreach(est =>
+        assert(est <= cnt && cnt - est <= bound, s"$k: $est vs $cnt"))
+      // ...and items above the bound cannot have been dropped
+      if (cnt > bound) assert(sketch.contains(k), s"heavy $k dropped")
+    }
+  }
+
+  test("temperature mix: integer targets honored exactly per stratum, never oversampled") {
+    import org.apache.spark.sql.functions._
+    val budget = 200L
+    val got = Sampling.temperatureMix(docs, "source", "doc_id", budget)
+      .groupBy("source").agg(count(lit(1)).as("picked"))
+    // expected targets recomputed independently on the driver
+    val raw = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = raw.map { case (s, c) => s -> math.floor(math.sqrt(c.toDouble)).toLong }
+    val wTot = w.values.sum
+    val expect = w.map { case (s, ww) =>
+      s -> math.min(budget * ww / wTot, raw(s)) }
+    val gotMap = got.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expect.foreach { case (s, e) =>
+      if (e > 0) assert(gotMap(s) == e, s"$s: ${gotMap.get(s)} vs $e")
+      else assert(!gotMap.contains(s))
+    }
+    assert(gotMap.values.sum <= budget)
+  }
+
+  test("x129 approx median tier: estimate inside the sketch's rank-error band of exact") {
+    import org.apache.spark.sql.functions._
+    // accuracy 100 => rank error <= n/100; assert against the loose
+    // p40..p60 band so the guard is robust to sketch internals
+    val joined = docs.groupBy("source")
+      .agg(percentile_approx(col("n_chars"), lit(0.5), lit(100))
+        .cast("double").as("est"))
+      .join(docs.groupBy("source").agg(
+        expr("CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)").as("lo"),
+        expr("CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)").as("hi")),
+        "source")
+    joined.collect().foreach { r =>
+      assert(r.getDouble(1) >= r.getDouble(2) && r.getDouble(1) <= r.getDouble(3),
+        r.toString) }
+  }
+
+  test("rollup merge: any batch slicing folds to the one-pass answer; merge is associative") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, dir, "events")
+    val direct = Rollup.withMean(
+      Rollup.partials(ev, "event_type", col("value")), "event_type")
+      .collect().toSeq
+    // three unequal slices, merged pairwise vs all-at-once
+    val s = (0 until 3).map(i =>
+      Rollup.partials(ev.where(col("event_id") % 3 === i),
+        "event_type", col("value")))
+    val allAtOnce = Rollup.withMean(
+      Rollup.merge("event_type", s: _*), "event_type").collect().toSeq
+    val pairwise = Rollup.withMean(
+      Rollup.merge("event_type",
+        Rollup.merge("event_type", s(0), s(1)), s(2)),
+      "event_type").collect().toSeq
+    assert(allAtOnce == direct && pairwise == direct)
+  }
+
+  test("contiguous ids: dense 0..n-1 in key order across partitions") {
+    val got = Ids.contiguousIds(docs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val keys = docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == keys.zipWithIndex.map { case (k, i) => (k, i.toLong) })
+  }
 }

@@ -62,4 +62,28 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("left-outer stream-stream join equals the batch left join; eviction really fires") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streaming.streamStreamLeftOuterJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the outer semantics must actually be exercised: both matched
+    // pairs and watermark-evicted unmatched signups in the output
+    assert(streamed.exists(_._3 >= 0), "no matched pairs")
+    assert(streamed.exists(_._3 == -1L), "no unmatched signups — eviction never fired")
+    val ev = graft.Tables.load(spark, dir, "events")
+    val s = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("ts_s"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("ts_p"))
+    val batch = s.join(p, col("user_id") === col("p_user_id") &&
+        col("ts_p") >= col("ts_s") &&
+        col("ts_p") <= col("ts_s") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("user_id"), col("signup_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+      .orderBy("user_id", "signup_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+  }
 }
