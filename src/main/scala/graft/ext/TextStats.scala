@@ -267,4 +267,80 @@ object TextStats {
       .groupBy("fp")
       .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_id"))
       .orderBy("fp")
+
+  /** Per-document lexical diversity as the Gini-Simpson index — the
+    * probability two random tokens of the doc differ. The usual
+    * spelling (Shannon entropy) needs ln, whose libm rounding differs
+    * across engines (the q43 lesson); Gini-Simpson is a pure integer
+    * statistic: 1 - sum(c_i^2)/n^2, emitted as the exact BIGINT
+    * (10000 * (n^2 - sum c_i^2)) div n^2. Low values flag repetitive /
+    * boilerplate text (complements the Gopher occupancy signals x89).
+    *
+    * Scale shape: two keyed aggregations ((doc, token) then doc), both
+    * partial-aggregated; nothing quadratic, no window.
+    * Output: (doc_id, n_tok, gini_x10k). */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), sum(col("c") * col("c")).as("s2"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("(10000 * (n_tok * n_tok - s2)) div (n_tok * n_tok)")
+          .as("gini_x10k"))
+      .orderBy("doc_id")
+
+  /** Per-doc word-3-gram shingle occurrence counts, built narrowly
+    * in-row (transform over the token array — zero shuffles), then one
+    * keyed aggregation. The TERM SPACE of [[tfidfPairs]]: shingles,
+    * not unigrams, because a bounded vocabulary (as in any natural
+    * corpus head) leaves no rare unigrams, while the shingle space
+    * keeps growing with content and carries phrase-level signal. */
+  private def shingleTf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) < 3 THEN array()
+          |ELSE transform(sequence(1, size(t) - 2),
+          |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1),
+          |              ' ', element_at(t, i + 2)))
+          |END""".stripMargin)).as("s"))
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("tf"))
+
+  /** Sparse TF-IDF cosine candidate pairs — the document-similarity
+    * join over the inverted index: docs are sparse TF-IDF vectors in
+    * the word-3-gram shingle space, candidate pairs are generated ONLY
+    * through shared rare shingles (document frequency <= maxDocFreq —
+    * the same stop-filter that keeps jaccardPairs sub-quadratic:
+    * ubiquitous terms pair everything with everything and carry no
+    * signal), and each pair's cosine NUMERATOR plus both pruned-space
+    * norms are returned as exact BIGINTs. No floats anywhere: idf is
+    * the integer ratio (100 * N) div df, weights tf * idf, so the
+    * result is engine-bit-identical; callers derive cosine =
+    * num / sqrt(n1sq * n2sq) in whatever precision they need.
+    *
+    * Scale shape: inverted-index self-join keyed on the (rare) term,
+    * partial-aggregated pair sums — traffic is sum over rare terms of
+    * df^2 <= maxDocFreq * postings, linear in the index, never
+    * corpus^2. Output: (d1, d2, num, n1sq, n2sq). */
+  def tfidfPairs(docs: DataFrame, maxDocFreq: Int = 2): DataFrame = {
+    val tf = shingleTf(docs)
+    val nn = docs.agg(count(lit(1)).as("n"))
+    val rare = tf.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+    val wts = tf.join(rare, "s").crossJoin(broadcast(nn))
+      .select(col("doc_id"), col("s"),
+        (col("tf") * expr("(100 * n) div df")).as("wt"))
+    val norms = wts.groupBy("doc_id")
+      .agg(sum(col("wt") * col("wt")).as("nsq"))
+    val a = wts.as("a"); val b = wts.as("b")
+    val num = a.join(b, col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        (col("a.wt") * col("b.wt")).as("p"))
+      .groupBy("d1", "d2").agg(sum("p").as("num"))
+    num.join(norms.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("nsq", "n1sq"), "d1")
+      .join(norms.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("nsq", "n2sq"), "d2")
+      .select(col("d1"), col("d2"), col("num"), col("n1sq"), col("n2sq"))
+      .orderBy("d1", "d2")
+  }
 }

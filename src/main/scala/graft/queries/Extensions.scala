@@ -1848,6 +1848,84 @@ object Extensions {
         |  CAST(count(*) FILTER (WHERE v.ad > 3 * a.mad) AS BIGINT)
         |    AS n_outliers
         |FROM dev v JOIN mad a ON v.source = a.source
-        |GROUP BY v.source ORDER BY v.source""".stripMargin)
+        |GROUP BY v.source ORDER BY v.source""".stripMargin),
+
+    // hopping (sliding) windows as a STREAM — the streaming twin of the
+    // batch x98: 2h windows advancing hourly, every event in two window
+    // states (Expand), watermark-bounded; drained over the backlog it
+    // equals the batch hopping aggregation
+    Q.df("x136_stream_hopping",
+      (s, dir) => Streaming.hoppingCounts(s, dir),
+      """SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS cnt
+        |FROM (SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS win_start,
+        |        event_type
+        |      FROM events CROSS JOIN (VALUES (0), (1)) k(k)) w
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin),
+
+    // sparse TF-IDF cosine candidate pairs over the inverted index —
+    // rare-shingle (df <= 2) candidate generation, integer-exact
+    // numerator and norms (see TextStats.tfidfPairs scaladoc)
+    Q.df("x137_tfidf_pairs",
+      (s, dir) => TextStats.tfidfPairs(Tables.load(s, dir, "documents"), 2),
+      s"""WITH $duckTok,
+         |tf AS (
+         |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s,
+         |    count(*) AS tf
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         |  GROUP BY 1, 2
+         |),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |rare AS (SELECT s, count(*) AS df FROM tf GROUP BY 1
+         |         HAVING count(*) <= 2),
+         |wts AS (
+         |  SELECT tf.doc_id, tf.s,
+         |    CAST(tf.tf * ((100 * nn.n) // rare.df) AS BIGINT) AS wt
+         |  FROM tf JOIN rare ON tf.s = rare.s, nn
+         |),
+         |norms AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS nsq
+         |          FROM wts GROUP BY doc_id),
+         |num AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(sum(a.wt * b.wt) AS BIGINT) AS num
+         |  FROM wts a JOIN wts b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT num.d1, num.d2, num.num,
+         |  x.nsq AS n1sq, y.nsq AS n2sq
+         |FROM num JOIN norms x ON num.d1 = x.doc_id
+         |         JOIN norms y ON num.d2 = y.doc_id
+         |ORDER BY d1, d2""".stripMargin),
+
+    // per-group MODE with a deterministic tie-break (count desc, value
+    // asc): two keyed aggregations; the window runs over the TINY
+    // (status x priority) count table, bounded by key cardinality —
+    // never over the raw rows
+    Q.sql("x138_group_mode",
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  CAST(cnt AS BIGINT) AS cnt
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin),
+
+    // lexical diversity as the Gini-Simpson index — ln-free (integer)
+    // alternative to token entropy; low = repetitive/boilerplate (see
+    // TextStats.lexicalDiversity scaladoc)
+    Q.df("x139_lexical_diversity",
+      (s, dir) => TextStats.lexicalDiversity(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |        CAST(sum(c * c) AS BIGINT) AS s2
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_tok,
+         |  CAST((10000 * (n_tok * n_tok - s2)) // (n_tok * n_tok) AS BIGINT)
+         |    AS gini_x10k
+         |FROM g ORDER BY doc_id""".stripMargin)
   )
 }

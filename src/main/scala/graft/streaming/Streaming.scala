@@ -290,6 +290,37 @@ object Streaming {
     spark.table(name).orderBy("user_id", "signup_id", "purchase_id")
   }
 
+  /** Hopping (sliding) event-time windows as a STREAM: 2-hour windows
+    * advancing every hour — each event contributes to two window states
+    * (Spark's Expand, exactly as in the batch twin x98), keyed by
+    * (window, event_type), watermark-bounded. The overlap factor
+    * multiplies STATE by window/slide, not by input volume, so the
+    * shape holds on an unbounded stream. Drained with AvailableNow in
+    * complete mode the result equals the batch hopping aggregation,
+    * which is what the oracle checks. */
+  def hoppingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_hopping_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
+      val src = spark.readStream
+        .schema(eventsRawSchema)
+        .parquet(stage)
+        .withColumn("ts", nanosToTs("ts"))
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("cnt"))
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    spark.table(name).orderBy("win_start", "event_type")
+  }
+
   /** Stream-stream LEFT OUTER interval join: every signup, matched to
     * the same user's purchases within the following hour OR emitted
     * once with a null purchase when the watermark proves no such

@@ -276,4 +276,31 @@ class PlanSpec extends SparkSpec {
     assert(!ours.contains("Window"), ours)
     assert(!ours.contains("SinglePartition"), ours)
   }
+
+  test("x127 block dedup: keyed aggregations only — no window, no nested loop") {
+    val p = plan("x127_block_dedup")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("x130 temperature mix: the selection window is partitioned by stratum") {
+    val p = plan("x130_temperature_mix")
+    // the row-number window must run partitioned by the stratum key —
+    // never over a global order (the scalar budget-total aggregate's
+    // one-ROW exchange is fine; a SinglePartition WINDOW would not be)
+    assert("windowspecdefinition\\(source".r.findFirstIn(p).nonEmpty, p)
+    assert("hashpartitioning\\(source".r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("x137 tfidf pairs: inverted-index equi-join, no cartesian expansion") {
+    val p = plan("x137_tfidf_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop allowed is the 1-row corpus-count literal
+    // broadcast; the pair join itself must be keyed on the term
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
 }

@@ -936,4 +936,37 @@ class ExtSpec extends SparkSpec {
     val keys = docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == keys.zipWithIndex.map { case (k, i) => (k, i.toLong) })
   }
+
+  test("lexical diversity: repetitive text scores 0, fully distinct text (n^2-n)/n^2") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spam spam spam spam"),          // one type -> gini 0
+      (2L, "alpha beta gamma delta"),       // all distinct
+      (3L, "x x y y"))                      // two types, 2+2
+      .toDF("doc_id", "text")
+    val got = TextStats.lexicalDiversity(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L),
+      (2L, 4L, 10000L * (16 - 4) / 16),     // 7500
+      (3L, 4L, 10000L * (16 - 8) / 16)))    // 5000
+  }
+
+  test("tfidf pairs: a single shared rare shingle yields exactly its weight product") {
+    import spark.implicits._
+    // shingle space: doc1 {"a b c","b c x"}, doc2 {"a b c","b c y"},
+    // doc3 {"z z z" x2}; "a b c" df=2 (<= cap), everything else df=1
+    val corpus = Seq(
+      (1L, "a b c x"),
+      (2L, "a b c y"),
+      (3L, "z z z z"))
+      .toDF("doc_id", "text")
+    val got = TextStats.tfidfPairs(corpus, maxDocFreq = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // idf = (100*3) div df: "a b c" -> 150; df=1 shingles -> 300
+    // doc1 weights: 150 and 300 -> nsq = 150^2 + 300^2 = 112500
+    // pair (1,2): num = 150*150 = 22500; the only pair
+    assert(got == Seq((1L, 2L, 22500L, 112500L, 112500L)))
+  }
 }
