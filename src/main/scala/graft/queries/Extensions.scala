@@ -1913,6 +1913,21 @@ object Extensions {
         |        ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin),
 
+    // FULL outer stream-stream interval join — completes the streaming
+    // join family (inner x96, left x133): unmatched PURCHASES also
+    // emitted once at their state eviction (signup_id = -1); same
+    // sentinel-drain mechanics, equals the batch FULL JOIN
+    Q.df("x140_stream_full_outer_join",
+      (s, dir) => Streaming.streamStreamFullOuterJoin(s, dir),
+      """SELECT coalesce(s.user_id, p.user_id) AS user_id,
+        |  coalesce(s.event_id, -1) AS signup_id,
+        |  coalesce(p.event_id, -1) AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        |ORDER BY user_id, signup_id, purchase_id""".stripMargin),
+
     // lexical diversity as the Gini-Simpson index — ln-free (integer)
     // alternative to token entropy; low = repetitive/boilerplate (see
     // TextStats.lexicalDiversity scaladoc)

@@ -343,8 +343,20 @@ object Streaming {
     * are surfaced as purchase_id = -1 (engine-portable ORDER BY).
     * Drained this way, append-mode output equals the batch LEFT JOIN,
     * which is what the oracle checks. */
-  def streamStreamLeftOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val name = "stream_louter_" + java.util.UUID.randomUUID.toString.replace("-", "")
+  def streamStreamLeftOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    streamStreamOuterJoin(spark, dir, "left_outer")
+
+  /** FULL outer variant of [[streamStreamLeftOuterJoin]]: additionally
+    * emits each never-preceded-by-a-signup purchase once at ITS state
+    * eviction (signup_id = -1) — both "never converted" and "converted
+    * without attribution" as first-class streaming answers. Same
+    * sentinel-drain mechanics; equals the batch FULL JOIN. */
+  def streamStreamFullOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    streamStreamOuterJoin(spark, dir, "full_outer")
+
+  private def streamStreamOuterJoin(spark: SparkSession, dir: String,
+      joinType: String): DataFrame = {
+    val name = "stream_outer_" + java.util.UUID.randomUUID.toString.replace("-", "")
     withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
       // stage two sentinel batches past the real data's event horizon
       val maxTs = spark.read.schema(eventsRawSchema)
@@ -388,8 +400,9 @@ object Streaming {
           col("user_id") === col("p_user_id") &&
             col("ts_p") >= col("ts_s") &&
             col("ts_p") <= col("ts_s") + expr("INTERVAL 1 HOUR"),
-          "left_outer")
-        .select("user_id", "signup_id", "purchase_id")
+          joinType)
+        .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+          col("signup_id"), col("purchase_id"))
       val q = joined.writeStream
         .format("memory").queryName(name).outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -399,7 +412,8 @@ object Streaming {
     } }
     spark.table(name)
       .where(col("user_id") >= 0)
-      .select(col("user_id"), col("signup_id"),
+      .select(col("user_id"),
+        coalesce(col("signup_id"), lit(-1L)).as("signup_id"),
         coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
       .orderBy("user_id", "signup_id", "purchase_id")
   }

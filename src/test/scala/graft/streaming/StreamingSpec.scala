@@ -86,4 +86,13 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(streamed == batch)
   }
+
+  test("full-outer stream-stream join also evicts never-matched purchases") {
+    val streamed = Streaming.streamStreamFullOuterJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.exists(r => r._2 >= 0 && r._3 >= 0), "no matched pairs")
+    assert(streamed.exists(_._3 == -1L), "no unmatched signups")
+    assert(streamed.exists(_._2 == -1L),
+      "no unmatched purchases — right-side eviction never fired")
+  }
 }
