@@ -516,9 +516,12 @@ object Dedup {
     * Output per doc: (doc_id, n_blocks, n_kept, kept_md5) where kept_md5
     * hashes the surviving text (NULL when every block of the doc first
     * appeared elsewhere). */
-  def blockDedup(docs: DataFrame, blockTokens: Int = 8): DataFrame = {
+  /** Fixed-size token blocks of every doc: (doc_id, blk, btxt) — a
+    * narrow per-row transform (sequence + slice over the token array,
+    * no shuffle). Shared by [[blockDedup]] and [[blockNovelty]]. */
+  private def tokenBlocks(docs: DataFrame, blockTokens: Int): DataFrame = {
     require(blockTokens > 0, s"blockTokens must be positive; got $blockTokens")
-    val blocks = docs
+    docs
       .select(col("doc_id"), TextStats.tokensCol(col("text")).as("toks"))
       .where(size(col("toks")) > 0)
       .select(col("doc_id"),
@@ -526,6 +529,10 @@ object Dedup {
           s"""transform(sequence(0, (size(toks) - 1) div $blockTokens),
              |  i -> concat_ws(' ', slice(toks, i * $blockTokens + 1, $blockTokens)))"""
             .stripMargin)).as(Seq("blk", "btxt")))
+  }
+
+  def blockDedup(docs: DataFrame, blockTokens: Int = 8): DataFrame = {
+    val blocks = tokenBlocks(docs, blockTokens)
     // first global occurrence of each distinct block text; min over
     // (doc_id, blk) structs is associative, so partial aggregation
     // combines map-side and merge order cannot change the winner
@@ -543,6 +550,36 @@ object Dedup {
     total.join(survivors, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_blocks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Passage-level NOVELTY of an incoming batch against an existing
+    * corpus — the ingestion-time question "how much of this crawl is
+    * new text?" asked at block granularity, where whole-document dedup
+    * sees nothing (a re-crawled page with one new paragraph is 95%
+    * duplicate, 100% "new" to a doc-level fingerprint).
+    *
+    * Both sides are cut into the same fixed token blocks
+    * ([[tokenBlocks]] — narrow); the batch's blocks anti-join the
+    * corpus's DISTINCT block set (one shuffle keyed on block text —
+    * the incremental sibling of [[blockDedup]]'s first-occurrence agg,
+    * same key, same scale shape as [[incrementalNew]]); novel text is
+    * reassembled in block order. Output per batch doc: (doc_id,
+    * n_blocks, n_novel, novel_md5 — NULL when nothing is new). */
+  def blockNovelty(newBatch: DataFrame, corpus: DataFrame,
+                   blockTokens: Int = 8): DataFrame = {
+    val nb = tokenBlocks(newBatch, blockTokens)
+    val seen = tokenBlocks(corpus, blockTokens).select("btxt").distinct()
+    val novel = nb.join(seen, Seq("btxt"), "left_anti")
+    val total = nb.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+    val kept = novel.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_novel"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(blk, btxt))), x -> x.btxt)"),
+          " ")).as("novel_md5"))
+    total.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"), col("novel_md5"))
       .orderBy("doc_id")
   }
 }

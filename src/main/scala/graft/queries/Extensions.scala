@@ -1913,6 +1913,38 @@ object Extensions {
         |        ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin),
 
+    // passage-level novelty of an incoming batch vs the corpus — block
+    // anti-join, the incremental sibling of x127 (see
+    // Dedup.blockNovelty scaladoc): src19 is the "new crawl"
+    Q.df("x141_block_novelty",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.blockNovelty(
+          docs.where(col("source") === "src19"),
+          docs.where(col("source") =!= "src19"), 8)
+      },
+      s"""WITH $duckTok,
+         |blk AS (
+         |  SELECT t.doc_id, (t.pos - 1) // 8 AS blk,
+         |         string_agg(t.w, ' ' ORDER BY t.pos) AS btxt,
+         |         min(d.source) AS source
+         |  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+         |  GROUP BY t.doc_id, (t.pos - 1) // 8
+         |),
+         |nb AS (SELECT doc_id, blk, btxt FROM blk WHERE source = 'src19'),
+         |seen AS (SELECT DISTINCT btxt FROM blk WHERE source <> 'src19'),
+         |novel AS (SELECT nb.* FROM nb
+         |          WHERE nb.btxt NOT IN (SELECT btxt FROM seen)),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks
+         |        FROM nb GROUP BY doc_id),
+         |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel,
+         |        md5(string_agg(btxt, ' ' ORDER BY blk)) AS novel_md5
+         |      FROM novel GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_blocks,
+         |  CAST(coalesce(k.n_novel, 0) AS BIGINT) AS n_novel, k.novel_md5
+         |FROM tot t LEFT JOIN k USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin),
+
     // FULL outer stream-stream interval join — completes the streaming
     // join family (inner x96, left x133): unmatched PURCHASES also
     // emitted once at their state eviction (signup_id = -1); same

@@ -847,6 +847,22 @@ class ExtSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L), (2L, 2L, 1L)))
   }
 
+  test("block novelty: only corpus-unseen blocks survive; fully-seen docs report zero") {
+    import spark.implicits._
+    def blk(p: String) = (1 to 8).map(i => s"$p$i").mkString(" ")
+    val (a, b, c) = (blk("a"), blk("b"), blk("c"))
+    val corpus = Seq((1L, s"$a $b")).toDF("doc_id", "text")
+    val batch = Seq((10L, s"$a $c"), (11L, s"$a $b")).toDF("doc_id", "text")
+    val got = Dedup.blockNovelty(batch, corpus, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)))).toSeq
+    def m(s: String) = Some(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(got == Seq(
+      (10L, 2L, 1L, m(c)),    // A already in the corpus, C is new
+      (11L, 2L, 0L, None)))   // a full re-crawl: nothing novel
+  }
+
   test("Misra-Gries: candidate superset + undercount bound hold under arbitrary merge order") {
     // zipf-ish stream over 1000 distinct items, deterministic seed
     val rnd = new scala.util.Random(42)
