@@ -1913,6 +1913,17 @@ object Extensions {
         |        ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin),
 
+    // exact image dedup by content hash over the REAL payload bytes —
+    // the object-store dedup step of a multimodal corpus; oracle = the
+    // construction-formula twin: payloads are byte-identical exactly
+    // when the dimension formula (n_chars % 64, n_chars % 37) collides
+    Q.df("x142_image_dedup",
+      (s, dir) => Multimodal.imageDedup(Tables.load(s, dir, "documents")),
+      """SELECT CAST(count(*) AS BIGINT) AS n_images, min(doc_id) AS keep_id
+        |FROM documents
+        |GROUP BY n_chars % 64, n_chars % 37
+        |ORDER BY keep_id""".stripMargin),
+
     // passage-level novelty of an incoming batch vs the corpus — block
     // anti-join, the incremental sibling of x127 (see
     // Dedup.blockNovelty scaladoc): src19 is the "new crawl"
