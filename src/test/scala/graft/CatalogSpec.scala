@@ -20,4 +20,18 @@ class CatalogSpec extends AnyFunSuite {
   test("every oracle belongs to a registered query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("rows-only queries are exactly the documented ten — nothing loses its oracle silently") {
+    // a new query registered without its oracleSql entry would demote
+    // itself to the weaker rows-only check without any test noticing;
+    // pin the intentional rows-only set (COVERAGE.md Totals) so the
+    // omission fails loudly instead
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set(
+      "x63_approx_distinct", "x64_knn_float", "x72_knn_ivf",
+      "x103_knn_pq", "x110_knn_ivfpq", "x112_profile_approx",
+      "x116_semdedup", "x124_knn_ivfpq_residual",
+      "x125_ann_incremental_assign", "x129_median_gate_approx"),
+      s"unexpected rows-only set: ${rowsOnly.toSeq.sorted.mkString(",")}")
+  }
 }

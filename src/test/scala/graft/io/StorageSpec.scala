@@ -43,4 +43,29 @@ class StorageSpec extends SparkSpec {
     assert(joined.count() == orders.join(customer,
       orders("o_custkey") === customer("c_custkey")).count())
   }
+
+  test("compaction collapses a fragmented directory and preserves every row") {
+    val frag = tmpDir(); val out = tmpDir()
+    try {
+      // the append-sink aftermath: one file per micro-write
+      val ev = Tables.load(spark, dir, "events").select("event_id", "value")
+      ev.repartition(24).write.mode("overwrite").parquet(frag.toString)
+      val before = spark.read.parquet(frag.toString)
+      assert(before.inputFiles.length >= 24)
+      val chosen = Compact.compact(spark, frag.toString, out.toString,
+        targetBytes = 128L * 1024 * 1024)
+      val after = spark.read.parquet(out.toString)
+      // few large files instead of many small ones...
+      assert(after.inputFiles.length == chosen &&
+        chosen < before.inputFiles.length, s"$chosen vs ${before.inputFiles.length}")
+      // ...with byte-for-byte the same rows
+      assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(frag, out).foreach { root =>
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
 }
