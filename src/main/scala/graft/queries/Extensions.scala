@@ -1913,6 +1913,30 @@ object Extensions {
         |        ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin),
 
+    // the xlsx surface oracle-verified end-to-end: region written as a
+    // real xlsx workbook (numeric cells typed t="n"), read back through
+    // the DataSourceV2 connector (spark.read.format("graft-xlsx") —
+    // executor-side XML parsing, pruned columns), equal to the parquet
+    // truth. Materialized (localCheckpoint) before the temp workbook is
+    // deleted.
+    Q.df("x143_xlsx_roundtrip",
+      (s, dir) => {
+        val region = Tables.load(s, dir, "region")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx_rt")
+        val f = tmp.resolve("region.xlsx")
+        try {
+          graft.ingest.Xlsx.write(region.orderBy("r_regionkey"), f.toString)
+          s.read.format("graft-xlsx").load(f.toString)
+            .orderBy("r_regionkey")
+            .localCheckpoint()
+        } finally {
+          java.nio.file.Files.deleteIfExists(f)
+          java.nio.file.Files.deleteIfExists(tmp)
+          ()
+        }
+      },
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+
     // exact image dedup by content hash over the REAL payload bytes —
     // the object-store dedup step of a multimodal corpus; oracle = the
     // construction-formula twin: payloads are byte-identical exactly
