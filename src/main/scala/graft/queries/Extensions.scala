@@ -1937,6 +1937,74 @@ object Extensions {
       },
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
 
+    // the reference's PRIMARY ingestion path (header+inference csv) on
+    // the oracle gate: region written as a csv file, read back through
+    // Readers.csv (the REPL path), equal to the parquet truth
+    Q.df("x144_csv_roundtrip",
+      (s, dir) => {
+        val rows = Tables.load(s, dir, "region").orderBy("r_regionkey").collect()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt")
+        val f = tmp.resolve("region.csv")
+        java.nio.file.Files.writeString(f, "r_regionkey,r_name\n" +
+          rows.map(r => s"${r.getInt(0)},${r.getString(1)}").mkString("\n"))
+        try graft.ingest.Readers.csv(s, f.toString)
+          .orderBy("r_regionkey").localCheckpoint()
+        finally {
+          java.nio.file.Files.deleteIfExists(f)
+          java.nio.file.Files.deleteIfExists(tmp)
+          ()
+        }
+      },
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+
+    // NDJSON ingestion on the oracle gate: same truth through
+    // Readers.json (line-JSON with schema inference)
+    Q.df("x145_json_roundtrip",
+      (s, dir) => {
+        val rows = Tables.load(s, dir, "region").orderBy("r_regionkey").collect()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_json_rt")
+        val f = tmp.resolve("region.json")
+        java.nio.file.Files.writeString(f,
+          rows.map(r =>
+            s"""{"r_regionkey":${r.getInt(0)},"r_name":"${r.getString(1)}"}""")
+            .mkString("\n"))
+        try graft.ingest.Readers.json(s, f.toString)
+          .select("r_regionkey", "r_name")
+          .orderBy("r_regionkey").localCheckpoint()
+        finally {
+          java.nio.file.Files.deleteIfExists(f)
+          java.nio.file.Files.deleteIfExists(tmp)
+          ()
+        }
+      },
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+
+    // ORC columnar round-trip on the oracle gate: events projected and
+    // written as ORC by EXECUTORS (distributed write, no driver
+    // collect), read back and aggregated — equal to the same
+    // aggregation over the parquet truth
+    Q.df("x146_orc_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc_rt")
+        val out = tmp.resolve("events_orc").toString
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100).cast("bigint").as("cents"))
+          .write.mode("overwrite").orc(out)
+        try s.read.orc(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          .orderBy("event_type").localCheckpoint()
+        finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // exact image dedup by content hash over the REAL payload bytes —
     // the object-store dedup step of a multimodal corpus; oracle = the
     // construction-formula twin: payloads are byte-identical exactly
