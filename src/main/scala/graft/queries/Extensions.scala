@@ -2063,6 +2063,21 @@ object Extensions {
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
         |ORDER BY user_id, signup_id, purchase_id""".stripMargin),
 
+    // streaming per-key top-k leaderboard: bounded custom state (the
+    // streaming twin of the batch TopKAgg bounded heap — streaming
+    // can't sort, so rank must be spelled as state); monotone-state
+    // compaction on read (see Streaming.topKStateful scaladoc)
+    Q.df("x147_stream_topk",
+      (s, dir) => Streaming.topKStateful(s, dir, 3),
+      """SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id, cents
+        |FROM (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY floor(value * 100) DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin),
+
     // lexical diversity as the Gini-Simpson index — ln-free (integer)
     // alternative to token entropy; low = repetitive/boilerplate (see
     // TextStats.lexicalDiversity scaladoc)
