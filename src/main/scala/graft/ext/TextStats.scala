@@ -268,6 +268,43 @@ object TextStats {
       .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_id"))
       .orderBy("fp")
 
+  /** Per-stratum DISTINCTIVE term by integer lift — the
+    * domain-signature extractor of corpus curation: which token is
+    * most over-represented in each source relative to the corpus?
+    * Lift is the exponential-form pointwise mutual information,
+    * P(w|source) / P(w), computed as the exact integer ratio
+    * (100 * O * n) div (R * C) where O = (source, token) occurrences,
+    * R = source tokens, C = corpus occurrences of the token, n = total
+    * tokens — no logs, no floats, engine-bit-identical (the same
+    * ln-avoidance as TF-IDF x84 / Gini-Simpson diversity). Tokens
+    * below `minCount` occurrences in the stratum are excluded (lift of
+    * a hapax is noise).
+    *
+    * Scale shape: three keyed aggregations + one scalar, joined back
+    * on their own keys; the per-stratum argmax is min_by (partial
+    * aggregation), never a window over the raw counts.
+    * Output: (stratum, top_term, lift_x100). */
+  def distinctiveTerms(docs: DataFrame, stratum: String = "source",
+                       minCount: Long = 5): DataFrame = {
+    val st = docs.select(col(stratum),
+        posexplode(tokensCol(col("text"))).as(Seq("pos0", "w")))
+      .select(col(stratum), col("w"))
+    val o = st.groupBy(stratum, "w").agg(count(lit(1)).as("o"))
+    val r = st.groupBy(stratum).agg(count(lit(1)).as("r"))
+    val c = st.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = st.agg(count(lit(1)).as("n"))
+    val scored = o.where(col("o") >= minCount)
+      .join(r, stratum).join(c, "w").crossJoin(broadcast(n))
+      .select(col(stratum), col("w"),
+        expr("(100 * o * n) div (r * c)").as("lift_x100"))
+    scored.groupBy(stratum)
+      .agg(min_by(struct(col("w"), col("lift_x100")),
+        struct((-col("lift_x100")).as("nl"), col("w"))).as("best"))
+      .select(col(stratum), col("best.w").as("top_term"),
+        col("best.lift_x100").as("lift_x100"))
+      .orderBy(stratum)
+  }
+
   /** Per-document lexical diversity as the Gini-Simpson index — the
     * probability two random tokens of the doc differ. The usual
     * spelling (Shannon entropy) needs ln, whose libm rounding differs

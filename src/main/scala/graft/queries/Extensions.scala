@@ -2063,6 +2063,30 @@ object Extensions {
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
         |ORDER BY user_id, signup_id, purchase_id""".stripMargin),
 
+    // per-source distinctive term by integer lift (exp-form PMI — the
+    // domain-signature extractor; ln-free like x84/x139, see
+    // TextStats.distinctiveTerms scaladoc)
+    Q.df("x148_distinctive_terms",
+      (s, dir) => TextStats.distinctiveTerms(
+        Tables.load(s, dir, "documents"), "source", 5L),
+      s"""WITH $duckTok,
+         |st AS (SELECT d.source, t.w
+         |       FROM tok t JOIN documents d USING (doc_id)),
+         |o AS (SELECT source, w, count(*) AS o FROM st GROUP BY 1, 2),
+         |r AS (SELECT source, count(*) AS r FROM st GROUP BY 1),
+         |c AS (SELECT w, count(*) AS c FROM st GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM st),
+         |sc AS (
+         |  SELECT o.source, o.w,
+         |    CAST((100 * o.o * n.n) // (r.r * c.c) AS BIGINT) AS lift_x100
+         |  FROM o JOIN r USING (source) JOIN c USING (w), n
+         |  WHERE o.o >= 5
+         |)
+         |SELECT source, w AS top_term, lift_x100 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY lift_x100 DESC, w) AS rn FROM sc)
+         |WHERE rn = 1 ORDER BY source""".stripMargin),
+
     // streaming per-key top-k leaderboard: bounded custom state (the
     // streaming twin of the batch TopKAgg bounded heap — streaming
     // can't sort, so rank must be spelled as state); monotone-state
