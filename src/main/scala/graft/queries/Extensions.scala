@@ -2063,6 +2063,79 @@ object Extensions {
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
         |ORDER BY user_id, signup_id, purchase_id""".stripMargin),
 
+    // snapshot DIFF (the CDC-derivation shape): two versions of a keyed
+    // table full-outer-joined on the key and classified added / removed
+    // / changed — the audit every dataset-versioning pipeline runs
+    // before promoting a snapshot. v2 is derived deterministically from
+    // v1 (keys % 7 deleted, % 5 price-bumped, % 11 mirrored as new
+    // negative keys) so the oracle can rebuild both sides. One
+    // key-shuffle join at any scale; unchanged rows never leave it.
+    Q.df("x149_snapshot_diff",
+      (s, dir) => {
+        val v1 = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        val v2 = v1.where(col("k") % 7 =!= 0)
+          .select(col("k"),
+            when(col("k") % 5 === 0, col("cents") + 100)
+              .otherwise(col("cents")).as("cents"))
+          .unionByName(v1.where(col("k") % 11 === 0)
+            .select((-col("k")).as("k"), col("cents")))
+        v1.select(col("k"), col("cents").as("c1"))
+          .join(v2.select(col("k"), col("cents").as("c2")), Seq("k"), "full_outer")
+          .select(col("k"),
+            when(col("c1").isNull, "added")
+              .when(col("c2").isNull, "removed")
+              .when(col("c1") =!= col("c2"), "changed").as("status"),
+            coalesce(col("c1"), lit(-1L)).as("cents_v1"),
+            coalesce(col("c2"), lit(-1L)).as("cents_v2"))
+          .where(col("status").isNotNull)
+          .orderBy("k")
+      },
+      """WITH v1 AS (SELECT o_orderkey AS k,
+        |              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |            FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN cents + 100 ELSE cents END AS cents
+        |  FROM v1 WHERE k % 7 <> 0
+        |  UNION ALL
+        |  SELECT -k, cents FROM v1 WHERE k % 11 = 0
+        |),
+        |d AS (
+        |  SELECT coalesce(a.k, b.k) AS k,
+        |    CASE WHEN a.k IS NULL THEN 'added'
+        |         WHEN b.k IS NULL THEN 'removed'
+        |         WHEN a.cents <> b.cents THEN 'changed' END AS status,
+        |    coalesce(a.cents, -1) AS cents_v1,
+        |    coalesce(b.cents, -1) AS cents_v2
+        |  FROM v1 a FULL JOIN v2 b ON a.k = b.k
+        |)
+        |SELECT k, status, cents_v1, cents_v2 FROM d
+        |WHERE status IS NOT NULL ORDER BY k""".stripMargin),
+
+    // SCD2 effective-interval build: each user's event value holds
+    // until their next event (lead over the per-user timeline) — the
+    // slowly-changing-dimension type-2 history every warehouse derives
+    // from a change stream; the window is partitioned by user, never
+    // global. Epoch-micros output (raw timestamps don't cross engines).
+    Q.sql2("x150_scd2_intervals",
+      """SELECT user_id, event_id,
+        |  unix_micros(ts) AS eff_from_us,
+        |  coalesce(lead(unix_micros(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY unix_micros(ts), event_id), -1)
+        |    AS eff_to_us,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents
+        |FROM events
+        |ORDER BY user_id, eff_from_us, event_id""".stripMargin,
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) AS eff_from_us,
+        |  coalesce(lead(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id), -1)
+        |    AS eff_to_us,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents
+        |FROM events
+        |ORDER BY user_id, eff_from_us, event_id""".stripMargin),
+
     // per-source distinctive term by integer lift (exp-form PMI — the
     // domain-signature extractor; ln-free like x84/x139, see
     // TextStats.distinctiveTerms scaladoc)
