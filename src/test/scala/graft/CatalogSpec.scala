@@ -21,6 +21,17 @@ class CatalogSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("the driver's flagship smoke-check contract holds: entry() returns rows") {
+    // the driver calls SparkEntry.entry(spark) directly and requires
+    // rows > 0 on sf0.001; nothing else exercises that exact code path
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-entry-smoke")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("rows-only queries are exactly the documented ten — nothing loses its oracle silently") {
     // a new query registered without its oracleSql entry would demote
     // itself to the weaker rows-only check without any test noticing;
