@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, count_distinct}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Global contiguous id assignment (beyond-reference, SURVEY.md §2.8):
@@ -27,9 +27,23 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Ids {
 
   /** (key, gid) with gid = 0-based dense rank of `key` in ascending
-    * order. Requires `key` values to be unique (ties would make the
-    * assignment partition-boundary-dependent). */
-  def contiguousIds(df: DataFrame, key: String): DataFrame = {
+    * order. REQUIRES `key` values to be unique: with duplicates the
+    * gid a given row gets depends on the sampled range-partition
+    * boundaries, silently breaking the advertised cross-cluster
+    * reproducibility. `checkUnique = true` enforces this with one
+    * extra aggregation job (count vs count-distinct — cheap relative
+    * to the global sort that follows); leave it off only when
+    * uniqueness is already guaranteed upstream (e.g. a primary key). */
+  def contiguousIds(df: DataFrame, key: String,
+                    checkUnique: Boolean = false): DataFrame = {
+    if (checkUnique) {
+      val c = df.agg(count(col(key)).as("n"),
+        count_distinct(col(key)).as("d")).head
+      require(c.getLong(0) == c.getLong(1),
+        s"contiguousIds requires unique '$key' values: " +
+          s"${c.getLong(0)} rows but only ${c.getLong(1)} distinct — " +
+          "duplicate keys would make gid partition-boundary-dependent")
+    }
     val sorted = df.select(col(key)).orderBy(key)
     val schema = StructType(sorted.schema.fields :+
       StructField("gid", LongType, nullable = false))

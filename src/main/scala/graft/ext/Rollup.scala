@@ -48,10 +48,15 @@ object Rollup {
       max("max_cents").as("max_cents"))
   }
 
-  /** Read-time view over merged state: derived mean (integer cents via
-    * `div` — exact, engine-portable) alongside the algebraic columns. */
+  /** Read-time view over merged state: derived mean (integer cents)
+    * alongside the algebraic columns. Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors; they differ exactly when the
+    * dividend is negative with a nonzero remainder, so the mean is
+    * computed as a FLOOR division explicitly (n is a count, always
+    * positive) — engine-exact for negative totals too. */
   def withMean(merged: DataFrame, key: String): DataFrame =
     merged.select(col(key) +: stateCols.map(col) :+
-        expr("total_cents div n").as("mean_cents"): _*)
+        expr("(total_cents div n) - (CASE WHEN total_cents % n < 0" +
+          " THEN 1 ELSE 0 END)").as("mean_cents"): _*)
       .orderBy(key)
 }

@@ -100,13 +100,17 @@ object Sampling {
     * floor exact — and targets are INTEGER arithmetic (budget * w div
     * total), so no float accumulation order can move a boundary.
     *
-    * Scale shape: one keyed count (tiny result, broadcast back), one
-    * per-stratum bounded window over the hash order — partitions
-    * bounded by stratum count, never a global sort. Output: the
-    * selected (stratum, key) rows. */
+    * Scale shape: one keyed count (tiny result, broadcast back), then
+    * one keyed aggregation whose partial buffers are bounded by
+    * `budget` ([[graft.functions.BottomKHashAgg]]) — the shuffle
+    * carries at most budget rows per (partition, stratum) and no task
+    * ever materializes a whole stratum, unlike the row_number-window
+    * formulation that routes every row of a stratum through one task.
+    * Output: the selected (stratum, key) rows. */
   def temperatureMix(df: DataFrame, stratum: String, key: String,
                      budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && budget <= Int.MaxValue,
+      s"budget must be in [1, ${Int.MaxValue}]; got $budget")
     val weights = df.groupBy(stratum)
       .agg(count(lit(1)).as("n_raw"))
       .select(col(stratum),
@@ -115,13 +119,22 @@ object Sampling {
     val targets = weights.crossJoin(broadcast(total))
       .select(col(stratum),
         expr(s"($budget * w) div w_tot").as("target"))
-    df.select(col(stratum), col(key),
+    // no stratum needs more than its target <= budget smallest hashes,
+    // so a bounded bottom-k aggregate replaces the per-stratum window;
+    // (h ASC, key ASC) totally orders candidates, so the winning set is
+    // bit-identical to `row_number() OVER (ORDER BY h, key) <= target`
+    val bottomK = udaf(new graft.functions.BottomKHashAgg(budget.toInt),
+      org.apache.spark.sql.Encoders.product[graft.functions.HashedKey])
+    val keyType = df.schema(key).dataType
+    df.select(col(stratum), col(key).cast("string").as("key_s"),
         md5(col(key).cast("string")).as("h"))
       .join(broadcast(targets), Seq(stratum))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(stratum).orderBy(col("h"), col(key))))
-      .where(col("rn") <= col("target"))
-      .select(col(stratum), col(key))
+      .groupBy(col(stratum), col("target"))
+      .agg(bottomK(col("h"), col("key_s")).as("picks"))
+      .select(col(stratum), col("target"),
+        posexplode(col("picks")).as(Seq("pos", "pick")))
+      .where(col("pos") < col("target"))
+      .select(col(stratum), col("pick.key").cast(keyType).as(key))
       .orderBy(stratum, key)
   }
 }

@@ -100,3 +100,48 @@ object TopKAggD {
     name
   }
 }
+
+/** One (hash, key) candidate flowing into the bottom-k aggregate. */
+case class HashedKey(h: String, key: String)
+
+/** Per-group smallest-k by (hash ASC, key ASC) as a bounded partial
+  * aggregation — the selection engine behind deterministic sampling
+  * operators (Sampling.temperatureMix). The window formulation
+  * (`row_number() OVER (PARTITION BY stratum ORDER BY h)`) routes a
+  * stratum's ENTIRE row set through one task; with a handful of
+  * sources that is a single-task sort per source. This aggregate keeps
+  * at most k candidates per partial buffer instead, so the shuffle
+  * carries k rows per (partition, group) and no task ever sorts more
+  * than a bounded buffer — the 100 TB shape.
+  *
+  * Determinism: candidates are totally ordered by (h ASC, key ASC);
+  * merge order cannot change the winning set, so the result is
+  * bit-identical to the window formulation. Hash ties across DISTINCT
+  * keys cannot occur for cryptographic h; duplicate keys contribute
+  * duplicate elements exactly as repeated rows do under row_number.
+  */
+class BottomKHashAgg(k: Int)
+    extends Aggregator[HashedKey, Seq[HashedKey], Seq[HashedKey]] {
+
+  private def lt(a: HashedKey, b: HashedKey): Boolean =
+    a.h < b.h || (a.h == b.h && a.key < b.key)
+
+  private def prune(b: Seq[HashedKey]): Seq[HashedKey] =
+    if (b.lengthCompare(k) <= 0) b
+    else b.sortWith(lt).take(k)
+
+  override def zero: Seq[HashedKey] = Vector.empty
+  override def reduce(b: Seq[HashedKey], a: HashedKey): Seq[HashedKey] = {
+    val nb = b :+ a
+    if (nb.lengthCompare(4 * k) >= 0) prune(nb) else nb
+  }
+  override def merge(x: Seq[HashedKey], y: Seq[HashedKey]): Seq[HashedKey] =
+    prune(x ++ y)
+  override def finish(b: Seq[HashedKey]): Seq[HashedKey] =
+    prune(b).sortWith(lt)
+
+  override def bufferEncoder: Encoder[Seq[HashedKey]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HashedKey]]()
+  override def outputEncoder: Encoder[Seq[HashedKey]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HashedKey]]()
+}

@@ -26,7 +26,7 @@ object Compact {
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0, s"targetBytes must be positive; got $targetBytes")
     val df = spark.read.parquet(inDir)
-    val files = math.max(1, fileCount(df, inDir))
+    val files = math.max(1, fileCount(df))
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // sizeInBytes is the UNCOMPRESSED Catalyst estimate; it only sets
     // the output file COUNT, so an off-estimate costs file sizing, not
@@ -37,6 +37,6 @@ object Compact {
     parts
   }
 
-  private def fileCount(df: DataFrame, dir: String): Int =
+  private def fileCount(df: DataFrame): Int =
     df.inputFiles.length
 }

@@ -379,10 +379,14 @@ object Streaming {
             part.asScala.filter(_.toString.endsWith(".parquet"))
               .foreach(p => java.nio.file.Files.copy(p, target))
             // the file source orders batches by modification time; space
-            // the sentinels so they drain strictly after the real data
-            target.toFile.setLastModified(
-              System.currentTimeMillis() + (i + 1) * 60000L)
-            ()
+            // the sentinels so they drain strictly after the real data.
+            // A silently-failed mtime bump would let a sentinel drain
+            // BEFORE the real data (wrong watermark, stuck state), so a
+            // failure must be loud, not a wrong streaming answer.
+            require(target.toFile.setLastModified(
+                System.currentTimeMillis() + (i + 1) * 60000L),
+              s"setLastModified failed for sentinel $target — " +
+                "cannot guarantee sentinel drain order")
           } finally rmTree(tmp)
         }
       def side(evType: String, idAs: String, tsAs: String, userAs: String) =
