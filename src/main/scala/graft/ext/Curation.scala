@@ -43,10 +43,16 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Documents that survive the four filtering stages, curating the
+  /** Documents that survive the filtering stages, curating the
     * training split (`source != evalSource`) against the held-out eval
-    * split. Output: (doc_id, source, text) of surviving train docs. */
-  def survivors(docs: DataFrame, evalSource: String = "src19"): DataFrame = {
+    * split. With `lmGate = true` an additional CCNet-style bigram-LM
+    * perplexity gate ([[LmQuality.lmQualityGate]], judged as x151)
+    * runs after the heuristic quality gate: the LM is trained on the
+    * stage-1 survivors themselves and the perplexity-tail tertile is
+    * dropped — the CCNet pipeline's canonical LM filter as an optional
+    * stage. Output: (doc_id, source, text) of surviving train docs. */
+  def survivors(docs: DataFrame, evalSource: String = "src19",
+                lmGate: Boolean = false): DataFrame = {
     // stage 0: ONE scan of the raw source; all later branches read this
     // pin (project early — only the columns any stage needs)
     val raw = CacheRegistry.pin(docs.select("doc_id", "source", "text"))
@@ -60,14 +66,24 @@ object Curation {
       .where(col("keep")).select("doc_id")
     val base1 = CacheRegistry.checkpoint(train.join(kept, "doc_id"))
 
+    // stage 1b (optional): LM perplexity gate — bigram model trained
+    // on the stage-1 survivors, perplexity-tail tertile dropped; the
+    // model tables (bigram/prefix counts) are keyed aggregates over
+    // the checkpointed survivors, so the raw scan stays single
+    val base1b = if (!lmGate) base1 else {
+      val lmKeep = LmQuality.lmQualityGate(base1)
+        .where(col("keep")).select("doc_id")
+      CacheRegistry.checkpoint(base1.join(lmKeep, "doc_id"))
+    }
+
     // stage 2: exact dedup — smallest doc_id per normalized fingerprint
     // (one hash-agg on a 16-byte key; the shuffle carries fingerprints,
     // never bodies)
-    val exKeep = base1
+    val exKeep = base1b
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val base2 = CacheRegistry.checkpoint(base1.join(exKeep, "doc_id"))
+    val base2 = CacheRegistry.checkpoint(base1b.join(exKeep, "doc_id"))
 
     // stage 3: near-dup keeper — the x71 pipeline on the deduped
     // survivors: stop-filtered Jaccard candidates (sub-quadratic),

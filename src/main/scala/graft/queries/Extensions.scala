@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Curation, Dedup, Ids, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
+import graft.ext.{AsofJoin, Curation, Dedup, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -14,6 +14,19 @@ import graft.streaming.Streaming
   * and dot products as floor-scaled BIGINTs (see graft.ext scaladoc).
   */
 object Extensions {
+
+  /** Recursively delete a temp tree (deepest-first). Roundtrip queries
+    * must not assume the writer left exactly one file — an extra
+    * sidecar would turn deleteIfExists(dir) into a
+    * DirectoryNotEmptyException that masks the real failure. */
+  private def rmTree(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => try { java.nio.file.Files.deleteIfExists(p); () }
+                      catch { case _: java.io.IOException => () })
+    }
+  }
 
   /** DuckDB token stream CTE: (doc_id, pos 1-based, w). */
   private val duckTok =
@@ -1929,11 +1942,7 @@ object Extensions {
           s.read.format("graft-xlsx").load(f.toString)
             .orderBy("r_regionkey")
             .localCheckpoint()
-        } finally {
-          java.nio.file.Files.deleteIfExists(f)
-          java.nio.file.Files.deleteIfExists(tmp)
-          ()
-        }
+        } finally rmTree(tmp)
       },
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
 
@@ -1949,11 +1958,7 @@ object Extensions {
           rows.map(r => s"${r.getInt(0)},${r.getString(1)}").mkString("\n"))
         try graft.ingest.Readers.csv(s, f.toString)
           .orderBy("r_regionkey").localCheckpoint()
-        finally {
-          java.nio.file.Files.deleteIfExists(f)
-          java.nio.file.Files.deleteIfExists(tmp)
-          ()
-        }
+        finally rmTree(tmp)
       },
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
 
@@ -1971,11 +1976,7 @@ object Extensions {
         try graft.ingest.Readers.json(s, f.toString)
           .select("r_regionkey", "r_name")
           .orderBy("r_regionkey").localCheckpoint()
-        finally {
-          java.nio.file.Files.deleteIfExists(f)
-          java.nio.file.Files.deleteIfExists(tmp)
-          ()
-        }
+        finally rmTree(tmp)
       },
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
 
@@ -1995,11 +1996,7 @@ object Extensions {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
           .orderBy("event_type").localCheckpoint()
-        finally {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
+        finally rmTree(tmp)
       },
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -2188,6 +2185,54 @@ object Extensions {
          |SELECT doc_id, n_tok,
          |  CAST((10000 * (n_tok * n_tok - s2)) // (n_tok * n_tok) AS BIGINT)
          |    AS gini_x10k
-         |FROM g ORDER BY doc_id""".stripMargin)
+         |FROM g ORDER BY doc_id""".stripMargin),
+
+    // CCNet-style bigram-LM perplexity gate: every doc scored by
+    // whole-bit -log2 of its add-one-smoothed bigram stream (integer
+    // bit-length log2 — no floating log), bucketed into head/middle/
+    // tail by integer cumulative-histogram tertiles. The canonical
+    // LM-based curation filter, bit-reproducible across engines (see
+    // LmQuality scaladoc)
+    Q.df("x151_lm_quality_gate",
+      (s, dir) => LmQuality.lmQualityGate(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |big AS (
+         |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+         |pc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+         |terms AS (
+         |  SELECT g.doc_id,
+         |    (length(bin(p.c1 + v.v)) - 1) - (length(bin(b.c2 + 1)) - 1) AS nb
+         |  FROM big g JOIN bc b ON g.w1 = b.w1 AND g.w2 = b.w2
+         |             JOIN pc p ON g.w1 = p.w1, v),
+         |scored AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_big,
+         |    CAST(sum(nb) AS BIGINT) AS bits,
+         |    (100 * CAST(sum(nb) AS BIGINT)) // CAST(count(*) AS BIGINT)
+         |      AS ppl_cbit
+         |  FROM terms GROUP BY doc_id),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+         |hist AS (SELECT ppl_cbit, count(*) AS c FROM scored GROUP BY ppl_cbit),
+         |cum AS (SELECT ppl_cbit,
+         |          CAST(sum(c) OVER (ORDER BY ppl_cbit) AS BIGINT) AS cum
+         |        FROM hist),
+         |thr AS (SELECT
+         |    min(CASE WHEN cum >= (n + 2) // 3 THEN ppl_cbit END) AS t1,
+         |    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN ppl_cbit END) AS t2
+         |  FROM cum, n),
+         |b AS (
+         |  SELECT d.doc_id, coalesce(s.n_big, 0) AS n_big,
+         |    coalesce(s.bits, 0) AS bits,
+         |    coalesce(s.ppl_cbit, -1) AS ppl_cbit,
+         |    CASE WHEN s.n_big IS NULL THEN 'tail'
+         |         WHEN s.ppl_cbit <= t.t1 THEN 'head'
+         |         WHEN s.ppl_cbit <= t.t2 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id, thr t)
+         |SELECT doc_id, n_big, bits, ppl_cbit, bucket,
+         |  bucket != 'tail' AS keep
+         |FROM b ORDER BY doc_id""".stripMargin)
   )
 }

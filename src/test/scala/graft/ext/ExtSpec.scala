@@ -798,6 +798,28 @@ class ExtSpec extends SparkSpec {
     } finally { surv.unpersist(); CacheRegistry.clearAll(); () }
   }
 
+  test("curation with LM gate: survivors quality-gated AND outside the perplexity tail") {
+    import org.apache.spark.sql.functions._
+    val surv = Curation.survivors(docs, lmGate = true).cache()
+    try {
+      assert(surv.count() > 0)
+      // the gated pipeline only ever removes: every gated survivor also
+      // passes the heuristic stage-1 gate
+      val train = docs.where(col("source") =!= "src19")
+      val q1 = TextStats.qualityFilter(train).where(col("keep")).select("doc_id")
+      assert(surv.join(q1, Seq("doc_id"), "left_anti").count() == 0)
+      // no gated survivor sits in the LM tail bucket of the gate
+      // trained on the stage-1 survivors (the stage's own input)
+      val base1 = train.join(q1, "doc_id")
+      val tail = LmQuality.lmQualityGate(base1)
+        .where(!col("keep")).select("doc_id")
+      assert(surv.join(tail, "doc_id").count() == 0)
+      // and it filters strictly relative to the ungated pipeline's
+      // stage-1 frame: gated survivor count never exceeds base1
+      assert(surv.count() <= base1.count())
+    } finally { surv.unpersist(); CacheRegistry.clearAll(); () }
+  }
+
   test("label centroids: |labels| x dim rows, exact sums match a direct fold") {
     val r = Similarity.labelCentroids(emb).collect()
     val labels = emb.select("label").distinct().count()
@@ -951,6 +973,19 @@ class ExtSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val keys = docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == keys.zipWithIndex.map { case (k, i) => (k, i.toLong) })
+  }
+
+  test("contiguous ids: checkUnique accepts unique keys, rejects duplicates loudly") {
+    import spark.implicits._
+    // unique keys pass through the guard unchanged
+    val ok = Ids.contiguousIds(docs, "doc_id", checkUnique = true).collect()
+    assert(ok.length == docs.count())
+    // duplicate keys would make gid partition-boundary-dependent: loud error
+    val dup = Seq(1L, 2L, 2L, 3L).toDF("doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Ids.contiguousIds(dup, "doc_id", checkUnique = true)
+    }
+    assert(e.getMessage.contains("unique"))
   }
 
   test("lexical diversity: repetitive text scores 0, fully distinct text (n^2-n)/n^2") {
