@@ -301,4 +301,169 @@ object Multimodal {
       .agg(count(lit(1)).as("n_images"), min("doc_id").as("keep_id"))
       .select("n_images", "keep_id")
       .orderBy("keep_id")
+
+  // ---- perceptual near-dup: dHash over decoded pixels ---------------
+
+  /** Murmur-style 32-bit mix to one byte — the pseudo-random pixel
+    * texture generator for the planted near-dup corpus. Wrapping Long
+    * arithmetic masked to 32 bits == the oracle's HUGEINT mod-2^32. */
+  private[ext] def mix(k: Long): Int = {
+    val M = 2654435761L
+    var x = (k * M) & 0xFFFFFFFFL
+    x ^= (x >>> 16)
+    x = (x * M) & 0xFFFFFFFFL
+    (x >>> 24).toInt
+  }
+
+  /** Pixel value of the planted image for document `docId` at image
+    * coordinate (x, y): a per-group pseudo-random texture constant
+    * within each 9x8 dHash grid cell, with ONE cell per document
+    * perturbed (+128 mod 256) — so images of the same group are
+    * near-identical (<= 2 dHash bits apart per doc, both in one grid
+    * row) and images of different groups are far (>= 21 bits,
+    * validated over every group pair). Pure function of (docId, x, y)
+    * — the construction formula the x152 oracle re-derives. */
+  private def noisyPixel(docId: Long, w: Int, h: Int, x: Int, y: Int): Int = {
+    val g = (docId % 8).toInt
+    val gx = x * 9 / w
+    val gy = y * 8 / h
+    val base = mix(g * 1000L + gy * 9 + gx)
+    val cx = ((docId * 7) % 9).toInt
+    val cy = ((docId * 5) % 8).toInt
+    if (gx == cx && gy == cy) (base + 128) % 256 else base
+  }
+
+  /** Build the planted 24bpp BMP for one document: dimensions per
+    * group (w = 20 + 2g, h = 16 + g — always >= the 9x8 dHash grid),
+    * grayscale texture from [[noisyPixel]], stored bottom-up with
+    * 4-byte row alignment like every real BMP. */
+  private[ext] def buildNoisyBmp(docId: Long): Array[Byte] = {
+    val g = (docId % 8).toInt
+    val w = 20 + 2 * g
+    val h = 16 + g
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val px = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + px)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + px).putShort(0).putShort(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(px).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow // bottom-up storage; y is image space
+      var x = 0
+      while (x < w) {
+        val v = noisyPixel(docId, w, h, x, y).toByte
+        buf.put(v).put(v).put(v)
+        x += 1
+      }
+      var pad = rowSize - 3 * w
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      fileRow += 1
+    }
+    buf.array()
+  }
+
+  /** Attach the planted near-dup BMP payloads (executor-side build,
+    * bytes never visit the driver — same shape as [[withBmpPayload]]). */
+  def withNoisyBmpPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), buildNoisyBmp(r.getLong(0))))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("h64", LongType, nullable = false)))
+
+  /** REAL difference hash over decoded pixels: parse the BMP header,
+    * walk the stored bottom-up pixel rows, average the blue channel
+    * into a 9x8 grid, then emit one bit per horizontally-adjacent
+    * cell pair (bit gy*8+gc = [cell(gc) < cell(gc+1)]) — the classic
+    * 64-bit dHash. Runs in the same mapPartitions decode loop as
+    * [[decodeBmp]]; nothing reads the construction formula. */
+  def dHash(withPayloadDf: DataFrame): DataFrame = {
+    val spark = withPayloadDf.sparkSession
+    val rdd = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions {
+      it => it.map { r =>
+        val docId = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        require(p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte,
+          s"doc $docId: not a BMP payload")
+        val buf = java.nio.ByteBuffer.wrap(p)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val pixelOff = buf.getInt(10)
+        val w = buf.getInt(18)
+        val h = buf.getInt(22)
+        require(buf.getShort(28) == 24 && w >= 9 && h >= 8,
+          s"doc $docId: dHash needs a 24bpp image at least 9x8, got ${w}x$h")
+        val rowSize = ((3 * w + 3) / 4) * 4
+        val sums = new Array[Long](72)
+        val cnts = new Array[Long](72)
+        var y = 0
+        while (y < h) {
+          val rowOff = pixelOff + (h - 1 - y) * rowSize
+          val gy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val cell = gy * 9 + x * 9 / w
+            sums(cell) += (p(rowOff + 3 * x) & 0xFF).toLong
+            cnts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gc = 0
+          while (gc < 8) {
+            val a = sums(gy * 9 + gc) / cnts(gy * 9 + gc)
+            val b = sums(gy * 9 + gc + 1) / cnts(gy * 9 + gc + 1)
+            if (a < b) hash |= 1L << (gy * 8 + gc)
+            gc += 1
+          }
+          gy += 1
+        }
+        Row(docId, hash)
+      }
+    }
+    spark.createDataFrame(rdd, dhashSchema)
+  }
+
+  /** Perceptual image near-dup: dHash every payload, band the 64-bit
+    * sketch into 4 x 16-bit LSH keys, equi-join on (band_no, band_val)
+    * for candidates, verify candidates by exact hamming distance
+    * (codegen bit_count over xor). The image twin of the SimHash text
+    * path (x85/x109): a pair within `maxDist` <= 3 band-widths of
+    * hamming always shares a clean band (pigeonhole), so recall over
+    * the planted corpus is exact while the join never compares images
+    * across different band buckets — sub-quadratic, and only 8-byte
+    * sketches ever shuffle, never pixels. Output: (doc_a, doc_b,
+    * dist), the verified near-dup pairs. */
+  def imageNearDup(docs: DataFrame, maxDist: Int = 8): DataFrame = {
+    val hashed = dHash(withNoisyBmpPayload(docs))
+    val bands = hashed.select(col("doc_id"), col("h64"),
+      explode(expr("transform(sequence(0, 3), i -> struct(i AS band_no, " +
+        "shiftright(h64, i * 16) & 65535 AS band_val))")).as("b"))
+      .select(col("doc_id"), col("h64"),
+        col("b.band_no").as("band_no"), col("b.band_val").as("band_val"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_no") === col("b.band_no") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.h64").as("h1"), col("b.h64").as("h2"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("bigint").as("dist"))
+      .where(col("dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
 }

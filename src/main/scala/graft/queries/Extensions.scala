@@ -2233,6 +2233,59 @@ object Extensions {
          |  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id, thr t)
          |SELECT doc_id, n_big, bits, ppl_cbit, bucket,
          |  bucket != 'tail' AS keep
-         |FROM b ORDER BY doc_id""".stripMargin)
+         |FROM b ORDER BY doc_id""".stripMargin),
+
+    // perceptual image near-dup: REAL dHash over decoded BMP pixels
+    // (9x8 grid averages -> 64-bit difference hash), 4x16-bit hamming
+    // bands for candidates, exact bit_count verify — the image twin of
+    // the SimHash text path. Oracle = the construction-formula twin:
+    // planted payloads are pure functions of doc_id (per-group texture
+    // + one perturbed grid cell), so DuckDB re-derives each doc's
+    // flipped-bit set and every within-group hamming distance without
+    // seeing a byte; a decode, grid, hashing or banding bug all break
+    // the pair set or the distances (see Multimodal.imageNearDup)
+    Q.df("x152_image_near_dup",
+      (s, dir) => Multimodal.imageNearDup(
+        Tables.load(s, dir, "documents").where(col("doc_id") % 10 < 2), 8),
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 8 AS g,
+        |    (doc_id * 7) % 9 AS cx, (doc_id * 5) % 8 AS cy
+        |  FROM documents WHERE doc_id % 10 < 2),
+        |cells0 AS (
+        |  SELECT gs.g, gyy.gy, gxx.gx,
+        |    CAST((CAST(gs.g * 1000 + gyy.gy * 9 + gxx.gx AS HUGEINT)
+        |      * 2654435761) % 4294967296 AS BIGINT) AS x
+        |  FROM generate_series(0, 7) gs(g)
+        |  CROSS JOIN generate_series(0, 7) gyy(gy)
+        |  CROSS JOIN generate_series(0, 8) gxx(gx)),
+        |cells AS (
+        |  SELECT g, gy, gx,
+        |    CAST((CAST(xor(x, x >> 16) AS HUGEINT) * 2654435761) % 4294967296
+        |      AS BIGINT) >> 24 AS v
+        |  FROM cells0),
+        |fl AS (
+        |  SELECT i.doc_id, i.g,
+        |    CASE WHEN i.cx >= 1 AND ((l.v < (c.v + 128) % 256) <> (l.v < c.v))
+        |         THEN i.cy * 8 + i.cx - 1 END AS b1,
+        |    CASE WHEN i.cx <= 7 AND (((c.v + 128) % 256 < r.v) <> (c.v < r.v))
+        |         THEN i.cy * 8 + i.cx END AS b2
+        |  FROM img i
+        |  JOIN cells c ON c.g = i.g AND c.gy = i.cy AND c.gx = i.cx
+        |  LEFT JOIN cells l ON l.g = i.g AND l.gy = i.cy AND l.gx = i.cx - 1
+        |  LEFT JOIN cells r ON r.g = i.g AND r.gy = i.cy AND r.gx = i.cx + 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(
+        |    (CASE WHEN a.b1 IS NOT NULL AND a.b1 IS DISTINCT FROM b.b1
+        |          AND a.b1 IS DISTINCT FROM b.b2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.b2 IS NOT NULL AND a.b2 IS DISTINCT FROM b.b1
+        |          AND a.b2 IS DISTINCT FROM b.b2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN b.b1 IS NOT NULL AND b.b1 IS DISTINCT FROM a.b1
+        |          AND b.b1 IS DISTINCT FROM a.b2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN b.b2 IS NOT NULL AND b.b2 IS DISTINCT FROM a.b1
+        |          AND b.b2 IS DISTINCT FROM a.b2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS dist
+        |FROM fl a JOIN fl b ON a.g = b.g AND a.doc_id < b.doc_id
+        |WHERE dist <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin)
   )
 }

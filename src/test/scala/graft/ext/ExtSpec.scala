@@ -820,6 +820,24 @@ class ExtSpec extends SparkSpec {
     } finally { surv.unpersist(); CacheRegistry.clearAll(); () }
   }
 
+  test("image near-dup: finds exactly the same-group pairs, never across groups") {
+    import org.apache.spark.sql.functions._
+    val sub = docs.where(col("doc_id") % 10 < 2)
+    val pairs = Multimodal.imageNearDup(sub, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    // every reported pair is within-group and within threshold...
+    pairs.foreach { case (a, b, d) =>
+      assert(a % 8 == b % 8 && d <= 8, s"($a,$b,$d)") }
+    // ...and recall is exact: every within-group pair is reported —
+    // the <= 3-band hamming budget guarantees a clean LSH band
+    val ids = sub.select("doc_id").collect().map(_.getLong(0))
+    val expected = (for {
+      a <- ids; b <- ids if a < b && a % 8 == b % 8
+    } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == expected)
+  }
+
   test("label centroids: |labels| x dim rows, exact sums match a direct fold") {
     val r = Similarity.labelCentroids(emb).collect()
     val labels = emb.select("label").distinct().count()
