@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Curation, Dedup, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
+import graft.ext.{AsofJoin, Cdc, Curation, Dedup, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -2078,16 +2078,7 @@ object Extensions {
               .otherwise(col("cents")).as("cents"))
           .unionByName(v1.where(col("k") % 11 === 0)
             .select((-col("k")).as("k"), col("cents")))
-        v1.select(col("k"), col("cents").as("c1"))
-          .join(v2.select(col("k"), col("cents").as("c2")), Seq("k"), "full_outer")
-          .select(col("k"),
-            when(col("c1").isNull, "added")
-              .when(col("c2").isNull, "removed")
-              .when(col("c1") =!= col("c2"), "changed").as("status"),
-            coalesce(col("c1"), lit(-1L)).as("cents_v1"),
-            coalesce(col("c2"), lit(-1L)).as("cents_v2"))
-          .where(col("status").isNotNull)
-          .orderBy("k")
+        Cdc.diff(v1, v2, "k", "cents").orderBy("k")
       },
       """WITH v1 AS (SELECT o_orderkey AS k,
         |              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
@@ -2109,6 +2100,38 @@ object Extensions {
         |)
         |SELECT k, status, cents_v1, cents_v2 FROM d
         |WHERE status IS NOT NULL ORDER BY k""".stripMargin),
+
+    // CDC APPLY — the missing half of x149: replay the classified
+    // changeset onto v1 and reconstruct v2 exactly (removed dropped,
+    // changed updated, added inserted, untouched carried over) with
+    // one keyed full-outer + coalesce. The oracle is total and
+    // elegant: the ACTUAL v2 — any classification or replay bug makes
+    // the reconstruction diverge from it (see Cdc scaladoc; ExtSpec
+    // property-checks apply(v1, diff(v1, v2)) == v2 on other shapes)
+    Q.df("x153_cdc_apply",
+      (s, dir) => {
+        val v1 = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        val v2 = v1.where(col("k") % 7 =!= 0)
+          .select(col("k"),
+            when(col("k") % 5 === 0, col("cents") + 100)
+              .otherwise(col("cents")).as("cents"))
+          .unionByName(v1.where(col("k") % 11 === 0)
+            .select((-col("k")).as("k"), col("cents")))
+        Cdc.applyDiff(v1, Cdc.diff(v1, v2, "k", "cents"), "k", "cents")
+          .orderBy("k")
+      },
+      """WITH v1 AS (SELECT o_orderkey AS k,
+        |              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |            FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN cents + 100 ELSE cents END AS cents
+        |  FROM v1 WHERE k % 7 <> 0
+        |  UNION ALL
+        |  SELECT -k, cents FROM v1 WHERE k % 11 = 0
+        |)
+        |SELECT k, cents FROM v2 ORDER BY k""".stripMargin),
 
     // SCD2 effective-interval build: each user's event value holds
     // until their next event (lead over the per-user timeline) — the

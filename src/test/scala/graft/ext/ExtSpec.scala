@@ -820,6 +820,28 @@ class ExtSpec extends SparkSpec {
     } finally { surv.unpersist(); CacheRegistry.clearAll(); () }
   }
 
+  test("cdc: applyDiff(v1, diff(v1, v2)) == v2 for deletes, updates, inserts, no-ops") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val v1 = docs.select(col("doc_id").as("k"), col("n_chars").as("v"))
+    // several change shapes, including the empty diff and disjoint keys
+    val variants: Seq[org.apache.spark.sql.DataFrame] = Seq(
+      v1,                                                    // no change
+      v1.where(col("k") % 3 === 0),                          // deletes only
+      v1.select(col("k"), (col("v") * 2 + 1).as("v")),       // all updated
+      v1.where(col("k") % 2 === 0)                           // mixed +
+        .select(col("k"), when(col("k") % 4 === 0, col("v") + 7)
+          .otherwise(col("v")).as("v"))
+        .unionByName(Seq((-5L, 42L), (-6L, 0L)).toDF("k", "v")),
+      Seq((-1L, 1L), (-2L, 2L)).toDF("k", "v"))              // fully replaced
+    variants.foreach { v2 =>
+      val got = Cdc.applyDiff(v1, Cdc.diff(v1, v2, "k", "v"), "k", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = v2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    }
+  }
+
   test("image near-dup: finds exactly the same-group pairs, never across groups") {
     import org.apache.spark.sql.functions._
     val sub = docs.where(col("doc_id") % 10 < 2)
