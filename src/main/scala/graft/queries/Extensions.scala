@@ -2309,6 +2309,29 @@ object Extensions {
         |    AS BIGINT) AS dist
         |FROM fl a JOIN fl b ON a.g = b.g AND a.doc_id < b.doc_id
         |WHERE dist <= 8
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // streaming incremental corpus dedup: the src19 batch PLUS a
+    // planted batch of re-scraped corpus duplicates (corpus slice
+    // re-keyed to fresh ids, byte-identical text) arrive as a STREAM
+    // against the static src0-18 corpus — broadcast Bloom prefilter
+    // per micro-batch, exact stream-static anti-join on the maybe
+    // slice only. Every planted duplicate must be swallowed, every
+    // original must pass; equals batch incrementalNew over the same
+    // backlog (see Streaming.streamIncrementalDedup)
+    Q.df("x154_stream_incremental_dedup",
+      (s, dir) => Streaming.streamIncrementalDedup(s, dir),
+      """WITH nw AS (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src19'
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE source <> 'src19' AND doc_id % 10 = 4)
+        |SELECT n.doc_id FROM nw n
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents o
+        |  WHERE o.source <> 'src19'
+        |    AND md5(trim(regexp_replace(lower(o.text), '\s+', ' ', 'g'))) =
+        |        md5(trim(regexp_replace(lower(n.text), '\s+', ' ', 'g'))))
+        |ORDER BY n.doc_id""".stripMargin)
   )
 }

@@ -41,14 +41,18 @@ object Streaming {
     * stream-stream join). The partition count is baked into a stream's
     * checkpoint at first start; a production run sizes it to its
     * cluster once, exactly like this. Restored afterwards. */
-  private def withStreamDirs[A](dir: String)(body: (String, String) => A): A = {
+  private def withStreamDirs[A](dir: String)(body: (String, String) => A): A =
+    withStreamDirsFile(dir, "events.parquet")(body)
+
+  private def withStreamDirsFile[A](dir: String, file: String)(
+      body: (String, String) => A): A = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
     // The file-stream source wants a directory to watch; stage the single
     // parquet file behind a symlink (the testdata tree is read-only).
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
     java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+      stage.resolve(file),
+      java.nio.file.Paths.get(s"$dir/$file"))
     val spark = org.apache.spark.sql.SparkSession.active
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -442,6 +446,72 @@ object Streaming {
       q.awaitTermination()
     }
     spark.table(name).orderBy("user_id", "event_type")
+  }
+
+  /** Streaming incremental corpus dedup — the live-ingest front door
+    * of the curation pipeline (the streaming twin of the batch
+    * x86/x97 path): new documents arrive as a STREAM and are admitted
+    * iff their normalization fingerprint is absent from the static
+    * corpus. The corpus Bloom filter is built ONCE before the stream
+    * starts and broadcast to every micro-batch; each batch probes it
+    * map-side, emits filter-rejected documents immediately (the
+    * filter proves them absent from the corpus), and routes only the
+    * fpp-bounded maybe-duplicate slice through the exact stream-static
+    * LEFT ANTI join — stateless per batch, O(batch) probe work, and
+    * the anti-join's corpus side is the same reusable fingerprint
+    * table the batch path joins. False positives cost a join lookup,
+    * never a wrong answer, so the drained result EQUALS batch
+    * [[graft.ext.Dedup.incrementalNew]] over the same backlog — which
+    * is what the oracle checks.
+    *
+    * The corpus has no planted exact duplicates (every normalized
+    * fingerprint is unique), so the backlog is augmented with a second
+    * staged batch of "re-scraped" arrivals — a corpus slice re-keyed
+    * to fresh doc_ids with byte-identical text. Those MUST all be
+    * swallowed by the gate (and genuinely exercise the Bloom-hit +
+    * anti-join drop path); the src19 originals must all pass.
+    * Output: (doc_id) of genuinely new documents. */
+  def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Dedup
+    val name = "stream_incdedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("source") =!= "src19")
+    val corpusFp = corpus.select(Dedup.fingerprint(col("text")).as("fp"))
+    val bloom = corpusFp.stat.bloomFilter("fp", 1L << 16, 0.01)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    // null-safe probe (a null fingerprint must route to definitelyNew,
+    // matching the anti-join's null-never-equals semantics)
+    val might = udf((s: String) =>
+      s != null && bloomB.value.mightContainString(s))
+    withStreamDirsFile(dir, "documents.parquet") { (stage, ckpt) =>
+      // stage the duplicate re-arrivals as a second backlog file
+      val tmp = java.nio.file.Files.createTempDirectory("graft_planted")
+      try {
+        corpus.where(col("doc_id") % 10 === 4)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("source", lit("src19"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(tmp).iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .foreach(p => java.nio.file.Files.copy(
+            p, java.nio.file.Paths.get(stage, "planted.parquet")))
+      } finally rmTree(tmp)
+      val src = spark.readStream.schema(docsSchema).parquet(stage)
+        .where(col("source") === "src19")
+        .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+      val out = src.where(!might(col("fp"))).select("doc_id")
+        .unionByName(src.where(might(col("fp")))
+          .join(corpusFp, Seq("fp"), "left_anti").select("doc_id"))
+      val q = out.writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("doc_id")
   }
 
   /** Arbitrary stateful streaming: per-user sessionization via

@@ -31,6 +31,27 @@ class StreamingSpec extends SparkSpec {
       s"leaked: ${graftTmpDirs().diff(before).mkString(",")}")
   }
 
+  test("streaming incremental dedup equals the batch anti-join path and drops every dup") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streaming.streamIncrementalDedup(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val corpus = docs.where(col("source") =!= "src19")
+    // the same composed backlog the stream sees: src19 + the planted
+    // re-keyed duplicate slice
+    val backlog = docs.where(col("source") === "src19")
+      .select("doc_id", "text")
+      .unionByName(corpus.where(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val batch = graft.ext.Dedup.incrementalNew(backlog, corpus)
+      .collect().map(_.getLong(0)).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // every planted duplicate was swallowed by the gate
+    assert(streamed.forall(_ < 1000000L))
+    assert(backlog.where(col("doc_id") >= 1000000L).count() > 0)
+  }
+
   test("foreachBatch compaction equals the batch aggregation") {
     import org.apache.spark.sql.functions._
     val streamed = Streaming.userTotalsForeachBatch(spark, dir)
