@@ -55,6 +55,38 @@ object Pack {
           .cast("bigint").as("pack_id"))
   }
 
+  /** Split-and-carry packing — the overflow policy of real context
+    * window prep: a document whose token range crosses a pack boundary
+    * (or is longer than the window outright) is SPLIT at every
+    * boundary it crosses and the remainder carried into the next pack,
+    * so every pack holds exactly `window` tokens (except each bucket's
+    * last) and every token of every document lands in exactly one pack
+    * segment (both properties spec-guarded; ExtSpec stitches the
+    * segments back). Output: one row per (document, pack) segment —
+    * (bucket, pack_id, doc_id, seg_no, seg_off, seg_len) with seg_off
+    * the token offset of the segment INSIDE its document.
+    *
+    * Pure integer arithmetic on [[assignPacks]]'s running offsets: a
+    * doc occupying [off, off + n_tok) of its bucket's concatenation
+    * intersects packs off div w .. (off + n_tok - 1) div w; the
+    * explode is in-row (narrow), so the only shuffle is still the
+    * bucket-partitioned window behind assignPacks. */
+  def packSegments(docs: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    assignPacks(docs, window)
+      .select(col("bucket"), col("doc_id"), col("n_tok"), col("off"),
+        explode(expr(
+          s"sequence(off div $window, (off + n_tok - 1) div $window)"))
+          .as("pack_id"))
+      .select(col("bucket"), col("pack_id"), col("doc_id"),
+        (col("pack_id") - expr(s"off div $window") + 1).as("seg_no"),
+        (greatest(col("off"), col("pack_id") * window) - col("off"))
+          .as("seg_off"),
+        (least(col("off") + col("n_tok"), (col("pack_id") + 1) * window) -
+          greatest(col("off"), col("pack_id") * window)).as("seg_len"))
+      .orderBy("bucket", "pack_id", "doc_id", "seg_no")
+  }
+
   /** Judged rollup: one row per (bucket, pack_id) with document count,
     * token total, and the id range packed — the manifest a downstream
     * tokenizer job would consume. */

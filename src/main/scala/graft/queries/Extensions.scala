@@ -2332,6 +2332,43 @@ object Extensions {
         |  WHERE o.source <> 'src19'
         |    AND md5(trim(regexp_replace(lower(o.text), '\s+', ' ', 'g'))) =
         |        md5(trim(regexp_replace(lower(n.text), '\s+', ' ', 'g'))))
-        |ORDER BY n.doc_id""".stripMargin)
+        |ORDER BY n.doc_id""".stripMargin),
+
+    // split-and-carry sequence packing (window 64 < the longest doc,
+    // so documents genuinely overflow): one row per (document, pack)
+    // segment; every pack fills to exactly 64 tokens except each
+    // bucket's last, every token lands in exactly one segment (see
+    // Pack.packSegments; ExtSpec stitches the segments back together)
+    Q.df("x155_pack_segments",
+      (s, dir) => Pack.packSegments(Tables.load(s, dir, "documents"), 64),
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(instr('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+        |      AS bucket
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |), p AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    CAST(cum - n_tok AS BIGINT) AS off
+        |  FROM c
+        |), seg AS (
+        |  SELECT bucket, doc_id, n_tok, off,
+        |    unnest(generate_series(off // 64, (off + n_tok - 1) // 64))
+        |      AS pack_id
+        |  FROM p
+        |)
+        |SELECT bucket, pack_id, doc_id,
+        |  pack_id - off // 64 + 1 AS seg_no,
+        |  greatest(off, pack_id * 64) - off AS seg_off,
+        |  least(off + n_tok, (pack_id + 1) * 64)
+        |    - greatest(off, pack_id * 64) AS seg_len
+        |FROM seg
+        |ORDER BY bucket, pack_id, doc_id, seg_no""".stripMargin)
   )
 }

@@ -820,6 +820,42 @@ class ExtSpec extends SparkSpec {
     } finally { surv.unpersist(); CacheRegistry.clearAll(); () }
   }
 
+  test("pack segments: no pack exceeds the window; every token lands exactly once") {
+    import org.apache.spark.sql.functions._
+    val window = 64
+    val segs = Pack.packSegments(docs, window).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(segs.nonEmpty)
+    // split-and-carry really engages: some doc spans multiple packs
+    assert(segs.exists(_._4 > 1))
+    // capacity: per (bucket, pack) token total never exceeds the
+    // window, and only each bucket's LAST pack may be partial
+    val byPack = segs.groupBy(s => (s._1, s._2))
+      .view.mapValues(_.map(_._6).sum).toMap
+    byPack.foreach { case (bp, tot) =>
+      assert(tot <= window, s"$bp overflows: $tot") }
+    val lastPack = byPack.keys.groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+    byPack.foreach { case ((b, p), tot) =>
+      if (p != lastPack(b)) assert(tot == window, s"($b,$p) partial: $tot") }
+    // conservation: each document's segments stitch back to exactly
+    // its token range — contiguous, non-overlapping, complete
+    val nTok = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    segs.groupBy(_._3).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._5 == 0L, s"doc $doc starts at ${sorted.head._5}")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + a._6 == b._5,
+          s"doc $doc gap/overlap between segments")
+        case _ =>
+      }
+      assert(sorted.map(_._6).sum == nTok(doc), s"doc $doc token loss")
+    }
+  }
+
   test("cdc: applyDiff(v1, diff(v1, v2)) == v2 for deletes, updates, inserts, no-ops") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
