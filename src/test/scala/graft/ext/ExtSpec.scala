@@ -343,6 +343,34 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall $recall%.2f")
   }
 
+  test("IVF recall is non-decreasing in nprobe and reaches 1.0 at nprobe = cells") {
+    // a fixed operating point (x72's 0.83@3) can't catch a cell-probe
+    // bug that helps one nprobe and hurts another; the sweep pins the
+    // structural property: candidates grow with nprobe (the probed
+    // cells are a prefix of a fixed ranking), and under the shared
+    // deterministic total order (dot_q desc, vec_id) a larger candidate
+    // set can only move the returned top-k toward the true top-k —
+    // so recall must be monotone, and probing every cell IS the
+    // brute-force scan (same scoring, same self-exclusion)
+    def tops(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    try {
+      val exact = tops(Similarity.knnQuantized(emb, 10, 3).collect())
+      val recalls = Seq(1, 2, 4, 8).map { np =>
+        val p = tops(Similarity.knnIvf(emb, 10, 3, 8, np).collect())
+        np -> p.keys.toSeq.map(q => (p(q) intersect exact(q)).size).sum / (10.0 * 3)
+      }
+      info(recalls.map { case (np, r) => f"recall@$np=$r%.2f" }.mkString(" "))
+      recalls.sliding(2).foreach {
+        case Seq((_, a), (npB, b)) =>
+          assert(b >= a, f"recall dropped at nprobe=$npB: $b%.2f < $a%.2f")
+        case _ =>
+      }
+      assert(recalls.last._2 == 1.0,
+        f"nprobe=cells must equal brute force, got ${recalls.last._2}%.2f")
+    } finally CacheRegistry.clearAll()
+  }
+
   test("residual IVF-PQ: recall strictly above the raw-vector encoding at identical cost") {
     def tops(rows: Array[org.apache.spark.sql.Row]) =
       rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
