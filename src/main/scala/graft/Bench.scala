@@ -90,10 +90,22 @@ object Bench {
     // JSON to a file (SPARK_GRAFT_BENCH_OUT, default bench_out.json in the
     // repo cwd), (b) print it AFTER spark.stop() so no executor/log output
     // can interleave, framed by blank lines, and flush.
+    // Written ATOMICALLY (temp file + rename) so a killed or crashing
+    // run can never leave a half-written record: bench_out.json either
+    // holds a complete run or the previous one. The committed file is
+    // the single source of truth for the closing number — any recorded
+    // total must be read FROM it, never transcribed from the console
+    // (round-3/4 drift: cited totals disagreed with the tree's file).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes("UTF-8"))
+      val target = java.nio.file.Paths.get(outPath)
+      val dir = Option(target.toAbsolutePath.getParent)
+        .getOrElse(java.nio.file.Paths.get("."))
+      val tmp = java.nio.file.Files.createTempFile(dir, ".bench_out", ".tmp")
+      java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
