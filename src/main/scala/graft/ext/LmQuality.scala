@@ -48,14 +48,19 @@ object LmQuality {
     * bucket in head|middle|tail, keep = bucket != 'tail'. */
   def lmQualityGate(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      TextStats.tokensCol(col("text")).as("t"))
-    val bigrams = toks.select(col("doc_id"), explode(expr(
-        """CASE WHEN size(t) < 2 THEN array()
-          |ELSE transform(sequence(1, size(t) - 1),
-          |  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))
-          |END""".stripMargin)).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // tokenize ONCE and pin: the token arrays feed four branches
+    // (bigram counts, prefix counts, vocabulary, per-doc scoring) —
+    // without the pin each branch would re-scan and re-tokenize the
+    // raw corpus, the single-scan violation Curation guards against
+    val toks = CacheRegistry.pin(docs.select(col("doc_id"),
+      TextStats.tokensCol(col("text")).as("t")))
+    val bigrams = CacheRegistry.pin(
+      toks.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(t) < 2 THEN array()
+            |ELSE transform(sequence(1, size(t) - 1),
+            |  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))
+            |END""".stripMargin)).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
     // the model: bigram counts, bigram-prefix counts, vocabulary size
     val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val pc = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
