@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CCNet-style n-gram language-model quality gate (beyond-reference,
@@ -103,6 +103,81 @@ object LmQuality {
           .when(col("ppl_cbit") <= col("t2"), "middle")
           .otherwise("tail").as("bucket"))
       .withColumn("keep", col("bucket") =!= "tail")
+      .orderBy("doc_id")
+  }
+
+  /** One row per n-gram occurrence: (doc_id, w1..wn). */
+  private def ngrams(docs: DataFrame, n: Int): DataFrame = {
+    val fields = (1 to n).map(i =>
+      s"element_at(t, i + ${i - 1}) AS w$i").mkString(", ")
+    docs.select(col("doc_id"), TextStats.tokensCol(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(t) < $n THEN array()
+           |ELSE transform(sequence(1, size(t) - ${n - 1}),
+           |  i -> struct($fields))
+           |END""".stripMargin)).as("g"))
+      .select(col("doc_id") +: (1 to n).map(i => col(s"g.w$i").as(s"w$i")): _*)
+  }
+
+  /** Stupid-backoff trigram scoring (Brants et al. 2007), held-out
+    * shape: the model — trigram counts c3, trigram-prefix counts c12,
+    * backoff bigram counts cb, bigram-prefix counts pc, vocabulary V —
+    * is trained on `train` only; every `score` document is then scored
+    * per trigram occurrence, in whole centibits:
+    *
+    *   seen trigram:  nb = 100 * (flog2(c12) - flog2(c3))
+    *   unseen:        nb = 132 + 100 * (flog2(pc + V) - flog2(cb + 1))
+    *
+    * where flog2(n) = length(bin(n)) - 1 (the integer bit length both
+    * engines agree on — no floating log), 132 = round(-100*log2(0.4))
+    * is the stupid-backoff penalty for the fixed alpha = 0.4, and the
+    * backoff distribution is the add-one bigram so it is total. Unlike
+    * [[lmQualityGate]] (trained and scored on the same corpus, so
+    * every n-gram is seen) the held-out split genuinely exercises the
+    * backoff branch, and the judged `hits` column pins the branch mix.
+    *
+    * Scale shape: the model tables are the keyed n-gram count
+    * aggregates every distributed LM trainer builds; scoring is four
+    * left joins on their natural keys plus one per-doc aggregation —
+    * shuffles carry counts, never text. Output: (doc_id, n_tri, hits,
+    * bits_cb, ppl_cb) with ppl_cb = -1 for docs under 3 tokens. */
+  def stupidBackoffScore(train: DataFrame, score: DataFrame): DataFrame = {
+    val tri = CacheRegistry.pin(ngrams(train, 3))
+    val big = CacheRegistry.pin(ngrams(train, 2))
+    val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val c12 = tri.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .select(col("w1").as("bw1"), col("w2").as("bw2"), col("cb"))
+    val pc = big.groupBy("w1").agg(count(lit(1)).as("pc"))
+      .select(col("w1").as("pw1"), col("pc"))
+    val vocab = train
+      .select(explode(TextStats.tokensCol(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("bigint")
+    val terms = ngrams(score, 3)
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(cb, col("w2") === col("bw1") && col("w3") === col("bw2"), "left")
+      .join(pc, col("w2") === col("pw1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull, 1L).otherwise(0L).as("hit"),
+        when(col("c3").isNotNull,
+            lit(100L) * (flog2(col("c12")) - flog2(col("c3"))))
+          .otherwise(lit(132L) + lit(100L) *
+            (flog2(coalesce(col("pc"), lit(0L)) + col("v")) -
+             flog2(coalesce(col("cb"), lit(0L)) + lit(1L)))).as("nb"))
+    val scored = terms.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum("hit").as("hits"),
+        sum("nb").as("bits_cb"))
+      .select(col("doc_id"), col("n_tri"), col("hits"), col("bits_cb"),
+        expr("(bits_cb) div n_tri").as("ppl_cb"))
+    score.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("bits_cb"), lit(0L)).as("bits_cb"),
+        coalesce(col("ppl_cb"), lit(-1L)).as("ppl_cb"))
       .orderBy("doc_id")
   }
 }

@@ -2369,6 +2369,93 @@ object Extensions {
         |  least(off + n_tok, (pack_id + 1) * 64)
         |    - greatest(off, pack_id * 64) AS seg_len
         |FROM seg
-        |ORDER BY bucket, pack_id, doc_id, seg_no""".stripMargin)
+        |ORDER BY bucket, pack_id, doc_id, seg_no""".stripMargin),
+
+    // perceptual near-dup KEEPER: the x152 dHash pair graph fed through
+    // the judged connected-components machinery (x66/x71), labeling
+    // every image with its cluster representative — the "keep one per
+    // perceptual group" step of multimodal curation. Because x152's
+    // recall is provably exact (every within-group pair found, none
+    // across groups), each planted texture group is one complete
+    // component and the CC labels must equal the per-group minimum —
+    // which the oracle states directly from the construction formula
+    Q.df("x157_image_neardup_keeper",
+      (s, dir) => {
+        val sub = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 10 < 2)
+        val pairs = Multimodal.imageNearDup(sub, 8)
+          .select(col("doc_a").as("d1"), col("doc_b").as("d2"))
+        Dedup.clusters(sub, pairs).orderBy("doc_id")
+      },
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 8 AS g
+        |  FROM documents WHERE doc_id % 10 < 2)
+        |SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS cluster_id
+        |FROM img ORDER BY doc_id""".stripMargin),
+
+    // stupid-backoff trigram LM scoring (Brants et al. 2007), held
+    // out: model trained on src0-18 only, src19 scored — unseen
+    // trigrams genuinely take the backoff branch (the judged `hits`
+    // column pins the branch mix); whole-centibit integer scoring,
+    // ln-free like x151 (see LmQuality.stupidBackoffScore)
+    Q.df("x156_lm_stupid_backoff",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        LmQuality.stupidBackoffScore(
+          docs.where(col("source") =!= "src19"),
+          docs.where(col("source") === "src19"))
+      },
+      s"""WITH $duckTok,
+         |tr3 AS (
+         |  SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+         |  FROM tok a
+         |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         |  JOIN documents d ON d.doc_id = a.doc_id AND d.source <> 'src19'),
+         |sc3 AS (
+         |  SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+         |  FROM tok a
+         |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         |  JOIN documents d ON d.doc_id = a.doc_id AND d.source = 'src19'),
+         |tb AS (
+         |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+         |  FROM tok a
+         |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  JOIN documents d ON d.doc_id = a.doc_id AND d.source <> 'src19'),
+         |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr3 GROUP BY 1, 2, 3),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tr3 GROUP BY 1, 2),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM tb GROUP BY 1, 2),
+         |pc AS (SELECT w1, count(*) AS pc FROM tb GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t.w) AS v FROM tok t
+         |      JOIN documents d ON t.doc_id = d.doc_id
+         |      WHERE d.source <> 'src19'),
+         |terms AS (
+         |  SELECT s.doc_id,
+         |    CASE WHEN c3.c3 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         |    CASE WHEN c3.c3 IS NOT NULL
+         |      THEN 100 * ((length(bin(c12.c12)) - 1)
+         |                - (length(bin(c3.c3)) - 1))
+         |      ELSE 132 + 100 * ((length(bin(coalesce(pc.pc, 0) + v.v)) - 1)
+         |                      - (length(bin(coalesce(cb.cb, 0) + 1)) - 1))
+         |    END AS nb
+         |  FROM sc3 s
+         |  LEFT JOIN c3 ON s.w1 = c3.w1 AND s.w2 = c3.w2 AND s.w3 = c3.w3
+         |  LEFT JOIN c12 ON s.w1 = c12.w1 AND s.w2 = c12.w2
+         |  LEFT JOIN cb ON s.w2 = cb.w1 AND s.w3 = cb.w2
+         |  LEFT JOIN pc ON s.w2 = pc.w1, v),
+         |sco AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+         |    CAST(sum(hit) AS BIGINT) AS hits,
+         |    CAST(sum(nb) AS BIGINT) AS bits_cb,
+         |    CAST(sum(nb) AS BIGINT) // CAST(count(*) AS BIGINT) AS ppl_cb
+         |  FROM terms GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(s.n_tri, 0) AS n_tri,
+         |  coalesce(s.hits, 0) AS hits,
+         |  coalesce(s.bits_cb, 0) AS bits_cb,
+         |  coalesce(s.ppl_cb, -1) AS ppl_cb
+         |FROM documents d LEFT JOIN sco s ON d.doc_id = s.doc_id
+         |WHERE d.source = 'src19'
+         |ORDER BY d.doc_id""".stripMargin)
   )
 }

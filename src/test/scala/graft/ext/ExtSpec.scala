@@ -884,6 +884,21 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("stupid backoff: scoring the training corpus itself never backs off") {
+    import org.apache.spark.sql.functions._
+    val train = docs.where(col("source") =!= "src19")
+    val self = LmQuality.stupidBackoffScore(train, train).collect()
+    assert(self.nonEmpty)
+    // every trigram of the train corpus is in the model -> hit
+    self.foreach(r => assert(r.getLong(2) == r.getLong(1),
+      s"doc ${r.getLong(0)}: ${r.getLong(2)} hits of ${r.getLong(1)}"))
+    // held out, the backoff branch genuinely fires
+    val held = LmQuality.stupidBackoffScore(train,
+      docs.where(col("source") === "src19")).collect()
+    assert(held.exists(r => r.getLong(2) < r.getLong(1)))
+    CacheRegistry.clearAll()
+  }
+
   test("cdc: applyDiff(v1, diff(v1, v2)) == v2 for deletes, updates, inserts, no-ops") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
