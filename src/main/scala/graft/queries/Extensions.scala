@@ -2456,6 +2456,56 @@ object Extensions {
          |  coalesce(s.ppl_cb, -1) AS ppl_cb
          |FROM documents d LEFT JOIN sco s ON d.doc_id = s.doc_id
          |WHERE d.source = 'src19'
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin),
+
+    // perceptual AUDIO near-dup: REAL energy-difference fingerprint
+    // over decoded 16-bit PCM samples (65 frame averages -> 64-bit
+    // sketch), 8x8-bit hamming bands, exact bit_count verify — the
+    // audio twin of x152 (narrower bands because a doc's two flipped
+    // comparisons are adjacent bits that may straddle one boundary;
+    // 8 bands always leave a clean one, so recall is exact). Oracle =
+    // the construction-formula twin, never reading a sample (see
+    // Multimodal.audioNearDup)
+    Q.df("x158_audio_near_dup",
+      (s, dir) => Multimodal.audioNearDup(
+        Tables.load(s, dir, "documents").where(col("doc_id") % 10 < 2), 8),
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 8 AS g, (doc_id * 3) % 65 AS nf
+        |  FROM documents WHERE doc_id % 10 < 2),
+        |cells0 AS (
+        |  SELECT gs.g, ff.f,
+        |    CAST((CAST(gs.g * 1000 + 100 + ff.f AS HUGEINT)
+        |      * 2654435761) % 4294967296 AS BIGINT) AS x
+        |  FROM generate_series(0, 7) gs(g)
+        |  CROSS JOIN generate_series(0, 64) ff(f)),
+        |cells AS (
+        |  SELECT g, f,
+        |    CAST((CAST(xor(x, x >> 16) AS HUGEINT) * 2654435761) % 4294967296
+        |      AS BIGINT) >> 24 AS v
+        |  FROM cells0),
+        |fl AS (
+        |  SELECT i.doc_id, i.g,
+        |    CASE WHEN i.nf >= 1 AND ((l.v < (c.v + 128) % 256) <> (l.v < c.v))
+        |         THEN i.nf - 1 END AS b1,
+        |    CASE WHEN i.nf <= 63 AND (((c.v + 128) % 256 < r.v) <> (c.v < r.v))
+        |         THEN i.nf END AS b2
+        |  FROM img i
+        |  JOIN cells c ON c.g = i.g AND c.f = i.nf
+        |  LEFT JOIN cells l ON l.g = i.g AND l.f = i.nf - 1
+        |  LEFT JOIN cells r ON r.g = i.g AND r.f = i.nf + 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(
+        |    (CASE WHEN a.b1 IS NOT NULL AND a.b1 IS DISTINCT FROM b.b1
+        |          AND a.b1 IS DISTINCT FROM b.b2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.b2 IS NOT NULL AND a.b2 IS DISTINCT FROM b.b1
+        |          AND a.b2 IS DISTINCT FROM b.b2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN b.b1 IS NOT NULL AND b.b1 IS DISTINCT FROM a.b1
+        |          AND b.b1 IS DISTINCT FROM a.b2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN b.b2 IS NOT NULL AND b.b2 IS DISTINCT FROM a.b1
+        |          AND b.b2 IS DISTINCT FROM a.b2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS dist
+        |FROM fl a JOIN fl b ON a.g = b.g AND a.doc_id < b.doc_id
+        |WHERE dist <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin)
   )
 }

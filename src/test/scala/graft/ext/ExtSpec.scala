@@ -939,6 +939,23 @@ class ExtSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == expected)
   }
 
+  test("audio near-dup: finds exactly the same-group pairs, never across groups") {
+    import org.apache.spark.sql.functions._
+    val sub = docs.where(col("doc_id") % 10 < 2)
+    val pairs = Multimodal.audioNearDup(sub, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, d) =>
+      assert(a % 8 == b % 8 && d <= 8, s"($a,$b,$d)") }
+    // recall exact: two flipped adjacent bits per doc corrupt at most
+    // 4 of the 8 bands, so a clean band always survives
+    val ids = sub.select("doc_id").collect().map(_.getLong(0))
+    val expected = (for {
+      a <- ids; b <- ids if a < b && a % 8 == b % 8
+    } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == expected)
+  }
+
   test("label centroids: |labels| x dim rows, exact sums match a direct fold") {
     val r = Similarity.labelCentroids(emb).collect()
     val labels = emb.select("label").distinct().count()
