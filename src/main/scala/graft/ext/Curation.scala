@@ -109,6 +109,7 @@ object Curation {
     * (bucket, pack_id, n_docs, n_tok, first_doc, last_doc) over the
     * curated corpus — what a downstream tokenizer job consumes. */
   def curate(docs: DataFrame, window: Int = 256,
-             evalSource: String = "src19"): DataFrame =
-    Pack.packManifest(survivors(docs, evalSource), window)
+             evalSource: String = "src19",
+             lmGate: Boolean = false): DataFrame =
+    Pack.packManifest(survivors(docs, evalSource, lmGate), window)
 }

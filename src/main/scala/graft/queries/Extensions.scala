@@ -2506,6 +2506,154 @@ object Extensions {
         |    AS BIGINT) AS dist
         |FROM fl a JOIN fl b ON a.g = b.g AND a.doc_id < b.doc_id
         |WHERE dist <= 8
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // the curation pipeline WITH the LM perplexity stage, judged as
+    // ONE DAG end-to-end: quality gate -> x151 LM gate (bigram model
+    // trained on the stage-1 survivors themselves, perplexity tail
+    // dropped) -> exact dedup -> near-dup keeper -> decontamination ->
+    // packing. The oracle is the x123 composition with the LM stage's
+    // CTEs spliced in after base1 — catching any drift between the
+    // judged standalone gate and its in-pipeline composition
+    Q.df("x159_curation_lm_pipeline",
+      (s, dir) => Curation.curate(Tables.load(s, dir, "documents"), 256,
+        lmGate = true),
+      """WITH RECURSIVE
+        |tok0 AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        |  FROM documents
+        |),
+        |st AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |    CAST(floor(10000.0 * sum(CASE WHEN w IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS stop_x10k,
+        |    CAST(floor(10000.0 * sum(length(w)) / count(*)) AS BIGINT) AS avglen_x10k
+        |  FROM tok0 GROUP BY doc_id
+        |),
+        |q AS (
+        |  SELECT doc_id FROM st
+        |  WHERE n_tok >= 20 AND stop_x10k >= 100
+        |    AND avglen_x10k BETWEEN 30000 AND 80000
+        |),
+        |base1 AS (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+        |  WHERE d.source <> 'src19'
+        |),
+        |tokb1 AS (SELECT t.* FROM tok0 t JOIN base1 USING (doc_id)),
+        |lmbig AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM tokb1 a JOIN tokb1 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |),
+        |lmbc AS (SELECT w1, w2, count(*) AS c2 FROM lmbig GROUP BY w1, w2),
+        |lmpc AS (SELECT w1, count(*) AS c1 FROM lmbig GROUP BY w1),
+        |lmv AS (SELECT count(DISTINCT w) AS v FROM tokb1),
+        |lmterms AS (
+        |  SELECT g.doc_id,
+        |    (length(bin(p.c1 + v.v)) - 1) - (length(bin(b.c2 + 1)) - 1) AS nb
+        |  FROM lmbig g JOIN lmbc b ON g.w1 = b.w1 AND g.w2 = b.w2
+        |               JOIN lmpc p ON g.w1 = p.w1, lmv v
+        |),
+        |lmsc AS (
+        |  SELECT doc_id,
+        |    (100 * CAST(sum(nb) AS BIGINT)) // CAST(count(*) AS BIGINT) AS ppl
+        |  FROM lmterms GROUP BY doc_id
+        |),
+        |lmn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lmsc),
+        |lmh AS (SELECT ppl, count(*) AS c FROM lmsc GROUP BY ppl),
+        |lmcum AS (SELECT ppl, CAST(sum(c) OVER (ORDER BY ppl) AS BIGINT) AS cum
+        |          FROM lmh),
+        |lmthr AS (SELECT min(CASE WHEN cum >= (2 * n + 2) // 3 THEN ppl END)
+        |            AS t2 FROM lmcum, lmn),
+        |base1b AS (
+        |  SELECT b.* FROM base1 b JOIN lmsc s ON b.doc_id = s.doc_id, lmthr t
+        |  WHERE s.ppl <= t.t2
+        |),
+        |ex AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM (SELECT doc_id,
+        |          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |        FROM base1b)
+        |  GROUP BY fp
+        |),
+        |base2 AS (SELECT b.* FROM base1b b JOIN ex USING (doc_id)),
+        |tok AS (SELECT t.* FROM tok0 t JOIN base2 USING (doc_id)),
+        |sh0 AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |),
+        |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 2),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+        |),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs
+        |),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM base2
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        |),
+        |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |base3 AS (
+        |  SELECT b.* FROM base2 b JOIN labels c ON b.doc_id = c.doc_id
+        |  WHERE b.doc_id = c.cluster_id
+        |),
+        |nib AS (
+        |  SELECT doc_id, j, instr('0123456789abcdef', substr(md5(w), j, 1)) - 1 AS v
+        |  FROM tok0, range(1, 5) r(j)
+        |),
+        |bits AS (
+        |  SELECT doc_id, (j - 1) * 4 + b.b AS pos,
+        |    sum(CASE WHEN (v & b.mask) > 0 THEN 1 ELSE -1 END) AS s
+        |  FROM nib, (VALUES (0, 1), (1, 2), (2, 4), (3, 8)) AS b(b, mask)
+        |  GROUP BY doc_id, (j - 1) * 4 + b.b
+        |),
+        |sk AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id
+        |),
+        |base4 AS (
+        |  SELECT b3.* FROM base3 b3
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM sk n JOIN sk o ON n.simhash = o.simhash
+        |    JOIN documents dd ON o.doc_id = dd.doc_id
+        |    WHERE n.doc_id = b3.doc_id AND dd.source = 'src19')
+        |),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(instr('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+        |      AS bucket
+        |  FROM base4
+        |),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |),
+        |p AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS pack_id
+        |  FROM c
+        |)
+        |SELECT bucket, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY bucket, pack_id
+        |ORDER BY bucket, pack_id""".stripMargin)
   )
 }

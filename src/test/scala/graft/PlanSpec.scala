@@ -285,12 +285,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
   }
 
-  test("x130 temperature mix: the selection window is partitioned by stratum") {
+  test("x130 temperature mix: bounded bottom-k aggregate, no per-stratum window") {
     val p = plan("x130_temperature_mix")
-    // the row-number window must run partitioned by the stratum key —
-    // never over a global order (the scalar budget-total aggregate's
-    // one-ROW exchange is fine; a SinglePartition WINDOW would not be)
-    assert("windowspecdefinition\\(source".r.findFirstIn(p).nonEmpty, p)
+    // selection runs as the BottomKHashAgg bounded aggregate (partial
+    // buffers capped at budget), keyed on the stratum — NOT as a
+    // row_number window that would route a whole stratum through one
+    // task (ADVICE r4)
+    assert(!p.toLowerCase.contains("windowspecdefinition"), p)
+    assert(p.contains("BottomKHashAgg") || p.contains("bottomkhashagg"), p)
     assert("hashpartitioning\\(source".r.findFirstIn(p).nonEmpty, p)
   }
 
