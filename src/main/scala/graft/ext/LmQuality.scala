@@ -74,10 +74,13 @@ object LmQuality {
       .select(col("doc_id"),
         ((length(bin(col("c1") + col("v"))) - 1) -
          (length(bin(col("c2") + lit(1))) - 1)).cast("bigint").as("nb"))
-    val scored = terms.groupBy("doc_id")
+    // pinned: the scored frame feeds THREE consumers (the doc count,
+    // the threshold histogram, and the final per-doc join) — without
+    // the pin the whole scoring join re-executes per consumer
+    val scored = CacheRegistry.pin(terms.groupBy("doc_id")
       .agg(count(lit(1)).as("n_big"), sum("nb").as("bits"))
       .select(col("doc_id"), col("n_big"), col("bits"),
-        expr("(100 * bits) div n_big").as("ppl_cbit"))
+        expr("(100 * bits) div n_big").as("ppl_cbit")))
     // integer tertile thresholds from the cumulative score histogram:
     // t_k = smallest ppl whose cumulative doc count reaches
     // ceil(k*n/3); the window runs over the tiny histogram only
