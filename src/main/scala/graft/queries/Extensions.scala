@@ -2508,6 +2508,38 @@ object Extensions {
         |WHERE dist <= 8
         |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // streaming CURATED ingest: the x154 live front door with the
+    // C4-style quality gate composed in-row BEFORE the Bloom dedup —
+    // completely stateless per batch (array lambdas, no streaming agg,
+    // no watermark); equals the batch quality-gate -> incrementalNew
+    // composition over the same backlog (see
+    // Streaming.streamCuratedIngest)
+    Q.df("x160_stream_curated_ingest",
+      (s, dir) => Streaming.streamCuratedIngest(s, dir),
+      """WITH nw AS (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src19'
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE source <> 'src19' AND doc_id % 10 = 4),
+        |q AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |    FROM nw) x
+        |  WHERE len(t) >= 20
+        |    AND CAST(floor(10000.0 * len(list_filter(t,
+        |          w -> w IN ('the','a','of','and','to','in'))) / len(t))
+        |        AS BIGINT) >= 100
+        |    AND CAST(floor(10000.0 * list_sum(list_transform(t,
+        |          w -> length(w))) / len(t)) AS BIGINT)
+        |        BETWEEN 30000 AND 80000)
+        |SELECT n.doc_id FROM nw n JOIN q USING (doc_id)
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents o
+        |  WHERE o.source <> 'src19'
+        |    AND md5(trim(regexp_replace(lower(o.text), '\s+', ' ', 'g'))) =
+        |        md5(trim(regexp_replace(lower(n.text), '\s+', ' ', 'g'))))
+        |ORDER BY n.doc_id""".stripMargin),
+
     // the curation pipeline WITH the LM perplexity stage, judged as
     // ONE DAG end-to-end: quality gate -> x151 LM gate (bigram model
     // trained on the stage-1 survivors themselves, perplexity tail

@@ -485,26 +485,88 @@ object Streaming {
     val might = udf((s: String) =>
       s != null && bloomB.value.mightContainString(s))
     withStreamDirsFile(dir, "documents.parquet") { (stage, ckpt) =>
-      // stage the duplicate re-arrivals as a second backlog file
-      val tmp = java.nio.file.Files.createTempDirectory("graft_planted")
-      try {
-        corpus.where(col("doc_id") % 10 === 4)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("source", lit("src19"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(tmp).iterator().asScala
-          .filter(_.toString.endsWith(".parquet"))
-          .foreach(p => java.nio.file.Files.copy(
-            p, java.nio.file.Paths.get(stage, "planted.parquet")))
-      } finally rmTree(tmp)
+      stagePlantedDups(spark, corpus, stage)
       val src = spark.readStream.schema(docsSchema).parquet(stage)
         .where(col("source") === "src19")
         .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
-      val out = src.where(!might(col("fp"))).select("doc_id")
-        .unionByName(src.where(might(col("fp")))
-          .join(corpusFp, Seq("fp"), "left_anti").select("doc_id"))
-      val q = out.writeStream
+      val q = bloomDedupStream(src, corpusFp, might).writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("doc_id")
+  }
+
+  /** Stage the duplicate "re-scraped" arrivals (corpus slice re-keyed
+    * to fresh ids, byte-identical text) as a second backlog file. */
+  private def stagePlantedDups(spark: SparkSession, corpus: DataFrame,
+      stage: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_planted")
+    try {
+      corpus.where(col("doc_id") % 10 === 4)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("source", lit("src19"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.copy(
+          p, java.nio.file.Paths.get(stage, "planted.parquet")))
+      ()
+    } finally rmTree(tmp)
+  }
+
+  /** Split a (doc_id, fp) stream on the broadcast Bloom probe: rejects
+    * are provably new and emitted directly; the fpp-bounded maybe
+    * slice goes through the exact stream-static anti-join. */
+  private def bloomDedupStream(src: DataFrame, corpusFp: DataFrame,
+      might: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+    src.where(!might(col("fp"))).select("doc_id")
+      .unionByName(src.where(might(col("fp")))
+        .join(corpusFp, Seq("fp"), "left_anti").select("doc_id"))
+
+  /** Streaming CURATED ingest — the live front door with the quality
+    * gate composed in: each arriving document is quality-scored
+    * IN-ROW (token count, stopword ratio, mean token length — the
+    * same C4-style rules as the batch x78 gate, spelled as array
+    * lambdas over the tokenized text so the stage is completely
+    * stateless), and survivors are then deduplicated against the
+    * static corpus exactly as [[streamIncrementalDedup]]. Stateless
+    * per batch end to end: no streaming aggregation, no watermark —
+    * per-row work only, the shape that keeps up with any ingest rate.
+    * Equals the batch composition (quality gate -> incrementalNew)
+    * over the same backlog. Output: (doc_id) of admitted documents. */
+  def streamCuratedIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Dedup, TextStats}
+    val name = "stream_curated_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("source") =!= "src19")
+    val corpusFp = corpus.select(Dedup.fingerprint(col("text")).as("fp"))
+    val bloom = corpusFp.stat.bloomFilter("fp", 1L << 16, 0.01)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val might = udf((s: String) =>
+      s != null && bloomB.value.mightContainString(s))
+    withStreamDirsFile(dir, "documents.parquet") { (stage, ckpt) =>
+      stagePlantedDups(spark, corpus, stage)
+      val src = spark.readStream.schema(docsSchema).parquet(stage)
+        .where(col("source") === "src19")
+        .withColumn("t", TextStats.tokensCol(col("text")))
+        .withColumn("n_tok", size(col("t")).cast("bigint"))
+        // in-row restatement of TextStats.qualityFilter's exact
+        // integer ratios (same 10000.0-scaled floors, same bounds)
+        .withColumn("stop_x10k", floor(lit(10000.0) *
+          size(expr("filter(t, w -> w IN ('the','a','of','and','to','in'))")) /
+          col("n_tok")).cast("bigint"))
+        .withColumn("avglen_x10k", floor(lit(10000.0) *
+          expr("aggregate(t, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))") /
+          col("n_tok")).cast("bigint"))
+        .where(col("n_tok") >= 20 && col("stop_x10k") >= 100 &&
+          col("avglen_x10k") >= 30000 && col("avglen_x10k") <= 80000)
+        .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+      val q = bloomDedupStream(src, corpusFp, might).writeStream
         .format("memory").queryName(name).outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())

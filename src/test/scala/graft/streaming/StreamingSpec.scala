@@ -52,6 +52,29 @@ class StreamingSpec extends SparkSpec {
     assert(backlog.where(col("doc_id") >= 1000000L).count() > 0)
   }
 
+  test("streaming curated ingest equals the batch quality->dedup composition") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streaming.streamCuratedIngest(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val corpus = docs.where(col("source") =!= "src19")
+    val backlog = docs.where(col("source") === "src19")
+      .select("doc_id", "text")
+      .unionByName(corpus.where(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val kept = graft.ext.TextStats.qualityFilter(backlog)
+      .where(col("keep")).select("doc_id")
+    val batch = graft.ext.Dedup.incrementalNew(
+        backlog.join(kept, "doc_id"), corpus)
+      .collect().map(_.getLong(0)).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // both stages really filter on this backlog: quality drops some
+    // arrivals, dedup drops every planted re-scrape that passes it
+    assert(kept.count() < backlog.count())
+    assert(streamed.forall(_ < 1000000L))
+  }
+
   test("foreachBatch compaction equals the batch aggregation") {
     import org.apache.spark.sql.functions._
     val streamed = Streaming.userTotalsForeachBatch(spark, dir)
