@@ -2508,6 +2508,32 @@ object Extensions {
         |WHERE dist <= 8
         |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // declarative session windows as a STREAM: session_window's
+    // merging state (sessions coalesce when a bridging event arrives)
+    // on the events backlog — the built-in spelling of x68's custom
+    // state; equals the batch session_window agg, oracle = the
+    // lag/running-sum session derivation (same as x65)
+    Q.df("x161_stream_session_window",
+      (s, dir) => Streaming.sessionWindowStream(s, dir),
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS event_cnt
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin),
+
     // streaming CURATED ingest: the x154 live front door with the
     // C4-style quality gate composed in-row BEFORE the Bloom dedup —
     // completely stateless per batch (array lambdas, no streaming agg,

@@ -325,6 +325,44 @@ object Streaming {
     spark.table(name).orderBy("win_start", "event_type")
   }
 
+  /** Gap-based SESSION windows as a STREAM — the declarative
+    * sessionize (`session_window`, dynamic 30-minute gap) on an
+    * unbounded source: unlike fixed windows, session state MERGES
+    * (two sessions coalesce when a bridging event arrives), which is
+    * exactly the machinery Spark's UpdatingSessions/MergingSessions
+    * operators exist for; watermark bounds how long an open session
+    * can wait for a bridge. The custom-state twin (x68,
+    * [[sessionizeStateful]]) spells the same logic by hand — this is
+    * the built-in spelling a production job should prefer. Drained
+    * with AvailableNow in complete mode the result equals the batch
+    * session_window aggregation (x65), whose oracle re-derives
+    * sessions from the lag/running-sum rule. */
+  def sessionWindowStream(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_sesswin_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
+      val src = spark.readStream
+        .schema(eventsRawSchema)
+        .parquet(stage)
+        .withColumn("ts", nanosToTs("ts"))
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("event_cnt"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("event_cnt"))
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    spark.table(name).orderBy("user_id", "session_start")
+  }
+
   /** Stream-stream LEFT OUTER interval join: every signup, matched to
     * the same user's purchases within the following hour OR emitted
     * once with a null purchase when the watermark proves no such
