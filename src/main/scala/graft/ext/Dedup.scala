@@ -326,6 +326,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Contamination PROVENANCE: for each eval document sharing at
+    * least one rare shingle with the training set, the single train
+    * document sharing the most of them (ties: smallest train doc_id)
+    * — the audit row a decontamination report needs: not just "this
+    * eval doc is contaminated" (x102) but WHICH training document to
+    * delete. Candidates are generated over RARE shingles only
+    * (train-side document frequency <= maxDocFreq): hot boilerplate
+    * shingles carry no provenance signal but contribute df^2 join
+    * pairs, so the evidence count is defined over the rare-shingle
+    * vocabulary — the same sub-quadratic contract as
+    * [[jaccardPairs]]'s stop filter. The argmax is the min_by
+    * bounded-aggregate spelling (no window over the pair counts).
+    * Output: (doc_id, src_doc, shared). */
+  def contaminationProvenance(eval_ : DataFrame, train: DataFrame,
+                              maxDocFreq: Int = 2): DataFrame = {
+    val tr = shingles3(train)
+    val rare = tr.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq).select("shingle")
+    val trR = tr.join(rare, Seq("shingle"))
+      .select(col("doc_id").as("src_doc"), col("shingle"))
+    val pairs = shingles3(eval_).join(trR, Seq("shingle"))
+      .groupBy("doc_id", "src_doc").agg(count(lit(1)).as("shared"))
+    pairs.groupBy("doc_id")
+      .agg(min_by(struct(col("src_doc"), col("shared")),
+        struct((-col("shared")).as("ns"), col("src_doc"))).as("best"))
+      .select(col("doc_id"), col("best.src_doc").as("src_doc"),
+        col("best.shared").as("shared"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs within a hamming radius, banded for scale:
     * a 16-bit sketch is split into 4 nibbles; two sketches within
     * hamming distance 3 must agree on at least one nibble (pigeonhole),

@@ -85,6 +85,48 @@ object Sampling {
       .orderBy(stratum)
   }
 
+  /** Token-budget temperature mixing — [[temperatureMix]] with the
+    * budget measured in TOKENS, which is what a pretraining mix
+    * actually allocates: each stratum gets floor(budget * sqrt(n_s) /
+    * Σ sqrt(n)) tokens and fills it greedily in content-hash order —
+    * a document is admitted iff the running token total at its own
+    * START is below the stratum's target (the same
+    * running-sum-at-start rule as sequence packing, so the cut is
+    * deterministic and a stratum never overshoots by more than one
+    * document's tail). Selection is a pure function of the data;
+    * whitespace tokens match the packing/oracle tokenizer.
+    *
+    * Scale shape: one keyed count for the targets, then one window
+    * partitioned BY STRATUM over the hash order for the running sum —
+    * the bucketed-cumsum shape of [[Pack.assignPacks]] (a token budget
+    * needs a prefix SUM, which no bounded top-k aggregate can carry;
+    * partitions stay bounded by stratum count, never global).
+    * Output: (stratum, key, n_tok) of the selected rows. */
+  def tokenBudgetMix(df: DataFrame, stratum: String, key: String,
+                     text: String, tokenBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val weights = df.groupBy(stratum)
+      .agg(count(lit(1)).as("n_raw"))
+      .select(col(stratum),
+        floor(sqrt(col("n_raw"))).cast("bigint").as("w"))
+    val total = weights.agg(sum("w").as("w_tot"))
+    val targets = weights.crossJoin(broadcast(total))
+      .select(col(stratum),
+        expr(s"($tokenBudget * w) div w_tot").as("target_tok"))
+    val w = Window.partitionBy(stratum)
+      .orderBy(col("h"), col(key))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(stratum), col(key),
+        size(split(col(text), " ")).cast("bigint").as("n_tok"),
+        md5(col(key).cast("string")).as("h"))
+      .join(broadcast(targets), Seq(stratum))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .where(col("cum") - col("n_tok") < col("target_tok"))
+      .select(col(stratum), col(key), col("n_tok"))
+      .orderBy(stratum, key)
+  }
+
   /** Temperature-based source mixing (the multilingual/multi-source
     * sampling rule of mBERT/XLM-R and friends, alpha = 0.5): each
     * stratum's share of a fixed document budget is proportional to

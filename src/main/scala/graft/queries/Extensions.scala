@@ -2508,6 +2508,65 @@ object Extensions {
         |WHERE dist <= 8
         |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // contamination PROVENANCE: per contaminated eval doc, WHICH train
+    // document to delete — argmax train doc by shared rare shingles
+    // (train-df <= 2 candidate generation, the sub-quadratic x77
+    // contract; min_by argmax, no window over pair counts)
+    Q.df("x163_contamination_provenance",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.contaminationProvenance(
+          docs.where(col("source") === "src19"),
+          docs.where(col("source") =!= "src19"))
+      },
+      s"""WITH $duckTok,
+         |sh AS (
+         |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         |she AS (SELECT s.* FROM sh s JOIN documents d USING (doc_id)
+         |        WHERE d.source = 'src19'),
+         |sht AS (SELECT s.* FROM sh s JOIN documents d USING (doc_id)
+         |        WHERE d.source <> 'src19'),
+         |rare AS (SELECT shingle FROM sht GROUP BY shingle
+         |         HAVING count(*) <= 2),
+         |p AS (
+         |  SELECT e.doc_id, t.doc_id AS src_doc, count(*) AS shared
+         |  FROM she e
+         |  JOIN (SELECT s.* FROM sht s JOIN rare USING (shingle)) t
+         |    USING (shingle)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, src_doc, CAST(shared AS BIGINT) AS shared
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY shared DESC, src_doc) AS rn FROM p)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    // token-budget temperature mixing: sqrt-share targets in TOKENS
+    // (what a pretraining mix actually allocates), filled greedily in
+    // content-hash order with the running-sum-at-start admission rule
+    // — deterministic, engine-exact (see Sampling.tokenBudgetMix)
+    Q.df("x162_token_budget_mix",
+      (s, dir) => Sampling.tokenBudgetMix(
+        Tables.load(s, dir, "documents"), "source", "doc_id", "text", 10000L),
+      """WITH c AS (SELECT source, count(*) AS n_raw
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, CAST(floor(sqrt(n_raw)) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM w),
+        |g AS (SELECT source, (10000 * w) // w_tot AS target_tok FROM w, t),
+        |r AS (SELECT source, doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |        md5(CAST(doc_id AS VARCHAR)) AS h
+        |      FROM documents),
+        |s AS (SELECT source, doc_id, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM r)
+        |SELECT s.source, s.doc_id, s.n_tok
+        |FROM s JOIN g USING (source)
+        |WHERE s.cum - s.n_tok < g.target_tok
+        |ORDER BY s.source, s.doc_id""".stripMargin),
+
     // declarative session windows as a STREAM: session_window's
     // merging state (sessions coalesce when a bridging event arrives)
     // on the events backlog — the built-in spelling of x68's custom

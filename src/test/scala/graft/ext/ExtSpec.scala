@@ -1069,6 +1069,26 @@ class ExtSpec extends SparkSpec {
     assert(gotMap.values.sum <= budget)
   }
 
+  test("token budget mix: every stratum stops within one document of its token target") {
+    import org.apache.spark.sql.functions._
+    val budget = 3000L
+    val got = Sampling.tokenBudgetMix(docs, "source", "doc_id", "text", budget)
+      .groupBy("source").agg(sum("n_tok").as("tok"), max("n_tok").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // targets recomputed independently on the driver
+    val raw = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = raw.map { case (s, c) => s -> math.floor(math.sqrt(c.toDouble)).toLong }
+    val wTot = w.values.sum
+    got.foreach { case (s, (tok, mx)) =>
+      val target = budget * w(s) / wTot
+      // admission is running-sum-at-start < target: the selection can
+      // overshoot only by the tail of its last admitted document
+      assert(tok - mx < target, s"$s: $tok tokens vs target $target")
+    }
+    assert(got.values.map(_._1).sum > 0)
+  }
+
   test("x129 approx median tier: estimate inside the sketch's rank-error band of exact") {
     import org.apache.spark.sql.functions._
     // accuracy 100 => rank error <= n/100; assert against the loose
