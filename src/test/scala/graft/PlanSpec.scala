@@ -233,6 +233,23 @@ class PlanSpec extends SparkSpec {
     ext.CacheRegistry.clearAll()
   }
 
+  test("x159 LM-gated curation pipeline keeps the single-raw-scan property") {
+    spark.sharedState.cacheManager.clearCache()
+    ext.CacheRegistry.clearAll()
+    val out = SparkEntry.queries("x159_curation_lm_pipeline")(spark, dir)
+    // the LM stage (model counts + scoring + threshold) must be served
+    // by the pinned/checkpointed stage boundaries exactly like every
+    // other stage — composing it must not smuggle a raw re-scan in
+    val p = out.queryExecution.executedPlan
+    val fileScans = p.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("documents") => f
+    }
+    assert(fileScans.isEmpty, fileScans.mkString("\n"))
+    assert(out.count() > 0)
+    ext.CacheRegistry.clearAll()
+  }
+
   test("x131 runtime bloom filter: might_contain probe injected on the fact side") {
     import org.apache.spark.sql.functions._
     ext.SessionConf.withConfs(spark)(
