@@ -85,6 +85,42 @@ object Sampling {
       .orderBy(stratum)
   }
 
+  /** Reproducible per-epoch shuffle order — the "shuffle differently
+    * every epoch, identically on every rerun" primitive of training
+    * data loaders: epoch e's permutation ranks rows by
+    * md5(e ":" key), a pure function of (epoch, row), so any shard of
+    * any epoch can be regenerated independently on any cluster.
+    *
+    * The rank is materialized WITHOUT the textbook scale killer
+    * (`row_number() OVER (PARTITION BY epoch ORDER BY hash)` funnels
+    * every epoch through one task): rows are range-partition-sorted by
+    * (epoch, hash) and numbered with zipWithIndex — the distributed
+    * x132 global-ids shape — then each epoch's offset (epoch * n) is
+    * subtracted. Output: (epoch, key, ord) with ord = 0..n-1 inside
+    * each epoch. */
+  def epochShuffle(df: DataFrame, key: String, epochs: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(epochs >= 1 && epochs <= 1024, s"epochs must be in [1, 1024]")
+    val spark = df.sparkSession
+    val n = df.count()
+    val sorted = df.select(col(key))
+      .withColumn("epoch", explode(expr(s"sequence(0, ${epochs - 1})")))
+      .select(col("epoch").cast("bigint").as("epoch"), col(key),
+        md5(concat(col("epoch").cast("string"), lit(":"),
+          col(key).cast("string"))).as("h"))
+      .orderBy("epoch", "h", key)
+    val schema = StructType(sorted.schema.fields :+
+      StructField("gid", LongType, nullable = false))
+    val numbered = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(numbered, schema)
+      .select(col("epoch"), col(key),
+        (col("gid") - col("epoch") * n).as("ord"))
+      .orderBy("epoch", "ord")
+  }
+
   /** Token-budget temperature mixing — [[temperatureMix]] with the
     * budget measured in TOKENS, which is what a pretraining mix
     * actually allocates: each stratum gets floor(budget * sqrt(n_s) /

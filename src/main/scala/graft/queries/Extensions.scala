@@ -2508,6 +2508,26 @@ object Extensions {
         |WHERE dist <= 8
         |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // reproducible per-epoch shuffle order: epoch e ranks rows by
+    // md5(e:key) — a pure function of (epoch, row), regenerable for
+    // any shard on any cluster; materialized via range-partitioned
+    // sort + zipWithIndex (the x132 shape), never a per-epoch
+    // SinglePartition window (see Sampling.epochShuffle)
+    Q.df("x164_epoch_shuffle",
+      (s, dir) => Sampling.epochShuffle(
+        Tables.load(s, dir, "documents"), "doc_id", 3),
+      """WITH e AS (
+        |  SELECT doc_id, ep.epoch
+        |  FROM documents, (VALUES (0), (1), (2)) AS ep(epoch)),
+        |h AS (
+        |  SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM e)
+        |SELECT epoch, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1
+        |    AS BIGINT) AS ord
+        |FROM h ORDER BY epoch, ord""".stripMargin),
+
     // contamination PROVENANCE: per contaminated eval doc, WHICH train
     // document to delete — argmax train doc by shared rare shingles
     // (train-df <= 2 candidate generation, the sub-quadratic x77

@@ -1069,6 +1069,23 @@ class ExtSpec extends SparkSpec {
     assert(gotMap.values.sum <= budget)
   }
 
+  test("reproducibility: epoch shuffle, LM gate and temperature mix are repartition-invariant") {
+    import org.apache.spark.sql.functions._
+    // the "reproducible across cluster sizes" claim, tested directly:
+    // a different physical partitioning must not move a single row
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val re = docs.repartition(7)
+    try {
+      assert(rows(Sampling.epochShuffle(docs, "doc_id", 2)) ==
+             rows(Sampling.epochShuffle(re, "doc_id", 2)))
+      assert(rows(LmQuality.lmQualityGate(docs)) ==
+             rows(LmQuality.lmQualityGate(re)))
+      assert(rows(Sampling.temperatureMix(docs, "source", "doc_id", 100L)) ==
+             rows(Sampling.temperatureMix(re, "source", "doc_id", 100L)))
+    } finally CacheRegistry.clearAll()
+  }
+
   test("token budget mix: every stratum stops within one document of its token target") {
     import org.apache.spark.sql.functions._
     val budget = 3000L
