@@ -313,6 +313,33 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(source".r.findFirstIn(p).nonEmpty, p)
   }
 
+  test("x152/x158 perceptual near-dup: banded candidates are a keyed join, never cartesian") {
+    for (q <- Seq("x152_image_near_dup", "x158_audio_near_dup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoop"), s"$q: $p")
+      assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+        || p.contains("ShuffledHashJoin"), s"$q: $p")
+    }
+  }
+
+  test("x162 token budget mix: the running-sum window is partitioned by stratum") {
+    val p = plan("x162_token_budget_mix")
+    // a token budget needs a prefix sum (no bounded top-k can carry
+    // it), so the window is allowed — but only the bucketed-cumsum
+    // shape, never a global order
+    assert("windowspecdefinition\\(source".r.findFirstIn(p).nonEmpty, p)
+    assert("hashpartitioning\\(source".r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("x163 contamination provenance: keyed shingle join + min_by argmax, no window") {
+    val p = plan("x163_contamination_provenance")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("windowspecdefinition"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("x137 tfidf pairs: inverted-index equi-join, no cartesian expansion") {
     val p = plan("x137_tfidf_pairs")
     assert(!p.contains("CartesianProduct"), p)
