@@ -229,7 +229,7 @@ object Dedup {
     * cap and throw — so the estimate is clamped to 2^31 items (~2.6 GiB
     * of filter at fpp 0.01, far beyond any driver-broadcast sketch this
     * library would build; callers past that pass `expectedItems`). */
-  private[ext] def bloomCapacity(fps: DataFrame): Long = {
+  private[graft] def bloomCapacity(fps: DataFrame): Long = {
     val stats = fps.queryExecution.optimizedPlan.stats
     val est = stats.rowCount.map(_.longValue).getOrElse(
       // fingerprint rows are one 32-char hex string (~40 bytes in

@@ -516,7 +516,11 @@ object Streaming {
     val corpus = spark.read.parquet(s"$dir/documents.parquet")
       .where(col("source") =!= "src19")
     val corpusFp = corpus.select(Dedup.fingerprint(col("text")).as("fp"))
-    val bloom = corpusFp.stat.bloomFilter("fp", 1L << 16, 0.01)
+    // capacity from plan statistics, exactly like the batch path
+    // (Dedup.incrementalNewBloom) — never a hardcoded size that stops
+    // fitting when the corpus grows
+    val bloom = corpusFp.stat.bloomFilter("fp",
+      graft.ext.Dedup.bloomCapacity(corpusFp), 0.01)
     val bloomB = spark.sparkContext.broadcast(bloom)
     // null-safe probe (a null fingerprint must route to definitelyNew,
     // matching the anti-join's null-never-equals semantics)
@@ -583,7 +587,11 @@ object Streaming {
     val corpus = spark.read.parquet(s"$dir/documents.parquet")
       .where(col("source") =!= "src19")
     val corpusFp = corpus.select(Dedup.fingerprint(col("text")).as("fp"))
-    val bloom = corpusFp.stat.bloomFilter("fp", 1L << 16, 0.01)
+    // capacity from plan statistics, exactly like the batch path
+    // (Dedup.incrementalNewBloom) — never a hardcoded size that stops
+    // fitting when the corpus grows
+    val bloom = corpusFp.stat.bloomFilter("fp",
+      graft.ext.Dedup.bloomCapacity(corpusFp), 0.01)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val might = udf((s: String) =>
       s != null && bloomB.value.mightContainString(s))
