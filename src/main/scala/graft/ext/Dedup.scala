@@ -326,6 +326,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware cluster keeper: within each near-dup cluster keep
+    * the BEST document — the longest, ties broken by smallest doc_id —
+    * instead of [[clusters]]'s smallest-id representative. Real
+    * curation keeps the highest-quality duplicate (fullest page
+    * version, least-truncated crawl), not the first-crawled one; the
+    * keeper rule is the only difference from the x71 pipeline. One
+    * min_by bounded aggregate over the cluster labels — no window over
+    * the documents. Output: (cluster_id, keep_id, keep_chars,
+    * n_members). */
+  def keepBestInClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = clusters(docs, pairs)
+    docs.join(labels, "doc_id")
+      .groupBy("cluster_id")
+      .agg(min_by(struct(col("doc_id"), col("n_chars")),
+          struct((-col("n_chars")).as("nc"), col("doc_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("best.doc_id").as("keep_id"),
+        col("best.n_chars").as("keep_chars"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Contamination PROVENANCE: for each eval document sharing at
     * least one rare shingle with the training set, the single train
     * document sharing the most of them (ties: smallest train doc_id)

@@ -2508,6 +2508,40 @@ object Extensions {
         |WHERE dist <= 8
         |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // quality-aware near-dup keeper: keep the LONGEST document of each
+    // cluster (ties: smallest id) instead of x71's first-crawled —
+    // what real curation keeps; min_by bounded argmax over the labels,
+    // no window over documents (see Dedup.keepBestInClusters)
+    Q.df("x165_dedup_keep_best",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.keepBestInClusters(docs,
+          Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2)))
+      },
+      s"""WITH RECURSIVE $duckTok, ${duckShinglesFiltered(2)}, $duckJaccardTail,
+         |pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+         |), lab AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+         |), m AS (
+         |  SELECT l.cluster_id, d.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+         |  FROM lab l JOIN documents d ON l.doc_id = d.doc_id)
+         |SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_chars,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+
     // reproducible per-epoch shuffle order: epoch e ranks rows by
     // md5(e:key) — a pure function of (epoch, row), regenerable for
     // any shard on any cluster; materialized via range-partitioned
