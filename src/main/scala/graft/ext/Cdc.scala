@@ -22,20 +22,25 @@ object Cdc {
 
   /** Classify `v2` against `v1` on unique `key`: one row per key whose
     * presence or `value` changed — status added / removed / changed,
-    * with both versions' values (-1 sentinel for the absent side;
-    * [[applyDiff]] branches on status, never on the sentinel).
-    * Unchanged keys are dropped inside the join. */
+    * with both versions' values (null on the absent side). Presence is
+    * decided by join-side MARKER columns and values compared with
+    * null-safe equality, so a NULL value never masquerades as an
+    * absent row: NULL-valued keys classify by presence, and x -> NULL /
+    * NULL -> x transitions are 'changed' — `applyDiff(v1, diff(v1,
+    * v2)) == v2` holds for nullable value columns of ANY type
+    * (property-checked in ExtSpec). Unchanged keys (null-safe equal)
+    * are dropped inside the join. */
   def diff(v1: DataFrame, v2: DataFrame, key: String,
            value: String): DataFrame = {
-    val a = v1.select(col(key), col(value).as("__c1"))
-    val b = v2.select(col(key), col(value).as("__c2"))
+    val a = v1.select(col(key), col(value).as("__c1"), lit(1).as("__p1"))
+    val b = v2.select(col(key), col(value).as("__c2"), lit(1).as("__p2"))
     a.join(b, Seq(key), "full_outer")
       .select(col(key),
-        when(col("__c1").isNull, "added")
-          .when(col("__c2").isNull, "removed")
-          .when(col("__c1") =!= col("__c2"), "changed").as("status"),
-        coalesce(col("__c1"), lit(-1L)).as(s"${value}_v1"),
-        coalesce(col("__c2"), lit(-1L)).as(s"${value}_v2"))
+        when(col("__p1").isNull, "added")
+          .when(col("__p2").isNull, "removed")
+          .when(!(col("__c1") <=> col("__c2")), "changed").as("status"),
+        col("__c1").as(s"${value}_v1"),
+        col("__c2").as(s"${value}_v2"))
       .where(col("status").isNotNull)
   }
 

@@ -49,14 +49,14 @@ object Rollup {
   }
 
   /** Read-time view over merged state: derived mean (integer cents)
-    * alongside the algebraic columns. Spark's `div` truncates toward
-    * zero while DuckDB's `//` floors; they differ exactly when the
-    * dividend is negative with a nonzero remainder, so the mean is
-    * computed as a FLOOR division explicitly (n is a count, always
-    * positive) — engine-exact for negative totals too. */
+    * alongside the algebraic columns. Spark's `div` and DuckDB's `//`
+    * BOTH truncate toward zero (verified against the oracle's duckdb
+    * 1.0.0: -7 // 2 = -3), so plain `div` is engine-exact for negative
+    * totals too — no floor correction (one would silently diverge from
+    * the oracle exactly when total_cents is negative with a nonzero
+    * remainder; ExtSpec exercises that case). */
   def withMean(merged: DataFrame, key: String): DataFrame =
     merged.select(col(key) +: stateCols.map(col) :+
-        expr("(total_cents div n) - (CASE WHEN total_cents % n < 0" +
-          " THEN 1 ELSE 0 END)").as("mean_cents"): _*)
+        expr("total_cents div n").as("mean_cents"): _*)
       .orderBy(key)
 }

@@ -187,8 +187,22 @@ object Sampling {
     * Output: the selected (stratum, key) rows. */
   def temperatureMix(df: DataFrame, stratum: String, key: String,
                      budget: Long): DataFrame = {
-    require(budget > 0 && budget <= Int.MaxValue,
-      s"budget must be in [1, ${Int.MaxValue}]; got $budget")
+    // the budget bounds the per-group aggregation buffer
+    // ([[graft.functions.BottomKHashAgg]] holds at most budget + 2^20
+    // candidates between prunes, ~150 B each -> well under a GiB at the
+    // cap); beyond it, use a two-pass hash-cutoff selection instead of
+    // an in-memory bottom-k
+    require(budget > 0 && budget <= (1L << 22),
+      s"budget must be in [1, ${1L << 22}]; got $budget")
+    // the key round-trips through a string cast (into the aggregate and
+    // back out), so only types whose cast is lossless and injective are
+    // accepted — float/decimal/timestamp keys could collapse or null
+    // out on the way back
+    import org.apache.spark.sql.types._
+    val kt = df.schema(key).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType, StringType)
+        .contains(kt),
+      s"temperatureMix key must be an integral or string column; got $kt")
     val weights = df.groupBy(stratum)
       .agg(count(lit(1)).as("n_raw"))
       .select(col(stratum),

@@ -123,6 +123,16 @@ case class HashedKey(h: String, key: String)
 class BottomKHashAgg(k: Int)
     extends Aggregator[HashedKey, Seq[HashedKey], Seq[HashedKey]] {
 
+  require(k >= 1, s"k must be positive; got $k")
+
+  // lazy-prune threshold, computed in Long so a large k can never
+  // overflow Int (4 * k going negative would make lengthCompare >= 0
+  // always true -> a full re-sort on EVERY row), and capped at
+  // k + 2^20 so the buffer between prunes stays bounded for large k
+  // instead of growing to 4x the budget
+  private val pruneAt: Int =
+    (4L * k).min(k.toLong + (1L << 20)).min(Int.MaxValue).toInt
+
   private def lt(a: HashedKey, b: HashedKey): Boolean =
     a.h < b.h || (a.h == b.h && a.key < b.key)
 
@@ -133,7 +143,7 @@ class BottomKHashAgg(k: Int)
   override def zero: Seq[HashedKey] = Vector.empty
   override def reduce(b: Seq[HashedKey], a: HashedKey): Seq[HashedKey] = {
     val nb = b :+ a
-    if (nb.lengthCompare(4 * k) >= 0) prune(nb) else nb
+    if (nb.lengthCompare(pruneAt) >= 0) prune(nb) else nb
   }
   override def merge(x: Seq[HashedKey], y: Seq[HashedKey]): Seq[HashedKey] =
     prune(x ++ y)

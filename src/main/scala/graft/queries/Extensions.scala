@@ -2093,9 +2093,9 @@ object Extensions {
         |  SELECT coalesce(a.k, b.k) AS k,
         |    CASE WHEN a.k IS NULL THEN 'added'
         |         WHEN b.k IS NULL THEN 'removed'
-        |         WHEN a.cents <> b.cents THEN 'changed' END AS status,
-        |    coalesce(a.cents, -1) AS cents_v1,
-        |    coalesce(b.cents, -1) AS cents_v2
+        |         WHEN a.cents IS DISTINCT FROM b.cents THEN 'changed'
+        |    END AS status,
+        |    a.cents AS cents_v1, b.cents AS cents_v2
         |  FROM v1 a FULL JOIN v2 b ON a.k = b.k
         |)
         |SELECT k, status, cents_v1, cents_v2 FROM d

@@ -921,6 +921,75 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("cdc: NULL values classify by row presence, and the apply identity holds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // every NULL shape at once: NULL unchanged (1), x -> NULL (2),
+    // NULL -> x (3), NULL removed (4), NULL added (5), plus plain
+    // changed (6) and a non-numeric value column (string)
+    val v1 = Seq(1L -> Option.empty[String], 2L -> Some("a"),
+      3L -> Option.empty[String], 4L -> Option.empty[String],
+      6L -> Some("x")).toDF("k", "v")
+    val v2 = Seq(1L -> Option.empty[String], 2L -> Option.empty[String],
+      3L -> Some("b"), 5L -> Option.empty[String],
+      6L -> Some("y")).toDF("k", "v")
+    val d = Cdc.diff(v1, v2, "k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added", 6L -> "changed"))
+    val got = Cdc.applyDiff(v1, Cdc.diff(v1, v2, "k", "v"), "k", "v")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val want = v2.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == want)
+  }
+
+  test("rollup: mean truncates toward zero for negative totals, like both engines' div") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // values summing to a negative total with a nonzero remainder:
+    // -3.50 cents-sum over 2 rows -> -350 div 2 = -175 (exact), and
+    // -3.51 over 2 -> total -351, div truncates to -175 (floor would
+    // give -176 and diverge from duckdb 1.0.0's `//`)
+    val batch = Seq(("a", -1.00), ("a", -2.51),
+      ("b", -1.00), ("b", -2.50)).toDF("k", "value")
+    val m = Rollup.withMean(
+      Rollup.merge("k", Rollup.partials(batch, "k", col("value"))), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(m == Map("a" -> -175L, "b" -> -175L))
+  }
+
+  test("temperature mix rejects keys without a lossless string round-trip") {
+    import org.apache.spark.sql.functions._
+    val bad = docs.select(col("source"),
+      (col("doc_id") / 2.0).as("fkey"))
+    val e = intercept[IllegalArgumentException](
+      Sampling.temperatureMix(bad, "source", "fkey", 10L))
+    assert(e.getMessage.contains("integral or string"))
+    // string keys are first-class: same picks as the long-key run
+    val viaString = Sampling.temperatureMix(
+      docs.select(col("source"), col("doc_id").cast("string").as("doc_id")),
+      "source", "doc_id", 100L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaLong = Sampling.temperatureMix(docs, "source", "doc_id", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1).toString)).toSet
+    assert(viaString == viaLong && viaString.nonEmpty)
+    val tooBig = intercept[IllegalArgumentException](
+      Sampling.temperatureMix(docs, "source", "doc_id", (1L << 22) + 1))
+    assert(tooBig.getMessage.contains("budget"))
+  }
+
+  test("bottom-k hash agg: a near-Int.MaxValue k neither overflows nor re-sorts per row") {
+    // 4 * k would overflow Int; the Long-safe threshold must keep the
+    // winning set correct and the buffer append-only between prunes
+    val agg = new graft.functions.BottomKHashAgg(Int.MaxValue / 2)
+    val items = (0 until 1000).map(i =>
+      graft.functions.HashedKey(f"h$i%04d", s"k$i"))
+    val buf = scala.util.Random.shuffle(items)
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf) == items)
+  }
+
   test("image near-dup: finds exactly the same-group pairs, never across groups") {
     import org.apache.spark.sql.functions._
     val sub = docs.where(col("doc_id") % 10 < 2)
