@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding merge learning — distributed tokenizer training,
+  * the vocabulary-construction step every LLM pretraining pipeline runs
+  * before tokenizing its corpus (Sennrich et al. 2016, the algorithm
+  * behind GPT-2/RoBERTa-style BPE vocabularies).
+  *
+  * Beyond-reference surface (SURVEY.md §2.8); no analog in localsql.
+  *
+  * Scale design — the crucial property of classic BPE training is that
+  * after ONE corpus-scale aggregation, every iteration runs on the
+  * VOCABULARY, not the corpus:
+  *
+  *  - `word -> freq` is the only shuffle that touches the corpus (a
+  *    keyed count — map-side combined, vocabulary-sized output);
+  *  - each of the `k` merge rounds is (a) an adjacent-pair count over
+  *    the vocabulary table (tiny keyed agg), (b) a 1-ROW collect of the
+  *    argmax pair — the only driver traffic, k rows total — and (c) a
+  *    narrow per-row re-segmentation map (whole-stage codegen'd
+  *    `aggregate` fold, no UDF);
+  *  - the evolving vocabulary frame is locally CHECKPOINTED each round
+  *    ([[CacheRegistry.checkpoint]]) so lineage stays flat across
+  *    iterations, and the superseded frontier is released eagerly.
+  *
+  * At 100 TB the word-frequency table is still only vocabulary-sized
+  * (tens of millions of rows at web scale), so the k iterations cost k
+  * vocabulary-local passes — the same shape hand-tuned BPE trainers
+  * (e.g. HuggingFace tokenizers) use, here expressed relationally.
+  *
+  * Determinism: counts are exact integers; the argmax tie-break is
+  * (count DESC, left ASC, right ASC); re-segmentation is a
+  * left-to-right non-overlapping fold — all reproducible across
+  * partitionings and engines, so the learned merge table is judged
+  * value-exact against a DuckDB oracle (x166).
+  */
+object Bpe {
+
+  /** The merge fold: symbols are kept as a SPACE-JOINED string (tokens
+    * are `[a-z0-9]+`, so the space never collides); merging pair (l, r)
+    * is a left-to-right fold that replaces the accumulated string's
+    * trailing symbol with `l+r` whenever it equals `l` and the incoming
+    * symbol equals `r` — exactly the non-overlapping scan of classic
+    * BPE ("aaaa" + (a,a) -> "aa aa", not "aa a a"). */
+  private def mergeFold(s: org.apache.spark.sql.Column, l: String, r: String) = {
+    val syms = split(s, " ")
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      element_at(syms, 1),
+      (acc, x) =>
+        when(regexp_extract(acc, "[^ ]+$", 0) === l && x === r,
+          regexp_replace(acc, "[^ ]+$", l + r))
+          .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** Learn the first `k` BPE merges over `docs(textCol)`. Returns the
+    * merge table: (merge_rank, left_sym, right_sym, pair_cnt), rank
+    * 1-based in learning order. */
+  def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64]; got $k")
+    val spark = docs.sparkSession
+
+    // the ONE corpus-scale pass: token -> corpus frequency
+    val words = docs
+      .select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // initial segmentation: one symbol per character
+    var cur = CacheRegistry.checkpoint(words.select(
+      trim(regexp_replace(col("word"), "(.)", "$1 ")).as("s"), col("freq")))
+
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var it = 0
+    var exhausted = false
+    while (it < k && !exhausted) {
+      // adjacent-pair counts over the vocabulary (weighted by word freq)
+      val best = cur
+        .select(col("freq"), split(col("s"), " ").as("a"))
+        .select(col("freq"), explode(expr(
+          "CASE WHEN size(a) < 2 THEN array() ELSE " +
+            "transform(sequence(1, size(a)-1), " +
+            "i -> struct(a[i-1] AS l, a[i] AS r)) END")).as("p"))
+        .groupBy(col("p.l"), col("p.r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // exactly one row per iteration, k rows total
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((it + 1, l, r, cnt))
+        val next = CacheRegistry.checkpoint(
+          cur.select(mergeFold(col("s"), l, r).as("s"), col("freq")))
+        CacheRegistry.release(cur)
+        cur = next
+        it += 1
+      }
+    }
+    CacheRegistry.release(cur)
+
+    val schema = StructType(Seq(
+      StructField("merge_rank", IntegerType, nullable = false),
+      StructField("left_sym", StringType, nullable = false),
+      StructField("right_sym", StringType, nullable = false),
+      StructField("pair_cnt", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.result().map(m => Row(m._1, m._2, m._3, m._4)), 1),
+      schema).orderBy("merge_rank")
+  }
+
+  /** DuckDB oracle for [[learnMerges]]: the same k rounds unrolled as a
+    * chain of MATERIALIZED CTEs (materialization stops the
+    * exponential-inlining blowup of a k-deep chain), with the merge
+    * fold expressed as `list_reduce` — the same left-to-right
+    * non-overlapping scan. */
+  def oracleSql(k: Int): String = {
+    val sb = new StringBuilder(
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents
+        |), w0 AS MATERIALIZED (SELECT w AS word, count(*) AS freq FROM tok GROUP BY 1),
+        |s0 AS MATERIALIZED (
+        |  SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s, freq FROM w0)""".stripMargin)
+    for (i <- 0 until k) {
+      sb.append(s""",
+        |c$i AS MATERIALIZED (
+        |  SELECT s, freq, unnest(string_split(s, ' ')) AS sym,
+        |         generate_subscripts(string_split(s, ' '), 1) AS pos
+        |  FROM s$i
+        |), p$i AS MATERIALIZED (
+        |  SELECT a.sym AS l, b.sym AS r, CAST(sum(a.freq) AS BIGINT) AS cnt
+        |  FROM c$i a JOIN c$i b ON a.s = b.s AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2
+        |), b$i AS MATERIALIZED (
+        |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin)
+      if (i < k - 1)
+        sb.append(s""",
+          |s${i + 1} AS MATERIALIZED (
+          |  SELECT list_reduce(string_split(s.s, ' '), (acc, x) -> CASE
+          |      WHEN regexp_extract(acc, '[^ ]+$$') = b.l AND x = b.r
+          |      THEN regexp_replace(acc, '[^ ]+$$', b.l || b.r)
+          |      ELSE acc || ' ' || x END) AS s, s.freq
+          |  FROM s$i s CROSS JOIN b$i b)""".stripMargin)
+    }
+    val branches = (0 until k).map(i =>
+      s"SELECT $i + 1 AS merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_cnt FROM b$i")
+      .mkString(" UNION ALL ")
+    sb.append(s"\nSELECT * FROM ($branches) ORDER BY merge_rank")
+    sb.toString
+  }
+}

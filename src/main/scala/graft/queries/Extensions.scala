@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Cdc, Curation, Dedup, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
+import graft.ext.{AsofJoin, Bpe, Cdc, Curation, Dedup, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -2825,6 +2825,15 @@ object Extensions {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM p GROUP BY bucket, pack_id
-        |ORDER BY bucket, pack_id""".stripMargin)
+        |ORDER BY bucket, pack_id""".stripMargin),
+
+    // distributed BPE merge learning — tokenizer training: after ONE
+    // corpus-scale word-frequency agg, each of the 8 merge rounds runs
+    // on the vocabulary only (pair count + 1-row argmax collect +
+    // codegen'd re-segmentation fold). Oracle: the same rounds unrolled
+    // as materialized CTEs with list_reduce as the merge fold.
+    Q.df("x166_bpe_merges",
+      (s, dir) => Bpe.learnMerges(Tables.load(s, dir, "documents"), "text", 8),
+      Bpe.oracleSql(8))
   )
 }

@@ -990,6 +990,29 @@ class ExtSpec extends SparkSpec {
     assert(agg.finish(buf) == items)
   }
 
+  test("bpe: learned merges equal an independent python reimplementation on sf0.001") {
+    // ground truth computed OUTSIDE Spark and DuckDB (plain python BPE
+    // over the same [a-z0-9]+ token stream, tie-break cnt DESC, l, r)
+    val got = Bpe.learnMerges(docs, "text", 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val want = Seq((1, "e", "r", 4650L), (2, "o", "r", 2880L),
+      (3, "i", "n", 2858L), (4, "o", "w", 2763L), (5, "s", "t", 2721L),
+      (6, "l", "u", 1928L), (7, "a", "r", 1873L), (8, "p", "ar", 1873L))
+    assert(got.toSeq == want)
+  }
+
+  test("bpe: the merge fold is left-to-right non-overlapping, and exhaustion stops early") {
+    import spark.implicits._
+    // "aaaa" must segment to [aa][aa] after merging (a,a) — an
+    // overlapping fold would produce [aa][a][a] and a different
+    // second-round pair count; a single-char corpus exhausts after
+    // its final possible merge instead of looping to k
+    val tiny = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m = Bpe.learnMerges(tiny, "text", 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
   test("image near-dup: finds exactly the same-group pairs, never across groups") {
     import org.apache.spark.sql.functions._
     val sub = docs.where(col("doc_id") % 10 < 2)
