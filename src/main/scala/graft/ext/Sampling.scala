@@ -37,6 +37,25 @@ object Sampling {
           .otherwise("test").as("split"))
       .orderBy(key)
 
+  /** Leakage-safe split: like [[hashSplit]], but the hash is taken of
+    * the near-dup CLUSTER id (from [[Dedup.clusters]]' labels), so
+    * every member of a cluster lands in the SAME split — near
+    * duplicates of a training document can never leak into valid/test,
+    * the contamination mode a naive per-document split invites.
+    * Singleton clusters (cluster_id == own key) degrade to exactly
+    * [[hashSplit]] on the representative.
+    *
+    * Scale shape: the labels are cluster output (one row per document);
+    * the split itself is a narrow map over them — no extra shuffle
+    * beyond what clustering already paid. Output:
+    * (key, cluster_id, split) ordered by key. */
+  def clusterSafeSplit(labels: DataFrame, key: String): DataFrame =
+    labels.select(col(key), col("cluster_id"),
+        when(hashBucket(col("cluster_id")) < "cc", "train")
+          .when(hashBucket(col("cluster_id")) < "e6", "valid")
+          .otherwise("test").as("split"))
+      .orderBy(key)
+
   /** Balanced per-stratum downsample: exactly `n` rows from every
     * stratum (fewer only if the stratum is smaller), chosen as the n
     * smallest content hashes — the class-balancing step of a training

@@ -2834,6 +2834,41 @@ object Extensions {
     // as materialized CTEs with list_reduce as the merge fold.
     Q.df("x166_bpe_merges",
       (s, dir) => Bpe.learnMerges(Tables.load(s, dir, "documents"), "text", 8),
-      Bpe.oracleSql(8))
+      Bpe.oracleSql(8)),
+
+    // leakage-safe train/valid/test split: the hash-split rule applied
+    // to the near-dup CLUSTER id instead of the document id — every
+    // cluster member inherits one split, so a training document's near
+    // duplicates can never contaminate valid/test. Oracle: the x66
+    // recursive-CTE clustering + the same md5 bucket rule.
+    Q.df("x167_cluster_safe_split",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.clusterSafeSplit(
+          Dedup.clusters(docs,
+            Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))), "doc_id")
+      },
+      s"""WITH RECURSIVE $duckTok, ${duckShinglesFiltered(2)}, $duckJaccardTail,
+         |pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+         |), lab AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+         |)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
+         |         THEN 'train'
+         |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+         |         THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM lab ORDER BY doc_id""".stripMargin)
   )
 }

@@ -1013,6 +1013,22 @@ class ExtSpec extends SparkSpec {
     assert(m.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("cluster-safe split: near-dup pairs never straddle train/valid/test") {
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))
+    val split = Sampling.clusterSafeSplit(Dedup.clusters(docs, pairs), "doc_id")
+    assert(split.count() == docs.count())
+    // one split per cluster, and the corpus still uses several splits
+    assert(split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("k")).where(col("k") > 1).count() == 0)
+    assert(split.select("split").distinct().count() > 1)
+    // hence no near-dup candidate pair straddles a split boundary
+    val s1 = split.select(col("doc_id").as("d1"), col("split").as("s1"))
+    val s2 = split.select(col("doc_id").as("d2"), col("split").as("s2"))
+    assert(pairs.join(s1, "d1").join(s2, "d2")
+      .where(col("s1") =!= col("s2")).count() == 0)
+  }
+
   test("image near-dup: finds exactly the same-group pairs, never across groups") {
     import org.apache.spark.sql.functions._
     val sub = docs.where(col("doc_id") % 10 < 2)
