@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions.{col, count, count_distinct}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -51,5 +51,23 @@ object Ids {
       Row.fromSeq(r.toSeq :+ i)
     }
     sorted.sparkSession.createDataFrame(numbered, schema).orderBy(key)
+  }
+
+  /** Generalized [[contiguousIds]]: number the rows of `df` 1-based in
+    * `order` (which MUST be a total order — include a unique tie-break
+    * column, or the numbering becomes partition-boundary-dependent),
+    * carrying the `keep` columns through. Same distributed shape: a
+    * range-partitioned sort + zipWithIndex, never a SinglePartition
+    * `row_number() OVER (ORDER BY ...)` window. Output: keep columns
+    * plus `outName` (1-based rank, matching SQL row_number). */
+  def rankByOrder(df: DataFrame, order: Seq[Column], keep: Seq[String],
+                  outName: String): DataFrame = {
+    val sorted = df.select(keep.map(col): _*).orderBy(order: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outName, LongType, nullable = false))
+    val numbered = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(numbered, schema)
   }
 }

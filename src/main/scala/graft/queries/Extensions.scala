@@ -2869,6 +2869,52 @@ object Extensions {
          |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
          |         THEN 'valid'
          |       ELSE 'test' END AS split
-         |FROM lab ORDER BY doc_id""".stripMargin)
+         |FROM lab ORDER BY doc_id""".stripMargin),
+
+    // Borda rank fusion of three incommensurable quality signals
+    // (length, type-token ratio, digit density) — integer ranks summed,
+    // no invented scale factors; each global rank is a range-partitioned
+    // sort + zipWithIndex (x132 shape), never a SinglePartition window
+    Q.df("x168_rank_fusion",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sig = docs.select(col("doc_id"), col("n_chars"),
+            expr("size(array_distinct(regexp_extract_all(lower(text), " +
+              "'[a-z0-9]+', 0)))").as("dt"),
+            expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
+              .as("nt"),
+            length(regexp_replace(col("text"), "[^0-9]", "")).as("dg"))
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(expr("CAST(floor(10000.0 * dt / nt) AS BIGINT)"),
+              lit(0L)).as("ttr_x10k"),
+            expr("CAST(floor(10000.0 * dg / n_chars) AS BIGINT)")
+              .as("digit_x10k"))
+        TextStats.rankFusion(sig, "doc_id", Seq(
+          ("n_chars", true), ("ttr_x10k", true), ("digit_x10k", false)))
+      },
+      s"""WITH $duckTok, agg AS (
+         |  SELECT doc_id, count(*) AS nt, count(DISTINCT w) AS dt
+         |  FROM tok GROUP BY 1
+         |), sig AS (
+         |  SELECT d.doc_id,
+         |    d.n_chars,
+         |    coalesce(CAST(floor(10000.0 * a.dt / a.nt) AS BIGINT), 0)
+         |      AS ttr_x10k,
+         |    CAST(floor(10000.0 *
+         |      len(regexp_replace(d.text, '[^0-9]', '', 'g')) / d.n_chars)
+         |      AS BIGINT) AS digit_x10k
+         |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |), r AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY n_chars DESC, doc_id)
+         |      AS rank_n_chars,
+         |    row_number() OVER (ORDER BY ttr_x10k DESC, doc_id)
+         |      AS rank_ttr_x10k,
+         |    row_number() OVER (ORDER BY digit_x10k ASC, doc_id)
+         |      AS rank_digit_x10k
+         |  FROM sig)
+         |SELECT doc_id, rank_n_chars, rank_ttr_x10k, rank_digit_x10k,
+         |  rank_n_chars + rank_ttr_x10k + rank_digit_x10k AS borda
+         |FROM r ORDER BY doc_id""".stripMargin)
   )
 }

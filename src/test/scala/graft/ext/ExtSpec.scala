@@ -1029,6 +1029,21 @@ class ExtSpec extends SparkSpec {
       .where(col("s1") =!= col("s2")).count() == 0)
   }
 
+  test("rank fusion: ranks are 1..n permutations, invariant to repartitioning") {
+    import org.apache.spark.sql.functions._
+    val sig = docs.select(col("doc_id"), col("n_chars"))
+    val f1 = TextStats.rankFusion(sig, "doc_id", Seq(("n_chars", true)))
+    val f2 = TextStats.rankFusion(sig.repartition(13), "doc_id",
+      Seq(("n_chars", true)))
+    assert(f1.collect().toSeq == f2.collect().toSeq)
+    val n = sig.count()
+    assert(f1.select("rank_n_chars").distinct().count() == n)
+    val mm = f1.agg(min("rank_n_chars"), max("rank_n_chars")).head
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == n)
+    // single-signal borda degenerates to the rank itself
+    assert(f1.where(col("borda") =!= col("rank_n_chars")).count() == 0)
+  }
+
   test("image near-dup: finds exactly the same-group pairs, never across groups") {
     import org.apache.spark.sql.functions._
     val sub = docs.where(col("doc_id") % 10 < 2)
