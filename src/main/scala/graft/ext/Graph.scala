@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators for corpus curation (beyond-reference, SURVEY.md
+  * §2.8). The canonical use is a link-graph quality prior: web-scale
+  * pipelines rank crawl domains by PageRank over the hyperlink graph
+  * and use the score as a per-document quality signal (the
+  * CommonCrawl/C4 lineage of "keep pages from reputable domains").
+  *
+  * Integer-exact PageRank: all arithmetic is scaled BIGINT with
+  * truncating division — score sums are order-independent integer
+  * sums, so the result is bit-identical across partitionings, cluster
+  * sizes, and engines (judged value-exact vs a DuckDB oracle, x169).
+  * The float formulation would drift by accumulation order on every
+  * shuffle.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank (damping 0.85) on `edges(src, dst)`.
+    *
+    * Node set = DISTINCT src. Pass a symmetrized edge list for an
+    * undirected graph — that also guarantees every node has out-degree
+    * >= 1, so no dangling-mass redistribution is needed (nodes
+    * appearing only as dst would silently leak rank mass; symmetrize
+    * or pre-filter them).
+    *
+    * Update rule, all BIGINT with truncating division:
+    *   score_0(v)   = scale div N
+    *   score_k+1(v) = (score_0 * 15) div 100
+    *                  + (85 * sum_u->v(score_k(u) div deg(u))) div 100
+    *
+    * Scale shape: edges and per-source degrees are joined ONCE and
+    * checkpointed; each iteration is one equi-join of that frame with
+    * the current scores on src (co-partitioned shuffle, AQE-friendly)
+    * plus a keyed sum on dst — the standard distributed PageRank
+    * round. Scores are locally checkpointed per round with eager
+    * release so lineage stays flat; the only driver traffic is the
+    * node COUNT (one scalar, once). */
+  def pageRank(edges: DataFrame, iterations: Int,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations must be in [1, 64]; got $iterations")
+    val e = CacheRegistry.checkpoint(
+      edges.select(col("src"), col("dst")).distinct())
+    val deg = CacheRegistry.checkpoint(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    val eDeg = CacheRegistry.checkpoint(
+      e.join(deg, e("src") === deg("node"))
+        .select(col("src"), col("dst"), col("deg")))
+    CacheRegistry.release(e)
+
+    val n = deg.count() // one driver scalar
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val init = scale / n
+    val base = init * 15L / 100L
+
+    var cur = CacheRegistry.checkpoint(
+      deg.select(col("node"), lit(init).as("score")))
+    for (_ <- 1 to iterations) {
+      val contrib = eDeg
+        .join(cur, eDeg("src") === cur("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("score div deg")).as("c"))
+      val next = CacheRegistry.checkpoint(
+        deg.select(col("node"))
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(base) + expr("85 * coalesce(c, 0L) div 100"))
+              .as("score")))
+      CacheRegistry.release(cur)
+      cur = next
+    }
+    cur.orderBy("node")
+  }
+}

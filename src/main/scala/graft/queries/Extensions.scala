@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Bpe, Cdc, Curation, Dedup, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
+import graft.ext.{AsofJoin, Bpe, Cdc, Curation, Dedup, Graph, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -2915,6 +2915,55 @@ object Extensions {
          |  FROM sig)
          |SELECT doc_id, rank_n_chars, rank_ttr_x10k, rank_digit_x10k,
          |  rank_n_chars + rank_ttr_x10k + rank_digit_x10k AS borda
-         |FROM r ORDER BY doc_id""".stripMargin)
+         |FROM r ORDER BY doc_id""".stripMargin),
+
+    // link-graph quality prior: integer-exact PageRank (damping 0.85,
+    // 5 rounds, scaled-BIGINT truncating division — bit-identical
+    // across partitionings and engines) on the symmetrized
+    // customer-supplier graph. Oracle: the same rounds unrolled as
+    // materialized CTEs.
+    Q.df("x169_graph_pagerank",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+        Graph.pageRank(
+          cs.union(cs.select(col("dst").as("src"), col("src").as("dst"))), 5)
+      },
+      {
+        val iters = 5
+        val head =
+          """WITH e0 AS MATERIALIZED (
+            |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+            |                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+            |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            |), edges AS MATERIALIZED (
+            |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+            |), deg AS MATERIALIZED (
+            |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            |  FROM edges GROUP BY 1
+            |), nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+            |s0 AS MATERIALIZED (
+            |  SELECT node,
+            |    CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS score
+            |  FROM deg)""".stripMargin
+        val rounds = (0 until iters).map { i =>
+          s""",
+             |s${i + 1} AS MATERIALIZED (
+             |  SELECT d.node,
+             |    CAST((1000000000000 // (SELECT n FROM nn)) * 15 // 100
+             |      + 85 * coalesce(c.c, 0) // 100 AS BIGINT) AS score
+             |  FROM deg d LEFT JOIN (
+             |    SELECT e.dst AS node, CAST(sum(s.score // g.deg) AS BIGINT) AS c
+             |    FROM edges e JOIN s$i s ON e.src = s.node
+             |    JOIN deg g ON g.node = e.src
+             |    GROUP BY 1) c ON c.node = d.node)""".stripMargin
+        }.mkString
+        s"$head$rounds\nSELECT node, score FROM s$iters ORDER BY node"
+      })
   )
 }

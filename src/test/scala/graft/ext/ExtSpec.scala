@@ -1044,6 +1044,33 @@ class ExtSpec extends SparkSpec {
     assert(f1.where(col("borda") =!= col("rank_n_chars")).count() == 0)
   }
 
+  test("pagerank: hand-computed path graph, and repartition invariance") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // undirected path a - b - c, scale 100, one round:
+    //   init = 100 div 3 = 33, base = (33*15) div 100 = 4
+    //   a: c_in = 33 div 2 = 16      -> 4 + (85*16) div 100 = 17
+    //   b: c_in = 33 + 33 = 66       -> 4 + (85*66) div 100 = 60
+    //   c: symmetric with a          -> 17
+    val und = Seq("a" -> "b", "b" -> "c")
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, 1, scale = 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("a" -> 17L, "b" -> 60L, "c" -> 17L))
+    // integer arithmetic makes the full run partitioning-independent
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+    val sym = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+    val a = Graph.pageRank(sym, 3).collect().toSeq
+    val b = Graph.pageRank(sym.repartition(17), 3).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("image near-dup: finds exactly the same-group pairs, never across groups") {
     import org.apache.spark.sql.functions._
     val sub = docs.where(col("doc_id") % 10 < 2)
