@@ -2964,6 +2964,24 @@ object Extensions {
              |    GROUP BY 1) c ON c.node = d.node)""".stripMargin
         }.mkString
         s"$head$rounds\nSELECT node, score FROM s$iters ORDER BY node"
-      })
+      }),
+
+    // streaming CDC apply — the live twin of x153: the classified
+    // changeset arrives as micro-batches, foreachBatch journals every
+    // change (tombstones included) with its batch id, and serve-time
+    // compaction + one keyed full-outer apply reconstructs the new
+    // snapshot. Oracle: the actual v2.
+    Q.df("x170_stream_cdc_apply",
+      (s, dir) => Streaming.streamCdcApply(s, dir),
+      """WITH v1 AS (SELECT o_orderkey AS k,
+        |              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |            FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN cents + 100 ELSE cents END AS cents
+        |  FROM v1 WHERE k % 7 <> 0
+        |  UNION ALL
+        |  SELECT -k, cents FROM v1 WHERE k % 11 = 0
+        |)
+        |SELECT k, cents FROM v2 ORDER BY k""".stripMargin)
   )
 }

@@ -724,4 +724,91 @@ object Streaming {
         (-col("s.nid")).as("event_id"), col("s.cents").as("cents"))
       .orderBy("event_type", "rank")
   }
+
+  /** Streaming CDC APPLY — the live twin of batch x153: a classified
+    * changeset (added/removed/changed, Cdc.diff output) arrives as a
+    * STREAM of micro-batches (maxFilesPerTrigger=1 over three staged
+    * change files) and is folded into the serving snapshot the way a
+    * production lakehouse does it: foreachBatch appends every change
+    * row — tombstones included — to an append-only journal stamped
+    * with its batch id, and the READ side compacts (latest batch wins
+    * per key) before applying insert/update/delete semantics over v1
+    * with one keyed full-outer join ([[graft.ext.Cdc.applyDiff]]).
+    *
+    * The journal-then-compact split is what makes the write path
+    * unbounded-stream-safe: appends are blind (no read-modify-write
+    * per batch, no state store the size of the snapshot), retried
+    * batches overwrite themselves idempotently at compaction, and the
+    * snapshot join is paid once at serve time, not per micro-batch.
+    *
+    * Over the finite backlog the reconstruction equals v2 EXACTLY —
+    * the oracle (same total check as x153). Output: (k, cents). */
+  def streamCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    val v2 = v1.where(col("k") % 7 =!= 0)
+      .select(col("k"),
+        when(col("k") % 5 === 0, col("cents") + 100)
+          .otherwise(col("cents")).as("cents"))
+      .unionByName(v1.where(col("k") % 11 === 0)
+        .select((-col("k")).as("k"), col("cents")))
+    val diff = graft.ext.Cdc.diff(v1, v2, "k", "cents")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt")
+    val stage = java.nio.file.Files.createTempDirectory("graft_cdc_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_cdc_journal")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // three micro-batch change files, routed by key hash
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_tmp")
+      try {
+        for (i <- 0 until 3) {
+          val part = tmp.resolve(s"b$i")
+          diff.where(pmod(abs(col("k")), lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(part.toString)
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(part).iterator().asScala
+            .filter(_.toString.endsWith(".parquet"))
+            .foreach(p => java.nio.file.Files.copy(
+              p, stage.resolve(s"chg_$i.parquet")))
+        }
+      } finally rmTree(tmp)
+
+      val src = spark.readStream.schema(diff.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val q = src.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out.toString)
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // serve-time compaction: latest batch wins per key, then one
+      // keyed full-outer apply over the snapshot
+      val changes = spark.read.parquet(out.toString)
+        .groupBy("k")
+        .agg(max_by(struct(col("status"), col("cents_v1"), col("cents_v2")),
+          col("batch_id")).as("s"))
+        .select(col("k"), col("s.status").as("status"),
+          col("s.cents_v1").as("cents_v1"), col("s.cents_v2").as("cents_v2"))
+      val applied = graft.ext.Cdc.applyDiff(v1, changes, "k", "cents")
+      // materialize before the journal dir is deleted (key-cardinality-
+      // bounded: one narrow row per snapshot key)
+      val schema = applied.schema
+      val rows = applied.orderBy("k").collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+        .orderBy("k")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rmTree(ckpt); rmTree(stage); rmTree(out)
+    }
+  }
 }
