@@ -109,6 +109,74 @@ object LmQuality {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by the log likelihood RATIO of its token stream under a
+    * unigram model of a TARGET slice vs the raw pool, and keep the top
+    * quartile — the "make the corpus look like the target domain"
+    * selection step, here with deterministic top-k in place of Gumbel
+    * resampling so the result is reproducible and judgeable.
+    *
+    * Both models are add-one-smoothed over the shared vocabulary V:
+    * p_t(w) = (c_t(w)+1)/(N_t+V), p_r(w) = (c_r(w)+1)/(N_r+V). Each
+    * token occurrence contributes the whole-bit quantization
+    *
+    *   nb = [fl2(c_t+1) + fl2(N_r+V)] - [fl2(c_r+1) + fl2(N_t+V)]
+    *
+    * (fl2 = integer bit length - 1, printable identically in both
+    * engines), a signed integer; per-doc wpt_cb = (100 * sum nb) div
+    * n_tok. The keep threshold is the LARGEST score whose
+    * descending-cumulative doc count reaches ceil(n/4), derived from
+    * the tiny integer score histogram — engine-exact end to end, like
+    * [[lmQualityGate]]'s tertiles.
+    *
+    * Scale shape: two keyed unigram count tables + a 1-row broadcast
+    * of totals; scoring is one join per count table on the token key
+    * and one per-doc aggregation; the only window runs over the
+    * histogram. Shuffles carry counts, never text.
+    *
+    * Output: (doc_id, n_tok, wbits, wpt_cb, keep); wpt_cb is NULL for
+    * tokenless docs (kept = false). */
+  def importanceSelect(docs: DataFrame, isTarget: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = CacheRegistry.pin(docs.select(col("doc_id"),
+      isTarget.as("is_t"),
+      explode(TextStats.tokensCol(col("text"))).as("w")))
+    val cr = toks.groupBy("w").agg(count(lit(1)).as("cr"))
+    val ct = toks.where(col("is_t")).groupBy("w")
+      .agg(count(lit(1)).as("ct"))
+    val tot = toks.agg(count(lit(1)).as("nr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
+      count_distinct(col("w")).as("v"))
+    def fl2(c: Column): Column = (length(bin(c)) - 1).cast("bigint")
+    val terms = toks
+      .join(cr, Seq("w")).join(ct, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (fl2(coalesce(col("ct"), lit(0L)) + 1) + fl2(col("nr") + col("v"))
+          - fl2(col("cr") + 1) - fl2(col("nt") + col("v"))).as("nb"))
+    val scored = CacheRegistry.pin(terms.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("nb").as("wbits"))
+      .select(col("doc_id"), col("n_tok"), col("wbits"),
+        expr("(100 * wbits) div n_tok").as("wpt_cb")))
+    val nRow = scored.agg(count(lit(1)).as("n"))
+    val hist = scored.groupBy("wpt_cb").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.orderBy(col("wpt_cb").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val thr = hist.crossJoin(broadcast(nRow))
+      .agg(max(when(col("cum") >= expr("(n + 3) div 4"), col("wpt_cb")))
+        .as("t"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(thr))
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("wbits"), lit(0L)).as("wbits"),
+        col("wpt_cb"),
+        (col("wpt_cb").isNotNull && col("wpt_cb") >= col("t")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** One row per n-gram occurrence: (doc_id, w1..wn). */
   private def ngrams(docs: DataFrame, n: Int): DataFrame = {
     val fields = (1 to n).map(i =>

@@ -2982,6 +2982,50 @@ object Extensions {
         |  UNION ALL
         |  SELECT -k, cents FROM v1 WHERE k % 11 = 0
         |)
-        |SELECT k, cents FROM v2 ORDER BY k""".stripMargin)
+        |SELECT k, cents FROM v2 ORDER BY k""".stripMargin),
+
+    // DSIR-style importance selection: per-token whole-bit log ratio
+    // of add-one unigram models (target slice vs raw pool), top
+    // quartile kept via the integer histogram threshold — make the
+    // corpus look like the target domain, engine-exact (x151 family)
+    Q.df("x171_importance_select",
+      (s, dir) => LmQuality.importanceSelect(
+        Tables.load(s, dir, "documents"),
+        col("source").isin("src0", "src1", "src2")),
+      """WITH tok AS (
+        |  SELECT doc_id, source IN ('src0', 'src1', 'src2') AS is_t,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |cr AS (SELECT w, count(*) AS cr FROM tok GROUP BY 1),
+        |ct AS (SELECT w, count(*) AS ct FROM tok WHERE is_t GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+        |          CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |          CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok),
+        |terms AS (
+        |  SELECT t.doc_id,
+        |    (length(bin(coalesce(c2.ct, 0) + 1)) - 1)
+        |      + (length(bin(tt.nr + tt.v)) - 1)
+        |      - (length(bin(c1.cr + 1)) - 1)
+        |      - (length(bin(tt.nt + tt.v)) - 1) AS nb
+        |  FROM tok t JOIN cr c1 ON t.w = c1.w
+        |  LEFT JOIN ct c2 ON t.w = c2.w, tot tt),
+        |scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    CAST(sum(nb) AS BIGINT) AS wbits,
+        |    (100 * CAST(sum(nb) AS BIGINT)) // CAST(count(*) AS BIGINT)
+        |      AS wpt_cb
+        |  FROM terms GROUP BY doc_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+        |hist AS (SELECT wpt_cb, count(*) AS c FROM scored GROUP BY 1),
+        |cum AS (SELECT wpt_cb,
+        |          CAST(sum(c) OVER (ORDER BY wpt_cb DESC) AS BIGINT) AS cum
+        |        FROM hist),
+        |thr AS (SELECT max(CASE WHEN cum >= (n + 3) // 4 THEN wpt_cb END)
+        |          AS t FROM cum, n)
+        |SELECT d.doc_id, coalesce(s.n_tok, 0) AS n_tok,
+        |  coalesce(s.wbits, 0) AS wbits, s.wpt_cb AS wpt_cb,
+        |  (s.wpt_cb IS NOT NULL AND s.wpt_cb >= t.t) AS keep
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id, thr t
+        |ORDER BY d.doc_id""".stripMargin)
   )
 }

@@ -1071,6 +1071,29 @@ class ExtSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("importance select: top-quartile semantics and target-slice pull") {
+    import org.apache.spark.sql.functions._
+    val sel = LmQuality.importanceSelect(docs,
+      col("source").isin("src0", "src1", "src2")).cache()
+    val n = sel.count()
+    val kept = sel.where(col("keep")).count()
+    // threshold keeps AT LEAST a quarter, and removing its tie class
+    // would drop below a quarter (maximal threshold)
+    assert(kept >= (n + 3) / 4)
+    val tMin = sel.where(col("keep")).agg(min("wpt_cb")).head.getLong(0)
+    assert(kept - sel.where(col("wpt_cb") === tMin).count() < (n + 3) / 4)
+    // the selection pulls toward the target: target docs are kept at a
+    // strictly higher rate than the rest of the pool
+    val tgt = docs.select(col("doc_id"),
+      col("source").isin("src0", "src1", "src2").as("is_t"))
+    val rates = sel.join(tgt, "doc_id").groupBy("is_t")
+      .agg(avg(col("keep").cast("double")).as("rate"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(rates(true) > rates(false))
+    sel.unpersist()
+    ()
+  }
+
   test("image near-dup: finds exactly the same-group pairs, never across groups") {
     import org.apache.spark.sql.functions._
     val sub = docs.where(col("doc_id") % 10 < 2)
