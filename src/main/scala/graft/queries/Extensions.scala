@@ -2928,9 +2928,13 @@ object Extensions {
           .select(col("l_orderkey"), col("l_suppkey"))
         val ord = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
-        val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+        // checkpoint BEFORE mirroring: the union references the
+        // expensive join+distinct subtree twice (same trap
+        // Dedup.clusters guards against)
+        val cs = graft.ext.CacheRegistry.checkpoint(
+          li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+            .select(concat(lit("c"), col("o_custkey")).as("src"),
+              concat(lit("s"), col("l_suppkey")).as("dst")).distinct())
         Graph.pageRank(
           cs.union(cs.select(col("dst").as("src"), col("src").as("dst"))), 5)
       },
