@@ -113,19 +113,51 @@ object Bpe {
       schema).orderBy("merge_rank")
   }
 
-  /** DuckDB oracle for [[learnMerges]]: the same k rounds unrolled as a
-    * chain of MATERIALIZED CTEs (materialization stops the
-    * exponential-inlining blowup of a k-deep chain), with the merge
-    * fold expressed as `list_reduce` — the same left-to-right
-    * non-overlapping scan. */
-  def oracleSql(k: Int): String = {
+  /** Encode the corpus with ALREADY-LEARNED merges — the tokenize step
+    * that follows [[learnMerges]] in a real pipeline. The merge table
+    * is applied per VOCABULARY word (k chained codegen folds, one
+    * narrow map over the vocab — no shuffle), then token occurrences
+    * join the tiny word→pieces map and aggregate per document. At
+    * 100 TB the expensive part is exactly the two corpus-scale keyed
+    * steps any tokenizer job pays (token explode + per-doc sum); the
+    * merge application itself stays vocabulary-sized.
+    * Output: (doc_id, n_tok, n_pieces) — tokens and BPE pieces per
+    * document (0 for tokenless docs). */
+  def encodePieces(docs: DataFrame, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(expr(
+      s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("word"))
+    var seg = toks.select("word").distinct()
+      .select(col("word"),
+        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+    merges.foreach { case (l, r) =>
+      seg = seg.select(col("word"), mergeFold(col("s"), l, r).as("s"))
+    }
+    val pieces = seg.select(col("word"),
+      size(split(col("s"), " ")).cast("bigint").as("pieces"))
+    val perDoc = toks.join(pieces, "word").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("pieces").as("n_pieces"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared k-round CTE chain: token stream -> word frequencies ->
+    * per-round pair counts (c/p), argmax pair (b), and — when
+    * `throughSk` — the re-segmented vocab s_1..s_k. Every CTE is
+    * MATERIALIZED: materialization stops the exponential-inlining
+    * blowup of a k-deep chain. */
+  private def chainSql(k: Int, throughSk: Boolean): String = {
     val sb = new StringBuilder(
       """WITH tok AS (
-        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
         |  FROM documents
         |), w0 AS MATERIALIZED (SELECT w AS word, count(*) AS freq FROM tok GROUP BY 1),
         |s0 AS MATERIALIZED (
-        |  SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s, freq FROM w0)""".stripMargin)
+        |  SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s, freq FROM w0)""".stripMargin)
     for (i <- 0 until k) {
       sb.append(s""",
         |c$i AS MATERIALIZED (
@@ -138,19 +170,42 @@ object Bpe {
         |  GROUP BY 1, 2
         |), b$i AS MATERIALIZED (
         |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin)
-      if (i < k - 1)
+      if (i < k - 1 || throughSk)
         sb.append(s""",
           |s${i + 1} AS MATERIALIZED (
-          |  SELECT list_reduce(string_split(s.s, ' '), (acc, x) -> CASE
+          |  SELECT s.word, list_reduce(string_split(s.s, ' '), (acc, x) -> CASE
           |      WHEN regexp_extract(acc, '[^ ]+$$') = b.l AND x = b.r
           |      THEN regexp_replace(acc, '[^ ]+$$', b.l || b.r)
           |      ELSE acc || ' ' || x END) AS s, s.freq
           |  FROM s$i s CROSS JOIN b$i b)""".stripMargin)
     }
+    sb.toString
+  }
+
+  /** DuckDB oracle for [[learnMerges]]: the same k rounds unrolled,
+    * with the merge fold expressed as `list_reduce` — the same
+    * left-to-right non-overlapping scan. */
+  def oracleSql(k: Int): String = {
     val branches = (0 until k).map(i =>
       s"SELECT $i + 1 AS merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_cnt FROM b$i")
       .mkString(" UNION ALL ")
-    sb.append(s"\nSELECT * FROM ($branches) ORDER BY merge_rank")
-    sb.toString
+    s"${chainSql(k, throughSk = false)}\nSELECT * FROM ($branches) ORDER BY merge_rank"
   }
+
+  /** DuckDB oracle for [[learnMerges]] + [[encodePieces]] composed:
+    * re-derives the k merges AND applies them, so any divergence in
+    * either half fails the compare. */
+  def encodeOracleSql(k: Int): String =
+    s"""${chainSql(k, throughSk = true)},
+       |pieces AS MATERIALIZED (
+       |  SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS pieces
+       |  FROM s$k),
+       |perdoc AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |    CAST(sum(p.pieces) AS BIGINT) AS n_pieces
+       |  FROM tok t JOIN pieces p ON t.w = p.word GROUP BY 1)
+       |SELECT d.doc_id, coalesce(x.n_tok, 0) AS n_tok,
+       |  coalesce(x.n_pieces, 0) AS n_pieces
+       |FROM documents d LEFT JOIN perdoc x ON d.doc_id = x.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -3030,6 +3030,19 @@ object Extensions {
         |  coalesce(s.wbits, 0) AS wbits, s.wpt_cb AS wpt_cb,
         |  (s.wpt_cb IS NOT NULL AND s.wpt_cb >= t.t) AS keep
         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id, thr t
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // BPE ENCODE composed with x166's training: learn the 8 merges,
+    // then tokenize the corpus with them (per-vocab-word codegen
+    // folds + one token join + per-doc sum). The oracle re-derives
+    // the merges AND the encoding, so a bug in either half fails.
+    Q.df("x172_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val merges = Bpe.learnMerges(docs, "text", 8).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Bpe.encodePieces(docs, "text", merges)
+      },
+      Bpe.encodeOracleSql(8))
   )
 }

@@ -1013,6 +1013,29 @@ class ExtSpec extends SparkSpec {
     assert(m.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("bpe encode: pieces shrink monotonically with merges, bounded by chars and tokens") {
+    import org.apache.spark.sql.functions._
+    val m = Bpe.learnMerges(docs, "text", 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def m2 (d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e0 = m2(Bpe.encodePieces(docs, "text", Seq.empty))
+    val e4 = m2(Bpe.encodePieces(docs, "text", m.take(4)))
+    val e8 = m2(Bpe.encodePieces(docs, "text", m))
+    // zero merges: one piece per character of the token stream
+    val chars = docs.select(col("doc_id"), expr(
+        "aggregate(transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0)," +
+          " w -> length(w)), 0L, (a, x) -> a + x)").as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    e0.foreach { case (id, (_, p)) => assert(p == chars(id)) }
+    // merges only ever shrink, never below one piece per token
+    e0.keys.foreach { id =>
+      assert(e0(id)._2 >= e4(id)._2 && e4(id)._2 >= e8(id)._2)
+      assert(e8(id)._2 >= e8(id)._1)
+    }
+    assert(e0.exists { case (id, (_, p)) => p > e8(id)._2 })
+  }
+
   test("cluster-safe split: near-dup pairs never straddle train/valid/test") {
     import org.apache.spark.sql.functions._
     val pairs = Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))
