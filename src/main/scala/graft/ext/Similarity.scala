@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embeddings DataFrame
@@ -610,4 +610,86 @@ object Similarity {
         floor(col("sum_q").cast("double") / col("n_vecs"))
           .cast("bigint").as("centroid_x10k"))
       .orderBy("label", "pos")
+
+  /** Greedy k-center (farthest-point) diversity selection — the
+    * coreset / diverse-subset primitive of data selection: pick k
+    * embeddings so that every pick maximizes its cosine distance to
+    * the already-selected set (2-approximation of the k-center
+    * optimum). Used to seed diverse fine-tuning subsets and dedup
+    * evaluation pools.
+    *
+    * Determinism: distances are the engine-exact quantized cosine
+    * (exact BIGINT dot and norms; one floor over IEEE * / sqrt —
+    * the x60/x101 formula), seed = smallest vec_id, ties broken by
+    * vec_id — fully reproducible and judged value-exact (x173).
+    *
+    * Scale shape: the classic incremental formulation — the
+    * min-distance frame is UPDATED against only the newest center
+    * each round (corpus x 1 work, not corpus x k), so the total cost
+    * is k linear passes; each round ships ONE chosen row to the
+    * driver and broadcasts it back (k bounded collects, like a
+    * k-means fit). The quantized corpus is pinned once; min-distance
+    * frames are checkpointed with eager release.
+    *
+    * Output: (sel_rank, vec_id, dist_x10k) — dist is the pick's
+    * distance to the prior set (-1 for the seed). */
+  def kCenterSelect(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64]; got $k")
+    val spark = emb.sparkSession
+    def norm2(v: Column): Column =
+      aggregate(v, lit(0L), (acc, x) => acc + x * x)
+    val base = CacheRegistry.pin(emb.select(col("vec_id"),
+        quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("qv"), norm2(col("qv")).as("n2")))
+
+    def distTo(chosen: Row): DataFrame = {
+      val one = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(
+          chosen.getAs[scala.collection.Seq[Long]]("qv"),
+          chosen.getLong(chosen.fieldIndex("n2")))), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cqv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)),
+          org.apache.spark.sql.types.StructField("cn2",
+            org.apache.spark.sql.types.LongType))))
+      base.crossJoin(broadcast(one))
+        .select(col("vec_id"),
+          (lit(10000L) - floor(lit(10000.0) *
+            aggregate(zip_with(col("qv"), col("cqv"), (x, y) => x * y),
+              lit(0L), (acc, x) => acc + x) /
+            sqrt(col("n2").cast("double") * col("cn2").cast("double")))
+            .cast("bigint")).as("d"))
+    }
+
+    val seed = base.orderBy("vec_id").limit(1).collect()(0)
+    var selected = Vector((1, seed.getLong(0), -1L))
+    var mind = CacheRegistry.checkpoint(distTo(seed))
+    for (round <- 2 to k) {
+      val picked = mind
+        .where(!col("vec_id").isin(selected.map(_._2): _*))
+        .orderBy(col("d").desc, col("vec_id")).limit(1).collect()(0)
+      val chosen = base.where(col("vec_id") === picked.getLong(0))
+        .collect()(0)
+      selected :+= ((round, picked.getLong(0), picked.getLong(1)))
+      if (round < k) {
+        val next = CacheRegistry.checkpoint(
+          mind.join(distTo(chosen).withColumnRenamed("d", "dn"), "vec_id")
+            .select(col("vec_id"), least(col("d"), col("dn")).as("d")))
+        CacheRegistry.release(mind)
+        mind = next
+      }
+    }
+    CacheRegistry.release(mind)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(selected.map(t => Row(t._1, t._2, t._3)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sel_rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dist_x10k",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .orderBy("sel_rank")
+  }
 }

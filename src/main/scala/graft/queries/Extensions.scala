@@ -3043,6 +3043,66 @@ object Extensions {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         Bpe.encodePieces(docs, "text", merges)
       },
-      Bpe.encodeOracleSql(8))
+      Bpe.encodeOracleSql(8)),
+
+    // greedy k-center diversity selection: each pick maximizes its
+    // exact quantized-cosine distance to the selected set — the
+    // coreset primitive, incremental (corpus x 1 per round) with one
+    // bounded collect per pick. Oracle: the same greedy rounds
+    // unrolled as materialized CTEs.
+    Q.df("x173_kcenter_select",
+      (s, dir) => Similarity.kCenterSelect(
+        Tables.load(s, dir, "embeddings"), 8),
+      {
+        val k = 8
+        def dnew(tag: String, centerSel: String): String =
+          s"""d$tag AS MATERIALIZED (
+             |  SELECT x.vec_id,
+             |    10000 - CAST(floor(10000.0 * x.dq /
+             |      sqrt(CAST(n1.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)))
+             |      AS BIGINT) AS d
+             |  FROM (SELECT a.vec_id, CAST(sum(a.qv * b.qv) AS BIGINT) AS dq
+             |        FROM q a JOIN q b ON a.pos = b.pos
+             |          AND b.vec_id = ($centerSel)
+             |        GROUP BY 1) x
+             |  JOIN n2 n1 ON n1.vec_id = x.vec_id
+             |  CROSS JOIN (SELECT n2 FROM n2
+             |              WHERE vec_id = ($centerSel)) nc)""".stripMargin
+        val head =
+          s"""WITH q AS MATERIALIZED (
+             |  SELECT vec_id, i AS pos,
+             |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+             |      AS qv
+             |  FROM embeddings, range(1, 65) r(i)
+             |), n2 AS MATERIALIZED (
+             |  SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS n2
+             |  FROM q GROUP BY 1
+             |), c1 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM embeddings),
+             |sel1 AS MATERIALIZED (SELECT vec_id FROM c1),
+             |${dnew("1", "SELECT vec_id FROM c1")},
+             |m1 AS MATERIALIZED (SELECT vec_id, d FROM d1)""".stripMargin
+        val rounds = (2 to k).map { i =>
+          val upd = if (i < k)
+            s""",
+               |${dnew(i.toString, s"SELECT vec_id FROM b$i")},
+               |m$i AS MATERIALIZED (
+               |  SELECT m.vec_id, least(m.d, dn.d) AS d
+               |  FROM m${i - 1} m JOIN d$i dn USING (vec_id))""".stripMargin
+          else ""
+          s""",
+             |b$i AS MATERIALIZED (
+             |  SELECT vec_id, d FROM m${i - 1}
+             |  WHERE vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+             |  ORDER BY d DESC, vec_id LIMIT 1),
+             |sel$i AS MATERIALIZED (
+             |  SELECT vec_id FROM sel${i - 1}
+             |  UNION ALL SELECT vec_id FROM b$i)$upd""".stripMargin
+        }.mkString
+        val branches = (s"SELECT 1 AS sel_rank, vec_id," +
+          s" CAST(-1 AS BIGINT) AS dist_x10k FROM c1") +:
+          (2 to k).map(i => s"SELECT $i, vec_id, d FROM b$i")
+        s"$head$rounds\nSELECT * FROM (${branches.mkString(" UNION ALL ")}) " +
+          "ORDER BY sel_rank"
+      })
   )
 }

@@ -1036,6 +1036,37 @@ class ExtSpec extends SparkSpec {
     assert(e0.exists { case (id, (_, p)) => p > e8(id)._2 })
   }
 
+  test("k-center select: equals an independent in-memory greedy; pick distances never increase") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.kCenterSelect(emb, 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // independent reimplementation over the collected vectors
+    val vs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000).toLong))
+      .sortBy(_._1)
+    def dist(a: Seq[Long], b: Seq[Long]): Long = {
+      val dq = a.zip(b).map { case (x, y) => x * y }.sum
+      val n2 = (v: Seq[Long]) => v.map(x => x * x).sum
+      10000L - math.floor(10000.0 * dq /
+        math.sqrt(n2(a).toDouble * n2(b).toDouble)).toLong
+    }
+    var sel = Vector((1, vs.head._1, -1L))
+    var mind = vs.map { case (id, v) => id -> dist(v, vs.head._2) }.toMap
+    for (round <- 2 to 6) {
+      val (pid, pd) = mind.filterNot(kv => sel.exists(_._2 == kv._1))
+        .toSeq.maxBy { case (id, d) => (d, -id) }
+      sel :+= ((round, pid, pd))
+      val pv = vs.find(_._1 == pid).get._2
+      mind = mind.map { case (id, d) =>
+        id -> math.min(d, dist(vs.find(_._1 == id).get._2, pv)) }
+    }
+    assert(got == sel)
+    // greedy max-min distances are non-increasing
+    val ds = got.drop(1).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+  }
+
   test("cluster-safe split: near-dup pairs never straddle train/valid/test") {
     import org.apache.spark.sql.functions._
     val pairs = Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))
