@@ -43,10 +43,18 @@ object Graph {
     * small stats for the per-round contribution aggregate and plans
     * nested broadcast joins whose build sides re-execute the chain —
     * measured 8x slower on the x169 graph. The only driver traffic is
-    * the node COUNT (one scalar, once). */
+    * the node COUNT (one scalar, once).
+    *
+    * With `allNodesReceive = true` the caller asserts every node has
+    * at least one in-edge (always true for a symmetrized edge list),
+    * and the per-round left join that re-attaches contribution-less
+    * nodes is skipped — one fewer shuffle per round; a node that DOES
+    * lack in-edges would silently drop from the result, so the flag
+    * stays off unless the graph shape guarantees it. */
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000000L,
-               checkpointEvery: Int = 1): DataFrame = {
+               checkpointEvery: Int = 1,
+               allNodesReceive: Boolean = false): DataFrame = {
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(iterations >= 1 && iterations <= 64,
       s"iterations must be in [1, 64]; got $iterations")
@@ -71,10 +79,15 @@ object Graph {
         .join(cur, eDeg("src") === cur("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("score div deg")).as("c"))
-      cur = deg.select(col("node"))
-        .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr("85 * coalesce(c, 0L) div 100")).as("score"))
+      cur =
+        if (allNodesReceive)
+          contrib.select(col("dst").as("node"),
+            (lit(base) + expr("85 * c div 100")).as("score"))
+        else
+          deg.select(col("node"))
+            .join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (lit(base) + expr("85 * coalesce(c, 0L) div 100")).as("score"))
       if (i % checkpointEvery == 0 && i < iterations) {
         val chk = CacheRegistry.checkpoint(cur)
         lastChk.foreach(CacheRegistry.release)

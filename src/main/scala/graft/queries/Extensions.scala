@@ -2936,7 +2936,8 @@ object Extensions {
             .select(concat(lit("c"), col("o_custkey")).as("src"),
               concat(lit("s"), col("l_suppkey")).as("dst")).distinct())
         Graph.pageRank(
-          cs.union(cs.select(col("dst").as("src"), col("src").as("dst"))), 5)
+          cs.union(cs.select(col("dst").as("src"), col("src").as("dst"))), 5,
+          allNodesReceive = true) // symmetric: every node receives
       },
       {
         val iters = 5

@@ -1123,6 +1123,9 @@ class ExtSpec extends SparkSpec {
     val a = Graph.pageRank(sym, 3).collect().toSeq
     val b = Graph.pageRank(sym.repartition(17), 3).collect().toSeq
     assert(a == b && a.nonEmpty)
+    // on a symmetric graph the no-left-join fast path is row-identical
+    val c = Graph.pageRank(sym, 3, allNodesReceive = true).collect().toSeq
+    assert(a == c)
   }
 
   test("importance select: top-quartile semantics and target-slice pull") {
