@@ -340,6 +340,55 @@ class PlanSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("x172 bpe encode: keyed word join + codegen fold — no cartesian, no UDF") {
+    val p = plan("x172_bpe_encode")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF("), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("x167 cluster-safe split: no cartesian, no single-partition stage") {
+    val p = plan("x167_cluster_safe_split")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("x168 rank fusion ranks without the single-partition window the SQL spelling plans") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val naive = docs.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id")))
+          .as("r"))
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("SinglePartition"), naive)
+    val ours = plan("x168_rank_fusion")
+    assert(!ours.contains("Window"), ours)
+    assert(!ours.contains("SinglePartition"), ours)
+  }
+
+  test("x169 pagerank round: keyed contribution aggregation, no nested loop") {
+    val p = plan("x169_graph_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    assert("hashpartitioning\\(dst".r.findFirstIn(p).nonEmpty, p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("x171 importance select: keyed token joins; window only over the score histogram") {
+    val p = plan("x171_importance_select")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    // the one global-order window must consume an aggregated histogram
+    // (grouped by the score), never the document or token stream
+    assert("windowspecdefinition".r.findAllIn(p.toLowerCase).length >= 1, p)
+    assert("hashpartitioning\\(wpt_cb".r.findFirstIn(p).nonEmpty
+      || p.contains("HashAggregate"), p)
+  }
+
   test("x137 tfidf pairs: inverted-index equi-join, no cartesian expansion") {
     val p = plan("x137_tfidf_pairs")
     assert(!p.contains("CartesianProduct"), p)
