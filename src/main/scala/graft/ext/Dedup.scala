@@ -633,4 +633,25 @@ object Dedup {
         coalesce(col("n_novel"), lit(0L)).as("n_novel"), col("novel_md5"))
       .orderBy("doc_id")
   }
+
+  /** Cross-source overlap matrix — the curation DIAGNOSTIC that tells
+    * you which sources re-publish each other (mirrors, scrapes,
+    * syndication): near-dup candidate pairs rolled up to an unordered
+    * (source_a <= source_b) matrix with pair counts. The diagonal is
+    * within-source duplication. Feed it the same sub-quadratic
+    * [[jaccardPairs]] a dedup run uses — the matrix is then a free
+    * by-product of work already done: two keyed label joins and one
+    * grouped count over the PAIR list (pairs, never documents, cross
+    * the network). Output: (source_a, source_b, n_pairs). */
+  def sourceOverlap(docs: DataFrame, pairs: DataFrame,
+                    stratum: String = "source"): DataFrame = {
+    val lab = docs.select(col("doc_id"), col(stratum))
+    pairs
+      .join(lab.select(col("doc_id").as("d1"), col(stratum).as("sa")), "d1")
+      .join(lab.select(col("doc_id").as("d2"), col(stratum).as("sb")), "d2")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -3104,6 +3104,29 @@ object Extensions {
           (2 to k).map(i => s"SELECT $i, vec_id, d FROM b$i")
         s"$head$rounds\nSELECT * FROM (${branches.mkString(" UNION ALL ")}) " +
           "ORDER BY sel_rank"
-      })
+      }),
+
+    // cross-source overlap matrix: the near-dup pair list rolled up to
+    // an unordered source x source count — which sources re-publish
+    // each other; diagonal = within-source duplication. A free
+    // by-product of the dedup run's own candidate pairs.
+    Q.df("x174_source_overlap",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.sourceOverlap(docs,
+          Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2)))
+      },
+      s"""WITH $duckTok, ${duckShinglesFiltered(2)}, $duckJaccardTail,
+         |pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+         |), lab AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs p JOIN lab a ON p.d1 = a.doc_id
+         |             JOIN lab b ON p.d2 = b.doc_id
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
   )
 }

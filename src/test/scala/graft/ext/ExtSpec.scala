@@ -1067,6 +1067,15 @@ class ExtSpec extends SparkSpec {
     assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
   }
 
+  test("source overlap matrix: conserves the pair count, normalized unordered") {
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))
+    val m = Dedup.sourceOverlap(docs, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(m.map(_._3).sum == pairs.count())
+    assert(m.forall { case (a, b, _) => a <= b })
+  }
+
   test("cluster-safe split: near-dup pairs never straddle train/valid/test") {
     import org.apache.spark.sql.functions._
     val pairs = Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))
