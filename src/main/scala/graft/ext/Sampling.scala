@@ -56,6 +56,50 @@ object Sampling {
           .otherwise("test").as("split"))
       .orderBy(key)
 
+  /** Matched-control selection: for every TARGET row, the nearest
+    * non-target row by a numeric covariate within the same stratum —
+    * the control-set construction of data ablations (compare an eval
+    * slice against length-matched corpus documents, not the raw pool).
+    * Controls are chosen with replacement; nearest = smaller absolute
+    * covariate gap, ties broken toward the predecessor in the
+    * (covariate, doc_id) total order, so the matching is deterministic.
+    *
+    * Shape: two IGNORE-NULLS running-last windows over the stratum
+    * (forward = nearest control at-or-below, reverse = nearest above)
+    * — no self-join, no per-target scan. Windows partition by the
+    * stratum, so at 100 TB compose the stratum with a coarse covariate
+    * bucket (boundary-approximate, the Pack bucketing trick) to bound
+    * partition size. Output: (stratum, target_id, target_cv,
+    * control_id, control_cv); controls are NULL when the stratum has
+    * no non-target rows. */
+  def matchedControls(df: DataFrame, isTarget: Column, covariate: String,
+                      stratum: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = df.select(col(stratum), col("doc_id"),
+      col(covariate).as("cv"), isTarget.as("is_t"))
+    val fw = Window.partitionBy(stratum).orderBy(col("cv"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bw = Window.partitionBy(stratum)
+      .orderBy(col("cv").desc, col("doc_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ctrl = when(!col("is_t"),
+      struct(col("cv"), col("doc_id").as("id")))
+    val wnd = lab.select(col(stratum), col("doc_id"), col("cv"),
+      col("is_t"),
+      last(ctrl, ignoreNulls = true).over(fw).as("bef"),
+      last(ctrl, ignoreNulls = true).over(bw).as("aft"))
+    val useBef = col("aft").isNull || (col("bef").isNotNull &&
+      abs(col("bef.cv") - col("cv")) <= abs(col("aft.cv") - col("cv")))
+    wnd.where(col("is_t"))
+      .select(col(stratum), col("doc_id").as("target_id"),
+        col("cv").as("target_cv"),
+        when(useBef, col("bef.id")).otherwise(col("aft.id"))
+          .as("control_id"),
+        when(useBef, col("bef.cv")).otherwise(col("aft.cv"))
+          .as("control_cv"))
+      .orderBy(stratum, "target_id")
+  }
+
   /** Balanced per-stratum downsample: exactly `n` rows from every
     * stratum (fewer only if the stratum is smaller), chosen as the n
     * smallest content hashes — the class-balancing step of a training

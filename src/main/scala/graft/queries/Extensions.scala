@@ -3127,6 +3127,43 @@ object Extensions {
          |  CAST(count(*) AS BIGINT) AS n_pairs
          |FROM pairs p JOIN lab a ON p.d1 = a.doc_id
          |             JOIN lab b ON p.d2 = b.doc_id
-         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin),
+
+    // matched-control selection: for each eval-slice document, the
+    // nearest-length corpus document within its language — ablation
+    // control sets without a self-join (two IGNORE-NULLS running-last
+    // windows per stratum), deterministic tie-break toward the
+    // predecessor in the (covariate, doc_id) total order
+    Q.df("x175_matched_controls",
+      (s, dir) => Sampling.matchedControls(
+        Tables.load(s, dir, "documents"),
+        col("source") === "src19", "n_chars", "lang"),
+      """WITH lab AS (
+        |  SELECT lang, doc_id, n_chars, source = 'src19' AS is_t
+        |  FROM documents
+        |), wnd AS (
+        |  SELECT lang, doc_id, n_chars, is_t,
+        |    last_value(CASE WHEN NOT is_t
+        |        THEN struct_pack(cv := n_chars, id := doc_id) END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS bef,
+        |    last_value(CASE WHEN NOT is_t
+        |        THEN struct_pack(cv := n_chars, id := doc_id) END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS aft
+        |  FROM lab
+        |)
+        |SELECT lang, doc_id AS target_id, n_chars AS target_cv,
+        |  CASE WHEN aft IS NULL OR (bef IS NOT NULL
+        |            AND abs(bef.cv - n_chars) <= abs(aft.cv - n_chars))
+        |       THEN bef.id ELSE aft.id END AS control_id,
+        |  CASE WHEN aft IS NULL OR (bef IS NOT NULL
+        |            AND abs(bef.cv - n_chars) <= abs(aft.cv - n_chars))
+        |       THEN bef.cv ELSE aft.cv END AS control_cv
+        |FROM wnd WHERE is_t ORDER BY lang, target_id""".stripMargin)
   )
 }

@@ -1076,6 +1076,31 @@ class ExtSpec extends SparkSpec {
     assert(m.forall { case (a, b, _) => a <= b })
   }
 
+  test("matched controls: brute-force nearest within stratum, controls never targets") {
+    import org.apache.spark.sql.functions._
+    val got = Sampling.matchedControls(docs,
+      col("source") === "src19", "n_chars", "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    val all = docs.select(col("lang"), col("doc_id"), col("n_chars"),
+        (col("source") === "src19").as("is_t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val targets = all.filter(_._4)
+    assert(got.length == targets.length && got.nonEmpty)
+    got.foreach { case (lang, tid, tcv, cid, ccv) =>
+      val ctrls = all.filter(c => c._1 == lang && !c._4)
+      if (ctrls.isEmpty) assert(cid.isEmpty)
+      else {
+        val c = ctrls.find(_._2 == cid.get).get
+        assert(!c._4 && c._3 == ccv.get)
+        // no other control is strictly nearer by covariate gap
+        val best = ctrls.map(x => math.abs(x._3 - tcv)).min
+        assert(math.abs(c._3 - tcv) == best, s"target $tid")
+      }
+    }
+  }
+
   test("cluster-safe split: near-dup pairs never straddle train/valid/test") {
     import org.apache.spark.sql.functions._
     val pairs = Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))
