@@ -381,6 +381,52 @@ object TextStats {
       .orderBy("d1", "d2")
   }
 
+  /** Vocabulary growth curve (Heaps-law diagnostic): how many NEW
+    * distinct tokens each successive bucket of documents contributes,
+    * in doc_id (crawl) order. A healthy diverse corpus keeps adding
+    * vocabulary; a curve that flattens early means the tail of the
+    * crawl is repetitive — the cheap corpus-diversity audit run before
+    * committing a crawl slice to training.
+    *
+    * Shape: one keyed agg (first-occurrence doc per n-gram — min over
+    * the n-gram key), a bucket rollup, and a running sum over the TINY
+    * bucket list (cardinality = corpus/bucketSize, the only window).
+    * `n` sets the vocabulary unit: 1 = unigrams, 3 = word trigrams
+    * (the unit real coverage curves use — unigram vocabularies
+    * saturate almost immediately).
+    * Output: (bucket, first_doc, last_doc, new_tokens, cum_tokens). */
+  def vocabGrowth(docs: DataFrame, bucketSize: Long, n: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketSize >= 1, "bucketSize must be positive")
+    require(n >= 1 && n <= 5, s"n must be in [1, 5]; got $n")
+    val grams =
+      if (n == 1)
+        docs.select(col("doc_id"), explode(tokensCol(col("text"))).as("w"))
+      else
+        docs.select(col("doc_id"), tokensCol(col("text")).as("t"))
+          .select(col("doc_id"), explode(expr(
+            s"""CASE WHEN size(t) < $n THEN array() ELSE
+               |transform(sequence(1, size(t) - ${n - 1}),
+               |  i -> array_join(slice(t, i, $n), ' ')) END""".stripMargin))
+            .as("w"))
+    val first = grams.groupBy("w").agg(min("doc_id").as("first_doc"))
+    // integer div, not double `/`: a double round-trip loses exactness
+    // for ids beyond 2^53 — real at web scale
+    val buckets = first
+      .groupBy(expr(s"first_doc div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+    buckets
+      .select(col("bucket"),
+        (col("bucket") * bucketSize).as("first_doc"),
+        (col("bucket") * bucketSize + bucketSize - 1).as("last_doc"),
+        col("new_tokens"),
+        sum("new_tokens").over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_tokens"))
+      .orderBy("bucket")
+  }
+
   /** Borda rank fusion of quality signals: each signal contributes its
     * global 1-based rank (direction-aware; ties broken by `key` so
     * every rank is a total order), and a document's fused score is the

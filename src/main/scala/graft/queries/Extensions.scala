@@ -3164,6 +3164,31 @@ object Extensions {
         |  CASE WHEN aft IS NULL OR (bef IS NOT NULL
         |            AND abs(bef.cv - n_chars) <= abs(aft.cv - n_chars))
         |       THEN bef.cv ELSE aft.cv END AS control_cv
-        |FROM wnd WHERE is_t ORDER BY lang, target_id""".stripMargin)
+        |FROM wnd WHERE is_t ORDER BY lang, target_id""".stripMargin),
+
+    // vocabulary growth curve (Heaps-law diagnostic): new distinct
+    // word TRIGRAMS per 50-doc bucket of crawl order + running total —
+    // the corpus-diversity audit (unigram vocabularies saturate in the
+    // first bucket); one keyed first-occurrence agg, the only window
+    // runs over the tiny bucket list
+    Q.df("x176_vocab_growth",
+      (s, dir) => TextStats.vocabGrowth(
+        Tables.load(s, dir, "documents"), 50L, n = 3),
+      s"""WITH $duckTok,
+         |g AS (
+         |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS w
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         |first AS (SELECT w, min(doc_id) AS first_doc FROM g GROUP BY 1),
+         |buckets AS (
+         |  SELECT first_doc // 50 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS new_tokens
+         |  FROM first GROUP BY 1)
+         |SELECT bucket, bucket * 50 AS first_doc,
+         |  bucket * 50 + 49 AS last_doc, new_tokens,
+         |  CAST(sum(new_tokens) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |FROM buckets ORDER BY bucket""".stripMargin)
   )
 }

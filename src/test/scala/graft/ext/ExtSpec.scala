@@ -1101,6 +1101,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("vocab growth: conserves the distinct n-gram count, cumulative monotone") {
+    import org.apache.spark.sql.functions._
+    val g = TextStats.vocabGrowth(docs, 10L, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    val total = docs.select(col("doc_id"),
+        TextStats.tokensCol(col("text")).as("t"))
+      .select(explode(expr(
+        "CASE WHEN size(t) < 3 THEN array() ELSE transform(" +
+          "sequence(1, size(t) - 2), i -> array_join(slice(t, i, 3), ' ')) END"))
+        .as("w"))
+      .select("w").distinct().count()
+    assert(g.map(_._2).sum == total && g.last._3 == total)
+    assert(g.zip(g.tail).forall { case (a, b) => a._3 < b._3 && a._1 < b._1 })
+    // every bucket's cumulative equals the running sum of new tokens
+    assert(g.scanLeft(0L)(_ + _._2).tail.zip(g.map(_._3))
+      .forall { case (a, b) => a == b })
+  }
+
   test("cluster-safe split: near-dup pairs never straddle train/valid/test") {
     import org.apache.spark.sql.functions._
     val pairs = Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))
