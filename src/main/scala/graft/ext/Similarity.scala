@@ -662,22 +662,31 @@ object Similarity {
             .cast("bigint")).as("d"))
     }
 
-    val seed = base.orderBy("vec_id").limit(1).collect()(0)
+    val seedRows = base.orderBy("vec_id").limit(1).collect()
+    require(seedRows.nonEmpty, "kCenterSelect needs a non-empty corpus")
+    val seed = seedRows(0)
     var selected = Vector((1, seed.getLong(0), -1L))
     var mind = CacheRegistry.checkpoint(distTo(seed))
-    for (round <- 2 to k) {
-      val picked = mind
+    var round = 2
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      val pickedRows = mind
         .where(!col("vec_id").isin(selected.map(_._2): _*))
-        .orderBy(col("d").desc, col("vec_id")).limit(1).collect()(0)
-      val chosen = base.where(col("vec_id") === picked.getLong(0))
-        .collect()(0)
-      selected :+= ((round, picked.getLong(0), picked.getLong(1)))
-      if (round < k) {
-        val next = CacheRegistry.checkpoint(
-          mind.join(distTo(chosen).withColumnRenamed("d", "dn"), "vec_id")
-            .select(col("vec_id"), least(col("d"), col("dn")).as("d")))
-        CacheRegistry.release(mind)
-        mind = next
+        .orderBy(col("d").desc, col("vec_id")).limit(1).collect()
+      if (pickedRows.isEmpty) exhausted = true // k > corpus: stop early
+      else {
+        val picked = pickedRows(0)
+        val chosen = base.where(col("vec_id") === picked.getLong(0))
+          .collect()(0)
+        selected :+= ((round, picked.getLong(0), picked.getLong(1)))
+        if (round < k) {
+          val next = CacheRegistry.checkpoint(
+            mind.join(distTo(chosen).withColumnRenamed("d", "dn"), "vec_id")
+              .select(col("vec_id"), least(col("d"), col("dn")).as("d")))
+          CacheRegistry.release(mind)
+          mind = next
+        }
+        round += 1
       }
     }
     CacheRegistry.release(mind)

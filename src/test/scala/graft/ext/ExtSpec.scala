@@ -1065,6 +1065,9 @@ class ExtSpec extends SparkSpec {
     // greedy max-min distances are non-increasing
     val ds = got.drop(1).map(_._3)
     assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    // k beyond the corpus stops early instead of failing
+    val tiny = emb.where(col("vec_id") < 3)
+    assert(Similarity.kCenterSelect(tiny, 10).count() == 3)
   }
 
   test("source overlap matrix: conserves the pair count, normalized unordered") {
