@@ -56,6 +56,50 @@ object Sampling {
           .otherwise("test").as("split"))
       .orderBy(key)
 
+  /** Exact-budget proportional mix via LARGEST-REMAINDER apportionment:
+    * every stratum gets floor(budget * share) rows, and the leftover
+    * seats go one each to the strata with the largest fractional
+    * remainders (ties toward the smaller stratum name) — the
+    * apportionment rule that makes per-stratum quotas sum EXACTLY to
+    * the budget, where independent per-stratum rounding (x91's shape)
+    * can land off by one per stratum. Selection inside each stratum is
+    * smallest-content-hash-first, so the sample is deterministic and
+    * stable under corpus growth. A budget >= the corpus selects
+    * everything (row_number caps each quota at the stratum size).
+    *
+    * All integer arithmetic: quotas are exact BIGINT div/mod of
+    * (budget * count) — engine-portable. Scale shape: the
+    * apportionment windows run over the per-stratum COUNT table
+    * (cardinality = #strata); per-stratum selection is the bounded
+    * row_number of [[balancedSample]]. Output: (stratum, key, h) of
+    * the selected rows. */
+  def quotaMix(df: DataFrame, stratum: String, key: String,
+               budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1 && budget <= Int.MaxValue,
+      s"budget must be in [1, ${Int.MaxValue}]; got $budget")
+    val counts = df.groupBy(stratum).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum("c").as("t"))
+    val q0 = counts.crossJoin(broadcast(tot))
+      .select(col(stratum), col("c"),
+        expr(s"($budget * c) div t").as("q0"),
+        expr(s"($budget * c) % t").as("rem"))
+    val spare = q0.agg((lit(budget) - sum("q0")).as("r"))
+    val quotas = q0.crossJoin(broadcast(spare))
+      .withColumn("seat", row_number().over(
+        Window.orderBy(col("rem").desc, col(stratum))))
+      .select(col(stratum),
+        (col("q0") + when(col("seat") <= col("r"), 1L).otherwise(0L))
+          .as("q"))
+    df.select(col(stratum), col(key), md5(col(key).cast("string")).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("h"), col(key))))
+      .join(quotas, stratum)
+      .where(col("rn") <= col("q"))
+      .select(col(stratum), col(key), col("h"))
+      .orderBy(stratum, key)
+  }
+
   /** Matched-control selection: for every TARGET row, the nearest
     * non-target row by a numeric covariate within the same stratum —
     * the control-set construction of data ablations (compare an eval

@@ -3189,6 +3189,36 @@ object Extensions {
          |  CAST(sum(new_tokens) OVER (ORDER BY bucket
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS cum_tokens
-         |FROM buckets ORDER BY bucket""".stripMargin)
+         |FROM buckets ORDER BY bucket""".stripMargin),
+
+    // exact-budget proportional mix: largest-remainder apportionment
+    // makes per-source quotas sum EXACTLY to the budget (independent
+    // rounding drifts by one per stratum); selection by smallest
+    // content hash — deterministic, growth-stable; apportionment
+    // windows run over the per-source count table only
+    Q.df("x177_quota_mix",
+      (s, dir) => Sampling.quotaMix(
+        Tables.load(s, dir, "documents"), "source", "doc_id", 100L),
+      """WITH counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM counts),
+        |q0 AS (SELECT source, c, (100 * c) // t AS q0, (100 * c) % t AS rem
+        |       FROM counts, tot),
+        |spare AS (SELECT CAST(100 - sum(q0) AS BIGINT) AS r FROM q0),
+        |quotas AS (
+        |  SELECT source,
+        |    q0 + (CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+        |                    <= (SELECT r FROM spare)
+        |          THEN 1 ELSE 0 END) AS q
+        |  FROM q0),
+        |sel AS (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT s.source, s.doc_id, s.h
+        |FROM sel s JOIN quotas q ON s.source = q.source
+        |WHERE s.rn <= q.q ORDER BY s.source, s.doc_id""".stripMargin)
   )
 }

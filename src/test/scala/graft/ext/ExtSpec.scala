@@ -1122,6 +1122,27 @@ class ExtSpec extends SparkSpec {
       .forall { case (a, b) => a == b })
   }
 
+  test("quota mix: hits the budget exactly, each stratum within 1 of its exact share") {
+    import org.apache.spark.sql.functions._
+    val n = docs.count()
+    for (b <- Seq(1L, 7L, 23L, n, n + 50)) {
+      val sel = Sampling.quotaMix(docs, "source", "doc_id", b)
+      assert(sel.count() == math.min(b, n), s"budget $b")
+    }
+    val b = 23L
+    val got = Sampling.quotaMix(docs, "source", "doc_id", b)
+      .groupBy("source").agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cs = docs.groupBy("source").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    cs.foreach { case (s, c) =>
+      val exact = b.toDouble * c / n
+      val k = got.getOrElse(s, 0L).toDouble
+      assert(k >= math.floor(exact) && k <= math.floor(exact) + 1,
+        s"source $s: $k vs exact $exact")
+    }
+  }
+
   test("cluster-safe split: near-dup pairs never straddle train/valid/test") {
     import org.apache.spark.sql.functions._
     val pairs = Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))
