@@ -79,18 +79,7 @@ object Sampling {
     require(budget >= 1 && budget <= Int.MaxValue,
       s"budget must be in [1, ${Int.MaxValue}]; got $budget")
     val counts = df.groupBy(stratum).agg(count(lit(1)).as("c"))
-    val tot = counts.agg(sum("c").as("t"))
-    val q0 = counts.crossJoin(broadcast(tot))
-      .select(col(stratum), col("c"),
-        expr(s"($budget * c) div t").as("q0"),
-        expr(s"($budget * c) % t").as("rem"))
-    val spare = q0.agg((lit(budget) - sum("q0")).as("r"))
-    val quotas = q0.crossJoin(broadcast(spare))
-      .withColumn("seat", row_number().over(
-        Window.orderBy(col("rem").desc, col(stratum))))
-      .select(col(stratum),
-        (col("q0") + when(col("seat") <= col("r"), 1L).otherwise(0L))
-          .as("q"))
+    val quotas = largestRemainder(counts, stratum, budget)
     df.select(col(stratum), col(key), md5(col(key).cast("string")).as("h"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(stratum).orderBy(col("h"), col(key))))
@@ -98,6 +87,73 @@ object Sampling {
       .where(col("rn") <= col("q"))
       .select(col(stratum), col(key), col("h"))
       .orderBy(stratum, key)
+  }
+
+  /** Largest-remainder quotas over a (stratum, c) count table:
+    * floor(budget * c / total) per stratum plus one extra seat to the
+    * largest fractional remainders (ties toward the smaller stratum
+    * value) — quotas sum exactly to the budget. The windows run over
+    * the count table only (cardinality = #strata). */
+  private def largestRemainder(counts: DataFrame, stratum: String,
+                               budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = counts.agg(sum("c").as("t"))
+    val q0 = counts.crossJoin(broadcast(tot))
+      .select(col(stratum), col("c"),
+        expr(s"($budget * c) div t").as("q0"),
+        expr(s"($budget * c) % t").as("rem"))
+    val spare = q0.agg((lit(budget) - sum("q0")).as("r"))
+    q0.crossJoin(broadcast(spare))
+      .withColumn("seat", row_number().over(
+        Window.orderBy(col("rem").desc, col(stratum))))
+      .select(col(stratum),
+        (col("q0") + when(col("seat") <= col("r"), 1L).otherwise(0L))
+          .as("q"))
+  }
+
+  /** Distribution-matched resampling: select `budget` NON-target rows
+    * whose `covariate` DISTRIBUTION matches the target slice's — the
+    * "length-matched corpus sample" of ablations, one step beyond
+    * [[matchedControls]]' per-row pairing. The target's covariate
+    * range is cut into `bins` quantile bins (exact percentile_disc
+    * edges — engine-portable integers, no interpolation); the budget
+    * is apportioned across bins by the target's bin shares
+    * (largest-remainder, exact); each bin fills
+    * smallest-content-hash-first from the pool. Bins the pool can't
+    * fill select everything they have (the total then falls short —
+    * report, don't silently rebalance).
+    *
+    * Scale shape: the percentile sort runs per-slice once, binning is
+    * a broadcast array probe (narrow map), and the selection windows
+    * are the bounded per-bin row_number. Output: (bin, key, cv, h). */
+  def distributionMatch(df: DataFrame, isTarget: Column, covariate: String,
+                        key: String, budget: Long,
+                        bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000]; got $bins")
+    require(budget >= 1 && budget <= Int.MaxValue,
+      s"budget must be in [1, ${Int.MaxValue}]; got $budget")
+    val lab = df.select(col(key), col(covariate).as("cv"), isTarget.as("is_t"))
+    val edges = lab.where(col("is_t")).agg(array(
+      (1 until bins).map(i => expr(
+        s"percentile_disc(${i.toDouble / bins}d)" +
+          s" WITHIN GROUP (ORDER BY cv)")): _*).as("edges"))
+    def binned(rows: DataFrame): DataFrame =
+      rows.crossJoin(broadcast(edges))
+        .select(col(key), col("cv"),
+          expr("aggregate(edges, 0L, (acc, e) -> acc +" +
+            " CASE WHEN cv > e THEN 1L ELSE 0L END)").as("bin"))
+    val tgtCounts = binned(lab.where(col("is_t")))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val quotas = largestRemainder(tgtCounts, "bin", budget)
+    binned(lab.where(!col("is_t")))
+      .withColumn("h", md5(col(key).cast("string")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bin").orderBy(col("h"), col(key))))
+      .join(quotas, "bin")
+      .where(col("rn") <= col("q"))
+      .select(col("bin"), col(key), col("cv"), col("h"))
+      .orderBy("bin", key)
   }
 
   /** Matched-control selection: for every TARGET row, the nearest

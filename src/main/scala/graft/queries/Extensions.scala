@@ -3219,6 +3219,51 @@ object Extensions {
         |  FROM documents)
         |SELECT s.source, s.doc_id, s.h
         |FROM sel s JOIN quotas q ON s.source = q.source
-        |WHERE s.rn <= q.q ORDER BY s.source, s.doc_id""".stripMargin)
+        |WHERE s.rn <= q.q ORDER BY s.source, s.doc_id""".stripMargin),
+
+    // distribution-matched resampling: a 100-doc pool sample whose
+    // LENGTH DISTRIBUTION matches the eval slice's — exact decile
+    // edges (percentile_disc), budget apportioned by target bin
+    // shares (largest remainder), smallest-hash fill per bin
+    Q.df("x178_distribution_match",
+      (s, dir) => Sampling.distributionMatch(
+        Tables.load(s, dir, "documents"),
+        col("source") === "src19", "n_chars", "doc_id", 100L),
+      {
+        val qs = (1 until 10).map(i =>
+          s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY cv)")
+          .mkString(", ")
+        s"""WITH lab AS (
+           |  SELECT doc_id, n_chars AS cv, source = 'src19' AS is_t
+           |  FROM documents),
+           |edges AS (SELECT [$qs] AS edges FROM lab WHERE is_t),
+           |tb AS (
+           |  SELECT l.doc_id,
+           |    len(list_filter(e.edges, x -> l.cv > x)) AS bin
+           |  FROM lab l, edges e WHERE l.is_t),
+           |counts AS (SELECT bin, CAST(count(*) AS BIGINT) AS c
+           |           FROM tb GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM counts),
+           |q0 AS (SELECT bin, (100 * c) // t AS q0, (100 * c) % t AS rem
+           |       FROM counts, tot),
+           |spare AS (SELECT CAST(100 - sum(q0) AS BIGINT) AS r FROM q0),
+           |quotas AS (
+           |  SELECT bin,
+           |    q0 + (CASE WHEN row_number() OVER (ORDER BY rem DESC, bin)
+           |                    <= (SELECT r FROM spare)
+           |          THEN 1 ELSE 0 END) AS q
+           |  FROM q0),
+           |pool AS (
+           |  SELECT l.doc_id, l.cv,
+           |    len(list_filter(e.edges, x -> l.cv > x)) AS bin,
+           |    md5(CAST(l.doc_id AS VARCHAR)) AS h
+           |  FROM lab l, edges e WHERE NOT l.is_t),
+           |sel AS (
+           |  SELECT pool.*, row_number() OVER (PARTITION BY bin
+           |    ORDER BY h, doc_id) AS rn FROM pool)
+           |SELECT s.bin, s.doc_id, s.cv, s.h
+           |FROM sel s JOIN quotas q ON s.bin = q.bin
+           |WHERE s.rn <= q.q ORDER BY s.bin, s.doc_id""".stripMargin
+      })
   )
 }

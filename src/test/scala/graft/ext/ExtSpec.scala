@@ -1143,6 +1143,45 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("distribution match: per-bin counts equal the independently-computed quotas") {
+    import org.apache.spark.sql.functions._
+    val b = 40L
+    val rows = Sampling.distributionMatch(docs,
+      col("source") === "src19", "n_chars", "doc_id", b).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // never a target row, within budget
+    val tgt = docs.where(col("source") === "src19")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.forall(r => !tgt.map(_._1).contains(r._2)))
+    // independent quota replication: decile edges from the target by
+    // the percentile_disc rule (smallest value at cum prob >= q),
+    // bins by #edges-below, largest-remainder seats
+    val cvs = tgt.map(_._2).sorted
+    val edges = (1 until 10).map { i =>
+      cvs(math.ceil(i / 10.0 * cvs.length).toInt - 1) }
+    def bin(cv: Long) = edges.count(cv > _).toLong
+    val tc = tgt.map(t => bin(t._2)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val t = tc.values.sum
+    val q0 = tc.map { case (k, c) => k -> (b * c / t, b * c % t) }
+    val spare = (b - q0.values.map(_._1).sum).toInt
+    val seats = q0.toSeq.sortBy { case (k, (_, rem)) => (-rem, k) }
+      .take(spare).map(_._1).toSet
+    val quota = q0.map { case (k, (q, _)) =>
+      k -> (q + (if (seats(k)) 1L else 0L)) }
+    val pool = docs.where(col("source") =!= "src19")
+      .select(col("n_chars")).collect().map(r => bin(r.getLong(0)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    quota.foreach { case (k, q) =>
+      val expect = math.min(q, pool.getOrElse(k, 0L))
+      assert(got.getOrElse(k, 0L) == expect, s"bin $k: $got vs quota $quota")
+    }
+    // and every selected row really falls in its claimed bin
+    assert(rows.forall { case (bn, _, cv) => bin(cv) == bn })
+  }
+
   test("cluster-safe split: near-dup pairs never straddle train/valid/test") {
     import org.apache.spark.sql.functions._
     val pairs = Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))
