@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Bpe, Cdc, Curation, Dedup, Graph, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
+import graft.ext.{AsofJoin, Bpe, Cdc, Curation, Dedup, Entity, Graph, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -3264,6 +3264,34 @@ object Extensions {
            |SELECT s.bin, s.doc_id, s.cv, s.h
            |FROM sel s JOIN quotas q ON s.bin = q.bin
            |WHERE s.rn <= q.q ORDER BY s.bin, s.doc_id""".stripMargin
-      })
+      }),
+
+    // fuzzy entity resolution: distinct part names within 2 edits,
+    // multi-pass token blocking (names sharing a token are the only
+    // candidates) + block purging; levenshtein verified on candidates
+    // only — the match runs on the vocabulary-sized distinct-name
+    // table, never on records; exact integer distance both engines
+    Q.df("x179_fuzzy_entity_match",
+      (s, dir) => Entity.fuzzyNameMatch(
+        Tables.load(s, dir, "part"), "p_name", maxDist = 2),
+      """WITH names AS (
+        |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM part GROUP BY 1),
+        |blk AS (
+        |  SELECT name, cnt, unnest(string_split(name, ' ')) AS blk
+        |  FROM names),
+        |keep AS (SELECT blk FROM blk GROUP BY 1 HAVING count(*) <= 1000),
+        |pruned AS (SELECT b.* FROM blk b JOIN keep USING (blk)
+        |           WHERE b.blk <> ''),
+        |cand AS (
+        |  SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+        |    a.cnt AS cnt_a, b.cnt AS cnt_b
+        |  FROM pruned a JOIN pruned b
+        |    ON a.blk = b.blk AND a.name < b.name)
+        |SELECT name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist,
+        |  cnt_a, cnt_b
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 2
+        |ORDER BY name_a, name_b""".stripMargin)
   )
 }

@@ -1538,4 +1538,36 @@ class ExtSpec extends SparkSpec {
     // pair (1,2): num = 150*150 = 22500; the only pair
     assert(got == Seq((1L, 2L, 22500L, 112500L, 112500L)))
   }
+
+  test("fuzzy entity match: exhaustive within-block recall, exact distances, purge drops hot blocks") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parts = graft.Tables.load(spark, dir, "part")
+    val got = Entity.fuzzyNameMatch(parts, "p_name", maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    // exact distances, canonical order, no self-pairs
+    assert(got.forall { case (a, b, d) => a < b && d >= 1 && d <= 2 &&
+      lev(a, b) == d })
+    // recall: EVERY distinct-name pair sharing a token with dist <= 2
+    // is present (blocking loses nothing the block key allows)
+    val names = parts.select("p_name").distinct()
+      .as[String].collect().sorted
+    val want = for {
+      i <- names.indices; j <- (i + 1) until names.length
+      if names(i).split(" ").toSet.intersect(
+        names(j).split(" ").toSet).nonEmpty
+      if lev(names(i), names(j)) <= 2
+    } yield (names(i), names(j))
+    assert(got.map(p => (p._1, p._2)).toSet == want.toSet && want.nonEmpty)
+    // block purging: a tiny maxBlock drops shared-token blocks entirely
+    assert(Entity.fuzzyNameMatch(parts, "p_name", 2, maxBlock = 1L)
+      .collect().isEmpty)
+  }
 }
