@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Co-occurrence mining (beyond-reference, SURVEY.md §2.8): frequent
+  * item pairs with lift — the apriori 2-itemset pass, the workhorse of
+  * "items bought together" and token-collocation analytics.
+  *
+  * Determinism: supports and lift are exact BIGINTs (lift is
+  * floor-scaled parts-per-million), so results are bit-identical
+  * across partitionings and engines.
+  */
+object Basket {
+
+  /** Frequent item PAIRS across baskets, with lift.
+    *
+    * Scale shape: one distinct pass co-partitions (basket, item); the
+    * pair generator is a self-join ON THE BASKET KEY — quadratic only
+    * in per-basket size, never corpus-wide. Oversized baskets (a
+    * crawler session with 10k items would contribute 50M pairs alone)
+    * are dropped up front by `maxBasket`, the standard support-mining
+    * cap; the pair aggregate and the support filter then bound
+    * everything downstream, so the final lift joins run on the small
+    * frequent-pair table.
+    *
+    * lift_ppm = pair_cnt * n_baskets * 1e6 div (cnt_a * cnt_b); > 1e6
+    * means the items co-occur more than independence predicts.
+    *
+    * Output: (item_a, item_b, pair_cnt, cnt_a, cnt_b, lift_ppm),
+    * item_a < item_b, totally ordered by (item_a, item_b).
+    */
+  def frequentPairs(tx: DataFrame, basketCol: String, itemCol: String,
+                    minSupport: Long, maxBasket: Long = 1000L): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be positive; got $minSupport")
+    val it0 = tx.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val small = it0.groupBy("b").agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBasket).select("b")
+    // pinned: consumed by the pair join (twice), item counts, and the
+    // basket total — four subtrees off one distinct pass
+    val it = CacheRegistry.pin(it0.join(small, Seq("b"), "left_semi"))
+    val nBaskets = it.select(countDistinct(col("b")).as("n"))
+    val itemCnt = it.groupBy(col("i")).agg(count(lit(1)).as("c"))
+    val pairs = it.as("a")
+      .join(it.as("x"), col("a.b") === col("x.b") && col("a.i") < col("x.i"))
+      .groupBy(col("a.i").as("item_a"), col("x.i").as("item_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .where(col("pair_cnt") >= minSupport)
+    pairs
+      .join(itemCnt.select(col("i").as("item_a"), col("c").as("cnt_a")),
+        Seq("item_a"))
+      .join(itemCnt.select(col("i").as("item_b"), col("c").as("cnt_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("pair_cnt"),
+        col("cnt_a"), col("cnt_b"),
+        expr("pair_cnt * n * 1000000L div (cnt_a * cnt_b)").as("lift_ppm"))
+      .orderBy("item_a", "item_b")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Bpe, Cdc, Curation, Dedup, Entity, Graph, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
+import graft.ext.{AsofJoin, Basket, Bpe, Cdc, Curation, Dedup, Entity, Graph, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -3292,6 +3292,33 @@ object Extensions {
         |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist,
         |  cnt_a, cnt_b
         |FROM cand WHERE levenshtein(name_a, name_b) <= 2
-        |ORDER BY name_a, name_b""".stripMargin)
+        |ORDER BY name_a, name_b""".stripMargin),
+
+    // market-basket mining: parts co-purchased in the same order
+    // (apriori 2-itemset pass) with exact integer lift; pair join is
+    // per-basket only (bounded by maxBasket), support filter bounds
+    // everything downstream
+    Q.df("x180_market_basket",
+      (s, dir) => Basket.frequentPairs(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 3L),
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |small AS (SELECT b FROM it GROUP BY 1 HAVING count(*) <= 1000),
+        |itk AS (SELECT it.* FROM it JOIN small USING (b)),
+        |n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM itk),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM itk GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS item_a, x.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM itk a JOIN itk x ON a.b = x.b AND a.i < x.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.item_a, p.item_b, p.pair_cnt,
+        |  ca.c AS cnt_a, cb.c AS cnt_b,
+        |  p.pair_cnt * (SELECT n FROM n) * 1000000 // (ca.c * cb.c)
+        |    AS lift_ppm
+        |FROM p JOIN ic ca ON p.item_a = ca.i
+        |       JOIN ic cb ON p.item_b = cb.i
+        |ORDER BY item_a, item_b""".stripMargin)
   )
 }

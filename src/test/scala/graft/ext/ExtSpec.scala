@@ -1570,4 +1570,27 @@ class ExtSpec extends SparkSpec {
     assert(Entity.fuzzyNameMatch(parts, "p_name", 2, maxBlock = 1L)
       .collect().isEmpty)
   }
+
+  test("market basket: exact supports and lift on a hand-computed corpus; basket cap") {
+    import spark.implicits._
+    // baskets: {1:a,b,c} {2:a,b} {3:a,b} {4:c} — n=4
+    // pair (a,b): cnt 3; (a,c): 1; (b,c): 1; item a:3 b:3 c:2
+    val tx = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+      (2L, "b"), (3L, "a"), (3L, "b"), (4L, "c")).toDF("bk", "item")
+    val got = Basket.frequentPairs(tx, "bk", "item", minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // lift(a,b) = 3*4*1e6 / (3*3) = 1333333 (floor)
+    assert(got == Seq(
+      ("a", "b", 3L, 3L, 3L, 1333333L),
+      ("a", "c", 1L, 3L, 2L, 666666L),
+      ("b", "c", 1L, 3L, 2L, 666666L)))
+    // support filter
+    assert(Basket.frequentPairs(tx, "bk", "item", minSupport = 2L)
+      .collect().map(_.getLong(2)).toSeq == Seq(3L))
+    // basket cap drops the 3-item basket: (a,b) support falls to 2
+    val capped = Basket.frequentPairs(tx, "bk", "item", 1L, maxBasket = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(capped.toSeq == Seq(("a", "b", 2L)))
+  }
 }
