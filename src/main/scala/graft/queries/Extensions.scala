@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Basket, Bpe, Cdc, Curation, Dedup, Entity, Graph, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats}
+import graft.ext.{AsofJoin, Basket, Bpe, Cdc, Curation, Dedup, Entity, Graph, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats, TimeSeries}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -3319,6 +3319,37 @@ object Extensions {
         |    AS lift_ppm
         |FROM p JOIN ic ca ON p.item_a = ca.i
         |       JOIN ic cb ON p.item_b = cb.i
-        |ORDER BY item_a, item_b""".stripMargin)
+        |ORDER BY item_a, item_b""".stripMargin),
+
+    // calendar densification + LOCF: one row per (user, day) across
+    // each user's own span, gap days carry the last observed value
+    // forward bit-exactly; per-key generated calendar (no global
+    // cross join), equi-join on (key, day), single-row window state
+    Q.df("x181_gap_fill",
+      (s, dir) => TimeSeries.gapFillLocf(
+          Tables.load(s, dir, "events"), "user_id", "ts", "value",
+          "event_id")
+        // DATE columns render differently in the two compare paths
+        // (pandas datetime64 vs datetime.date) — ship the day as text
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd")),
+      """WITH daily AS (
+        |  SELECT user_id AS k, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    arg_max(value, event_id) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT k, min(day) AS a, max(day) AS b FROM daily GROUP BY 1),
+        |cal AS (
+        |  SELECT k, CAST(unnest(generate_series(CAST(a AS TIMESTAMP),
+        |    CAST(b AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span WHERE date_diff('day', a, b) < 3700),
+        |j AS (
+        |  SELECT c.k, c.day, d.v FROM cal c
+        |  LEFT JOIN daily d ON c.k = d.k AND c.day = d.day)
+        |SELECT k AS user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value_filled,
+        |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin)
   )
 }

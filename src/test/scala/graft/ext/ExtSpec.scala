@@ -1593,4 +1593,32 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(capped.toSeq == Seq(("a", "b", 2L)))
   }
+
+  test("gap fill: contiguous spans, LOCF copies the last observation, span cap drops keys") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // key 1: events on days 1 (two, ids 1<2) and 4 -> gaps on 2,3
+    // key 2: single day; key 3: span 40 days -> dropped by cap
+    val ev = Seq(
+      (1L, ts(1, 3), 1L, 10.5), (2L, ts(1, 9), 1L, 11.25),
+      (3L, ts(4, 1), 1L, 7.75),
+      (4L, ts(2, 5), 2L, 3.0),
+      (5L, ts(1, 1), 3L, 1.0), (6L, ts(30, 1), 3L, 2.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = TimeSeries.gapFillLocf(ev, "user_id", "ts", "value",
+        "event_id", maxSpanDays = 20).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2),
+        r.getInt(3))).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01", 11.25, 0), // last event of the day wins (id 2)
+      (1L, "2024-01-02", 11.25, 1), // LOCF, flagged gap
+      (1L, "2024-01-03", 11.25, 1),
+      (1L, "2024-01-04", 7.75, 0),
+      (2L, "2024-01-02", 3.0, 0))) // key 3 dropped by the span cap
+    // default cap keeps key 3: 30 contiguous days
+    val full = TimeSeries.gapFillLocf(ev, "user_id", "ts", "value",
+      "event_id").where($"user_id" === 3L).collect()
+    assert(full.length == 30 && full.count(_.getInt(3) == 0) == 2)
+  }
 }
