@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy operators (beyond-reference, SURVEY.md §2.8). Training
+  * corpora that carry user attributes need re-identification guards
+  * before release; k-anonymity via generalization ladders is the
+  * standard table-shaped one (PII text scrubbing is TextStats.scrub).
+  */
+object Privacy {
+
+  /** k-anonymize by local recoding over a generalization ladder.
+    *
+    * `levels(l)` is the quasi-identifier tuple at generalization
+    * level l (level 0 finest; a dimension generalized away becomes a
+    * `lit("*")`). Records are assigned the FINEST level at which
+    * their residual equivalence class reaches `k`:
+    *
+    *   residual_0 = all records;
+    *   level(r) = l  if  |{r' in residual_l : qi_l(r') = qi_l(r)}| >= k;
+    *   residual_{l+1} = residual_l minus the level-l satisfied;
+    *   leftovers after the coarsest level are SUPPRESSED
+    *   (level = levels.size, every QI = '*').
+    *
+    * Counting each level over the RESIDUAL (not the full table) is
+    * what makes the guarantee compositional: a level-l output class
+    * is exactly a residual group of size >= k, so every emitted
+    * non-suppressed class has >= k members. Callers conventionally
+    * drop the suppressed rows (they are flagged, not silently lost).
+    *
+    * Scale shape: one keyed count + equi-join per ladder level (the
+    * ladder is 2-4 rungs), each over a strictly shrinking residual;
+    * per-round frames are pinned because two branches (emit, next
+    * residual) consume them. No windows, no driver traffic.
+    *
+    * Output: (id, level, qiNames*: generalized values as strings),
+    * totally ordered by id.
+    */
+  def kAnonymize(df: DataFrame, idCol: String, qiNames: Seq[String],
+                 levels: Seq[Seq[Column]], k: Long): DataFrame = {
+    val m = qiNames.length
+    require(k >= 2, s"k must be >= 2; got $k")
+    require(levels.nonEmpty && levels.forall(_.length == m),
+      "every generalization level needs one expression per QI name")
+    val base = df.select(
+      col(idCol).as("id") +: levels.zipWithIndex.flatMap { case (qs, l) =>
+        qs.zipWithIndex.map { case (q, i) => q.cast("string").as(s"q${l}_$i") }
+      }: _*)
+    var residual = base
+    val emitted = levels.indices.map { l =>
+      val keys = (0 until m).map(i => s"q${l}_$i")
+      val cnts = residual.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+      val joined = CacheRegistry.pin(residual.join(cnts, keys))
+      residual = joined.where(col("cnt") < k).drop("cnt")
+      joined.where(col("cnt") >= k)
+        .select(col("id") +: lit(l).as("level") +:
+          keys.zip(qiNames).map { case (q, n) => col(q).as(n) }: _*)
+    }
+    val suppressed = residual.select(
+      col("id") +: lit(levels.size).as("level") +:
+        qiNames.map(n => lit("*").as(n)): _*)
+    (emitted :+ suppressed).reduce(_ unionByName _).orderBy("id")
+  }
+}

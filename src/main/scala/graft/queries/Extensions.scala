@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Basket, Bpe, Cdc, Curation, Dedup, Entity, Graph, Ids, LmQuality, Multimodal, Pack, Rollup, Sampling, SessionConf, Similarity, TextStats, TimeSeries}
+import graft.ext.{AsofJoin, Basket, Bpe, Cdc, Curation, Dedup, Entity, Graph, Ids, LmQuality, Multimodal, Pack, Privacy, Rollup, Sampling, SessionConf, Similarity, TextStats, TimeSeries}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -3350,6 +3350,49 @@ object Extensions {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS value_filled,
         |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
-        |FROM j ORDER BY user_id, day""".stripMargin)
+        |FROM j ORDER BY user_id, day""".stripMargin),
+
+    // k-anonymity by local recoding: 3-rung generalization ladder
+    // (balance to 100s -> to 1000s -> segment only), each rung counted
+    // over the RESIDUAL so every emitted class provably has >= k
+    // members; leftovers suppressed with a flag, never dropped
+    Q.df("x182_k_anonymity",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val nation = col("c_nationkey").cast("string")
+        val seg = col("c_mktsegment")
+        def bal(w: Int) =
+          (floor(col("c_acctbal") / w).cast("long") * w).cast("string")
+        Privacy.kAnonymize(c, "c_custkey",
+          Seq("nation", "segment", "balance"),
+          Seq(Seq(nation, seg, bal(100)),
+            Seq(nation, seg, bal(1000)),
+            Seq(lit("*"), seg, lit("*"))), k = 5L)
+      },
+      """WITH b AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(c_nationkey AS VARCHAR) AS n, c_mktsegment AS seg,
+        |    CAST(CAST(floor(c_acctbal/100) AS BIGINT)*100 AS VARCHAR)
+        |      AS b100,
+        |    CAST(CAST(floor(c_acctbal/1000) AS BIGINT)*1000 AS VARCHAR)
+        |      AS b1000
+        |  FROM customer),
+        |c0 AS (SELECT n, seg, b100, count(*) AS c FROM b GROUP BY 1,2,3),
+        |a0 AS (SELECT b.*, c0.c AS c0 FROM b JOIN c0 USING (n, seg, b100)),
+        |r1 AS (SELECT * FROM a0 WHERE c0 < 5),
+        |c1 AS (SELECT n, seg, b1000, count(*) AS c FROM r1 GROUP BY 1,2,3),
+        |a1 AS (SELECT r1.*, c1.c AS c1 FROM r1
+        |       JOIN c1 USING (n, seg, b1000)),
+        |r2 AS (SELECT * FROM a1 WHERE c1 < 5),
+        |c2 AS (SELECT seg, count(*) AS c FROM r2 GROUP BY 1),
+        |a2 AS (SELECT r2.*, c2.c AS c2 FROM r2 JOIN c2 USING (seg)),
+        |out AS (
+        |  SELECT id, 0 AS level, n AS nation, seg AS segment,
+        |    b100 AS balance FROM a0 WHERE c0 >= 5
+        |  UNION ALL SELECT id, 1, n, seg, b1000 FROM a1 WHERE c1 >= 5
+        |  UNION ALL SELECT id, 2, '*', seg, '*' FROM a2 WHERE c2 >= 5
+        |  UNION ALL SELECT id, 3, '*', seg, '*' FROM a2 WHERE c2 < 5)
+        |SELECT id, level, nation, segment, balance
+        |FROM out ORDER BY id""".stripMargin)
   )
 }

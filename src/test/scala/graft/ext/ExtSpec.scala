@@ -1621,4 +1621,42 @@ class ExtSpec extends SparkSpec {
       "event_id").where($"user_id" === 3L).collect()
     assert(full.length == 30 && full.count(_.getInt(3) == 0) == 2)
   }
+
+  test("k-anonymity: every non-suppressed class has >= k members, total coverage, level minimality") {
+    import org.apache.spark.sql.functions._
+    val k = 5L
+    val cust = Tables.load(spark, dir, "customer")
+    val nation = col("c_nationkey").cast("string")
+    val seg = col("c_mktsegment")
+    def bal(w: Int) =
+      (floor(col("c_acctbal") / w).cast("long") * w).cast("string")
+    val out = Privacy.kAnonymize(cust, "c_custkey",
+      Seq("nation", "segment", "balance"),
+      Seq(Seq(nation, seg, bal(100)), Seq(nation, seg, bal(1000)),
+        Seq(lit("*"), seg, lit("*"))), k)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1),
+      (r.getString(2), r.getString(3), r.getString(4))))
+    // exactly one row per record
+    assert(rows.length == cust.count() &&
+      rows.map(_._1).distinct.length == rows.length)
+    // the anonymity guarantee: every non-suppressed (level, qi) class
+    // has at least k members
+    rows.filter(_._2 < 3).groupBy(r => (r._2, r._3)).foreach {
+      case (cls, rs) => assert(rs.length >= k, s"class $cls")
+    }
+    // minimality at level 0: a record is level 0 iff its FULL-table
+    // finest class reaches k (residual = all records at rung 0)
+    val fine = cust.groupBy(nation.as("n"), seg.as("s"),
+        bal(100).as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1),
+        r.getString(2)), r.getLong(3))).toMap
+    val byId = cust.select(col("c_custkey"), nation, seg, bal(100))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    rows.foreach { case (id, lvl, _) =>
+      assert((lvl == 0) == (fine(byId(id)) >= k), s"id $id level $lvl")
+    }
+    // suppressed rows are fully starred
+    assert(rows.filter(_._2 == 3).forall(r => r._3._1 == "*" && r._3._3 == "*"))
+  }
 }
