@@ -97,4 +97,50 @@ object Graph {
     }
     cur.orderBy("node")
   }
+
+  /** Synchronous label propagation (community detection) on a
+    * SYMMETRIZED `edges(src, dst)` list.
+    *
+    * label_0(v) = v; each round every node adopts the label held by
+    * the plurality of its neighbors, ties broken toward the SMALLEST
+    * label — the deterministic variant of Raghavan et al.'s LPA (the
+    * classic formulation breaks ties randomly, which would never
+    * survive a bit-exact cross-engine compare). Fixed `iterations`
+    * rounds, no convergence test — communities stabilize in a few
+    * rounds and a fixed horizon keeps the plan finite.
+    *
+    * The plurality argmax is one aggregate: min(struct(-count,
+    * label)) — struct ordering gives max count then lexicographic
+    * min label, with no per-node window.
+    *
+    * Scale shape identical to [[pageRank]]: the edge list is
+    * checkpointed once; each round is an equi-join of edges with the
+    * current labels on src plus two keyed aggregates on dst; label
+    * frontiers are checkpointed per round with eager release. A node
+    * with no in-edge would drop out — symmetrize, as required.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations must be in [1, 64]; got $iterations")
+    val e = CacheRegistry.checkpoint(
+      edges.select(col("src"), col("dst")).distinct())
+    var cur = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    var lastChk: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
+      cur = e.join(cur, e("src") === cur("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
+      if (i < iterations) {
+        val chk = CacheRegistry.checkpoint(cur)
+        lastChk.foreach(CacheRegistry.release)
+        lastChk = Some(chk)
+        cur = chk
+      }
+    }
+    cur.select(col("node"), col("lbl").as("label")).orderBy("node")
+  }
 }

@@ -3393,6 +3393,49 @@ object Extensions {
         |  UNION ALL SELECT id, 2, '*', seg, '*' FROM a2 WHERE c2 >= 5
         |  UNION ALL SELECT id, 3, '*', seg, '*' FROM a2 WHERE c2 < 5)
         |SELECT id, level, nation, segment, balance
-        |FROM out ORDER BY id""".stripMargin)
+        |FROM out ORDER BY id""".stripMargin),
+
+    // community detection: deterministic label propagation (plurality
+    // label, ties to the smallest) on the symmetrized customer-supplier
+    // co-purchase graph — same per-round checkpoint shape as x169;
+    // argmax is one min(struct(-count, label)) agg, no per-node window
+    Q.df("x183_label_propagation",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cs = graft.ext.CacheRegistry.checkpoint(
+          li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+            .select(concat(lit("c"), col("o_custkey")).as("src"),
+              concat(lit("s"), col("l_suppkey")).as("dst")).distinct())
+        Graph.labelPropagation(
+          cs.union(cs.select(col("dst").as("src"), col("src").as("dst"))), 4)
+      },
+      {
+        val iters = 4
+        val head =
+          """WITH e0 AS MATERIALIZED (
+            |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+            |                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+            |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            |), edges AS MATERIALIZED (
+            |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+            |), l0 AS MATERIALIZED (
+            |  SELECT DISTINCT src AS node, src AS lbl FROM edges)""".stripMargin
+        val rounds = (0 until iters).map { i =>
+          s""",
+             |l${i + 1} AS MATERIALIZED (
+             |  SELECT dst AS node, lbl FROM (
+             |    SELECT e.dst, l.lbl,
+             |      row_number() OVER (PARTITION BY e.dst
+             |        ORDER BY count(*) DESC, l.lbl) AS rn
+             |    FROM edges e JOIN l$i l ON e.src = l.node
+             |    GROUP BY e.dst, l.lbl) t
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString
+        head + rounds +
+          s"\nSELECT node, lbl AS label FROM l$iters ORDER BY node"
+      })
   )
 }

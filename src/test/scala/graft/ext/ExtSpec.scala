@@ -1659,4 +1659,28 @@ class ExtSpec extends SparkSpec {
     // suppressed rows are fully starred
     assert(rows.filter(_._2 == 3).forall(r => r._3._1 == "*" && r._3._3 == "*"))
   }
+
+  test("label propagation: disjoint cliques converge to their min label") {
+    import spark.implicits._
+    def clique(ns: Seq[String]) =
+      for (a <- ns; b <- ns if a != b) yield (a, b)
+    val edges = (clique(Seq("a", "b", "c")) ++ clique(Seq("x", "y", "z")))
+      .toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, 4).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x"))
+    // plurality beats label id: star center adopts the leaves' label
+    // (hub h, leaves l1 l2 l3 all pre-wired into one community via a
+    // triangle) — after one round h holds the leaves' plurality label
+    val star = (clique(Seq("l1", "l2", "l3")) ++
+      Seq(("h", "l1"), ("l1", "h"), ("h", "l2"), ("l2", "h"),
+        ("h", "l3"), ("l3", "h"))).toDF("src", "dst")
+    val one = Graph.labelPropagation(star, 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // h's neighbors l1 l2 l3 all carry distinct labels -> tie -> min l1;
+    // each leaf sees {h, two other leaves} -> tie -> min h... except
+    // l1 whose competitors are {h, l2, l3} -> h
+    assert(one("h") == "l1" && one("l1") == "h")
+  }
 }
