@@ -51,4 +51,55 @@ object TimeSeries {
         when(col("v").isNull, 1).otherwise(0).as("is_gap"))
       .orderBy(keyCol, "day")
   }
+
+  /** Linear multi-touch attribution: each conversion's value is split
+    * in exact integer cents across the touch events that precede it
+    * within `windowDays` for the same key; remainder cents go one
+    * each to the MOST RECENT touches (ties to the larger event id),
+    * so every attributed conversion's cents sum back exactly — the
+    * same largest-remainder discipline as Sampling.quotaMix.
+    *
+    * Conversions with no in-window touch produce nothing (their value
+    * is unattributable by definition — count them separately if the
+    * gap matters). Values are assumed non-negative (cents of a sale);
+    * a negative value would split consistently across engines but
+    * skip remainder distribution.
+    *
+    * Scale shape: conversions and touches equi-join on the key with
+    * the time window as a join-side predicate (per-key work is
+    * bounded by per-key event counts — the as-of/range-join family);
+    * the split windows partition by CONVERSION (a handful of touches
+    * each); the final per-touch rollup is one keyed sum.
+    *
+    * Output: (event_id, key, n_conversions, attributed_cents) per
+    * touch that attributed at least once, ordered by event_id.
+    */
+  def linearAttribution(events: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, typeCol: String, valCol: String,
+                        conversionType: String, touchTypes: Seq[String],
+                        windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touch types must be non-empty and disjoint from the conversion")
+    val t = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(keyCol).as("k"), col(idCol).as("tid"), col(tsCol).as("tts"))
+    val p = events.where(col(typeCol) === conversionType)
+      .select(col(keyCol).as("k"), col(idCol).as("pid"),
+        col(tsCol).as("pts"),
+        floor(col(valCol) * 100).cast("bigint").as("cents"))
+    val j = p.join(t, Seq("k"))
+      .where(col("tts") <= col("pts") &&
+        col("tts") > col("pts") - expr(s"INTERVAL $windowDays DAYS"))
+    val byConv = Window.partitionBy("pid")
+    val w = j
+      .withColumn("rn", row_number().over(
+        byConv.orderBy(col("tts").desc, col("tid").desc)))
+      .withColumn("nk", count(lit(1)).over(byConv))
+    w.groupBy(col("tid").as("event_id"), col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(expr("cents div nk") +
+          when(col("rn") <= col("cents") % col("nk"), 1L).otherwise(0L))
+          .as("attributed_cents"))
+      .orderBy("event_id")
+  }
 }

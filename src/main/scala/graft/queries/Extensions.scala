@@ -3436,6 +3436,39 @@ object Extensions {
         }.mkString
         head + rounds +
           s"\nSELECT node, lbl AS label FROM l$iters ORDER BY node"
-      })
+      }),
+
+    // linear multi-touch attribution: purchase cents split EXACTLY
+    // (largest-remainder to the most recent touches) across the
+    // view/click events of the prior 7 days, then rolled up per touch;
+    // conversion-touch pairing is a keyed interval join, split windows
+    // are per-conversion (bounded), rollup is one keyed sum
+    Q.df("x184_attribution",
+      (s, dir) => TimeSeries.linearAttribution(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", "value", "purchase", Seq("view", "click"), 7),
+      """WITH t AS (
+        |  SELECT user_id AS k, event_id AS tid, ts AS tts
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |p AS (
+        |  SELECT user_id AS k, event_id AS pid, ts AS pts,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.pid, p.cents, t.tid, t.k, t.tts
+        |  FROM p JOIN t ON p.k = t.k
+        |    AND t.tts <= p.pts AND t.tts > p.pts - INTERVAL 7 DAY),
+        |w AS (
+        |  SELECT pid, cents, tid, k,
+        |    row_number() OVER (PARTITION BY pid
+        |      ORDER BY tts DESC, tid DESC) AS rn,
+        |    count(*) OVER (PARTITION BY pid) AS nk
+        |  FROM j)
+        |SELECT tid AS event_id, k AS user_id,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(cents // nk
+        |    + CASE WHEN rn <= cents % nk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS attributed_cents
+        |FROM w GROUP BY 1, 2 ORDER BY event_id""".stripMargin)
   )
 }

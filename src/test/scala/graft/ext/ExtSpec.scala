@@ -1683,4 +1683,45 @@ class ExtSpec extends SparkSpec {
     // l1 whose competitors are {h, l2, l3} -> h
     assert(one("h") == "l1" && one("l1") == "h")
   }
+
+  test("attribution: cents conserved per conversion, remainder to most recent, window respected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(2, 0), 7L, "view", 0.0),     // outside the 7-day window
+      (2L, ts(8, 0), 7L, "view", 0.0),
+      (3L, ts(9, 0), 7L, "click", 0.0),
+      (4L, ts(9, 12), 7L, "view", 0.0),
+      (5L, ts(10, 0), 7L, "purchase", 1.00),
+      (6L, ts(20, 0), 7L, "purchase", 0.50), // no touch in window
+      (7L, ts(1, 0), 8L, "signup", 0.0))     // never a touch type
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TimeSeries.linearAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "value", "purchase", Seq("view", "click"), 7)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // 100 cents over touches 2,3,4: base 33 each, remainder 1 to the
+    // most recent (id 4); purchase 6 unattributable -> absent
+    assert(got == Seq((2L, 1L, 33L), (3L, 1L, 33L), (4L, 1L, 34L)))
+    // conservation on the real corpus: per-conversion sums equal cents
+    val events = Tables.load(spark, dir, "events")
+    val touches = events.where(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("k"), col("event_id").as("tid"),
+        col("ts").as("tts"))
+    val convs = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("event_id").as("pid"),
+        col("ts").as("pts"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val attributable = convs.join(touches, Seq("k"))
+      .where(col("tts") <= col("pts") &&
+        col("tts") > col("pts") - expr("INTERVAL 7 DAYS"))
+      .select("pid", "cents").distinct()
+      .agg(sum("cents")).collect()(0).getLong(0)
+    val attributed = TimeSeries.linearAttribution(events, "user_id", "ts",
+        "event_id", "event_type", "value", "purchase",
+        Seq("view", "click"), 7)
+      .agg(sum("attributed_cents")).collect()(0).getLong(0)
+    assert(attributed == attributable)
+  }
 }
