@@ -85,6 +85,47 @@ object Dedup {
         .cache())  // evicted by clearShingleCache (CacheRegistry.clearAll)
   }
 
+  /** Asymmetric containment near-dup: pairs where one document's
+    * shingle set is mostly INSIDE the other's — the quote/expansion/
+    * boilerplate-wrap relationship symmetric Jaccard misses (a 50-line
+    * doc pasted into a 500-line doc has Jaccard ~0.1 but containment
+    * ~1.0). containment(a in b) = |sh(a) n sh(b)| / |sh(a)|.
+    *
+    * Same inverted-index candidate generation as [[jaccardPairs]],
+    * with the stop-shingle df cap mandatory (containment runs on the
+    * SURVIVING shingle sets — exact over what it measures): shared
+    * rare shingles bound candidates sub-quadratically; both directed
+    * containments come from the one undirected intersection count.
+    *
+    * Output: (d1, d2, inter, n1, n2, cont1_x10k, cont2_x10k) for
+    * pairs with max(cont1, cont2) >= threshold; d1 < d2; floor-scaled
+    * integers, totally ordered by (d1, d2). */
+  def containmentPairs(docs: DataFrame, thresholdX10k: Long,
+                       maxDocFreq: Int = 2): DataFrame = {
+    require(thresholdX10k >= 1 && thresholdX10k <= 10000,
+      s"thresholdX10k in [1, 10000]; got $thresholdX10k")
+    val shAll = shingles3(docs)
+    val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq).select("shingle")
+    val sh = shAll.join(hot, Seq("shingle"), "left_anti")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), col("inter"),
+        col("s1.n").as("n1"), col("s2.n").as("n2"),
+        expr("inter * 10000L div n1").as("cont1_x10k"),
+        expr("inter * 10000L div n2").as("cont2_x10k"))
+      .where(col("cont1_x10k") >= thresholdX10k ||
+        col("cont2_x10k") >= thresholdX10k)
+      .orderBy("d1", "d2")
+  }
+
   /** All document pairs with shingle-Jaccard >= threshold, via the
     * inverted-index self-join. Output: (d1, d2, jac_x10k).
     *

@@ -3469,6 +3469,31 @@ object Extensions {
         |  CAST(sum(cents // nk
         |    + CASE WHEN rn <= cents % nk THEN 1 ELSE 0 END) AS BIGINT)
         |    AS attributed_cents
-        |FROM w GROUP BY 1, 2 ORDER BY event_id""".stripMargin)
+        |FROM w GROUP BY 1, 2 ORDER BY event_id""".stripMargin),
+
+    // asymmetric containment near-dup: flags quote/expansion pairs
+    // (small doc inside big doc) that symmetric Jaccard misses; df<=2
+    // rare-shingle candidates, both directed containments from one
+    // undirected intersection count
+    Q.df("x185_containment_dedup",
+      (s, dir) => Dedup.containmentPairs(
+        Tables.load(s, dir, "documents"), thresholdX10k = 5000L),
+      s"""WITH $duckTok, ${duckShinglesFiltered(2)},
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |       FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh x JOIN sh y
+         |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+         |  inter * 10000 // s1.n AS cont1_x10k,
+         |  inter * 10000 // s2.n AS cont2_x10k
+         |FROM inter JOIN sz s1 ON d1 = s1.doc_id
+         |           JOIN sz s2 ON d2 = s2.doc_id
+         |WHERE inter * 10000 // s1.n >= 5000
+         |   OR inter * 10000 // s2.n >= 5000
+         |ORDER BY d1, d2""".stripMargin)
   )
 }

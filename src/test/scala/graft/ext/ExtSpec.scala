@@ -1724,4 +1724,24 @@ class ExtSpec extends SparkSpec {
       .agg(sum("attributed_cents")).collect()(0).getLong(0)
     assert(attributed == attributable)
   }
+
+  test("containment: a subset doc is fully contained; jaccard stays low; direction is right") {
+    import spark.implicits._
+    // doc 2's shingles are a strict subset of doc 1's; doc 3 unrelated.
+    // Every shingle appears in <= 2 docs, so the df cap keeps all.
+    val corpus = Seq(
+      (1L, "p q r s t u v w"),   // shingles: pqr qrs rst stu tuv uvw
+      (2L, "q r s t"),           // shingles: qrs rst  (both inside doc 1)
+      (3L, "m n o m n o m n"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, 5000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // inter = 2, n1 = 6, n2 = 2: cont(2 in 1) = 10000, cont(1 in 2) = 3333
+    assert(got == Seq((1L, 2L, 2L, 6L, 2L, 3333L, 10000L)))
+    // the same pair is INVISIBLE to symmetric jaccard at 0.5:
+    // j = 2/6 = 0.33
+    val jac = Dedup.jaccardPairs(corpus, 0.5).collect()
+    assert(jac.isEmpty)
+  }
 }
