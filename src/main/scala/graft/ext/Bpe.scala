@@ -208,4 +208,24 @@ object Bpe {
        |  coalesce(x.n_pieces, 0) AS n_pieces
        |FROM documents d LEFT JOIN perdoc x ON d.doc_id = x.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB oracle for the tokenizer-fertility rollup: re-derives the
+    * k merges, applies them, and aggregates pieces-per-word by
+    * language — the whole x186 composition end to end. */
+  def fertilityOracleSql(k: Int): String =
+    s"""${chainSql(k, throughSk = true)},
+       |pieces AS MATERIALIZED (
+       |  SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS pieces
+       |  FROM s$k),
+       |perdoc AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |    CAST(sum(p.pieces) AS BIGINT) AS n_pieces
+       |  FROM tok t JOIN pieces p ON t.w = p.word GROUP BY 1)
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(coalesce(x.n_tok, 0)) AS BIGINT) AS n_tok,
+       |  CAST(sum(coalesce(x.n_pieces, 0)) AS BIGINT) AS n_pieces,
+       |  CAST(sum(coalesce(x.n_pieces, 0)) AS BIGINT) * 1000000
+       |    // CAST(sum(coalesce(x.n_tok, 0)) AS BIGINT) AS fertility_ppm
+       |FROM documents d LEFT JOIN perdoc x ON d.doc_id = x.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 }

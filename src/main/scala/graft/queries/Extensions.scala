@@ -3494,6 +3494,28 @@ object Extensions {
          |           JOIN sz s2 ON d2 = s2.doc_id
          |WHERE inter * 10000 // s1.n >= 5000
          |   OR inter * 10000 // s2.n >= 5000
-         |ORDER BY d1, d2""".stripMargin)
+         |ORDER BY d1, d2""".stripMargin),
+
+    // tokenizer fertility by language: BPE pieces per whitespace word
+    // (the tokenizer-equity audit — a tokenizer trained on one
+    // language inflates another's sequence lengths), composed on the
+    // x166/x172 merge machinery; the oracle re-derives the merges AND
+    // the rollup, so drift in either half fails the compare
+    Q.df("x186_tokenizer_fertility",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val merges = Bpe.learnMerges(docs, "text", 6).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Bpe.encodePieces(docs, "text", merges)
+          .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
+            sum("n_pieces").as("n_pieces"))
+          .select(col("lang"), col("n_docs"), col("n_tok"),
+            col("n_pieces"),
+            expr("n_pieces * 1000000L div n_tok").as("fertility_ppm"))
+          .orderBy("lang")
+      },
+      Bpe.fertilityOracleSql(6))
   )
 }

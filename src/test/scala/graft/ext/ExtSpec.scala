@@ -1744,4 +1744,31 @@ class ExtSpec extends SparkSpec {
     val jac = Dedup.jaccardPairs(corpus, 0.5).collect()
     assert(jac.isEmpty)
   }
+
+  test("tokenizer fertility: every word >= 1 piece, merges only shrink, docs conserved") {
+    import org.apache.spark.sql.functions._
+    val merges = Bpe.learnMerges(docs, "text", 4).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def rollup(ms: Seq[(String, String)]) =
+      Bpe.encodePieces(docs, "text", ms)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tok"), sum("n_pieces").as("n_pieces"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sortBy(_._1)
+    val merged = rollup(merges)
+    val unmerged = rollup(Seq.empty)
+    assert(merged.map(_._2).sum == docs.count())
+    merged.zip(unmerged).foreach { case ((l, d, t, p), (l2, d2, t2, p0)) =>
+      assert(l == l2 && d == d2 && t == t2)
+      assert(p >= t, s"$l: every word is at least one piece")
+      assert(p <= p0, s"$l: merges never increase the piece count")
+    }
+    // with zero merges every piece is a single character
+    val chars = docs.select(
+      sum(expr("aggregate(regexp_extract_all(lower(text)," +
+        " '[a-z0-9]+', 0), 0L, (a, w) -> a + length(w))"))).collect()(0)
+      .getLong(0)
+    assert(unmerged.map(_._4).sum == chars)
+  }
 }
