@@ -341,6 +341,60 @@ object TextStats {
           |END""".stripMargin)).as("s"))
       .groupBy("doc_id", "s").agg(count(lit(1)).as("tf"))
 
+  /** BM25 query-by-document retrieval over the word-3-gram shingle
+    * space: rank the corpus against the shingles of one probe
+    * document (k1 = 1.2, b = 0.75) — the lexical retrieval twin of
+    * the embedding kNN family, and the "find the sources of this
+    * passage" primitive.
+    *
+    * Everything is integer-exact:
+    *  - idf is the floor-log2 of the Robertson odds ratio,
+    *    floor(log2((2N - 2df + 1) div (2df + 1))) via length(bin(q)) - 1
+    *    (exact in both engines; terms with df > N/2 clamp to 0);
+    *  - the saturating tf component is the BM25 rational with
+    *    k1 = 6/5, b = 3/4 multiplied out over avgdl = T/N:
+    *    tfc = tf*22*T*1e6 div (10*T*tf + 3*T + 9*dl*N), floor-scaled
+    *    (T = total shingle occurrences; BIGINT-safe to ~1e11 tokens —
+    *    beyond that, rescale S);
+    *  - score = sum over matched terms of idf_bits * tfc.
+    *
+    * `maxDocFreq` drops boilerplate probe shingles BEFORE retrieval
+    * (the query-side stop filter — a df-10k term would pull the whole
+    * corpus as candidates). Scale shape: the probe's term list is
+    * broadcast with precomputed idf; candidates are generated only
+    * through the inverted index on those rare terms; per-doc length
+    * and the final sum are keyed aggs; top-k is a
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * Output: (doc_id, n_terms, score), probe excluded, ordered by
+    * (score DESC, doc_id), k rows. */
+  def bm25DocRetrieve(docs: DataFrame, queryDocId: Long, k: Int,
+                      maxDocFreq: Int = 10): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val tf = CacheRegistry.pin(shingleTf(docs))
+    val tot = docs.agg(count(lit(1)).as("nn"))
+      .crossJoin(tf.agg(sum("tf").as("tt")))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = tf.groupBy("s").agg(count(lit(1)).as("df"))
+    val qterms = tf.where(col("doc_id") === queryDocId).select("s")
+      .join(df, "s").where(col("df") <= maxDocFreq)
+    val q = broadcast(qterms.crossJoin(broadcast(tot))
+      .select(col("s"), expr(
+        """CASE WHEN (2*nn - 2*df + 1) div (2*df + 1) >= 1
+          |THEN length(bin((2*nn - 2*df + 1) div (2*df + 1))) - 1
+          |ELSE 0 END""".stripMargin).cast("long").as("idf_bits")))
+    tf.join(q, "s")
+      .where(col("doc_id") =!= queryDocId)
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), (col("idf_bits") * expr(
+        "tf * 22 * tt * 1000000L div (10 * tt * tf + 3 * tt + 9 * dl * nn)"))
+        .as("ts"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("ts").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** Sparse TF-IDF cosine candidate pairs — the document-similarity
     * join over the inverted index: docs are sparse TF-IDF vectors in
     * the word-3-gram shingle space, candidate pairs are generated ONLY

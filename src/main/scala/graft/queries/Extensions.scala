@@ -3516,6 +3516,46 @@ object Extensions {
             expr("n_pieces * 1000000L div n_tok").as("fertility_ppm"))
           .orderBy("lang")
       },
-      Bpe.fertilityOracleSql(6))
+      Bpe.fertilityOracleSql(6)),
+
+    // BM25 query-by-document retrieval: probe doc 7's rare shingles,
+    // floor-log2 odds-ratio idf (length(bin(q))-1, exact both
+    // engines), saturating-tf rational floor-scaled; candidates only
+    // through the inverted index on the broadcast probe terms, top-k
+    // via TakeOrderedAndProject
+    Q.df("x187_bm25_retrieve",
+      (s, dir) => TextStats.bm25DocRetrieve(
+        Tables.load(s, dir, "documents"), queryDocId = 7L, k = 20),
+      s"""WITH $duckTok,
+         |g AS (
+         |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         |tf AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS tf
+         |       FROM g GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nn,
+         |         (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS tt),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY 1),
+         |dfv AS (SELECT s, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |q AS (
+         |  SELECT t.s,
+         |    CASE WHEN (2*nn - 2*df + 1) // (2*df + 1) >= 1
+         |    THEN length(bin((2*nn - 2*df + 1) // (2*df + 1))) - 1
+         |    ELSE 0 END AS idf_bits
+         |  FROM tf t JOIN dfv USING (s) CROSS JOIN tot
+         |  WHERE t.doc_id = 7 AND df <= 10),
+         |h AS (
+         |  SELECT f.doc_id, q.idf_bits *
+         |    (f.tf * 22 * tt * 1000000
+         |     // (10*tt*f.tf + 3*tt + 9*d.dl*nn)) AS ts
+         |  FROM tf f JOIN q USING (s)
+         |    JOIN dl d ON f.doc_id = d.doc_id CROSS JOIN tot
+         |  WHERE f.doc_id <> 7)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(ts) AS BIGINT) AS score
+         |FROM h GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
   )
 }

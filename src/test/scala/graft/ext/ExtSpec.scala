@@ -1771,4 +1771,33 @@ class ExtSpec extends SparkSpec {
       .getLong(0)
     assert(unmerged.map(_._4).sum == chars)
   }
+
+  test("bm25 retrieval: near-copy ranks first, probe excluded, tf saturates") {
+    import spark.implicits._
+    val probe = "alpha beta gamma delta epsilon zeta eta theta"
+    // filler docs push N high enough that floor-log2 idf is nonzero
+    // (at N = 5 every odds ratio floors to 0 bits — by design, a
+    // 5-doc corpus has no meaningful idf)
+    val filler = (100L until 130L).map(i =>
+      (i, s"filler$i one filler$i two filler$i three filler$i"))
+    val corpus = (Seq(
+      (7L, probe),
+      (1L, "alpha beta gamma delta epsilon zeta"), // near-copy: 4 shared
+      (2L, "alpha beta gamma padding padding padding"), // 1 shared
+      (3L, "alpha beta gamma " * 10),    // same 1 shared shingle, tf 10
+      (4L, "totally unrelated words here and more")) ++ filler)
+      .toDF("doc_id", "text")
+    val got = TextStats.bm25DocRetrieve(corpus, 7L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // probe never returned; unrelated doc never returned
+    assert(!got.exists(r => r._1 == 7L || r._1 == 4L))
+    // the near-copy outranks the single-shingle docs
+    assert(got.head._1 == 1L && got.head._2 == 4L)
+    // tf saturation: doc 3 repeats the shared shingle ~10x but scores
+    // far below 10x doc 2's score (k1 bounds the tf component at
+    // (k1+1)/1 = 2.2x the tf=1 value)
+    val s2 = got.find(_._1 == 2L).get._3
+    val s3 = got.find(_._1 == 3L).get._3
+    assert(s3 > s2 && s3 < 3 * s2, s"s2=$s2 s3=$s3")
+  }
 }
