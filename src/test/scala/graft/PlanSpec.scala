@@ -398,4 +398,68 @@ class PlanSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("x179 fuzzy entity match: block-keyed candidate join, never all-pairs") {
+    val p = plan("x179_fuzzy_entity_match")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    // candidates come through an equi-join on the blocking token
+    assert("hashpartitioning\\(blk".r.findFirstIn(p).nonEmpty ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x180 market basket: pair join keyed on the basket, no window") {
+    val p = plan("x180_market_basket")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("windowspecdefinition"), p)
+    assert("hashpartitioning\\(b".r.findFirstIn(p).nonEmpty ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x181 gap fill: per-key generated calendar — no global calendar cross join") {
+    val p = plan("x181_gap_fill")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // LOCF window partitions by the key
+    assert("windowspecdefinition\\(k".r.findFirstIn(p.toLowerCase).nonEmpty
+      || "hashpartitioning\\(k".r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("x182 k-anonymity: residual rungs are keyed count joins, no window") {
+    val p = plan("x182_k_anonymity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("windowspecdefinition"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("x184 attribution: keyed interval join; split windows partition by conversion") {
+    val p = plan("x184_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    // the touch-conversion pairing is an equi-join on the user key
+    assert("hashpartitioning\\(k".r.findFirstIn(p).nonEmpty ||
+      p.contains("BroadcastHashJoin"), p)
+    // the apportionment window is per-conversion, never global
+    assert("windowspecdefinition".r.findAllIn(p.toLowerCase).nonEmpty, p)
+    assert(!p.contains("SinglePartition") ||
+      "hashpartitioning\\(pid".r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("x185 containment: rare-shingle inverted-index join, no cartesian") {
+    val p = plan("x185_containment_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(!p.toLowerCase.contains("windowspecdefinition"), p)
+  }
+
+  test("x187 bm25: probe terms broadcast, top-k never a global sort") {
+    val p = plan("x187_bm25_retrieve")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the probe-term join must be a broadcast (the corpus-side
+    // inverted index never shuffles for it)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
