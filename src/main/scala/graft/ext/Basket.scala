@@ -31,7 +31,44 @@ object Basket {
     * item_a < item_b, totally ordered by (item_a, item_b).
     */
   def frequentPairs(tx: DataFrame, basketCol: String, itemCol: String,
-                    minSupport: Long, maxBasket: Long = 1000L): DataFrame = {
+                    minSupport: Long, maxBasket: Long = 1000L): DataFrame =
+    pairsUnordered(tx, basketCol, itemCol, minSupport, maxBasket)
+      .orderBy("item_a", "item_b")
+
+  /** Directional association rules from the frequent pairs: each
+    * surviving pair yields antecedent=>consequent in BOTH directions,
+    * with confidence = support / antecedent count (floor ppm). The
+    * confidence filter is the only direction-sensitive step — lift is
+    * symmetric and carried through unchanged.
+    *
+    * Output: (antecedent, consequent, pair_cnt, cnt_ant, cnt_con,
+    * conf_ppm, lift_ppm), ordered by (antecedent, consequent).
+    */
+  def rules(tx: DataFrame, basketCol: String, itemCol: String,
+            minSupport: Long, minConfPpm: Long,
+            maxBasket: Long = 1000L): DataFrame = {
+    require(minConfPpm >= 0 && minConfPpm <= 1000000L,
+      s"minConfPpm in [0, 1e6]; got $minConfPpm")
+    val p = pairsUnordered(tx, basketCol, itemCol, minSupport, maxBasket)
+    val fwd = p.select(col("item_a").as("antecedent"),
+      col("item_b").as("consequent"), col("pair_cnt"),
+      col("cnt_a").as("cnt_ant"), col("cnt_b").as("cnt_con"),
+      col("lift_ppm"))
+    val rev = p.select(col("item_b").as("antecedent"),
+      col("item_a").as("consequent"), col("pair_cnt"),
+      col("cnt_b").as("cnt_ant"), col("cnt_a").as("cnt_con"),
+      col("lift_ppm"))
+    fwd.union(rev)
+      .withColumn("conf_ppm", expr("pair_cnt * 1000000L div cnt_ant"))
+      .where(col("conf_ppm") >= minConfPpm)
+      .select("antecedent", "consequent", "pair_cnt", "cnt_ant",
+        "cnt_con", "conf_ppm", "lift_ppm")
+      .orderBy("antecedent", "consequent")
+  }
+
+  private def pairsUnordered(tx: DataFrame, basketCol: String,
+                             itemCol: String, minSupport: Long,
+                             maxBasket: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be positive; got $minSupport")
     val it0 = tx.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
     val small = it0.groupBy("b").agg(count(lit(1)).as("bn"))
@@ -55,6 +92,5 @@ object Basket {
       .select(col("item_a"), col("item_b"), col("pair_cnt"),
         col("cnt_a"), col("cnt_b"),
         expr("pair_cnt * n * 1000000L div (cnt_a * cnt_b)").as("lift_ppm"))
-      .orderBy("item_a", "item_b")
   }
 }

@@ -3556,6 +3556,84 @@ object Extensions {
          |  WHERE f.doc_id <> 7)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
          |  CAST(sum(ts) AS BIGINT) AS score
-         |FROM h GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+         |FROM h GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // entity canonicalization: fuzzy-match pairs -> connected
+    // components on the DISTINCT-NAME graph (vocabulary-sized, via
+    // the same Dedup.clusters frontier loop) -> every RECORD mapped to
+    // its cluster's canonical (min) name; the record table is touched
+    // only by the final equi-join
+    Q.df("x188_entity_canonicalize",
+      (s, dir) => {
+        val parts = Tables.load(s, dir, "part")
+        val pairs = Entity.fuzzyNameMatch(parts, "p_name", maxDist = 2)
+          .select(col("name_a").as("d1"), col("name_b").as("d2"))
+        val names = parts.select(col("p_name").as("doc_id")).distinct()
+        val canon = Dedup.clusters(names, pairs)
+        parts.join(canon, parts("p_name") === canon("doc_id"))
+          .select(col("p_partkey"), col("p_name"),
+            col("cluster_id").as("canonical"))
+          .orderBy("p_partkey")
+      },
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM part GROUP BY 1),
+        |blk AS (
+        |  SELECT name, unnest(string_split(name, ' ')) AS blk FROM names),
+        |keep AS (SELECT blk FROM blk GROUP BY 1 HAVING count(*) <= 1000),
+        |pruned AS (SELECT b.* FROM blk b JOIN keep USING (blk)
+        |           WHERE b.blk <> ''),
+        |pairs AS (
+        |  SELECT DISTINCT a.name AS d1, b.name AS d2
+        |  FROM pruned a JOIN pruned b ON a.blk = b.blk AND a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT name, name FROM names
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |canon AS (SELECT a AS name, min(b) AS canonical
+        |          FROM reach GROUP BY a)
+        |SELECT p.p_partkey, p.p_name, c.canonical
+        |FROM part p JOIN canon c ON p.p_name = c.name
+        |ORDER BY p_partkey""".stripMargin),
+
+    // directional association rules: confidence = support / antecedent
+    // count (floor ppm) filters each direction separately; lift is
+    // symmetric and carried through — the output is the actionable
+    // "who buys a also buys b" form of x180
+    Q.df("x189_basket_rules",
+      (s, dir) => Basket.rules(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 3L, minConfPpm = 100000L),
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |small AS (SELECT b FROM it GROUP BY 1 HAVING count(*) <= 1000),
+        |itk AS (SELECT it.* FROM it JOIN small USING (b)),
+        |n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM itk),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM itk GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS item_a, x.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM itk a JOIN itk x ON a.b = x.b AND a.i < x.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |pl AS (
+        |  SELECT p.item_a, p.item_b, p.pair_cnt, ca.c AS cnt_a,
+        |    cb.c AS cnt_b,
+        |    p.pair_cnt * (SELECT n FROM n) * 1000000 // (ca.c * cb.c)
+        |      AS lift_ppm
+        |  FROM p JOIN ic ca ON p.item_a = ca.i
+        |         JOIN ic cb ON p.item_b = cb.i),
+        |r AS (
+        |  SELECT item_a AS antecedent, item_b AS consequent, pair_cnt,
+        |    cnt_a AS cnt_ant, cnt_b AS cnt_con, lift_ppm FROM pl
+        |  UNION ALL
+        |  SELECT item_b, item_a, pair_cnt, cnt_b, cnt_a, lift_ppm FROM pl)
+        |SELECT antecedent, consequent, pair_cnt, cnt_ant, cnt_con,
+        |  pair_cnt * 1000000 // cnt_ant AS conf_ppm, lift_ppm
+        |FROM r WHERE pair_cnt * 1000000 // cnt_ant >= 100000
+        |ORDER BY antecedent, consequent""".stripMargin)
   )
 }

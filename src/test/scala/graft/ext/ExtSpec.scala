@@ -1800,4 +1800,42 @@ class ExtSpec extends SparkSpec {
     val s3 = got.find(_._1 == 3L).get._3
     assert(s3 > s2 && s3 < 3 * s2, s"s2=$s2 s3=$s3")
   }
+
+  test("entity canonicalize: canonical is the cluster min, matched pairs share it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val parts = Tables.load(spark, dir, "part")
+    val pairs = Entity.fuzzyNameMatch(parts, "p_name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pairs.nonEmpty)
+    val names = parts.select(col("p_name").as("doc_id")).distinct()
+    val canon = Dedup.clusters(names, pairs.toDF("d1", "d2"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // canonical never exceeds the name; matched pairs agree
+    assert(canon.forall { case (n, c) => c <= n })
+    pairs.foreach { case (a, b) =>
+      assert(canon(a) == canon(b), s"$a / $b") }
+    // each cluster's canonical is exactly its member minimum
+    canon.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.keys.min == c, s"cluster $c") }
+  }
+
+  test("basket rules: confidence is directional, filter keeps only confident directions") {
+    import spark.implicits._
+    val tx = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (4L, "c")).toDF("bk", "item")
+    // pair (a,b): sup 3, cnt_a=3, cnt_b=3 -> conf 1e6 both ways
+    // pair (a,c): sup 1, cnt_a=3, cnt_c=2 -> conf(c->a) 500000,
+    //   conf(a->c) 333333; pair (b,c): same shape
+    val got = Basket.rules(tx, "bk", "item", 1L, 400000L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("a", "b", 1000000L), ("b", "a", 1000000L),
+      ("c", "a", 500000L), ("c", "b", 500000L)))
+    // every reported confidence respects the floor-ppm formula
+    val all = Basket.rules(tx, "bk", "item", 1L, 0L).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(all.length == 6 &&
+      all.forall { case (s, ca, conf) => conf == s * 1000000L / ca })
+  }
 }
