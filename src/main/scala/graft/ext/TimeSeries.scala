@@ -102,4 +102,40 @@ object TimeSeries {
           .as("attributed_cents"))
       .orderBy("event_id")
   }
+
+  /** Weekly cohort retention triangle: keys cohorted by their FIRST
+    * active week, then each (cohort, week-offset) cell counts how
+    * many of the cohort's keys were active that many weeks later.
+    *
+    * Weeks are epoch-day div 7 — a pure integer bucket, identical in
+    * every engine and timezone-free (ISO week functions are exactly
+    * the kind of cross-engine drift this avoids).
+    *
+    * Scale shape: one distinct pass to (key, week) activity, one
+    * keyed min for the cohort, one equi-join back on the key, one
+    * (cohort, offset) aggregate — all shuffles on the key or the tiny
+    * cohort grid; no windows, no driver traffic.
+    *
+    * Output: (cohort_week, week_offset, active_users, cohort_size,
+    * retention_ppm), ordered by (cohort_week, week_offset); the
+    * offset-0 row of each cohort has retention_ppm = 1e6 by
+    * construction (everyone is active in their first week).
+    */
+  def cohortRetention(events: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame = {
+    val act = events.select(col(keyCol).as("u"),
+      expr(s"datediff(to_date($tsCol), date '1970-01-01') div 7")
+        .as("wk")).distinct()
+    val cohort = act.groupBy("u").agg(min("wk").as("cw"))
+    val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+    act.join(cohort, Seq("u"))
+      .groupBy(col("cw").as("cohort_week"),
+        (col("wk") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes.withColumnRenamed("cw", "cohort_week"), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_size"),
+        expr("active_users * 1000000L div cohort_size").as("retention_ppm"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -3634,6 +3634,30 @@ object Extensions {
         |SELECT antecedent, consequent, pair_cnt, cnt_ant, cnt_con,
         |  pair_cnt * 1000000 // cnt_ant AS conf_ppm, lift_ppm
         |FROM r WHERE pair_cnt * 1000000 // cnt_ant >= 100000
-        |ORDER BY antecedent, consequent""".stripMargin)
+        |ORDER BY antecedent, consequent""".stripMargin),
+
+    // weekly cohort retention triangle: first-active-week cohorts x
+    // week offsets, epoch-day div 7 buckets (integer, tz-free, no ISO
+    // week drift); keyed distinct + min + join + grid agg, no windows
+    Q.df("x190_retention_cohorts",
+      (s, dir) => TimeSeries.cohortRetention(
+        Tables.load(s, dir, "events"), "user_id", "ts"),
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |      AS wk
+        |  FROM events),
+        |c AS (SELECT u, min(wk) AS cw FROM a GROUP BY 1),
+        |s AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+        |      FROM c GROUP BY 1)
+        |SELECT a.cw AS cohort_week, a.off AS week_offset,
+        |  a.active_users, s.cohort_size,
+        |  a.active_users * 1000000 // s.cohort_size AS retention_ppm
+        |FROM (
+        |  SELECT c.cw, x.wk - c.cw AS off,
+        |    CAST(count(*) AS BIGINT) AS active_users
+        |  FROM a x JOIN c USING (u) GROUP BY 1, 2) a
+        |JOIN s USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin)
   )
 }

@@ -1838,4 +1838,29 @@ class ExtSpec extends SparkSpec {
     assert(all.length == 6 &&
       all.forall { case (s, ca, conf) => conf == s * 1000000L / ca })
   }
+
+  test("cohort retention: offset 0 is always 100%, cells count distinct actives") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int, d: Int) = Timestamp.valueOf(f"2024-$m%02d-$d%02d 12:00:00")
+    // epoch weeks: 2024-01-01 is day 19723 -> week 2817 (days 19719-19725)
+    // u1: weeks 0,1,2 rel; u2: weeks 0,2 rel; u3 first seen week 1
+    val ev = Seq(
+      (1L, ts(1, 1)), (1L, ts(1, 1)), (1L, ts(1, 10)), (1L, ts(1, 16)),
+      (2L, ts(1, 2)), (2L, ts(1, 17)),
+      (3L, ts(1, 10)))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.cohortRetention(ev, "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val base = got.map(_._1).min
+    val rel = got.map(r => (r._1 - base, r._2, r._3, r._4, r._5))
+    assert(rel == Seq(
+      (0L, 0L, 2L, 2L, 1000000L),  // u1, u2
+      (0L, 1L, 1L, 2L, 500000L),   // u1 only
+      (0L, 2L, 2L, 2L, 1000000L),  // u1, u2
+      (1L, 0L, 1L, 1L, 1000000L))) // u3's own cohort
+    // duplicate events in one week never double-count
+    assert(rel.head._3 == 2L)
+  }
 }
