@@ -143,4 +143,55 @@ object Graph {
     }
     cur.select(col("node"), col("lbl").as("label")).orderBy("node")
   }
+
+  /** Per-node triangle counts on an undirected graph, via the
+    * degree-oriented wedge join (the standard distributed algorithm:
+    * Suri & Vassilvitskii's MR triangle counting).
+    *
+    * Edges are first canonicalized to (lo, hi) id pairs, then
+    * RE-oriented from the (degree, id)-smaller endpoint to the larger
+    * — so every wedge is generated at its lowest-degree apex and the
+    * per-apex pair blowup is bounded by the ORIENTED out-degree
+    * (O(sqrt(m)) on any graph), not the raw degree: a celebrity node
+    * with 10M neighbors generates no wedges at all unless its
+    * neighbors are even hotter. Each triangle is counted exactly once
+    * (its unique apex with two out-edges), then credited to all three
+    * corners.
+    *
+    * Scale shape: degree agg, one equi-join to orient, the wedge
+    * self-join keyed on the apex, and the closure probe as an
+    * equi-join against the canonical edge set. No windows; nothing
+    * quadratic in raw degree.
+    *
+    * Output: (node, triangles) for nodes in >= 1 triangle, ordered by
+    * node. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = CacheRegistry.pin(edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .where(col("lo") =!= col("hi")).distinct())
+    val deg = e.select(col("lo").as("node"))
+      .union(e.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = CacheRegistry.pin(e
+      .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), "lo")
+      .join(deg.select(col("node").as("hi"), col("deg").as("dhi")), "hi")
+      .select(
+        when(struct(col("dlo"), col("lo")) < struct(col("dhi"), col("hi")),
+          col("lo")).otherwise(col("hi")).as("src"),
+        when(struct(col("dlo"), col("lo")) < struct(col("dhi"), col("hi")),
+          col("hi")).otherwise(col("lo")).as("dst")))
+    val wedges = oriented.as("w1")
+      .join(oriented.as("w2"), col("w1.src") === col("w2.src")
+        && col("w1.dst") < col("w2.dst"))
+      .select(col("w1.src").as("a"), col("w1.dst").as("b"),
+        col("w2.dst").as("c"))
+    val tri = wedges.join(e,
+      least(col("b"), col("c")) === col("lo") &&
+        greatest(col("b"), col("c")) === col("hi"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      .orderBy("node")
+  }
 }

@@ -3658,6 +3658,50 @@ object Extensions {
         |    CAST(count(*) AS BIGINT) AS active_users
         |  FROM a x JOIN c USING (u) GROUP BY 1, 2) a
         |JOIN s USING (cw)
-        |ORDER BY cohort_week, week_offset""".stripMargin)
+        |ORDER BY cohort_week, week_offset""".stripMargin),
+
+    // per-node triangle counts on the co-purchase graph (parts linked
+    // when >= 2 shared orders): degree-oriented wedge join — wedges
+    // only at the lowest-degree apex, closure via canonical-pair
+    // equi-join; each triangle counted once, credited to all corners
+    Q.df("x191_triangle_count",
+      (s, dir) => {
+        val it = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+          .distinct()
+        val edges = it.as("a")
+          .join(it.as("c"), col("a.b") === col("c.b")
+            && col("a.i") < col("c.i"))
+          .groupBy(col("a.i").as("src"), col("c.i").as("dst"))
+          .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+          .select("src", "dst")
+        Graph.triangleCount(edges)
+      },
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e AS (
+        |  SELECT a.i AS lo, c.i AS hi
+        |  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT lo AS node FROM e UNION ALL SELECT hi FROM e) u
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN (dl.deg, e.lo) < (dh.deg, e.hi)
+        |           THEN e.lo ELSE e.hi END AS src,
+        |         CASE WHEN (dl.deg, e.lo) < (dh.deg, e.hi)
+        |           THEN e.hi ELSE e.lo END AS dst
+        |  FROM e JOIN deg dl ON e.lo = dl.node
+        |         JOIN deg dh ON e.hi = dh.node),
+        |tri AS (
+        |  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+        |  FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst
+        |  JOIN e ON least(w1.dst, w2.dst) = e.lo
+        |        AND greatest(w1.dst, w2.dst) = e.hi)
+        |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri) n
+        |GROUP BY 1 ORDER BY node""".stripMargin)
   )
 }

@@ -1863,4 +1863,26 @@ class ExtSpec extends SparkSpec {
     // duplicate events in one week never double-count
     assert(rel.head._3 == 2L)
   }
+
+  test("triangle count: exact on known shapes, hub orientation generates no wedge blowup") {
+    import spark.implicits._
+    // K4 has 4 triangles, every node in 3; plus a pendant edge (no tri)
+    val k4 = for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong)
+    val edges = (k4 :+ (4L, 9L)).toDF("src", "dst")
+    val got = Graph.triangleCount(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // star graph: no triangles at all, and (the scale property) the
+    // hub generates ZERO wedges under degree orientation — all edges
+    // point leaf -> hub
+    val star = (1 to 50).map(i => (100L, i.toLong)).toDF("src", "dst")
+    assert(Graph.triangleCount(star).collect().isEmpty)
+    // triangle reached only through mixed orientation directions:
+    // path + closure, duplicate and reversed input edges tolerated
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    assert(Graph.triangleCount(messy).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
 }
