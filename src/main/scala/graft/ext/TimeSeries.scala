@@ -122,10 +122,15 @@ object TimeSeries {
     * construction (everyone is active in their first week).
     */
   def cohortRetention(events: DataFrame, keyCol: String,
-                      tsCol: String): DataFrame = {
-    val act = events.select(col(keyCol).as("u"),
+                      tsCol: String): DataFrame =
+    retentionFromActivity(events.select(col(keyCol).as("u"),
       expr(s"datediff(to_date($tsCol), date '1970-01-01') div 7")
-        .as("wk")).distinct()
+        .as("wk")).distinct())
+
+  /** The cohort grid over an already-distinct (u, wk) activity set —
+    * the serve-time half of [[cohortRetention]], shared with the
+    * streaming activity-journal path (graft.streaming). */
+  def retentionFromActivity(act: DataFrame): DataFrame = {
     val cohort = act.groupBy("u").agg(min("wk").as("cw"))
     val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
     act.join(cohort, Seq("u"))

@@ -3702,6 +3702,31 @@ object Extensions {
         |SELECT node, CAST(count(*) AS BIGINT) AS triangles
         |FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
         |      UNION ALL SELECT c FROM tri) n
-        |GROUP BY 1 ORDER BY node""".stripMargin)
+        |GROUP BY 1 ORDER BY node""".stripMargin),
+
+    // streaming cohort-retention mart: distinct (user, week) activity
+    // maintained as dropDuplicates state (bounded by keys x weeks,
+    // not events), serve-time grid shared with batch x190 — the
+    // drained stream must equal the batch triangle, which the oracle
+    // (same SQL as x190) checks
+    Q.df("x192_stream_retention",
+      (s, dir) => Streaming.streamRetention(s, dir),
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |      AS wk
+        |  FROM events),
+        |c AS (SELECT u, min(wk) AS cw FROM a GROUP BY 1),
+        |s AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+        |      FROM c GROUP BY 1)
+        |SELECT a.cw AS cohort_week, a.off AS week_offset,
+        |  a.active_users, s.cohort_size,
+        |  a.active_users * 1000000 // s.cohort_size AS retention_ppm
+        |FROM (
+        |  SELECT c.cw, x.wk - c.cw AS off,
+        |    CAST(count(*) AS BIGINT) AS active_users
+        |  FROM a x JOIN c USING (u) GROUP BY 1, 2) a
+        |JOIN s USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin)
   )
 }

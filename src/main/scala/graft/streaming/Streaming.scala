@@ -811,4 +811,43 @@ object Streaming {
       rmTree(ckpt); rmTree(stage); rmTree(out)
     }
   }
+
+  /** Streaming cohort-retention mart: the live-maintained version of
+    * the x190 retention triangle. The stream keeps one piece of
+    * bounded state — the distinct (user, epoch-week) activity set,
+    * via dropDuplicates (state is keys x active weeks, NOT events:
+    * a user's thousandth event in a week adds nothing) — and each
+    * newly-seen activity pair is appended once to the mart. Serving
+    * reads the mart and computes the cohort grid with the SAME code
+    * as batch ([[graft.ext.TimeSeries.retentionFromActivity]]), so
+    * the drained stream must EQUAL batch x190 — which is what the
+    * oracle checks.
+    *
+    * Output: (cohort_week, week_offset, active_users, cohort_size,
+    * retention_ppm), ordered like x190. */
+  def streamRetention(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_ret_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
+      val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
+        .select(col("user_id").as("u"), nanosToTs("ts").as("tsc"))
+        .select(col("u"),
+          expr("datediff(to_date(tsc), date '1970-01-01') div 7").as("wk"))
+      val q = src.dropDuplicates("u", "wk")
+        .writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    // re-materialize: the memory-sink view keeps fixed attribute ids,
+    // so the grid's self-referencing joins would see conflicting
+    // references; bounded by keys x active weeks
+    val act = spark.table(name)
+    val schema = act.schema
+    val rows = act.collect()
+    graft.ext.TimeSeries.retentionFromActivity(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema))
+  }
 }

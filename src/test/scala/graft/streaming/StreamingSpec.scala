@@ -159,4 +159,16 @@ class StreamingSpec extends SparkSpec {
     // journal's latest-wins compaction was exercised across batch ids
     assert(want.nonEmpty)
   }
+
+  test("streaming retention mart equals the batch cohort triangle") {
+    val streamed = Streaming.streamRetention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val batch = graft.ext.TimeSeries.cohortRetention(
+        graft.Tables.load(spark, dir, "events"), "user_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
