@@ -392,4 +392,55 @@ object Sampling {
       .select(col(stratum), col("pick.key").cast(keyType).as(key))
       .orderBy(stratum, key)
   }
+
+  /** Weighted systematic sampling: EXACTLY k draws with inclusion
+    * probability proportional to an integer weight, deterministic.
+    *
+    * Rows are laid on the cumulative-weight line in content-hash
+    * order (md5(key), key — a reproducible pseudo-random shuffle);
+    * a row is drawn once per multiple of W/k its weight interval
+    * covers: copies = floor(cum_end*k div W) - floor(cum_start*k div
+    * W). The draw count telescopes to exactly k, heavy rows can be
+    * drawn multiple times (the classic PPS-systematic semantics —
+    * `copies` reports the multiplicity), and everything is integer
+    * arithmetic on BIGINTs, bit-identical across engines.
+    *
+    * Scale shape: the global running weight is built WITHOUT a
+    * single-partition window — per-row cumsum windows partition by
+    * the 16-way hash-prefix bucket, and cross-bucket offsets come
+    * from a 16-row aggregate (the only "global" step, broadcast
+    * back). Needs W * k to fit a BIGINT.
+    *
+    * Output: (key, w, copies), copies >= 1, ordered by key. */
+  def weightedSystematic(df: DataFrame, key: String, weight: Column,
+                         k: Long): DataFrame = {
+    require(k >= 1, s"k must be positive; got $k")
+    val base = df.select(col(key).as("id"), weight.cast("long").as("w"),
+        md5(col(key).cast("string")).as("h"))
+      .where(col("w") > 0)
+      .withColumn("bucket",
+        (instr(lit("0123456789abcdef"), substring(col("h"), 1, 1)) - 1)
+          .cast("long"))
+    val bsums = base.groupBy("bucket").agg(sum("w").as("bw"))
+    // 16 rows: the bucket-offset window is bounded, never data-sized
+    val offW = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val offs = bsums.select(col("bucket"),
+      (sum(col("bw")).over(offW) - col("bw")).as("off"))
+    val total = base.agg(sum("w").as("tw"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("h", "id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    base
+      .withColumn("cin", sum(col("w")).over(cumW))
+      .join(broadcast(offs), "bucket")
+      .crossJoin(broadcast(total))
+      .select(col("id").as(key), col("w"),
+        (expr(s"(off + cin) * $k div tw") -
+          expr(s"(off + cin - w) * $k div tw")).as("copies"))
+      .where(col("copies") > 0)
+      .orderBy(key)
+  }
 }

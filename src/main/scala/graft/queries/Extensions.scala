@@ -3727,6 +3727,30 @@ object Extensions {
         |    CAST(count(*) AS BIGINT) AS active_users
         |  FROM a x JOIN c USING (u) GROUP BY 1, 2) a
         |JOIN s USING (cw)
-        |ORDER BY cohort_week, week_offset""".stripMargin)
+        |ORDER BY cohort_week, week_offset""".stripMargin),
+
+    // weighted systematic sampling: EXACTLY 100 draws with inclusion
+    // probability proportional to n_chars, deterministic (content-hash
+    // order on the cumulative-weight line); heavy docs may be drawn
+    // multiple times (copies column); global cumsum built from 16-way
+    // bucket windows + a 16-row offset table, never one partition
+    Q.df("x193_weighted_sample",
+      (s, dir) => Sampling.weightedSystematic(
+        Tables.load(s, dir, "documents"), "doc_id", col("n_chars"), 100L),
+      """WITH b AS (
+        |  SELECT doc_id AS id, n_chars AS w,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents WHERE n_chars > 0),
+        |c AS (
+        |  SELECT id, w, CAST(sum(w) OVER (ORDER BY h, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS ce
+        |  FROM b),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM b)
+        |SELECT id AS doc_id, w,
+        |  ce * 100 // tw - (ce - w) * 100 // tw AS copies
+        |FROM c, t
+        |WHERE ce * 100 // tw - (ce - w) * 100 // tw > 0
+        |ORDER BY doc_id""".stripMargin)
   )
 }

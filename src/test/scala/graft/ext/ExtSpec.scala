@@ -1885,4 +1885,27 @@ class ExtSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
+
+  test("weighted systematic sample: draws telescope to exactly k, heavy rows always in") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (k <- Seq(1L, 7L, 50L, 120L)) {
+      val sel = Sampling.weightedSystematic(docs, "doc_id",
+        col("n_chars"), k)
+      assert(sel.agg(sum("copies")).collect()(0).getLong(0) == k, s"k=$k")
+    }
+    // a row holding >= 2/k of the total weight is drawn at least twice
+    val heavy = Seq((1L, 1000L), (2L, 10L), (3L, 10L), (4L, 10L))
+      .toDF("doc_id", "wt")
+    val got = Sampling.weightedSystematic(heavy, "doc_id", col("wt"), 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) >= 9L && got.values.sum == 10L)
+    // repartition invariance: the draw is a pure function of content
+    val a = Sampling.weightedSystematic(docs, "doc_id", col("n_chars"), 37L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val b = Sampling.weightedSystematic(docs.repartition(7), "doc_id",
+      col("n_chars"), 37L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
