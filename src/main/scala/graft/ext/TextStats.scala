@@ -252,6 +252,33 @@ object TextStats {
     * a string column — the privacy pass a corpus runs before training.
     * Pure narrow regexp_replace chain (whole-stage codegen, no shuffle);
     * patterns chosen engine-portable (POSIX-ish classes only). */
+  /** Pre-scrub PII inventory: per group, how much would [[scrub]]
+    * redact — rows scanned, rows carrying any PII, and per-class hit
+    * counts. The classes are counted HIERARCHICALLY in scrub's
+    * replacement order (emails on the url-stripped text, numbers on
+    * the email-stripped text), so each character is attributed to
+    * exactly one class and the counts equal what scrub would redact —
+    * the audit a pipeline runs to size the redaction pass before
+    * committing to it. One narrow projection + one keyed agg.
+    * Output: (group, n_rows, rows_with_pii, urls, emails, numbers). */
+  def piiAudit(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val urlRe = "https?://[^ ]+"
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val stripped = regexp_replace(col("t"), urlRe, "<URL>")
+    val stripped2 = regexp_replace(stripped, emailRe, "<EMAIL>")
+    def cnt(c: Column, re: String) =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    df.select(col(groupCol).as("g"), col(textCol).as("t"))
+      .select(col("g"), cnt(col("t"), urlRe).as("u"),
+        cnt(stripped, emailRe).as("e"), cnt(stripped2, "[0-9]+").as("n"))
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("u") + col("e") + col("n") > 0, 1L).otherwise(0L))
+          .as("rows_with_pii"),
+        sum("u").as("urls"), sum("e").as("emails"), sum("n").as("numbers"))
+      .orderBy(groupCol)
+  }
+
   def scrub(c: Column): Column = {
     val noUrl = regexp_replace(c, "https?://[^ ]+", "<URL>")
     val noEmail = regexp_replace(noUrl,

@@ -3751,6 +3751,55 @@ object Extensions {
         |  ce * 100 // tw - (ce - w) * 100 // tw AS copies
         |FROM c, t
         |WHERE ce * 100 // tw - (ce - w) * 100 // tw > 0
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // PII inventory audit: what the scrub pass WOULD redact, counted
+    // hierarchically in scrub's replacement order so each character
+    // lands in one class; PII injected deterministically (the x117
+    // formula-twin trick) so every class is exercised
+    Q.df("x194_pii_audit",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .withColumn("t", concat(col("props"),
+            when(col("event_id") % 5 === 0,
+              concat(lit(" contact user"), col("user_id"),
+                lit("@example.com now")))
+              .when(col("event_id") % 5 === 1,
+                concat(lit(" see https://host/p/"), col("event_id"),
+                  lit(" next")))
+              .otherwise(lit(""))))
+        TextStats.piiAudit(ev, "event_type", "t")
+      },
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    props || CASE
+        |      WHEN event_id % 5 = 0 THEN ' contact user' ||
+        |        CAST(user_id AS VARCHAR) || '@example.com now'
+        |      WHEN event_id % 5 = 1 THEN ' see https://host/p/' ||
+        |        CAST(event_id AS VARCHAR) || ' next'
+        |      ELSE '' END AS t
+        |  FROM events),
+        |cl AS (
+        |  SELECT event_type, t,
+        |    regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g') AS t1
+        |  FROM ev),
+        |c2 AS (
+        |  SELECT event_type,
+        |    CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT)
+        |      AS u,
+        |    CAST(len(regexp_extract_all(t1,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |      AS BIGINT) AS e,
+        |    CAST(len(regexp_extract_all(regexp_replace(t1,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |      '<EMAIL>', 'g'), '[0-9]+')) AS BIGINT) AS n
+        |  FROM cl)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN u + e + n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rows_with_pii,
+        |  CAST(sum(u) AS BIGINT) AS urls,
+        |  CAST(sum(e) AS BIGINT) AS emails,
+        |  CAST(sum(n) AS BIGINT) AS numbers
+        |FROM c2 GROUP BY 1 ORDER BY event_type""".stripMargin)
   )
 }

@@ -1908,4 +1908,28 @@ class ExtSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("pii audit: hierarchical counts match scrub semantics exactly") {
+    import spark.implicits._
+    // url contains digits and an @: counted ONCE as url, never email
+    // or number; email digits never counted as numbers
+    val rows = Seq(
+      ("a", "visit https://x.com/42?u=1@b.cc then mail joe9@ex.org ok"),
+      ("a", "plain 12 and 7 words"),
+      ("b", "nothing here"))
+      .toDF("g", "t")
+    val got = TextStats.piiAudit(rows, "g", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("a", 2L, 2L, 1L, 1L, 2L), // 1 url, 1 email (joe9@), numbers 12,7
+      ("b", 1L, 0L, 0L, 0L, 0L)))
+    // the audit equals what scrub redacts: scrubbing leaves no class
+    val scrubbed = rows.select(TextStats.scrub($"t").as("s"))
+    val leftover = TextStats.piiAudit(
+      scrubbed.withColumn("g", org.apache.spark.sql.functions.lit("x")),
+      "g", "s").collect()(0)
+    assert(leftover.getLong(3) == 0L && leftover.getLong(4) == 0L &&
+      leftover.getLong(5) == 0L)
+  }
 }
