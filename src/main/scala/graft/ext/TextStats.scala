@@ -252,6 +252,54 @@ object TextStats {
     * a string column — the privacy pass a corpus runs before training.
     * Pure narrow regexp_replace chain (whole-stage codegen, no shuffle);
     * patterns chosen engine-portable (POSIX-ish classes only). */
+  /** Pairwise lexical drift between strata: exact total-variation
+    * distance between per-stratum unigram distributions, floor-scaled
+    * ppm. Complements the near-dup overlap matrix (x174): overlap
+    * finds shared DOCUMENTS, drift measures distributional shift even
+    * with zero shared documents — the audit for "did this source's
+    * language change between crawls / differ from that source".
+    *
+    * TV(p, q) = (1/2) sum_w |p_w - q_w| over the union vocabulary,
+    * computed EXACTLY from the inner join alone: with c1, c2 raw
+    * counts and N1, N2 totals,
+    *   sum_union |c1*N2 - c2*N1|
+    *     = sum_shared |c1*N2 - c2*N1|
+    *       + (N1*N2 - sum_shared c1*N2)   (terms only in s1)
+    *       + (N1*N2 - sum_shared c2*N1)   (terms only in s2)
+    * so no outer join and no null handling; tv_ppm = that * 1e6 div
+    * (2*N1*N2), all BIGINT.
+    *
+    * Scale shape: one corpus-scale keyed count, then everything runs
+    * on the (stratum x vocabulary) count table; the pair join is
+    * keyed on the term. Pairs sharing NO term are omitted (their TV
+    * is trivially 1e6 and the inner join never sees them). Output:
+    * (src_a, src_b, shared_terms, tv_ppm), src_a < src_b, ordered. */
+  def sourceDrift(docs: DataFrame, stratum: String = "source"): DataFrame = {
+    val tok = docs.select(col(stratum).as("src"),
+        explode(tokensCol(col("text"))).as("w"))
+    val cnt = tok.groupBy("src", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("src").agg(sum("c").as("n"))
+    val cw = cnt.join(broadcast(tot), "src")
+    val shared = cw.as("a")
+      .join(cw.as("b"), col("a.w") === col("b.w")
+        && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared_terms"),
+        sum(abs(col("a.c") * col("b.n") - col("b.c") * col("a.n")))
+          .as("sd"),
+        sum(col("a.c") * col("b.n")).as("s1"),
+        sum(col("b.c") * col("a.n")).as("s2"))
+    shared
+      .join(broadcast(tot.select(col("src").as("src_a"),
+        col("n").as("n1"))), "src_a")
+      .join(broadcast(tot.select(col("src").as("src_b"),
+        col("n").as("n2"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_terms"),
+        expr("(sd + (n1 * n2 - s1) + (n1 * n2 - s2)) * 1000000L " +
+          "div (2 * n1 * n2)").as("tv_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Pre-scrub PII inventory: per group, how much would [[scrub]]
     * redact — rows scanned, rows carrying any PII, and per-class hit
     * counts. The classes are counted HIERARCHICALLY in scrub's

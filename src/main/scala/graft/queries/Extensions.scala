@@ -3800,6 +3800,38 @@ object Extensions {
         |  CAST(sum(u) AS BIGINT) AS urls,
         |  CAST(sum(e) AS BIGINT) AS emails,
         |  CAST(sum(n) AS BIGINT) AS numbers
-        |FROM c2 GROUP BY 1 ORDER BY event_type""".stripMargin)
+        |FROM c2 GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    // pairwise lexical drift: exact total-variation distance between
+    // source unigram distributions (ppm), derived from the inner join
+    // alone (missing-term mass recovered from the totals identity) —
+    // the distribution-shift audit beside x174's document overlap
+    Q.df("x195_source_drift",
+      (s, dir) => TextStats.sourceDrift(
+        Tables.load(s, dir, "documents")),
+      s"""WITH tok AS (
+         |  SELECT source AS src,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |  FROM documents),
+         |cnt AS (SELECT src, w, CAST(count(*) AS BIGINT) AS c
+         |        FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n
+         |        FROM cnt GROUP BY 1),
+         |cw AS (SELECT cnt.src, cnt.w, cnt.c, tot.n
+         |       FROM cnt JOIN tot USING (src)),
+         |sh AS (
+         |  SELECT a.src AS src_a, b.src AS src_b,
+         |    CAST(count(*) AS BIGINT) AS shared_terms,
+         |    CAST(sum(abs(a.c * b.n - b.c * a.n)) AS BIGINT) AS sd,
+         |    CAST(sum(a.c * b.n) AS BIGINT) AS s1,
+         |    CAST(sum(b.c * a.n) AS BIGINT) AS s2
+         |  FROM cw a JOIN cw b ON a.w = b.w AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT sh.src_a, sh.src_b, sh.shared_terms,
+         |  (sd + (t1.n * t2.n - s1) + (t1.n * t2.n - s2)) * 1000000
+         |    // (2 * t1.n * t2.n) AS tv_ppm
+         |FROM sh JOIN tot t1 ON sh.src_a = t1.src
+         |        JOIN tot t2 ON sh.src_b = t2.src
+         |ORDER BY src_a, src_b""".stripMargin)
   )
 }

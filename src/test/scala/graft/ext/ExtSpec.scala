@@ -1932,4 +1932,26 @@ class ExtSpec extends SparkSpec {
     assert(leftover.getLong(3) == 0L && leftover.getLong(4) == 0L &&
       leftover.getLong(5) == 0L)
   }
+
+  test("source drift: zero for identical distributions, exact on a hand case, scale-free") {
+    import spark.implicits._
+    def tv(rows: Seq[(Long, String, String)]): Map[(String, String), Long] =
+      TextStats.sourceDrift(rows.toDF("doc_id", "text", "source"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+        .toMap
+    // s1 == s2 distributionally (s2 = s1 doubled): TV = 0
+    // s3: p(a)=1/2 p(b)=1/2 vs s1's p(a)=3/4 p(b)=1/4: TV = 1/4
+    val rows = Seq(
+      (1L, "a a a b", "s1"),
+      (2L, "a a a b a a a b", "s2"),
+      (3L, "a b", "s3"))
+    val got = tv(rows)
+    assert(got(("s1", "s2")) == 0L)
+    assert(got(("s1", "s3")) == 250000L && got(("s2", "s3")) == 250000L)
+    // on the corpus: symmetric bounds and self-consistency
+    val real = TextStats.sourceDrift(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(real.nonEmpty &&
+      real.forall(r => r._3 >= 0L && r._3 <= 1000000L && r._1 < r._2))
+  }
 }
