@@ -61,4 +61,40 @@ object Entity {
       .select("name_a", "name_b", "dist", "cnt_a", "cnt_b")
       .orderBy("name_a", "name_b")
   }
+
+  /** Golden-record survivorship: after [[fuzzyNameMatch]] pairs are
+    * clustered (connected components on the distinct-name graph), fold
+    * each entity's records into ONE record by per-attribute rules —
+    * the MDM "merge" step that turns resolved duplicates into a
+    * master table:
+    *  - `modeCol`: plurality value, ties to the smallest (the same
+    *    deterministic argmax as label propagation — one
+    *    min(struct(-cnt, v)) aggregate);
+    *  - `maxCols`: maximum (recency/amount-style columns).
+    *
+    * Scale shape: matching and clustering run on the vocabulary-sized
+    * distinct-name table; records are touched by one equi-join (name
+    * -> canonical) and one keyed aggregate per rule family.
+    *
+    * Output: (canonical, n_records, n_names, <modeCol>,
+    * max_<c>...), ordered by canonical. */
+  def goldenRecords(records: DataFrame, nameCol: String, maxDist: Int,
+                    modeCol: String, maxCols: Seq[String]): DataFrame = {
+    val pairs = fuzzyNameMatch(records, nameCol, maxDist)
+      .select(col("name_a").as("d1"), col("name_b").as("d2"))
+    val names = records.select(col(nameCol).as("doc_id")).distinct()
+    val canon = Dedup.clusters(names, pairs)
+      .select(col("doc_id").as(nameCol), col("cluster_id").as("canonical"))
+    val rec = CacheRegistry.pin(records.join(canon, nameCol))
+    val mode = rec.groupBy(col("canonical"), col(modeCol).as("mv"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("canonical")
+      .agg(min(struct((-col("c")).as("nc"), col("mv").as("v"))).as("m"))
+      .select(col("canonical"), col("m.v").as(modeCol))
+    val aggs = count(lit(1)).as("n_records") +:
+      countDistinct(col(nameCol)).as("n_names") +:
+      maxCols.map(c => max(col(c)).as(s"max_$c"))
+    val base = rec.groupBy("canonical").agg(aggs.head, aggs.tail: _*)
+    base.join(mode, "canonical").orderBy("canonical")
+  }
 }

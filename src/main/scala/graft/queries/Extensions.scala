@@ -3832,6 +3832,54 @@ object Extensions {
          |    // (2 * t1.n * t2.n) AS tv_ppm
          |FROM sh JOIN tot t1 ON sh.src_a = t1.src
          |        JOIN tot t2 ON sh.src_b = t2.src
-         |ORDER BY src_a, src_b""".stripMargin)
+         |ORDER BY src_a, src_b""".stripMargin),
+
+    // golden-record survivorship: resolved part entities folded to one
+    // master row each — plurality brand (ties to smallest), max price
+    // and partkey; clustering stays on the distinct-name graph, the
+    // record table sees one join + keyed aggregates
+    Q.df("x196_golden_record",
+      (s, dir) => Entity.goldenRecords(
+        Tables.load(s, dir, "part"), "p_name", maxDist = 2,
+        modeCol = "p_brand", maxCols = Seq("p_retailprice", "p_partkey")),
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name AS name FROM part GROUP BY 1),
+        |blk AS (
+        |  SELECT name, unnest(string_split(name, ' ')) AS blk FROM names),
+        |keep AS (SELECT blk FROM blk GROUP BY 1 HAVING count(*) <= 1000),
+        |pruned AS (SELECT b.* FROM blk b JOIN keep USING (blk)
+        |           WHERE b.blk <> ''),
+        |pairs AS (
+        |  SELECT DISTINCT a.name AS d1, b.name AS d2
+        |  FROM pruned a JOIN pruned b ON a.blk = b.blk AND a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT name, name FROM names
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |canon AS (SELECT a AS name, min(b) AS canonical
+        |          FROM reach GROUP BY a),
+        |rec AS (SELECT p.*, c.canonical
+        |        FROM part p JOIN canon c ON p.p_name = c.name),
+        |md AS (
+        |  SELECT canonical, p_brand FROM (
+        |    SELECT canonical, p_brand,
+        |      row_number() OVER (PARTITION BY canonical
+        |        ORDER BY count(*) DESC, p_brand) AS rn
+        |    FROM rec GROUP BY canonical, p_brand) t
+        |  WHERE rn = 1),
+        |base AS (
+        |  SELECT canonical, CAST(count(*) AS BIGINT) AS n_records,
+        |    CAST(count(DISTINCT p_name) AS BIGINT) AS n_names,
+        |    max(p_retailprice) AS max_p_retailprice,
+        |    CAST(max(p_partkey) AS BIGINT) AS max_p_partkey
+        |  FROM rec GROUP BY 1)
+        |SELECT b.canonical, b.n_records, b.n_names, m.p_brand,
+        |  b.max_p_retailprice, b.max_p_partkey
+        |FROM base b JOIN md m USING (canonical)
+        |ORDER BY canonical""".stripMargin)
   )
 }

@@ -1954,4 +1954,34 @@ class ExtSpec extends SparkSpec {
     assert(real.nonEmpty &&
       real.forall(r => r._3 >= 0L && r._3 <= 1000000L && r._1 < r._2))
   }
+
+  test("golden record: plurality brand with smallest tie-break, records conserved") {
+    import spark.implicits._
+    // "old bolt"~"cold bolt" (dist 1) cluster; "big gear" alone
+    val recs = Seq(
+      (1L, "old bolt", "B2", 10.0),
+      (2L, "old bolt", "B1", 30.0),
+      (3L, "cold bolt", "B1", 20.0),
+      (4L, "big gear", "B9", 5.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_retailprice")
+    val got = Entity.goldenRecords(recs, "p_name", 2, "p_brand",
+        Seq("p_retailprice", "p_partkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getString(5))).toSeq
+    assert(got == Seq(
+      ("big gear", 1L, 1L, 5.0, 4L, "B9"),
+      // B1 has plurality (2 of 3); max price 30, last key 3
+      ("cold bolt", 3L, 2L, 30.0, 3L, "B1")))
+    // tie in brand counts resolves to the smaller brand string
+    val tied = recs.where($"p_partkey" =!= 3L)
+    val g2 = Entity.goldenRecords(tied, "p_name", 2, "p_brand", Seq())
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(g2("old bolt") == "B1")
+    // conservation on the real table
+    val parts = Tables.load(spark, dir, "part")
+    val all = Entity.goldenRecords(parts, "p_name", 2, "p_brand",
+      Seq("p_partkey"))
+    assert(all.agg(org.apache.spark.sql.functions.sum("n_records"))
+      .collect()(0).getLong(0) == parts.count())
+  }
 }
