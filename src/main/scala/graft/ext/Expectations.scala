@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-contract checks (beyond-reference, SURVEY.md §2.8): the
+  * expectation suite a pipeline runs against every ingested batch —
+  * null-ness, key uniqueness, value ranges, referential integrity —
+  * reported as a violations ledger, not a boolean, so the severity is
+  * measurable and trendable.
+  *
+  * Every check is one aggregate (or one anti-join + aggregate) over
+  * the checked table; the runner unions the 1-row results. Nothing is
+  * collected; the report is itself a DataFrame.
+  */
+object Expectations {
+
+  /** Rows where `c` is null. */
+  def notNull(df: DataFrame, c: String): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("violations"))
+      .select(lit(s"not_null:$c").as("rule"), col("n_rows"),
+        col("violations"))
+
+  /** Excess rows beyond one per distinct key tuple (0 = unique). */
+  def unique(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(struct(cols.map(col): _*)))
+          .as("violations"))
+      .select(lit(s"unique:${cols.mkString(",")}").as("rule"),
+        col("n_rows"), col("violations"))
+
+  /** Rows outside [lo, hi] (nulls count as violations: an absent
+    * value cannot satisfy a range contract). */
+  def inRange(df: DataFrame, c: String, lo: Column, hi: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(when(col(c).between(lo, hi), 0L).otherwise(1L))
+          .as("violations"))
+      .select(lit(s"in_range:$c").as("rule"), col("n_rows"),
+        col("violations"))
+
+  /** Child rows whose foreign key has no parent (left-anti count —
+    * the join is keyed, never a cross product). */
+  def refIntegrity(child: DataFrame, fk: String, parent: DataFrame,
+                   pk: String): DataFrame = {
+    val total = child.agg(count(lit(1)).as("n_rows"))
+    val orphans = child.select(col(fk))
+      .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    total.crossJoin(orphans)
+      .select(lit(s"ref:$fk").as("rule"), col("n_rows"), col("violations"))
+  }
+
+  /** Union a suite of checks into one ledger, ordered by rule. */
+  def suite(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty, "an empty expectation suite checks nothing")
+    checks.reduce(_ unionByName _).orderBy("rule")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Basket, Bpe, Cdc, Curation, Dedup, Entity, Graph, Ids, LmQuality, Multimodal, Pack, Privacy, Rollup, Sampling, SessionConf, Similarity, TextStats, TimeSeries}
+import graft.ext.{AsofJoin, Basket, Bpe, Cdc, Curation, Dedup, Entity, Expectations, Graph, Ids, LmQuality, Multimodal, Pack, Privacy, Rollup, Sampling, SessionConf, Similarity, TextStats, TimeSeries}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -3880,6 +3880,50 @@ object Extensions {
         |SELECT b.canonical, b.n_records, b.n_names, m.p_brand,
         |  b.max_p_retailprice, b.max_p_partkey
         |FROM base b JOIN md m USING (canonical)
-        |ORDER BY canonical""".stripMargin)
+        |ORDER BY canonical""".stripMargin),
+
+    // data-contract expectation suite: nulls, key uniqueness, value
+    // range, referential integrity — each one aggregate (or one
+    // anti-join), reported as a violations ledger; (l_orderkey,
+    // l_linenumber) is known non-unique in the synthetic lineitem, so
+    // the suite demonstrably catches a real contract break
+    Q.df("x197_data_expectations",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val ord = Tables.load(s, dir, "orders")
+        Expectations.suite(Seq(
+          Expectations.notNull(li, "l_shipdate"),
+          Expectations.unique(ord, Seq("o_orderkey")),
+          Expectations.unique(li, Seq("l_orderkey", "l_linenumber")),
+          Expectations.inRange(li, "l_quantity", lit(1), lit(50)),
+          Expectations.refIntegrity(li, "l_orderkey", ord, "o_orderkey")))
+      },
+      """WITH checks AS (
+        |  SELECT 'not_null:l_shipdate' AS rule,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique:o_orderkey', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique:l_orderkey,l_linenumber', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |      AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range:l_quantity', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1
+        |      END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ref:l_orderkey',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey)))
+        |SELECT rule, n_rows, violations FROM checks ORDER BY rule""".stripMargin)
   )
 }

@@ -1984,4 +1984,35 @@ class ExtSpec extends SparkSpec {
     assert(all.agg(org.apache.spark.sql.functions.sum("n_records"))
       .collect()(0).getLong(0) == parts.count())
   }
+
+  test("expectations: each check counts exactly its violations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t = Seq(
+      (1L, Some(5L), 10.0), (2L, None, 60.0), (2L, Some(7L), -1.0),
+      (3L, Some(8L), 25.0))
+      .toDF("k", "v", "x")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val got = Expectations.suite(Seq(
+        Expectations.notNull(t, "v"),          // 1 null
+        Expectations.unique(t, Seq("k")),      // k=2 twice -> 1 excess
+        Expectations.inRange(t, "x", lit(0), lit(50)), // 60, -1 -> 2
+        Expectations.refIntegrity(t, "k", parent, "pk"))) // k=3 -> 1
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(
+      ("in_range:x", 4L, 2L),
+      ("not_null:v", 4L, 1L),
+      ("ref:k", 4L, 1L),
+      ("unique:k", 4L, 1L)))
+    // null range values violate the contract too
+    val nulls = Seq((1L, Option.empty[Double])).toDF("k", "x")
+    assert(Expectations.inRange(nulls, "x", lit(0), lit(1))
+      .collect()(0).getLong(2) == 1L)
+    // the synthetic lineitem's known contract break is caught
+    val li = Tables.load(spark, dir, "lineitem")
+    val dupes = Expectations.unique(li, Seq("l_orderkey", "l_linenumber"))
+      .collect()(0).getLong(2)
+    assert(dupes > 0L)
+  }
 }
