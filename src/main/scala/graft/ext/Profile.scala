@@ -47,6 +47,40 @@ object Profile {
     * pass, NO per-column Expand replication — columns cost a fixed-size
     * sketch each instead of an input copy (plan-guarded in PlanSpec).
     * rsd is the HLL relative standard deviation knob. */
+  /** Join-key skew audit: per candidate key column, the per-key count
+    * distribution — the numbers that predict whether a shuffle on
+    * that key will hot-spot (AQE's skew threshold is a multiple of
+    * the median partition; skew_ppm here is max/avg scaled 1e6, the
+    * same signal at key granularity). Exact percentile_disc keeps the
+    * tiers engine-identical.
+    *
+    * Scale shape: one keyed count per column (map-side combinable)
+    * followed by aggregation over the KEY-CARDINALITY-sized count
+    * table; columns are profiled independently and unioned (a handful
+    * of scans — at 100 TB, run it on a sampled slice or fold the
+    * counts into one pass with Expand if scans dominate).
+    *
+    * Output: (key_col, n_rows, n_keys, max_cnt, p50_cnt, p99_cnt,
+    * skew_ppm), ordered by key_col. */
+  def skewProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "skewProfile needs at least one key column")
+    cols.map { c =>
+      df.groupBy(col(c).as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("c").as("max_cnt"),
+          // Spark's percentile_disc returns DOUBLE even over BIGINT
+          // input; the value is an exact member of the count multiset,
+          // so the BIGINT cast is lossless (and engine-aligned)
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)" +
+            " AS BIGINT)").as("p50_cnt"),
+          expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c)" +
+            " AS BIGINT)").as("p99_cnt"))
+        .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+          expr("max_cnt * n_keys * 1000000L div n_rows").as("skew_ppm"))
+    }.reduce(_ unionByName _).orderBy("key_col")
+  }
+
   def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame =
     stacked(df, approx_count_distinct(_, rsd))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Basket, Bpe, Cdc, Curation, Dedup, Entity, Expectations, Graph, Ids, LmQuality, Multimodal, Pack, Privacy, Rollup, Sampling, SessionConf, Similarity, TextStats, TimeSeries}
+import graft.ext.{AsofJoin, Basket, Bpe, Cdc, Curation, Dedup, Entity, Expectations, Graph, Ids, LmQuality, Multimodal, Pack, Privacy, Profile, Rollup, Sampling, SessionConf, Similarity, TextStats, TimeSeries}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -3924,6 +3924,31 @@ object Extensions {
         |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
         |     WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                       WHERE o.o_orderkey = l.l_orderkey)))
-        |SELECT rule, n_rows, violations FROM checks ORDER BY rule""".stripMargin)
+        |SELECT rule, n_rows, violations FROM checks ORDER BY rule""".stripMargin),
+
+    // join-key skew audit: per-key count distribution (max, exact p50/
+    // p99, max-over-avg ppm) for the three lineitem join keys — the
+    // pre-shuffle hot-spot predictor; aggregation runs over the
+    // key-cardinality count table only
+    Q.df("x198_key_skew_profile",
+      (s, dir) => Profile.skewProfile(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      {
+        def one(c: String) =
+          s"""SELECT '$c' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(max(c) AS BIGINT) AS max_cnt,
+             |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+             |    AS BIGINT) AS p50_cnt,
+             |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c)
+             |    AS BIGINT) AS p99_cnt,
+             |  CAST(max(c) AS BIGINT) * CAST(count(*) AS BIGINT) * 1000000
+             |    // CAST(sum(c) AS BIGINT) AS skew_ppm
+             |FROM (SELECT $c, CAST(count(*) AS BIGINT) AS c
+             |      FROM lineitem GROUP BY 1) t""".stripMargin
+        Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+      })
   )
 }

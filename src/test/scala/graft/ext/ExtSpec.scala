@@ -2015,4 +2015,20 @@ class ExtSpec extends SparkSpec {
       .collect()(0).getLong(2)
     assert(dupes > 0L)
   }
+
+  test("skew profile: exact stats on a planted hot key") {
+    import spark.implicits._
+    // key "hot" appears 90x, ten singleton keys: n_keys=11, n_rows=100
+    // counts sorted: 1 x10, 90 -> p50 = 1 (6th of 11), p99 = 90
+    val rows = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"k$i"))
+      .toDF("k")
+    val got = Profile.skewProfile(rows, Seq("k")).collect()(0)
+    assert((got.getString(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4), got.getLong(5), got.getLong(6)) ==
+      ("k", 100L, 11L, 90L, 1L, 90L, 90L * 11L * 1000000L / 100L))
+    // a perfectly uniform key has skew_ppm == 1e6 exactly
+    val uni = (1 to 40).map(i => i % 8).toDF("k")
+    assert(Profile.skewProfile(uni, Seq("k")).collect()(0)
+      .getLong(6) == 1000000L)
+  }
 }
