@@ -675,6 +675,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level boilerplate removal (the CCNet / RefinedWeb line-
+    * frequency treatment, re-expressed at block granularity): a block
+    * of text that recurs across MANY DISTINCT documents is site chrome,
+    * license boilerplate, or templating — not prose — and is stripped
+    * from EVERY document, unlike [[blockDedup]] which keeps the first
+    * occurrence. The two operators are complementary passes of the
+    * same pipeline: dedup keeps one copy of repeated content; the
+    * boilerplate pass decides some content deserves zero copies.
+    *
+    * Scale shape: the same narrow [[tokenBlocks]] cut, then ONE
+    * distinct + hash aggregation keyed by block text computes document
+    * frequency (map-side combinable — the (btxt, doc_id) distinct is
+    * the only extra pass vs blockDedup), one anti-join drops flagged
+    * blocks, and one per-doc aggregation reassembles surviving text in
+    * block order via array_sort (no collect_list ordering hazard).
+    * All shuffles key on block text or doc_id — high-cardinality,
+    * skew-free; nothing quadratic, nothing on the driver.
+    *
+    * Output per doc: (doc_id, n_blocks, n_kept, kept_md5) — kept_md5
+    * is NULL when the whole document was boilerplate. */
+  def boilerplateStrip(docs: DataFrame, blockTokens: Int = 4,
+                       minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2; got $minDocs")
+    val blocks = tokenBlocks(docs, blockTokens)
+    // document frequency per distinct block text; >= minDocs => chrome
+    val chrome = blocks.select("btxt", "doc_id").distinct()
+      .groupBy("btxt").agg(count(lit(1)).as("dfreq"))
+      .where(col("dfreq") >= minDocs)
+      .select("btxt")
+    val kept = blocks.join(chrome, Seq("btxt"), "left_anti")
+    val total = blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+    val survivors = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(blk, btxt))), x -> x.btxt)"),
+          " ")).as("kept_md5"))
+    total.join(survivors, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source overlap matrix — the curation DIAGNOSTIC that tells
     * you which sources re-publish each other (mirrors, scrapes,
     * syndication): near-dup candidate pairs rolled up to an unordered

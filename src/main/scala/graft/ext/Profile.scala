@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling (beyond-reference, SURVEY.md §2.8): the
@@ -83,4 +84,41 @@ object Profile {
 
   def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame =
     stacked(df, approx_count_distinct(_, rsd))
+
+  /** Pareto contribution cut: the minimal prefix of keys (largest
+    * value first, key as tie-break) whose cumulative value reaches
+    * `shareBp` basis points of the total — "which suppliers make up
+    * 80% of revenue", the concentration question every capacity /
+    * vendor-risk review asks. A row is kept iff the cumulative total
+    * BEFORE it is still short of the target, so the result is exactly
+    * the minimal covering prefix; all arithmetic is integer cents and
+    * basis points (cross-multiplied — no float share ever computed).
+    *
+    * Scale shape: the fact table collapses to one row per key in a
+    * single map-side-combinable aggregation; only that KEY-
+    * CARDINALITY-sized table flows into the unpartitioned running-sum
+    * window. That window is single-threaded by construction — fine
+    * precisely because dimensions are small (a supplier/customer/SKU
+    * dimension is thousands-to-millions of rows at 100 TB fact scale,
+    * and a concentration report over more keys than that isn't
+    * readable anyway). cum_cents * 10000 bounds the intermediate at
+    * total_cents * 1e4 — overflow-safe to ~9e14 total cents (~$9T).
+    *
+    * Output: (key, cents, cum_cents, cum_bp), largest-first. */
+  def paretoCover(fact: DataFrame, keyCol: String, valueCents: Column,
+                  shareBp: Int = 8000): DataFrame = {
+    require(shareBp >= 1 && shareBp <= 10000,
+      s"shareBp must be in [1, 10000]; got $shareBp")
+    val per = fact.groupBy(col(keyCol).as("k"))
+      .agg(sum(valueCents.cast("bigint")).as("cents"))
+    val tot = per.agg(sum("cents").as("total"))
+    val cum = Window.orderBy(col("cents").desc, col("k"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_cents", sum("cents").over(cum))
+      .where((col("cum_cents") - col("cents")) * 10000 <
+        col("total") * shareBp)
+      .select(col("k").as(keyCol), col("cents"), col("cum_cents"),
+        expr("cum_cents * 10000L div total").as("cum_bp"))
+      .orderBy(col("cents").desc, col(keyCol))
+  }
 }

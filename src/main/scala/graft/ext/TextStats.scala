@@ -584,4 +584,49 @@ object TextStats {
       .withColumn("borda", rankCols.reduce(_ + _))
       .orderBy(key)
   }
+
+  /** PMI-ranked collocations over adjacent token bigrams — the
+    * classic "which word pairs co-occur far more than chance"
+    * extractor (phrase mining, tokenizer-merge candidates, NER
+    * gazetteer seeds). The association score is the independence
+    * ratio P(xy) / (P(x)P(y)) as exact ppm via integer cross-
+    * multiplication: c_xy * N * 1e6 div (c_x * c_y) — monotone in
+    * true PMI (log of it), so the RANKING is identical to ranking by
+    * PMI while never touching a float log. Margins c_x / c_y are the
+    * bigram-table margins (first-slot / second-slot counts), so the
+    * three counts live on the same sample space and the ratio's
+    * numerator can never be inflated by edge tokens.
+    *
+    * Scale shape: bigrams come from ONE per-doc lead(1) window (the
+    * token table never self-joins); everything after is vocabulary-
+    * sized — two margin aggregates broadcast back onto the pair
+    * counts, a 1-row total, and a top-k sort of pairs that passed
+    * `minCount`. Intermediate bound: c_xy * N * 1e6 needs c_xy * N <
+    * 9.2e12 — at larger corpora drop the ppm factor to 1e3 or rank by
+    * (c_xy * N, c_x * c_y) lexicographically.
+    *
+    * Output: (w1, w2, c_xy, pmi_ppm), top `topK` by (pmi_ppm desc,
+    * w1, w2). */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5,
+                 topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minCount >= 1 && topK >= 1, "minCount/topK must be positive")
+    val perDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = tokens(docs)
+      .withColumn("w2", lead("w", 1).over(perDoc))
+      .where(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val cxy = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val cx = bg.groupBy("w1").agg(count(lit(1)).as("c_x"))
+    val cy = bg.groupBy("w2").agg(count(lit(1)).as("c_y"))
+    val n = bg.agg(count(lit(1)).as("n_bg"))
+    cxy.join(broadcast(cx), Seq("w1"))
+      .join(broadcast(cy), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .where(col("c_xy") >= minCount)
+      .select(col("w1"), col("w2"), col("c_xy"),
+        expr("c_xy * n_bg * 1000000L div (c_x * c_y)").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

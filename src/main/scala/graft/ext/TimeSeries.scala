@@ -103,6 +103,78 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** First-order event-transition matrix (the Markov-chain view of a
+    * clickstream): for each key, consecutive events ordered by
+    * (`tsCol`, `idCol`) form src -> dst transitions, kept only when
+    * the gap is at most `maxGapMinutes` (a longer silence is a new
+    * visit, not a transition). Counts roll up per (src, dst) with the
+    * per-src row probability as exact ppm — the input a journey
+    * analysis or next-event model starts from.
+    *
+    * Scale shape: ONE window per key ordered by time (lead(1) carries
+    * one row of state — no self-join of the event table against
+    * itself), then one aggregation onto the tiny |types|^2 grid and a
+    * window over that grid for row totals. The event table is never
+    * joined or crossed; everything after the lead is dimension-sized.
+    *
+    * Output: (src_type, dst_type, n_trans, p_ppm), ordered by
+    * (src_type, dst_type); each src row's p_ppm is n_trans * 1e6 div
+    * the src's total outgoing transitions (integer-exact). */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, typeCol: String,
+                       maxGapMinutes: Int = 30): DataFrame = {
+    require(maxGapMinutes >= 1, "maxGapMinutes must be positive")
+    val perKey = Window.partitionBy("k").orderBy(col("ts"), col("id"))
+    val trans = events
+      .select(col(keyCol).as("k"), col(tsCol).as("ts"),
+        col(idCol).as("id"), col(typeCol).as("t"))
+      .withColumn("nt", lead("t", 1).over(perKey))
+      .withColumn("nts", lead("ts", 1).over(perKey))
+      .where(col("nt").isNotNull &&
+        col("nts") <= col("ts") + expr(s"INTERVAL $maxGapMinutes MINUTES"))
+    trans.groupBy(col("t").as("src_type"), col("nt").as("dst_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("row_total",
+        sum("n_trans").over(Window.partitionBy("src_type")))
+      .select(col("src_type"), col("dst_type"), col("n_trans"),
+        expr("n_trans * 1000000L div row_total").as("p_ppm"))
+      .orderBy("src_type", "dst_type")
+  }
+
+  /** Freshness-decayed activity ranking with INTEGER halving decay:
+    * each (key, day)'s event count contributes `cnt >> age`, where age
+    * is whole `halfLifeDays` periods between that day and the
+    * corpus's newest day — exponential half-life decay with no floats
+    * anywhere (exp(-lambda*t) on binary doubles is exactly the kind of
+    * cross-engine drift the integer shift avoids; the staircase is the
+    * price, bit-exactness the prize). The standard "recent activity
+    * outranks stale volume" scorer for trending keys / active users.
+    *
+    * Scale shape: one (key, day) aggregation (map-side combinable — at
+    * most |keys| * |days| rows survive), one 1-row broadcast of the
+    * global max day, one keyed rollup, and a top-k sort of the rolled-
+    * up keys. The raw event table is touched exactly once.
+    *
+    * Output: (key, n_events, score), score-descending (key as the
+    * tie-break), top `topK` rows. */
+  def decayActivity(events: DataFrame, keyCol: String, tsCol: String,
+                    halfLifeDays: Int = 7, topK: Int = 50): DataFrame = {
+    require(halfLifeDays >= 1 && topK >= 1, "halfLifeDays/topK must be positive")
+    val daily = events
+      .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val newest = daily.agg(max("day").as("mx"))
+    daily.crossJoin(broadcast(newest))
+      .select(col("k"), col("cnt"),
+        expr(s"datediff(mx, day) div $halfLifeDays").cast("int").as("age"))
+      .groupBy("k")
+      .agg(sum("cnt").as("n_events"),
+        sum(expr("shiftright(cnt, age)")).as("score"))
+      .select(col("k").as(keyCol), col("n_events"), col("score"))
+      .orderBy(col("score").desc, col(keyCol))
+      .limit(topK)
+  }
+
   /** Weekly cohort retention triangle: keys cohorted by their FIRST
     * active week, then each (cohort, week-offset) cell counts how
     * many of the cohort's keys were active that many weeks later.

@@ -3949,6 +3949,123 @@ object Extensions {
              |      FROM lineitem GROUP BY 1) t""".stripMargin
         Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
           .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
-      })
+      }),
+
+    // corpus-level boilerplate removal: blocks recurring in >= 3
+    // distinct docs are site chrome and stripped from EVERY document
+    // (blockDedup's complement — zero copies, not first-copy-wins)
+    Q.df("x199_boilerplate_strip",
+      (s, dir) => Dedup.boilerplateStrip(
+        Tables.load(s, dir, "documents"), 4, 3),
+      s"""WITH $duckTok,
+         |blk AS (
+         |  SELECT doc_id, (pos - 1) // 4 AS blk,
+         |         string_agg(w, ' ' ORDER BY pos) AS btxt
+         |  FROM tok GROUP BY doc_id, (pos - 1) // 4
+         |),
+         |chrome AS (
+         |  SELECT btxt FROM (SELECT DISTINCT btxt, doc_id FROM blk)
+         |  GROUP BY btxt HAVING count(*) >= 3
+         |),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks
+         |        FROM blk GROUP BY doc_id),
+         |srv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |          md5(string_agg(btxt, ' ' ORDER BY blk)) AS kept_md5
+         |        FROM blk WHERE btxt NOT IN (SELECT btxt FROM chrome)
+         |        GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_blocks,
+         |  CAST(coalesce(s.n_kept, 0) AS BIGINT) AS n_kept, s.kept_md5
+         |FROM tot t LEFT JOIN srv s USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin),
+
+    // first-order clickstream transition matrix: per-user lead(1)
+    // window (no event-table self-join), 30-min session gap, exact
+    // per-src probabilities in ppm
+    Q.df("x200_event_transitions",
+      (s, dir) => TimeSeries.transitionMatrix(
+        Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", 30),
+      """WITH s AS (
+        |  SELECT event_type AS t, ts,
+        |    lead(event_type) OVER w AS nt, lead(ts) OVER w AS nts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |c AS (
+        |  SELECT t AS src_type, nt AS dst_type,
+        |    CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM s
+        |  WHERE nt IS NOT NULL AND nts <= ts + INTERVAL 30 MINUTE
+        |  GROUP BY 1, 2)
+        |SELECT src_type, dst_type, n_trans,
+        |  n_trans * 1000000 // CAST(sum(n_trans) OVER
+        |    (PARTITION BY src_type) AS BIGINT) AS p_ppm
+        |FROM c ORDER BY src_type, dst_type""".stripMargin),
+
+    // freshness-decayed activity ranking: integer halving decay
+    // (cnt >> whole-half-lives-old) — exponential decay with zero
+    // floats, bit-exact across engines
+    Q.df("x201_decay_activity",
+      (s, dir) => TimeSeries.decayActivity(
+        Tables.load(s, dir, "events"), "user_id", "ts", 7, 50),
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS mx FROM daily)
+        |SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+        |  CAST(sum(cnt >> (datediff('day', day, mx) // 7)) AS BIGINT)
+        |    AS score
+        |FROM daily, mx GROUP BY user_id
+        |ORDER BY score DESC, user_id LIMIT 50""".stripMargin),
+
+    // Pareto concentration cut: minimal supplier prefix covering 80%
+    // of revenue — integer cents + basis points, cross-multiplied;
+    // the running sum runs over the SUPPLIER-cardinality rollup only
+    Q.df("x202_pareto_suppliers",
+      (s, dir) => Profile.paretoCover(
+        Tables.load(s, dir, "lineitem"), "l_suppkey",
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100),
+        8000),
+      """WITH per AS (
+        |  SELECT l_suppkey AS k,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per),
+        |c AS (
+        |  SELECT k, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, k) AS BIGINT)
+        |      AS cum_cents
+        |  FROM per)
+        |SELECT k AS l_suppkey, cents, cum_cents,
+        |  cum_cents * 10000 // total AS cum_bp
+        |FROM c, tot
+        |WHERE (cum_cents - cents) * 10000 < total * 8000
+        |ORDER BY cents DESC, l_suppkey""".stripMargin),
+
+    // PMI-ranked collocations: independence ratio as exact ppm via
+    // integer cross-multiplication (rank-equivalent to PMI, no float
+    // log); bigrams from one per-doc lead window, margins broadcast
+    Q.df("x203_pmi_bigrams",
+      (s, dir) => TextStats.pmiBigrams(
+        Tables.load(s, dir, "documents"), 5, 100),
+      s"""WITH $duckTok,
+         |bg AS (
+         |  SELECT a.w AS w1, b.w AS w2
+         |  FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+         |        FROM bg GROUP BY 1, 2),
+         |cx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_x
+         |       FROM bg GROUP BY 1),
+         |cy AS (SELECT w2, CAST(count(*) AS BIGINT) AS c_y
+         |       FROM bg GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_bg FROM bg)
+         |SELECT w1, w2, c_xy,
+         |  c_xy * n_bg * 1000000 // (c_x * c_y) AS pmi_ppm
+         |FROM cxy JOIN cx USING (w1) JOIN cy USING (w2), n
+         |WHERE c_xy >= 5
+         |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 100""".stripMargin)
   )
 }

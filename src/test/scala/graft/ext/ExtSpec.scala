@@ -2031,4 +2031,86 @@ class ExtSpec extends SparkSpec {
     assert(Profile.skewProfile(uni, Seq("k")).collect()(0)
       .getLong(6) == 1000000L)
   }
+
+  test("boilerplate strip: recurring blocks removed everywhere, fully-chrome doc goes to zero") {
+    import spark.implicits._
+    // block "aa bb" occurs (block-aligned) in docs 1,3,4 -> dfreq 3
+    val planted = Seq(
+      (1L, "aa bb cc dd"), (2L, "aa bb ee ff"), // doc2's copy aligned too
+      (3L, "gg hh aa bb"), (4L, "aa bb")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateStrip(planted, 2, 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L), (4L, 1L, 0L)))
+    // the all-boilerplate doc has NULL kept_md5; survivors do not
+    assert(got.filter(_.getLong(0) == 4L).head.isNullAt(3))
+    assert(got.filter(_.getLong(0) != 4L).forall(!_.isNullAt(3)))
+    // unlike blockDedup, even the FIRST occurrence is stripped
+    val firstKept = Dedup.blockDedup(planted, 2)
+      .where($"doc_id" === 1L).collect()(0).getLong(2)
+    assert(firstKept == 2L) // dedup keeps doc1's copy; strip does not
+  }
+
+  test("transition matrix: session gap drops long silences, ppm rows sum per src") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "A"),
+      (2L, "2024-01-01 00:10:00", 10L, "B"), // A->B within 30m
+      (3L, "2024-01-01 01:00:00", 10L, "C"), // B->C gap 50m: dropped
+      (4L, "2024-01-01 00:00:00", 20L, "A"),
+      (5L, "2024-01-01 00:29:00", 20L, "B")  // A->B at the edge: kept
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val got = TimeSeries.transitionMatrix(
+      ev, "user_id", "ts", "event_id", "event_type", 30).collect().toSeq
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3))) == Seq(("A", "B", 2L, 1000000L)))
+  }
+
+  test("decay activity: old volume is halved per period, fresh activity outranks it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: 8 events 14 days ago (2 half-lives -> 8 >> 2 = 2);
+    // user 2: 3 events on the newest day (3 >> 0 = 3) — fresher wins
+    val ev = (Seq.fill(8)((1L, "2024-01-01 12:00:00")) ++
+        Seq.fill(3)((2L, "2024-01-15 12:00:00")))
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val got = TimeSeries.decayActivity(ev, "user_id", "ts", 7, 50)
+      .collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      Seq((2L, 3L, 3L), (1L, 8L, 2L)))
+  }
+
+  test("pareto cover: exactly the minimal prefix reaching the share survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // cents 50/30/20: 80% needs {50, 30}; the 20 row's prior cum is
+    // already 80% so it must NOT appear
+    val facts = Seq(("a", 50L), ("b", 30L), ("c", 20L)).toDF("k", "v")
+    val got = Profile.paretoCover(facts, "k", col("v"), 8000)
+      .collect().toSeq
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))) == Seq(("a", 50L, 50L, 5000L), ("b", 30L, 80L, 8000L)))
+    // shareBp = 10000 keeps everything
+    assert(Profile.paretoCover(facts, "k", col("v"), 10000).count() == 3L)
+  }
+
+  test("pmi bigrams: integer ppm equals the hand-computed independence ratio") {
+    import spark.implicits._
+    // tokens: a b a b a b c d -> bigrams ab x3, ba x2, bc, cd (N=7)
+    val d = Seq((1L, "a b a b a b c d")).toDF("doc_id", "text")
+    val rows = TextStats.pmiBigrams(d, 1, 10).collect().toSeq
+    val byPair = rows
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(byPair(("c", "d")) == ((1L, 7000000L)))     // 1*7e6/(1*1)
+    assert(byPair(("a", "b")) == ((3L, 2333333L)))     // 3*7*1e6/(3*3)
+    assert(byPair(("b", "a")) == ((2L, 2333333L)))     // 2*7*1e6/(3*2)
+    assert(byPair(("b", "c")) == ((1L, 2333333L)))     // 1*7*1e6/(3*1)
+    // highest-ratio pair sorts first; ties break on (w1, w2)
+    assert((rows.head.getString(0), rows.head.getString(1)) == (("c", "d")))
+  }
 }
