@@ -163,6 +163,68 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Exact Jaccard-threshold self-join with LOSSLESS prefix filtering
+    * (the PPJoin family — Xiao et al., "Efficient Similarity Joins for
+    * Near-Duplicate Detection", WWW'08): each document's shingle set is
+    * ordered by GLOBAL document frequency (rarest first, shingle text
+    * as the tie-break — one canonical order for the whole corpus), and
+    * only the first n - ceil(t*n) + 1 shingles of each document enter
+    * the candidate join. Theorem: two sets with Jaccard >= t must share
+    * an element inside BOTH prefixes (the rarest common shingle is
+    * preceded only by non-shared elements, of which each side has at
+    * most n - ceil(t*n)), so unlike [[jaccardPairs]]'s `maxDocFreq`
+    * stop-shingle heuristic, NO qualifying pair can be missed — this is
+    * the exact sub-quadratic tier, with the length filter (sizes within
+    * a factor t of each other) applied inside the candidate join.
+    *
+    * Scale shape: the df table and per-doc ranks are one agg + one
+    * window partitioned by doc; the candidate join touches only prefix
+    * rows (a t=0.6 threshold admits ~40% of each set, and those are
+    * the RAREST shingles — tiny fan-out per key); verification joins
+    * candidates back to full shingle sets by doc_id (equi-joins), one
+    * grouped count per pair. Everything keys on shingle or doc_id.
+    *
+    * Output: (d1, d2, inter, n1, n2, jac_ppm) for pairs with Jaccard
+    * >= thresholdPpm/1e6; d1 < d2; integer cross-multiplied filter and
+    * floor ppm — engine-exact. */
+  def ppjoinPairs(docs: DataFrame, thresholdPpm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholdPpm >= 1 && thresholdPpm <= 1000000,
+      s"thresholdPpm in [1, 1e6]; got $thresholdPpm")
+    val sh = shingles3(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "shingle")))
+      .join(sizes, Seq("doc_id"))
+    val prefix = ranked
+      .where(col("rk") <=
+        col("n") - expr(s"($thresholdPpm * n + 999999) div 1000000") + 1)
+      .select(col("doc_id"), col("shingle"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * 1000000L >= col("a.n") * thresholdPpm &&
+          col("a.n") * 1000000L >= col("b.n") * thresholdPpm)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("x"), col("d1") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("d2") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .where(col("inter") * 1000000L >=
+        (col("s1.n") + col("s2.n") - col("inter")) * thresholdPpm)
+      .select(col("d1"), col("d2"), col("inter"),
+        col("s1.n").as("n1"), col("s2.n").as("n2"),
+        expr("inter * 1000000L div (n1 + n2 - inter)").as("jac_ppm"))
+      .orderBy("d1", "d2")
+  }
+
   /** MinHash signature element i of a shingle: md5 keyed by i. A min
     * over these hex strings per (doc, i) is minhash_i(doc). */
   private def mh(i: Column, shingle: Column): Column =

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -173,6 +173,46 @@ object TimeSeries {
       .select(col("k").as(keyCol), col("n_events"), col("score"))
       .orderBy(col("score").desc, col(keyCol))
       .limit(topK)
+  }
+
+  /** Out-of-orderness profile of an arrival sequence — the
+    * watermark-sizing tool: how late does event time actually run
+    * behind the high-water mark, per key? A row's lateness is the gap
+    * (whole seconds) between the maximum event time seen so far in
+    * ARRIVAL order and its own event time; the per-key rollup reports
+    * exact p50/p99/max lateness — precisely the statistic that decides
+    * `withWatermark("ts", ???)` (p99 too small drops data; max too
+    * large bloats state).
+    *
+    * Arrival order is an explicit column list (`arrival`), not an
+    * assumption: a log's physical order, a kafka offset, an ingest
+    * batch id. The running max partitions by the profile key and
+    * orders by arrival — one window whose state is a single value, no
+    * self-join; the rollup is one keyed aggregate over integer
+    * seconds (micros div 1e6 — exact, no float duration).
+    *
+    * Output: (key, n_events, n_late, p50_late_s, p99_late_s,
+    * max_late_s), ordered by key. */
+  def latenessProfile(events: DataFrame, keyCol: String, tsCol: String,
+                      arrival: Seq[Column]): DataFrame = {
+    require(arrival.nonEmpty, "latenessProfile needs an arrival order")
+    val arrCols = arrival.zipWithIndex.map { case (c, i) => c.as(s"arr_$i") }
+    val sel = events.select(col(keyCol).as("k") +:
+      unix_micros(col(tsCol)).as("us") +: arrCols: _*)
+    val w = Window.partitionBy("k")
+      .orderBy(arrival.indices.map(i => col(s"arr_$i")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sel.withColumn("run_us", max("us").over(w))
+      .select(col("k"), expr("(run_us - us) div 1000000").as("late_s"))
+      .groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY late_s)" +
+          " AS BIGINT)").as("p50_late_s"),
+        expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY late_s)" +
+          " AS BIGINT)").as("p99_late_s"),
+        max("late_s").as("max_late_s"))
+      .orderBy(keyCol)
   }
 
   /** Weekly cohort retention triangle: keys cohorted by their FIRST

@@ -36,4 +36,76 @@ object Warehouse {
     * layout); readers filtering on those columns prune at planning. */
   def writePartitioned(df: DataFrame, path: String, keys: String*): Unit =
     df.write.partitionBy(keys: _*).mode("overwrite").parquet(path)
+
+  /** The bucketed-join path end-to-end, oracle-checkable: lineitem and
+    * orders written bucketed+sorted by the join key (8 buckets, one
+    * file per bucket via the aligned repartition), then joined and
+    * rolled up to revenue per order priority — THROUGH the bucketed
+    * reader, so the whole zero-shuffle machinery sits on the oracle
+    * gate, not just on a spec. The no-Exchange guarantee is asserted
+    * in-line (broadcast disabled for the scope so the plan can't dodge
+    * into a BroadcastHashJoin at demo scale): this is the plan shape
+    * that makes the nightly fact-to-fact join shuffle-free at 100 TB.
+    *
+    * The tiny result is re-materialized before the temp tables are
+    * dropped; integer cents keep the rollup engine-exact. Output:
+    * (o_orderpriority, revenue_cents, n_items), ordered. */
+  def bucketedRevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val suf = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val (tl, to) = (s"li_b_$suf", s"or_b_$suf")
+    val root = java.nio.file.Files.createTempDirectory("graft_bucketed")
+    def writeSide(df: DataFrame, table: String, key: String): Unit =
+      df.repartition(8, col(key)).write.format("parquet")
+        .bucketBy(8, key).sortBy(key)
+        .option("path", root.resolve(table).toString)
+        .mode("overwrite").saveAsTable(table)
+    try {
+      writeSide(graft.Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        tl, "l_orderkey")
+      writeSide(graft.Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_orderpriority"),
+        to, "o_orderkey")
+      graft.ext.SessionConf.withConfs(spark)(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+        val joined = spark.table(tl)
+          .join(spark.table(to), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 100).cast("bigint")).as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_orderpriority")
+        val rows = joined.collect()
+        // the rollup above the join shuffles its 5-key grid and the
+        // sort range-partitions — both correct; the guard is that the
+        // JOIN SUBTREE is exchange-free (children print below the
+        // SortMergeJoin line, so slice the final plan there)
+        val plan = joined.queryExecution.executedPlan.toString
+        val finalPlan = plan.split("== Initial Plan ==")(0)
+        require(finalPlan.contains("SortMergeJoin"),
+          s"expected merge join:\n$plan")
+        val joinSubtree = finalPlan.substring(
+          finalPlan.indexOf("SortMergeJoin"))
+        require(!joinSubtree.contains("Exchange"),
+          s"bucketed join shuffled:\n$plan")
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), joined.schema)
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tl")
+      spark.sql(s"DROP TABLE IF EXISTS $to")
+      rmTree(root)
+    }
+  }
+
+  private def rmTree(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => try { java.nio.file.Files.deleteIfExists(p); () }
+                      catch { case _: java.io.IOException => () })
+    }
+  }
 }

@@ -4066,6 +4066,93 @@ object Extensions {
          |  c_xy * n_bg * 1000000 // (c_x * c_y) AS pmi_ppm
          |FROM cxy JOIN cx USING (w1) JOIN cy USING (w2), n
          |WHERE c_xy >= 5
-         |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 100""".stripMargin)
+         |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 100""".stripMargin),
+
+    // streaming rate-anomaly monitor: static baseline broadcast-joined
+    // per micro-batch BEFORE the windowed agg (stateless enrichment),
+    // integer cross-multiplied spike flag — no float rate anywhere
+    Q.df("x204_stream_anomaly",
+      (s, dir) => Streaming.streamRateAnomaly(s, dir, 150),
+      """WITH base AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS base_total,
+        |    CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+        |      AS base_hours
+        |  FROM events GROUP BY 1),
+        |h AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |      AS hour,
+        |    event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT h.hour, h.event_type, h.cnt, b.base_total, b.base_hours,
+        |  CAST(CASE WHEN h.cnt * b.base_hours * 100
+        |            >= b.base_total * 150 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS is_spike
+        |FROM h JOIN base b USING (event_type)
+        |ORDER BY hour, event_type""".stripMargin),
+
+    // out-of-orderness audit (the watermark-sizing statistic): running
+    // event-time max in a PLANTED deterministic arrival order (block +
+    // content-hash scramble — the synthetic table arrives perfectly
+    // sorted, so the scramble plants the disorder the operator
+    // measures, like x194's planted PII), exact p50/p99/max lateness
+    Q.df("x205_lateness_profile",
+      (s, dir) => TimeSeries.latenessProfile(
+        Tables.load(s, dir, "events"), "event_type", "ts",
+        Seq(expr("event_id div 500"),
+          md5(col("event_id").cast("string")), col("event_id"))),
+      """WITH a AS (
+        |  SELECT event_type AS k, epoch_us(ts) AS us,
+        |    event_id // 500 AS arr0,
+        |    md5(CAST(event_id AS VARCHAR)) AS arr1, event_id AS arr2
+        |  FROM events),
+        |r AS (
+        |  SELECT k, (max(us) OVER (PARTITION BY k
+        |      ORDER BY arr0, arr1, arr2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us)
+        |      // 1000000 AS late_s
+        |  FROM a)
+        |SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY late_s)
+        |    AS BIGINT) AS p50_late_s,
+        |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY late_s)
+        |    AS BIGINT) AS p99_late_s,
+        |  CAST(max(late_s) AS BIGINT) AS max_late_s
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    // exact Jaccard join via LOSSLESS prefix filtering (PPJoin): the
+    // sub-quadratic tier that provably misses no qualifying pair,
+    // unlike x56's df-capped stop-shingle heuristic; oracle verifies
+    // against the brute-force all-pairs shingle join
+    Q.df("x206_ppjoin",
+      (s, dir) => Dedup.ppjoinPairs(
+        Tables.load(s, dir, "documents"), 300000L),
+      s"""WITH $duckTok, $duckShingles,
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |       FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, inter, x.n AS n1, y.n AS n2,
+         |  inter * 1000000 // (x.n + y.n - inter) AS jac_ppm
+         |FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+         |WHERE inter * 1000000 >= (x.n + y.n - inter) * 300000
+         |ORDER BY d1, d2""".stripMargin),
+
+    // the bucketed-join machinery itself on the oracle gate: both
+    // fact sides written bucketed+sorted by the join key, joined
+    // exchange-free (asserted in-line), rolled up to integer cents
+    Q.df("x207_bucketed_join",
+      (s, dir) => graft.io.Warehouse.bucketedRevenueByPriority(s, dir),
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
   )
 }

@@ -850,4 +850,51 @@ object Streaming {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema))
   }
+
+  /** Streaming rate-anomaly monitor: hourly per-type counts flagged
+    * against a STATIC per-type baseline (historical average hourly
+    * rate) — the alerting shape a production stream runs next to every
+    * ingest. The baseline broadcast-joins each micro-batch BEFORE the
+    * windowed aggregation (stateless enrichment, the x79 shape), so
+    * streaming state stays the (window, type) grid and the baseline
+    * costs no state at all; the spike test is pure integer
+    * cross-multiplication — cnt * base_hours * 100 >= base_total *
+    * pctX100 — so no float rate ever exists to drift across engines.
+    *
+    * Output: (hour, event_type, cnt, base_total, base_hours,
+    * is_spike 0/1) per closed window, equal to the batch twin the
+    * oracle runs. */
+  def streamRateAnomaly(spark: SparkSession, dir: String,
+                        pctX100: Int = 150): DataFrame = {
+    require(pctX100 >= 1, "pctX100 must be positive")
+    val name = "stream_anomaly_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val base = graft.Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("base_total"),
+        countDistinct(date_trunc("hour", col("ts"))).as("base_hours"))
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
+      val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
+        .withColumn("ts", nanosToTs("ts"))
+        .select("ts", "event_type")
+        .join(broadcast(base), Seq("event_type"))
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          max("base_total").as("base_total"),
+          max("base_hours").as("base_hours"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("cnt"), col("base_total"), col("base_hours"),
+          (col("cnt") * col("base_hours") * 100 >=
+            col("base_total") * pctX100).cast("int").as("is_spike"))
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    spark.table(name).orderBy("hour", "event_type")
+  }
 }

@@ -2113,4 +2113,41 @@ class ExtSpec extends SparkSpec {
     // highest-ratio pair sorts first; ties break on (w1, w2)
     assert((rows.head.getString(0), rows.head.getString(1)) == (("c", "d")))
   }
+
+  test("ppjoin: lossless — equals brute-force jaccardPairs pair set on the corpus") {
+    import spark.implicits._
+    val pp = Dedup.ppjoinPairs(docs, 300000L)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.jaccardPairs(docs, 0.3, None)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pp == brute && pp.nonEmpty)
+    // a qualifying pair sharing only CORPUS-HOT shingles: the df-capped
+    // heuristic (maxDocFreq=1) misses it; the prefix filter cannot
+    val planted = Seq(
+      (900001L, "x1 y1 z1 w1 v1"), (900002L, "x1 y1 z1 w1 v2"),
+      (900003L, "x1 y1 z1 a b c d e f g h i j k l m n o p q")
+    ).toDF("doc_id", "text")
+    val hotPairs = Dedup.ppjoinPairs(planted, 500000L)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hotPairs == Set((900001L, 900002L))) // jac = 2/4 = 0.5
+    val heuristic = Dedup.jaccardPairs(planted, 0.5, Some(1))
+      .select("d1", "d2").collect().toSet
+    assert(heuristic.isEmpty) // every shared shingle is df>=2: all dropped
+  }
+
+  test("lateness profile: hand-computed p50/p99/max on a planted arrival order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // arrival order arr: ts runs 10:00, 09:59 (60s late), 10:01
+    val ev = Seq(
+      ("a", 1L, "2024-01-01 10:00:00"),
+      ("a", 2L, "2024-01-01 09:59:00"),
+      ("a", 3L, "2024-01-01 10:01:00")
+    ).toDF("k", "arr", "ts_s").withColumn("ts", to_timestamp($"ts_s"))
+    val got = TimeSeries.latenessProfile(ev, "k", "ts", Seq(col("arr")))
+      .collect()(0)
+    assert((got.getString(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4), got.getLong(5)) ==
+      ("a", 3L, 1L, 0L, 60L, 60L))
+  }
 }
