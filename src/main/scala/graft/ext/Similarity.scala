@@ -101,6 +101,38 @@ object Similarity {
     rankTopK(pairs, k).withColumnRenamed("dot_q", "cos_x10k")
   }
 
+  /** kNN label transfer (weak labeling): each unlabeled query vector
+    * (vec_id < nQueries) takes the MAJORITY label of its k nearest
+    * LABELED neighbors (vec_id >= nQueries — the pool), ranked by the
+    * codegen'd quantized dot. The vote argmax is one
+    * min(struct(-votes, label)) aggregate — most votes, smallest label
+    * on ties, the same deterministic-argmax idiom as label propagation
+    * — so the prediction is engine-exact end to end.
+    *
+    * Scale shape: identical to [[knnQuantized]] (broadcast queries +
+    * bounded top-k heap agg — the exchange carries at most k rows per
+    * (partition, query)), plus one keyed label join on the k*|queries|
+    * top rows and two tiny grouped aggregates. This is the
+    * label-a-new-corpus-from-a-seed-set pass of a curation pipeline.
+    *
+    * Output: (qid, pred_label, votes), ordered by qid. */
+  def knnClassify(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pool = emb.where(col("vec_id") >= nQueries)
+    val pairs = broadcast(q).join(pool, lit(true))
+      .select(col("qid"), col("vec_id"),
+        dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
+    rankTopK(pairs, k)
+      .join(pool.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+      .groupBy("qid")
+      .agg(min(struct((-col("votes")).as("nv"), col("label").as("l"))).as("w"))
+      .select(col("qid"), col("w.l").as("pred_label"),
+        (-col("w.nv")).as("votes"))
+      .orderBy("qid")
+  }
+
   /** Deterministic mini k-means over the embedding column: centroids
     * initialized from the first k vectors (stable), a fixed number of
     * Lloyd iterations, assignment by the codegen'd quantized dot

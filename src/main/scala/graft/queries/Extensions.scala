@@ -4143,6 +4143,88 @@ object Extensions {
          |WHERE inter * 1000000 >= (x.n + y.n - inter) * 300000
          |ORDER BY d1, d2""".stripMargin),
 
+    // kNN label transfer: majority vote of the 5 nearest labeled
+    // neighbors (quantized dot, bounded top-k heap agg), argmax via
+    // min(struct(-votes, label)) — deterministic end to end
+    Q.df("x208_knn_classify",
+      (s, dir) => Similarity.knnClassify(
+        Tables.load(s, dir, "embeddings"), 20, 5),
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id, e.label,
+        |    CAST(sum(CAST(floor(CAST(qe[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000)
+        |        AS BIGINT)) AS BIGINT) AS dot_q
+        |  FROM q, embeddings e, range(1, 65) r(i)
+        |  WHERE e.vec_id >= 20
+        |  GROUP BY 1, 2, 3
+        |),
+        |ranked AS (
+        |  SELECT qid, label, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot_q DESC, vec_id) AS rn
+        |  FROM pairs),
+        |votes AS (
+        |  SELECT qid, label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM ranked WHERE rn <= 5 GROUP BY 1, 2),
+        |best AS (
+        |  SELECT qid, label, votes, row_number() OVER (PARTITION BY qid
+        |    ORDER BY votes DESC, label) AS vr
+        |  FROM votes)
+        |SELECT qid, label AS pred_label, votes
+        |FROM best WHERE vr = 1 ORDER BY qid""".stripMargin),
+
+    // streaming dead-letter queue: ONE foreachBatch routes each
+    // micro-batch to accepted/quarantine sinks (reason-stamped,
+    // batch-id idempotent); sum_chars pins row ROUTING, not just counts
+    Q.df("x209_stream_dlq",
+      (s, dir) => Streaming.streamDlq(s, dir),
+      """WITH g AS (
+        |  SELECT n_chars,
+        |    CASE WHEN n_chars < 150 THEN 'too_short'
+        |         WHEN n_chars > 450 THEN 'too_long'
+        |         WHEN lang NOT IN ('en', 'de', 'fr') THEN 'bad_lang'
+        |         ELSE 'ok' END AS reason
+        |  FROM documents)
+        |SELECT CASE WHEN reason = 'ok' THEN 'accepted' ELSE 'rejected'
+        |         END AS disposition,
+        |  reason, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM g GROUP BY 1, 2 ORDER BY disposition, reason""".stripMargin),
+
+    // join-preserving pseudonymization: keyed deterministic surrogate
+    // (md5(salt:id)) replaces the raw id; the audit proves cardinality
+    // preservation (n_users == n_tokens) and pins token VALUES via min
+    Q.df("x210_pseudonymize",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val raw = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users_raw"))
+        Privacy.pseudonymize(ev, "user_id", "s1")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id_token")).as("n_tokens"),
+            min(col("user_id_token")).as("min_token"))
+          .join(raw, Seq("event_type"))
+          .select(col("event_type"), col("n_events"), col("n_users_raw"),
+            col("n_tokens"),
+            (col("n_users_raw") === col("n_tokens")).cast("int")
+              .as("cardinality_kept"),
+            col("min_token"))
+          .orderBy("event_type")
+      },
+      """WITH t AS (
+        |  SELECT event_type, user_id,
+        |    md5('s1:' || CAST(user_id AS VARCHAR)) AS token
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_raw,
+        |  CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN count(DISTINCT user_id) = count(DISTINCT token)
+        |    THEN 1 ELSE 0 END AS INTEGER) AS cardinality_kept,
+        |  min(token) AS min_token
+        |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin),
+
     // the bucketed-join machinery itself on the oracle gate: both
     // fact sides written bucketed+sorted by the join key, joined
     // exchange-free (asserted in-line), rolled up to integer cents

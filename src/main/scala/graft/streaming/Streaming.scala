@@ -897,4 +897,70 @@ object Streaming {
     } }
     spark.table(name).orderBy("hour", "event_type")
   }
+
+  /** Streaming quality gate with a DEAD-LETTER side output: ONE
+    * foreachBatch splits each micro-batch into accepted rows (curated
+    * sink) and rejected rows stamped with a machine-readable reason
+    * (quarantine sink) — the dual-sink DLQ shape every production
+    * ingest runs so bad data is never dropped silently, only routed.
+    * Both writes stamp the batch id; a retried batch appends byte-
+    * identical rows, and the serving read compacts by (doc_id ->
+    * latest batch), so the pattern stays exactly-once over an
+    * at-least-once sink — the same contract as the upsert journal.
+    *
+    * Gate (fixed rule order, first failure names the reason):
+    * too_short (n_chars < 150), too_long (> 450), bad_lang (not
+    * en/de/fr); everything else is accepted with reason 'ok'. The
+    * gate is a stateless per-row predicate — no streaming state at
+    * all; the only state anywhere is the sink compaction, bounded by
+    * corpus keys.
+    *
+    * Output (serving read over BOTH sinks): (disposition, reason,
+    * n_docs, sum_chars) — sum_chars is the payload checksum that
+    * pins row ROUTING, not just counts. */
+  def streamDlq(spark: SparkSession, dir: String): DataFrame = {
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    withStreamDirsFile(dir, "documents.parquet") { (stage, ckpt) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_dlq_out")
+      try {
+        val reasonCol =
+          when(col("n_chars") < 150, "too_short")
+            .when(col("n_chars") > 450, "too_long")
+            .when(!col("lang").isin("en", "de", "fr"), "bad_lang")
+            .otherwise("ok")
+        val src = spark.readStream.schema(docsSchema).parquet(stage)
+          .select(col("doc_id"), col("n_chars"), col("lang"),
+            reasonCol.as("reason"))
+        val q = src.writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val stamped = batch.withColumn("batch_id", lit(batchId))
+            stamped.where(col("reason") === "ok")
+              .write.mode("append").parquet(s"$out/accepted")
+            stamped.where(col("reason") =!= "ok")
+              .write.mode("append").parquet(s"$out/rejected")
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        def serve(sub: String, disposition: String) =
+          spark.read.parquet(s"$out/$sub")
+            .groupBy("doc_id")
+            .agg(max_by(struct(col("n_chars"), col("reason")),
+              col("batch_id")).as("s"))
+            .select(lit(disposition).as("disposition"),
+              col("s.reason").as("reason"), col("s.n_chars").as("n_chars"))
+        val report = serve("accepted", "accepted")
+          .unionByName(serve("rejected", "rejected"))
+          .groupBy("disposition", "reason")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("disposition", "reason")
+        val rows = report.collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), report.schema)
+      } finally rmTree(out)
+    }
+  }
 }
