@@ -19,19 +19,37 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    // reader rejects. Read nanos as raw long (session conf set in
-    // Session.builder) and convert to a microsecond timestamp here, so
-    // downstream SQL sees a plain TimestampType column.
+    // events.ts has shipped in TWO encodings across testdata
+    // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    // rejects — read as raw long under the legacy conf and divide) and
+    // TIMESTAMP(MICROS) isAdjustedToUTC=false (which Spark reads as
+    // TIMESTAMP_NTZ — a type unix_micros/unix_millis won't accept).
+    // Normalize BOTH to plain TimestampType here so every downstream
+    // query sees one stable column type regardless of the writer.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      // `div`, not `/`: Column `/` divides as double, and epoch nanos
-      // (~1.7e18) exceed 2^53, so the double path can round a boundary
-      // timestamp across a window edge (ADVICE r3). DuckDB's oracle
-      // conversion is exact integer arithmetic; match it exactly.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val nsFixed =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        // `div`, not `/`: Column `/` divides as double, and epoch nanos
+        // (~1.7e18) exceed 2^53, so the double path can round a boundary
+        // timestamp across a window edge (ADVICE r3). DuckDB's oracle
+        // conversion is exact integer arithmetic; match it exactly.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    // TIMESTAMP(MICROS/MILLIS) isAdjustedToUTC=false parquet reads as
+    // TIMESTAMP_NTZ — a type unix_micros/unix_millis and friends won't
+    // accept, and one DuckDB reads as plain TIMESTAMP. Session tz is
+    // pinned UTC (Session.builder), so reinterpreting the NTZ
+    // wall-clock as a UTC instant is value-preserving and matches the
+    // oracle. Normalize every such column so downstream queries see
+    // ONE stable timestamp type regardless of the writer generation.
+    nsFixed.schema.fields.foldLeft(nsFixed) { (d, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast("timestamp"))
+        case _ => d
+      }
+    }
   }
 
   // Footer reads + view setup are per-(session, dir) idempotent work;

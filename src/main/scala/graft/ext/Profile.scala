@@ -121,4 +121,75 @@ object Profile {
         expr("cum_cents * 10000L div total").as("cum_bp"))
       .orderBy(col("cents").desc, col(keyCol))
   }
+
+  /** Exact join-cardinality forecast: for each candidate (left, right)
+    * key-column pair, the output size an equi-join would produce —
+    * |A ⋈ B| = Σ_v cA(v)·cB(v) — plus the single hottest value's
+    * share of that output. This is the pre-flight answer to "can I
+    * afford this join, and will one key melt an executor": a forecast
+    * of 10^13 rows, or one value carrying half the output, re-plans
+    * the job (salt it, pre-aggregate, broadcast the other side)
+    * BEFORE the 100 TB shuffle runs — for the price of two keyed
+    * counts. The complement of [[skewProfile]]: that audits ONE
+    * side's distribution, this forecasts the JOIN's.
+    *
+    * Scale shape: each side collapses to one row per distinct value
+    * (map-side-combinable count), the two count tables equi-join on
+    * the value, one aggregate folds the Σ of products — nothing
+    * larger than the distinct-value sets ever shuffles. Side totals
+    * are 1-row aggregates cross-joined back (broadcast of one row).
+    *
+    * Output per pair: (key_pair, a_rows, b_rows, a_vals, b_vals,
+    * matched_vals, out_rows, max_val_rows, hot_ppm), ordered by
+    * key_pair; hot_ppm = max_val_rows/out_rows scaled 1e6. */
+  def joinSizeForecast(a: DataFrame, b: DataFrame,
+                       pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "joinSizeForecast needs at least one pair")
+    pairs.map { case (ac, bc) =>
+      val ca = a.groupBy(col(ac).as("v")).agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy(col(bc).as("v")).agg(count(lit(1)).as("cb"))
+      val aTot = ca.agg(sum("ca").as("a_rows"), count(lit(1)).as("a_vals"))
+      val bTot = cb.agg(sum("cb").as("b_rows"), count(lit(1)).as("b_vals"))
+      val j = ca.join(cb, "v")
+        .agg(count(lit(1)).as("matched_vals"),
+          coalesce(sum(col("ca") * col("cb")), lit(0L)).as("out_rows"),
+          coalesce(max(col("ca") * col("cb")), lit(0L)).as("max_val_rows"))
+      j.crossJoin(broadcast(aTot)).crossJoin(broadcast(bTot))
+        .select(lit(s"$ac=$bc").as("key_pair"),
+          col("a_rows"), col("b_rows"), col("a_vals"), col("b_vals"),
+          col("matched_vals"), col("out_rows"), col("max_val_rows"),
+          when(col("out_rows") > 0,
+            expr("max_val_rows * 1000000L div out_rows"))
+            .otherwise(0L).as("hot_ppm"))
+    }.reduce(_ unionByName _).orderBy("key_pair")
+  }
+
+  /** Per-stratum decile calibration table: the exact decile boundaries
+    * (percentile_disc 0.1 .. 0.9, plus min/max/count) of a score
+    * column within every stratum — the lookup table that makes scores
+    * COMPARABLE across sources: "top 10% by length" means a different
+    * raw cutoff in every source, and a mixture that filters on one
+    * global threshold silently over-prunes the short-form sources.
+    * percentile_disc returns actual member values, so the table is
+    * engine-exact (no interpolation float ever exists).
+    *
+    * Scale shape: one keyed aggregation; each stratum's percentiles
+    * are computed inside its own aggregation buffer — no window, no
+    * global sort, shuffle bounded by stratum count.
+    *
+    * Output: (stratum, n, min_score, d1..d9, max_score), ordered by
+    * stratum. */
+  def scoreDeciles(df: DataFrame, stratum: String,
+                   score: Column): DataFrame = {
+    val d = df.select(col(stratum).as("s"), score.cast("bigint").as("x"))
+    val deciles = (1 to 9).map { i =>
+      expr(s"CAST(percentile_disc(0.$i) WITHIN GROUP (ORDER BY x)" +
+        s" AS BIGINT)").as(s"d$i")
+    }
+    val aggs = count(lit(1)).as("n") +: min("x").as("min_score") +:
+      (deciles :+ max(col("x")).as("max_score"))
+    d.groupBy(col("s").as(stratum))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(stratum)
+  }
 }

@@ -629,4 +629,83 @@ object TextStats {
       .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Declared-vs-detected language agreement: the confusion matrix
+    * between the metadata `lang` column and [[langId]]'s content-based
+    * prediction, with chance-corrected agreement (Cohen's kappa) in
+    * exact ppm. This is the METADATA-TRUST audit of a curation
+    * pipeline: scraped language tags are wrong often enough that
+    * routing 100 TB by them without this check mislabels whole
+    * sources; kappa near zero says the tag column carries no signal.
+    *
+    * kappa = (po - pe) / (1 - pe) with po = agree/N and
+    * pe = Σ_l row_l·col_l / N², computed as ONE integer rational:
+    * kappa_ppm = (N·agree - S)·1e6 div (N² - S) where
+    * S = Σ_l row_l·col_l — no float ever exists, and a negative kappa
+    * (worse than chance) truncates toward zero in both engines.
+    * Intermediate bound: N²·1e6 needs N < 3e6 docs per audited slice;
+    * audit per-source slices (the useful granularity) beyond that.
+    *
+    * Scale shape: one narrow scan for the prediction, a |labels|²-
+    * bounded cell aggregation, label-sized marginal joins, and two
+    * 1-row broadcasts — nothing scales with corpus size after the
+    * first aggregation.
+    *
+    * Output: (lang, predicted, n, row_total, col_total, agree_ppm,
+    * kappa_ppm), ordered by (lang, predicted); agree/kappa are
+    * corpus-level constants repeated per cell. */
+  def langAgreement(docs: DataFrame): DataFrame = {
+    val p = langId(docs).select(col("lang"), col("predicted"))
+    val cells = p.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy("lang").agg(sum("n").as("row_total"))
+    val colT = cells.groupBy("predicted").agg(sum("n").as("col_total"))
+    val s = rowT.join(colT, rowT("lang") === colT("predicted"))
+      .agg(coalesce(sum(col("row_total") * col("col_total")), lit(0L))
+        .as("s"))
+    val tot = p.agg(count(lit(1)).as("n_total"),
+      sum(when(col("lang") === col("predicted"), 1L).otherwise(0L))
+        .as("n_agree"))
+    cells.join(rowT, Seq("lang")).join(colT, Seq("predicted"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(s))
+      .select(col("lang"), col("predicted"), col("n"),
+        col("row_total"), col("col_total"),
+        expr("n_agree * 1000000L div n_total").as("agree_ppm"),
+        when(col("n_total") * col("n_total") =!= col("s"),
+          expr("(n_total * n_agree - s) * 1000000L" +
+            " div (n_total * n_total - s)"))
+          .otherwise(0L).as("kappa_ppm"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Dedup-adjusted token accounting per source: raw token volume vs
+    * the volume that survives exact text dedup WITHIN the source —
+    * the "effective tokens" a mixture planner must weight by, because
+    * a source whose 100 TB is 40% copies contributes far fewer unique
+    * training tokens than its raw size claims. Each distinct text is
+    * charged once (identical texts have identical token counts, so
+    * min() per hash is exact, not a choice).
+    *
+    * Scale shape: texts collapse map-side to 16-byte md5 keys with
+    * their token counts; one (source, hash) aggregation then one
+    * source-level rollup — the full text shuffles nowhere.
+    *
+    * Output: (source, n_docs, raw_tokens, n_unique_docs,
+    * unique_tokens, dup_token_ppm), ordered by source. */
+  def effectiveTokens(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"),
+      size(tokensCol(col("text"))).cast("bigint").as("n_tok"),
+      md5(col("text")).as("h"))
+    val raw = d.groupBy("source").agg(count(lit(1)).as("n_docs"),
+      sum("n_tok").as("raw_tokens"))
+    val uniq = d.groupBy("source", "h").agg(min("n_tok").as("n_tok"))
+      .groupBy("source").agg(count(lit(1)).as("n_unique_docs"),
+        sum("n_tok").as("unique_tokens"))
+    raw.join(uniq, Seq("source"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("n_unique_docs"), col("unique_tokens"),
+        when(col("raw_tokens") > 0,
+          expr("(raw_tokens - unique_tokens) * 1000000L div raw_tokens"))
+          .otherwise(0L).as("dup_token_ppm"))
+      .orderBy("source")
+  }
 }

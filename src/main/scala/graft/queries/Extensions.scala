@@ -4235,6 +4235,139 @@ object Extensions {
         |    AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+
+    // pre-flight join forecast: exact |A JOIN B| = sum(cA*cB) per
+    // candidate key pair + the hottest value's share — the can-I-
+    // afford-this-join check, priced at two keyed counts; the true
+    // key and a bogus candidate are forecast side by side
+    Q.df("x211_join_size_forecast",
+      (s, dir) => Profile.joinSizeForecast(
+        Tables.load(s, dir, "orders"), Tables.load(s, dir, "lineitem"),
+        Seq("o_orderkey" -> "l_orderkey", "o_custkey" -> "l_partkey")),
+      """WITH ca1 AS (SELECT o_orderkey AS v, CAST(count(*) AS BIGINT) AS ca
+        |            FROM orders GROUP BY 1),
+        |cb1 AS (SELECT l_orderkey AS v, CAST(count(*) AS BIGINT) AS cb
+        |        FROM lineitem GROUP BY 1),
+        |ca2 AS (SELECT o_custkey AS v, CAST(count(*) AS BIGINT) AS ca
+        |        FROM orders GROUP BY 1),
+        |cb2 AS (SELECT l_partkey AS v, CAST(count(*) AS BIGINT) AS cb
+        |        FROM lineitem GROUP BY 1),
+        |p1 AS (
+        |  SELECT 'o_orderkey=l_orderkey' AS key_pair,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS a_rows,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS b_rows,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ca1) AS a_vals,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cb1) AS b_vals,
+        |    CAST(count(*) AS BIGINT) AS matched_vals,
+        |    CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS out_rows,
+        |    CAST(coalesce(max(ca * cb), 0) AS BIGINT) AS max_val_rows
+        |  FROM ca1 JOIN cb1 USING (v)),
+        |p2 AS (
+        |  SELECT 'o_custkey=l_partkey' AS key_pair,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS a_rows,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS b_rows,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ca2) AS a_vals,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cb2) AS b_vals,
+        |    CAST(count(*) AS BIGINT) AS matched_vals,
+        |    CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS out_rows,
+        |    CAST(coalesce(max(ca * cb), 0) AS BIGINT) AS max_val_rows
+        |  FROM ca2 JOIN cb2 USING (v))
+        |SELECT key_pair, a_rows, b_rows, a_vals, b_vals, matched_vals,
+        |  out_rows, max_val_rows,
+        |  CAST(CASE WHEN out_rows > 0
+        |    THEN max_val_rows * 1000000 // out_rows ELSE 0 END AS BIGINT)
+        |    AS hot_ppm
+        |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |ORDER BY key_pair""".stripMargin),
+
+    // metadata-trust audit: declared lang vs content-detected lang as
+    // a confusion matrix + Cohen's kappa in exact ppm — one integer
+    // rational (N*agree - S) / (N^2 - S), no float ever exists
+    Q.df("x212_lang_agreement",
+      (s, dir) => TextStats.langAgreement(
+        Tables.load(s, dir, "documents")),
+      """WITH pred AS (
+        |  SELECT lang,
+        |    CASE WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_en THEN 'de'
+        |         WHEN h_fr >= h_es AND h_fr >= h_en THEN 'fr'
+        |         WHEN h_es >= h_en THEN 'es'
+        |         ELSE 'en' END AS predicted
+        |  FROM (
+        |    SELECT lang,
+        |      CAST((length(t) - length(replace(t, ' the ', ''))) / 5 AS BIGINT) AS h_en,
+        |      CAST((length(t) - length(replace(t, ' der ', ''))) / 5 AS BIGINT) AS h_de,
+        |      CAST((length(t) - length(replace(t, ' le ', ''))) / 4 AS BIGINT) AS h_fr,
+        |      CAST((length(t) - length(replace(t, ' el ', ''))) / 4 AS BIGINT) AS h_es
+        |    FROM (SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents) x
+        |  ) y),
+        |cells AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+        |          FROM pred GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_total
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT predicted, CAST(sum(n) AS BIGINT) AS col_total
+        |       FROM cells GROUP BY 1),
+        |sv AS (SELECT CAST(coalesce(sum(row_total * col_total), 0) AS BIGINT)
+        |         AS s
+        |       FROM rt JOIN ct ON rt.lang = ct.predicted),
+        |tv AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |         CAST(sum(CASE WHEN lang = predicted THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_agree
+        |       FROM pred)
+        |SELECT c.lang, c.predicted, c.n, rt.row_total, ct.col_total,
+        |  CAST(n_agree * 1000000 // n_total AS BIGINT) AS agree_ppm,
+        |  CAST(CASE WHEN n_total * n_total <> s
+        |    THEN (n_total * n_agree - s) * 1000000 // (n_total * n_total - s)
+        |    ELSE 0 END AS BIGINT) AS kappa_ppm
+        |FROM cells c JOIN rt USING (lang) JOIN ct USING (predicted),
+        |  sv, tv
+        |ORDER BY lang, predicted""".stripMargin),
+
+    // dedup-adjusted token accounting: raw vs unique-text token volume
+    // per source — the effective-tokens weights a mixture planner
+    // needs; texts collapse to md5 keys map-side, text never shuffles
+    Q.df("x213_effective_tokens",
+      (s, dir) => TextStats.effectiveTokens(
+        Tables.load(s, dir, "documents")),
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS n_tok,
+        |    md5(text) AS h
+        |  FROM documents),
+        |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(n_tok) AS BIGINT) AS raw_tokens
+        |        FROM d GROUP BY 1),
+        |u AS (SELECT source, h, CAST(min(n_tok) AS BIGINT) AS n_tok
+        |      FROM d GROUP BY 1, 2),
+        |uu AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique_docs,
+        |         CAST(sum(n_tok) AS BIGINT) AS unique_tokens
+        |       FROM u GROUP BY 1)
+        |SELECT source, n_docs, raw_tokens, n_unique_docs, unique_tokens,
+        |  CAST(CASE WHEN raw_tokens > 0
+        |    THEN (raw_tokens - unique_tokens) * 1000000 // raw_tokens
+        |    ELSE 0 END AS BIGINT) AS dup_token_ppm
+        |FROM raw JOIN uu USING (source)
+        |ORDER BY source""".stripMargin),
+
+    // cross-source score calibration: exact per-source decile table
+    // (percentile_disc boundaries of n_chars) — the lookup that makes
+    // "top 10% quality" mean the same thing in every source
+    Q.df("x214_score_deciles",
+      (s, dir) => Profile.scoreDeciles(
+        Tables.load(s, dir, "documents"), "source", col("n_chars")),
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(n_chars) AS BIGINT) AS min_score,
+        |  CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS d1,
+        |  CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS d2,
+        |  CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS d3,
+        |  CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS d4,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS d5,
+        |  CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS d6,
+        |  CAST(percentile_disc(0.7) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS d7,
+        |  CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS d8,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS d9,
+        |  CAST(max(n_chars) AS BIGINT) AS max_score
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
   )
 }

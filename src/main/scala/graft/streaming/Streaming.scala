@@ -78,12 +78,29 @@ object Streaming {
     }
   }
 
-  /** Raw epoch-nanos → TimestampType, exactly: `div` is INTEGER
+  /** Divisor that turns events.parquet's raw int64 ts into epoch
+    * MICROS: 1000 when the file is TIMESTAMP(NANOS) (reads as LongType
+    * under the legacy flag), 1 when it is TIMESTAMP(MICROS) (reads as
+    * a timestamp type; the streaming LongType schema still surfaces
+    * the raw micros int64). The testdata generator has shipped BOTH
+    * encodings across rounds, so the unit is probed from the file's
+    * batch schema — once per directory, a footer-only read. */
+  private val tsDivCache = scala.collection.mutable.Map[String, Long]()
+  private def eventsTsDivisor(spark: SparkSession, dir: String): Long =
+    synchronized {
+      tsDivCache.getOrElseUpdate(dir, withNanosAsLong(spark) {
+        val t = spark.read.parquet(s"$dir/events.parquet")
+          .schema("ts").dataType
+        if (t == LongType) 1000L else 1L
+      })
+    }
+
+  /** Raw int64 ts → TimestampType, exactly: `div` is INTEGER
     * division. (A Column `/` divides as double; epoch nanos ~1.7e18
     * exceed 2^53, so the double path can round a boundary timestamp
     * across a window edge — ADVICE r3.) */
-  private def nanosToTs(c: String): org.apache.spark.sql.Column =
-    timestamp_micros(expr(s"$c div 1000"))
+  private def nanosToTs(c: String, tsDiv: Long): org.apache.spark.sql.Column =
+    timestamp_micros(expr(s"$c div $tsDiv"))
 
   private def rmTree(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -110,7 +127,7 @@ object Streaming {
       val src = spark.readStream
         .schema(eventsRawSchema)
         .parquet(stage)
-        .withColumn("ts", nanosToTs("ts"))
+        .withColumn("ts", nanosToTs("ts", eventsTsDivisor(spark, dir)))
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -149,7 +166,7 @@ object Streaming {
         val src = spark.readStream
           .schema(eventsRawSchema)
           .parquet(stage)
-          .withColumn("ts", nanosToTs("ts"))
+          .withColumn("ts", nanosToTs("ts", eventsTsDivisor(spark, dir)))
         val agg = src
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -272,7 +289,7 @@ object Streaming {
     withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
       def side(evType: String, idAs: String, tsAs: String, userAs: String) =
         spark.readStream.schema(eventsRawSchema).parquet(stage)
-          .withColumn("ts", nanosToTs("ts"))
+          .withColumn("ts", nanosToTs("ts", eventsTsDivisor(spark, dir)))
           .where(col("event_type") === evType)
           .select(col("event_id").as(idAs), col("ts").as(tsAs),
             col("user_id").as(userAs))
@@ -308,7 +325,7 @@ object Streaming {
       val src = spark.readStream
         .schema(eventsRawSchema)
         .parquet(stage)
-        .withColumn("ts", nanosToTs("ts"))
+        .withColumn("ts", nanosToTs("ts", eventsTsDivisor(spark, dir)))
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
@@ -343,7 +360,7 @@ object Streaming {
       val src = spark.readStream
         .schema(eventsRawSchema)
         .parquet(stage)
-        .withColumn("ts", nanosToTs("ts"))
+        .withColumn("ts", nanosToTs("ts", eventsTsDivisor(spark, dir)))
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
@@ -435,7 +452,7 @@ object Streaming {
         spark.readStream.schema(eventsRawSchema)
           .option("maxFilesPerTrigger", "1")
           .parquet(stage)
-          .withColumn("ts", nanosToTs("ts"))
+          .withColumn("ts", nanosToTs("ts", eventsTsDivisor(spark, dir)))
           .where(col("event_type") === evType)
           .select(col("event_id").as(idAs), col("ts").as(tsAs),
             col("user_id").as(userAs))
@@ -636,7 +653,8 @@ object Streaming {
     val name = "stream_sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
     withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
       val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .select(col("user_id"),
+          expr(s"ts div ${eventsTsDivisor(spark, dir)}").as("ts_us"))
         .as[(Long, Long)]
       val gapUs = 1800L * 1000000L
       val sessions = src.groupByKey(_._1)
@@ -829,7 +847,7 @@ object Streaming {
     val name = "stream_ret_" + java.util.UUID.randomUUID.toString.replace("-", "")
     withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
       val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
-        .select(col("user_id").as("u"), nanosToTs("ts").as("tsc"))
+        .select(col("user_id").as("u"), nanosToTs("ts", eventsTsDivisor(spark, dir)).as("tsc"))
         .select(col("u"),
           expr("datediff(to_date(tsc), date '1970-01-01') div 7").as("wk"))
       val q = src.dropDuplicates("u", "wk")
@@ -874,7 +892,7 @@ object Streaming {
         countDistinct(date_trunc("hour", col("ts"))).as("base_hours"))
     withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
       val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
-        .withColumn("ts", nanosToTs("ts"))
+        .withColumn("ts", nanosToTs("ts", eventsTsDivisor(spark, dir)))
         .select("ts", "event_type")
         .join(broadcast(base), Seq("event_type"))
       val agg = src

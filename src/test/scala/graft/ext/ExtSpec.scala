@@ -2150,4 +2150,74 @@ class ExtSpec extends SparkSpec {
       got.getLong(3), got.getLong(4), got.getLong(5)) ==
       ("a", 3L, 1L, 0L, 60L, 60L))
   }
+
+  test("join-size forecast: out_rows equals the join it predicts, on every pair") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables.load(spark, dir, "orders")
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val fc = Profile.joinSizeForecast(orders, li,
+      Seq("o_orderkey" -> "l_orderkey", "o_custkey" -> "l_partkey"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(6), r.getLong(7))).toMap
+    val realKey = orders.join(li,
+      orders("o_orderkey") === li("l_orderkey")).count()
+    val bogus = orders.join(li,
+      orders("o_custkey") === li("l_partkey")).count()
+    assert(fc("o_orderkey=l_orderkey")._1 == realKey)
+    assert(fc("o_custkey=l_partkey")._1 == bogus)
+    // hottest value's contribution never exceeds the total
+    assert(fc.values.forall { case (out, mx) => mx <= out })
+  }
+
+  test("lang agreement: kappa is 1e6 on perfect agreement, 0 when one side is constant") {
+    import spark.implicits._
+    // markers force predicted == declared: perfect two-label agreement
+    val perfect = Seq(
+      (1L, "de", "der der der"), (2L, "de", "der der"),
+      (3L, "fr", "le le le"), (4L, "fr", "le le")
+    ).toDF("doc_id", "lang", "text")
+    val k1 = TextStats.langAgreement(perfect)
+      .select("kappa_ppm", "agree_ppm").distinct().collect()(0)
+    assert((k1.getLong(0), k1.getLong(1)) == ((1000000L, 1000000L)))
+    // every declared label identical AND every prediction identical:
+    // pe = 1, the kappa rational degenerates (N^2 == S) -> pinned 0
+    val constant = Seq(
+      (1L, "de", "der der"), (2L, "de", "der der der")
+    ).toDF("doc_id", "lang", "text")
+    val k2 = TextStats.langAgreement(constant)
+      .select("kappa_ppm").distinct().collect()(0)
+    assert(k2.getLong(0) == 0L)
+  }
+
+  test("effective tokens: unique <= raw, and a planted duplicate is charged once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma"), (2L, "s1", "alpha beta gamma"),
+      (3L, "s1", "delta"), (4L, "s2", "eps zeta")
+    ).toDF("doc_id", "source", "text")
+    val r = TextStats.effectiveTokens(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    // s1: 4 docs? no — 3 docs, 7 raw tokens, 2 unique texts, 4 unique tokens
+    assert(r("s1") == ((3L, 7L, 2L, 4L, (7L - 4L) * 1000000L / 7L)))
+    assert(r("s2") == ((1L, 2L, 1L, 2L, 0L)))
+  }
+
+  test("score deciles: monotone boundaries and exact median per stratum") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val rows = Profile.scoreDeciles(docs, "source", col("n_chars")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bounds = (2 to 12).map(r.getLong) // min, d1..d9, max
+      assert(bounds == bounds.sorted, s"non-monotone deciles: $r")
+    }
+    // d5 equals the engine-exact percentile_disc median of one stratum
+    val src = rows.head.getString(0)
+    val d5 = rows.head.getLong(7)
+    val want = docs.where(col("source") === src)
+      .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)"))
+      .collect()(0).getLong(0)
+    assert(d5 == want)
+  }
 }
