@@ -595,4 +595,61 @@ object Multimodal {
       .where(col("dist") <= maxDist)
       .orderBy("doc_a", "doc_b")
   }
+
+  val gainSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_total_samples", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false)))
+
+  /** Per-clip loudness audit from the DECODED PCM samples: every
+    * 16-bit little-endian sample is read from the data chunk, and the
+    * clip reports its sample count, summed |amplitude| and peak
+    * |amplitude|, plus the integer gain (x10k) that would normalize
+    * the peak to `targetPeak` — the loudness-normalization pre-pass an
+    * audio training pipeline runs so one hot clip doesn't dominate a
+    * training batch. All integers, engine-portable.
+    *
+    * Scale shape: the decode is a narrow mapPartitions over the
+    * payload column (same loop as [[decodeWav]]) — media bytes never
+    * shuffle; what leaves the executor is 4 longs per clip.
+    *
+    * Formula-twin oracle: payloads are built by [[buildWav]] whose
+    * sample byte i is i % 256, so sum/peak have closed forms in
+    * n_chars that the DuckDB oracle re-derives without ever seeing
+    * the bytes — a decode bug (wrong offset, wrong endianness, signed/
+    * unsigned mixup) lands as a correctness failure. */
+  def audioGain(withPayloadDf: DataFrame, targetPeak: Long = 30000L)
+      : DataFrame = {
+    require(targetPeak >= 1, "targetPeak must be positive")
+    val spark = withPayloadDf.sparkSession
+    val rdd = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions {
+      it => it.map { r =>
+        val docId = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val header = parseWav(docId, payload)
+        val buf = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nTot = (header.getLong(2) * header.getLong(4)).toInt
+        var sumAbs = 0L
+        var peak = 0L
+        var j = 0
+        while (j < nTot) {
+          val v = buf.getShort(44 + 2 * j).toLong // signed 16-bit LE
+          val a = math.abs(v)
+          sumAbs += a
+          if (a > peak) peak = a
+          j += 1
+        }
+        Row(docId, nTot.toLong, sumAbs, peak)
+      }
+    }
+    spark.createDataFrame(rdd, gainSchema)
+      .select(col("doc_id"), col("n_total_samples"), col("sum_abs"),
+        col("peak_abs"),
+        when(col("peak_abs") > 0,
+          expr(s"$targetPeak * 10000L div peak_abs"))
+          .otherwise(0L).as("gain_x10k"))
+      .orderBy("doc_id")
+  }
 }

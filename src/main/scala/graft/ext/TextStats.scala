@@ -708,4 +708,37 @@ object TextStats {
           .otherwise(0L).as("dup_token_ppm"))
       .orderBy("source")
   }
+
+  /** One-row corpus datasheet — the "dataset card" numbers every
+    * release publishes (docs, sources, languages, exact-dup rate,
+    * token/char volume, length percentiles), computed in ONE
+    * aggregation pass. Texts enter the distinct count as md5 keys so
+    * the full text never shuffles; percentiles are percentile_disc
+    * members of the data, engine-exact.
+    *
+    * Scale note: the multi-DISTINCT agg plans via Expand (input
+    * replicated once per distinct column before the shuffle) — the
+    * deliberate trade for a 4-distinct card in one pass; at 100 TB
+    * swap countDistinct for approx_count_distinct exactly like
+    * [[Profile.profileApprox]] if the Expand dominates. */
+  def datasetCard(docs: DataFrame): DataFrame =
+    docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        sum(col("n_chars").cast("bigint")).as("total_chars"),
+        sum(size(tokensCol(col("text"))).cast("bigint"))
+          .as("total_tokens"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)" +
+          " AS BIGINT)").as("p50_chars"),
+        expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)" +
+          " AS BIGINT)").as("p99_chars"),
+        max(col("n_chars").cast("bigint")).as("max_chars"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_distinct_texts"),
+        expr("(n_docs - n_distinct_texts) * 1000000L div n_docs")
+          .as("dup_doc_ppm"),
+        col("total_chars"), col("total_tokens"),
+        col("p50_chars"), col("p99_chars"), col("max_chars"))
 }

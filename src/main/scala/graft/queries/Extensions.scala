@@ -4368,6 +4368,59 @@ object Extensions {
         |  CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS d8,
         |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS d9,
         |  CAST(max(n_chars) AS BIGINT) AS max_score
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // per-clip loudness audit over REAL decoded PCM: every 16-bit LE
+    // sample read from the data chunk; the oracle re-derives sum/peak
+    // from buildWav's closed form (byte i = i%256 => |sample| has a
+    // 128-sample period summing 2088960) without seeing the bytes —
+    // any offset/endianness/sign decode bug is a correctness failure
+    Q.df("x215_audio_gain",
+      (s, dir) => Multimodal.audioGain(
+        Multimodal.withWavPayload(Tables.load(s, dir, "documents"))),
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (1 + n_chars % 2) * (n_chars % 500 + 50) AS n_tot
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tot, n_tot // 128 AS f, n_tot % 128 AS r
+        |      FROM p)
+        |SELECT doc_id, CAST(n_tot AS BIGINT) AS n_total_samples,
+        |  CAST(f * 2088960 +
+        |    CASE WHEN r <= 64 THEN 257 * r * (r - 1) + 256 * r
+        |         ELSE 1052608 + (r - 64) * 65280
+        |              - 514 * (((r - 1) * r) // 2 - 2016)
+        |    END AS BIGINT) AS sum_abs,
+        |  CAST(CASE WHEN n_tot >= 64 THEN 32638
+        |       ELSE 514 * (n_tot - 1) + 256 END AS BIGINT) AS peak_abs,
+        |  CAST(300000000 // (CASE WHEN n_tot >= 64 THEN 32638
+        |       ELSE 514 * (n_tot - 1) + 256 END) AS BIGINT) AS gain_x10k
+        |FROM s ORDER BY doc_id""".stripMargin),
+
+    // the dataset card: one-row corpus datasheet (docs/sources/langs,
+    // exact-dup rate, token+char volume, length percentiles) in ONE
+    // aggregation pass — texts enter as md5 keys, never shuffled
+    Q.df("x216_dataset_card",
+      (s, dir) => TextStats.datasetCard(
+        Tables.load(s, dir, "documents")),
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |  CAST((count(*) - count(DISTINCT md5(text))) * 1000000
+        |    // count(*) AS BIGINT) AS dup_doc_ppm,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST((SELECT sum(n_tok) FROM tok) AS BIGINT) AS total_tokens,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+        |    AS BIGINT) AS p50_chars,
+        |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)
+        |    AS BIGINT) AS p99_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents""".stripMargin)
   )
 }

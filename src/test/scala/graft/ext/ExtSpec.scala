@@ -2203,6 +2203,41 @@ class ExtSpec extends SparkSpec {
     assert(r("s2") == ((1L, 2L, 1L, 2L, 0L)))
   }
 
+  test("audio gain: decoded sum/peak equal a brute-force byte walk of the payload") {
+    import spark.implicits._
+    // n_chars chosen to hit both peak branches: nTot < 64 impossible
+    // (min 50 with channels 1 -> 50 < 64) and nTot >= 64
+    val docs = Seq((1L, 0L), (2L, 13L), (3L, 461L))
+      .toDF("doc_id", "n_chars")
+    val got = Multimodal.audioGain(Multimodal.withWavPayload(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    docs.collect().foreach { d =>
+      val (id, nc) = (d.getLong(0), d.getLong(1))
+      val wav = Multimodal.buildWav(nc)
+      val buf = java.nio.ByteBuffer.wrap(wav)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val nTot = (wav.length - 44) / 2
+      val abs = (0 until nTot).map(j => math.abs(buf.getShort(44 + 2 * j).toLong))
+      assert(got(id) == ((nTot.toLong, abs.sum, abs.max,
+        30000L * 10000L / abs.max)))
+    }
+  }
+
+  test("dataset card: internally consistent with direct aggregates") {
+    import org.apache.spark.sql.functions._
+    val card = TextStats.datasetCard(docs).collect()(0)
+    val nDocs = docs.count()
+    assert(card.getLong(0) == nDocs)
+    assert(card.getLong(3) <= nDocs) // distinct texts
+    assert(card.getLong(4) ==
+      (nDocs - card.getLong(3)) * 1000000L / nDocs)
+    val chars = docs.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    assert(card.getLong(5) == chars)
+    assert(card.getLong(7) <= card.getLong(8) &&
+      card.getLong(8) <= card.getLong(9)) // p50 <= p99 <= max
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
