@@ -192,4 +192,57 @@ object Profile {
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(stratum)
   }
+
+  /** Per-stratum distribution drift of a numeric score against the
+    * GLOBAL distribution, as exact total-variation distance over
+    * global decile bins — the numeric-feature cousin of the unigram
+    * drift matrix: "which source's length/quality profile deviates
+    * most from the corpus" is the question that catches a broken
+    * extractor or a source gone stale BEFORE it skews a training mix.
+    * TV is used instead of PSI/KL because it needs no logarithm:
+    * tv_ppm = Σ_b |n_sb·N_g − n_gb·N_s| · 1e6 div (2·N_s·N_g) is one
+    * integer rational, engine-exact. worst_bin names the decile that
+    * contributes most (smallest bin on ties — deterministic argmax).
+    *
+    * Scale shape: decile edges are ONE 1-row aggregate broadcast back;
+    * binning is a narrow projection; everything after operates on the
+    * (stratum × 10)-bounded grid. A stratum missing a bin contributes
+    * its full global mass for that bin — the grid is built from the
+    * global bin list, left-joined, zero-filled (an inner join would
+    * silently understate drift for exactly the most-drifted sources).
+    *
+    * Output: (stratum, n_docs, tv_ppm, worst_bin), ordered by
+    * stratum. */
+  def scoreDrift(df: DataFrame, stratum: String, score: Column): DataFrame = {
+    val d = df.select(col(stratum).as("s"), score.cast("bigint").as("x"))
+    val edgeAggs = (1 to 9).map { i =>
+      expr(s"CAST(percentile_disc(0.$i) WITHIN GROUP (ORDER BY x)" +
+        s" AS BIGINT)").as(s"e$i")
+    }
+    val edges = d.agg(edgeAggs.head, edgeAggs.tail: _*)
+    val bin = (1 to 9).foldLeft(when(lit(false), 0)) { (c, i) =>
+      c.when(col("x") <= col(s"e$i"), i)
+    }.otherwise(10)
+    val binned = d.crossJoin(broadcast(edges)).select(col("s"), bin.as("bin"))
+    val per = binned.groupBy("s", "bin").agg(count(lit(1)).as("n_sb"))
+    val glob = binned.groupBy("bin").agg(count(lit(1)).as("n_gb"))
+    val ns = per.groupBy("s").agg(sum("n_sb").as("n_s"))
+    val ng = glob.agg(sum("n_gb").as("n_g"))
+    ns.crossJoin(broadcast(glob))
+      .join(per, Seq("s", "bin"), "left")
+      .select(col("s"), col("n_s"), col("bin"), col("n_gb"),
+        coalesce(col("n_sb"), lit(0L)).as("n_sb"))
+      .crossJoin(broadcast(ng))
+      .select(col("s"), col("n_s"), col("n_g"), col("bin"),
+        abs(col("n_sb") * col("n_g") - col("n_gb") * col("n_s"))
+          .as("dev"))
+      .groupBy(col("s").as(stratum))
+      .agg(max("n_s").as("n_docs"),
+        expr("sum(dev) * 1000000L div (2 * max(n_s) * max(n_g))")
+          .as("tv_ppm"),
+        min(struct((-col("dev")).as("nd"), col("bin").as("b"))).as("w"))
+      .select(col(stratum), col("n_docs"), col("tv_ppm"),
+        col("w.b").as("worst_bin"))
+      .orderBy(stratum)
+  }
 }

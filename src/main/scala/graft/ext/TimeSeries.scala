@@ -242,6 +242,59 @@ object TimeSeries {
   /** The cohort grid over an already-distinct (u, wk) activity set —
     * the serve-time half of [[cohortRetention]], shared with the
     * streaming activity-journal path (graft.streaming). */
+  /** Strict-order k-step funnel: stage i counts the keys whose
+    * earliest stage-i event happens strictly AFTER their committed
+    * stage-(i-1) time — the product-analytics question ("of those who
+    * signed up, how many then viewed, then purchased") that naive
+    * per-type counts answer wrongly because they ignore ORDER. The
+    * committed time for each stage is the MINIMUM qualifying
+    * timestamp, which makes the funnel deterministic and
+    * greedy-optimal (taking the earliest possible prior step can only
+    * admit more keys at the next step, never fewer).
+    *
+    * Scale shape: one filtered keyed min per stage, each joined to
+    * the previous stage's (key, ts) — every shuffle is on the key,
+    * state bounded by surviving keys, no windows, no event-pair
+    * blowup. k stages = k keyed aggregations, the event table scanned
+    * once per stage on a pushed-down type filter.
+    *
+    * Output: one row per stage: (stage_no, stage name, n_keys,
+    * conv_from_prev_ppm, conv_from_first_ppm), ordered by stage_no. */
+  def funnelSteps(events: DataFrame, keyCol: String, tsCol: String,
+                  typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "funnelSteps needs at least two stages")
+    val byKey = events.select(col(keyCol).as("k"),
+      col(tsCol).as("t"), col(typeCol).as("ty"))
+    // stage 1: earliest occurrence of the entry event per key
+    val first = byKey.where(col("ty") === stages.head)
+      .groupBy("k").agg(min("t").as("t"))
+    val survivors = stages.tail.scanLeft(first) { (prev, st) =>
+      byKey.where(col("ty") === st).join(prev.select(col("k"),
+          col("t").as("t_prev")), Seq("k"))
+        .where(col("t") > col("t_prev"))
+        .groupBy("k").agg(min("t").as("t"))
+    }
+    val counts = survivors.zip(stages).zipWithIndex.map {
+      case ((df, st), i) =>
+        df.agg(count(lit(1)).as("n_keys"))
+          .select(lit(i + 1).as("stage_no"), lit(st).as("stage"),
+            col("n_keys"))
+    }.reduce(_ unionByName _)
+    val base = counts.where(col("stage_no") === 1)
+      .select(col("n_keys").as("n_first"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage_no")
+    counts.crossJoin(broadcast(base))
+      .withColumn("n_prev", lag("n_keys", 1).over(w))
+      .select(col("stage_no"), col("stage"), col("n_keys"),
+        when(col("n_prev").isNotNull && col("n_prev") > 0,
+          expr("n_keys * 1000000L div n_prev")).otherwise(1000000L)
+          .as("conv_from_prev_ppm"),
+        when(col("n_first") > 0,
+          expr("n_keys * 1000000L div n_first")).otherwise(0L)
+          .as("conv_from_first_ppm"))
+      .orderBy("stage_no")
+  }
+
   def retentionFromActivity(act: DataFrame): DataFrame = {
     val cohort = act.groupBy("u").agg(min("wk").as("cw"))
     val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_size"))

@@ -4421,6 +4421,96 @@ object Extensions {
         |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)
         |    AS BIGINT) AS p99_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin),
+
+    // per-source distribution drift vs the corpus: exact total-
+    // variation distance over GLOBAL decile bins (no PSI/KL log —
+    // one integer rational), missing bins charged at full global
+    // mass via the zero-filled grid; worst_bin = deterministic argmax
+    Q.df("x217_score_drift",
+      (s, dir) => Profile.scoreDrift(
+        Tables.load(s, dir, "documents"), "source", col("n_chars")),
+      """WITH d AS (SELECT source AS s, n_chars AS x FROM documents),
+        |e AS (SELECT
+        |  CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e1,
+        |  CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e2,
+        |  CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e3,
+        |  CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e4,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e5,
+        |  CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e6,
+        |  CAST(percentile_disc(0.7) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e7,
+        |  CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e8,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e9
+        |  FROM d),
+        |b AS (
+        |  SELECT s, CASE WHEN x <= e1 THEN 1 WHEN x <= e2 THEN 2
+        |    WHEN x <= e3 THEN 3 WHEN x <= e4 THEN 4 WHEN x <= e5 THEN 5
+        |    WHEN x <= e6 THEN 6 WHEN x <= e7 THEN 7 WHEN x <= e8 THEN 8
+        |    WHEN x <= e9 THEN 9 ELSE 10 END AS bin
+        |  FROM d, e),
+        |per AS (SELECT s, bin, CAST(count(*) AS BIGINT) AS n_sb
+        |        FROM b GROUP BY 1, 2),
+        |gb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_gb
+        |         FROM b GROUP BY 1),
+        |ns AS (SELECT s, CAST(sum(n_sb) AS BIGINT) AS n_s
+        |       FROM per GROUP BY 1),
+        |ng AS (SELECT CAST(sum(n_gb) AS BIGINT) AS n_g FROM gb),
+        |grid AS (
+        |  SELECT ns.s, ns.n_s, gb.bin, gb.n_gb, ng.n_g,
+        |    abs(coalesce(per.n_sb, 0) * ng.n_g - gb.n_gb * ns.n_s)
+        |      AS dev
+        |  FROM ns CROSS JOIN gb CROSS JOIN ng
+        |  LEFT JOIN per ON per.s = ns.s AND per.bin = gb.bin),
+        |ranked AS (
+        |  SELECT s, n_s, n_g, bin, dev,
+        |    row_number() OVER (PARTITION BY s ORDER BY dev DESC, bin)
+        |      AS rn
+        |  FROM grid)
+        |SELECT g.s AS source, CAST(max(g.n_s) AS BIGINT) AS n_docs,
+        |  CAST(sum(g.dev) * 1000000 // (2 * max(g.n_s) * max(g.n_g))
+        |    AS BIGINT) AS tv_ppm,
+        |  CAST(max(CASE WHEN r.rn = 1 THEN r.bin END) AS INTEGER)
+        |    AS worst_bin
+        |FROM grid g JOIN ranked r
+        |  ON r.s = g.s AND r.bin = g.bin
+        |GROUP BY g.s ORDER BY source""".stripMargin),
+
+    // strict-order 3-step funnel: each stage's committed time is the
+    // MINIMUM qualifying ts strictly after the previous stage's —
+    // greedy-optimal and deterministic; per-type counts without the
+    // order constraint answer a different (wrong) question
+    Q.df("x218_funnel_steps",
+      (s, dir) => TimeSeries.funnelSteps(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase")),
+      """WITH s1 AS (
+        |  SELECT user_id AS k, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS k, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON s1.k = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS k, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON s2.k = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |c AS (
+        |  SELECT 1 AS stage_no, 'signup' AS stage,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_keys
+        |  UNION ALL SELECT 2, 'view',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s3)),
+        |f AS (SELECT n_keys AS n_first FROM c WHERE stage_no = 1)
+        |SELECT stage_no, stage, n_keys,
+        |  CAST(CASE WHEN lag(n_keys) OVER (ORDER BY stage_no) IS NULL
+        |         THEN 1000000
+        |       WHEN lag(n_keys) OVER (ORDER BY stage_no) > 0
+        |         THEN n_keys * 1000000 // lag(n_keys) OVER (ORDER BY stage_no)
+        |       ELSE 1000000 END AS BIGINT) AS conv_from_prev_ppm,
+        |  CAST(CASE WHEN f.n_first > 0
+        |    THEN n_keys * 1000000 // f.n_first ELSE 0 END AS BIGINT)
+        |    AS conv_from_first_ppm
+        |FROM c, f ORDER BY stage_no""".stripMargin)
   )
 }

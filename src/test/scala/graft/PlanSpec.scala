@@ -213,6 +213,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x213/x216/x217: no shuffle ever carries the raw text column (md5/token keys shuffle instead)") {
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      Seq(
+        "effectiveTokens" -> ext.TextStats.effectiveTokens(docs),
+        "datasetCard" -> ext.TextStats.datasetCard(docs),
+        "scoreDrift" -> ext.Profile.scoreDrift(docs, "source", col("n_chars"))
+      ).foreach { case (name, df) =>
+        val ex = df.queryExecution.executedPlan.collectWithSubqueries {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(ex.nonEmpty, s"$name: expected at least one shuffle")
+        ex.foreach { e =>
+          assert(!e.child.output.map(_.name).contains("text"),
+            s"$name shuffles raw text: ${e.child.output.map(_.name).mkString(",")}")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("x123 curation pipeline: raw source scanned once — final plan reads only staged boundaries") {
     spark.sharedState.cacheManager.clearCache()
     ext.CacheRegistry.clearAll()

@@ -2238,6 +2238,28 @@ class ExtSpec extends SparkSpec {
       card.getLong(8) <= card.getLong(9)) // p50 <= p99 <= max
   }
 
+  test("funnel steps: strict order enforced on planted events, counts monotone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // u1 completes in order; u2 views BEFORE signup (must not count);
+    // u3 signs up only; u4 never signs up (purchase must not count)
+    val ev = Seq(
+      (1L, "signup", "2024-01-01 10:00:00"), (1L, "view", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"),
+      (2L, "view", "2024-01-01 09:00:00"), (2L, "signup", "2024-01-01 10:00:00"),
+      (3L, "signup", "2024-01-01 08:00:00"),
+      (4L, "view", "2024-01-01 08:00:00"), (4L, "purchase", "2024-01-01 09:00:00")
+    ).toDF("u", "ty", "ts_s").withColumn("ts", to_timestamp($"ts_s"))
+    val r = TimeSeries.funnelSteps(ev, "u", "ts", "ty",
+      Seq("signup", "view", "purchase")).collect()
+    val counts = r.map(_.getLong(2)).toSeq
+    assert(counts == Seq(3L, 1L, 1L)) // u1,u2,u3 signup; only u1 proceeds
+    assert(r.map(_.getLong(4)).toSeq ==
+      Seq(1000000L, 333333L, 333333L)) // conv_from_first
+    // monotone: each stage can only lose keys
+    assert(counts == counts.sortBy(-_))
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
