@@ -225,7 +225,18 @@ object Profile {
     }.otherwise(10)
     val binned = d.crossJoin(broadcast(edges)).select(col("s"), bin.as("bin"))
     val per = binned.groupBy("s", "bin").agg(count(lit(1)).as("n_sb"))
-    val glob = binned.groupBy("bin").agg(count(lit(1)).as("n_gb"))
+    driftFromBinned(per, stratum)
+  }
+
+  /** The serve-time half of [[scoreDrift]]: TV distance + worst bin
+    * from an already-binned per-(stratum, bin) count table — shared
+    * with the streaming drift mart, whose state IS this table (the
+    * global distribution is re-derived as the bin-wise sum, so one
+    * code path serves batch and drained-stream identically). */
+  def driftFromBinned(per0: DataFrame, stratum: String): DataFrame = {
+    val per = per0.select(col("s"), col("bin"),
+      col("n_sb").cast("bigint").as("n_sb"))
+    val glob = per.groupBy("bin").agg(sum("n_sb").as("n_gb"))
     val ns = per.groupBy("s").agg(sum("n_sb").as("n_s"))
     val ng = glob.agg(sum("n_gb").as("n_g"))
     ns.crossJoin(broadcast(glob))

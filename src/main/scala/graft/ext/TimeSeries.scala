@@ -295,6 +295,55 @@ object TimeSeries {
       .orderBy("stage_no")
   }
 
+  /** RFM segmentation: every key scored on Recency (days since last
+    * activity, lower better), Frequency (event count) and Monetary
+    * (integer cents), each cut into exact tertiles (percentile_disc
+    * at 0.33/0.66 — member values, engine-exact), then rolled up to
+    * the 27-cell segment grid — the classic lifecycle mart
+    * ("champions" = 333, "at risk" = 1xx) that drives retention
+    * targeting. Tier 3 is best on every axis; recency tiers compare
+    * <= on DAYS so fresher keys land higher.
+    *
+    * Scale shape: the event table collapses to one row per key in one
+    * keyed aggregation; tertile edges are ONE 1-row aggregate over
+    * the key table broadcast back; the output is the 27-row grid.
+    * Corpus "today" is the max activity day — derived, not wall-clock,
+    * so the mart is reproducible.
+    *
+    * Output: (r_tier, f_tier, m_tier, n_keys, sum_cents), ordered by
+    * (r_tier, f_tier, m_tier). */
+  def rfmSegments(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val per = events.groupBy(col(keyCol).as("k"))
+      .agg(max(expr(s"datediff(to_date($tsCol), date '1970-01-01')"))
+          .as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(expr(s"CAST(floor($valueCol * 100) AS BIGINT)")).as("cents"))
+    val today = per.agg(max("last_day").as("corpus_day"))
+    val u = per.crossJoin(broadcast(today))
+      .select(col("k"), (col("corpus_day") - col("last_day")).as("rec_days"),
+        col("freq"), col("cents"))
+    def edge(c: String, q: String, as: String) =
+      expr(s"CAST(percentile_disc($q) WITHIN GROUP (ORDER BY $c)" +
+        s" AS BIGINT)").as(as)
+    val edges = u.agg(edge("rec_days", "0.33", "r33"),
+      edge("rec_days", "0.66", "r66"), edge("freq", "0.33", "f33"),
+      edge("freq", "0.66", "f66"), edge("cents", "0.33", "m33"),
+      edge("cents", "0.66", "m66"))
+    u.crossJoin(broadcast(edges))
+      .select(
+        when(col("rec_days") <= col("r33"), 3)
+          .when(col("rec_days") <= col("r66"), 2).otherwise(1).as("r_tier"),
+        when(col("freq") <= col("f33"), 1)
+          .when(col("freq") <= col("f66"), 2).otherwise(3).as("f_tier"),
+        when(col("cents") <= col("m33"), 1)
+          .when(col("cents") <= col("m66"), 2).otherwise(3).as("m_tier"),
+        col("cents"))
+      .groupBy("r_tier", "f_tier", "m_tier")
+      .agg(count(lit(1)).as("n_keys"), sum("cents").as("sum_cents"))
+      .orderBy("r_tier", "f_tier", "m_tier")
+  }
+
   def retentionFromActivity(act: DataFrame): DataFrame = {
     val cohort = act.groupBy("u").agg(min("wk").as("cw"))
     val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_size"))

@@ -4511,6 +4511,96 @@ object Extensions {
         |  CAST(CASE WHEN f.n_first > 0
         |    THEN n_keys * 1000000 // f.n_first ELSE 0 END AS BIGINT)
         |    AS conv_from_first_ppm
-        |FROM c, f ORDER BY stage_no""".stripMargin)
+        |FROM c, f ORDER BY stage_no""".stripMargin),
+
+    // RFM lifecycle segmentation: per-key recency/frequency/monetary,
+    // each cut at exact percentile_disc tertiles, rolled to the
+    // 27-cell grid; corpus "today" = max activity day (reproducible,
+    // no wall clock); all cents integer-floored on both engines
+    Q.df("x219_rfm_segments",
+      (s, dir) => TimeSeries.rfmSegments(
+        Tables.load(s, dir, "events"), "user_id", "ts", "value"),
+      """WITH per AS (
+        |  SELECT user_id AS k,
+        |    max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      AS last_day,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT k, (SELECT max(last_day) FROM per) - last_day
+        |      AS rec_days, freq, cents
+        |  FROM per),
+        |e AS (SELECT
+        |  CAST(percentile_disc(0.33) WITHIN GROUP (ORDER BY rec_days) AS BIGINT) AS r33,
+        |  CAST(percentile_disc(0.66) WITHIN GROUP (ORDER BY rec_days) AS BIGINT) AS r66,
+        |  CAST(percentile_disc(0.33) WITHIN GROUP (ORDER BY freq) AS BIGINT) AS f33,
+        |  CAST(percentile_disc(0.66) WITHIN GROUP (ORDER BY freq) AS BIGINT) AS f66,
+        |  CAST(percentile_disc(0.33) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS m33,
+        |  CAST(percentile_disc(0.66) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS m66
+        |  FROM u)
+        |SELECT
+        |  CAST(CASE WHEN rec_days <= r33 THEN 3
+        |       WHEN rec_days <= r66 THEN 2 ELSE 1 END AS INTEGER) AS r_tier,
+        |  CAST(CASE WHEN freq <= f33 THEN 1
+        |       WHEN freq <= f66 THEN 2 ELSE 3 END AS INTEGER) AS f_tier,
+        |  CAST(CASE WHEN cents <= m33 THEN 1
+        |       WHEN cents <= m66 THEN 2 ELSE 3 END AS INTEGER) AS m_tier,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM u, e GROUP BY 1, 2, 3 ORDER BY r_tier, f_tier, m_tier""".stripMargin),
+
+    // streaming drift monitor: STATIC decile edges broadcast into each
+    // micro-batch, state = the (source x 10) bin grid in complete
+    // mode; served through the SAME driftFromBinned code as batch
+    // x217 — the drained stream must equal the batch audit, which
+    // this oracle (the x217 SQL) checks
+    Q.df("x220_stream_drift",
+      (s, dir) => Streaming.streamDriftMart(s, dir),
+      """WITH d AS (SELECT source AS s, n_chars AS x FROM documents),
+        |e AS (SELECT
+        |  CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e1,
+        |  CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e2,
+        |  CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e3,
+        |  CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e4,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e5,
+        |  CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e6,
+        |  CAST(percentile_disc(0.7) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e7,
+        |  CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e8,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY x) AS BIGINT) AS e9
+        |  FROM d),
+        |b AS (
+        |  SELECT s, CASE WHEN x <= e1 THEN 1 WHEN x <= e2 THEN 2
+        |    WHEN x <= e3 THEN 3 WHEN x <= e4 THEN 4 WHEN x <= e5 THEN 5
+        |    WHEN x <= e6 THEN 6 WHEN x <= e7 THEN 7 WHEN x <= e8 THEN 8
+        |    WHEN x <= e9 THEN 9 ELSE 10 END AS bin
+        |  FROM d, e),
+        |per AS (SELECT s, bin, CAST(count(*) AS BIGINT) AS n_sb
+        |        FROM b GROUP BY 1, 2),
+        |gb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_gb
+        |       FROM b GROUP BY 1),
+        |ns AS (SELECT s, CAST(sum(n_sb) AS BIGINT) AS n_s
+        |       FROM per GROUP BY 1),
+        |ng AS (SELECT CAST(sum(n_gb) AS BIGINT) AS n_g FROM gb),
+        |grid AS (
+        |  SELECT ns.s, ns.n_s, gb.bin, gb.n_gb, ng.n_g,
+        |    abs(coalesce(per.n_sb, 0) * ng.n_g - gb.n_gb * ns.n_s)
+        |      AS dev
+        |  FROM ns CROSS JOIN gb CROSS JOIN ng
+        |  LEFT JOIN per ON per.s = ns.s AND per.bin = gb.bin),
+        |ranked AS (
+        |  SELECT s, n_s, n_g, bin, dev,
+        |    row_number() OVER (PARTITION BY s ORDER BY dev DESC, bin)
+        |      AS rn
+        |  FROM grid)
+        |SELECT g.s AS source, CAST(max(g.n_s) AS BIGINT) AS n_docs,
+        |  CAST(sum(g.dev) * 1000000 // (2 * max(g.n_s) * max(g.n_g))
+        |    AS BIGINT) AS tv_ppm,
+        |  CAST(max(CASE WHEN r.rn = 1 THEN r.bin END) AS INTEGER)
+        |    AS worst_bin
+        |FROM grid g JOIN ranked r
+        |  ON r.s = g.s AND r.bin = g.bin
+        |GROUP BY g.s ORDER BY source""".stripMargin)
   )
 }

@@ -981,4 +981,56 @@ object Streaming {
       } finally rmTree(out)
     }
   }
+
+  /** Streaming distribution-drift MONITOR: the live half of the x217
+    * batch audit. Decile edges are frozen from the reference corpus
+    * (one 1-row batch aggregate, stream-static-joined into every
+    * micro-batch — stateless enrichment, the x79/x204 shape); each
+    * arriving document is binned against those STATIC edges and the
+    * mart maintains per-(source, bin) counts — streaming state is the
+    * |sources|×10 grid, bounded by key cardinality, not input volume.
+    * Serve-time reuses [[graft.ext.Profile.driftFromBinned]] — the
+    * SAME code that serves the batch audit — so the drained stream
+    * provably equals batch x217, which is what the oracle checks.
+    * This is how a production drift monitor actually runs: reference
+    * window static, live window incremental.
+    *
+    * Output: (source, n_docs, tv_ppm, worst_bin), ordered by source. */
+  def streamDriftMart(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_drift_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val d = graft.Tables.load(spark, dir, "documents")
+      .select(col("source").as("s"), col("n_chars").cast("bigint").as("x"))
+    val edgeAggs = (1 to 9).map { i =>
+      expr(s"CAST(percentile_disc(0.$i) WITHIN GROUP (ORDER BY x)" +
+        s" AS BIGINT)").as(s"e$i")
+    }
+    val edges = d.agg(edgeAggs.head, edgeAggs.tail: _*)
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    withStreamDirsFile(dir, "documents.parquet") { (stage, ckpt) =>
+      val bin = (1 to 9).foldLeft(when(lit(false), 0)) { (c, i) =>
+        c.when(col("x") <= col(s"e$i"), i)
+      }.otherwise(10)
+      val src = spark.readStream.schema(docsSchema).parquet(stage)
+        .select(col("source").as("s"), col("n_chars").cast("bigint").as("x"))
+        .join(broadcast(edges), lit(true))
+        .select(col("s"), bin.as("bin"))
+      val agg = src.groupBy("s", "bin").agg(count(lit(1)).as("n_sb"))
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // Detach the mart from the memory-sink plan before the serve-time
+    // self-joins (MemoryPlan re-exposes identical attribute ids on
+    // every reference → unresolvable conflicts). The mart is the
+    // |sources|×10 grid — collecting it is reading the final state,
+    // not a data move.
+    val mart = spark.table(name)
+    val detached = spark.createDataFrame(
+      spark.sparkContext.parallelize(mart.collect().toIndexedSeq, 1),
+      mart.schema)
+    graft.ext.Profile.driftFromBinned(detached, "source")
+  }
 }

@@ -2260,6 +2260,39 @@ class ExtSpec extends SparkSpec {
     assert(counts == counts.sortBy(-_))
   }
 
+  test("rfm segments: grid partitions the key set and planted extremes land in corner cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, dir, "events")
+    val r = TimeSeries.rfmSegments(ev, "user_id", "ts", "value")
+    val users = ev.select("user_id").distinct().count()
+    assert(r.agg(sum("n_keys")).collect()(0).getLong(0) == users)
+    // every tier value is in 1..3
+    r.collect().foreach { row =>
+      (0 to 2).foreach(i => assert(row.getInt(i) >= 1 && row.getInt(i) <= 3))
+    }
+    // planted: one fresh/frequent/big spender must land in (3,3,3)
+    val today = "2030-01-01 00:00:00"
+    val planted = ev.select(col("user_id"), col("ts"), col("value"))
+      .unionByName(spark.range(1000).select(
+        lit(999999L).as("user_id"),
+        to_timestamp(lit(today)).as("ts"), lit(500.0).as("value")))
+    val cell = TimeSeries.rfmSegments(planted, "user_id", "ts", "value")
+    assert(cell.where(col("r_tier") === 3 && col("f_tier") === 3 &&
+      col("m_tier") === 3).count() >= 1)
+  }
+
+  test("streaming drift mart equals the batch scoreDrift audit") {
+    import org.apache.spark.sql.functions._
+    val batch = Profile.scoreDrift(docs, "source", col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    val streamed = graft.streaming.Streaming.streamDriftMart(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
