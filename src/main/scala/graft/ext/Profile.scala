@@ -228,6 +228,33 @@ object Profile {
     driftFromBinned(per, stratum)
   }
 
+  /** Per-stratum Gini coefficient of a non-negative score — the
+    * inequality audit ("is this source's volume a few giant docs or
+    * many small ones") that complements [[paretoCover]]'s top-end cut
+    * with a single whole-distribution number. Computed rank-wise:
+    * with x sorted ascending and i = 1..n,
+    * gini_ppm = (2·Σ i·x_i − (n+1)·Σ x_i) · 1e6 div (n·Σ x_i) —
+    * exact integers end to end; the rank window is PARTITIONED BY
+    * stratum, and tie order cannot change the sum (equal x across a
+    * tie block contribute the same Σ i·x regardless of order).
+    *
+    * Output: (stratum, n, total, gini_ppm), ordered by stratum;
+    * strata with zero total report gini_ppm = 0. */
+  def giniConcentration(df: DataFrame, stratum: String,
+                        score: Column): DataFrame = {
+    val d = df.select(col(stratum).as("s"), score.cast("bigint").as("x"))
+    val w = Window.partitionBy("s").orderBy(col("x"), monotonically_increasing_id())
+    d.withColumn("i", row_number().over(w))
+      .groupBy(col("s").as(stratum))
+      .agg(count(lit(1)).as("n"), sum("x").as("total"),
+        sum(col("i") * col("x")).as("s1"))
+      .select(col(stratum), col("n"), col("total"),
+        when(col("total") > 0,
+          expr("(2 * s1 - (n + 1) * total) * 1000000L div (n * total)"))
+          .otherwise(0L).as("gini_ppm"))
+      .orderBy(stratum)
+  }
+
   /** The serve-time half of [[scoreDrift]]: TV distance + worst bin
     * from an already-binned per-(stratum, bin) count table — shared
     * with the streaming drift mart, whose state IS this table (the

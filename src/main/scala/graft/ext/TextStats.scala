@@ -709,6 +709,70 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** Within-document code-switching detection: the document is cut
+    * into non-overlapping `window`-token chunks, each chunk language-
+    * identified with the [[langId]] marker rule, and the doc reports
+    * its window count, dominant predicted language (most windows,
+    * alphabetically-smallest on ties), adjacent-window switch count,
+    * and minority share in exact ppm. Mixed-language documents are a
+    * classic curation hazard — a doc-level language tag hides them,
+    * which is exactly why the span-level audit exists (and why this
+    * composes with x212's tag-trust audit).
+    *
+    * Scale shape: chunking + marker counting are narrow per-row
+    * transforms; the switch count is a lag window PARTITIONED BY
+    * doc (bounded by the doc's own window count); dominant/minority
+    * are keyed aggregations. Docs with zero tokens produce no chunks
+    * and are absent from the output (nothing to classify).
+    *
+    * Output: (doc_id, n_windows, dominant_lang, n_switches,
+    * minority_ppm), ordered by doc_id. */
+  def codeSwitching(docs: DataFrame, window: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, s"window must be positive; got $window")
+    val chunks = docs.select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(t) = 0 THEN array()
+           |ELSE transform(
+           |  sequence(0, CAST(floor((size(t) - 1) / $window) AS INT)),
+           |  i -> slice(t, i * $window + 1, $window))
+           |END""".stripMargin)).as(Seq("w0", "chunk")))
+      .select(col("doc_id"), (col("w0") + 1).as("w_no"),
+        concat(lit(" "), concat_ws(" ", col("chunk")), lit(" ")).as("ct"))
+    val pred = chunks.select(col("doc_id"), col("w_no"),
+        hits(col("ct"), " the ").as("h_en"),
+        hits(col("ct"), " der ").as("h_de"),
+        hits(col("ct"), " le ").as("h_fr"),
+        hits(col("ct"), " el ").as("h_es"))
+      .withColumn("pred",
+        when(col("h_de") >= col("h_fr") && col("h_de") >= col("h_es") &&
+             col("h_de") >= col("h_en"), "de")
+        .when(col("h_fr") >= col("h_es") && col("h_fr") >= col("h_en"), "fr")
+        .when(col("h_es") >= col("h_en"), "es")
+        .otherwise("en"))
+      .select("doc_id", "w_no", "pred")
+    val byDoc = Window.partitionBy("doc_id").orderBy("w_no")
+    val switches = pred
+      .withColumn("prev", lag("pred", 1).over(byDoc))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("pred"), 1L)
+          .otherwise(0L)).as("n_switches"))
+    val dominant = pred.groupBy("doc_id", "pred")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(min(struct((-col("cnt")).as("nc"), col("pred").as("p")))
+        .as("w"))
+      .select(col("doc_id"), col("w.p").as("dominant_lang"),
+        (-col("w.nc")).as("n_dom"))
+    switches.join(dominant, Seq("doc_id"))
+      .select(col("doc_id"), col("n_windows"), col("dominant_lang"),
+        col("n_switches"),
+        expr("(n_windows - n_dom) * 1000000L div n_windows")
+          .as("minority_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** One-row corpus datasheet — the "dataset card" numbers every
     * release publishes (docs, sources, languages, exact-dup rate,
     * token/char volume, length percentiles), computed in ONE

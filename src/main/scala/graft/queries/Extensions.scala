@@ -4601,6 +4601,74 @@ object Extensions {
         |    AS worst_bin
         |FROM grid g JOIN ranked r
         |  ON r.s = g.s AND r.bin = g.bin
-        |GROUP BY g.s ORDER BY source""".stripMargin)
+        |GROUP BY g.s ORDER BY source""".stripMargin),
+
+    // span-level code-switching audit: 20-token windows language-ID'd
+    // with the x52 marker rule; per doc: dominant language (most
+    // windows, smallest on ties), adjacent-window switches, minority
+    // share ppm — the mixed-language hazard a doc-level tag hides
+    Q.df("x221_code_switching",
+      (s, dir) => TextStats.codeSwitching(
+        Tables.load(s, dir, "documents"), 20),
+      s"""WITH $duckTok,
+         |ch AS (
+         |  SELECT doc_id, (pos - 1) // 20 + 1 AS w_no,
+         |    ' ' || string_agg(w, ' ' ORDER BY pos) || ' ' AS ct
+         |  FROM tok GROUP BY doc_id, (pos - 1) // 20),
+         |h AS (
+         |  SELECT doc_id, w_no,
+         |    (length(ct) - length(replace(ct, ' the ', ''))) / 5 AS h_en,
+         |    (length(ct) - length(replace(ct, ' der ', ''))) / 5 AS h_de,
+         |    (length(ct) - length(replace(ct, ' le ', ''))) / 4 AS h_fr,
+         |    (length(ct) - length(replace(ct, ' el ', ''))) / 4 AS h_es
+         |  FROM ch),
+         |p AS (
+         |  SELECT doc_id, w_no,
+         |    CASE WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_en THEN 'de'
+         |         WHEN h_fr >= h_es AND h_fr >= h_en THEN 'fr'
+         |         WHEN h_es >= h_en THEN 'es'
+         |         ELSE 'en' END AS pred
+         |  FROM h),
+         |sw AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> pred
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+         |  FROM (SELECT doc_id, pred,
+         |          lag(pred) OVER (PARTITION BY doc_id ORDER BY w_no)
+         |            AS prev
+         |        FROM p) q GROUP BY 1),
+         |dom AS (
+         |  SELECT doc_id, pred AS dominant_lang,
+         |    CAST(cnt AS BIGINT) AS n_dom
+         |  FROM (SELECT doc_id, pred, count(*) AS cnt,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY count(*) DESC, pred) AS rn
+         |        FROM p GROUP BY doc_id, pred) q
+         |  WHERE rn = 1)
+         |SELECT sw.doc_id, sw.n_windows, dom.dominant_lang,
+         |  sw.n_switches,
+         |  (sw.n_windows - dom.n_dom) * 1000000 // sw.n_windows
+         |    AS minority_ppm
+         |FROM sw JOIN dom USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+
+    // per-source Gini of document length: whole-distribution
+    // inequality in exact ppm via the rank formula
+    // (2*S1 - (n+1)*S0) / (n*S0) — complements the Pareto top-end cut
+    Q.df("x222_gini_lengths",
+      (s, dir) => Profile.giniConcentration(
+        Tables.load(s, dir, "documents"), "source", col("n_chars")),
+      """WITH r AS (
+        |  SELECT source AS s, n_chars AS x,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS i
+        |  FROM documents)
+        |SELECT s AS source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS total,
+        |  CAST(CASE WHEN sum(x) > 0
+        |    THEN (2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000
+        |         // (count(*) * sum(x))
+        |    ELSE 0 END AS BIGINT) AS gini_ppm
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin)
   )
 }

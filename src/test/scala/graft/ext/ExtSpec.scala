@@ -2293,6 +2293,32 @@ class ExtSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("code switching: planted mixed doc flags a switch, monolingual doc does not") {
+    import spark.implicits._
+    val de = Seq.fill(20)("der").mkString(" ")
+    val en = Seq.fill(20)("the").mkString(" ")
+    val docs = Seq(
+      (1L, s"$de $en $de"),  // de | en | de: 2 switches, dominant de
+      (2L, s"$en $en")       // en | en: 0 switches
+    ).toDF("doc_id", "text")
+    val r = TextStats.codeSwitching(docs, 20).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getString(2),
+        x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L) == ((3L, "de", 2L, 333333L)))
+    assert(r(2L) == ((2L, "en", 0L, 0L)))
+  }
+
+  test("gini: zero for uniform lengths, near (n-1)/n for total concentration") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val uniform = (1 to 100).map(i => ("u", 50L)).toDF("s", "x")
+    val concentrated = (("c", 10000L) +: Seq.fill(99)(("c", 0L))).toDF("s", "x")
+    val r = Profile.giniConcentration(uniform.unionByName(concentrated), "s", col("x"))
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r("u") == 0L)
+    assert(r("c") == 990000L) // (n-1)/n = 99/100 exactly
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
