@@ -255,6 +255,83 @@ object Profile {
       .orderBy(stratum)
   }
 
+  /** Cross-source score normalization — the APPLY step of
+    * [[scoreDeciles]]'s calibration: each row's score becomes its
+    * exact within-stratum rank position in ppm
+    * ((rank−1)·1e6 div (n−1); single-row strata pin 500000), so "top
+    * 10% quality" filters compare equals across sources whose raw
+    * score scales differ. Rank ties break on the id column, making
+    * every output value deterministic.
+    *
+    * Scale shape: one rank window PARTITIONED BY stratum (parallel
+    * across strata; within a stratum Spark sorts that partition — for
+    * a pathologically huge single stratum, swap in the range-
+    * partitioned zipWithIndex ids of `ext.Ids` per stratum), one
+    * 1-row-per-stratum count join back.
+    *
+    * Output: (stratum, id, score, pct_ppm), ordered by (stratum, id). */
+  def scoreNormalize(df: DataFrame, stratum: String, idCol: String,
+                     score: Column): DataFrame = {
+    val d = df.select(col(stratum).as("s"), col(idCol).as("id"),
+      score.cast("bigint").as("x"))
+    val w = Window.partitionBy("s").orderBy(col("x"), col("id"))
+    d.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("s")))
+      .select(col("s").as(stratum), col("id").as(idCol),
+        col("x").as("score"),
+        when(col("n") > 1,
+          expr("(rn - 1) * 1000000L div (n - 1)"))
+          .otherwise(500000L).as("pct_ppm"))
+      .orderBy(stratum, idCol)
+  }
+
+  /** Benford first-digit audit of a positive numeric column, per
+    * stratum: observed first-significant-digit distribution vs the
+    * Benford expectation, scored as exact total-variation distance in
+    * ppm. The classic fabricated-or-truncated-data smell test for
+    * financial/measurement columns — a source whose amounts were
+    * generated, capped, or unit-mangled jumps out as a high TV.
+    * Expected shares are the standard Benford constants as FIXED
+    * integer ppm (they sum to 1e6 exactly), so no log is ever
+    * computed and both engines see identical numbers.
+    *
+    * Scale shape: first digit is a narrow string projection (no
+    * float log10 — leading digit of the integer part); one
+    * (stratum × 9) aggregation; the TV fold runs on that grid.
+    *
+    * Output: (stratum, n, tv_ppm, worst_digit), ordered by stratum. */
+  def benfordAudit(df: DataFrame, stratum: String,
+                   valueCents: Column): DataFrame = {
+    // P(d) = log10(1 + 1/d) in ppm, rounded to sum to exactly 1e6
+    val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val d = df.select(col(stratum).as("s"),
+        valueCents.cast("bigint").as("v"))
+      .where(col("v") > 0)
+      .select(col("s"),
+        substring(col("v").cast("string"), 1, 1).cast("int").as("dig"))
+    val per = d.groupBy("s", "dig").agg(count(lit(1)).as("n_sd"))
+    val ns = per.groupBy("s").agg(sum("n_sd").as("n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exp = benford.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }.toDF("dig", "exp_ppm")
+    ns.crossJoin(broadcast(exp))
+      .join(per, Seq("s", "dig"), "left")
+      .select(col("s"), col("n"), col("dig"), col("exp_ppm"),
+        coalesce(col("n_sd"), lit(0L)).as("n_sd"))
+      .select(col("s"), col("n"), col("dig"),
+        abs(col("n_sd") * lit(1000000L) - col("exp_ppm") * col("n"))
+          .as("dev"))
+      .groupBy(col("s").as(stratum))
+      .agg(max("n").as("n"),
+        expr("sum(dev) div (2 * max(n))").as("tv_ppm"),
+        min(struct((-col("dev")).as("nd"), col("dig").as("d"))).as("w"))
+      .select(col(stratum), col("n"), col("tv_ppm"),
+        col("w.d").as("worst_digit"))
+      .orderBy(stratum)
+  }
+
   /** The serve-time half of [[scoreDrift]]: TV distance + worst bin
     * from an already-binned per-(stratum, bin) count table — shared
     * with the streaming drift mart, whose state IS this table (the

@@ -4669,6 +4669,64 @@ object Extensions {
         |    THEN (2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000
         |         // (count(*) * sum(x))
         |    ELSE 0 END AS BIGINT) AS gini_ppm
-        |FROM r GROUP BY 1 ORDER BY source""".stripMargin)
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // calibration APPLY: each doc's score becomes its exact in-source
+    // rank position ppm (ties broken on id — fully deterministic);
+    // "top 10%" now means the same thing in every source
+    Q.df("x223_score_normalize",
+      (s, dir) => Profile.scoreNormalize(
+        Tables.load(s, dir, "documents"), "source", "doc_id",
+        col("n_chars")),
+      """SELECT source, doc_id, CAST(n_chars AS BIGINT) AS score,
+        |  CAST(CASE WHEN cnt > 1
+        |    THEN (rn - 1) * 1000000 // (cnt - 1)
+        |    ELSE 500000 END AS BIGINT) AS pct_ppm
+        |FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents) t
+        |ORDER BY source, doc_id""".stripMargin),
+
+    // Benford first-digit audit per event type: observed cents
+    // leading-digit distribution vs the Benford ppm constants
+    // (fixed integers summing to exactly 1e6 — no log anywhere),
+    // scored as exact TV ppm; the fabricated/capped-amounts smell test
+    Q.df("x224_benford_audit",
+      (s, dir) => Profile.benfordAudit(
+        Tables.load(s, dir, "events"), "event_type",
+        expr("CAST(floor(value * 100) AS BIGINT)")),
+      """WITH v AS (
+        |  SELECT event_type AS s, CAST(floor(value * 100) AS BIGINT)
+        |      AS v
+        |  FROM events),
+        |d AS (SELECT s, CAST(substr(CAST(v AS VARCHAR), 1, 1)
+        |        AS INTEGER) AS dig
+        |      FROM v WHERE v > 0),
+        |per AS (SELECT s, dig, CAST(count(*) AS BIGINT) AS n_sd
+        |        FROM d GROUP BY 1, 2),
+        |ns AS (SELECT s, CAST(sum(n_sd) AS BIGINT) AS n
+        |       FROM per GROUP BY 1),
+        |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
+        |        (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+        |        (7, 57992), (8, 51153), (9, 45757)) AS t(dig, exp_ppm)),
+        |g AS (
+        |  SELECT ns.s, ns.n, e.dig,
+        |    abs(coalesce(per.n_sd, 0) * 1000000 - e.exp_ppm * ns.n)
+        |      AS dev
+        |  FROM ns CROSS JOIN e
+        |  LEFT JOIN per ON per.s = ns.s AND per.dig = e.dig),
+        |rk AS (SELECT s, dig, dev,
+        |         row_number() OVER (PARTITION BY s
+        |           ORDER BY dev DESC, dig) AS rn
+        |       FROM g)
+        |SELECT g.s AS event_type, CAST(max(g.n) AS BIGINT) AS n,
+        |  CAST(sum(g.dev) // (2 * max(g.n)) AS BIGINT) AS tv_ppm,
+        |  CAST(max(CASE WHEN rk.rn = 1 THEN rk.dig END) AS INTEGER)
+        |    AS worst_digit
+        |FROM g JOIN rk ON rk.s = g.s AND rk.dig = g.dig
+        |GROUP BY g.s ORDER BY event_type""".stripMargin)
   )
 }

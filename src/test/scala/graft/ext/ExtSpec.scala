@@ -2319,6 +2319,39 @@ class ExtSpec extends SparkSpec {
     assert(r("c") == 990000L) // (n-1)/n = 99/100 exactly
   }
 
+  test("score normalize: extremes map to 0 and 1e6, singletons to the midpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 9L, 7L)).toDF("src", "id", "sc")
+    val r = Profile.scoreNormalize(d, "src", "id", col("sc")).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(3)).toMap
+    assert(r(("a", 1L)) == 0L && r(("a", 2L)) == 500000L &&
+      r(("a", 3L)) == 1000000L)
+    assert(r(("b", 9L)) == 500000L) // singleton stratum pins midpoint
+  }
+
+  test("benford: a perfectly Benford-distributed stratum scores 0, a constant-digit one scores high") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1e6 synthetic rows would be exact; instead plant counts directly
+    // proportional to the ppm table (scaled 1:1000)
+    val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val good = benford.zipWithIndex.flatMap { case (p, i) =>
+      Seq.fill((p / 1000).toInt)(("good", (i + 1) * 100L))
+    }
+    val bad = Seq.fill(500)(("bad", 900L)) // every amount starts with 9
+    val df = (good ++ bad).toDF("s", "cents")
+    val r = Profile.benfordAudit(df, "s", col("cents")).collect()
+      .map(x => x.getString(0) -> (x.getLong(2), x.getInt(3))).toMap
+    // the 1:1000 count truncation costs <= ~5000 ppm TV; the signal
+    // being tested (0 vs ~954000) is three orders of magnitude larger
+    assert(r("good")._1 < 5000, r("good").toString)
+    // constant digit 9: TV = 1 - P(9) = 954243 ppm exactly
+    assert(r("bad") == ((954243L, 9)))
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
