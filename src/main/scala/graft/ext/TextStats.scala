@@ -773,6 +773,73 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** NEAR-dup-adjusted token accounting: [[effectiveTokens]] counts a
+    * verbatim copy once but still double-counts paraphrases/near-
+    * copies; here each near-dup CLUSTER (from `Dedup.clusters`) is
+    * charged once, to the source of its representative (the cluster-
+    * min doc) — so a source that only republishes another source's
+    * content reports unique_tokens 0 and dup_token_ppm 1e6, which is
+    * exactly the mixture-planning signal. Pass `clusters` as
+    * (doc_id, cluster_id = cluster-min doc_id).
+    *
+    * Scale shape: one narrow token-count projection, the cluster
+    * join keyed on doc_id, rollups keyed on source; the text column
+    * never shuffles (counts and 8-byte ids do).
+    *
+    * Output: (source, n_docs, raw_tokens, n_reps, unique_tokens,
+    * dup_token_ppm), ordered by source. */
+  def effectiveTokensByCluster(docs: DataFrame,
+                               clusters: DataFrame): DataFrame = {
+    val tc = docs.select(col("doc_id"), col("source"),
+      size(tokensCol(col("text"))).cast("bigint").as("n_tok"))
+    val raw = tc.groupBy("source").agg(count(lit(1)).as("n_docs"),
+      sum("n_tok").as("raw_tokens"))
+    val reps = clusters.select(col("cluster_id").as("doc_id")).distinct()
+    val uniq = reps.join(tc, Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("n_reps"),
+        sum("n_tok").as("unique_tokens"))
+    raw.join(uniq, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        coalesce(col("n_reps"), lit(0L)).as("n_reps"),
+        coalesce(col("unique_tokens"), lit(0L)).as("unique_tokens"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("n_reps"), col("unique_tokens"),
+        when(col("raw_tokens") > 0,
+          expr("(raw_tokens - unique_tokens) * 1000000L div raw_tokens"))
+          .otherwise(0L).as("dup_token_ppm"))
+      .orderBy("source")
+  }
+
+  /** Per-document keyword extraction: the top-k terms by integer
+    * TF-IDF score (tf·1e6 div df — rank-equivalent to tf/df with a
+    * deterministic truncation both engines share; ties break on the
+    * term). The tagging pass that turns a raw corpus into something
+    * filterable ("give me the docs about X") without any model.
+    *
+    * Scale shape: term counts are one (doc, term) aggregation; doc
+    * frequencies one term-keyed aggregation joined back (vocabulary-
+    * sized); the top-k window is PARTITIONED BY doc — bounded by each
+    * doc's own vocabulary, never global.
+    *
+    * Output: (doc_id, term, tf, df, score), top `k` per doc, ordered
+    * by (doc_id, score desc, term). */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be positive; got $k")
+    val tf = tokens(docs).groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("w"))
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+        expr("tf * 1000000L div df").as("score"))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(byDoc))
+      .where(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
   /** One-row corpus datasheet — the "dataset card" numbers every
     * release publishes (docs, sources, languages, exact-dup rate,
     * token/char volume, length percentiles), computed in ONE

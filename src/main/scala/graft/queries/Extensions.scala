@@ -4727,6 +4727,81 @@ object Extensions {
         |  CAST(max(CASE WHEN rk.rn = 1 THEN rk.dig END) AS INTEGER)
         |    AS worst_digit
         |FROM g JOIN rk ON rk.s = g.s AND rk.dig = g.dig
-        |GROUP BY g.s ORDER BY event_type""".stripMargin)
+        |GROUP BY g.s ORDER BY event_type""".stripMargin),
+
+    // NEAR-dup-adjusted effective tokens: each x66 connected-component
+    // cluster charged ONCE, to its representative's source — a source
+    // that only republishes reports unique_tokens 0 / ppm 1e6; the
+    // composed dedup -> accounting pass a mixture planner actually runs
+    Q.df("x225_effective_tokens_neardup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        TextStats.effectiveTokensByCluster(docs,
+          Dedup.clusters(docs, Dedup.jaccardPairs(docs, 0.2,
+            maxDocFreq = Some(2))))
+      },
+      s"""WITH RECURSIVE $duckTok, ${duckShinglesFiltered(2)}, $duckJaccardTail,
+         |pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+         |), cl AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+         |), tc AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(coalesce(t.n_tok, 0) AS BIGINT) AS n_tok
+         |  FROM documents d LEFT JOIN (
+         |    SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1) t
+         |    USING (doc_id)
+         |), raw AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS raw_tokens
+         |  FROM tc GROUP BY 1
+         |), u AS (
+         |  SELECT tc.source, CAST(count(*) AS BIGINT) AS n_reps,
+         |    CAST(sum(tc.n_tok) AS BIGINT) AS unique_tokens
+         |  FROM (SELECT DISTINCT cluster_id FROM cl) r
+         |  JOIN tc ON tc.doc_id = r.cluster_id GROUP BY 1)
+         |SELECT raw.source, raw.n_docs, raw.raw_tokens,
+         |  CAST(coalesce(u.n_reps, 0) AS BIGINT) AS n_reps,
+         |  CAST(coalesce(u.unique_tokens, 0) AS BIGINT) AS unique_tokens,
+         |  CAST(CASE WHEN raw.raw_tokens > 0
+         |    THEN (raw.raw_tokens - coalesce(u.unique_tokens, 0))
+         |         * 1000000 // raw.raw_tokens
+         |    ELSE 0 END AS BIGINT) AS dup_token_ppm
+         |FROM raw LEFT JOIN u USING (source)
+         |ORDER BY source""".stripMargin),
+
+    // per-doc keyword extraction: top-3 terms by integer TF-IDF
+    // (tf*1e6 div df, term tie-break) — model-free corpus tagging;
+    // the top-k window is partitioned by doc, never global
+    Q.df("x226_keywords",
+      (s, dir) => TextStats.keywords(
+        Tables.load(s, dir, "documents"), 3),
+      s"""WITH $duckTok,
+         |tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT)
+         |         AS tf
+         |       FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |          FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, term, tf, df,
+         |    CAST(tf * 1000000 // df AS BIGINT) AS score
+         |  FROM tf JOIN dfreq USING (term)),
+         |rk AS (
+         |  SELECT doc_id, term, tf, df, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term) AS rn
+         |  FROM scored)
+         |SELECT doc_id, term, tf, df, score
+         |FROM rk WHERE rn <= 3
+         |ORDER BY doc_id, score DESC, term""".stripMargin)
   )
 }

@@ -2352,6 +2352,46 @@ class ExtSpec extends SparkSpec {
     assert(r("bad") == ((954243L, 9)))
   }
 
+  test("near-dup effective tokens: a pure-republisher source reports zero unique tokens") {
+    import spark.implicits._
+    // s2's only doc is a verbatim copy of s1's doc 1 -> same cluster,
+    // rep = min doc_id = 1 (charged to s1); s2 keeps nothing
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta eps zeta eta theta"),
+      (2L, "s2", "alpha beta gamma delta eps zeta eta theta"),
+      (3L, "s1", "totally different text about nothing shared here")
+    ).toDF("doc_id", "source", "text")
+    val clusters = Dedup.clusters(docs, Dedup.jaccardPairs(docs, 0.5, None))
+    val r = TextStats.effectiveTokensByCluster(docs, clusters).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    assert(r("s2") == ((1L, 8L, 0L, 0L, 1000000L)))
+    assert(r("s1") == ((2L, 15L, 2L, 15L, 0L))) // 8 + 7 tokens
+  }
+
+  test("keywords: a term unique to one doc outranks corpus-wide terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common xylophone"),
+      (2L, "common common other"),
+      (3L, "common other fill")
+    ).toDF("doc_id", "text")
+    val top = TextStats.keywords(docs, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: xylophone df=1 score 1e6 beats common (tf 3, df 3 -> 1e6 tie!)
+    // tf*1e6 div df: common = 3*1e6/3 = 1e6; xylophone = 1*1e6/1 = 1e6;
+    // tie breaks alphabetically -> 'common'. Use tf 2 instead:
+    assert(top(1L) == "common" || top(1L) == "xylophone")
+    val docs2 = Seq(
+      (1L, "common common xylophone xylophone xylophone"),
+      (2L, "common filler"),
+      (3L, "common filler2")
+    ).toDF("doc_id", "text")
+    val top2 = TextStats.keywords(docs2, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top2(1L) == "xylophone") // 3e6 vs common 2*1e6/3
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
