@@ -799,4 +799,25 @@ object Dedup {
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Duplicate-cluster size histogram: how many near-dup clusters have
+    * 1, 2, 3... members — THE diagnostic that tells a dedup run's
+    * story in ten rows (a healthy corpus is dominated by singletons; a
+    * scrape accident shows up as one giant cluster; template spam as a
+    * fat 2-5 band). Input is the (doc_id, cluster_id) assignment from
+    * [[clusters]].
+    *
+    * Scale shape: two keyed aggregations — docs collapse to clusters,
+    * clusters collapse to size counts; the histogram is at most
+    * |distinct sizes| rows.
+    *
+    * Output: (cluster_size, n_clusters, n_docs), ordered by
+    * cluster_size. */
+  def clusterSizeHistogram(clusterAssign: DataFrame): DataFrame =
+    clusterAssign.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("cluster_size").as("n_docs"))
+      .orderBy("cluster_size")
 }

@@ -733,4 +733,32 @@ object Similarity {
           org.apache.spark.sql.types.LongType, nullable = false))))
       .orderBy("sel_rank")
   }
+
+  /** Embedding-store quality audit, per label: vector counts, zero
+    * vectors (quantized self-dot == 0 — a dead encoder or a failed
+    * ingest writes exactly these), and the min/median/max quantized
+    * squared norm. Every ANN subsystem in this repo assumes unit-ish
+    * vectors; this is the gate that checks the assumption BEFORE an
+    * index is built over 100 TB of embeddings. The self-dot runs
+    * through the same codegen'd quant_dot as the kNN path, so the
+    * audit exercises the production arithmetic, and percentile_disc
+    * keeps the median an actual member value.
+    *
+    * Scale shape: one narrow codegen projection + one label-keyed
+    * aggregation — no joins, nothing scales beyond label cardinality
+    * after the scan.
+    *
+    * Output: (label, n_vecs, n_zero, min_norm2, p50_norm2,
+    * max_norm2), ordered by label. */
+  def embeddingAudit(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        dotQNative(emb, col("embedding"), col("embedding")).as("norm2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("norm2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min("norm2").as("min_norm2"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY norm2)" +
+          " AS BIGINT)").as("p50_norm2"),
+        max("norm2").as("max_norm2"))
+      .orderBy("label")
 }

@@ -4802,6 +4802,59 @@ object Extensions {
          |  FROM scored)
          |SELECT doc_id, term, tf, df, score
          |FROM rk WHERE rn <= 3
-         |ORDER BY doc_id, score DESC, term""".stripMargin)
+         |ORDER BY doc_id, score DESC, term""".stripMargin),
+
+    // embedding-store quality gate: per-label vector counts, zero
+    // vectors, min/median/max quantized squared norm — runs the same
+    // codegen'd quant_dot arithmetic as the production kNN path
+    Q.df("x227_embedding_audit",
+      (s, dir) => Similarity.embeddingAudit(
+        Tables.load(s, dir, "embeddings")),
+      """WITH n AS (
+        |  SELECT e.label, e.vec_id,
+        |    CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000)
+        |      AS BIGINT) * CAST(floor(CAST(e.embedding[i] AS DOUBLE)
+        |      * 10000) AS BIGINT)) AS BIGINT) AS norm2
+        |  FROM embeddings e, range(1, 65) r(i)
+        |  GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(min(norm2) AS BIGINT) AS min_norm2,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY norm2)
+        |    AS BIGINT) AS p50_norm2,
+        |  CAST(max(norm2) AS BIGINT) AS max_norm2
+        |FROM n GROUP BY label ORDER BY label""".stripMargin),
+
+    // dedup diagnostic histogram: cluster-size distribution of the x66
+    // connected components — singleton-dominated is healthy, one giant
+    // cluster is a scrape accident, a fat 2-5 band is template spam
+    Q.df("x228_cluster_size_histogram",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.clusterSizeHistogram(
+          Dedup.clusters(docs, Dedup.jaccardPairs(docs, 0.2,
+            maxDocFreq = Some(2))))
+      },
+      s"""WITH RECURSIVE $duckTok, ${duckShinglesFiltered(2)}, $duckJaccardTail,
+         |pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+         |), cl AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+         |), cs AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM cl GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin)
   )
 }

@@ -2392,6 +2392,39 @@ class ExtSpec extends SparkSpec {
     assert(top2(1L) == "xylophone") // 3e6 vs common 2*1e6/3
   }
 
+  test("embedding audit: a planted zero vector is counted, norms bracket the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val planted = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(Seq((999999L, Array.fill(64)(0.0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val r = Similarity.embeddingAudit(planted).collect()
+      .map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r(0)._2 == 1L && r(0)._3 == 0L) // one zero vec, min norm2 = 0
+    val clean = Similarity.embeddingAudit(emb).collect()
+    assert(clean.forall(_.getLong(2) == 0L)) // corpus has no zero vectors
+    clean.foreach { row =>
+      assert(row.getLong(3) <= row.getLong(4) &&
+        row.getLong(4) <= row.getLong(5))
+    }
+  }
+
+  test("cluster size histogram: doc mass conserved and planted dup lands in the 2-bin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta eps zeta"),
+      (2L, "alpha beta gamma delta eps zeta"),
+      (3L, "completely different text body here now")
+    ).toDF("doc_id", "text")
+    val h = Dedup.clusterSizeHistogram(
+      Dedup.clusters(docs, Dedup.jaccardPairs(docs, 0.5, None)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h(2L) == ((1L, 2L)) && h(1L) == ((1L, 1L)))
+    assert(h.values.map(_._2).sum == 3L) // every doc in exactly one bin
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
