@@ -761,4 +761,52 @@ object Similarity {
           " AS BIGINT)").as("p50_norm2"),
         max("norm2").as("max_norm2"))
       .orderBy("label")
+
+  /** Label-cluster compactness + confusability audit over quantized
+    * embeddings, fully integer-exact via one algebraic identity: with
+    * S_a = Σ members' quantized vectors (the UNNORMALIZED centroid),
+    * the mean pairwise dot within label a (self-pairs included) is
+    * S_a·S_a div n_a², and the cross-label affinity is S_a·S_b.
+    * Low compactness says the label is incoherent; a high nearest-
+    * label affinity names the pair a classifier will confuse — the
+    * two numbers that decide whether label-conditioned sampling or
+    * label-balanced splits can be trusted.
+    *
+    * Scale shape: one posexplode + (label, component) keyed sum — the
+    * x95 centroid shape — then everything else runs on the
+    * |labels|·dim grid (tiny); the |labels|² affinity join never
+    * touches member vectors.
+    *
+    * Output: (label, n_vecs, mean_pair_dot, nearest_label,
+    * nearest_dot), ordered by label; nearest = argmax S_a·S_b over
+    * b ≠ a normalized by n_a·n_b (mean cross-pair dot), smallest
+    * label on ties. */
+  def labelCompactness(emb: DataFrame): DataFrame = {
+    val comp = emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("label"), col("i"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)").as("q"))
+      .groupBy("label", "i").agg(sum("q").as("s"))
+    val ns = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val self = comp.groupBy("label")
+      .agg(sum(col("s") * col("s")).as("c2"))
+      .join(ns, Seq("label"))
+      .select(col("label"), col("n").as("n_vecs"),
+        expr("c2 div (n * n)").as("mean_pair_dot"))
+    val cross = comp.as("a").join(comp.as("b"),
+        col("a.i") === col("b.i") && col("a.label") =!= col("b.label"))
+      .groupBy(col("a.label").as("label"), col("b.label").as("other"))
+      .agg(sum(col("a.s") * col("b.s")).as("ab"))
+      .join(ns.select(col("label"), col("n").as("na")), Seq("label"))
+      .join(ns.select(col("label").as("other"), col("n").as("nb")),
+        Seq("other"))
+      .select(col("label"), col("other"),
+        expr("ab div (na * nb)").as("mean_cross_dot"))
+      .groupBy("label")
+      .agg(min(struct((-col("mean_cross_dot")).as("nd"),
+        col("other").as("o"))).as("w"))
+      .select(col("label"), col("w.o").as("nearest_label"),
+        (-col("w.nd")).as("nearest_dot"))
+    self.join(cross, Seq("label")).orderBy("label")
+  }
 }

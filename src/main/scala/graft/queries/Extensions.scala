@@ -4855,6 +4855,82 @@ object Extensions {
          |  FROM cl GROUP BY 1)
          |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
          |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
-         |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin)
+         |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin),
+
+    // session-quality mart: the q41 gap-rule sessions summarized to
+    // bounce rate (single-event sessions ppm) + exact median/max
+    // session size — the daily engagement-health row
+    Q.df("x229_session_quality",
+      (s, dir) => TimeSeries.sessionQuality(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id"),
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN date_diff('second',
+        |           lag(ts) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id), ts)
+        |         > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), sessions AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM marked
+        |), sized AS (
+        |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS bounce_ppm,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_ev)
+        |    AS BIGINT) AS p50_session_events,
+        |  CAST(max(n_ev) AS BIGINT) AS max_session_events
+        |FROM sized""".stripMargin),
+
+    // label-cluster compactness + confusability: mean within-label
+    // pair dot = S·S div n^2 with S the summed quantized vectors (one
+    // algebraic identity, no pair join over members); nearest other
+    // label by mean cross-pair dot names the confusable pair
+    Q.df("x230_label_compactness",
+      (s, dir) => Similarity.labelCompactness(
+        Tables.load(s, dir, "embeddings")),
+      """WITH comp AS (
+        |  SELECT label, i,
+        |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000)
+        |      AS BIGINT)) AS BIGINT) AS s
+        |  FROM embeddings, range(1, 65) r(i)
+        |  GROUP BY 1, 2),
+        |ns AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |       FROM embeddings GROUP BY 1),
+        |self AS (
+        |  SELECT c.label, ns.n AS n_vecs,
+        |    CAST(sum(c.s * c.s) // (ns.n * ns.n) AS BIGINT)
+        |      AS mean_pair_dot
+        |  FROM comp c JOIN ns USING (label)
+        |  GROUP BY c.label, ns.n),
+        |cross_d AS (
+        |  SELECT a.label, b.label AS other,
+        |    CAST(sum(a.s * b.s) // (na.n * nb.n) AS BIGINT)
+        |      AS mean_cross_dot
+        |  FROM comp a JOIN comp b
+        |    ON a.i = b.i AND a.label <> b.label
+        |  JOIN ns na ON na.label = a.label
+        |  JOIN ns nb ON nb.label = b.label
+        |  GROUP BY a.label, b.label, na.n, nb.n),
+        |nearest AS (
+        |  SELECT label, other AS nearest_label,
+        |    mean_cross_dot AS nearest_dot
+        |  FROM (SELECT label, other, mean_cross_dot,
+        |          row_number() OVER (PARTITION BY label
+        |            ORDER BY mean_cross_dot DESC, other) AS rn
+        |        FROM cross_d) t
+        |  WHERE rn = 1)
+        |SELECT s.label, s.n_vecs, s.mean_pair_dot,
+        |  n.nearest_label, n.nearest_dot
+        |FROM self s JOIN nearest n USING (label)
+        |ORDER BY s.label""".stripMargin)
   )
 }

@@ -2425,6 +2425,39 @@ class ExtSpec extends SparkSpec {
     assert(h.values.map(_._2).sum == 3L) // every doc in exactly one bin
   }
 
+  test("session quality: planted bounce and multi-event sessions count exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // u1: two events 10s apart (one session of 2); u2: one event
+    // (bounce); u1 again 2h later (second session, bounce)
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), (1L, 2L, "2024-01-01 10:00:10"),
+      (1L, 3L, "2024-01-01 13:00:00"),
+      (2L, 4L, "2024-01-01 09:00:00")
+    ).toDF("u", "id", "ts_s").withColumn("ts", to_timestamp($"ts_s"))
+    val r = TimeSeries.sessionQuality(ev, "u", "ts", "id").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 2L, 666666L, 1L, 2L)))
+  }
+
+  test("label compactness: a tight planted label is more compact than a scattered one") {
+    import spark.implicits._
+    // label 100: two identical vectors (max compactness);
+    // label 200: two opposite vectors (mean pair dot ~ 0)
+    val v = Array.fill(64)(0.5f)
+    val nv = v.map(-_)
+    val planted = Seq(
+      (900001L, v, 100), (900002L, v, 100),
+      (900003L, v, 200), (900004L, nv, 200)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCompactness(planted).collect()
+      .map(x => x.getInt(0) -> (x.getLong(2), x.getInt(3))).toMap
+    // label 100: S = 2q each comp, S.S = 64*(2*5000)^2 = 6.4e9; /4 = 1.6e9
+    assert(r(100)._1 == 64L * 4L * 5000L * 5000L / 4L)
+    assert(r(200)._1 == 0L) // vectors cancel exactly
+    assert(r(100)._2 == 200 && r(200)._2 == 100)
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
