@@ -47,4 +47,34 @@ object AsofJoin {
       .where(col("_side") === 1 && col("_match").isNotNull)
       .select(col("_lp").as("l"), col("_match").as("asof"))
   }
+
+  /** FORWARD as-of join: for each left row, the EARLIEST right row
+    * with `rightTs >= leftTs` on the same key — the mirror of
+    * [[asofJoin]] ("what happened next": the next quote after a
+    * trade, the next purchase after a signup, the label observed
+    * after a feature snapshot). Identical single-shuffle union+window
+    * shape, just ordered descending: walking ts from the future
+    * backwards, the last right payload seen IS the nearest future
+    * right. Inclusive >=: a right row at the same timestamp matches
+    * (right sorts before left at equal ts in the reversed order too).
+    * Same uniqueness contract: `right` unique per (key, ts). */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      leftKey: Column, rightKey: Column,
+                      leftTs: Column, rightTs: Column,
+                      leftCols: Seq[Column], rightPayload: Column): DataFrame = {
+    val l = left.select(
+      leftKey.as("_k"), leftTs.as("_t"), lit(1).as("_side"),
+      struct(leftCols: _*).as("_lp"), lit(null).cast(
+        right.select(rightPayload).schema.head.dataType).as("_rp"))
+    val r = right.select(
+      rightKey.as("_k"), rightTs.as("_t"), lit(0).as("_side"),
+      lit(null).cast(left.select(struct(leftCols: _*)).schema.head.dataType).as("_lp"),
+      rightPayload.as("_rp"))
+    val w = Window.partitionBy("_k").orderBy(col("_t").desc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1 && col("_match").isNotNull)
+      .select(col("_lp").as("l"), col("_match").as("asof"))
+  }
 }

@@ -840,6 +840,39 @@ object TextStats {
       .orderBy(col("doc_id"), col("score").desc, col("term"))
   }
 
+  /** Vocabulary-pruning impact sweep: for each candidate min-count
+    * threshold, how many term TYPES survive and what share of the
+    * corpus TOKEN MASS they still cover — the two numbers that decide
+    * a tokenizer/feature-vocabulary cutoff ("min-count 8 keeps 4% of
+    * types but 97% of mass" is the classic Zipf answer). Computed
+    * off the count HISTOGRAM, so the sweep costs |distinct counts| ×
+    * |thresholds| rows after one vocabulary aggregation — adding a
+    * threshold is free.
+    *
+    * Output: (min_count, n_types_kept, types_kept_ppm,
+    * mass_kept_ppm), ordered by min_count. */
+  def vocabPruning(docs: DataFrame,
+                   thresholds: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L))
+      : DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = tokens(docs).groupBy("w").agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt").agg(count(lit(1)).as("n_types"))
+    val tot = hist.agg(sum("n_types").as("all_types"),
+      sum(col("cnt") * col("n_types")).as("all_mass"))
+    val th = thresholds.toDF("min_count")
+    th.crossJoin(hist).where(col("cnt") >= col("min_count"))
+      .groupBy("min_count")
+      .agg(sum("n_types").as("n_types_kept"),
+        sum(col("cnt") * col("n_types")).as("mass_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("min_count"), col("n_types_kept"),
+        expr("n_types_kept * 1000000L div all_types").as("types_kept_ppm"),
+        expr("mass_kept * 1000000L div all_mass").as("mass_kept_ppm"))
+      .orderBy("min_count")
+  }
+
   /** One-row corpus datasheet — the "dataset card" numbers every
     * release publishes (docs, sources, languages, exact-dup rate,
     * token/char volume, length percentiles), computed in ONE

@@ -4931,6 +4931,68 @@ object Extensions {
         |SELECT s.label, s.n_vecs, s.mean_pair_dot,
         |  n.nearest_label, n.nearest_dot
         |FROM self s JOIN nearest n USING (label)
-        |ORDER BY s.label""".stripMargin)
+        |ORDER BY s.label""".stripMargin),
+
+    // FORWARD as-of: each signup matched to the EARLIEST purchase at
+    // or after it — the same single-shuffle union+window shape as the
+    // backward x73, ordered descending; purchases pre-aggregated
+    // unique per (user, ts) per the operator's contract
+    Q.df("x231_asof_forward",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val signups = ev.where(col("event_type") === "signup")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(min("event_id").as("pid"))
+        AsofJoin.asofJoinForward(signups, purchases,
+          col("user_id"), col("user_id"), col("ts"), col("ts"),
+          Seq(col("user_id"), col("event_id")), col("pid"))
+          .select(col("l.user_id").as("user_id"),
+            col("l.event_id").as("signup_id"),
+            col("asof").as("purchase_id"))
+          .orderBy("user_id", "signup_id")
+      },
+      """WITH p AS (
+        |  SELECT user_id, ts, min(event_id) AS pid FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |un AS (
+        |  SELECT user_id AS k, ts AS t, 1 AS side,
+        |    event_id AS lid, CAST(NULL AS BIGINT) AS rid
+        |  FROM events WHERE event_type = 'signup'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, pid FROM p),
+        |w AS (
+        |  SELECT k, side, lid,
+        |    last_value(rid IGNORE NULLS) OVER (PARTITION BY k
+        |      ORDER BY t DESC, side ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM un)
+        |SELECT k AS user_id, lid AS signup_id, m AS purchase_id
+        |FROM w WHERE side = 1 AND m IS NOT NULL
+        |ORDER BY user_id, signup_id""".stripMargin),
+
+    // vocabulary-pruning sweep off the count histogram: per min-count
+    // threshold, surviving types and covered token mass (the Zipf
+    // cutoff decision); adding a threshold costs |distinct counts| rows
+    Q.df("x232_vocab_pruning",
+      (s, dir) => TextStats.vocabPruning(
+        Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |tc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM tok GROUP BY 1),
+         |hist AS (SELECT cnt, CAST(count(*) AS BIGINT) AS n_types
+         |         FROM tc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_types) AS BIGINT) AS all_types,
+         |          CAST(sum(cnt * n_types) AS BIGINT) AS all_mass
+         |        FROM hist),
+         |th AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16))
+         |         AS t(min_count))
+         |SELECT CAST(th.min_count AS BIGINT) AS min_count,
+         |  CAST(sum(h.n_types) AS BIGINT) AS n_types_kept,
+         |  CAST(sum(h.n_types) * 1000000 // max(tot.all_types)
+         |    AS BIGINT) AS types_kept_ppm,
+         |  CAST(sum(h.cnt * h.n_types) * 1000000 // max(tot.all_mass)
+         |    AS BIGINT) AS mass_kept_ppm
+         |FROM th JOIN hist h ON h.cnt >= th.min_count, tot
+         |GROUP BY th.min_count ORDER BY min_count""".stripMargin)
   )
 }

@@ -2458,6 +2458,38 @@ class ExtSpec extends SparkSpec {
     assert(r(100)._2 == 200 && r(200)._2 == 100)
   }
 
+  test("forward as-of: matches the earliest right at-or-after each left, inclusive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val l = Seq((1L, 10L, 100L), (1L, 25L, 101L), (1L, 99L, 102L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 10L, 500L), (1L, 30L, 501L), (1L, 40L, 502L))
+      .toDF("k", "t", "rid")
+    val got = AsofJoin.asofJoinForward(l, r, col("k"), col("k"),
+        col("t"), col("t"), Seq(col("lid")), col("rid"))
+      .select(col("l.lid"), col("asof")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(100L -> 500L, 101L -> 501L)) // inclusive @10; 99 unmatched
+  }
+
+  test("vocab pruning: threshold 1 keeps everything; a planted hapax falls out at 2") {
+    import spark.implicits._
+    // corpus: 'common' x10, 'mid' x3, hapax x1 -> 3 types, mass 14
+    val planted = Seq(
+      (1L, ("common " * 10) + "mid mid"),
+      (2L, "mid zzzhapax")
+    ).toDF("doc_id", "text")
+    val r = TextStats.vocabPruning(planted, Seq(1L, 2L, 4L)).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r(1L) == ((3L, 1000000L, 1000000L)))
+    assert(r(2L) == ((2L, 666666L, 13L * 1000000L / 14L)))
+    assert(r(4L) == ((1L, 333333L, 10L * 1000000L / 14L)))
+    // monotone on the real corpus too
+    val full = TextStats.vocabPruning(docs).collect().map(_.getLong(3)).toSeq
+    assert(full == full.sortBy((x: Long) => -x))
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
