@@ -820,4 +820,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"),
         sum("cluster_size").as("n_docs"))
       .orderBy("cluster_size")
+
+  /** Per-source shingle novelty: what share of a source's distinct
+    * shingles appears NOWHERE else in the corpus — the "is this source
+    * adding anything" number that complements the pairwise overlap
+    * matrix (who copies whom) with an absolute contribution score; a
+    * novelty near zero says the source is pure recombination and its
+    * acquisition cost buys no new text.
+    *
+    * Scale shape: one distinct (shingle, source) projection, one
+    * shingle-keyed aggregation counting distinct sources (map-side
+    * combinable), one source-keyed rollup — shingles never pair-join.
+    *
+    * Output: (source, n_shingles, unique_shingles, novelty_ppm),
+    * ordered by source. */
+  def sourceNovelty(docs: DataFrame): DataFrame = {
+    val ss = shingles3(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("shingle"), col("source")).distinct()
+    val spread = ss.groupBy("shingle")
+      .agg(count(lit(1)).as("n_sources"))
+    ss.join(spread, Seq("shingle"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_sources") === 1L, 1L).otherwise(0L))
+          .as("unique_shingles"))
+      .select(col("source"), col("n_shingles"), col("unique_shingles"),
+        expr("unique_shingles * 1000000L div n_shingles")
+          .as("novelty_ppm"))
+      .orderBy("source")
+  }
 }

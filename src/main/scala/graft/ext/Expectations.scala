@@ -56,4 +56,30 @@ object Expectations {
     require(checks.nonEmpty, "an empty expectation suite checks nothing")
     checks.reduce(_ unionByName _).orderBy("rule")
   }
+
+  /** Whole-schema FK coverage matrix: [[refIntegrity]] over every
+    * declared (child, fk, parent, pk) edge at once, each edge reported
+    * with its orphan count AND the orphan share in exact ppm — the
+    * one-screen referential-health report a warehouse runs after
+    * every load (x197's ledger gates ONE relationship; this audits
+    * the schema). Each edge costs one keyed anti-join; nothing joins
+    * across edges.
+    *
+    * Output: (fk_edge, n_child, n_orphans, orphan_ppm), ordered by
+    * fk_edge. */
+  def fkCoverage(edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(edges.nonEmpty, "fkCoverage needs at least one edge")
+    edges.map { case (name, child, fk, parent, pk) =>
+      val total = child.agg(count(lit(1)).as("n_child"))
+      val orphans = child.select(col(fk))
+        .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orphans)
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
+          when(col("n_child") > 0,
+            expr("n_orphans * 1000000L div n_child"))
+            .otherwise(0L).as("orphan_ppm"))
+    }.reduce(_ unionByName _).orderBy("fk_edge")
+  }
 }

@@ -4993,6 +4993,85 @@ object Extensions {
          |  CAST(sum(h.cnt * h.n_types) * 1000000 // max(tot.all_mass)
          |    AS BIGINT) AS mass_kept_ppm
          |FROM th JOIN hist h ON h.cnt >= th.min_count, tot
-         |GROUP BY th.min_count ORDER BY min_count""".stripMargin)
+         |GROUP BY th.min_count ORDER BY min_count""".stripMargin),
+
+    // per-source shingle novelty: share of a source's distinct
+    // shingles appearing NOWHERE else — "is this source adding
+    // anything", the absolute complement of the x174 overlap matrix;
+    // one distinct projection + two keyed aggs, shingles never pair
+    Q.df("x233_source_novelty",
+      (s, dir) => Dedup.sourceNovelty(
+        Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok, $duckShingles,
+         |ss AS (
+         |  SELECT DISTINCT sh.shingle, d.source
+         |  FROM sh JOIN documents d USING (doc_id)),
+         |spread AS (
+         |  SELECT shingle, CAST(count(*) AS BIGINT) AS n_sources
+         |  FROM ss GROUP BY 1)
+         |SELECT ss.source, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS unique_shingles,
+         |  CAST(sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+         |FROM ss JOIN spread USING (shingle)
+         |GROUP BY ss.source ORDER BY ss.source""".stripMargin),
+
+    // whole-schema FK coverage matrix: every declared foreign-key
+    // edge audited in one report (keyed anti-join per edge, exact
+    // orphan ppm) — plus a deliberately wrong edge proving a non-key
+    // column is caught with a nonzero orphan share
+    Q.df("x234_fk_coverage",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        val cust = Tables.load(s, dir, "customer")
+        val part = Tables.load(s, dir, "part")
+        val supp = Tables.load(s, dir, "supplier")
+        Expectations.fkCoverage(Seq(
+          ("lineitem.l_orderkey->orders", li, "l_orderkey", orders,
+            "o_orderkey"),
+          ("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+          ("lineitem.l_suppkey->supplier", li, "l_suppkey", supp,
+            "s_suppkey"),
+          ("orders.o_custkey->customer", orders, "o_custkey", cust,
+            "c_custkey"),
+          ("orders.o_orderkey->supplier(WRONG)", orders, "o_orderkey",
+            supp, "s_suppkey")))
+      },
+      """WITH e1 AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |      AS n_orphans),
+        |e2 AS (
+        |  SELECT 'lineitem.l_partkey->part',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_partkey NOT IN (SELECT p_partkey FROM part))),
+        |e3 AS (
+        |  SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))),
+        |e4 AS (
+        |  SELECT 'orders.o_custkey->customer',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))),
+        |e5 AS (
+        |  SELECT 'orders.o_orderkey->supplier(WRONG)',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey NOT IN (SELECT s_suppkey FROM supplier))),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |      UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        |      UNION ALL SELECT * FROM e5)
+        |SELECT fk_edge, n_child, n_orphans,
+        |  CAST(CASE WHEN n_child > 0
+        |    THEN n_orphans * 1000000 // n_child ELSE 0 END AS BIGINT)
+        |    AS orphan_ppm
+        |FROM u ORDER BY fk_edge""".stripMargin)
   )
 }

@@ -2490,6 +2490,29 @@ class ExtSpec extends SparkSpec {
     assert(full == full.sortBy((x: Long) => -x))
   }
 
+  test("source novelty: a verbatim republisher scores zero, a unique source scores 1e6") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta eps zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, "orig", shared),
+      (2L, "copier", shared),
+      (3L, "unique", "entirely fresh words nobody else ever wrote here")
+    ).toDF("doc_id", "source", "text")
+    val r = Dedup.sourceNovelty(docs).collect()
+      .map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r("copier") == 0L && r("orig") == 0L) // shared both ways
+    assert(r("unique") == 1000000L)
+  }
+
+  test("fk coverage: true keys have zero orphans, the planted wrong edge does not") {
+    import org.apache.spark.sql.functions._
+    val r = graft.SparkEntry.queries("x234_fk_coverage")(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r("lineitem.l_orderkey->orders") == ((0L, 0L)))
+    assert(r("orders.o_custkey->customer") == ((0L, 0L)))
+    assert(r("orders.o_orderkey->supplier(WRONG)")._1 > 0L)
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
