@@ -850,4 +850,46 @@ object Dedup {
           .as("novelty_ppm"))
       .orderBy("source")
   }
+
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * signature agreement count (est8 = matching minhashes of 8) is an
+    * ESTIMATE of Jaccard (E[est8/8] = J); this rolls the candidates up
+    * by est8 against their EXACT Jaccard — the calibration curve that
+    * tells you what a given signature agreement actually means on
+    * YOUR corpus before you trust the sketch at 100 TB (mean exact
+    * Jaccard should rise monotonically with est8; a flat curve means
+    * the shingle space is too small for 8 hashes to discriminate).
+    *
+    * Scale shape: the minhash dictionary is the same (doc, i) keyed
+    * min; agreement is a candidate-keyed join on 8 rows per side;
+    * the rollup is |est8 values| ≤ 9 rows.
+    *
+    * Output: (est8, n_pairs, mean_jac_x10k, min_jac_x10k,
+    * max_jac_x10k), ordered by est8. */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val sh = shingles3(docs)
+    val mht = sh.select(col("doc_id"),
+        explode(sequence(lit(0), lit(7))).as("i"), col("shingle"))
+      .select(col("doc_id"), col("i"),
+        mh(col("i"), col("shingle")).as("h"))
+      .groupBy("doc_id", "i").agg(min("h").as("m"))
+    val cand = minhashLshPairs(docs)
+    val est = cand.select("d1", "d2")
+      .join(mht.select(col("doc_id").as("d1"), col("i"),
+        col("m").as("m1")), Seq("d1"))
+      .join(mht.select(col("doc_id").as("d2"), col("i"),
+        col("m").as("m2")), Seq("d2", "i"))
+      .groupBy("d1", "d2")
+      .agg(sum(when(col("m1") === col("m2"), 1L).otherwise(0L))
+        .as("est8"))
+    cand.join(est, Seq("d1", "d2"))
+      .groupBy("est8")
+      .agg(count(lit(1)).as("n_pairs"), sum("jac_x10k").as("sj"),
+        min("jac_x10k").as("min_jac_x10k"),
+        max("jac_x10k").as("max_jac_x10k"))
+      .select(col("est8"), col("n_pairs"),
+        expr("sj div n_pairs").as("mean_jac_x10k"),
+        col("min_jac_x10k"), col("max_jac_x10k"))
+      .orderBy("est8")
+  }
 }

@@ -5072,6 +5072,51 @@ object Extensions {
         |  CAST(CASE WHEN n_child > 0
         |    THEN n_orphans * 1000000 // n_child ELSE 0 END AS BIGINT)
         |    AS orphan_ppm
-        |FROM u ORDER BY fk_edge""".stripMargin)
+        |FROM u ORDER BY fk_edge""".stripMargin),
+
+    // MinHash calibration curve: LSH candidates rolled up by their
+    // 8-hash agreement count vs EXACT Jaccard — what a signature
+    // agreement actually means on THIS corpus, checked before
+    // trusting the sketch at scale
+    Q.df("x235_minhash_calibration",
+      (s, dir) => Dedup.minhashCalibration(
+        Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok, $duckShingles,
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(CAST(i AS STRING) || ':' || shingle)) AS m
+         |  FROM sh, range(0, 8) r(i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i % 2 AS band,
+         |    md5(min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 0 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 1 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 2 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 3 THEN m END)) AS sig
+         |  FROM mh GROUP BY doc_id, i % 2
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |), $duckJaccardTail,
+         |jacs AS (
+         |  SELECT cand.d1, cand.d2,
+         |    CAST(floor(10000.0 * i / (s1.n + s2.n - i)) AS BIGINT)
+         |      AS jac
+         |  FROM cand JOIN inter ON cand.d1 = inter.d1
+         |    AND cand.d2 = inter.d2
+         |  JOIN sz s1 ON cand.d1 = s1.doc_id
+         |  JOIN sz s2 ON cand.d2 = s2.doc_id
+         |), est AS (
+         |  SELECT c.d1, c.d2,
+         |    CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS est8
+         |  FROM cand c JOIN mh a ON a.doc_id = c.d1
+         |  JOIN mh b ON b.doc_id = c.d2 AND b.i = a.i
+         |  GROUP BY 1, 2)
+         |SELECT est8, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(jac) // count(*) AS BIGINT) AS mean_jac_x10k,
+         |  CAST(min(jac) AS BIGINT) AS min_jac_x10k,
+         |  CAST(max(jac) AS BIGINT) AS max_jac_x10k
+         |FROM est JOIN jacs USING (d1, d2)
+         |GROUP BY 1 ORDER BY est8""".stripMargin)
   )
 }

@@ -2513,6 +2513,19 @@ class ExtSpec extends SparkSpec {
     assert(r("orders.o_orderkey->supplier(WRONG)")._1 > 0L)
   }
 
+  test("minhash calibration: identical docs agree on all 8 hashes at Jaccard 1") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta eps zeta eta theta iota kappa"
+    val docs = Seq((1L, t), (2L, t),
+      (3L, "some other text that is entirely different from the rest ok"))
+      .toDF("doc_id", "text")
+    val r = Dedup.minhashCalibration(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(8L) == ((1L, 10000L))) // the identical pair: est 8/8, J=1
+    // mean exact jaccard never exceeds the x10k scale
+    assert(r.values.forall(_._2 <= 10000L))
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
