@@ -332,6 +332,33 @@ object Profile {
       .orderBy(stratum)
   }
 
+  /** Power-of-two activity histogram: keys bucketed by
+    * floor(log2(count)) — computed as bit_length, no float log — with
+    * per-bucket key and event mass. The heavy-tail audit ("how
+    * power-law is my per-user/per-key distribution") that sizes
+    * everything from state stores to salting thresholds; doubling
+    * buckets are the standard way to see a Zipf tail in ten rows.
+    *
+    * Scale shape: one keyed count (map-side combinable), one
+    * bucket rollup over the key-cardinality table; bit_length is a
+    * narrow integer expression in both engines.
+    *
+    * Output: (bucket_pow2 = 2^floor(log2 cnt), n_keys, n_events,
+    * events_ppm), ordered by bucket_pow2. */
+  def activityHistogram(df: DataFrame, keyCol: String): DataFrame = {
+    val per = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+    val tot = per.agg(sum("c").as("total"))
+    per.select(col("c"),
+        expr("shiftleft(1L, CAST(length(bin(c)) AS INT) - 1)")
+          .as("bucket_pow2"))
+      .groupBy("bucket_pow2")
+      .agg(count(lit(1)).as("n_keys"), sum("c").as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_pow2"), col("n_keys"), col("n_events"),
+        expr("n_events * 1000000L div total").as("events_ppm"))
+      .orderBy("bucket_pow2")
+  }
+
   /** The serve-time half of [[scoreDrift]]: TV distance + worst bin
     * from an already-binned per-(stratum, bin) count table — shared
     * with the streaming drift mart, whose state IS this table (the

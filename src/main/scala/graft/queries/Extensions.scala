@@ -5117,6 +5117,26 @@ object Extensions {
          |  CAST(min(jac) AS BIGINT) AS min_jac_x10k,
          |  CAST(max(jac) AS BIGINT) AS max_jac_x10k
          |FROM est JOIN jacs USING (d1, d2)
-         |GROUP BY 1 ORDER BY est8""".stripMargin)
+         |GROUP BY 1 ORDER BY est8""".stripMargin),
+
+    // power-of-two activity histogram: per-user event counts bucketed
+    // by floor(log2) via bit_length — the ten-row heavy-tail audit
+    // that sizes state stores and salting thresholds; no float log
+    Q.df("x236_activity_histogram",
+      (s, dir) => Profile.activityHistogram(
+        Tables.load(s, dir, "events"), "user_id"),
+      """WITH per AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM per),
+        |b AS (
+        |  SELECT CAST(CAST(1 AS BIGINT) << (length(bin(c)) - 1)
+        |      AS BIGINT) AS bucket_pow2, c
+        |  FROM per)
+        |SELECT bucket_pow2, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_events,
+        |  CAST(sum(c) * 1000000 // max(tot.total) AS BIGINT)
+        |    AS events_ppm
+        |FROM b, tot GROUP BY 1 ORDER BY bucket_pow2""".stripMargin)
   )
 }

@@ -2526,6 +2526,17 @@ class ExtSpec extends SparkSpec {
     assert(r.values.forall(_._2 <= 10000L))
   }
 
+  test("activity histogram: planted counts land in their log2 buckets, mass conserved") {
+    import spark.implicits._
+    // keys with 1, 3, 4, 9 events -> buckets 1, 2, 4, 8
+    val ev = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(9)("d")).toDF("k")
+    val r = Profile.activityHistogram(ev, "k").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(1L -> ((1L, 1L)), 2L -> ((1L, 3L)),
+      4L -> ((1L, 4L)), 8L -> ((1L, 9L))))
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
