@@ -59,4 +59,32 @@ object Rollup {
     merged.select(col(key) +: stateCols.map(col) :+
         expr("total_cents div n").as("mean_cents"): _*)
       .orderBy(key)
+
+  /** Two-level hierarchical contribution report: child value, its
+    * share of the parent subtotal and of the grand total — both in
+    * exact basis points (integer cross-multiplication, no float
+    * share) — the percent-of-parent drill-down every revenue review
+    * reads. Shares are child-cents · 10000 div parent-cents, so rows
+    * sum to ≤ 10000 bp per parent with truncation remainder, never
+    * over.
+    *
+    * Scale shape: the fact table collapses to the (l1, l2) grid in
+    * one map-side-combinable aggregation; parent subtotals and the
+    * 1-row total are grid-sized broadcasts. Nothing after the first
+    * aggregation scales with fact rows.
+    *
+    * Output: (l1, l2, cents, share_of_parent_bp, share_of_total_bp),
+    * ordered by (l1, l2). */
+  def hierarchyShares(fact: DataFrame, l1: String, l2: String,
+                      valueCents: Column): DataFrame = {
+    val per = fact.groupBy(col(l1).as("g1"), col(l2).as("g2"))
+      .agg(sum(valueCents.cast("bigint")).as("cents"))
+    val perL1 = per.groupBy("g1").agg(sum("cents").as("l1_cents"))
+    val tot = per.agg(sum("cents").as("total"))
+    per.join(broadcast(perL1), Seq("g1")).crossJoin(broadcast(tot))
+      .select(col("g1").as(l1), col("g2").as(l2), col("cents"),
+        expr("cents * 10000L div l1_cents").as("share_of_parent_bp"),
+        expr("cents * 10000L div total").as("share_of_total_bp"))
+      .orderBy(l1, l2)
+  }
 }

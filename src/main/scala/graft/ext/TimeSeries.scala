@@ -383,6 +383,55 @@ object TimeSeries {
         col("p50_session_events"), col("max_session_events"))
   }
 
+  /** Weekly growth accounting — the new/retained/resurrected/churned
+    * decomposition (the standard growth framework) over integer epoch
+    * weeks: for every active (key, week), the key is NEW (first-ever
+    * week), RETAINED (also active the immediately previous week) or
+    * RESURRECTED (returning after a gap); churn is attributed to the
+    * week AFTER the key's last consecutive activity (capped at the
+    * corpus horizon, so the final week never reports phantom churn).
+    * Per week, active = new + retained + resurrected — an identity
+    * the spec pins.
+    *
+    * Scale shape: one distinct (key, week) projection; first week,
+    * previous week and next week are key-partitioned min/lag/lead
+    * windows (bounded per key); the report is a week-grid aggregation.
+    *
+    * Output: (wk, n_active, n_new, n_retained, n_resurrected,
+    * n_churned_in), ordered by wk. */
+  def growthAccounting(events: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame = {
+    val act = events.select(col(keyCol).as("u"),
+      expr(s"datediff(to_date($tsCol), date '1970-01-01') div 7")
+        .as("wk")).distinct()
+    val byU = Window.partitionBy("u").orderBy("wk")
+    val flagged = act
+      .withColumn("first_wk", min("wk").over(Window.partitionBy("u")))
+      .withColumn("prev_wk", lag("wk", 1).over(byU))
+      .withColumn("next_wk", lead("wk", 1).over(byU))
+    val maxWk = act.agg(max("wk").as("max_wk"))
+    val active = flagged.groupBy("wk")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("wk") === col("first_wk"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("prev_wk") === col("wk") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("wk") =!= col("first_wk") &&
+          (col("prev_wk").isNull || col("prev_wk") < col("wk") - 1), 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    // churn lands on wk+1 when the key's next activity is not wk+1
+    val churn = flagged.crossJoin(broadcast(maxWk))
+      .where((col("next_wk").isNull || col("next_wk") > col("wk") + 1) &&
+        col("wk") + 1 <= col("max_wk"))
+      .select((col("wk") + 1).as("wk"))
+      .groupBy("wk").agg(count(lit(1)).as("n_churned_in"))
+    active.join(churn, Seq("wk"), "left")
+      .select(col("wk"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned_in"), lit(0L)).as("n_churned_in"))
+      .orderBy("wk")
+  }
+
   def retentionFromActivity(act: DataFrame): DataFrame = {
     val cohort = act.groupBy("u").agg(min("wk").as("cw"))
     val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_size"))

@@ -5137,6 +5137,87 @@ object Extensions {
         |  CAST(sum(c) AS BIGINT) AS n_events,
         |  CAST(sum(c) * 1000000 // max(tot.total) AS BIGINT)
         |    AS events_ppm
-        |FROM b, tot GROUP BY 1 ORDER BY bucket_pow2""".stripMargin)
+        |FROM b, tot GROUP BY 1 ORDER BY bucket_pow2""".stripMargin),
+
+    // percent-of-parent drill-down: (region, nation) revenue with
+    // exact basis-point shares of the parent region and of the total
+    // — integer cross-multiplied, the fact table collapses to the
+    // grid in one map-side-combinable agg
+    Q.df("x237_hierarchy_shares",
+      (s, dir) => {
+        val fact = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.load(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.load(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+        Rollup.hierarchyShares(fact, "r_name", "n_name",
+          expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100)" +
+            " AS BIGINT)"))
+      },
+      """WITH per AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |l1 AS (SELECT r_name, CAST(sum(cents) AS BIGINT) AS l1_cents
+        |       FROM per GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per)
+        |SELECT per.r_name, per.n_name, per.cents,
+        |  CAST(per.cents * 10000 // l1.l1_cents AS BIGINT)
+        |    AS share_of_parent_bp,
+        |  CAST(per.cents * 10000 // tot.total AS BIGINT)
+        |    AS share_of_total_bp
+        |FROM per JOIN l1 USING (r_name), tot
+        |ORDER BY r_name, n_name""".stripMargin),
+
+    // weekly growth accounting: active = new + retained + resurrected
+    // (identity spec-pinned); churn attributed to the week AFTER the
+    // last consecutive activity, capped at the corpus horizon
+    Q.df("x238_growth_accounting",
+      (s, dir) => TimeSeries.growthAccounting(
+        Tables.load(s, dir, "events"), "user_id", "ts"),
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |      AS wk
+        |  FROM events),
+        |f AS (
+        |  SELECT u, wk,
+        |    min(wk) OVER (PARTITION BY u) AS first_wk,
+        |    lag(wk) OVER (PARTITION BY u ORDER BY wk) AS prev_wk,
+        |    lead(wk) OVER (PARTITION BY u ORDER BY wk) AS next_wk
+        |  FROM act),
+        |mx AS (SELECT max(wk) AS max_wk FROM act),
+        |a AS (
+        |  SELECT wk, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN wk <> first_wk
+        |      AND (prev_wk IS NULL OR prev_wk < wk - 1)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM f GROUP BY 1),
+        |c AS (
+        |  SELECT f.wk + 1 AS wk, CAST(count(*) AS BIGINT)
+        |      AS n_churned_in
+        |  FROM f, mx
+        |  WHERE (f.next_wk IS NULL OR f.next_wk > f.wk + 1)
+        |    AND f.wk + 1 <= mx.max_wk
+        |  GROUP BY 1)
+        |SELECT a.wk, a.n_active, a.n_new, a.n_retained,
+        |  a.n_resurrected,
+        |  CAST(coalesce(c.n_churned_in, 0) AS BIGINT) AS n_churned_in
+        |FROM a LEFT JOIN c USING (wk)
+        |ORDER BY a.wk""".stripMargin)
   )
 }

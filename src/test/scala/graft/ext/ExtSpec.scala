@@ -2537,6 +2537,42 @@ class ExtSpec extends SparkSpec {
       4L -> ((1L, 4L)), 8L -> ((1L, 9L))))
   }
 
+  test("hierarchy shares: children sum to parent within bp truncation, never over") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("x237_hierarchy_shares")(spark, dir)
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, nations) =>
+      val bpSum = nations.map(_.getLong(3)).sum
+      assert(bpSum <= 10000L && bpSum > 10000L - nations.length,
+        s"parent shares sum $bpSum over ${nations.length} children")
+    }
+    val totBp = rows.map(_.getLong(4)).sum
+    assert(totBp <= 10000L && totBp > 10000L - rows.length)
+  }
+
+  test("growth accounting: active = new + retained + resurrected every week") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, dir, "events")
+    val rows = TimeSeries.growthAccounting(ev, "user_id", "ts").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"identity broken: $r")
+    }
+    // planted: u1 active wk0+wk2 (resurrected at 2, churn into 1);
+    // u2 active wk0+wk1 (retained at 1)
+    val planted = Seq((1L, "1970-01-01"), (1L, "1970-01-15"),
+      (2L, "1970-01-01"), (2L, "1970-01-08"))
+      .toDF("u", "d").select(col("u"), to_timestamp(col("d")).as("ts"))
+    val g = TimeSeries.growthAccounting(planted, "u", "ts").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(g(0L) == ((2L, 2L, 0L, 0L, 0L)))
+    assert(g(1L) == ((1L, 0L, 1L, 0L, 1L))) // u2 retained; u1 churned in
+    assert(g(2L) == ((1L, 0L, 0L, 1L, 1L))) // u1 resurrected; u2 churned in
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
