@@ -5218,6 +5218,39 @@ object Extensions {
         |  a.n_resurrected,
         |  CAST(coalesce(c.n_churned_in, 0) AS BIGINT) AS n_churned_in
         |FROM a LEFT JOIN c USING (wk)
-        |ORDER BY a.wk""".stripMargin)
+        |ORDER BY a.wk""".stripMargin),
+
+    // fulfillment-lag mart: ship-date minus order-date in whole days
+    // per priority tier, exact percentile_disc p50/p99/max — the
+    // supply-chain SLA report; also regression-covers BOTH re-encoded
+    // parquet date columns end to end
+    Q.df("x239_fulfillment_lag",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"),
+            expr("datediff(to_date(l_shipdate), to_date(o_orderdate))")
+              .cast("bigint").as("lag_days"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            expr("CAST(percentile_disc(0.5) WITHIN GROUP" +
+              " (ORDER BY lag_days) AS BIGINT)").as("p50_lag_days"),
+            expr("CAST(percentile_disc(0.99) WITHIN GROUP" +
+              " (ORDER BY lag_days) AS BIGINT)").as("p99_lag_days"),
+            max("lag_days").as("max_lag_days"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY
+        |    date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE))) AS BIGINT) AS p50_lag_days,
+        |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY
+        |    date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE))) AS BIGINT) AS p99_lag_days,
+        |  CAST(max(date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE))) AS BIGINT) AS max_lag_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
   )
 }
