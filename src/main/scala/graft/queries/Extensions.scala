@@ -5251,6 +5251,71 @@ object Extensions {
         |  CAST(max(date_diff('day', CAST(o_orderdate AS DATE),
         |    CAST(l_shipdate AS DATE))) AS BIGINT) AS max_lag_days
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+
+    // streaming heavy-tail monitor: per-user counts as complete-mode
+    // state, bucketed by bit_length at SERVE time (bucketing in the
+    // stream would freeze early assignments) — drained == batch x236
+    Q.df("x240_stream_activity",
+      (s, dir) => Streaming.streamActivityHistogram(s, dir),
+      """WITH per AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM per),
+        |b AS (
+        |  SELECT CAST(CAST(1 AS BIGINT) << (length(bin(c)) - 1)
+        |      AS BIGINT) AS bucket_pow2, c
+        |  FROM per)
+        |SELECT bucket_pow2, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_events,
+        |  CAST(sum(c) * 1000000 // max(tot.total) AS BIGINT)
+        |    AS events_ppm
+        |FROM b, tot GROUP BY 1 ORDER BY bucket_pow2""".stripMargin),
+
+    // quality-mass concentration: which sources supply the corpus's
+    // globally-top-decile (by length) documents, and what share of
+    // each source's token mass that elite slice carries — exact
+    // percentile edge broadcast, integer ppm shares
+    Q.df("x241_top_decile_mass",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val d = docs.select(col("source"), col("n_chars"),
+          size(TextStats.tokensCol(col("text"))).cast("bigint")
+            .as("n_tok"))
+        val edge = d.agg(expr("CAST(percentile_disc(0.9) WITHIN GROUP" +
+          " (ORDER BY n_chars) AS BIGINT)").as("p90"))
+        d.crossJoin(broadcast(edge))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_chars") > col("p90"), 1L).otherwise(0L))
+              .as("n_top_docs"),
+            sum("n_tok").as("tokens"),
+            sum(when(col("n_chars") > col("p90"), col("n_tok"))
+              .otherwise(0L)).as("top_tokens"))
+          .select(col("source"), col("n_docs"), col("n_top_docs"),
+            col("tokens"), col("top_tokens"),
+            when(col("tokens") > 0,
+              expr("top_tokens * 1000000L div tokens"))
+              .otherwise(0L).as("top_mass_ppm"))
+          .orderBy("source")
+      },
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |e AS (SELECT CAST(percentile_disc(0.9) WITHIN GROUP
+        |        (ORDER BY n_chars) AS BIGINT) AS p90 FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_chars > e.p90 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |  CAST(sum(CASE WHEN n_chars > e.p90 THEN n_tok ELSE 0 END)
+        |    AS BIGINT) AS top_tokens,
+        |  CAST(CASE WHEN sum(n_tok) > 0
+        |    THEN sum(CASE WHEN n_chars > e.p90 THEN n_tok ELSE 0 END)
+        |         * 1000000 // sum(n_tok)
+        |    ELSE 0 END AS BIGINT) AS top_mass_ppm
+        |FROM d, e GROUP BY source ORDER BY source""".stripMargin)
   )
 }

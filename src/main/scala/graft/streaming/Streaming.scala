@@ -1033,4 +1033,41 @@ object Streaming {
       mart.schema)
     graft.ext.Profile.driftFromBinned(detached, "source")
   }
+
+  /** Streaming heavy-tail monitor — the live twin of the batch
+    * power-of-two activity histogram (x236): per-user event counts
+    * maintained as complete-mode streaming state (bounded by user
+    * cardinality), bucketed by bit_length at SERVE time so a user
+    * crossing a power-of-two boundary mid-stream moves buckets
+    * correctly (bucketing inside the stream would freeze early
+    * assignments). Drained over the backlog, the report equals the
+    * batch histogram, which is what the oracle checks.
+    *
+    * Output: (bucket_pow2, n_keys, n_events, events_ppm), ordered by
+    * bucket_pow2. */
+  def streamActivityHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_acthist_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
+      val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
+        .select(col("user_id"))
+      val agg = src.groupBy("user_id").agg(count(lit(1)).as("c"))
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    val per = spark.table(name)
+    val tot = per.agg(sum("c").as("total"))
+    per.select(col("c"),
+        expr("shiftleft(1L, CAST(length(bin(c)) AS INT) - 1)")
+          .as("bucket_pow2"))
+      .groupBy("bucket_pow2")
+      .agg(count(lit(1)).as("n_keys"), sum("c").as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_pow2"), col("n_keys"), col("n_events"),
+        expr("n_events * 1000000L div total").as("events_ppm"))
+      .orderBy("bucket_pow2")
+  }
 }

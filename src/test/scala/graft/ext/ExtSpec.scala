@@ -2573,6 +2573,30 @@ class ExtSpec extends SparkSpec {
     assert(g(2L) == ((1L, 0L, 0L, 1L, 1L))) // u1 resurrected; u2 churned in
   }
 
+  test("streaming activity histogram equals the batch x236 histogram") {
+    val batch = graft.SparkEntry.queries("x236_activity_histogram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val streamed = graft.streaming.Streaming
+      .streamActivityHistogram(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("top decile mass: top docs are <= 10% + ties, source masses conserve") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("x241_top_decile_mass")(spark, dir)
+      .collect()
+    val nDocs = rows.map(_.getLong(1)).sum
+    val nTop = rows.map(_.getLong(2)).sum
+    assert(nTop > 0 && nTop * 10 <= nDocs + rows.length * 10,
+      s"top decile too fat: $nTop of $nDocs")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3)) // top tokens <= all tokens
+    }
+  }
+
   test("score deciles: monotone boundaries and exact median per stratum") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
