@@ -236,6 +236,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("x237 hierarchy shares: nation/region dims broadcast, no cartesian beyond 1-row totals") {
+    val p = plan("x237_hierarchy_shares")
+    // the two hinted dimension joins must be broadcast hash joins
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    // the only nested-loop joins are the 1-row subtotal/total
+    // broadcasts — never a cross product of data-sized inputs
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x123 curation pipeline: raw source scanned once — final plan reads only staged boundaries") {
     spark.sharedState.cacheManager.clearCache()
     ext.CacheRegistry.clearAll()
