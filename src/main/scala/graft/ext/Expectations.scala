@@ -65,6 +65,13 @@ object Expectations {
     * the schema). Each edge costs one keyed anti-join; nothing joins
     * across edges.
     *
+    * Null semantics: a NULL child fk matches no parent row under
+    * left_anti, so it counts as an orphan — the NOT EXISTS reading of
+    * referential integrity (an absent key cannot reference a parent).
+    * This matches SQL NOT EXISTS, NOT the NOT IN idiom, which would
+    * report zero orphans for the entire edge whenever the parent key
+    * contains a NULL (ADVICE r6).
+    *
     * Output: (fk_edge, n_child, n_orphans, orphan_ppm), ordered by
     * fk_edge. */
   def fkCoverage(edges: Seq[(String, DataFrame, String, DataFrame, String)])

@@ -375,12 +375,23 @@ object Profile {
       .select(col("s"), col("n_s"), col("bin"), col("n_gb"),
         coalesce(col("n_sb"), lit(0L)).as("n_sb"))
       .crossJoin(broadcast(ng))
+      // dev and the scaled numerator are computed in DECIMAL(38,0):
+      // dev can reach n_s*n_g and sum(dev)*1e6 can reach 2e6*n_s*n_g,
+      // which silently wraps a BIGINT once the corpus passes ~1-2M rows
+      // per side (ADVICE r6). Decimal holds exact integers to 1e38 —
+      // room for 1e15-row strata — and the quotient is cast back to
+      // BIGINT, so small-scale results are bit-identical to the old
+      // path and the DuckDB oracle (which errors, not wraps, on BIGINT
+      // overflow) agrees at every scale either engine can answer.
       .select(col("s"), col("n_s"), col("n_g"), col("bin"),
-        abs(col("n_sb") * col("n_g") - col("n_gb") * col("n_s"))
+        abs(col("n_sb").cast("decimal(38,0)") * col("n_g") -
+            col("n_gb").cast("decimal(38,0)") * col("n_s"))
           .as("dev"))
       .groupBy(col("s").as(stratum))
       .agg(max("n_s").as("n_docs"),
-        expr("sum(dev) * 1000000L div (2 * max(n_s) * max(n_g))")
+        expr("""CAST(sum(dev) * 1000000 div
+                (CAST(2 AS DECIMAL(38,0)) * max(n_s) * max(n_g))
+                AS BIGINT)""")
           .as("tv_ppm"),
         min(struct((-col("dev")).as("nd"), col("bin").as("b"))).as("w"))
       .select(col(stratum), col("n_docs"), col("tv_ppm"),

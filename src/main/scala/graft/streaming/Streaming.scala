@@ -85,14 +85,21 @@ object Streaming {
     * the raw micros int64). The testdata generator has shipped BOTH
     * encodings across rounds, so the unit is probed from the file's
     * batch schema — once per directory, a footer-only read. */
-  private val tsDivCache = scala.collection.mutable.Map[String, Long]()
+  // Keyed on (dir, mtime, size) so a regenerated events.parquet with the
+  // other timestamp encoding is re-probed instead of silently reusing a
+  // stale divisor (ADVICE r6). A footer-only read, so the re-probe on
+  // mtime change costs one file open.
+  private val tsDivCache =
+    scala.collection.mutable.Map[(String, Long, Long), Long]()
   private def eventsTsDivisor(spark: SparkSession, dir: String): Long =
     synchronized {
-      tsDivCache.getOrElseUpdate(dir, withNanosAsLong(spark) {
-        val t = spark.read.parquet(s"$dir/events.parquet")
-          .schema("ts").dataType
-        if (t == LongType) 1000L else 1L
-      })
+      val f = new java.io.File(s"$dir/events.parquet")
+      tsDivCache.getOrElseUpdate((dir, f.lastModified, f.length),
+        withNanosAsLong(spark) {
+          val t = spark.read.parquet(s"$dir/events.parquet")
+            .schema("ts").dataType
+          if (t == LongType) 1000L else 1L
+        })
     }
 
   /** Raw int64 ts → TimestampType, exactly: `div` is INTEGER
