@@ -184,31 +184,42 @@ object Dedup {
     * candidates back to full shingle sets by doc_id (equi-joins), one
     * grouped count per pair. Everything keys on shingle or doc_id.
     *
+    * Positional filter (the "PP" in PPJoin, Xiao et al. §3.2), applied
+    * twice, both losslessly:
+    *  1. per matched prefix token at ranks (r1, r2): the overlap can
+    *     never exceed 1 + min(n1 - r1, n2 - r2), so a match too deep in
+    *     both prefixes is dropped BEFORE the candidate shuffle;
+    *  2. per candidate pair, on the aggregate: with o_p matched prefix
+    *     tokens and the LAST match at ranks (r1max, r2max), overlap <=
+    *     o_p + min(n1 - r1max, n2 - r2max). Valid because both sets are
+    *     sorted by the one global order: any shared token BEFORE the
+    *     last prefix-prefix match sits at rank < r1max in one set and
+    *     < r2max in the other — both inside the prefixes — so it is
+    *     already counted in o_p; shared tokens after it number at most
+    *     min(n1 - r1max, n2 - r2max).
+    * Both bounds are compared against the required overlap
+    * alpha = ceil(t * (n1+n2) / (1+t)) (Jaccard >= t iff
+    * inter >= t(n1+n2)/(1+t)); pairs that cannot reach alpha never
+    * reach verification. The pair filter rides the same groupBy that
+    * previously deduplicated candidates, so it costs no extra shuffle.
+    *
+    * The two bounds compose losslessly: along one pair's match
+    * sequence both ranks strictly increase, so bound 1 is
+    * monotonically DECREASING — a dropped match implies every later
+    * match is dropped too. Filter-1 survivors are therefore always a
+    * PREFIX of the true match sequence, making o_p / r1max / r2max in
+    * filter 2 exactly the paper's accumulated count and positions at
+    * the last surviving match.
+    *
     * Output: (d1, d2, inter, n1, n2, jac_ppm) for pairs with Jaccard
     * >= thresholdPpm/1e6; d1 < d2; integer cross-multiplied filter and
     * floor ppm — engine-exact. */
   def ppjoinPairs(docs: DataFrame, thresholdPpm: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(thresholdPpm >= 1 && thresholdPpm <= 1000000,
       s"thresholdPpm in [1, 1e6]; got $thresholdPpm")
     val sh = shingles3(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, Seq("shingle"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy("df", "shingle")))
-      .join(sizes, Seq("doc_id"))
-    val prefix = ranked
-      .where(col("rk") <=
-        col("n") - expr(s"($thresholdPpm * n + 999999) div 1000000") + 1)
-      .select(col("doc_id"), col("shingle"), col("n"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("b.n") * 1000000L >= col("a.n") * thresholdPpm &&
-          col("a.n") * 1000000L >= col("b.n") * thresholdPpm)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    val cand = ppjoinCandidates(sh, sizes, thresholdPpm, positional = true)
     val inter = cand
       .join(sh.as("x"), col("d1") === col("x.doc_id"))
       .join(sh.as("y"),
@@ -223,6 +234,54 @@ object Dedup {
         col("s1.n").as("n1"), col("s2.n").as("n2"),
         expr("inter * 1000000L div (n1 + n2 - inter)").as("jac_ppm"))
       .orderBy("d1", "d2")
+  }
+
+  /** [[ppjoinPairs]]'s candidate stage, factored so the positional
+    * filter's pruning power is measurable in isolation (the spec
+    * compares candidate counts with `positional` on vs off — off is
+    * the round-6 AllPairs+length behavior). Returns distinct
+    * (d1, d2), d1 < d2. */
+  private[ext] def ppjoinCandidates(sh: DataFrame, sizes: DataFrame,
+      thresholdPpm: Long, positional: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "shingle")))
+      .join(sizes, Seq("doc_id"))
+    val prefix = ranked
+      .where(col("rk") <=
+        col("n") - expr(s"($thresholdPpm * n + 999999) div 1000000") + 1)
+      .select(col("doc_id"), col("shingle"), col("rk"), col("n"))
+    // alpha = ceil(t*(n1+n2)/(1+t)) as exact integers (t = ppm/1e6):
+    // ceil(ppm*(n1+n2) / (1e6+ppm)), integer `div` on named columns
+    def alpha(n1: String, n2: String): Column =
+      expr(s"($thresholdPpm * ($n1 + $n2)" +
+        s" + ${1000000L + thresholdPpm - 1}) div ${1000000L + thresholdPpm}")
+    val lengthFiltered = prefix.as("a").join(prefix.as("b"),
+      col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("b.n") * 1000000L >= col("a.n") * thresholdPpm &&
+        col("a.n") * 1000000L >= col("b.n") * thresholdPpm &&
+        (!lit(positional) ||
+          lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
+            >= alpha("a.n", "b.n")))
+    if (!positional)
+      lengthFiltered
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+    else
+      lengthFiltered
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.rk").as("r1"), col("b.rk").as("r2"),
+          col("a.n").as("pn1"), col("b.n").as("pn2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("o_p"), max("r1").as("r1max"),
+          max("r2").as("r2max"), max("pn1").as("pn1"), max("pn2").as("pn2"))
+        .where(col("o_p") +
+          least(col("pn1") - col("r1max"), col("pn2") - col("r2max"))
+            >= alpha("pn1", "pn2"))
+        .select("d1", "d2")
   }
 
   /** MinHash signature element i of a shingle: md5 keyed by i. A min

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embeddings DataFrame
@@ -437,7 +437,30 @@ object Similarity {
     * strictly above the raw variant's). */
   def knnIvfPq(emb: DataFrame, nQueries: Int, k: Int, cells: Int = 8,
                nprobe: Int = 3, m: Int = 8, ksub: Int = 32, iters: Int = 3,
-               refine: Int = 16, residual: Boolean = false): DataFrame = {
+               refine: Int = 16, residual: Boolean = false): DataFrame =
+    searchIvfPq(buildIvfPqIndex(emb, cells, m, ksub, iters, residual),
+      emb, nQueries, k, nprobe, refine)
+
+  /** A built IVF-PQ index: the three tables a vector store persists.
+    *  - codes: (vec_id, sub, cell, ivf_cell) — m PQ codes + coarse cell
+    *    per vector, the only corpus-sized table;
+    *  - coarse: (ivf_cell, centroid) — the coarse quantizer, `cells`
+    *    rows, broadcast at query time;
+    *  - lut: (sub, cell, centroid, c_n2) — PQ codebooks, m*ksub rows,
+    *    broadcast at query time;
+    *  - subDim/m/residual: the geometry needed to slice queries the
+    *    same way the corpus was coded. */
+  case class IvfPqIndex(codes: DataFrame, coarse: DataFrame, lut: DataFrame,
+                        subDim: Int, m: Int, residual: Boolean)
+
+  /** Fit the coarse quantizer + PQ codebooks and code the corpus —
+    * the build-once half of the production build-once/serve-many
+    * split ([[searchIvfPq]] is the serve half; [[knnIvfPq]] composes
+    * them for the single-shot judged query; [[saveIvfPqIndex]] /
+    * [[loadIvfPqIndex]] put the index on parquet between the two). */
+  def buildIvfPqIndex(emb: DataFrame, cells: Int = 8, m: Int = 8,
+                      ksub: Int = 32, iters: Int = 3,
+                      residual: Boolean = false): IvfPqIndex = {
     val spark = emb.sparkSession
     import spark.implicits._
     // coarse quantizer: every vector assigned to one of `cells` cells
@@ -457,6 +480,18 @@ object Similarity {
     val (codes, lutDf, subDim) = pqFit(pqInput, m, ksub, iters)
     // the IVF-PQ index: coarse cell + m PQ codes per vector
     val index = CacheRegistry.pin(codes.join(assignR, "vec_id"))
+    IvfPqIndex(index, cdf, lutDf, subDim, m, residual)
+  }
+
+  /** Serve top-k from a built (or [[loadIvfPqIndex loaded]]) IVF-PQ
+    * index: probe -> ADC scoring inside probed cells -> exact re-rank.
+    * `emb` supplies the query vectors (vec_id < nQueries) and the
+    * full-precision vectors for the re-rank — in production that is
+    * the vector store beside the index; the k-means fits never run
+    * here, which is the point of the split. */
+  def searchIvfPq(idx: IvfPqIndex, emb: DataFrame, nQueries: Int, k: Int,
+                  nprobe: Int = 3, refine: Int = 16): DataFrame = {
+    val cdf = broadcast(idx.coarse)
     // probe: nprobe best cells per query, ranked by the same quantized
     // similarity used for scoring; the per-cell dot is kept — it is the
     // dot(q, c_cell) term of the residual decomposition
@@ -472,19 +507,67 @@ object Similarity {
     // per-query LUT entries replicated per probed cell — still
     // broadcast-sized (nQueries * nprobe * m * ksub)
     val probedParts = qCells.join(
-      pqQueryParts(emb, nQueries, m, subDim, lutDf), "qid")
+      pqQueryParts(emb, nQueries, idx.m, idx.subDim, idx.lut), "qid")
     // ADC scoring keyed on the coarse cell: a vector is scored iff its
     // cell is probed by that query; each (query, vector) hit sums its m
     // LUT entries map-side. A vector lives in exactly one cell, so
     // max(cdot) is its cell's constant term (all m rows carry it).
     val adcScore =
-      if (residual) (sum(col("ps")) + max(col("cdot"))).as("dot_q")
+      if (idx.residual) (sum(col("ps")) + max(col("cdot"))).as("dot_q")
       else sum(col("ps")).as("dot_q")
-    val pairs = index.join(broadcast(probedParts), Seq("ivf_cell", "sub", "cell"))
+    val pairs = idx.codes.join(broadcast(probedParts),
+        Seq("ivf_cell", "sub", "cell"))
       .where(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id").agg(adcScore)
     val candidates = rankTopK(pairs, refine * k).select("qid", "vec_id")
     exactRerank(emb, nQueries, candidates, k)
+  }
+
+  /** Persist an IVF-PQ index: coded vectors PARTITIONED BY ivf_cell
+    * (directory-per-cell — [[loadIvfPqIndex]] + a probe filter read
+    * only the probed cells' files, the serve-time pruning that matters
+    * when the index itself is TB-scale), coarse centroids + codebooks
+    * as small plain parquet, geometry in a 1-row meta table. All four
+    * go through [[graft.io.Warehouse]]'s layout writers. */
+  def saveIvfPqIndex(idx: IvfPqIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    graft.io.Warehouse.writePartitioned(idx.codes, s"$path/codes",
+      "ivf_cell")
+    idx.coarse.write.mode("overwrite").parquet(s"$path/coarse")
+    idx.lut.write.mode("overwrite").parquet(s"$path/lut")
+    Seq((idx.subDim, idx.m, idx.residual)).toDF("sub_dim", "m", "residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted IVF-PQ index. The codes scan keeps ivf_cell as a
+    * partition column, so [[searchIvfPq]]'s cell-keyed join (or an
+    * explicit `.where(ivf_cell isin probed)` on a serve path) prunes
+    * unprobed directories at planning time. */
+  def loadIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head
+    IvfPqIndex(
+      codes = spark.read.parquet(s"$path/codes"),
+      coarse = spark.read.parquet(s"$path/coarse"),
+      lut = spark.read.parquet(s"$path/lut"),
+      subDim = meta.getAs[Int]("sub_dim"), m = meta.getAs[Int]("m"),
+      residual = meta.getAs[Boolean]("residual"))
+  }
+
+  /** Build-once/serve-many: return the index stored at `path`, building
+    * and saving it first ONLY if absent. After a build the index is
+    * re-read from the store, so the serve path is identical whether
+    * this call built or found it — the query plan reads parquet codes,
+    * never a k-means job. The builder is deterministic, so a found
+    * index equals a rebuilt one; callers key `path` by corpus identity
+    * (e.g. source file mtime+size) so a regenerated corpus re-builds. */
+  def ivfPqIndexAt(spark: SparkSession, path: String, emb: => DataFrame,
+                   cells: Int = 8, m: Int = 8, ksub: Int = 32,
+                   iters: Int = 3, residual: Boolean = false): IvfPqIndex = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta")))
+      saveIvfPqIndex(
+        buildIvfPqIndex(emb, cells, m, ksub, iters, residual), path)
+    loadIvfPqIndex(spark, path)
   }
 
   /** Sub-quadratic embedding near-dup: random-hyperplane SimHash

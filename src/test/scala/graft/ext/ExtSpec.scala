@@ -343,6 +343,32 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall $recall%.2f")
   }
 
+  test("IVF-PQ index round-trip: a loaded index answers identically to the fresh build") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annidx_spec")
+    try {
+      val idx = Similarity.buildIvfPqIndex(emb)
+      val fresh = Similarity.searchIvfPq(idx, emb, 10, 3).collect()
+      Similarity.saveIvfPqIndex(idx, tmp.toString)
+      val loaded = Similarity.loadIvfPqIndex(spark, tmp.toString)
+      assert(loaded.subDim == idx.subDim && loaded.m == idx.m &&
+        loaded.residual == idx.residual)
+      val served = Similarity.searchIvfPq(loaded, emb, 10, 3).collect()
+      assert(fresh.map(_.toString).sorted.toSeq ==
+        served.map(_.toString).sorted.toSeq)
+      // the serve-time plan reads the parquet store: codes come from a
+      // file scan (partitioned by ivf_cell), not a recomputed fit
+      val plan = Similarity.searchIvfPq(loaded, emb, 10, 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+        s"loaded-index search did not read the store:\n$plan")
+    } finally {
+      CacheRegistry.clearAll()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("IVF recall is non-decreasing in nprobe and reaches 1.0 at nprobe = cells") {
     // a fixed operating point (x72's 0.83@3) can't catch a cell-probe
     // bug that helps one nprobe and hurts another; the sweep pins the
@@ -2133,6 +2159,25 @@ class ExtSpec extends SparkSpec {
     val heuristic = Dedup.jaccardPairs(planted, 0.5, Some(1))
       .select("d1", "d2").collect().toSet
     assert(heuristic.isEmpty) // every shared shingle is df>=2: all dropped
+  }
+
+  test("ppjoin positional filter: strictly fewer candidates than AllPairs, same survivors") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val sh = Dedup.shingles3(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val allPairs = Dedup.ppjoinCandidates(sh, sizes, 300000L,
+      positional = false)
+    val withPos = Dedup.ppjoinCandidates(sh, sizes, 300000L,
+      positional = true)
+    val nAll = allPairs.count(); val nPos = withPos.count()
+    info(s"candidates: AllPairs+length=$nAll positional=$nPos " +
+      f"(${100.0 * (nAll - nPos) / math.max(nAll, 1)}%.1f%% pruned)")
+    assert(nPos < nAll, s"positional filter pruned nothing ($nAll -> $nPos)")
+    // lossless: the pruned set still contains every qualifying pair
+    val truth = Dedup.jaccardPairs(docs, 0.3, None)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val posSet = withPos.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(posSet))
   }
 
   test("lateness profile: hand-computed p50/p99/max on a planted arrival order") {
