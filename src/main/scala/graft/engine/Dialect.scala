@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.types._
 
 /** SQLite-dialect shims (SURVEY.md §2.5 scalar table): the handful of
@@ -38,6 +39,46 @@ object Dialect {
       i += 1
     }
     sb.append("\\z").toString
+  }
+
+  /** GROUPS-frame window emulation — the one window-frame mode the
+    * reference reaches through its delegated SQLite >= 3.28 dialect
+    * (/root/reference/localsql/localsql.py:230; README.md:39-40) that
+    * Spark has no native spelling for. Identity used:
+    *
+    *   agg(x) OVER (PARTITION BY p ORDER BY o
+    *                GROUPS BETWEEN nPrec PRECEDING AND nFoll FOLLOWING)
+    *
+    * == the same agg over a ROWS frame on the DISTINCT peer-group
+    * table. A GROUPS frame steps in whole peer groups (rows tied on the
+    * ORDER BY value), so collapsing each peer group to one row carrying
+    * its partial aggregate turns the GROUPS frame into a plain ROWS
+    * frame, after which the framed value joins back to the detail rows
+    * by (p, o) — every row in a peer group shares the frame result by
+    * definition.
+    *
+    * Scale shape: one keyed partial aggregation (map-side combinable),
+    * a window over the DISTINCT-(p, o) table (strictly smaller than the
+    * input; partitioned by p, never a global sort), one equi-join back.
+    * No range self-join, no row explosion.
+    *
+    * `partial` aggregates one peer group (e.g. sum(cents)); `combine`
+    * merges partials across the frame — sum for sum/count, min/max for
+    * min/max (any aggregate with a mergeable partial form works; an
+    * avg is sum/count of two partials).
+    *
+    * Returns df's rows with `out` appended. */
+  def groupsFrame(df: DataFrame, partCols: Seq[String], ordCol: String,
+                  nPrec: Int, nFoll: Int, partial: Column, out: String,
+                  combine: Column => Column = sum): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = partCols :+ ordCol
+    val groups = df.groupBy(keys.map(col): _*).agg(partial.as("_gpart"))
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(ordCol)).rowsBetween(-nPrec.toLong, nFoll.toLong)
+    val framed = groups
+      .withColumn(out, combine(col("_gpart")).over(w)).drop("_gpart")
+    df.join(framed, keys)
   }
 
   def register(spark: SparkSession): Unit = {

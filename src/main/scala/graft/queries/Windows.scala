@@ -1,9 +1,9 @@
 package graft.queries
 
 /** Window-function coverage (SURVEY.md §2.5 window table): ranking,
-  * offset, aggregate-as-window, ROWS/RANGE frames, named windows.
-  * Every PARTITION BY keeps windows bounded so the plan scales: no
-  * global single-partition sorts on the big tables.
+  * offset, aggregate-as-window, ROWS/RANGE/GROUPS frames, named
+  * windows. Every PARTITION BY keeps windows bounded so the plan
+  * scales: no global single-partition sorts on the big tables.
   */
 object Windows {
 
@@ -79,6 +79,44 @@ object Windows {
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
         |ORDER BY s_suppkey""".stripMargin),
+
+    // GROUPS frame (SQLite >= 3.28 dialect row): Spark has no native
+    // GROUPS spelling, so the engine side runs Dialect.groupsFrame —
+    // the peer-group-collapse rewrite (GROUPS over rows == ROWS over
+    // the distinct peer table + join back). The oracle uses the OTHER
+    // exact identity — GROUPS n PRECEDING/FOLLOWING == RANGE n over
+    // dense_rank() of the ORDER BY value (peers share a rank, so rank
+    // distance <= n IS whole-peer-group stepping) — because the
+    // judge's duckdb 1.0.0 parses but does not implement GROUPS mode.
+    // Two independent derivations agreeing on every tie is the point
+    // of the check.
+    Q.df("q89_win_groups_frame",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val base = graft.Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderdate"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        graft.engine.Dialect.groupsFrame(base, Seq("o_orderpriority"),
+            "o_orderdate", 1, 1, sum(col("cents")), "grp_sum_cents")
+          .where(col("o_orderkey") <= 3000)
+          .select("o_orderkey", "o_orderpriority", "grp_sum_cents")
+          .orderBy("o_orderkey")
+      },
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    dense_rank() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_orderdate) AS dr
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority, grp_sum_cents FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY dr
+        |      RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+        |      AS grp_sum_cents
+        |  FROM r) t
+        |WHERE o_orderkey <= 3000
+        |ORDER BY o_orderkey""".stripMargin),
 
     // gap-based sessionization over the events table: lag → gap flag →
     // running sum = session id → per-session aggregation. The batch twin

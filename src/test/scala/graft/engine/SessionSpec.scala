@@ -72,6 +72,32 @@ class SessionSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("jd") - 2440588.0) < 1e-9)
   }
 
+  test("groupsFrame: GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING, hand-computed with ties") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // partition p=a: order values 1,1,2,4 — peer groups {1,1},{2},{4}
+    // GROUPS 1 PRECEDING..1 FOLLOWING sums whole neighbor groups:
+    //   o=1 rows: groups {1,1}+{2}            = 10+20+30   = 60
+    //   o=2 row : groups {1,1}+{2}+{4}        = 10+20+30+40 = 100
+    //   o=4 row : groups {2}+{4}              = 30+40      = 70
+    val df = Seq(("a", 1, 10L), ("a", 1, 20L), ("a", 2, 30L),
+      ("a", 4, 40L), ("b", 7, 5L)).toDF("p", "o", "v")
+    val got = Dialect.groupsFrame(df, Seq("p"), "o", 1, 1,
+        sum(col("v")), "fs")
+      .select("p", "o", "v", "fs").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("a", 1, 10L, 60L), ("a", 1, 20L, 60L),
+      ("a", 2, 30L, 100L), ("a", 4, 40L, 70L), ("b", 7, 5L, 5L)))
+    // min as the combine: GROUPS frame min over the same peers
+    val gotMin = Dialect.groupsFrame(df, Seq("p"), "o", 1, 1,
+        min(col("v")), "fm", min)
+      .select("p", "o", "fm").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotMin == Set(("a", 1, 10L), ("a", 2, 10L), ("a", 4, 30L),
+      ("b", 7, 5L)))
+  }
+
   test("save: csv single file + json NDJSON + xlsx round-trip") {
     val s = freshSession()
     loadFixtures(s)
