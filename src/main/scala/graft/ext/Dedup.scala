@@ -299,8 +299,14 @@ object Dedup {
     * LSH tuning, now a caller knob. Band b's signature concatenates the
     * minhashes at indices {b, b+bands, b+2*bands, ...}, which for the
     * default reduces to the oracle's (even, odd) split. */
-  def minhashLshPairs(docs: DataFrame, numHashes: Int = 8,
-                      bands: Int = 2): DataFrame = {
+  /** The (doc_id, band, sig) LSH band-signature table — the static
+    * probe target of the streaming near-dup front door, factored from
+    * [[minhashLshPairs]] so batch and stream share one signature
+    * definition. Docs with fewer than 3 tokens have no shingles and
+    * thus no rows (the streaming twin mirrors this with its
+    * size(sh) > 0 guard). */
+  def minhashBandTable(docs: DataFrame, numHashes: Int = 8,
+                       bands: Int = 2): DataFrame = {
     require(numHashes % bands == 0 && bands >= 1 && numHashes >= bands,
       s"numHashes=$numHashes must be a positive multiple of bands=$bands")
     val sh = shingles3(docs)
@@ -321,8 +327,14 @@ object Dedup {
         md5(concat_ws(":",
           (bnd until numHashes by bands).map(i => col(s"m$i")): _*)).as("sig"))
     }
-    val bandDf = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+  }
+
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 8,
+                      bands: Int = 2): DataFrame = {
+    val sh = shingles3(docs)
+    val bandDf = minhashBandTable(docs, numHashes, bands)
     val a = bandDf.as("a"); val b = bandDf.as("b")
     // cand is consumed TWICE (as the broadcast doc filter and in the
     // final join) — cache it, or the whole signature pipeline

@@ -41,6 +41,32 @@ object Extensions {
     s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${variant}_$key"
   }
 
+  /** The MinHash(8)+LSH(2 bands) oracle, shared by batch x57 and its
+    * streaming twin x242 — one signature definition, two engines and
+    * two execution modes judged against it. */
+  private lazy val duckMinhash8x2Oracle =
+    s"""WITH $duckTok, $duckShingles,
+       |mh AS (
+       |  SELECT doc_id, i, min(md5(CAST(i AS STRING) || ':' || shingle)) AS m
+       |  FROM sh, range(0, 8) r(i) GROUP BY doc_id, i
+       |), bands AS (
+       |  SELECT doc_id, i % 2 AS band,
+       |    md5(min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 0 THEN m END) || ':' ||
+       |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 1 THEN m END) || ':' ||
+       |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 2 THEN m END) || ':' ||
+       |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 3 THEN m END)) AS sig
+       |  FROM mh GROUP BY doc_id, i % 2
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |), $duckJaccardTail
+       |SELECT cand.d1, cand.d2,
+       |  CAST(floor(10000.0 * i / (s1.n + s2.n - i)) AS BIGINT) AS jac_x10k
+       |FROM cand JOIN inter ON cand.d1 = inter.d1 AND cand.d2 = inter.d2
+       |JOIN sz s1 ON cand.d1 = s1.doc_id JOIN sz s2 ON cand.d2 = s2.doc_id
+       |ORDER BY cand.d1, cand.d2""".stripMargin
+
   /** DuckDB token stream CTE: (doc_id, pos 1-based, w). */
   private val duckTok =
     """tok AS (
@@ -336,27 +362,7 @@ object Extensions {
 
     Q.df("x57_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents")),
-      s"""WITH $duckTok, $duckShingles,
-         |mh AS (
-         |  SELECT doc_id, i, min(md5(CAST(i AS STRING) || ':' || shingle)) AS m
-         |  FROM sh, range(0, 8) r(i) GROUP BY doc_id, i
-         |), bands AS (
-         |  SELECT doc_id, i % 2 AS band,
-         |    md5(min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 0 THEN m END) || ':' ||
-         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 1 THEN m END) || ':' ||
-         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 2 THEN m END) || ':' ||
-         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 3 THEN m END)) AS sig
-         |  FROM mh GROUP BY doc_id, i % 2
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         |), $duckJaccardTail
-         |SELECT cand.d1, cand.d2,
-         |  CAST(floor(10000.0 * i / (s1.n + s2.n - i)) AS BIGINT) AS jac_x10k
-         |FROM cand JOIN inter ON cand.d1 = inter.d1 AND cand.d2 = inter.d2
-         |JOIN sz s1 ON cand.d1 = s1.doc_id JOIN sz s2 ON cand.d2 = s2.doc_id
-         |ORDER BY cand.d1, cand.d2""".stripMargin),
+      duckMinhash8x2Oracle),
 
     // the parameterized LSH path at production-shaped settings: 16
     // minhashes in 4 bands of 4 rows (higher recall than the 8/2 demo
@@ -5354,6 +5360,15 @@ object Extensions {
         |    THEN sum(CASE WHEN n_chars > e.p90 THEN n_tok ELSE 0 END)
         |         * 1000000 // sum(n_tok)
         |    ELSE 0 END AS BIGINT) AS top_mass_ppm
-        |FROM d, e GROUP BY source ORDER BY source""".stripMargin)
+        |FROM d, e GROUP BY source ORDER BY source""".stripMargin),
+
+    // streaming NEAR-dup front door: arriving docs MinHash-banded
+    // in-row, probed against the static corpus band table
+    // (stream-static equi-join), exact-verified per row via
+    // array_intersect — stateless per batch; the drained mart must
+    // equal batch minhashLshPairs, so the oracle is x57's, verbatim
+    Q.df("x242_stream_neardup",
+      (s, dir) => Streaming.streamNearDup(s, dir),
+      duckMinhash8x2Oracle)
   )
 }

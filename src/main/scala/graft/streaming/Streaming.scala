@@ -109,6 +109,25 @@ object Streaming {
   private def nanosToTs(c: String, tsDiv: Long): org.apache.spark.sql.Column =
     timestamp_micros(expr(s"$c div $tsDiv"))
 
+  /** Detach a SMALL serve-time mart from its sink lineage by
+    * materializing it and re-creating a local DataFrame. Needed in two
+    * places: (a) a temp sink dir is about to be deleted, so the lazy
+    * plan must not reference it; (b) MemoryPlan re-exposes identical
+    * attribute ids on every reference, so serve-time self-joins over a
+    * memory-sink table hit unresolvable conflicts. ONLY for
+    * key-cardinality-bounded grids — the cap is a hard `require`, not
+    * a comment: a mart that outgrows it must move to a durable store,
+    * never silently through the driver. */
+  private def detachMart(df: DataFrame, maxRows: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.collect()
+    require(rows.length <= maxRows,
+      s"detachMart materialized ${rows.length} rows (cap $maxRows): " +
+        "this mart is not key-bounded — serve it from a durable sink instead")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), df.schema)
+  }
+
   private def rmTree(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(root)) {
@@ -190,11 +209,7 @@ object Streaming {
         q.awaitTermination()
         // re-materialize the (key-cardinality-bounded) sink contents so
         // the temp output dir can be cleaned up like the checkpoint
-        val back = spark.read.parquet(out.toString)
-        val schema = back.schema
-        val rows = back.orderBy("hour", "event_type").collect()
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+        detachMart(spark.read.parquet(out.toString))
           .orderBy("hour", "event_type")
       } finally rmTree(out)
     } }
@@ -245,11 +260,7 @@ object Streaming {
             col("batch_id")).as("s"))
           .select(col("user_id"), col("s.n_events").as("n_events"),
             col("s.cents").as("cents"))
-        val schema = latest.schema
-        val rows = latest.orderBy("user_id").collect()
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
-          .orderBy("user_id")
+        detachMart(latest).orderBy("user_id")
       } finally rmTree(out)
     } }
   }
@@ -646,6 +657,97 @@ object Streaming {
     spark.table(name).orderBy("doc_id")
   }
 
+  /** Streaming NEAR-dup front door — the fuzzy tier beside
+    * [[streamIncrementalDedup]]'s exact gate: each arriving document
+    * computes its MinHash band signatures IN-ROW (tokens → distinct
+    * 3-gram shingle array → 8 array_min md5 minhashes → 2 band sigs —
+    * pure per-row array lambdas, the same hash definitions as
+    * [[graft.ext.Dedup.minhashBandTable]]), probes the STATIC corpus
+    * band table with a stream-static equi-join on (band, sig), and
+    * exact-verifies each candidate per-row against the corpus shingle
+    * arrays with array_intersect — no streaming aggregation, no
+    * watermark, no state: every stage is stateless per batch, the
+    * shape that keeps up with any ingest rate.
+    *
+    * The batch path amortizes hashing over a distinct-shingle
+    * dictionary; the stream pays per-arrival hashing instead — the
+    * standard serve-time tradeoff (an arrival must be answered now,
+    * not after a corpus-wide distinct).
+    *
+    * A pair that shares both bands is emitted once per shared band;
+    * the drained mart dedupes batch-side. Emitted pairs are
+    * (static d1 < arriving d2), so each qualifying pair appears
+    * exactly when its larger-id side arrives — the drained result
+    * EQUALS batch [[graft.ext.Dedup.minhashLshPairs]] over the same
+    * corpus, which is what the (x57) oracle checks.
+    * Output: (d1, d2, jac_x10k). */
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{CacheRegistry, Dedup}
+    val name = "stream_neardup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val corpus = graft.Tables.load(spark, dir, "documents")
+    // static probe targets, built once before the stream starts:
+    // the band table and the per-doc shingle arrays for verification
+    val corpusBands = CacheRegistry.pin(
+      Dedup.minhashBandTable(corpus)
+        .select(col("doc_id").as("d1"), col("band"), col("sig")))
+    val corpusSh = CacheRegistry.pin(
+      Dedup.shingles3(corpus).groupBy(col("doc_id").as("d1"))
+        .agg(collect_list("shingle").as("sh1"),
+          count(lit(1)).as("n1")))
+    val numHashes = 8; val bands = 2
+    withStreamDirsFile(dir, "documents.parquet") { (stage, ckpt) =>
+      val src = spark.readStream.schema(docsSchema).parquet(stage)
+      // in-row signature: mirror shingles3 + minhashBandTable exactly
+      // (same tokenizer, same 'i:shingle' md5, same band concat)
+      val withSh = src
+        .select(col("doc_id"),
+          graft.ext.TextStats.tokensCol(col("text")).as("t"))
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(t) < 3 THEN array()
+            |ELSE array_distinct(transform(sequence(1, size(t) - 2),
+            |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1),
+            |              ' ', element_at(t, i + 2))))
+            |END""".stripMargin).as("sh"))
+        .where(size(col("sh")) > 0)
+      val withMins = (0 until numHashes).foldLeft(withSh) { (df, i) =>
+        df.withColumn(s"m$i", expr(
+          s"array_min(transform(sh, s -> md5(concat('$i', ':', s))))"))
+      }
+      val bandCols = (0 until bands).map { bnd =>
+        struct(lit(bnd.toLong).as("band"),
+          md5(concat_ws(":",
+            (bnd until numHashes by bands).map(i => col(s"m$i")): _*)).as("sig"))
+      }
+      val probes = withMins
+        .select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          explode(array(bandCols: _*)).as("b"))
+        .select(col("d2"), col("sh2"),
+          col("b.band").as("band"), col("b.sig").as("sig"))
+      // stream-static candidate join + stream-static verify join, then
+      // the exact Jaccard as a per-row intersection — same floor/scale
+      // arithmetic as the batch verifier
+      val verified = probes
+        .join(corpusBands, Seq("band", "sig"))
+        .where(col("d1") < col("d2"))
+        .join(corpusSh, Seq("d1"))
+        .withColumn("i",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("bigint"))
+        .where(col("i") >= 1)
+        .select(col("d1"), col("d2"),
+          floor(lit(10000.0) * col("i") /
+            (col("n1") + size(col("sh2")) - col("i")))
+            .cast("bigint").as("jac_x10k"))
+      val q = verified.writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).distinct().orderBy("d1", "d2")
+  }
+
   /** Arbitrary stateful streaming: per-user sessionization via
     * flatMapGroupsWithState — the custom-state escape hatch for logic
     * window()/session_window() can't express. State is one small
@@ -826,11 +928,7 @@ object Streaming {
       val applied = graft.ext.Cdc.applyDiff(v1, changes, "k", "cents")
       // materialize before the journal dir is deleted (key-cardinality-
       // bounded: one narrow row per snapshot key)
-      val schema = applied.schema
-      val rows = applied.orderBy("k").collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
-        .orderBy("k")
+      detachMart(applied).orderBy("k")
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       rmTree(ckpt); rmTree(stage); rmTree(out)
@@ -865,15 +963,11 @@ object Streaming {
         .start()
       q.awaitTermination()
     } }
-    // re-materialize: the memory-sink view keeps fixed attribute ids,
-    // so the grid's self-referencing joins would see conflicting
-    // references; bounded by keys x active weeks
-    val act = spark.table(name)
-    val schema = act.schema
-    val rows = act.collect()
+    // detach: the memory-sink view keeps fixed attribute ids, so the
+    // grid's self-referencing joins would see conflicting references;
+    // bounded by keys x active weeks
     graft.ext.TimeSeries.retentionFromActivity(
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema))
+      detachMart(spark.table(name)))
   }
 
   /** Streaming rate-anomaly monitor: hourly per-type counts flagged
@@ -982,9 +1076,7 @@ object Streaming {
           .groupBy("disposition", "reason")
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
           .orderBy("disposition", "reason")
-        val rows = report.collect()
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), report.schema)
+        detachMart(report)
       } finally rmTree(out)
     }
   }
@@ -1030,15 +1122,10 @@ object Streaming {
       q.awaitTermination()
     }
     // Detach the mart from the memory-sink plan before the serve-time
-    // self-joins (MemoryPlan re-exposes identical attribute ids on
-    // every reference → unresolvable conflicts). The mart is the
-    // |sources|×10 grid — collecting it is reading the final state,
-    // not a data move.
-    val mart = spark.table(name)
-    val detached = spark.createDataFrame(
-      spark.sparkContext.parallelize(mart.collect().toIndexedSeq, 1),
-      mart.schema)
-    graft.ext.Profile.driftFromBinned(detached, "source")
+    // self-joins. The mart is the |sources|×10 grid — collecting it is
+    // reading the final state, not a data move.
+    graft.ext.Profile.driftFromBinned(detachMart(spark.table(name)),
+      "source")
   }
 
   /** Streaming heavy-tail monitor — the live twin of the batch

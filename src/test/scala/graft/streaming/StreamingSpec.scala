@@ -31,6 +31,109 @@ class StreamingSpec extends SparkSpec {
       s"leaked: ${graftTmpDirs().diff(before).mkString(",")}")
   }
 
+  test("checkpoint recovery: stateful query restarted from its checkpoint equals the uninterrupted run") {
+    // Production cares about mid-stream failure, not just a clean
+    // AvailableNow drain: a stateful query is stopped after draining
+    // half the backlog, the other half lands, and a NEW query restarts
+    // from the SAME checkpoint. Offsets must prove the first half is
+    // not reprocessed; recovered state must prove sessions CONTINUE
+    // across the restart (event counts would double / reset otherwise).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    // fileA: u1 has 2 events of one session; u2 one event.
+    // fileB: u1 continues that session (+60s) then opens a second one;
+    //        u3 appears for the first time.
+    val fileA = Seq((1L, 0L), (1L, 60000000L), (2L, 0L))
+    val fileB = Seq((1L, 120000000L), (1L, 5000000000L), (3L, 0L))
+    val stage = java.nio.file.Files.createTempDirectory("graft_ckpt_rec_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_rec")
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ckpt_rec2")
+    def land(rows: Seq[(Long, Long)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt_land")
+      rows.toDF("user_id", "ts_us").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.copy(p, stage.resolve(name)))
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    // foreachBatch -> parquet append: the memory sink refuses to
+    // recover from an existing checkpoint (it is not fault-tolerant);
+    // a durable sink is exactly what production restarts need anyway
+    def runDrain(outDir: String, ckptDir: String): Unit = {
+      val src = spark.readStream
+        .schema("user_id LONG, ts_us LONG").parquet(stage.toString)
+        .as[(Long, Long)]
+      val sessions = src.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          case (user: Long, rows: Iterator[(Long, Long)],
+                state: GroupState[(Long, Long, Long)]) =>
+            val sorted = rows.map(_._2).toArray.sorted
+            var (nSess, nEv, last) =
+              state.getOption.getOrElse((0L, 0L, Long.MinValue))
+            sorted.foreach { ts =>
+              if (last == Long.MinValue || ts - last > gapUs) nSess += 1
+              nEv += 1; last = ts
+            }
+            state.update((nSess, nEv, last))
+            Iterator((user, nSess, nEv))
+        }.toDF("user_id", "session_cnt", "event_cnt")
+      val q = sessions.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("update").option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val out1 = java.nio.file.Files.createTempDirectory("graft_ckpt_out1")
+    val out2 = java.nio.file.Files.createTempDirectory("graft_ckpt_out2")
+    val out3 = java.nio.file.Files.createTempDirectory("graft_ckpt_out3")
+    // update mode emits one row per key per BATCH; the latest state per
+    // user is the event_cnt max (monotone), same rule as the x68 serve
+    def latest(outDir: java.nio.file.Path): Map[Long, (Long, Long)] =
+      spark.read.parquet(outDir.toString).collect().groupBy(_.getLong(0))
+        .map { case (u, rows) =>
+          u -> rows.map(r => (r.getLong(1), r.getLong(2))).maxBy(_._2)
+        }
+    try {
+      land(fileA, "a.parquet")
+      runDrain(out1.toString, ckpt.toString)
+      val run1 = latest(out1)
+      assert(run1 == Map(1L -> ((1L, 2L)), 2L -> ((1L, 1L))))
+      // the second half of the backlog lands; restart from the SAME
+      // checkpoint with a fresh query
+      land(fileB, "b.parquet")
+      runDrain(out2.toString, ckpt.toString)
+      val run2 = latest(out2)
+      // exactly-once: u2 (only in fileA) is NOT re-emitted — fileA was
+      // not reprocessed after the restart
+      assert(!run2.contains(2L), s"fileA reprocessed: $run2")
+      // state recovery: u1's first fileB event continues the fileA
+      // session (1 session, 4 events total, then a second session);
+      // lost state would report event_cnt 2, reprocessing would give 6
+      assert(run2(1L) == ((2L, 4L)), s"state not recovered: $run2")
+      assert(run2(3L) == ((1L, 1L)))
+      // the combined sink (run2 overriding run1, a compacted-sink read)
+      // equals the uninterrupted single run over the full backlog
+      val combined = run1 ++ run2
+      runDrain(out3.toString, ckpt2.toString)
+      val full = latest(out3)
+      assert(combined == full, s"combined $combined != uninterrupted $full")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(stage, ckpt, ckpt2, out1, out2, out3).foreach { root =>
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("streaming incremental dedup equals the batch anti-join path and drops every dup") {
     import org.apache.spark.sql.functions._
     val streamed = Streaming.streamIncrementalDedup(spark, dir)
