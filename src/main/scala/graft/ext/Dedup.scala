@@ -500,6 +500,92 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Pairwise exact shingle-set Jaccard between SOURCES — the
+    * cross-source duplication audit run BEFORE mixing corpora: two
+    * "independent" crawls with jac_ppm in the thousands are the same
+    * upstream dump, and mixing them silently double-weights it.
+    * Complements [[sourceOverlap]] (which counts near-dup DOC pairs
+    * between sources): this one measures corpus-level CONTENT overlap
+    * directly on the pooled shingle sets, catching diffuse duplication
+    * no single doc pair crosses the near-dup threshold for.
+    *
+    * Scale shape: one distinct (source, shingle) projection, then the
+    * per-shingle SOURCE SET (collect_set bounded by |sources|, i.e.
+    * dozens) exploded into at most |sources|²/2 pair rows per shingle —
+    * never a shingle-level self-join, never a doc-pair join. The final
+    * |sources|² grid join is a broadcast of two tiny size tables.
+    * 1e6·inter stays in BIGINT up to ~9e12 shared shingles per pair.
+    *
+    * Output: one row per unordered source pair (src_a < src_b),
+    * INCLUDING zero-overlap pairs (overlap absence is the finding):
+    * (src_a, src_b, n_a, n_b, inter, jac_ppm). */
+  def sourceOverlapMatrix(docs: DataFrame): DataFrame = {
+    val ss = shingles3(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "shingle").distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = ss.groupBy("shingle")
+      .agg(collect_set(col("source")).as("srcs"))
+      .where(size(col("srcs")) > 1)
+      .select(explode(col("srcs")).as("sa"), col("srcs"))
+      .select(col("sa"), explode(col("srcs")).as("sb"))
+      .where(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+    // |sources|² grid: intentional bounded non-equi join of two
+    // broadcast size tables (dozens of rows each side)
+    val grid = sizes.as("a")
+      .join(broadcast(sizes.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+    // inter is bounded by the same |sources|² grid — broadcast it (its
+    // lineage goes through the big table, so Catalyst can't see the
+    // bound from stats and would sort-merge two tiny tables)
+    grid.join(broadcast(inter),
+        grid("src_a") === inter("sa") && grid("src_b") === inter("sb"),
+        "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"))
+      .withColumn("jac_ppm",
+        expr("1000000 * inter div (n_a + n_b - inter)"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Split-leakage audit: near-duplicate pairs (the x57 MinHash-LSH
+    * tier, exact-verified on candidates) that STRADDLE the
+    * deterministic content-hash train/valid/test split — the check
+    * that makes a dedup-unaware split trustworthy. A near-dup of a
+    * training document sitting in valid/test inflates every eval
+    * metric; this mart is the go/no-go evidence.
+    *
+    * Composition of two judged operators (x90 hashSplit + x57
+    * minhashLshPairs): the pair table joins the 2-column split
+    * assignment twice on doc_id — both equi-joins on the pair table,
+    * which is orders of magnitude smaller than the corpus.
+    *
+    * Output per straddling split pair: (split_a, split_b, n_pairs,
+    * worst_jac_x10k, example_d1, example_d2) — the example is the
+    * lexicographically smallest (d1, d2) leak, the row a triage
+    * ticket quotes. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val split = Sampling.hashSplit(docs, "doc_id")
+    val pairs = minhashLshPairs(docs)
+    pairs
+      .join(split.select(col("doc_id").as("d1"), col("split").as("s1")),
+        Seq("d1"))
+      .join(split.select(col("doc_id").as("d2"), col("split").as("s2")),
+        Seq("d2"))
+      .where(col("s1") =!= col("s2"))
+      .groupBy(least(col("s1"), col("s2")).as("split_a"),
+        greatest(col("s1"), col("s2")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max("jac_x10k").as("worst_jac_x10k"),
+        min(struct(col("d1"), col("d2"))).as("ex"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        col("worst_jac_x10k"), col("ex.d1").as("example_d1"),
+        col("ex.d2").as("example_d2"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** Quality-aware cluster keeper: within each near-dup cluster keep
     * the BEST document — the longest, ties broken by smallest doc_id —
     * instead of [[clusters]]'s smallest-id representative. Real

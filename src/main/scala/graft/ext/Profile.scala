@@ -398,4 +398,41 @@ object Profile {
         col("w.b").as("worst_bin"))
       .orderBy(stratum)
   }
+
+  /** Tukey-fence outlier audit per group: exact quartiles of the
+    * integer-cents value, fences at 1.5×IQR, and the count of rows
+    * outside each fence — the per-metric data-quality gate that flags
+    * a sensor stuck at 0 or a currency landing in the wrong unit.
+    * All arithmetic on BIGINT cents (floor(value·100)), so quartiles,
+    * fences and counts are engine-exact; the fence half-width uses
+    * integer (3·IQR) div 2, identical truncation in both engines
+    * because IQR >= 0.
+    *
+    * Scale shape: one exact percentile_disc aggregate per group (sort
+    * within group, distributed by group key), then the tiny per-group
+    * fence table broadcasts back for a single counting pass.
+    *
+    * Output: (grp, n, q1, q3, lo, hi, n_out_lo, n_out_hi, min_cents,
+    * max_cents), ordered by group. */
+  def valueFences(df: DataFrame, grp: String, value: Column): DataFrame = {
+    val c = df.select(col(grp),
+      floor(value * 100).cast("bigint").as("cents"))
+    val fences = c.groupBy(grp).agg(
+        // Spark's percentile_disc returns DOUBLE; the value IS a data
+        // point (integer cents), so the cast back is exact
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)" +
+          " AS BIGINT)").as("q1"),
+        expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)" +
+          " AS BIGINT)").as("q3"))
+      .withColumn("lo", col("q1") - expr("(3 * (q3 - q1)) div 2"))
+      .withColumn("hi", col("q3") + expr("(3 * (q3 - q1)) div 2"))
+    c.join(broadcast(fences), Seq(grp))
+      .groupBy(grp)
+      .agg(count(lit(1)).as("n"), max("q1").as("q1"), max("q3").as("q3"),
+        max("lo").as("lo"), max("hi").as("hi"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_out_lo"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_out_hi"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .orderBy(grp)
+  }
 }

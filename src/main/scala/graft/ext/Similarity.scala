@@ -864,6 +864,105 @@ object Similarity {
     * nearest_dot), ordered by label; nearest = argmax S_a·S_b over
     * b ≠ a normalized by n_a·n_b (mean cross-pair dot), smallest
     * label on ties. */
+  /** One-vs-rest retrieval AUC per label — the threshold-free "can raw
+    * embedding similarity retrieve this class?" eval a curation
+    * pipeline runs before trusting cosine-based ops (SemDeDup, ANN
+    * dedup, nearest-centroid routing) on a new embedding space.
+    *
+    * For each label, the member with the smallest vec_id is the
+    * exemplar; every OTHER vector is scored by its exact quantized dot
+    * against that exemplar, and the AUC is the probability a random
+    * same-label vector outscores a random other-label one (ties count
+    * half) — the Mann-Whitney rank-sum statistic with midranks,
+    * computed entirely in integers:
+    *
+    *   2·R_pos = Σ_scores n_pos(s) · (2·cum_below(s) + n_tot(s) + 1)
+    *   AUC     = (2·R_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg)
+    *
+    * Scale shape: the |labels|-row exemplar table is broadcast against
+    * the corpus (narrow map, one pass); the midrank sum needs only the
+    * per-(label, score) COUNTS, so the window runs over the aggregated
+    * labels × distinct-scores grid, never a global rank over the
+    * corpus. Numerator in DECIMAL(38,0) (2·R_pos·1e6 wraps a BIGINT
+    * past ~2M vectors; decimal is exact to 1e38) — same discipline as
+    * Profile.driftFromBinned.
+    *
+    * Output: (label, ex_id, n_pos, n_neg, auc_ppm), ordered by label;
+    * auc_ppm = floor(1e6 · AUC). */
+  def retrievalAuc(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = emb.groupBy(col("label").as("qlabel"))
+      .agg(min_by(col("embedding"), col("vec_id")).as("qe"),
+        min("vec_id").as("ex_id"))
+    val grid = emb.crossJoin(broadcast(ex))
+      .where(col("vec_id") =!= col("ex_id"))
+      .select(col("qlabel"), col("ex_id"),
+        when(col("label") === col("qlabel"), 1L).otherwise(0L).as("pos"),
+        dotQNative(emb, col("embedding"), col("qe")).as("dot_q"))
+      .groupBy("qlabel", "ex_id", "dot_q")
+      .agg(count(lit(1)).as("nt"), sum("pos").as("np"))
+    val below = Window.partitionBy("qlabel").orderBy("dot_q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("cb", coalesce(sum("nt").over(below), lit(0L)))
+      .groupBy(col("qlabel").as("label"), col("ex_id"))
+      .agg(sum("np").as("n_pos"), sum(col("nt") - col("np")).as("n_neg"),
+        sum((col("np") * (lit(2L) * col("cb") + col("nt") + lit(1L)))
+          .cast("decimal(38,0)")).as("two_r"))
+      .select(col("label"), col("ex_id"), col("n_pos"), col("n_neg"),
+        expr("""CAST(two_r * 1000000 - CAST(n_pos AS DECIMAL(38,0))
+                  * (n_pos + 1) * 1000000 AS DECIMAL(38,0))
+                div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)""")
+          .cast("bigint").as("auc_ppm"))
+      // a singleton class has no positives once its exemplar is held
+      // out (and a single-class corpus no negatives): AUC undefined
+      .where(col("n_pos") > 0 && col("n_neg") > 0)
+      .orderBy("label")
+  }
+
+  /** Leave-one-out 1-NN margin audit per label — [[retrievalAuc]]'s
+    * sharper sibling: for each probe vector, the best same-label dot
+    * (its easiest positive) minus the best cross-label dot (its
+    * hardest negative). margin <= 0 means the probe's nearest
+    * neighbor is CROSS-label — exactly a leave-one-out 1-NN
+    * classification error, and exactly the condition under which
+    * cosine-threshold dedup/SemDeDup starts merging across classes.
+    * The per-label violation count + margin mass is the go/no-go for
+    * trusting neighbor-based ops, and the hardest negatives it
+    * surfaces are what contrastive fine-tuning mines.
+    *
+    * Scale shape: the capped probe set broadcasts against the corpus
+    * (the x59 brute-force pattern); both "best" scores are conditional
+    * MAX aggregates riding one groupBy(qid) — no window, no top-k
+    * state. All-integer quantized dots; sum_margin (not mean) so no
+    * division-semantics drift between engines.
+    *
+    * Output: (label, n_queries, n_violations, worst_margin,
+    * sum_margin), ordered by label. */
+  def nnMarginAudit(emb: DataFrame, nQueries: Int): DataFrame = {
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val per = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"),
+        (col("label") === col("qlabel")).as("same"),
+        dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
+      .groupBy("qid", "qlabel")
+      .agg(max(when(col("same"), col("dot_q"))).as("pos_best"),
+        max(when(!col("same"), col("dot_q"))).as("neg_best"))
+      // a probe whose label has no other member (or a single-class
+      // corpus) has no margin to measure
+      .where(col("pos_best").isNotNull && col("neg_best").isNotNull)
+      .withColumn("margin", col("pos_best") - col("neg_best"))
+    per.groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("margin") <= 0, 1L).otherwise(0L)).as("n_violations"),
+        min("margin").as("worst_margin"),
+        sum("margin").cast("bigint").as("sum_margin"))
+      .orderBy("label")
+  }
+
   def labelCompactness(emb: DataFrame): DataFrame = {
     val comp = emb.select(col("label"),
         posexplode(col("embedding")).as(Seq("i", "v")))

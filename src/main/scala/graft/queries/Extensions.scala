@@ -5369,6 +5369,194 @@ object Extensions {
     // equal batch minhashLshPairs, so the oracle is x57's, verbatim
     Q.df("x242_stream_neardup",
       (s, dir) => Streaming.streamNearDup(s, dir),
-      duckMinhash8x2Oracle)
+      duckMinhash8x2Oracle),
+
+    // one-vs-rest retrieval AUC per label: exact-integer Mann-Whitney
+    // rank-sum with midranks over the quantized-dot scores against a
+    // per-label exemplar — the threshold-free "can this embedding
+    // space retrieve the class?" gate before trusting cosine ops;
+    // window only over the (label, distinct-score) grid
+    Q.df("x243_retrieval_auc",
+      (s, dir) => Similarity.retrievalAuc(
+        Tables.load(s, dir, "embeddings")),
+      """WITH ex AS (
+        |  SELECT label AS qlabel, min(vec_id) AS ex_id
+        |  FROM embeddings GROUP BY 1
+        |), exv AS (
+        |  SELECT x.qlabel, x.ex_id, e.embedding AS qe
+        |  FROM ex x JOIN embeddings e ON e.vec_id = x.ex_id
+        |), scored AS (
+        |  SELECT x.qlabel, x.ex_id, e.vec_id, e.label,
+        |    CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |           * CAST(floor(CAST(x.qe[i] AS DOUBLE) * 10000) AS BIGINT))
+        |      AS BIGINT) AS dot_q
+        |  FROM exv x JOIN embeddings e ON e.vec_id <> x.ex_id,
+        |       range(1, 65) r(i)
+        |  GROUP BY 1, 2, 3, 4
+        |), g AS (
+        |  SELECT qlabel, ex_id, dot_q, CAST(count(*) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM scored GROUP BY 1, 2, 3
+        |), w AS (
+        |  SELECT qlabel, ex_id, dot_q, nt, np,
+        |    CAST(coalesce(sum(nt) OVER (PARTITION BY qlabel ORDER BY dot_q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |  FROM g
+        |), agg AS (
+        |  SELECT qlabel AS label, ex_id,
+        |    CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(nt - np) AS BIGINT) AS n_neg,
+        |    sum(CAST(np AS HUGEINT) * (2 * cb + nt + 1)) AS two_r
+        |  FROM w GROUP BY 1, 2
+        |)
+        |SELECT label, ex_id, n_pos, n_neg,
+        |  CAST((two_r - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+        |       // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT) AS auc_ppm
+        |FROM agg WHERE n_pos > 0 AND n_neg > 0
+        |ORDER BY label""".stripMargin),
+
+    // cross-source duplication audit: pairwise exact shingle-set
+    // Jaccard between sources via per-shingle source-set explosion
+    // (bounded by |sources|²) — never a shingle self-join; the full
+    // matrix INCLUDING zero-overlap pairs, because "no overlap" is
+    // the finding a mixing decision needs
+    Q.df("x244_source_overlap",
+      (s, dir) => Dedup.sourceOverlapMatrix(
+        Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok, $duckShingles,
+         |ss AS (
+         |  SELECT DISTINCT d.source, s.shingle
+         |  FROM sh s JOIN documents d USING (doc_id)
+         |), sz AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1
+         |), it AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM ss a JOIN ss b
+         |    ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  a.n AS n_a, b.n AS n_b,
+         |  CAST(coalesce(it.inter, 0) AS BIGINT) AS inter,
+         |  CAST(1000000 * coalesce(it.inter, 0)
+         |       // (a.n + b.n - coalesce(it.inter, 0)) AS BIGINT) AS jac_ppm
+         |FROM sz a JOIN sz b ON a.source < b.source
+         |LEFT JOIN it ON it.src_a = a.source AND it.src_b = b.source
+         |ORDER BY src_a, src_b""".stripMargin),
+
+    // split-leakage audit: x57 near-dup pairs straddling the x90
+    // content-hash split — per straddling split pair, how many leaks,
+    // the worst Jaccard, and the smallest (d1, d2) example to triage;
+    // two equi-joins of the split assignment onto the pair table
+    Q.df("x245_split_leakage",
+      (s, dir) => Dedup.splitLeakage(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok, $duckShingles,
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(CAST(i AS STRING) || ':' || shingle)) AS m
+         |  FROM sh, range(0, 8) r(i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i % 2 AS band,
+         |    md5(min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 0 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 1 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 2 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 3 THEN m END)) AS sig
+         |  FROM mh GROUP BY doc_id, i % 2
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |), $duckJaccardTail,
+         |pr AS (
+         |  SELECT cand.d1, cand.d2,
+         |    CAST(floor(10000.0 * i / (s1.n + s2.n - i)) AS BIGINT) AS jac_x10k
+         |  FROM cand JOIN inter ON cand.d1 = inter.d1 AND cand.d2 = inter.d2
+         |  JOIN sz s1 ON cand.d1 = s1.doc_id JOIN sz s2 ON cand.d2 = s2.doc_id
+         |), sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h < 'cc' THEN 'train'
+         |         WHEN h < 'e6' THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+         |        FROM documents) x
+         |), st AS (
+         |  SELECT least(a.split, b.split) AS split_a,
+         |    greatest(a.split, b.split) AS split_b,
+         |    pr.d1, pr.d2, pr.jac_x10k
+         |  FROM pr JOIN sp a ON a.doc_id = pr.d1
+         |          JOIN sp b ON b.doc_id = pr.d2
+         |  WHERE a.split <> b.split
+         |)
+         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  max(jac_x10k) AS worst_jac_x10k,
+         |  CAST(min(d1) AS BIGINT) AS example_d1,
+         |  min_by(d2, lpad(CAST(d1 AS VARCHAR), 20, '0') || ':'
+         |             || lpad(CAST(d2 AS VARCHAR), 20, '0')) AS example_d2
+         |FROM st GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin),
+
+    // Tukey-fence outlier audit per event type: exact integer-cents
+    // quartiles, 1.5×IQR fences, out-of-fence counts — the per-metric
+    // data-quality gate; fences computed once per group then broadcast
+    // back for one counting pass
+    Q.df("x246_value_fences",
+      (s, dir) => Profile.valueFences(
+        Tables.load(s, dir, "events"), "event_type", col("value")),
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), q AS (
+        |  SELECT event_type,
+        |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS q1,
+        |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS q3
+        |  FROM c GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, q1, q3,
+        |    q1 - (3 * (q3 - q1)) // 2 AS lo,
+        |    q3 + (3 * (q3 - q1)) // 2 AS hi
+        |  FROM q
+        |)
+        |SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  f.q1, f.q3, f.lo, f.hi,
+        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM c JOIN f USING (event_type)
+        |GROUP BY 1, f.q1, f.q3, f.lo, f.hi
+        |ORDER BY event_type""".stripMargin),
+
+    // leave-one-out 1-NN margin audit: per label, how many probes'
+    // nearest neighbors are CROSS-label (easiest-positive minus
+    // hardest-negative <= 0) — the embedding-space go/no-go for
+    // neighbor-based dedup; conditional-max aggregates, no window
+    Q.df("x247_nn_margin",
+      (s, dir) => Similarity.nnMarginAudit(
+        Tables.load(s, dir, "embeddings"), 200),
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 200
+        |), pairs AS (
+        |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+        |    CAST(sum(CAST(floor(CAST(qe[i] AS DOUBLE) * 10000) AS BIGINT)
+        |           * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000) AS BIGINT))
+        |      AS BIGINT) AS dot_q
+        |  FROM q, embeddings e, range(1, 65) r(i)
+        |  WHERE e.vec_id <> q.qid
+        |  GROUP BY 1, 2, 3, 4
+        |), per AS (
+        |  SELECT qid, qlabel,
+        |    max(CASE WHEN label = qlabel THEN dot_q END) AS pos_best,
+        |    max(CASE WHEN label <> qlabel THEN dot_q END) AS neg_best
+        |  FROM pairs GROUP BY 1, 2
+        |)
+        |SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN pos_best - neg_best <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_violations,
+        |  min(pos_best - neg_best) AS worst_margin,
+        |  CAST(sum(pos_best - neg_best) AS BIGINT) AS sum_margin
+        |FROM per WHERE pos_best IS NOT NULL AND neg_best IS NOT NULL
+        |GROUP BY 1 ORDER BY label""".stripMargin)
   )
 }

@@ -494,4 +494,23 @@ class PlanSpec extends SparkSpec {
     // inverted index never shuffles for it)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("x243 AUC: exemplars broadcast; the midrank window is per-label, never global") {
+    val p = plan("x243_retrieval_auc")
+    // the |labels|-row exemplar table must broadcast against the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // the rank-sum window runs over the (label, score) grid partitioned
+    // by label — a SinglePartition window would be a global corpus sort
+    assert("hashpartitioning\\(qlabel".r.findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("x244 source overlap: no shingle self-join, only the bounded source-grid loop") {
+    val p = plan("x244_source_overlap")
+    // intersections come from the per-shingle source-set explosion, so
+    // the only non-equi join is the |sources|^2 broadcast grid
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }

@@ -2659,4 +2659,61 @@ class ExtSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(d5 == want)
   }
+
+  test("retrieval AUC: separable classes score 1e6, all-ties score exactly 500000") {
+    import spark.implicits._
+    // two orthogonal clusters: similarity ranks every same-label vector
+    // above every cross-label one -> AUC = 1 for both labels
+    val sep = (0L until 6L).map { i =>
+      val lab = (i % 2).toInt
+      val v = if (lab == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i, v, lab)
+    }.toDF("vec_id", "embedding", "label")
+    val a1 = Similarity.retrievalAuc(sep).collect()
+    assert(a1.length == 2 && a1.forall(_.getLong(4) == 1000000L),
+      a1.mkString(";"))
+    // every vector identical -> every comparison ties -> midrank AUC is
+    // exactly 1/2 (the guard that ties count half, not zero or one)
+    val ties = (0L until 6L).map(i =>
+      (i, Array(1f, 0f, 0f, 0f), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val a2 = Similarity.retrievalAuc(ties).collect()
+    assert(a2.length == 2 && a2.forall(_.getLong(4) == 500000L),
+      a2.mkString(";"))
+  }
+
+  test("source overlap matrix: full grid with exact Jaccard and zero rows present") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "a b c d e", "A"), // shingles: "a b c","b c d","c d e"
+      (2L, "a b c d", "B"),   // shingles: "a b c","b c d"
+      (3L, "x y z w", "C")    // disjoint: "x y z","y z w"
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlapMatrix(toy).collect()
+    assert(m.length == 3, m.mkString(";")) // all pairs incl. zero overlap
+    val ab = m.find(r => r.getString(0) == "A" && r.getString(1) == "B").get
+    assert(ab.getLong(2) == 3 && ab.getLong(3) == 2 && ab.getLong(4) == 2)
+    assert(ab.getLong(5) == 666666L) // floor(1e6 * 2/3)
+    m.filter(_.getString(1) == "C").foreach { r =>
+      assert(r.getLong(4) == 0 && r.getLong(5) == 0, r.toString)
+    }
+  }
+
+  test("split leakage: totals and example match a direct recomputation") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.splitLeakage(docs).collect()
+    val split = Sampling.hashSplit(docs, "doc_id")
+    val direct = Dedup.minhashLshPairs(docs)
+      .join(split.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
+      .join(split.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
+      .where(col("s1") =!= col("s2")).collect()
+    assert(out.map(_.getLong(2)).sum == direct.length)
+    out.foreach { r =>
+      val ex = direct.filter(p =>
+          Set(p.getAs[String]("s1"), p.getAs[String]("s2")) ==
+            Set(r.getString(0), r.getString(1)))
+        .map(p => (p.getAs[Long]("d1"), p.getAs[Long]("d2"))).min
+      assert((r.getLong(4), r.getLong(5)) == ex, r.toString)
+    }
+  }
 }
