@@ -43,4 +43,61 @@ object Layout {
     part.select(col("p_partkey"),
         zorderKey(col("p_size"), col("p_partkey"), 8).as("zkey"))
       .orderBy("zkey", "p_partkey")
+
+  /** Zone-map pruning audit: BEFORE paying for a 100 TB layout
+    * rewrite, measure on the actual data how many "files" each
+    * candidate layout would let a predicate skip. Rows are laid out in
+    * three orders — natural (by key), sorted by p_size, and Z-ordered
+    * by (p_size, p_partkey & 255) — cut into files of `rowsPerFile`
+    * rows, and each file keeps parquet-footer-style min/max zone maps
+    * of both dimensions. A file must be scanned iff its [min,max]
+    * range overlaps the predicate range. The single-column sort wins
+    * its own dimension and loses the other; Z-order prunes on BOTH —
+    * the number this mart reports is exactly the scan-cost argument
+    * for the rewrite.
+    *
+    * Per-layout global positions come from a range-partitioned sort +
+    * zipWithIndex (the epoch-shuffle shape), never a SinglePartition
+    * window; zone maps are one keyed agg over file ids.
+    *
+    * Predicates audited: p_size BETWEEN 10 AND 15, (p_partkey & 255)
+    * BETWEEN 0 AND 63, and their conjunction. Output: (layout,
+    * n_files, scan_size_pred, scan_key_pred, scan_both), one row per
+    * layout, ordered by layout name. */
+  def zonemapAudit(part: DataFrame, rowsPerFile: Int = 16): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(rowsPerFile >= 2, s"rowsPerFile >= 2; got $rowsPerFile")
+    val spark = part.sparkSession
+    val base = part.select(col("p_partkey").cast("bigint").as("pk"),
+      col("p_size").cast("bigint").as("sz"),
+      col("p_partkey").bitwiseAND(255).cast("bigint").as("pk8"))
+    def audit(layout: String, order: Seq[Column]): DataFrame = {
+      val sorted = base.orderBy(order: _*)
+      val schema = StructType(sorted.schema.fields :+
+        StructField("gid", LongType, nullable = false))
+      val numbered = spark.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ i)
+        }, schema)
+      numbered
+        .groupBy((col("gid") / rowsPerFile).cast("bigint").as("file"))
+        .agg(min("sz").as("lo_sz"), max("sz").as("hi_sz"),
+          min("pk8").as("lo_pk"), max("pk8").as("hi_pk"))
+        .select(lit(layout).as("layout"),
+          (col("lo_sz") <= 15 && col("hi_sz") >= 10).as("s_sz"),
+          (col("lo_pk") <= 63 && col("hi_pk") >= 0).as("s_pk"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("s_sz"), 1L).otherwise(0L)).as("scan_size_pred"),
+          sum(when(col("s_pk"), 1L).otherwise(0L)).as("scan_key_pred"),
+          sum(when(col("s_sz") && col("s_pk"), 1L).otherwise(0L))
+            .as("scan_both"))
+    }
+    audit("1_natural", Seq(col("pk")))
+      .unionByName(audit("2_bysize", Seq(col("sz"), col("pk"))))
+      .unionByName(audit("3_zorder",
+        Seq(zorderKey(col("sz"), col("pk"), 8), col("pk"))))
+      .orderBy("layout")
+  }
 }

@@ -443,4 +443,64 @@ object Sampling {
       .where(col("copies") > 0)
       .orderBy(key)
   }
+
+  /** Deterministic Poisson-bootstrap confidence interval for the mean
+    * of `metric` per stratum — the error bar a corpus dashboard should
+    * put on every per-source average before anyone compares two
+    * sources. Classic Poisson bootstrap (each row enters replicate r
+    * with weight ~ Poisson(1)), made reproducible and engine-exact:
+    * the weight is the inverse-CDF of Poisson(1) applied to the first
+    * 6 hex digits of md5(r:key) — a pure function of (replicate, key),
+    * so any shard on any cluster regenerates the same replicate, the
+    * same way [[hashSplit]] fixes split assignment. CDF thresholds are
+    * fixed-width lowercase hex strings, so the comparison is the same
+    * lexicographic trick the splitter uses.
+    *
+    * Scale shape: one narrow explode (reps copies of (stratum, key,
+    * metric) — map-side combine collapses it immediately into the
+    * stratum × reps grid), then exact percentile_disc over each
+    * stratum's `reps` replicate means. Nothing global; replicate means
+    * use integer div (nonnegative, so trunc == floor across engines).
+    *
+    * Output: (stratum, n_rows, point_x10k, n_reps, lo95_x10k,
+    * med_x10k, hi95_x10k), ordered by stratum. */
+  def bootstrapCi(df: DataFrame, stratum: String, key: String,
+      metric: Column, reps: Int = 32): DataFrame = {
+    require(reps >= 8 && reps <= 256, s"reps in [8, 256]; got $reps")
+    val repMeans = df
+      .select(col(stratum).as("s"), col(key).cast("string").as("k"),
+        metric.cast("bigint").as("m"))
+      .withColumn("r", explode(expr(s"sequence(0, ${reps - 1})")))
+      .withColumn("h",
+        substring(md5(concat(col("r").cast("string"), lit(":"), col("k"))),
+          1, 6))
+      // Poisson(1) inverse CDF over u = h/16^6: P(<=k) for k = 0..5
+      .withColumn("w",
+        when(col("h") < "5e2d58", 0L).when(col("h") < "bc5ab1", 1L)
+          .when(col("h") < "eb715e", 2L).when(col("h") < "fb2397", 3L)
+          .when(col("h") < "ff1025", 4L).when(col("h") < "ffd90f", 5L)
+          .otherwise(6L))
+      .groupBy("s", "r")
+      .agg(sum(col("w") * col("m")).as("wm"), sum("w").as("wn"))
+      // an empty replicate (P ~ e^-n_s) contributes no mean
+      .where(col("wn") > 0)
+      .select(col("s"), expr("10000 * wm div wn").as("mean_x10k"))
+    val point = df.groupBy(col(stratum).as("s"))
+      .agg(count(lit(1)).as("n_rows"),
+        (lit(10000L) * sum(metric.cast("bigint"))).as("tm"))
+      .select(col("s"), col("n_rows"),
+        expr("tm div n_rows").as("point_x10k"))
+    repMeans.groupBy("s")
+      .agg(count(lit(1)).as("n_reps"),
+        expr("CAST(percentile_disc(0.05) WITHIN GROUP" +
+          " (ORDER BY mean_x10k) AS BIGINT)").as("lo95_x10k"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP" +
+          " (ORDER BY mean_x10k) AS BIGINT)").as("med_x10k"),
+        expr("CAST(percentile_disc(0.95) WITHIN GROUP" +
+          " (ORDER BY mean_x10k) AS BIGINT)").as("hi95_x10k"))
+      .join(point, Seq("s"))
+      .select(col("s").as(stratum), col("n_rows"), col("point_x10k"),
+        col("n_reps"), col("lo95_x10k"), col("med_x10k"), col("hi95_x10k"))
+      .orderBy(stratum)
+  }
 }

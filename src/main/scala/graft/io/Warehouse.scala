@@ -100,6 +100,76 @@ object Warehouse {
     }
   }
 
+  /** Bucketed UPSERT — incremental maintenance of a 100 TB fact table
+    * without shuffling it: base and the (much smaller) change batch are
+    * both written bucketed+sorted by the key, so the FULL OUTER merge
+    * join runs bucket-to-bucket with a zero-Exchange join subtree
+    * (asserted in-line, broadcast disabled so the plan can't dodge).
+    * Update rows win over base rows (coalesce per column); rows only
+    * in the batch are inserts. This is the merge shape behind
+    * Delta/Iceberg MERGE INTO, expressed as plain bucketed Spark.
+    *
+    * The judged output rolls the merged table up by status so the
+    * whole machinery (bucketed writes, bucket-aligned merge, the
+    * upsert semantics) sits on the oracle gate. Deterministic change
+    * batch derived from the base itself: keys ≡ 3 (mod 10) get cents
+    * +500 (updates), keys ≡ 0 (mod 97) re-enter shifted by 1e8 with
+    * status 'N' (inserts).
+    *
+    * Output: (o_orderstatus, n_rows, total_cents), ordered. */
+  def bucketedUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val suf = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val (tb, tu) = (s"ub_base_$suf", s"ub_upd_$suf")
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert")
+    def writeSide(df: DataFrame, table: String): Unit =
+      df.repartition(8, col("k")).write.format("parquet")
+        .bucketBy(8, "k").sortBy("k")
+        .option("path", root.resolve(table).toString)
+        .mode("overwrite").saveAsTable(table)
+    try {
+      val base = graft.Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("bigint").as("cents"),
+          col("o_orderstatus").as("st"))
+      val updates = base.where(col("k") % 10 === 3)
+        .select(col("k"), (col("cents") + 500).as("cents"), col("st"))
+        .unionByName(base.where(col("k") % 97 === 0)
+          .select((col("k") + 100000000L).as("k"), col("cents"),
+            lit("N").as("st")))
+      writeSide(base, tb)
+      writeSide(updates, tu)
+      graft.ext.SessionConf.withConfs(spark)(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+        val b = spark.table(tb); val u = spark.table(tu)
+        val merged = b.join(u, b("k") === u("k"), "full_outer")
+          .select(coalesce(u("k"), b("k")).as("k"),
+            coalesce(u("cents"), b("cents")).as("cents"),
+            coalesce(u("st"), b("st")).as("st"))
+        val out = merged.groupBy(col("st").as("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").cast("bigint").as("total_cents"))
+          .orderBy("o_orderstatus")
+        val rows = out.collect()
+        val plan = out.queryExecution.executedPlan.toString
+        val finalPlan = plan.split("== Initial Plan ==")(0)
+        require(finalPlan.contains("SortMergeJoin"),
+          s"expected merge join:\n$plan")
+        val joinSubtree = finalPlan.substring(
+          finalPlan.indexOf("SortMergeJoin"))
+        require(!joinSubtree.contains("Exchange"),
+          s"bucketed upsert shuffled:\n$plan")
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      spark.sql(s"DROP TABLE IF EXISTS $tu")
+      rmTree(root)
+    }
+  }
+
   private def rmTree(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(root)) {

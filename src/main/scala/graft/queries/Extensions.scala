@@ -5557,6 +5557,114 @@ object Extensions {
         |  min(pos_best - neg_best) AS worst_margin,
         |  CAST(sum(pos_best - neg_best) AS BIGINT) AS sum_margin
         |FROM per WHERE pos_best IS NOT NULL AND neg_best IS NOT NULL
-        |GROUP BY 1 ORDER BY label""".stripMargin)
+        |GROUP BY 1 ORDER BY label""".stripMargin),
+
+    // deterministic Poisson-bootstrap CI for mean chars per source:
+    // weights = Poisson(1) inverse-CDF of md5(r:doc_id) hex (the
+    // hashSplit trick), replicate means on the source × reps grid,
+    // exact percentile_disc over 32 replicates — reproducible error
+    // bars on every per-source average
+    Q.df("x248_bootstrap_ci",
+      (s, dir) => Sampling.bootstrapCi(
+        Tables.load(s, dir, "documents"), "source", "doc_id",
+        col("n_chars"), reps = 32),
+      """WITH e AS (
+        |  SELECT source, doc_id, n_chars, r.r AS r,
+        |    substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 6) AS h
+        |  FROM documents, range(0, 32) r(r)
+        |), w AS (
+        |  SELECT source, r, n_chars,
+        |    CASE WHEN h < '5e2d58' THEN 0 WHEN h < 'bc5ab1' THEN 1
+        |         WHEN h < 'eb715e' THEN 2 WHEN h < 'fb2397' THEN 3
+        |         WHEN h < 'ff1025' THEN 4 WHEN h < 'ffd90f' THEN 5
+        |         ELSE 6 END AS w
+        |  FROM e
+        |), rm AS (
+        |  SELECT source, r,
+        |    CAST(10000 * sum(w * n_chars) // sum(w) AS BIGINT) AS mean_x10k
+        |  FROM w GROUP BY 1, 2 HAVING sum(w) > 0
+        |), ci AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_reps,
+        |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY mean_x10k)
+        |      AS BIGINT) AS lo95_x10k,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY mean_x10k)
+        |      AS BIGINT) AS med_x10k,
+        |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY mean_x10k)
+        |      AS BIGINT) AS hi95_x10k
+        |  FROM rm GROUP BY 1
+        |), pt AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(10000 * sum(n_chars) // count(*) AS BIGINT) AS point_x10k
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT p.source, p.n_rows, p.point_x10k,
+        |  c.n_reps, c.lo95_x10k, c.med_x10k, c.hi95_x10k
+        |FROM pt p JOIN ci c USING (source)
+        |ORDER BY source""".stripMargin),
+
+    // bucketed UPSERT: base and change batch both bucketed by key, the
+    // full-outer merge join runs bucket-to-bucket with a zero-Exchange
+    // join subtree (asserted in-line) — MERGE INTO without shuffling
+    // the fact table; judged through the merged rollup
+    Q.df("x249_bucketed_upsert",
+      (s, dir) => graft.io.Warehouse.bucketedUpsert(s, dir),
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS st
+        |  FROM orders
+        |), upd AS (
+        |  SELECT k, cents + 500 AS cents, st FROM base WHERE k % 10 = 3
+        |  UNION ALL
+        |  SELECT k + 100000000, cents, 'N' FROM base WHERE k % 97 = 0
+        |), merged AS (
+        |  SELECT coalesce(u.k, b.k) AS k,
+        |    coalesce(u.cents, b.cents) AS cents,
+        |    coalesce(u.st, b.st) AS st
+        |  FROM base b FULL OUTER JOIN upd u ON b.k = u.k
+        |)
+        |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin),
+
+    // zone-map pruning audit: natural vs size-sorted vs Z-ordered
+    // layout, files of 16 rows with min/max zone maps on both
+    // dimensions, scan counts under a size predicate, a key predicate
+    // and their conjunction — the measured scan-cost argument for a
+    // layout rewrite, computed without writing a byte
+    Q.df("x250_zonemap_audit",
+      (s, dir) => graft.ext.Layout.zonemapAudit(
+        Tables.load(s, dir, "part"), rowsPerFile = 16),
+      s"""WITH b AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS pk,
+         |    CAST(p_size AS BIGINT) AS sz,
+         |    CAST(p_partkey AS BIGINT) & 255 AS pk8
+         |  FROM part
+         |), l AS (
+         |  SELECT '1_natural' AS layout, pk, sz, pk8,
+         |    row_number() OVER (ORDER BY pk) - 1 AS gid FROM b
+         |  UNION ALL
+         |  SELECT '2_bysize', pk, sz, pk8,
+         |    row_number() OVER (ORDER BY sz, pk) - 1 FROM b
+         |  UNION ALL
+         |  SELECT '3_zorder', pk, sz, pk8,
+         |    row_number() OVER (ORDER BY ${graft.ext.Layout.zorderSql("sz", "pk", 8)}, pk) - 1
+         |  FROM b
+         |), f AS (
+         |  SELECT layout, gid // 16 AS file,
+         |    min(sz) AS lo_sz, max(sz) AS hi_sz,
+         |    min(pk8) AS lo_pk, max(pk8) AS hi_pk
+         |  FROM l GROUP BY 1, 2
+         |)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(CASE WHEN lo_sz <= 15 AND hi_sz >= 10
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS scan_size_pred,
+         |  CAST(sum(CASE WHEN lo_pk <= 63 AND hi_pk >= 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS scan_key_pred,
+         |  CAST(sum(CASE WHEN lo_sz <= 15 AND hi_sz >= 10
+         |    AND lo_pk <= 63 AND hi_pk >= 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS scan_both
+         |FROM f GROUP BY 1 ORDER BY layout""".stripMargin)
   )
 }

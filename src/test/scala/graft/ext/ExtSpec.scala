@@ -2716,4 +2716,34 @@ class ExtSpec extends SparkSpec {
       assert((r.getLong(4), r.getLong(5)) == ex, r.toString)
     }
   }
+
+  test("bootstrap CI: ordered bounds, full replicate set, point near the median") {
+    import org.apache.spark.sql.functions._
+    val rows = Sampling.bootstrapCi(docs, "source", "doc_id",
+      col("n_chars"), reps = 32).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, point, reps, lo, med, hi) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(n > 0 && reps == 32, r.toString)
+      assert(lo <= med && med <= hi, s"unordered CI: $r")
+      // the point estimate sits inside the (generous) bootstrap range
+      assert(point >= lo - (hi - lo) && point <= hi + (hi - lo), r.toString)
+    }
+  }
+
+  test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
+    val rows = graft.ext.Layout.zonemapAudit(
+      graft.Tables.load(spark, dir, "part")).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("1_natural", "2_bysize", "3_zorder"))
+    val nFiles = rows.map(_.getLong(1)).distinct
+    assert(nFiles.length == 1, "layouts must cut the same file count")
+    rows.foreach { r =>
+      val (nf, ssz, spk, both) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ssz <= nf && spk <= nf, r.toString)
+      assert(both <= math.min(ssz, spk), s"conjunction must dominate: $r")
+    }
+  }
 }
