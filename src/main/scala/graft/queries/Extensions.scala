@@ -1226,14 +1226,13 @@ object Extensions {
 
     // GPT-3-style n-gram-overlap decontamination: fraction of each eval
     // doc's distinct 3-grams that appear anywhere in the training side;
-    // semi-join keyed on the shingle, never a doc-pair join
+    // semi-join keyed on the shingle, never a doc-pair join. Split form:
+    // ONE corpus shingling (shared with the whole LSH family's cached
+    // shingle table) + a doc_id-keyed side flag, instead of tokenizing
+    // each filtered side separately
     Q.df("x102_ngram_overlap",
-      (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        Dedup.ngramOverlap(
-          docs.where(col("source") === "src19"),
-          docs.where(col("source") =!= "src19"))
-      },
+      (s, dir) => Dedup.ngramOverlapSplit(
+        Tables.load(s, dir, "documents"), col("source") === "src19"),
       """WITH tok AS (
         |  SELECT doc_id, source,
         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
