@@ -97,4 +97,69 @@ object Entity {
     val base = rec.groupBy("canonical").agg(aggs.head, aggs.tail: _*)
     base.join(mode, "canonical").orderBy("canonical")
   }
+
+  /** LOSSLESS edit-distance self-join (Pass-Join, Li/Deng/Feng VLDB'11
+    * re-expressed Spark-first): every pair of distinct values of
+    * `nameCol` within `tau` edits, found WITHOUT all-pairs and without
+    * the recall hole token blocking leaves (two names can be 1 edit
+    * apart yet share no whitespace token — [[fuzzyNameMatch]] misses
+    * those by design; this join provably cannot).
+    *
+    * The pigeonhole: partition the smaller name a into tau+1 contiguous
+    * segments. Any alignment of a against b uses at most tau edits, so
+    * at least one segment is untouched and appears in b VERBATIM —
+    * shifted by at most tau positions (the net insert/delete count
+    * before it). So candidates are an EQUI-join: index side = each
+    * name's tau+1 (segment, slot, length) signatures; probe side = each
+    * name's substrings at the tau+1 slot positions of every compatible
+    * length, each slot widened by ±tau starts. Per name that is
+    * (tau+1)·(2tau+1)² probe rows — constant, never O(n²) — and the
+    * join shuffles 16-byte-scale segment keys, not the corpus.
+    * `levenshtein` verifies candidates exactly; losslessness means the
+    * brute-force oracle is matched bit-for-bit, not approximated.
+    *
+    * Output: (name_a, name_b, dist) with name_a < name_b and
+    * 1 <= dist <= tau, totally ordered by (name_a, name_b). */
+  def passJoin(records: DataFrame, nameCol: String, tau: Int): DataFrame = {
+    require(tau >= 1 && tau <= 4, s"tau in [1,4]; got $tau")
+    val names = records.select(col(nameCol).as("name")).distinct()
+      .withColumn("l", length(col("name")))
+    // index side: the tau+1 even segments of each name,
+    // segment i (0-based) = substr(p_i + 1, p_{i+1} - p_i),
+    // p_i = (i*l) div (tau+1)
+    val idx = names
+      .select(col("name"), col("l"), explode(expr(
+        s"""filter(transform(sequence(0, $tau), i -> named_struct(
+           |  'slot', i,
+           |  'q', (i * l) div ${tau + 1},
+           |  'sl', ((i + 1) * l) div ${tau + 1} - (i * l) div ${tau + 1})),
+           |  st -> st.sl > 0)""".stripMargin)).as("sg"))
+      .select(col("name").as("name_i"), col("l").as("l_i"),
+        col("sg.slot").as("slot"),
+        expr("substr(name, sg.q + 1, sg.sl)").as("seg"))
+    // probe side: for every compatible index length ls (|l-ls|<=tau),
+    // every slot, every start within +-tau of the slot position
+    val probe = names
+      .select(col("name"), col("l"), explode(expr(
+        s"""flatten(transform(sequence(greatest(l - $tau, 1), l + $tau),
+           |  ls -> flatten(transform(sequence(0, $tau), i ->
+           |    filter(transform(sequence(-$tau, $tau), d -> named_struct(
+           |      'slot', i, 'ls', ls,
+           |      'q', (i * ls) div ${tau + 1} + d,
+           |      'sl', ((i + 1) * ls) div ${tau + 1}
+           |            - (i * ls) div ${tau + 1})),
+           |      st -> st.sl > 0 AND st.q >= 0
+           |            AND st.q + st.sl <= l)))))""".stripMargin)).as("pb"))
+      .select(col("name").as("name_p"),
+        col("pb.slot").as("slot"), col("pb.ls").as("l_i"),
+        expr("substr(name, pb.q + 1, pb.sl)").as("seg"))
+    idx.join(probe, Seq("seg", "slot", "l_i"))
+      .where(col("name_i") < col("name_p"))
+      .select(col("name_i").as("name_a"), col("name_p").as("name_b"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+      .where(col("dist") <= tau)
+      .orderBy("name_a", "name_b")
+  }
 }

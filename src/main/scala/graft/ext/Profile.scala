@@ -435,4 +435,62 @@ object Profile {
         min("cents").as("min_cents"), max("cents").as("max_cents"))
       .orderBy(grp)
   }
+
+  /** Per-stratum two-sample Kolmogorov-Smirnov statistic against the
+    * rest of the corpus — the EXACT whole-distribution drift test that
+    * complements [[scoreDrift]]'s binned TV distance: KS is sensitive
+    * to a shifted median that 10 coarse bins can wash out, and it
+    * needs no bin-edge choice at all. For right-continuous step CDFs
+    * the supremum |F_s − F_r| is attained at a pooled data point, so
+    * evaluating every distinct value is exact, not an approximation.
+    *
+    * ks_ppm = max over pooled distinct x of
+    *   |cum_s(x)·n_r − cum_r(x)·n_s| · 1e6 div (n_s·n_r),
+    * one integer rational per stratum; products run in DECIMAL(38,0)
+    * (same overflow posture as [[driftFromBinned]] post-ADVICE-r6).
+    * worst_x is the value attaining the max (smallest x on ties).
+    *
+    * Scale shape: per-(stratum, value) counts are one keyed agg; the
+    * grid is |strata| × |distinct values| and every window runs over
+    * that grid, never over rows — the x243 grid discipline. The one
+    * un-partitioned window (global running cum) covers only the
+    * distinct-value list. At 100 TB with a high-cardinality metric,
+    * pre-quantize (the [[scoreDrift]] edges or integer cents) to
+    * bound the grid; for a bounded metric like a doc-length or a
+    * score this runs as-is.
+    *
+    * Output: (stratum, n_source, n_rest, ks_ppm, worst_x), ordered by
+    * stratum. */
+  def ksDrift(df: DataFrame, stratum: String, score: Column): DataFrame = {
+    val d = df.select(col(stratum).as("s"), score.cast("bigint").as("x"))
+    val per = d.groupBy("s", "x").agg(count(lit(1)).as("c"))
+    val vals = d.groupBy("x").agg(count(lit(1)).as("cg"))
+    val ns = d.groupBy("s").agg(count(lit(1)).as("n_s"))
+    val ntot = d.agg(count(lit(1)).as("n"))
+    val wg = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    val gcum = vals.select(col("x"), sum("cg").over(wg).as("cum_g"))
+    val ws = Window.partitionBy("s").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ns.crossJoin(broadcast(vals.select("x")))
+      .join(per, Seq("s", "x"), "left")
+      .select(col("s"), col("n_s"), col("x"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum_s", sum("c").over(ws))
+      .join(broadcast(gcum), Seq("x"))
+      .crossJoin(broadcast(ntot))
+      .select(col("s"), col("n_s"), (col("n") - col("n_s")).as("n_r"),
+        col("x"),
+        abs(col("cum_s").cast("decimal(38,0)") * (col("n") - col("n_s")) -
+          (col("cum_g") - col("cum_s")).cast("decimal(38,0)") * col("n_s"))
+          .as("dn"))
+      .groupBy(col("s").as(stratum))
+      .agg(max("n_s").as("n_source"), max("n_r").as("n_rest"),
+        expr("""CAST(max(dn) * 1000000 div
+                (CAST(max(n_s) AS DECIMAL(38,0)) * max(n_r))
+                AS BIGINT)""").as("ks_ppm"),
+        min(struct((-col("dn")).as("nd"), col("x").as("xx"))).as("w"))
+      .select(col(stratum), col("n_source"), col("n_rest"), col("ks_ppm"),
+        col("w.xx").as("worst_x"))
+      .orderBy(stratum)
+  }
 }

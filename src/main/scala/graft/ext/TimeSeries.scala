@@ -432,6 +432,46 @@ object TimeSeries {
       .orderBy("wk")
   }
 
+  /** Per-key TIME-WEIGHTED average of a metered value — the billing /
+    * capacity aggregate: each reading holds until the next one, so its
+    * weight is the micros until that next reading, and the average is
+    * Σ cents_i·dur_i div Σ dur_i. A plain mean over-counts bursts of
+    * readings and under-counts long steady plateaus; the contrast
+    * column (`mean_cents`) makes the bias visible per key.
+    *
+    * Exactness: value as floor-cents, durations as epoch-micros
+    * deltas; the weighted numerator runs in DECIMAL(38,0) (cents ×
+    * month-of-micros per term would near a BIGINT at ~1e5 readings)
+    * and the one division is an integer `div`. Equal timestamps get
+    * duration 0 in (ts, id) order — order within a tie cannot change
+    * either sum.
+    *
+    * Scale shape: one key-partitioned lead window (per-key bounded),
+    * one keyed aggregation. Output rows = key cardinality.
+    *
+    * Output: (key, n_events, span_s, twa_cents, mean_cents) for keys
+    * with a positive span, ordered by key. */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, valCol: String): DataFrame = {
+    val e = events.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol)).as("tm"), col(idCol).as("id"),
+      floor(col(valCol) * 100).cast("bigint").as("cents"))
+    val w = Window.partitionBy("k").orderBy("tm", "id")
+    e.withColumn("dur", lead("tm", 1).over(w) - col("tm"))
+      .groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum("dur").as("span_us"),
+        sum(col("cents").cast("decimal(38,0)") * col("dur")).as("num"),
+        sum("cents").as("sum_cents"))
+      .where(col("span_us") > 0)
+      .select(col(keyCol), col("n_events"),
+        expr("span_us div 1000000").as("span_s"),
+        expr("CAST(num div CAST(span_us AS DECIMAL(38,0)) AS BIGINT)")
+          .as("twa_cents"),
+        expr("sum_cents div n_events").as("mean_cents"))
+      .orderBy(keyCol)
+  }
+
   def retentionFromActivity(act: DataFrame): DataFrame = {
     val cohort = act.groupBy("u").agg(min("wk").as("cw"))
     val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_size"))

@@ -5664,6 +5664,84 @@ object Extensions {
          |  CAST(sum(CASE WHEN lo_sz <= 15 AND hi_sz >= 10
          |    AND lo_pk <= 63 AND hi_pk >= 0
          |    THEN 1 ELSE 0 END) AS BIGINT) AS scan_both
-         |FROM f GROUP BY 1 ORDER BY layout""".stripMargin)
+         |FROM f GROUP BY 1 ORDER BY layout""".stripMargin),
+
+    // exact two-sample Kolmogorov-Smirnov drift per source vs the rest
+    // of the corpus: sup-CDF-gap as one integer rational over the
+    // strata × distinct-values grid — bin-free where x217's TV needs
+    // decile edges; sup attained at a pooled point, so exact
+    Q.df("x251_ks_drift",
+      (s, dir) => Profile.ksDrift(
+        Tables.load(s, dir, "documents"), "source", col("n_chars")),
+      """WITH d AS (SELECT source AS s, n_chars AS x FROM documents),
+        |per AS (SELECT s, x, count(*) AS c FROM d GROUP BY 1, 2),
+        |vals AS (SELECT x, count(*) AS cg FROM d GROUP BY 1),
+        |ns AS (SELECT s, count(*) AS n_s FROM d GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM d),
+        |gcum AS (SELECT x, sum(cg) OVER (ORDER BY x) AS cum_g FROM vals),
+        |grid AS (
+        |  SELECT ns.s, ns.n_s, v.x, coalesce(per.c, 0) AS c
+        |  FROM ns CROSS JOIN vals v
+        |  LEFT JOIN per ON per.s = ns.s AND per.x = v.x),
+        |cum AS (
+        |  SELECT s, n_s, x,
+        |    sum(c) OVER (PARTITION BY s ORDER BY x) AS cum_s
+        |  FROM grid),
+        |diff AS (
+        |  SELECT c.s, c.n_s, t.n - c.n_s AS n_r, c.x,
+        |    abs(c.cum_s * (t.n - c.n_s) - (g.cum_g - c.cum_s) * c.n_s)
+        |      AS dn
+        |  FROM cum c JOIN gcum g USING (x) CROSS JOIN tot t),
+        |mx AS (SELECT s, max(dn) AS mdn FROM diff GROUP BY 1)
+        |SELECT d.s AS source, CAST(max(d.n_s) AS BIGINT) AS n_source,
+        |  CAST(max(d.n_r) AS BIGINT) AS n_rest,
+        |  CAST(max(d.dn) * 1000000 // (max(d.n_s) * max(d.n_r))
+        |    AS BIGINT) AS ks_ppm,
+        |  CAST(min(CASE WHEN d.dn = m.mdn THEN d.x END) AS BIGINT)
+        |    AS worst_x
+        |FROM diff d JOIN mx m USING (s)
+        |GROUP BY d.s ORDER BY source""".stripMargin),
+
+    // lossless Pass-Join edit-distance self-join on supplier names:
+    // segment-pigeonhole candidates (tau+1 even segments; one must
+    // survive any tau-edit alignment verbatim, shifted <= tau), exact
+    // levenshtein verify — matches the brute-force oracle bit-for-bit
+    // with O(n) candidate keys, never an all-pairs comparison
+    Q.df("x252_edit_passjoin",
+      (s, dir) => Entity.passJoin(
+        Tables.load(s, dir, "supplier"), "s_name", tau = 1),
+      """WITH n AS (SELECT DISTINCT s_name AS name FROM supplier)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM n a JOIN n b
+        |  ON a.name < b.name
+        |  AND abs(length(a.name) - length(b.name)) <= 1
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin),
+
+    // per-user time-weighted average event value — the metering
+    // aggregate: each reading holds until the next, weights are
+    // epoch-micros durations, numerator in DECIMAL(38,0); the plain
+    // mean sits beside it to expose burst bias
+    Q.df("x253_time_weighted_avg",
+      (s, dir) => TimeSeries.timeWeightedAvg(
+        Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_id", "value"),
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tm, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id, cents,
+        |    lead(tm) OVER (PARTITION BY user_id ORDER BY tm, event_id)
+        |      - tm AS dur
+        |  FROM e
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(dur) // 1000000 AS BIGINT) AS span_s,
+        |  CAST(sum(cents * dur) // sum(dur) AS BIGINT) AS twa_cents,
+        |  CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+        |FROM l GROUP BY 1 HAVING sum(dur) > 0
+        |ORDER BY user_id""".stripMargin)
   )
 }

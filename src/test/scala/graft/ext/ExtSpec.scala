@@ -2732,6 +2732,72 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("passJoin: lossless vs brute force incl. insert/delete and no-shared-token pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // crafted to exercise every edit kind and the fuzzyNameMatch blind
+    // spot (single-token names share no whitespace block): substitute
+    // ("karla"/"karlo"), delete ("karla"/"karl"), insert
+    // ("brandt"/"brandta"), far pairs, and a length-2 gap that must
+    // NOT match at tau=1
+    val names = Seq("karla", "karlo", "karl", "brandt", "brandta",
+      "xylophone", "zebra", "ka").toDF("nm")
+    for (tau <- 1 to 2) {
+      val got = Entity.passJoin(names, "nm", tau)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val vs = names.collect().map(_.getString(0))
+      val brute = (for {
+        a <- vs; b <- vs if a < b
+        d = {
+          val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+            if (i == 0) j else if (j == 0) i else 0)
+          for (i <- 1 to a.length; j <- 1 to b.length)
+            m(i)(j) = math.min(math.min(m(i - 1)(j), m(i)(j - 1)) + 1,
+              m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          m(a.length)(b.length)
+        } if d <= tau
+      } yield (a, b, d.toLong)).sortBy(t => (t._1, t._2))
+      assert(got.toSeq == brute.toSeq, s"tau=$tau")
+    }
+  }
+
+  test("ksDrift: planted shift dominates; self-identical strata score zero") {
+    import spark.implicits._
+    // two strata drawn identically, one shifted by +100: the shifted
+    // stratum's support is disjoint from its rest, so KS = 1 exactly;
+    // a and b each see a rest that is half identical (the other of
+    // the pair) and half shifted (c), so their sup-gap is exactly
+    // 1 - 1/2 = 0.5 at the top of the common support — and identical
+    // strata must agree to the ppm
+    val base = (1 to 200).map(i => ("a", (i % 50).toLong)) ++
+      (1 to 200).map(i => ("b", (i % 50).toLong)) ++
+      (1 to 200).map(i => ("c", (i % 50) + 100L))
+    val df = base.toDF("source", "x")
+    val rows = Profile.ksDrift(df, "source", org.apache.spark.sql.functions.col("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows("c") == 1000000L, s"disjoint support must give KS=1: $rows")
+    assert(rows("a") == rows("b") && rows("a") == 500000L, rows.toString)
+  }
+
+  test("timeWeightedAvg: equals plain mean under equal spacing; plateau dominates burst") {
+    import spark.implicits._
+    val equal = Seq((1L, 0L, 1L, 10.0), (1L, 60L, 2L, 20.0),
+      (1L, 120L, 3L, 30.0))
+      .toDF("k", "sec", "id", "v")
+      .selectExpr("k", "timestamp_micros(sec * 1000000) AS ts", "id", "v")
+    val r1 = TimeSeries.timeWeightedAvg(equal, "k", "ts", "id", "v").head()
+    // last reading carries no duration: twa = (1000+2000)/2 = 1500
+    assert(r1.getLong(3) == 1500L && r1.getLong(4) == 2000L)
+    // a long plateau at 10.00 then a burst of 99.00 readings at the end:
+    // twa must stay near the plateau while the mean chases the burst
+    val burst = (Seq((1L, 0L, 1L, 10.0), (1L, 1000L, 2L, 99.0),
+      (1L, 1001L, 3L, 99.0), (1L, 1002L, 4L, 99.0)))
+      .toDF("k", "sec", "id", "v")
+      .selectExpr("k", "timestamp_micros(sec * 1000000) AS ts", "id", "v")
+    val r2 = TimeSeries.timeWeightedAvg(burst, "k", "ts", "id", "v").head()
+    assert(r2.getLong(3) < 1100L && r2.getLong(4) > 5000L, r2.toString)
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
