@@ -98,4 +98,44 @@ object Pack {
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
       .orderBy("bucket", "pack_id")
+
+  /** Packing-efficiency audit — the numbers that justify (or indict)
+    * a context-window choice before a tokenizer job burns GPU-hours:
+    * per bucket, the split-and-carry pack count IS the LP lower bound
+    * ceil(tokens/window) by construction, so the only waste is the
+    * final pack's padding (pad_last); the PRICE of that optimality is
+    * split documents — n_split_docs cross a pack boundary and
+    * carried_tok of their tokens land outside their first pack
+    * (attention-mask fragmentation). carry_ppm is the corpus-health
+    * dial: it rises as window shrinks toward the median doc length.
+    *
+    * Pure rollup over [[assignPacks]]'s running offsets (a doc
+    * occupying [off, off+n_tok) splits iff its first and last token
+    * fall in different packs; tokens past the first boundary are
+    * off+n_tok − (off div w + 1)·w, clamped at 0) — the only shuffle
+    * is still the bucket-partitioned window behind assignPacks.
+    *
+    * Output: (bucket, n_docs, n_tok, n_packs, pad_last, n_split_docs,
+    * carried_tok, carry_ppm), ordered by bucket. */
+  def packingAudit(docs: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    assignPacks(docs, window)
+      .select(col("bucket"), col("n_tok"), col("off"),
+        (expr(s"(off + n_tok - 1) div $window") =!=
+          expr(s"off div $window")).as("split"),
+        greatest(lit(0L), col("off") + col("n_tok") -
+          (expr(s"off div $window") + 1) * window).as("carried"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tok"),
+        sum(when(col("split"), 1L).otherwise(0L)).as("n_split_docs"),
+        sum("carried").as("carried_tok"))
+      .select(col("bucket"), col("n_docs"), col("n_tok"),
+        expr(s"(n_tok + ${window - 1}) div $window").as("n_packs"),
+        expr(s"(n_tok + ${window - 1}) div $window * $window - n_tok")
+          .as("pad_last"),
+        col("n_split_docs"), col("carried_tok"),
+        expr("carried_tok * 1000000 div n_tok").as("carry_ppm"))
+      .orderBy("bucket")
+  }
 }

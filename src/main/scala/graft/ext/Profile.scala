@@ -493,4 +493,51 @@ object Profile {
         col("w.xx").as("worst_x"))
       .orderBy(stratum)
   }
+
+  /** QUANTILE NORMALIZATION across strata — the batch-effect
+    * correction: each row's score is replaced by the GLOBAL value at
+    * the same within-stratum order statistic (row r of n_s maps to
+    * global order statistic ceil(r·N/n_s)), so after the transform
+    * every stratum draws from the same distribution and a downstream
+    * threshold means the same thing for every source. Distinct from
+    * [[scoreNormalize]] (which emits the rank ppm itself): here the
+    * output stays in the UNITS of the score, on the corpus's own
+    * pooled distribution.
+    *
+    * Scale shape: the within-stratum rank is a stratum-partitioned
+    * window; the global order-statistic table comes from
+    * [[Ids.rankByOrder]] (range-partitioned sort + zipWithIndex —
+    * never the SinglePartition `row_number() OVER (ORDER BY …)`);
+    * the mapping is then a plain equi-join on the integer statistic
+    * index — corpus-sized × corpus-sized on a unique key, the shape
+    * that scales. Judged as the per-stratum rollup of the normalized
+    * values (min/median/max/sum) — equal-sized strata provably end
+    * up with identical rollups.
+    *
+    * Output: (stratum, n, min_norm, med_norm, max_norm, sum_norm),
+    * ordered by stratum. */
+  def quantileNormalize(df: DataFrame, stratum: String, idCol: String,
+                        score: Column): DataFrame = {
+    val d = df.select(col(stratum).as("s"), col(idCol).as("id"),
+      score.cast("bigint").as("x"))
+    val ws = Window.partitionBy("s").orderBy("x", "id")
+    val ranked = d
+      .withColumn("r", row_number().over(ws).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy("s")))
+    val tot = d.agg(count(lit(1)).as("n"))
+    val g = Ids.rankByOrder(d, Seq(col("x"), col("id")),
+        Seq("x", "id"), "j")
+      .select(col("j"), col("x").as("x_norm"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("j", expr("(r * n + n_s - 1) div n_s"))
+      .join(g, Seq("j"))
+      .groupBy(col("s").as(stratum))
+      .agg(count(lit(1)).as("n"),
+        min("x_norm").as("min_norm"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x_norm)" +
+          " AS BIGINT)").as("med_norm"),
+        max("x_norm").as("max_norm"),
+        sum("x_norm").as("sum_norm"))
+      .orderBy(stratum)
+  }
 }

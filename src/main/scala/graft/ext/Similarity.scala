@@ -963,6 +963,49 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** LABEL-NOISE audit by leave-one-out neighborhood consensus: for
+    * each probe vector, the plurality label of its k nearest
+    * neighbors (excluding itself; quantized-dot ranking, ties by
+    * votes then smallest label — the same deterministic argmax as
+    * [[knnClassify]]); a probe whose consensus DISAGREES with its own
+    * label is flagged as suspect. Rolled up per label this is the
+    * mislabeling-rate estimate that decides whether a labeled corpus
+    * needs review before training (Northcutt-style confident
+    * learning's cheap integer cousin).
+    *
+    * Scale shape: probe set broadcast, corpus scored in one codegen'd
+    * pass, bounded top-k heap per probe ([[rankTopK]] — never a
+    * window over the scored pairs), then two key-grid aggregations.
+    *
+    * Output: (label, n_probes, n_flagged, flag_ppm, example_qid)
+    * with example_qid the smallest flagged probe (null if none),
+    * ordered by label. */
+  def labelNoiseAudit(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val pairs = broadcast(q).join(emb, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
+    val consensus = rankTopK(pairs, k)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+      .groupBy("qid")
+      .agg(min(struct((-col("votes")).as("nv"), col("label").as("l"))).as("w"))
+      .select(col("qid"), col("w.l").as("pred"))
+    q.select(col("qid"), col("qlabel"))
+      .join(consensus, Seq("qid"))
+      .groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("pred") =!= col("qlabel"), 1L).otherwise(0L))
+          .as("n_flagged"),
+        min(when(col("pred") =!= col("qlabel"), col("qid"))).as("example_qid"))
+      .select(col("label"), col("n_probes"), col("n_flagged"),
+        expr("n_flagged * 1000000 div n_probes").as("flag_ppm"),
+        col("example_qid"))
+      .orderBy("label")
+  }
+
   def labelCompactness(emb: DataFrame): DataFrame = {
     val comp = emb.select(col("label"),
         posexplode(col("embedding")).as(Seq("i", "v")))

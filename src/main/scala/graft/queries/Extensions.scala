@@ -5742,6 +5742,114 @@ object Extensions {
         |  CAST(sum(cents * dur) // sum(dur) AS BIGINT) AS twa_cents,
         |  CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
         |FROM l GROUP BY 1 HAVING sum(dur) > 0
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin),
+
+    // quantile normalization across sources — the batch-effect
+    // correction: row r of n_s maps to the global order statistic
+    // ceil(r*N/n_s); the global statistic table is built by
+    // zipWithIndex (x132 machinery), never a SinglePartition window;
+    // judged as the per-source rollup (equal-size sources normalize
+    // to provably identical rollups)
+    Q.df("x254_quantile_normalize",
+      (s, dir) => Profile.quantileNormalize(
+        Tables.load(s, dir, "documents"), "source", "doc_id",
+        col("n_chars")),
+      """WITH d AS (SELECT source AS s, doc_id AS id, n_chars AS x
+        |           FROM documents),
+        |r AS (SELECT s, id, x,
+        |    row_number() OVER (PARTITION BY s ORDER BY x, id) AS r,
+        |    count(*) OVER (PARTITION BY s) AS n_s
+        |  FROM d),
+        |t AS (SELECT count(*) AS n FROM d),
+        |g AS (SELECT x AS x_norm,
+        |    row_number() OVER (ORDER BY x, id) AS j FROM d),
+        |m AS (SELECT r.s, g.x_norm
+        |      FROM r CROSS JOIN t
+        |      JOIN g ON g.j = (r.r * t.n + r.n_s - 1) // r.n_s)
+        |SELECT s AS source, CAST(count(*) AS BIGINT) AS n,
+        |  min(x_norm) AS min_norm,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x_norm)
+        |    AS BIGINT) AS med_norm,
+        |  max(x_norm) AS max_norm,
+        |  CAST(sum(x_norm) AS BIGINT) AS sum_norm
+        |FROM m GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // packing-efficiency audit: split-and-carry pack count IS the LP
+    // lower bound ceil(tokens/window); the audit prices what that
+    // optimality costs — split docs and carried tokens (attention
+    // fragmentation) — per md5 bucket, before a tokenizer job runs
+    Q.df("x255_packing_audit",
+      (s, dir) => Pack.packingAudit(
+        Tables.load(s, dir, "documents"), 96),
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(instr('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+        |      AS BIGINT) AS bucket
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |), p AS (
+        |  SELECT bucket, n_tok, cum - n_tok AS off FROM c
+        |), sp AS (
+        |  SELECT bucket, n_tok, off,
+        |    CASE WHEN (off + n_tok - 1) // 96 <> off // 96
+        |      THEN 1 ELSE 0 END AS split,
+        |    greatest(0, off + n_tok - (off // 96 + 1) * 96) AS carried
+        |  FROM p
+        |), a AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |    CAST(sum(split) AS BIGINT) AS n_split_docs,
+        |    CAST(sum(carried) AS BIGINT) AS carried_tok
+        |  FROM sp GROUP BY 1)
+        |SELECT bucket, n_docs, n_tok,
+        |  (n_tok + 95) // 96 AS n_packs,
+        |  (n_tok + 95) // 96 * 96 - n_tok AS pad_last,
+        |  n_split_docs, carried_tok,
+        |  carried_tok * 1000000 // n_tok AS carry_ppm
+        |FROM a ORDER BY bucket""".stripMargin),
+
+    // label-noise audit by leave-one-out 5-NN consensus: probes whose
+    // neighborhood plurality label disagrees with their own are
+    // flagged — the mislabeling-rate estimate per label; bounded
+    // top-k heap per probe, never a window over scored pairs
+    Q.df("x256_label_noise",
+      (s, dir) => Similarity.labelNoiseAudit(
+        Tables.load(s, dir, "embeddings"), 200, 5),
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+        |           FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+        |    CAST(sum(CAST(floor(CAST(qe[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000)
+        |        AS BIGINT)) AS BIGINT) AS dot_q
+        |  FROM q, embeddings e, range(1, 65) r(i)
+        |  WHERE e.vec_id <> q.qid
+        |  GROUP BY 1, 2, 3, 4),
+        |ranked AS (
+        |  SELECT qid, qlabel, label, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot_q DESC, vec_id) AS rn
+        |  FROM pairs),
+        |votes AS (
+        |  SELECT qid, qlabel, label, count(*) AS votes
+        |  FROM ranked WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT qid, qlabel, label, row_number() OVER (PARTITION BY qid
+        |    ORDER BY votes DESC, label) AS vr
+        |  FROM votes),
+        |f AS (
+        |  SELECT qid, qlabel,
+        |    CASE WHEN label <> qlabel THEN 1 ELSE 0 END AS flagged
+        |  FROM best WHERE vr = 1)
+        |SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(sum(flagged) AS BIGINT) AS n_flagged,
+        |  CAST(sum(flagged) * 1000000 // count(*) AS BIGINT) AS flag_ppm,
+        |  min(CASE WHEN flagged = 1 THEN qid END) AS example_qid
+        |FROM f GROUP BY 1 ORDER BY label""".stripMargin)
   )
 }

@@ -2798,6 +2798,70 @@ class ExtSpec extends SparkSpec {
     assert(r2.getLong(3) < 1100L && r2.getLong(4) > 5000L, r2.toString)
   }
 
+  test("quantileNormalize: equal-size strata collapse to identical rollups") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two same-size strata with disjoint, differently-shaped
+    // distributions: after quantile normalization both must report the
+    // SAME (min, med, max, sum) — that equality is the whole point of
+    // the batch-effect correction
+    val rowsIn = (1 to 100).map(i => ("a", i.toLong, i.toLong * 3)) ++
+      (1 to 100).map(i => ("b", 1000L + i, 100000L + i * i))
+    val df = rowsIn.toDF("src", "id", "x")
+    val out = Profile.quantileNormalize(df, "src", "id", col("x"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(out.length == 2 && out(0)._2 == out(1)._2, out.mkString(";"))
+  }
+
+  test("packingAudit: cross-validated against packSegments on the corpus") {
+    import org.apache.spark.sql.functions._
+    val w = 96
+    val audit = Pack.packingAudit(docs, w).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val segs = Pack.packSegments(docs, w)
+      .groupBy("bucket")
+      .agg(countDistinct(col("pack_id")).as("n_packs"),
+        sum(when(col("seg_no") === 1, 0L).otherwise(col("seg_len")))
+          .as("carried"),
+        countDistinct(when(col("seg_no") >= 2, col("doc_id"))).as("nsplit"))
+      .collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val a = audit(r.getLong(0))
+      assert(a.getLong(3) == r.getLong(1), s"pack count: $r vs $a")
+      assert(a.getLong(6) == r.getLong(2), s"carried tokens: $r vs $a")
+      assert(a.getLong(5) == r.getLong(3), s"split docs: $r vs $a")
+      // split-and-carry is optimal by construction
+      assert(a.getLong(3) == (a.getLong(2) + w - 1) / w)
+    }
+  }
+
+  test("labelNoiseAudit: clean clusters flag nothing; a planted flip is flagged") {
+    import spark.implicits._
+    // three tight orthogonal clusters of 6; every member's 5-NN are its
+    // own cluster, so consensus == own label everywhere — then flip one
+    // label and exactly that probe must be flagged
+    def vec(axis: Int, jitter: Int): Array[Float] =
+      Array.tabulate(6)(i => if (i == axis) 1.0f
+        else if (i == (axis + 1 + jitter % 2) % 6) 0.01f * jitter else 0.0f)
+    val base = for {
+      c <- 0 until 3; j <- 0 until 6
+    } yield ((c * 6 + j).toLong, vec(c * 2, j), c)
+    val clean = base.toDF("vec_id", "embedding", "label")
+    val r1 = Similarity.labelNoiseAudit(clean, 18, 5).collect()
+    assert(r1.map(_.getLong(2)).sum == 0, r1.mkString(";"))
+    val flipped = base.map { case (id, v, l) =>
+      (id, v, if (id == 7L) 2 else l) }.toDF("vec_id", "embedding", "label")
+    val r2 = Similarity.labelNoiseAudit(flipped, 18, 5).collect()
+    // probe 7 sits in cluster 1 but claims label 2: flagged under label
+    // 2; its five cluster-1 neighbors still out-vote it everywhere else
+    val byLabel = r2.map(r => r.getInt(0) -> r).toMap
+    assert(byLabel(2).getLong(2) == 1 && byLabel(2).getLong(4) == 7L,
+      r2.mkString(";"))
+    assert(byLabel(0).getLong(2) == 0, r2.mkString(";"))
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
