@@ -1078,4 +1078,51 @@ object Dedup {
         col("min_jac_x10k"), col("max_jac_x10k"))
       .orderBy("est8")
   }
+
+  /** CONTENT-DEFINED chunking dedup accounting (the LBFS/rsync
+    * discipline, Muthitacharoen et al. SOSP'01, re-expressed on token
+    * streams): chunk boundaries fall where the rolling content hash
+    * (md5 of the trigram ending at the position) lands in a 1/16
+    * residue class — so an INSERTION early in a document shifts every
+    * boundary of [[blockDedup]]'s fixed grid but only the ONE
+    * enclosing content-defined chunk here; all downstream chunks
+    * re-align and still dedup. The audit prices exactly that: per
+    * source, how many chunks (and tokens) are duplicates of a chunk
+    * seen anywhere in the corpus.
+    *
+    * Scale shape: the boundary flag is two per-doc window lags
+    * (narrow per key); chunks form by a per-doc running boundary
+    * count; fingerprints are md5, so the global-frequency join
+    * shuffles 16-byte keys — chunk text never crosses the wire after
+    * its own doc-keyed assembly. Output: (source, n_docs, n_chunks,
+    * n_tok, n_dup_chunks, dup_tok, dup_ppm), ordered by source. */
+  def contentChunkStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy("doc_id").orderBy("pos")
+    val fl = TextStats.tokens(docs)
+      .withColumn("b", when(col("pos") >= 3 &&
+        substring(md5(concat_ws(" ", lag("w", 2).over(w1),
+          lag("w", 1).over(w1), col("w"))), 32, 1) === "0", 1L)
+        .otherwise(0L))
+      .withColumn("cno", coalesce(sum("b").over(
+        w1.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = fl.groupBy("doc_id", "cno")
+      .agg(count(lit(1)).as("n_tok"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
+          " ")).as("fp"))
+    val gf = chunks.groupBy("fp").agg(count(lit(1)).as("c"))
+    chunks.join(gf, Seq("fp"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum("n_tok").as("n_tok"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("c") > 1, col("n_tok")).otherwise(0L)).as("dup_tok"))
+      .select(col("source"), col("n_docs"), col("n_chunks"), col("n_tok"),
+        col("n_dup_chunks"), col("dup_tok"),
+        expr("dup_tok * 1000000 div n_tok").as("dup_ppm"))
+      .orderBy("source")
+  }
 }

@@ -98,6 +98,76 @@ object Graph {
     cur.orderBy("node")
   }
 
+  /** PERSONALIZED PageRank: teleport mass lands only on the `seeds`
+    * set, so scores measure proximity to the seeds rather than global
+    * centrality — the "trusted domains" propagation: seed the crawl
+    * graph with vetted sites and every node's score becomes a
+    * trust/relevance prior for curation (the TrustRank shape,
+    * Gyöngyi et al. VLDB'04).
+    *
+    * Same integer-exact update as [[pageRank]] with the base term
+    * per-node: score_0 = scale div |S| on seeds else 0, and each
+    * round adds base(v) = seed(v) ? (scale div |S|)·15 div 100 : 0.
+    * All BIGINT, truncating division, bit-identical across engines
+    * and partitionings.
+    *
+    * Scale shape identical to [[pageRank]] (edges+degrees
+    * checkpointed once, one equi-join + keyed sum per round,
+    * per-round checkpoint with eager release); the seed flag rides
+    * the checkpointed node frame, so personalization adds zero extra
+    * shuffles. Requires a symmetrized edge list like [[pageRank]].
+    *
+    * `seeds`: one column `node`; members not in the graph are
+    * ignored. Output: (node, score), ordered by node. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int,
+                           scale: Long = 1000000000000L,
+                           checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations must be in [1, 64]; got $iterations")
+    val e = CacheRegistry.checkpoint(
+      edges.select(col("src"), col("dst")).distinct())
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val nodes = CacheRegistry.checkpoint(
+      deg.join(seeds.select(col("node"), lit(1).as("sd")).distinct(),
+          Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("sd"), lit(0)).as("sd")))
+    val eDeg = CacheRegistry.checkpoint(
+      e.join(nodes.select(col("node"), col("deg")),
+          e("src") === col("node"))
+        .select(col("src"), col("dst"), col("deg")))
+    CacheRegistry.release(e)
+
+    val ns = nodes.where(col("sd") === 1).count() // one driver scalar
+    require(ns > 0, "personalizedPageRank needs >= 1 seed in the graph")
+    val init = scale / ns
+    val base = init * 15L / 100L
+
+    var cur = nodes.select(col("node"),
+      (col("sd") * init).cast("bigint").as("score"))
+    var lastChk: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
+      val contrib = eDeg
+        .join(cur, eDeg("src") === cur("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("score div deg")).as("c"))
+      cur = nodes.select(col("node"), col("sd"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (col("sd") * base + expr("85 * coalesce(c, 0L) div 100"))
+            .cast("bigint").as("score"))
+      if (i % checkpointEvery == 0 && i < iterations) {
+        val chk = CacheRegistry.checkpoint(cur)
+        lastChk.foreach(CacheRegistry.release)
+        lastChk = Some(chk)
+        cur = chk
+      }
+    }
+    cur.orderBy("node")
+  }
+
   /** Synchronous label propagation (community detection) on a
     * SYMMETRIZED `edges(src, dst)` list.
     *

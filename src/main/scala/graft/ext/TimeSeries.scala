@@ -432,6 +432,51 @@ object TimeSeries {
       .orderBy("wk")
   }
 
+  /** Exact OLS trend slope of WEEKLY activity per group — the
+    * direction-and-magnitude drift monitor ("is this event type
+    * growing or dying, and how fast") as one integer rational per
+    * group: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over the
+    * zero-filled week series (a missing week IS zero activity —
+    * fitting only observed weeks would hide every outage).
+    *
+    * Sign and magnitude are emitted SEPARATELY (slope_sign,
+    * slope_abs_ppm): the numerator can be negative, and Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors toward −∞ — on
+    * |value| of the split both agree exactly. Products run in
+    * DECIMAL(38,0) (n·Σxy overflows BIGINT near 1e5-event weeks ×
+    * 1e6 scaling). Groups with a single week report slope 0.
+    *
+    * Scale shape: one keyed (group, week) count, a per-group calendar
+    * explode (bounded by the span), one keyed aggregation of the five
+    * OLS sums. Output: (grp, n_weeks, total, slope_sign,
+    * slope_abs_ppm), ordered by group. */
+  def trendSlope(events: DataFrame, grp: String, tsCol: String): DataFrame = {
+    val wk = events.select(col(grp).as("g"),
+      expr(s"datediff(to_date($tsCol), date '1970-01-01') div 7").as("wk"))
+    val per = wk.groupBy("g", "wk").agg(count(lit(1)).as("y"))
+    val cal = per.groupBy("g").agg(min("wk").as("a"), max("wk").as("b"))
+      .select(col("g"), col("a"), explode(expr("sequence(a, b)")).as("wk"))
+    cal.join(per, Seq("g", "wk"), "left")
+      .select(col("g"), (col("wk") - col("a")).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .groupBy(col("g").as(grp))
+      .agg(count(lit(1)).as("n_weeks"), sum("y").as("total"),
+        sum("x").as("sx"), sum(expr("x * x")).as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      .select(col(grp), col("n_weeks"), col("total"),
+        (col("n_weeks").cast("decimal(38,0)") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("total")).as("num"),
+        (col("n_weeks").cast("decimal(38,0)") * col("sxx") -
+          col("sx").cast("decimal(38,0)") * col("sx")).as("den"))
+      .select(col(grp), col("n_weeks"), col("total"),
+        when(col("num") > 0, 1L).when(col("num") < 0, -1L).otherwise(0L)
+          .as("slope_sign"),
+        when(col("den") === 0, 0L)
+          .otherwise(expr("CAST(abs(num) * 1000000 div den AS BIGINT)"))
+          .as("slope_abs_ppm"))
+      .orderBy(grp)
+  }
+
   /** Per-key TIME-WEIGHTED average of a metered value — the billing /
     * capacity aggregate: each reading holds until the next one, so its
     * weight is the micros until that next reading, and the average is

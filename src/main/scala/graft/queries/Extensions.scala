@@ -5850,6 +5850,143 @@ object Extensions {
         |  CAST(sum(flagged) AS BIGINT) AS n_flagged,
         |  CAST(sum(flagged) * 1000000 // count(*) AS BIGINT) AS flag_ppm,
         |  min(CASE WHEN flagged = 1 THEN qid END) AS example_qid
-        |FROM f GROUP BY 1 ORDER BY label""".stripMargin)
+        |FROM f GROUP BY 1 ORDER BY label""".stripMargin),
+
+    // exact OLS trend slope of weekly activity per event type over the
+    // ZERO-FILLED week calendar (a missing week is zero activity);
+    // sign and |slope| ppm emitted separately — Spark div truncates,
+    // DuckDB // floors, and on the split both agree exactly
+    Q.df("x257_trend_slope",
+      (s, dir) => TimeSeries.trendSlope(
+        Tables.load(s, dir, "events"), "event_type", "ts"),
+      """WITH w AS (
+        |  SELECT event_type AS g,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+        |  FROM events),
+        |per AS (SELECT g, wk, count(*) AS y FROM w GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT g, a, unnest(generate_series(a, b)) AS wk
+        |  FROM (SELECT g, min(wk) AS a, max(wk) AS b FROM per GROUP BY 1)),
+        |f AS (
+        |  SELECT cal.g, cal.wk - cal.a AS x, coalesce(per.y, 0) AS y
+        |  FROM cal LEFT JOIN per ON per.g = cal.g AND per.wk = cal.wk),
+        |st AS (
+        |  SELECT g, count(*) AS n, CAST(sum(y) AS BIGINT) AS total,
+        |    sum(x) AS sx, sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM f GROUP BY 1),
+        |r AS (
+        |  SELECT g, n, total,
+        |    n * sxy - sx * total AS num,
+        |    n * sxx - sx * sx AS den
+        |  FROM st)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n_weeks, total,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS slope_sign,
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |    ELSE abs(num) * 1000000 // den END AS BIGINT) AS slope_abs_ppm
+        |FROM r ORDER BY event_type""".stripMargin),
+
+    // content-defined chunking dedup accounting (LBFS/rsync boundaries
+    // on token trigram hashes): insertion-resilient where blockDedup's
+    // fixed grid shifts everywhere; per source, the chunks/tokens that
+    // duplicate a chunk seen anywhere in the corpus
+    Q.df("x258_content_chunks",
+      (s, dir) => Dedup.contentChunkStats(
+        Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |fl AS (
+         |  SELECT doc_id, pos, w,
+         |    CASE WHEN pos >= 3 AND substr(md5(
+         |        lag(w, 2) OVER w1 || ' ' || lag(w, 1) OVER w1
+         |        || ' ' || w), 32, 1) = '0'
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM tok WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)),
+         |ch AS (
+         |  SELECT doc_id, pos, w,
+         |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cno
+         |  FROM fl),
+         |chunks AS (
+         |  SELECT doc_id, cno, CAST(count(*) AS BIGINT) AS n_tok,
+         |    md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+         |  FROM ch GROUP BY 1, 2),
+         |gf AS (SELECT fp, count(*) AS c FROM chunks GROUP BY 1),
+         |j AS (
+         |  SELECT d.source, chunks.doc_id, chunks.n_tok, gf.c
+         |  FROM chunks JOIN gf USING (fp)
+         |  JOIN documents d USING (doc_id))
+         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  CAST(sum(CASE WHEN c > 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS dup_tok,
+         |  CAST(sum(CASE WHEN c > 1 THEN n_tok ELSE 0 END) * 1000000
+         |    // sum(n_tok) AS BIGINT) AS dup_ppm
+         |FROM j GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // personalized PageRank (TrustRank shape): teleport mass only on
+    // the seed set (customers with custkey % 20 = 0), scores become
+    // seed-proximity trust priors; same integer-exact generative
+    // oracle as x169 with the base term per-node
+    Q.df("x259_personalized_pagerank",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cs = graft.ext.CacheRegistry.checkpoint(
+          li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+            .select(concat(lit("c"), col("o_custkey")).as("src"),
+              concat(lit("s"), col("l_suppkey")).as("dst")).distinct())
+        val edges = cs.union(
+          cs.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = ord.where(col("o_custkey") % 20 === 0)
+          .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+        Graph.personalizedPageRank(edges, seeds, 4)
+      },
+      {
+        val iters = 4
+        val head =
+          """WITH e0 AS MATERIALIZED (
+            |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+            |                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+            |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            |), edges AS MATERIALIZED (
+            |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+            |), deg AS MATERIALIZED (
+            |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            |  FROM edges GROUP BY 1
+            |), sd AS MATERIALIZED (
+            |  SELECT node, deg,
+            |    CASE WHEN node LIKE 'c%'
+            |      AND CAST(substr(node, 2) AS BIGINT) % 20 = 0
+            |      THEN 1 ELSE 0 END AS sd
+            |  FROM deg
+            |), ns AS MATERIALIZED (
+            |  SELECT CAST(sum(sd) AS BIGINT) AS n FROM sd),
+            |s0 AS MATERIALIZED (
+            |  SELECT node,
+            |    CAST(sd * (1000000000000 // (SELECT n FROM ns)) AS BIGINT)
+            |      AS score
+            |  FROM sd)""".stripMargin
+        val rounds = (0 until iters).map { i =>
+          s""",
+             |s${i + 1} AS MATERIALIZED (
+             |  SELECT d.node,
+             |    CAST(d.sd * (((1000000000000 // (SELECT n FROM ns)) * 15)
+             |        // 100)
+             |      + 85 * coalesce(c.c, 0) // 100 AS BIGINT) AS score
+             |  FROM sd d LEFT JOIN (
+             |    SELECT e.dst AS node, CAST(sum(s.score // g.deg) AS BIGINT)
+             |      AS c
+             |    FROM edges e JOIN s$i s ON e.src = s.node
+             |    JOIN deg g ON g.node = e.src
+             |    GROUP BY 1) c ON c.node = d.node)""".stripMargin
+        }.mkString
+        s"$head$rounds\nSELECT node, score FROM s$iters ORDER BY node"
+      })
   )
 }

@@ -2862,6 +2862,59 @@ class ExtSpec extends SparkSpec {
     assert(byLabel(0).getLong(2) == 0, r2.mkString(";"))
   }
 
+  test("trendSlope: exact ppm on a linear series; sign flips with direction") {
+    import spark.implicits._
+    // y = 2x exactly over 10 weeks -> slope exactly 2.000000; reversed
+    // -> same magnitude, negative sign; constant -> zero slope
+    def ev(g: String, wk: Int, n: Int) = Seq.fill(n)(
+      (g, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.ofEpochDay(wk * 7L).atStartOfDay())))
+    val rowsIn = (0 until 10).flatMap(w => ev("up", w, 2 * w + 1)) ++
+      (0 until 10).flatMap(w => ev("down", w, 2 * (9 - w) + 1)) ++
+      (0 until 10).flatMap(w => ev("flat", w, 5))
+    val df = rowsIn.toDF("event_type", "ts")
+    val out = TimeSeries.trendSlope(df, "event_type", "ts")
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out("up") == (1L, 2000000L), out.toString)
+    assert(out("down") == (-1L, 2000000L), out.toString)
+    assert(out("flat") == (0L, 0L), out.toString)
+  }
+
+  test("contentChunkStats: boundaries re-align after an insertion (the CDC property)") {
+    import spark.implicits._
+    // doc 2 is doc 1 with one token INSERTED at the front: fixed-grid
+    // blocks all shift, but content-defined boundaries re-align after
+    // the first chunk — most tokens must land in duplicated chunks
+    val t = (1 to 400).map(i => s"w${i % 97}tok$i").mkString(" ")
+    val df = Seq((1L, t, "s0"), (2L, "zzz " + t, "s0"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.contentChunkStats(df).head()
+    val (nTok, dupTok) = (r.getLong(3), r.getLong(5))
+    assert(nTok == 801L, r.toString)
+    // both copies' re-aligned tails dedup: well over half of all
+    // tokens sit in chunks whose fingerprint occurs twice
+    assert(dupTok * 2 > nTok, s"CDC re-alignment failed: $r")
+  }
+
+  test("personalizedPageRank: mass stays in the seeds' component") {
+    import spark.implicits._
+    // two disjoint 3-cycles (symmetrized); seeds only in the first:
+    // every node of the second component must score exactly 0, and
+    // seed-component scores must be positive
+    def cyc(base: Long) = Seq((base, base + 1), (base + 1, base + 2),
+      (base + 2, base))
+    val e0 = cyc(0) ++ cyc(10)
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(0L)).toDF("node")
+    val out = Graph.personalizedPageRank(edges, seeds, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 10L, 11L, 12L), out.toString)
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 0L), out.toString)
+    assert(Seq(0L, 1L, 2L).forall(out(_) > 0L), out.toString)
+    // the seed holds the most mass (teleport lands only there)
+    assert(out(0L) > out(1L) && out(0L) > out(2L), out.toString)
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
