@@ -1079,6 +1079,79 @@ object Dedup {
       .orderBy("est8")
   }
 
+  /** Persisted near-dup SERVE index — the build-once/serve-many tier
+    * of the MinHash family, mirroring the IVF-PQ store: the corpus's
+    * LSH band table AND its per-doc distinct-shingle arrays are
+    * written once; every later probe answers from the STORE, so the
+    * corpus text is never re-tokenized, re-shingled or re-hashed on
+    * the serve path (PlanSpec: the serve plan scans documents
+    * exactly once — the probe batch itself). At 100 TB this is the
+    * difference between a daily dedup pass that reads 100 TB and one
+    * that reads the batch plus 16-byte keys.
+    *
+    * Layout: `path/bands` = (doc_id, band, sig) parquet;
+    * `path/shingles` = (doc_id, sh sorted array, n) parquet; the
+    * `meta` marker is written LAST, so a torn build rebuilds. */
+  def buildNearDupIndex(docs: DataFrame, path: String,
+                        numHashes: Int = 8, bands: Int = 2): Unit = {
+    minhashBandTable(docs, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    shingles3(docs).groupBy("doc_id")
+      .agg(sort_array(collect_set(col("shingle"))).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("bigint").as("n"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$path/meta"))
+  }
+
+  /** Load the index at `path`, building it first iff absent (the
+    * caller keys `path` by the corpus file identity, so a regenerated
+    * corpus can never be served stale). Returns (bands, shingles). */
+  def nearDupIndexAt(spark: org.apache.spark.sql.SparkSession,
+                     path: String, docs: => DataFrame,
+                     numHashes: Int = 8, bands: Int = 2)
+      : (DataFrame, DataFrame) = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta")))
+      buildNearDupIndex(docs, path, numHashes, bands)
+    (spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"))
+  }
+
+  /** Serve a probe batch against a persisted index: batch signatures
+    * are computed in one narrow pass over the (small) batch, candidates
+    * are the equi-join against the stored band table, and the exact
+    * Jaccard verify joins the stored per-doc shingle ARRAYS — one
+    * in-row array_intersect per candidate (the x242 discipline), no
+    * shingle-level shuffle at all on the corpus side.
+    * Output: (d1 corpus doc, d2 batch doc, jac_x10k), d1 != d2, pairs
+    * with a non-empty shingle intersection, ordered by (d1, d2). */
+  def probeNearDupIndex(idxBands: DataFrame, idxShingles: DataFrame,
+                        batch: DataFrame, numHashes: Int = 8,
+                        bands: Int = 2): DataFrame = {
+    val bb = minhashBandTable(batch, numHashes, bands)
+    val cand = idxBands.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val bArr = shingles3(batch).groupBy("doc_id")
+      .agg(sort_array(collect_set(col("shingle"))).as("sh2"))
+      .select(col("doc_id").as("d2"), col("sh2"),
+        size(col("sh2")).cast("bigint").as("n2"))
+    cand
+      .join(idxShingles.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+        col("n").as("n1")), Seq("d1"))
+      .join(bArr, Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("bigint").as("i"),
+        col("n1"), col("n2"))
+      .where(col("i") > 0)
+      .select(col("d1"), col("d2"),
+        floor(lit(10000.0) * col("i") / (col("n1") + col("n2") - col("i")))
+          .cast("bigint").as("jac_x10k"))
+      .orderBy("d1", "d2")
+  }
+
   /** CONTENT-DEFINED chunking dedup accounting (the LBFS/rsync
     * discipline, Muthitacharoen et al. SOSP'01, re-expressed on token
     * streams): chunk boundaries fall where the rolling content hash

@@ -432,6 +432,36 @@ object TimeSeries {
       .orderBy("wk")
   }
 
+  /** TTL-window dedup — the batch twin of streaming
+    * dropDuplicatesWithinWatermark's bounded-state contract, with
+    * tumbling windows: within each `windowDays` window a (key…)
+    * combination is admitted ONCE (its earliest event by (ts, id)),
+    * and re-admitted in the next window — the crawl-recency /
+    * notification-throttling semantics where "duplicate" has a
+    * freshness horizon, unlike global dedup which suppresses forever.
+    *
+    * One keyed aggregation: the keeper is min(struct(ts, id)) —
+    * associative, partial-agg-friendly, no window function at all;
+    * state per key is one struct, the exact bound the streaming twin
+    * holds. Output: (key…, win, n_events, kept_id), ordered by
+    * (key…, win). */
+  def windowedDedup(events: DataFrame, keyCols: Seq[String],
+                    tsCol: String, idCol: String,
+                    windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive")
+    val win = expr(
+      s"datediff(to_date($tsCol), date '1970-01-01') div $windowDays")
+    events
+      .select(keyCols.map(col) ++ Seq(win.as("win"),
+        unix_micros(col(tsCol)).as("tm"), col(idCol).as("id")): _*)
+      .groupBy(keyCols.map(col) :+ col("win"): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("tm"), col("id"))).as("f"))
+      .select(keyCols.map(col) ++ Seq(col("win"), col("n_events"),
+        col("f.id").as("kept_id")): _*)
+      .orderBy(keyCols.map(col) :+ col("win"): _*)
+  }
+
   /** Exact OLS trend slope of WEEKLY activity per group — the
     * direction-and-magnitude drift monitor ("is this event type
     * growing or dying, and how fast") as one integer rational per

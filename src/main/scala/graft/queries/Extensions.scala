@@ -41,6 +41,16 @@ object Extensions {
     s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${variant}_$key"
   }
 
+  /** [[annIndexPath]]'s sibling for the persisted NEAR-DUP index,
+    * keyed by the documents file's identity for the same staleness
+    * guarantee. */
+  private def docIndexPath(dir: String, variant: String): String = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir, variant, f.lastModified, f.length).hashCode())
+    s"${System.getProperty("java.io.tmpdir")}/graft_ndidx_${variant}_$key"
+  }
+
   /** The MinHash(8)+LSH(2 bands) oracle, shared by batch x57 and its
     * streaming twin x242 — one signature definition, two engines and
     * two execution modes judged against it. */
@@ -5987,6 +5997,129 @@ object Extensions {
              |    GROUP BY 1) c ON c.node = d.node)""".stripMargin
         }.mkString
         s"$head$rounds\nSELECT node, score FROM s$iters ORDER BY node"
-      })
+      }),
+
+    // persisted near-dup index, build-once/serve-many: the corpus band
+    // table + per-doc shingle arrays are stored once; a re-scrape
+    // batch (doc_id % 7 = 0) is answered from the STORE — one
+    // documents scan in the serve plan (the batch itself),
+    // PlanSpec-guarded; verify is one in-row array_intersect per
+    // candidate, the x242 discipline
+    Q.df("x260_neardup_index_serve",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val (ib, ish) = Dedup.nearDupIndexAt(
+          s, docIndexPath(dir, "nd8x2"), docs)
+        Dedup.probeNearDupIndex(ib, ish,
+          docs.where(col("doc_id") % 7 === 0))
+      },
+      s"""WITH $duckTok, $duckShingles,
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(CAST(i AS STRING) || ':' || shingle)) AS m
+         |  FROM sh, range(0, 8) r(i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i % 2 AS band,
+         |    md5(min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 0 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 1 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 2 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 3 THEN m END)) AS sig
+         |  FROM mh GROUP BY doc_id, i % 2
+         |), bb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bb b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id <> b.doc_id
+         |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+         |    AND x.doc_id <> y.doc_id AND y.doc_id % 7 = 0
+         |  GROUP BY 1, 2)
+         |SELECT cand.d1, cand.d2,
+         |  CAST(floor(10000.0 * i / (s1.n + s2.n - i)) AS BIGINT)
+         |    AS jac_x10k
+         |FROM cand JOIN inter ON cand.d1 = inter.d1 AND cand.d2 = inter.d2
+         |JOIN sz s1 ON cand.d1 = s1.doc_id
+         |JOIN sz s2 ON cand.d2 = s2.doc_id
+         |ORDER BY cand.d1, cand.d2""".stripMargin),
+
+    // TTL-window dedup: a (user, event_type) is admitted once per
+    // 7-day tumbling window, earliest (ts, id) kept — the batch twin
+    // of dropDuplicatesWithinWatermark's bounded state; one keyed
+    // min(struct) aggregation, no window function
+    Q.df("x261_ttl_dedup",
+      (s, dir) => TimeSeries.windowedDedup(
+        Tables.load(s, dir, "events"),
+        Seq("user_id", "event_type"), "ts", "event_id", 7),
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS win,
+        |    epoch_us(ts) AS tm, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type,
+        |      win ORDER BY tm, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type, win)
+        |      AS n_events
+        |  FROM e)
+        |SELECT user_id, event_type, win,
+        |  CAST(n_events AS BIGINT) AS n_events, event_id AS kept_id
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type, win""".stripMargin),
+
+    // right-to-be-forgotten purge audit: victim customers
+    // (c_custkey % 13 = 0) cascade through orders to lineitems, plus
+    // the directly-keyed events table; per-table purge/retain counts
+    // with DECIMAL(38,0) retained-key checksums — the GDPR erasure
+    // ledger, computed with one broadcast victim list and one scan
+    // per fact table
+    Q.df("x262_purge_audit",
+      (s, dir) => Privacy.purgeAudit(
+        Tables.load(s, dir, "customer"), Tables.load(s, dir, "orders"),
+        Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "events"),
+        Tables.load(s, dir, "customer")
+          .where(col("c_custkey") % 13 === 0)
+          .select(col("c_custkey").as("k"))),
+      """WITH v AS (SELECT c_custkey AS k FROM customer
+        |           WHERE c_custkey % 13 = 0),
+        |po AS (SELECT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT k FROM v))
+        |SELECT * FROM (
+        |  SELECT 'customer' AS tbl,
+        |    CAST(sum(CASE WHEN c_custkey IN (SELECT k FROM v)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+        |    CAST(sum(CASE WHEN c_custkey IN (SELECT k FROM v)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN c_custkey IN (SELECT k FROM v)
+        |      THEN 0 ELSE c_custkey END) AS BIGINT) AS retained_key_sum
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM v)
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM v)
+        |      THEN 0 ELSE 1 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM v)
+        |      THEN 0 ELSE o_orderkey END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM po)
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM po)
+        |      THEN 0 ELSE 1 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM po)
+        |      THEN 0 ELSE l_orderkey * 7 + l_linenumber END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events',
+        |    CAST(sum(CASE WHEN user_id IN (SELECT k FROM v)
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN user_id IN (SELECT k FROM v)
+        |      THEN 0 ELSE 1 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN user_id IN (SELECT k FROM v)
+        |      THEN 0 ELSE event_id END) AS BIGINT)
+        |  FROM events)
+        |ORDER BY tbl""".stripMargin)
   )
 }

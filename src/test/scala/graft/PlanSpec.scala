@@ -282,6 +282,32 @@ class PlanSpec extends SparkSpec {
     ext.CacheRegistry.clearAll()
   }
 
+  test("x260 near-dup serve: corpus served from the store, never re-shingled") {
+    spark.sharedState.cacheManager.clearCache()
+    ext.CacheRegistry.clearAll()
+    // first construction may BUILD the index (that pass scans the
+    // corpus); re-construct so the measured plan is the serve path
+    SparkEntry.queries("x260_neardup_index_serve")(spark, dir).count()
+    spark.sharedState.cacheManager.clearCache()
+    ext.CacheRegistry.clearAll()
+    val out = SparkEntry.queries("x260_neardup_index_serve")(spark, dir)
+    val p = out.queryExecution.executedPlan
+    // at most ONE documents scan (the probe batch; it may also hide
+    // inside the batch's cached shingle relation) — a second scan
+    // would mean the corpus side is being re-read instead of served
+    val docScans = p.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("documents") => f
+    }
+    assert(docScans.length <= 1, docScans.mkString("\n"))
+    // both store legs (bands + shingles) must be read from the index
+    // (match the full plan string — FileSourceScanExec.toString
+    // truncates long locations)
+    assert("graft_ndidx".r.findAllIn(p.toString).length >= 2, p.toString)
+    assert(out.count() > 0)
+    ext.CacheRegistry.clearAll()
+  }
+
   test("x131 runtime bloom filter: might_contain probe injected on the fact side") {
     import org.apache.spark.sql.functions._
     ext.SessionConf.withConfs(spark)(

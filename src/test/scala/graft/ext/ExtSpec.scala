@@ -2915,6 +2915,51 @@ class ExtSpec extends SparkSpec {
     assert(out(0L) > out(1L) && out(0L) > out(2L), out.toString)
   }
 
+  test("windowedDedup: re-admitted next window, suppressed within it") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.ofEpochDay(day.toLong).atStartOfDay())
+    val ev = Seq(
+      (1L, "click", ts(0), 10L), (1L, "click", ts(1), 11L), // window 0 dup
+      (1L, "click", ts(8), 12L),                            // window 1: re-admitted
+      (2L, "view", ts(3), 20L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = TimeSeries.windowedDedup(ev, Seq("user_id", "event_type"),
+      "ts", "event_id", 7).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "click", 0L, 2L, 10L),
+      (1L, "click", 1L, 1L, 12L),
+      (2L, "view", 0L, 1L, 20L)), out.mkString(";"))
+  }
+
+  test("purgeAudit: conservation and cascade consistency on the corpus") {
+    import org.apache.spark.sql.functions._
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val ev = Tables.load(spark, dir, "events")
+    val victims = cust.where(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey").as("k"))
+    val out = Privacy.purgeAudit(cust, ord, li, ev, victims)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val counts = Map("customer" -> cust.count(), "orders" -> ord.count(),
+      "lineitem" -> li.count(), "events" -> ev.count())
+    counts.foreach { case (t, n) =>
+      assert(out(t).getLong(1) + out(t).getLong(2) == n, s"$t not conserved")
+    }
+    // cascade: lineitem purge count == lineitems of purged orders
+    val expectLi = li.join(ord.join(victims,
+        col("o_custkey") === col("k"), "left_semi"),
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(out("lineitem").getLong(1) == expectLi)
+    // an empty victim list purges nothing anywhere
+    val none = Privacy.purgeAudit(cust, ord, li, ev,
+      victims.where(lit(false))).collect()
+    assert(none.forall(_.getLong(1) == 0L), none.mkString(";"))
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
