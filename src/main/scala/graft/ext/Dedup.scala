@@ -731,6 +731,42 @@ object Dedup {
     * stay O(corpus), not O(rounds * corpus).
     * Output: (doc_id, cluster_id). */
   def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val (labels, _) = propagateMinLabels(pairs,
+      docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    labels
+  }
+
+  /** Warm-start connected components: the min-label propagation seeded
+    * from YESTERDAY's labels instead of identity — the daily-ingest
+    * path of cluster maintenance, where re-deriving every component
+    * from scratch wastes the rounds the old labels already paid for.
+    *
+    * Correct under edge/doc ADDITION (components only merge): a prior
+    * label is the id of a member of the node's old component, which is
+    * a subset of its new component, so the per-component minimum over
+    * initial labels is still the minimum MEMBER id — identical to the
+    * cold-start answer (judged against the same recursive-CTE oracle
+    * as x66). Edge DELETION splits components and needs a cold run;
+    * this operator does not detect that case.
+    *
+    * `prior`: (doc_id, cluster_id); docs absent from it (today's new
+    * arrivals) start at identity. Converges in rounds proportional to
+    * how much the graph CHANGED, not its diameter — an unchanged graph
+    * verifies in one round (spec-pinned via the round counter). */
+  def clustersWarmStart(docs: DataFrame, pairs: DataFrame,
+                        prior: DataFrame): DataFrame = {
+    val init = docs
+      .join(prior.select(col("doc_id"), col("cluster_id").as("pl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("pl"), col("doc_id")).as("cluster_id"))
+    propagateMinLabels(pairs, init)._1
+  }
+
+  /** The shared min-label loop behind [[clusters]] and
+    * [[clustersWarmStart]]; returns (labels ordered by doc_id, rounds
+    * run — including the final verify round that observes no change). */
+  private[ext] def propagateMinLabels(pairs: DataFrame,
+                                      init: DataFrame): (DataFrame, Int) = {
     // checkpoint the PAIR list before mirroring it: edges references the
     // pair subtree twice (forward + reversed), so this both truncates
     // the expensive candidate-generation lineage and keeps it from
@@ -738,10 +774,11 @@ object Dedup {
     val fwd = CacheRegistry.checkpoint(
       pairs.select(col("d1").as("src"), col("d2").as("dst")))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = CacheRegistry.checkpoint(
-      docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var labels = CacheRegistry.checkpoint(init)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val viaNeighbor = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("cluster_id"), lit(false).as("own"))
@@ -762,7 +799,7 @@ object Dedup {
       CacheRegistry.release(labels)
       labels = next
     }
-    labels.orderBy("doc_id")
+    (labels.orderBy("doc_id"), rounds)
   }
 
   /** 16-bit SimHash per document: majority vote over the first 4 md5

@@ -507,6 +507,52 @@ object TimeSeries {
       .orderBy(grp)
   }
 
+  /** Exact Spearman rank correlation per group between a metric and
+    * TIME — the rank-robust twin of [[trendSlope]]: a single late
+    * outlier can own an OLS slope, but ranks bound every row's
+    * influence, so agreement between the two statistics (or its
+    * absence) is itself the diagnostic.
+    *
+    * Both variables are ranked with a deterministic unique tie-break
+    * (the event id), making each rank vector a permutation, so the
+    * classic integer identity applies EXACTLY:
+    * rho = 1 − 6·Σd² / (n·(n²−1)). Sign and magnitude are split
+    * (the trendSlope division discipline); products run in
+    * DECIMAL(38,0) (n³ passes BIGINT near 2M rows per group).
+    * Groups with n = 1 report 0.
+    *
+    * Scale shape: two key-partitioned rank windows (per-key bounded)
+    * and one keyed aggregation of Σd². Output: (grp, n, rho_sign,
+    * rho_abs_ppm), ordered by group. */
+  def rankCorrelation(events: DataFrame, grp: String, tsCol: String,
+                      idCol: String, valCol: String): DataFrame = {
+    val e = events.select(col(grp).as("g"),
+      unix_micros(col(tsCol)).as("tm"), col(idCol).as("id"),
+      floor(col(valCol) * 100).cast("bigint").as("cents"))
+    val wt = Window.partitionBy("g").orderBy("tm", "id")
+    val wv = Window.partitionBy("g").orderBy("cents", "id")
+    e.withColumn("rx", row_number().over(wt).cast("long"))
+      .withColumn("ry", row_number().over(wv).cast("long"))
+      .select(col("g"),
+        ((col("rx") - col("ry")) * (col("rx") - col("ry")))
+          .cast("decimal(38,0)").as("d2"))
+      .groupBy(col("g").as(grp))
+      .agg(count(lit(1)).as("n"), sum("d2").as("sd2"))
+      .select(col(grp), col("n"),
+        (col("n").cast("decimal(38,0)") *
+          (col("n").cast("decimal(38,0)") * col("n") - 1) -
+          lit(6).cast("decimal(38,0)") * col("sd2")).as("num"),
+        (col("n").cast("decimal(38,0)") *
+          (col("n").cast("decimal(38,0)") * col("n") - 1)).as("den"))
+      .select(col(grp), col("n"),
+        when(col("num") > 0, 1L).when(col("num") < 0, -1L).otherwise(0L)
+          .as("rho_sign"),
+        when(col("den") === 0, 0L)
+          .otherwise(expr("CAST(abs(num) * 1000000 div den AS BIGINT)"))
+          .as("rho_abs_ppm"))
+      .orderBy(grp)
+  }
+
   /** Per-key TIME-WEIGHTED average of a metered value — the billing /
     * capacity aggregate: each reading holds until the next one, so its
     * weight is the micros until that next reading, and the average is

@@ -6120,6 +6120,131 @@ object Extensions {
         |    CAST(sum(CASE WHEN user_id IN (SELECT k FROM v)
         |      THEN 0 ELSE event_id END) AS BIGINT)
         |  FROM events)
-        |ORDER BY tbl""".stripMargin)
+        |ORDER BY tbl""".stripMargin),
+
+    // warm-start connected components: min-label propagation seeded
+    // from yesterday's labels (docs with doc_id % 5 != 4) — under
+    // edge/doc ADDITION the per-component min over prior labels is
+    // still the min member id, so the answer equals cold-start x66
+    // bit-for-bit (same recursive-CTE oracle); rounds now track graph
+    // CHANGE, not diameter (spec pins warm < cold on a chain)
+    Q.df("x263_cc_warm_start",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val old = docs.where(col("doc_id") % 5 =!= 4)
+        val prior = Dedup.clusters(old,
+          Dedup.jaccardPairs(old, 0.2, maxDocFreq = Some(2)))
+        Dedup.clustersWarmStart(docs,
+          Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2)), prior)
+      },
+      s"""WITH RECURSIVE $duckTok, ${duckShinglesFiltered(2)}, $duckJaccardTail,
+         |pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+         |), edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+         |)
+         |SELECT a AS doc_id, min(b) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+
+    // quantile-sketch accuracy audit — the x235 "trust the sketch"
+    // gate for the x107 binned-quantile tier: per event type, the
+    // 50-cent-bin estimates beside the exact percentiles, with the
+    // REALIZED rank error in ppm (integer numerators; the only
+    // division is a floor'd double quotient of exact integers). The
+    // number that licenses replacing per-group sorts with the
+    // mergeable histogram at scale.
+    Q.sql("x264_sketch_accuracy",
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |tot AS (SELECT event_type, count(*) AS nn FROM c GROUP BY 1),
+        |b AS (
+        |  SELECT event_type, cents - (cents % 50) AS bin_lo, count(*) AS cb
+        |  FROM c GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT event_type, bin_lo, cb,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY bin_lo) AS cum
+        |  FROM b),
+        |est AS (
+        |  SELECT cm.event_type,
+        |    min(CASE WHEN cum * 100 >= 50 * tot.nn
+        |      THEN bin_lo + 49 END) AS p50_est,
+        |    min(CASE WHEN cum * 100 >= 90 * tot.nn
+        |      THEN bin_lo + 49 END) AS p90_est,
+        |    min(CASE WHEN cum * 100 >= 99 * tot.nn
+        |      THEN bin_lo + 49 END) AS p99_est
+        |  FROM cm JOIN tot ON cm.event_type = tot.event_type
+        |  GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS p50,
+        |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS p90,
+        |    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS p99
+        |  FROM c GROUP BY 1),
+        |rk AS (
+        |  SELECT c.event_type, count(*) AS nn,
+        |    sum(CASE WHEN c.cents <= e.p50_est THEN 1 ELSE 0 END) AS r50,
+        |    sum(CASE WHEN c.cents <= e.p90_est THEN 1 ELSE 0 END) AS r90,
+        |    sum(CASE WHEN c.cents <= e.p99_est THEN 1 ELSE 0 END) AS r99
+        |  FROM c JOIN est e ON c.event_type = e.event_type
+        |  GROUP BY 1)
+        |SELECT rk.event_type, CAST(rk.nn AS BIGINT) AS n,
+        |  ex.p50, e.p50_est,
+        |  CAST(floor(1000000.0 * abs(r50 * 100 - 50 * rk.nn)
+        |    / (100 * rk.nn)) AS BIGINT) AS p50_err_ppm,
+        |  ex.p90, e.p90_est,
+        |  CAST(floor(1000000.0 * abs(r90 * 100 - 90 * rk.nn)
+        |    / (100 * rk.nn)) AS BIGINT) AS p90_err_ppm,
+        |  ex.p99, e.p99_est,
+        |  CAST(floor(1000000.0 * abs(r99 * 100 - 99 * rk.nn)
+        |    / (100 * rk.nn)) AS BIGINT) AS p99_err_ppm
+        |FROM rk
+        |JOIN ex ON rk.event_type = ex.event_type
+        |JOIN est e ON rk.event_type = e.event_type
+        |ORDER BY rk.event_type""".stripMargin),
+
+    // exact Spearman rank correlation per event type between value and
+    // time — the rank-robust twin of x257's OLS slope: unique
+    // (ts,id)/(cents,id) tie-breaks make ranks permutations, so
+    // rho = 1 - 6*sum(d^2)/(n(n^2-1)) holds exactly in integers
+    Q.df("x265_rank_correlation",
+      (s, dir) => TimeSeries.rankCorrelation(
+        Tables.load(s, dir, "events"),
+        "event_type", "ts", "event_id", "value"),
+      """WITH e AS (
+        |  SELECT event_type AS g, epoch_us(ts) AS tm, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT g,
+        |    row_number() OVER (PARTITION BY g ORDER BY tm, event_id)
+        |      AS rx,
+        |    row_number() OVER (PARTITION BY g ORDER BY cents, event_id)
+        |      AS ry
+        |  FROM e),
+        |a AS (
+        |  SELECT g, count(*) AS n,
+        |    sum((rx - ry) * (rx - ry)) AS sd2
+        |  FROM r GROUP BY 1),
+        |f AS (
+        |  SELECT g, n, n * (n * n - 1) - 6 * sd2 AS num,
+        |    n * (n * n - 1) AS den
+        |  FROM a)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS rho_sign,
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |    ELSE abs(num) * 1000000 // den END AS BIGINT) AS rho_abs_ppm
+        |FROM f ORDER BY event_type""".stripMargin)
   )
 }

@@ -2960,6 +2960,44 @@ class ExtSpec extends SparkSpec {
     assert(none.forall(_.getLong(1) == 0L), none.mkString(";"))
   }
 
+  test("clustersWarmStart: equals cold start on the corpus; converges faster on a chain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pairs = Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))
+    val old = docs.where(col("doc_id") % 5 =!= 4)
+    val prior = Dedup.clusters(old,
+      Dedup.jaccardPairs(old, 0.2, maxDocFreq = Some(2)))
+    val warm = Dedup.clustersWarmStart(docs, pairs, prior).collect().toSeq
+    val cold = Dedup.clusters(docs, pairs).collect().toSeq
+    assert(warm == cold)
+    // a 12-node chain: identity init needs ~diameter rounds; an exact
+    // prior verifies in one
+    val chainDocs = (1L to 12L).toDF("doc_id")
+    val chainPairs = (1L to 11L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (coldLbl, coldRounds) = Dedup.propagateMinLabels(chainPairs,
+      chainDocs.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    val exact = chainDocs.select(col("doc_id"), lit(1L).as("cluster_id"))
+    val (warmLbl, warmRounds) = Dedup.propagateMinLabels(chainPairs, exact)
+    assert(coldLbl.collect().forall(_.getLong(1) == 1L))
+    assert(warmLbl.collect().forall(_.getLong(1) == 1L))
+    assert(warmRounds == 1 && coldRounds > warmRounds,
+      s"cold=$coldRounds warm=$warmRounds")
+  }
+
+  test("rankCorrelation: exactly +-1.000000 on monotone series") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, m))
+    val ev = ((1 to 20).map(i => ("mono", ts(i), i.toLong, i * 1.0)) ++
+      (1 to 20).map(i => ("anti", ts(i), 100L + i, (21 - i) * 1.0)))
+      .toDF("event_type", "ts", "event_id", "value")
+    val out = TimeSeries.rankCorrelation(ev, "event_type", "ts",
+      "event_id", "value").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out("mono") == (1L, 1000000L), out.toString)
+    assert(out("anti") == (-1L, 1000000L), out.toString)
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
