@@ -905,4 +905,40 @@ object TextStats {
           .as("dup_doc_ppm"),
         col("total_chars"), col("total_tokens"),
         col("p50_chars"), col("p99_chars"), col("max_chars"))
+
+  /** Frequency-weighted cosine similarity between SOURCES over their
+    * token-count vectors — the companion of the x244 shingle-Jaccard
+    * overlap matrix: Jaccard sees shared PHRASES, cosine sees shared
+    * VOCABULARY DISTRIBUTION, and a source pair high on one but not
+    * the other is exactly the mirror-vs-same-register distinction a
+    * mixing policy cares about. Emitted as cos²·1e4 — dot²/(‖a‖²‖b‖²)
+    * needs no square root, so the whole statistic is one exact
+    * integer rational (counts are non-negative, cos² is monotone in
+    * cos). All products in DECIMAL(38,0).
+    *
+    * Scale shape: per-(source, token) counts are one keyed agg; the
+    * pair join is keyed by TOKEN, so per-token work is bounded by
+    * |sources|² (the x244 discipline), never corpus². Pairs sharing
+    * no token are absent (cos = 0). Output: (s1, s2, cos2_x10k),
+    * s1 < s2, ordered. */
+  def sourceCosineMatrix(docs: DataFrame): DataFrame = {
+    val tc = tokens(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val norms = tc.groupBy("source")
+      .agg(sum((col("c").cast("decimal(38,0)") * col("c"))).as("nsq"))
+    val dot = tc.as("a").join(tc.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(sum(col("a.c").cast("decimal(38,0)") * col("b.c")).as("dot"))
+    dot
+      .join(norms.select(col("source").as("s1"), col("nsq").as("n1")),
+        Seq("s1"))
+      .join(norms.select(col("source").as("s2"), col("nsq").as("n2")),
+        Seq("s2"))
+      .select(col("s1"), col("s2"),
+        expr("CAST(dot * dot * 10000 div (n1 * n2) AS BIGINT)")
+          .as("cos2_x10k"))
+      .orderBy("s1", "s2")
+  }
 }

@@ -100,6 +100,59 @@ object Warehouse {
     }
   }
 
+  /** Date-partitioned warehouse + DYNAMIC partition pruning — the
+    * runtime cousin of static partition pruning and the partitioned
+    * sibling of the x131 runtime Bloom join: the fact table is laid
+    * out partitioned by day; the dimension's filter (an attribute the
+    * fact scan cannot see statically) is evaluated at RUN time and its
+    * surviving partition keys are pushed into the fact scan as a
+    * dynamicpruning subquery — so the 100 TB fact read touches only
+    * the qualifying days' files. The DPP subquery is `require`d in
+    * the executed plan (same in-line discipline as the bucketed
+    * joins); the judged rollup sits on the oracle gate, so the whole
+    * layout + pruning round-trip is value-checked.
+    *
+    * The day-of-week attribute is epoch-day mod 7 — a pure integer
+    * both engines compute identically (never a locale-dependent
+    * dayofweek()). */
+  def partitionPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_dpp")
+    try {
+      val ev = graft.Tables.load(spark, dir, "events")
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("cents"),
+          to_date(col("ts")).as("d"))
+      ev.write.partitionBy("d").mode("overwrite")
+        .parquet(root.resolve("events_p").toString)
+      ev.select(col("d")).distinct()
+        .select(col("d"),
+          expr("datediff(d, date '1970-01-01') % 7").as("dow"))
+        .write.mode("overwrite").parquet(root.resolve("dates").toString)
+      val fact = spark.read.parquet(root.resolve("events_p").toString)
+      val dim = spark.read.parquet(root.resolve("dates").toString)
+        .where(col("dow") === 2)
+      graft.ext.SessionConf.withConfs(spark)(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false") {
+        val joined = fact.join(dim, Seq("d"))
+          .groupBy("d")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+          // DATE columns render differently in the two compare paths
+          // (pandas datetime64 vs datetime.date) — ship the day as text
+          .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+            col("n_events"), col("cents"))
+          .orderBy("d")
+        val rows = joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("dynamicpruning"),
+          s"expected a dynamic partition pruning subquery on the fact scan:\n$plan")
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), joined.schema)
+      }
+    } finally rmTree(root)
+  }
+
   /** Bucketed UPSERT — incremental maintenance of a 100 TB fact table
     * without shuffling it: base and the (much smaller) change batch are
     * both written bucketed+sorted by the key, so the FULL OUTER merge

@@ -6245,6 +6245,67 @@ object Extensions {
         |    AS BIGINT) AS rho_sign,
         |  CAST(CASE WHEN den = 0 THEN 0
         |    ELSE abs(num) * 1000000 // den END AS BIGINT) AS rho_abs_ppm
-        |FROM f ORDER BY event_type""".stripMargin)
+        |FROM f ORDER BY event_type""".stripMargin),
+
+    // streaming SCD2 enrichment: streamed clicks join the purchase-
+    // history version active at their event time (stream-static
+    // non-equi interval probe; dimension re-planned per micro-batch);
+    // oracle = the batch interval join
+    Q.df("x266_stream_scd2_enrich",
+      (s, dir) => Streaming.streamScd2Enrich(s, dir),
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS eff_from,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    coalesce(lead(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+        |      9223372036854775807) AS eff_to
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'click')
+        |SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+        |  CAST(sum(p.cents) AS BIGINT) AS sum_active_cents
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.us >= p.eff_from AND c.us < p.eff_to
+        |GROUP BY 1 ORDER BY c.user_id""".stripMargin),
+
+    // frequency-weighted cosine between sources over token-count
+    // vectors — x244's companion (phrases vs vocabulary distribution);
+    // cos² as one exact integer rational, pair join keyed by token so
+    // per-token work is bounded by |sources|²
+    Q.df("x267_source_cosine",
+      (s, dir) => TextStats.sourceCosineMatrix(
+        Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |tc AS (
+         |  SELECT d.source, t.w, count(*) AS c
+         |  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |norms AS (SELECT source, sum(c * c) AS nsq FROM tc GROUP BY 1),
+         |dt AS (
+         |  SELECT a.source AS s1, b.source AS s2, sum(a.c * b.c) AS dot
+         |  FROM tc a JOIN tc b ON a.w = b.w AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT s1, s2,
+         |  CAST(dot * dot * 10000 // (n1.nsq * n2.nsq) AS BIGINT)
+         |    AS cos2_x10k
+         |FROM dt JOIN norms n1 ON dt.s1 = n1.source
+         |JOIN norms n2 ON dt.s2 = n2.source
+         |ORDER BY s1, s2""".stripMargin),
+
+    // date-partitioned warehouse + dynamic partition pruning: the
+    // dimension's runtime filter prunes the fact scan's partitions via
+    // a dynamicpruning subquery (require'd in-plan); the rollup sits
+    // on the oracle gate so layout + pruning round-trip is
+    // value-checked; day-of-week is epoch-day mod 7 (engine-neutral)
+    Q.df("x268_partition_pruned_join",
+      (s, dir) => graft.io.Warehouse.partitionPrunedJoin(s, dir),
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT strftime(d, '%Y-%m-%d') AS d,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM ev WHERE (d - DATE '1970-01-01') % 7 = 2
+        |GROUP BY 1 ORDER BY d""".stripMargin)
   )
 }

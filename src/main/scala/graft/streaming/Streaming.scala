@@ -1164,4 +1164,52 @@ object Streaming {
         expr("n_events * 1000000L div total").as("events_ppm"))
       .orderBy("bucket_pow2")
   }
+
+  /** Stream-static SCD2 enrichment — the streaming dimension lookup
+    * against a slowly-changing dimension: each streamed click joins
+    * the purchase-history VERSION active at its event time (the x150
+    * effective-interval build as the static side, probed with a
+    * non-equi user+interval condition). Spark re-plans the static
+    * side per micro-batch, so a dimension refresh lands on the next
+    * batch with no restart — the production pattern for enriching a
+    * stream against a versioned dimension table.
+    *
+    * Join state: none (stream-static joins keep no state); the only
+    * state is the per-user complete-mode mart, bounded by user
+    * cardinality (the x240 serve-time rationale). Clicks before a
+    * user's first purchase have no active version and drop (inner
+    * join) — exactly the batch interval-join semantics the oracle
+    * states. Output: (user_id, n_clicks, sum_active_cents). */
+  def streamScd2Enrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val name = "stream_scd2_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val wv = Window.partitionBy("user_id").orderBy("eff_from", "event_id")
+    val dim = graft.Tables.load(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("eff_from"),
+        col("event_id"), floor(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("eff_to",
+        coalesce(lead("eff_from", 1).over(wv), lit(Long.MaxValue)))
+      .select(col("user_id").as("d_user"), col("eff_from"), col("eff_to"),
+        col("cents"))
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
+      val clicks = spark.readStream.schema(eventsRawSchema).parquet(stage)
+        .where(col("event_type") === "click")
+        .withColumn("ts", nanosToTs("ts", eventsTsDivisor(spark, dir)))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val q = clicks.join(dim, col("user_id") === col("d_user") &&
+          col("us") >= col("eff_from") && col("us") < col("eff_to"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum("cents").as("sum_active_cents"))
+        .writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    detachMart(spark.table(name)).orderBy("user_id")
+  }
 }

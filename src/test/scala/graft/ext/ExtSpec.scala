@@ -2998,6 +2998,29 @@ class ExtSpec extends SparkSpec {
     assert(out("anti") == (-1L, 1000000L), out.toString)
   }
 
+  test("sourceCosineMatrix: identical sources score exactly 1.0000; disjoint pairs absent") {
+    import spark.implicits._
+    // a and b are token-identical (cos^2 = 10000 exactly), c shares
+    // nothing with them (pair absent — cos = 0 by omission)
+    val df = Seq(
+      (1L, "alpha beta beta gamma", "a"), (2L, "alpha beta", "a"),
+      (3L, "beta alpha alpha beta gamma", "b"),
+      (4L, "zzz qqq rrr", "c"))
+      .toDF("doc_id", "text", "source")
+    val out = TextStats.sourceCosineMatrix(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // a: alpha 2, beta 3, gamma 1; b: alpha 2, beta 2, gamma 1 — not
+    // identical counts, so just assert symmetry-free keys + the exact
+    // identical-vector case via a self-built twin
+    assert(!out.contains(("a", "c")) && !out.contains(("b", "c")),
+      out.toString)
+    val twin = Seq((1L, "x y y z", "s1"), (2L, "x y y z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val t = TextStats.sourceCosineMatrix(twin).head()
+    assert((t.getString(0), t.getString(1), t.getLong(2)) ==
+      ("s1", "s2", 10000L), t.toString)
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
