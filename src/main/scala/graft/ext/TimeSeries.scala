@@ -553,6 +553,149 @@ object TimeSeries {
       .orderBy(grp)
   }
 
+  /** Weekly-percentile trend — the SLO-drift monitor: per group, the
+    * OLS slope of the WEEKLY p50 and p90 of the value (integer
+    * cents), over the weeks the group was observed. A mean-based
+    * trend ([[trendSlope]]) follows volume; this follows the
+    * DISTRIBUTION — a service whose median is flat while its p90
+    * climbs is degrading in exactly the way a mean hides.
+    *
+    * Weeks with no observations carry no distribution and are
+    * excluded (unlike trendSlope's zero-fill — an absent week has no
+    * percentile); x is the week offset from the group's first
+    * OBSERVED week. Same sign/|slope| split and DECIMAL(38,0)
+    * discipline as trendSlope. Groups observed a single week report
+    * 0 slopes.
+    *
+    * Scale shape: one exact percentile aggregate per (group, week)
+    * — distributed by the composite key — then OLS sums over the
+    * (group × weeks) grid. Output: (grp, n_weeks, p50_sign,
+    * p50_abs_ppm, p90_sign, p90_abs_ppm), ordered by group. */
+  def percentileTrend(events: DataFrame, grp: String, tsCol: String,
+                      valCol: String): DataFrame = {
+    val wk = events.select(col(grp).as("g"),
+      expr(s"datediff(to_date($tsCol), date '1970-01-01') div 7").as("wk"),
+      floor(col(valCol) * 100).cast("bigint").as("cents"))
+    val per = wk.groupBy("g", "wk").agg(
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)" +
+        " AS BIGINT)").as("p50"),
+      expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)" +
+        " AS BIGINT)").as("p90"))
+    val base = per.groupBy("g").agg(min("wk").as("wk0"))
+    def slope(y: String, out: String): Seq[Column] = {
+      val num = s"CAST(n AS DECIMAL(38,0)) * sxy_$y - " +
+        s"CAST(sx AS DECIMAL(38,0)) * sy_$y"
+      val den = "CAST(n AS DECIMAL(38,0)) * sxx - " +
+        "CAST(sx AS DECIMAL(38,0)) * sx"
+      Seq(
+        when(expr(num) > 0, 1L).when(expr(num) < 0, -1L).otherwise(0L)
+          .as(s"${out}_sign"),
+        when(expr(den) === 0, 0L)
+          .otherwise(expr(s"CAST(abs($num) * 1000000 div ($den) AS BIGINT)"))
+          .as(s"${out}_abs_ppm"))
+    }
+    per.join(base, Seq("g"))
+      .select(col("g"), (col("wk") - col("wk0")).as("x"),
+        col("p50"), col("p90"))
+      .groupBy(col("g").as(grp))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("x * x")).as("sxx"),
+        sum("p50").as("sy_p50"), sum("p90").as("sy_p90"),
+        sum(col("x").cast("decimal(38,0)") * col("p50")).as("sxy_p50"),
+        sum(col("x").cast("decimal(38,0)") * col("p90")).as("sxy_p90"))
+      .select(col(grp) +: col("n").as("n_weeks") +:
+        (slope("p50", "p50") ++ slope("p90", "p90")): _*)
+      .orderBy(grp)
+  }
+
+  /** Interval-UNION coverage per key: each event covers
+    * [ts, ts + holdSec); overlapping covers merge, and the union
+    * length is exact in micros — the "actual active time" behind
+    * uptime billing and engagement metrics, where summing raw
+    * durations double-counts every overlap. With a FIXED hold the
+    * union telescopes: covered = Σ min(next_ts − ts, hold) over
+    * consecutive events plus hold for the last — one lead window per
+    * key, one keyed sum, no interval self-join.
+    *
+    * Output: (key, n_events, covered_s, span_s, utilization_ppm)
+    * where span = last − first + hold and utilization =
+    * covered/span, ordered by key. */
+  def intervalCoverage(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, holdSec: Long): DataFrame = {
+    require(holdSec >= 1, s"holdSec must be positive")
+    val hold = holdSec * 1000000L
+    val w = Window.partitionBy("k").orderBy("tm", "id")
+    events.select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("tm"),
+        col(idCol).as("id"))
+      .withColumn("nxt", lead("tm", 1).over(w))
+      .groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(when(col("nxt").isNotNull,
+          least(col("nxt") - col("tm"), lit(hold))).otherwise(0L))
+          + hold).as("covered_us"),
+        (max("tm") - min("tm") + hold).as("span_us"))
+      .select(col(keyCol), col("n_events"),
+        expr("covered_us div 1000000").as("covered_s"),
+        expr("span_us div 1000000").as("span_s"),
+        expr("covered_us * 1000000 div span_us").as("utilization_ppm"))
+      .orderBy(keyCol)
+  }
+
+  /** Exact integer CUSUM control chart per group over the zero-filled
+    * weekly count series — the classic sequential change detector
+    * (Page 1954): s_t = max(0, s_{t-1} + y_t − μ − κ) with slack
+    * κ = μ div 10 and alarm threshold h = μ; an alarm at week t says
+    * the counts have run persistently above baseline since the last
+    * reset, which a per-week z-score (x204's shape) cannot see.
+    *
+    * The recursion has a max-reset, so it is NOT a prefix sum — but
+    * the week series is a BOUNDED GRID (one value per group-week), so
+    * the whole chart runs IN-ROW: the group's (wk, y) pairs are
+    * sorted into an array and folded once with `aggregate`'s lambda —
+    * a sequential recursion over a grid-bounded array is a narrow
+    * map, not a distributed loop. The only shuffles are the weekly
+    * count and the per-group collect.
+    *
+    * Output: (grp, n_weeks, mu, n_alarms, first_alarm_wk — offset
+    * from the group's first week, −1 if never — max_cusum), ordered
+    * by group. */
+  def cusumChart(events: DataFrame, grp: String, tsCol: String): DataFrame = {
+    val wk = events.select(col(grp).as("g"),
+      expr(s"datediff(to_date($tsCol), date '1970-01-01') div 7").as("wk"))
+    val per = wk.groupBy("g", "wk").agg(count(lit(1)).as("y"))
+    val cal = per.groupBy("g").agg(min("wk").as("a"), max("wk").as("b"),
+        sum("y").as("tot"))
+      .select(col("g"), col("a"), col("tot"),
+        explode(expr("sequence(a, b)")).as("wk"))
+    cal.join(per, Seq("g", "wk"), "left")
+      .select(col("g"), (col("wk") - col("a")).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"), col("tot"))
+      .groupBy(col("g").as(grp))
+      .agg(count(lit(1)).as("n_weeks"), max("tot").as("tot"),
+        sort_array(collect_list(struct(col("x"), col("y")))).as("ys"))
+      .select(col(grp), col("n_weeks"),
+        expr("tot div n_weeks").as("mu"), col("ys"))
+      .select(col(grp), col("n_weeks"), col("mu"),
+        expr("""aggregate(ys,
+          |  named_struct('s', 0L, 'alarms', 0L, 'first_wk', -1L,
+          |               'maxs', 0L),
+          |  (acc, p) -> named_struct(
+          |    's', greatest(0L, acc.s + p.y - mu - mu div 10),
+          |    'alarms', acc.alarms + IF(greatest(0L, acc.s + p.y - mu
+          |      - mu div 10) > mu, 1L, 0L),
+          |    'first_wk', IF(acc.first_wk >= 0L, acc.first_wk,
+          |      IF(greatest(0L, acc.s + p.y - mu - mu div 10) > mu,
+          |         p.x, -1L)),
+          |    'maxs', greatest(acc.maxs,
+          |      greatest(0L, acc.s + p.y - mu - mu div 10))))""".stripMargin)
+          .as("st"))
+      .select(col(grp), col("n_weeks"), col("mu"),
+        col("st.alarms").as("n_alarms"),
+        col("st.first_wk").as("first_alarm_wk"),
+        col("st.maxs").as("max_cusum"))
+      .orderBy(grp)
+  }
+
   /** Per-key TIME-WEIGHTED average of a metered value — the billing /
     * capacity aggregate: each reading holds until the next one, so its
     * weight is the micros until that next reading, and the average is

@@ -6306,6 +6306,125 @@ object Extensions {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM ev WHERE (d - DATE '1970-01-01') % 7 = 2
-        |GROUP BY 1 ORDER BY d""".stripMargin)
+        |GROUP BY 1 ORDER BY d""".stripMargin),
+
+    // weekly-percentile trend (SLO drift): OLS slope of the weekly p50
+    // AND p90 of value per event type — the distribution trend a mean
+    // hides; observed weeks only (an absent week has no percentile),
+    // sign/|slope| split, DECIMAL(38,0) products
+    Q.df("x269_percentile_trend",
+      (s, dir) => TimeSeries.percentileTrend(
+        Tables.load(s, dir, "events"), "event_type", "ts", "value"),
+      """WITH w AS (
+        |  SELECT event_type AS g,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |per AS (
+        |  SELECT g, wk,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS p50,
+        |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS p90
+        |  FROM w GROUP BY 1, 2),
+        |base AS (SELECT g, min(wk) AS wk0 FROM per GROUP BY 1),
+        |xy AS (SELECT per.g, per.wk - base.wk0 AS x, p50, p90
+        |       FROM per JOIN base ON per.g = base.g),
+        |st AS (
+        |  SELECT g, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+        |    sum(p50) AS sy50, sum(p90) AS sy90,
+        |    sum(x * p50) AS sxy50, sum(x * p90) AS sxy90
+        |  FROM xy GROUP BY 1),
+        |r AS (
+        |  SELECT g, n,
+        |    n * sxy50 - sx * sy50 AS num50,
+        |    n * sxy90 - sx * sy90 AS num90,
+        |    n * sxx - sx * sx AS den
+        |  FROM st)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n_weeks,
+        |  CAST(CASE WHEN num50 > 0 THEN 1 WHEN num50 < 0 THEN -1
+        |    ELSE 0 END AS BIGINT) AS p50_sign,
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |    ELSE abs(num50) * 1000000 // den END AS BIGINT) AS p50_abs_ppm,
+        |  CAST(CASE WHEN num90 > 0 THEN 1 WHEN num90 < 0 THEN -1
+        |    ELSE 0 END AS BIGINT) AS p90_sign,
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |    ELSE abs(num90) * 1000000 // den END AS BIGINT) AS p90_abs_ppm
+        |FROM r ORDER BY event_type""".stripMargin),
+
+    // interval-union coverage per user: events hold 600 s, overlaps
+    // merge via the telescoping min(next-ts, hold) identity — one lead
+    // window, no interval self-join; the uptime/engagement metric that
+    // raw duration sums double-count
+    Q.df("x270_interval_coverage",
+      (s, dir) => TimeSeries.intervalCoverage(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id", 600L),
+      """WITH e AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS tm, event_id FROM events),
+        |l AS (
+        |  SELECT k, tm,
+        |    lead(tm) OVER (PARTITION BY k ORDER BY tm, event_id) AS nxt
+        |  FROM e)
+        |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST((sum(CASE WHEN nxt IS NULL THEN 0
+        |      ELSE least(nxt - tm, 600000000) END) + 600000000)
+        |    // 1000000 AS BIGINT) AS covered_s,
+        |  CAST((max(tm) - min(tm) + 600000000) // 1000000 AS BIGINT)
+        |    AS span_s,
+        |  CAST((sum(CASE WHEN nxt IS NULL THEN 0
+        |      ELSE least(nxt - tm, 600000000) END) + 600000000) * 1000000
+        |    // (max(tm) - min(tm) + 600000000) AS BIGINT)
+        |    AS utilization_ppm
+        |FROM l GROUP BY 1 ORDER BY user_id""".stripMargin),
+
+    // exact integer CUSUM control chart per event type over zero-filled
+    // weekly counts (Page 1954): the max-reset recursion is not a
+    // prefix sum, but the week series is a bounded grid, so the whole
+    // chart folds IN-ROW with aggregate()'s lambda; oracle = the same
+    // recursion as a recursive CTE
+    Q.df("x271_cusum_chart",
+      (s, dir) => TimeSeries.cusumChart(
+        Tables.load(s, dir, "events"), "event_type", "ts"),
+      """WITH RECURSIVE w AS (
+        |  SELECT event_type AS g,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+        |  FROM events),
+        |per AS (SELECT g, wk, count(*) AS y FROM w GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT g, min(wk) AS a, max(wk) AS b, sum(y) AS tot,
+        |    max(wk) - min(wk) + 1 AS nw,
+        |    sum(y) // (max(wk) - min(wk) + 1) AS mu
+        |  FROM per GROUP BY 1),
+        |cal AS (
+        |  SELECT g, a, mu, nw, unnest(generate_series(a, b)) AS wk
+        |  FROM sp),
+        |f AS (
+        |  SELECT cal.g, cal.wk - cal.a AS x, coalesce(per.y, 0) AS y,
+        |    cal.mu, cal.nw
+        |  FROM cal LEFT JOIN per ON per.g = cal.g AND per.wk = cal.wk),
+        |c(g, x, s, alarms, first_wk, maxs, mu, nw) AS (
+        |  SELECT g, x, greatest(0, y - mu - mu // 10),
+        |    CASE WHEN greatest(0, y - mu - mu // 10) > mu
+        |      THEN 1 ELSE 0 END,
+        |    CASE WHEN greatest(0, y - mu - mu // 10) > mu
+        |      THEN x ELSE -1 END,
+        |    greatest(0, y - mu - mu // 10), mu, nw
+        |  FROM f WHERE x = 0
+        |  UNION ALL
+        |  SELECT f.g, f.x,
+        |    greatest(0, c.s + f.y - f.mu - f.mu // 10),
+        |    c.alarms + CASE WHEN greatest(0, c.s + f.y - f.mu
+        |      - f.mu // 10) > f.mu THEN 1 ELSE 0 END,
+        |    CASE WHEN c.first_wk >= 0 THEN c.first_wk
+        |      WHEN greatest(0, c.s + f.y - f.mu - f.mu // 10) > f.mu
+        |      THEN f.x ELSE -1 END,
+        |    greatest(c.maxs, greatest(0, c.s + f.y - f.mu - f.mu // 10)),
+        |    f.mu, f.nw
+        |  FROM c JOIN f ON f.g = c.g AND f.x = c.x + 1)
+        |SELECT g AS event_type, CAST(nw AS BIGINT) AS n_weeks,
+        |  CAST(mu AS BIGINT) AS mu, CAST(alarms AS BIGINT) AS n_alarms,
+        |  CAST(first_wk AS BIGINT) AS first_alarm_wk,
+        |  CAST(maxs AS BIGINT) AS max_cusum
+        |FROM c WHERE x = nw - 1 ORDER BY event_type""".stripMargin)
   )
 }

@@ -3021,6 +3021,54 @@ class ExtSpec extends SparkSpec {
       ("s1", "s2", 10000L), t.toString)
   }
 
+  test("cusumChart: flat series never alarms; a sustained spike alarms at its week") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.ofEpochDay(day.toLong).atStartOfDay())
+    // flat: 10 events/week x 10 weeks (mu=10, slack 1 — s pinned at 0);
+    // spike: 10/week x 9 then 110 in week 9 (mu=20, slack 2 —
+    // s jumps to 88 > 20 exactly at offset 9)
+    val ev = ((0 until 10).flatMap(w => (1 to 10).map(i =>
+        ("flat", ts(w * 7)))) ++
+      (0 until 9).flatMap(w => (1 to 10).map(i => ("spike", ts(w * 7)))) ++
+      (1 to 110).map(i => ("spike", ts(9 * 7))))
+      .toDF("event_type", "ts")
+    val out = TimeSeries.cusumChart(ev, "event_type", "ts").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out("flat") == (10L, 10L, 0L, -1L, 0L), out.toString)
+    assert(out("spike") == (10L, 20L, 1L, 9L, 88L), out.toString)
+  }
+
+  test("intervalCoverage: overlaps merge, gaps don't count") {
+    import spark.implicits._
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq((1L, at(0), 1L), (1L, at(300), 2L), (1L, at(10000), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val r = TimeSeries.intervalCoverage(ev, "user_id", "ts", "event_id",
+      600L).head()
+    // covered = 300 (overlapped head) + 600 + 600 = 1500 s of the
+    // 10600 s span
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (3L, 1500L, 10600L),
+      r.toString)
+    assert(r.getLong(4) == 1500L * 1000000L / 10600L, r.toString)
+  }
+
+  test("percentileTrend: exact slope on a deterministic weekly ramp") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.ofEpochDay(day.toLong).atStartOfDay())
+    // week w has the single value w dollars -> weekly p50 = p90 = 100w
+    // cents, slope exactly 100 cents/week = 100000000 ppm
+    val ev = (0 until 8).map(w => ("ramp", ts(w * 7), w * 1.0))
+      .toDF("event_type", "ts", "value")
+    val r = TimeSeries.percentileTrend(ev, "event_type", "ts", "value")
+      .head()
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      (1L, 100000000L, 1L, 100000000L), r.toString)
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
