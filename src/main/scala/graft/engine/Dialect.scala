@@ -1,7 +1,8 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
 import org.apache.spark.sql.types._
 
 /** SQLite-dialect shims (SURVEY.md §2.5 scalar table): the handful of
@@ -79,6 +80,55 @@ object Dialect {
     val framed = groups
       .withColumn(out, combine(col("_gpart")).over(w)).drop("_gpart")
     df.join(framed, keys)
+  }
+
+  /** EXCLUDE-clause window emulation — the last window-frame dialect
+    * row (SQLite >= 3.28 / standard SQL:2011 frame exclusion) with no
+    * native Spark spelling. Each mode is an exact algebraic identity
+    * on sums of frame/peer/current contributions, so Spark computes it
+    * with one or two plain windows — no self-join, no row explosion:
+    *
+    *  - EXCLUDE CURRENT ROW over a ROWS frame:
+    *      sum(frame) − current            (requires a UNIQUE total
+    *      order — a ROWS frame over tied keys is nondeterministic in
+    *      ANY engine, so a tie-broken order is a correctness
+    *      precondition, not a limitation);
+    *  - EXCLUDE GROUP over a RANGE frame:
+    *      sum(frame) − sum(peers)         (a RANGE frame always
+    *      contains the full peer group, so the subtraction is exact);
+    *  - EXCLUDE TIES over a RANGE frame:
+    *      sum(frame) − sum(peers) + current.
+    *
+    * `peers` is the partition-plus-order-value window (no frame): all
+    * rows tied with the current one. Null values contribute nothing
+    * to any sum, matching the native EXCLUDE semantics. */
+  def sumExcludeCurrentRow(value: Column, rows: WindowSpec): Column = {
+    import org.apache.spark.sql.functions.{count, when}
+    // native sum over an empty/all-null surviving set is NULL, and the
+    // subtraction identity would answer 0 — gate on the surviving
+    // non-null count so the emulation is NULL-faithful
+    val others = count(value).over(rows) -
+      when(value.isNotNull, 1L).otherwise(0L)
+    when(others === 0, lit(null))
+      .otherwise(sum(value).over(rows) - coalesce(value, lit(0L)))
+  }
+
+  def sumExcludeGroup(value: Column, range: WindowSpec,
+                      peers: WindowSpec): Column = {
+    import org.apache.spark.sql.functions.{count, when}
+    val others = count(value).over(range) - count(value).over(peers)
+    when(others === 0, lit(null))
+      .otherwise(sum(value).over(range) - sum(value).over(peers))
+  }
+
+  def sumExcludeTies(value: Column, range: WindowSpec,
+                     peers: WindowSpec): Column = {
+    import org.apache.spark.sql.functions.{count, when}
+    val surviving = count(value).over(range) - count(value).over(peers) +
+      when(value.isNotNull, 1L).otherwise(0L)
+    when(surviving === 0, lit(null))
+      .otherwise(sum(value).over(range) - sum(value).over(peers) +
+        coalesce(value, lit(0L)))
   }
 
   def register(spark: SparkSession): Unit = {

@@ -118,6 +118,55 @@ object Windows {
         |WHERE o_orderkey <= 3000
         |ORDER BY o_orderkey""".stripMargin),
 
+    // EXCLUDE frame modes (the LAST window dialect row): CURRENT ROW /
+    // GROUP / TIES emulated by the exact frame-minus-peers identities
+    // (Dialect.sumExclude*) with NULL-faithful empty-set gating; the
+    // oracle is duckdb's NATIVE EXCLUDE spelling, so two independent
+    // derivations must agree on every tie and every frame edge
+    Q.df("q90_win_exclude_frames",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val base = graft.Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("datediff(o_orderdate, date '1970-01-01')").as("d"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val rows = Window.partitionBy("o_orderpriority")
+          .orderBy(col("d"), col("o_orderkey")).rowsBetween(-2, 2)
+        val range = Window.partitionBy("o_orderpriority")
+          .orderBy(col("d")).rangeBetween(-7, 7)
+        val peers = Window.partitionBy("o_orderpriority", "d")
+        base.select(col("o_orderkey"),
+            graft.engine.Dialect.sumExcludeCurrentRow(col("cents"), rows)
+              .as("ex_cur"),
+            graft.engine.Dialect.sumExcludeGroup(col("cents"), range, peers)
+              .as("ex_grp"),
+            graft.engine.Dialect.sumExcludeTies(col("cents"), range, peers)
+              .as("ex_ties"))
+          .where(col("o_orderkey") <= 3000)
+          .orderBy("o_orderkey")
+      },
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, ex_cur, ex_grp, ex_ties FROM (
+        |  SELECT o_orderkey,
+        |    CAST(sum(cents) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY d, o_orderkey
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+        |      EXCLUDE CURRENT ROW) AS BIGINT) AS ex_cur,
+        |    CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY d
+        |      RANGE BETWEEN 7 PRECEDING AND 7 FOLLOWING
+        |      EXCLUDE GROUP) AS BIGINT) AS ex_grp,
+        |    CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY d
+        |      RANGE BETWEEN 7 PRECEDING AND 7 FOLLOWING
+        |      EXCLUDE TIES) AS BIGINT) AS ex_ties
+        |  FROM r) t
+        |WHERE o_orderkey <= 3000
+        |ORDER BY o_orderkey""".stripMargin),
+
     // gap-based sessionization over the events table: lag → gap flag →
     // running sum = session id → per-session aggregation. The batch twin
     // of the Structured Streaming path in graft.streaming.

@@ -3069,6 +3069,39 @@ class ExtSpec extends SparkSpec {
       (1L, 100000000L, 1L, 100000000L), r.toString)
   }
 
+  test("EXCLUDE emulation: NULL-faithful on empty and all-null surviving sets") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // p=a: single row (EXCLUDE CURRENT ROW survives nothing -> NULL;
+    // EXCLUDE GROUP over an isolated date -> NULL; EXCLUDE TIES keeps
+    // the current row -> its own value). p=b: the current row's only
+    // neighbors carry NULL values -> ex_cur must be NULL, not 0.
+    val df = Seq(
+      ("a", 0L, 1L, Some(10L)),
+      ("b", 0L, 2L, Option.empty[Long]), ("b", 0L, 3L, Some(7L)),
+      ("b", 0L, 4L, Option.empty[Long]))
+      .toDF("p", "d", "k", "v")
+    val rows = Window.partitionBy("p").orderBy(col("d"), col("k"))
+      .rowsBetween(-2, 2)
+    val range = Window.partitionBy("p").orderBy(col("d"))
+      .rangeBetween(-7, 7)
+    val peers = Window.partitionBy("p", "d")
+    val out = df.select(col("p"), col("k"),
+        graft.engine.Dialect.sumExcludeCurrentRow(col("v"), rows)
+          .as("ex_cur"),
+        graft.engine.Dialect.sumExcludeGroup(col("v"), range, peers)
+          .as("ex_grp"),
+        graft.engine.Dialect.sumExcludeTies(col("v"), range, peers)
+          .as("ex_ties"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out(("a", 1L)) == (None, None, Some(10L)), out.toString)
+    // b/k=3: both neighbors are NULL-valued -> every mode that drops
+    // the current row has an all-null surviving set
+    assert(out(("b", 3L)) == (None, None, Some(7L)), out.toString)
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
