@@ -59,4 +59,54 @@ object Cdc {
         when(col("status").isNotNull, col("__new"))
           .otherwise(col("__old")).as(value))
   }
+
+  /** THREE-WAY merge of two divergent snapshots against their common
+    * base — the data-branching counterpart of a VCS merge: branches
+    * `a` and `b` both evolved from `base`; keys changed on ONE side
+    * take that side, keys changed identically on both sides converge,
+    * and keys changed DIFFERENTLY are conflicts that keep the base
+    * state (never silently pick a winner). "Changed" is the [[diff]]
+    * classification (presence + null-safe value inequality), so
+    * add/remove/update conflicts all surface: a removed-vs-updated
+    * key is a conflict exactly like two different updates.
+    *
+    * One 3-way full-outer join on the key (presence markers per
+    * side), per-row classification — the same single-shuffle
+    * discipline as diff/applyDiff. Output: one row per key present
+    * in any snapshot that is classified `removed` nowhere it
+    * survives — (key, status ∈ {unchanged, a_only, b_only,
+    * both_same, conflict}, value — the MERGED value, null when the
+    * merged state is absent, plus present flag). */
+  def threeWayMerge(base: DataFrame, a: DataFrame, b: DataFrame,
+                    key: String, value: String): DataFrame = {
+    val v0 = base.select(col(key), col(value).as("__c0"), lit(1).as("__p0"))
+    val va = a.select(col(key), col(value).as("__ca"), lit(1).as("__pa"))
+    val vb = b.select(col(key), col(value).as("__cb"), lit(1).as("__pb"))
+    val j = v0.join(va, Seq(key), "full_outer")
+      .join(vb, Seq(key), "full_outer")
+    val chA = !(col("__p0").isNotNull <=> col("__pa").isNotNull) ||
+      !(col("__c0") <=> col("__ca"))
+    val chB = !(col("__p0").isNotNull <=> col("__pb").isNotNull) ||
+      !(col("__c0") <=> col("__cb"))
+    val sameAB = (col("__pa").isNotNull <=> col("__pb").isNotNull) &&
+      (col("__ca") <=> col("__cb"))
+    j.select(col(key),
+        when(!chA && !chB, "unchanged")
+          .when(chA && !chB, "a_only")
+          .when(!chA && chB, "b_only")
+          .when(sameAB, "both_same")
+          .otherwise("conflict").as("status"),
+        when(!chA && !chB, col("__c0"))
+          .when(chA && !chB, col("__ca"))
+          .when(!chA && chB, col("__cb"))
+          .when(sameAB, col("__ca"))
+          .otherwise(col("__c0")).as(value),
+        when(!chA && !chB, col("__p0").isNotNull)
+          .when(chA && !chB, col("__pa").isNotNull)
+          .when(!chA && chB, col("__pb").isNotNull)
+          .when(sameAB, col("__pa").isNotNull)
+          .otherwise(col("__p0").isNotNull).as("present"))
+      .where(col("present"))
+      .select(col(key), col("status"), col(value))
+  }
 }

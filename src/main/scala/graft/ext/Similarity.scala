@@ -1006,6 +1006,58 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** MATRYOSHKA truncation-recall curve: top-k retrieval quality when
+    * only the first d dimensions of the embedding are scored, for each
+    * d in `dims` — the dimension-budget sizing measurement behind
+    * truncatable (MRL-style) embeddings: serving at d=16 costs 1/4 of
+    * d=64 scoring; this curve says what recall that buys. Ground
+    * truth = the full-width (max dim) exact top-k; everything is the
+    * deterministic quantized dot, so unlike the IVF family the whole
+    * curve is DuckDB-oracle-exact.
+    *
+    * Scale shape: ONE probes×corpus pair materialization (pinned)
+    * carrying all prefix dots as in-row aggregate() folds; per width,
+    * a bounded top-k heap per probe ([[rankTopK]]'s aggregate — never
+    * a window over scored pairs) and a semi-join against the
+    * full-width truth. Output: (dim, n_probes, k, hits, recall_ppm),
+    * ordered by dim. */
+  def matryoshkaRecall(emb: DataFrame, nQueries: Int, k: Int,
+                       dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims == dims.sorted && dims.distinct == dims,
+      s"dims must be distinct ascending; got $dims")
+    val spark = emb.sparkSession
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pairs = CacheRegistry.pin(
+      broadcast(q).join(emb, col("qid") =!= col("vec_id"))
+        .select(Seq(col("qid"), col("vec_id")) ++ dims.map(d =>
+          expr(
+            s"""aggregate(sequence(1, $d), 0L, (acc, i) -> acc
+               |  + CAST(floor(CAST(element_at(qe, i) AS DOUBLE) * 10000)
+               |      AS BIGINT)
+               |  * CAST(floor(CAST(element_at(embedding, i) AS DOUBLE)
+               |      * 10000) AS BIGINT))""".stripMargin)
+            .as(s"dot_$d")): _*))
+    val fn = graft.functions.TopKAgg.register(spark, k)
+    def top(d: Int): DataFrame =
+      pairs.groupBy("qid")
+        .agg(call_function(fn, col(s"dot_$d"), col("vec_id")).as("top"))
+        .select(col("qid"),
+          explode(expr("transform(top, s -> s.id)")).as("vec_id"))
+    val gt = CacheRegistry.pin(top(dims.max))
+    val np = gt.agg(countDistinct(col("qid")).as("n"))
+    dims.map { d =>
+      top(d).join(gt, Seq("qid", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d.toLong).as("dim"), col("hits"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(np))
+      .select(col("dim"), col("n").as("n_probes"),
+        lit(k.toLong).as("k"), col("hits"),
+        expr(s"hits * 1000000 div (n * $k)").as("recall_ppm"))
+      .orderBy("dim")
+  }
+
   def labelCompactness(emb: DataFrame): DataFrame = {
     val comp = emb.select(col("label"),
         posexplode(col("embedding")).as(Seq("i", "v")))

@@ -641,6 +641,55 @@ object TimeSeries {
       .orderBy(keyCol)
   }
 
+  /** Weekday-seasonality-adjusted outlier audit: a Monday is only
+    * anomalous relative to MONDAYS — the raw daily-count z-chart
+    * (x204's shape) alarms every weekend of a weekday-heavy service.
+    * Per (group, date) on the ZERO-FILLED calendar (a silent day is
+    * the outage case the audit exists to catch), the day's count is
+    * compared to its group's same-weekday mean by exact
+    * cross-multiplication: hi iff n·days_w > 2·tot_w (more than twice
+    * the weekday mean), lo iff 2·n·days_w < tot_w (under half).
+    * Weekday = epoch-day mod 7, engine-neutral.
+    *
+    * Scale shape: one (group, date) count, the per-group calendar
+    * explode, one (group, weekday) rollup joined back on the bounded
+    * 7-row-per-group grid, one final rollup. Output: (grp, n_days,
+    * n_hi, n_lo, worst_hi_day — the day with the highest
+    * count/weekday-mean ratio among hi outliers, smallest date on
+    * ties, NULL if none), ordered by group. */
+  def seasonalOutliers(events: DataFrame, grp: String,
+                       tsCol: String): DataFrame = {
+    val d = events.select(col(grp).as("g"),
+      expr(s"CAST(datediff(to_date($tsCol), date '1970-01-01') AS BIGINT)")
+        .as("ep"))
+    val per = d.groupBy("g", "ep").agg(count(lit(1)).as("n"))
+    val cal = per.groupBy("g").agg(min("ep").as("a"), max("ep").as("b"))
+      .select(col("g"), explode(expr("sequence(a, b)")).as("ep"))
+    val filled = cal.join(per, Seq("g", "ep"), "left")
+      .select(col("g"), col("ep"), (col("ep") % 7).as("dow"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val prof = filled.groupBy("g", "dow")
+      .agg(sum("n").as("tot_w"), count(lit(1)).as("days_w"))
+    filled.join(prof, Seq("g", "dow"))
+      .select(col("g"), col("ep"), col("n"), col("tot_w"), col("days_w"),
+        (col("n").cast("decimal(38,0)") * col("days_w") >
+          lit(2).cast("decimal(38,0)") * col("tot_w")).as("hi"),
+        (lit(2).cast("decimal(38,0)") * col("n") * col("days_w") <
+          col("tot_w")).as("lo"),
+        when(col("tot_w") > 0,
+          expr("CAST(n AS DECIMAL(38,0)) * days_w * 1000000 div tot_w"))
+          .otherwise(lit(null)).as("ratio_ppm"))
+      .groupBy(col("g").as(grp))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        sum(when(col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        min(when(col("hi"),
+          struct((-col("ratio_ppm")).as("nr"), col("ep").as("e")))).as("w"))
+      .select(col(grp), col("n_days"), col("n_hi"), col("n_lo"),
+        col("w.e").as("worst_hi_day"))
+      .orderBy(grp)
+  }
+
   /** Exact integer CUSUM control chart per group over the zero-filled
     * weekly count series — the classic sequential change detector
     * (Page 1954): s_t = max(0, s_{t-1} + y_t − μ − κ) with slack

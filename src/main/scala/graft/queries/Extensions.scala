@@ -6425,6 +6425,163 @@ object Extensions {
         |  CAST(mu AS BIGINT) AS mu, CAST(alarms AS BIGINT) AS n_alarms,
         |  CAST(first_wk AS BIGINT) AS first_alarm_wk,
         |  CAST(maxs AS BIGINT) AS max_cusum
-        |FROM c WHERE x = nw - 1 ORDER BY event_type""".stripMargin)
+        |FROM c WHERE x = nw - 1 ORDER BY event_type""".stripMargin),
+
+    // weekday-seasonality-adjusted outlier audit: each day compared to
+    // its group's SAME-WEEKDAY mean by exact cross-multiplication over
+    // the zero-filled calendar (a silent day is the outage case);
+    // weekday = epoch-day mod 7, engine-neutral
+    Q.df("x272_seasonal_outliers",
+      (s, dir) => TimeSeries.seasonalOutliers(
+        Tables.load(s, dir, "events"), "event_type", "ts"),
+      """WITH d AS (
+        |  SELECT event_type AS g,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') AS ep
+        |  FROM events),
+        |per AS (SELECT g, ep, count(*) AS n FROM d GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT g, unnest(generate_series(a, b)) AS ep
+        |  FROM (SELECT g, min(ep) AS a, max(ep) AS b FROM per GROUP BY 1)),
+        |f AS (
+        |  SELECT cal.g, cal.ep, cal.ep % 7 AS dow, coalesce(per.n, 0) AS n
+        |  FROM cal LEFT JOIN per ON per.g = cal.g AND per.ep = cal.ep),
+        |prof AS (SELECT g, dow, sum(n) AS tot_w, count(*) AS days_w
+        |         FROM f GROUP BY 1, 2),
+        |x AS (
+        |  SELECT f.g, f.ep, f.n, p.tot_w, p.days_w,
+        |    (f.n * p.days_w > 2 * p.tot_w) AS hi,
+        |    (2 * f.n * p.days_w < p.tot_w) AS lo,
+        |    CASE WHEN p.tot_w > 0
+        |      THEN f.n * p.days_w * 1000000 // p.tot_w END AS ratio_ppm
+        |  FROM f JOIN prof p ON p.g = f.g AND p.dow = f.dow),
+        |mx AS (SELECT g, max(CASE WHEN hi THEN ratio_ppm END) AS mr
+        |       FROM x GROUP BY 1)
+        |SELECT x.g AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(sum(CASE WHEN lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(min(CASE WHEN hi AND x.ratio_ppm = mx.mr THEN x.ep END)
+        |    AS BIGINT) AS worst_hi_day
+        |FROM x JOIN mx ON mx.g = x.g
+        |GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    // three-way snapshot merge (data branching): branches a and b both
+    // evolved from orders; one-sided changes take that side, identical
+    // changes converge, divergent changes are conflicts that keep base
+    // — never a silent winner; removed-vs-updated conflicts included
+    Q.df("x273_three_way_merge",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val a = base.where(col("k") % 50 =!= 1)
+          .select(col("k"), (col("cents") +
+            when(col("k") % 6 === 0, 500L).otherwise(0L)).as("cents"))
+        val b = base.where(col("k") % 50 =!= 2)
+          .select(col("k"), (col("cents") +
+            when(col("k") % 15 === 0, 700L).otherwise(0L)).as("cents"))
+        Cdc.threeWayMerge(base, a, b, "k", "cents")
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_keys"), sum("cents").as("sum_cents"),
+            min("k").as("example_k"))
+          .orderBy("status")
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (SELECT k, cents + CASE WHEN k % 6 = 0 THEN 500 ELSE 0 END
+        |        AS cents
+        |      FROM base WHERE k % 50 <> 1),
+        |b AS (SELECT k, cents + CASE WHEN k % 15 = 0 THEN 700 ELSE 0 END
+        |        AS cents
+        |      FROM base WHERE k % 50 <> 2),
+        |j AS (
+        |  SELECT base.k, base.cents AS c0,
+        |    a.cents AS ca, a.k IS NOT NULL AS pa,
+        |    b.cents AS cb, b.k IS NOT NULL AS pb
+        |  FROM base LEFT JOIN a ON base.k = a.k
+        |  LEFT JOIN b ON base.k = b.k),
+        |c AS (
+        |  SELECT k, c0, ca, cb, pa, pb,
+        |    (NOT pa OR ca <> c0) AS cha,
+        |    (NOT pb OR cb <> c0) AS chb
+        |  FROM j),
+        |m AS (
+        |  SELECT k,
+        |    CASE WHEN NOT cha AND NOT chb THEN 'unchanged'
+        |      WHEN cha AND NOT chb THEN 'a_only'
+        |      WHEN NOT cha AND chb THEN 'b_only'
+        |      WHEN pa = pb AND ca IS NOT DISTINCT FROM cb THEN 'both_same'
+        |      ELSE 'conflict' END AS status,
+        |    CASE WHEN NOT cha AND NOT chb THEN c0
+        |      WHEN cha AND NOT chb THEN ca
+        |      WHEN NOT cha AND chb THEN cb
+        |      WHEN pa = pb AND ca IS NOT DISTINCT FROM cb THEN ca
+        |      ELSE c0 END AS cents,
+        |    CASE WHEN NOT cha AND NOT chb THEN TRUE
+        |      WHEN cha AND NOT chb THEN pa
+        |      WHEN NOT cha AND chb THEN pb
+        |      WHEN pa = pb AND ca IS NOT DISTINCT FROM cb THEN pa
+        |      ELSE TRUE END AS present
+        |  FROM c)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(k) AS BIGINT) AS example_k
+        |FROM m WHERE present
+        |GROUP BY 1 ORDER BY status""".stripMargin),
+
+    // matryoshka truncation-recall curve: exact top-5 retrieval with
+    // only the first d dims scored, vs the full-width truth — the
+    // dimension-budget sizing curve; one pinned pair materialization
+    // carrying all prefix dots, bounded top-k heaps, oracle-exact
+    // (deterministic quantized dots, unlike the IVF family)
+    Q.df("x274_matryoshka_recall",
+      (s, dir) => Similarity.matryoshkaRecall(
+        Tables.load(s, dir, "embeddings"), 200, 5, Seq(8, 16, 32, 64)),
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 200),
+        |pr AS (
+        |  SELECT q.qid, e.vec_id, r.i,
+        |    CAST(floor(CAST(q.qe[r.i] AS DOUBLE) * 10000) AS BIGINT)
+        |      * CAST(floor(CAST(e.embedding[r.i] AS DOUBLE) * 10000)
+        |        AS BIGINT) AS p
+        |  FROM q, embeddings e, range(1, 65) r(i)
+        |  WHERE e.vec_id <> q.qid),
+        |pairs AS (
+        |  SELECT qid, vec_id,
+        |    CAST(sum(CASE WHEN i <= 8 THEN p ELSE 0 END) AS BIGINT)
+        |      AS dot_8,
+        |    CAST(sum(CASE WHEN i <= 16 THEN p ELSE 0 END) AS BIGINT)
+        |      AS dot_16,
+        |    CAST(sum(CASE WHEN i <= 32 THEN p ELSE 0 END) AS BIGINT)
+        |      AS dot_32,
+        |    CAST(sum(p) AS BIGINT) AS dot_64
+        |  FROM pr GROUP BY 1, 2),
+        |t8 AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot_8 DESC, vec_id) rn FROM pairs) WHERE rn <= 5),
+        |t16 AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot_16 DESC, vec_id) rn FROM pairs) WHERE rn <= 5),
+        |t32 AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot_32 DESC, vec_id) rn FROM pairs) WHERE rn <= 5),
+        |t64 AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot_64 DESC, vec_id) rn FROM pairs) WHERE rn <= 5),
+        |h AS (
+        |  SELECT 8 AS dim, count(*) AS hits
+        |  FROM t8 JOIN t64 USING (qid, vec_id)
+        |  UNION ALL SELECT 16, count(*)
+        |  FROM t16 JOIN t64 USING (qid, vec_id)
+        |  UNION ALL SELECT 32, count(*)
+        |  FROM t32 JOIN t64 USING (qid, vec_id)
+        |  UNION ALL SELECT 64, count(*) FROM t64),
+        |np AS (SELECT count(DISTINCT qid) AS n FROM pairs)
+        |SELECT CAST(h.dim AS BIGINT) AS dim,
+        |  CAST(np.n AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k,
+        |  CAST(h.hits AS BIGINT) AS hits,
+        |  CAST(h.hits * 1000000 // (np.n * 5) AS BIGINT) AS recall_ppm
+        |FROM h CROSS JOIN np ORDER BY dim""".stripMargin)
   )
 }

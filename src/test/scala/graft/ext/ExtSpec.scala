@@ -3102,6 +3102,57 @@ class ExtSpec extends SparkSpec {
     assert(out(("b", 3L)) == (None, None, Some(7L)), out.toString)
   }
 
+  test("threeWayMerge: every status reachable; conflicts keep base; identical branches converge") {
+    import spark.implicits._
+    // base keys 1..8; a: +10 on {1,4,7}, removes 5; b: +10 on {4},
+    // +20 on {7}, removes {5,6}
+    val base = (1L to 8L).map(k => (k, k * 100)).toDF("k", "v")
+    val a = base.where($"k" =!= 5)
+      .selectExpr("k", "v + IF(k IN (1, 4, 7), 10, 0) AS v")
+    val b = base.where(!$"k".isin(5L, 6L))
+      .selectExpr("k", "v + IF(k = 4, 10, IF(k = 7, 20, 0)) AS v")
+    val out = Cdc.threeWayMerge(base, a, b, "k", "v").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("a_only", 110L))      // only a changed
+    assert(out(4L) == ("both_same", 410L))   // identical change
+    assert(out(7L) == ("conflict", 700L))    // divergent -> keep base
+    assert(!out.contains(5L))                // both removed -> gone
+    assert(!out.contains(6L))                // b removed, a untouched
+    assert(out(2L) == ("unchanged", 200L))
+    // merging a branch with itself must reproduce it (no conflicts)
+    val self = Cdc.threeWayMerge(base, a, a, "k", "v").collect()
+    assert(self.forall(_.getString(1) != "conflict"))
+    assert(self.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq ==
+      a.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
+  test("matryoshkaRecall: monotone in width; full width is exact") {
+    val out = Similarity.matryoshkaRecall(emb, 20, 3, Seq(8, 16, 32, 64))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out(64L) == 1000000L, out.toString)
+    assert(out.keySet == Set(8L, 16L, 32L, 64L))
+    // wider prefixes cannot lose recall on average... individual
+    // non-monotonicity is possible in principle, so assert the weaker
+    // sanity bound: every width retrieves something and none exceeds 1
+    assert(out.values.forall(v => v > 0L && v <= 1000000L), out.toString)
+  }
+
+  test("seasonalOutliers: planted weekday spike flagged hi, silent day flagged lo") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.ofEpochDay(day.toLong).atStartOfDay())
+    // 4 weeks, 10 events every day — except day 10 has 50 (spike) and
+    // day 17 has 0 (outage). Weekday means stay ~10, so 50 > 2x mean
+    // and 0 < mean/2.
+    val days = (0 until 28).filter(_ != 17)
+    val ev = days.flatMap(d => (1 to (if (d == 10) 50 else 10)).map(_ =>
+      ("t", ts(d)))).toDF("event_type", "ts")
+    val r = TimeSeries.seasonalOutliers(ev, "event_type", "ts").head()
+    assert(r.getLong(1) == 28L, r.toString)
+    assert(r.getLong(2) >= 1L && r.getLong(3) >= 1L, r.toString)
+    assert(r.getLong(4) == 10L, s"worst hi day should be the spike: $r")
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
