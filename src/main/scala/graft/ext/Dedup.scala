@@ -1116,6 +1116,43 @@ object Dedup {
       .orderBy("est8")
   }
 
+  /** Near-dup EVIDENCE: for every [[jaccardPairs]] pair, the three
+    * RAREST shared shingles (by global document frequency, shingle
+    * text on ties) — the review-queue forensics that turns "these two
+    * docs matched at 0.34" into "they share these exact phrases": a
+    * reviewer can accept or veto a dedup decision from the evidence
+    * alone, and systematically-boilerplate evidence phrases feed the
+    * stop-shingle list.
+    *
+    * Scale shape: pair generation is the judged sub-quadratic path;
+    * evidence joins only the PAIR set back to the inverted index (two
+    * equi-joins keyed by doc then shingle) and collects per pair —
+    * bounded by that pair's shared-shingle count, never the corpus.
+    * Output: (d1, d2, jac_x10k, n_shared, ev1, ev2, ev3 — NULL when a
+    * pair shares fewer than 3), ordered by (d1, d2). */
+  def neardupEvidence(docs: DataFrame, threshold: Double,
+                      maxDocFreq: Int): DataFrame = {
+    val pairs = jaccardPairs(docs, threshold, Some(maxDocFreq))
+    val sh = shingles3(docs)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    pairs
+      .join(sh.as("x"), col("d1") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("d2") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
+      .select(col("d1"), col("d2"), col("jac_x10k"),
+        col("x.shingle").as("shingle"))
+      .join(dfreq, Seq("shingle"))
+      .groupBy("d1", "d2")
+      .agg(max("jac_x10k").as("jac_x10k"), count(lit(1)).as("n_shared"),
+        expr("transform(array_sort(collect_list(struct(df, shingle)))," +
+          " s -> s.shingle)").as("ev"))
+      .select(col("d1"), col("d2"), col("jac_x10k"), col("n_shared"),
+        expr("element_at(ev, 1)").as("ev1"),
+        expr("try_element_at(ev, 2)").as("ev2"),
+        expr("try_element_at(ev, 3)").as("ev3"))
+      .orderBy("d1", "d2")
+  }
+
   /** Persisted near-dup SERVE index — the build-once/serve-many tier
     * of the MinHash family, mirroring the IVF-PQ store: the corpus's
     * LSH band table AND its per-doc distinct-shingle arrays are

@@ -89,4 +89,40 @@ object Expectations {
             .otherwise(0L).as("orphan_ppm"))
     }.reduce(_ unionByName _).orderBy("fk_edge")
   }
+
+  /** Merkle-style block-checksum diff between two replicas of a keyed
+    * table — the anti-entropy pass of replicated storage (Dynamo/
+    * Cassandra lineage): rows hash into key-range BLOCKS whose
+    * checksum is the XOR of per-row content hashes; two replicas
+    * exchange only their block tables and the mismatched blocks name
+    * exactly where to repair — O(n/blockSize) comparison traffic for
+    * an n-row table, never a row-level join until a block diverges.
+    *
+    * Row hash = the first 15 md5 hex digits of "key:value" as a
+    * BIGINT (both engines parse hex identically; 60 bits keeps the
+    * XOR in a positive BIGINT). XOR is order- and partition-
+    * independent, so the checksum is engine- and cluster-layout-
+    * exact, and a row PRESENT on both sides cancels out — a block's
+    * checksum mismatch certifies real content divergence.
+    *
+    * Output: only the blocks that disagree — (block, n_a, n_b, x_a,
+    * x_b; counts 0 and checksum NULL on a side missing the whole
+    * block), ordered by block. */
+  def merkleDiff(a: DataFrame, b: DataFrame, key: String, value: String,
+                 blockSize: Long): DataFrame = {
+    require(blockSize >= 1, s"blockSize must be positive")
+    graft.functions.XorAgg.register(a.sparkSession)
+    def side(df: DataFrame, nn: String, xn: String): DataFrame =
+      df.select(expr(s"$key div $blockSize").as("block"),
+          expr(s"""CAST(conv(substr(md5(concat(CAST($key AS STRING), ':',
+            CAST($value AS STRING))), 1, 15), 16, 10) AS BIGINT)""").as("h"))
+        .groupBy("block")
+        .agg(count(lit(1)).as(nn), expr("xor_agg(h)").as(xn))
+    side(a, "n_a", "x_a")
+      .join(side(b, "n_b", "x_b"), Seq("block"), "full_outer")
+      .where(!(col("n_a") <=> col("n_b")) || !(col("x_a") <=> col("x_b")))
+      .select(col("block"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"), col("x_a"), col("x_b"))
+      .orderBy("block")
+  }
 }

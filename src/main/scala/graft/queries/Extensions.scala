@@ -6582,6 +6582,83 @@ object Extensions {
         |  CAST(np.n AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k,
         |  CAST(h.hits AS BIGINT) AS hits,
         |  CAST(h.hits * 1000000 // (np.n * 5) AS BIGINT) AS recall_ppm
-        |FROM h CROSS JOIN np ORDER BY dim""".stripMargin)
+        |FROM h CROSS JOIN np ORDER BY dim""".stripMargin),
+
+    // Merkle-style anti-entropy block diff between two replicas
+    // (planted divergence: one corrupted value, one dropped row):
+    // 60-bit row hashes XOR into key-range block checksums; only the
+    // block tables are compared — O(n/blockSize) traffic, mismatched
+    // blocks name where to repair
+    Q.df("x275_merkle_diff",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val replica = base.where(!(col("k") % 7000 === 23))
+          .select(col("k"), (col("cents") +
+            when(col("k") % 5000 === 17, 1L).otherwise(0L)).as("cents"))
+        Expectations.merkleDiff(base, replica, "k", "cents", 256L)
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |rep AS (
+        |  SELECT k, cents + CASE WHEN k % 5000 = 17 THEN 1 ELSE 0 END
+        |    AS cents
+        |  FROM base WHERE k % 7000 <> 23),
+        |ha AS (
+        |  SELECT k // 256 AS block,
+        |    CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+        |      || CAST(cents AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM base),
+        |hb AS (
+        |  SELECT k // 256 AS block,
+        |    CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+        |      || CAST(cents AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM rep),
+        |sa AS (SELECT block, CAST(count(*) AS BIGINT) AS n_a,
+        |         bit_xor(h) AS x_a FROM ha GROUP BY 1),
+        |sb AS (SELECT block, CAST(count(*) AS BIGINT) AS n_b,
+        |         bit_xor(h) AS x_b FROM hb GROUP BY 1)
+        |SELECT coalesce(sa.block, sb.block) AS block,
+        |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b, x_a, x_b
+        |FROM sa FULL JOIN sb ON sa.block = sb.block
+        |WHERE n_a IS DISTINCT FROM n_b OR x_a IS DISTINCT FROM x_b
+        |ORDER BY block""".stripMargin),
+
+    // near-dup evidence: per judged pair, the three RAREST shared
+    // shingles — the review-queue forensics ("they share these exact
+    // phrases"); evidence joins only the pair set back to the
+    // inverted index, bounded by per-pair shared counts
+    Q.df("x276_neardup_evidence",
+      (s, dir) => Dedup.neardupEvidence(
+        Tables.load(s, dir, "documents"), 0.2, 2),
+      s"""WITH $duckTok, ${duckShinglesFiltered(2)}, $duckJaccardTail,
+         |pairs AS (
+         |  SELECT d1, d2,
+         |    CAST(floor(10000.0 * i / (s1.n + s2.n - i)) AS BIGINT)
+         |      AS jac_x10k
+         |  FROM inter JOIN sz s1 ON d1 = s1.doc_id
+         |  JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1),
+         |shared AS (
+         |  SELECT p.d1, p.d2, p.jac_x10k, x.shingle, f.df
+         |  FROM pairs p JOIN sh0 x ON x.doc_id = p.d1
+         |  JOIN sh0 y ON y.doc_id = p.d2 AND y.shingle = x.shingle
+         |  JOIN dfreq f ON f.shingle = x.shingle),
+         |rk AS (
+         |  SELECT d1, d2, jac_x10k, shingle,
+         |    row_number() OVER (PARTITION BY d1, d2
+         |      ORDER BY df, shingle) AS rn,
+         |    count(*) OVER (PARTITION BY d1, d2) AS n_shared
+         |  FROM shared)
+         |SELECT d1, d2, max(jac_x10k) AS jac_x10k,
+         |  CAST(max(n_shared) AS BIGINT) AS n_shared,
+         |  max(CASE WHEN rn = 1 THEN shingle END) AS ev1,
+         |  max(CASE WHEN rn = 2 THEN shingle END) AS ev2,
+         |  max(CASE WHEN rn = 3 THEN shingle END) AS ev3
+         |FROM rk GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin)
   )
 }

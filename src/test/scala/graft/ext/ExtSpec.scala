@@ -3153,6 +3153,38 @@ class ExtSpec extends SparkSpec {
     assert(r.getLong(4) == 10L, s"worst hi day should be the spike: $r")
   }
 
+  test("merkleDiff: identical replicas diff empty; one flipped row flags exactly its block") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = (1L to 2000L).map(k => (k, k * 3)).toDF("k", "v")
+    assert(Expectations.merkleDiff(t, t.repartition(7), "k", "v", 256L)
+      .collect().isEmpty, "identical content must checksum equal under any layout")
+    val flipped = t.selectExpr("k", "v + IF(k = 777, 1, 0) AS v")
+    val d = Expectations.merkleDiff(t, flipped, "k", "v", 256L).collect()
+    assert(d.length == 1 && d.head.getLong(0) == 777L / 256L, d.mkString(";"))
+    assert(d.head.getLong(1) == d.head.getLong(2), "same row count, different content")
+  }
+
+  test("neardupEvidence: evidence phrases genuinely occur in both documents") {
+    import org.apache.spark.sql.functions._
+    val ev = Dedup.neardupEvidence(docs, 0.2, 2).collect()
+    assert(ev.nonEmpty)
+    val texts = docs.select(col("doc_id"),
+        lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    ev.take(10).foreach { r =>
+      val (d1, d2) = (r.getLong(0), r.getLong(1))
+      Seq(4, 5, 6).map(r.get).collect { case s: String => s }.foreach { e =>
+        // shingle words all appear in both texts (tokenization strips
+        // punctuation, so check word-wise)
+        e.split(" ").foreach { w =>
+          assert(texts(d1).contains(w) && texts(d2).contains(w),
+            s"evidence '$e' not in both of ($d1, $d2)")
+        }
+      }
+    }
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
