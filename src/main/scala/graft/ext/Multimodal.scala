@@ -652,4 +652,45 @@ object Multimodal {
           .otherwise(0L).as("gain_x10k"))
       .orderBy("doc_id")
   }
+
+  /** CROSS-MODAL consistency audit: where do the text near-dup signal
+    * and the image exact-dup signal DISAGREE? A pair flagged by both
+    * is a true re-post; text-only pairs are re-writes over new media;
+    * image-only pairs are re-used assets under different prose — the
+    * three buckets route to different curation policies, and a sudden
+    * shift in their ratio is a pipeline bug (e.g. a broken thumbnailer
+    * collapsing distinct images). Text pairs come from the judged
+    * sub-quadratic Jaccard path; image pairs from REAL payload md5
+    * equality (the x142 discipline — 16-byte keys, media never
+    * shuffles). One full-outer join of the two pair sets.
+    *
+    * Output: one row per category {both, text_only, image_only} with
+    * (n_pairs, example_d1, example_d2 — nulls when empty), ordered by
+    * category. */
+  def multimodalConsistency(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val textPairs = Dedup.jaccardPairs(docs, 0.2, Some(2))
+      .select(col("d1"), col("d2"), lit(1).as("t"))
+    val m = withBmpPayload(docs)
+      .select(col("doc_id"), md5(col("payload")).as("h"))
+    val imgPairs = m.as("a").join(m.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(1).as("i"))
+    val classified = textPairs.join(imgPairs, Seq("d1", "d2"), "full_outer")
+      .select(col("d1"), col("d2"),
+        when(col("t").isNotNull && col("i").isNotNull, "both")
+          .when(col("t").isNotNull, "text_only")
+          .otherwise("image_only").as("category"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(struct(col("d1"), col("d2"))).as("ex"))
+    import spark.implicits._
+    Seq("both", "image_only", "text_only").toDF("category")
+      .join(classified, Seq("category"), "left")
+      .select(col("category"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("ex.d1").as("example_d1"), col("ex.d2").as("example_d2"))
+      .orderBy("category")
+  }
 }

@@ -494,6 +494,45 @@ object Profile {
       .orderBy(stratum)
   }
 
+  /** Audience-overlap matrix via ONE bitmask pass: every pairwise
+    * "how many users did both X and Y" — the segment-overlap grid a
+    * T²-fan of COUNT(DISTINCT CASE …) queries answers with T² shuffles
+    * — computed from a single per-user bit_or aggregation: each user
+    * folds to one mask over the type alphabet, the mask histogram is
+    * at most 2^T rows, and every pair statistic (including Jaccard)
+    * reads off that bounded grid. One corpus-sized shuffle TOTAL, for
+    * the whole matrix, at any pair count.
+    *
+    * Requires a bounded type alphabet (mask in a BIGINT: T <= 63;
+    * the type-index ranking runs over the distinct-type grid only).
+    * Output: (type_a, type_b, n_a, n_b, n_both, n_either, jac_ppm),
+    * type_a < type_b, ordered. */
+  def audienceOverlap(events: DataFrame, keyCol: String,
+                      typeCol: String): DataFrame = {
+    val ti = events.select(col(typeCol).as("t")).distinct()
+      .withColumn("i",
+        (row_number().over(Window.orderBy("t")) - 1).cast("int"))
+    val masks = events.select(col(keyCol).as("k"), col(typeCol).as("t"))
+      .join(broadcast(ti), Seq("t"))
+      .groupBy("k").agg(expr("bit_or(shiftleft(1L, i))").as("mask"))
+    val mc = masks.groupBy("mask").agg(count(lit(1)).as("cnt"))
+    val bitA = expr("(mask div shiftleft(1L, ia)) % 2 = 1")
+    val bitB = expr("(mask div shiftleft(1L, ib)) % 2 = 1")
+    ti.as("a").join(ti.as("b"), col("a.t") < col("b.t"))
+      .select(col("a.t").as("type_a"), col("a.i").as("ia"),
+        col("b.t").as("type_b"), col("b.i").as("ib"))
+      .crossJoin(broadcast(mc))
+      .groupBy("type_a", "type_b")
+      .agg(sum(when(bitA, col("cnt")).otherwise(0L)).as("n_a"),
+        sum(when(bitB, col("cnt")).otherwise(0L)).as("n_b"),
+        sum(when(bitA && bitB, col("cnt")).otherwise(0L)).as("n_both"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"), (col("n_a") + col("n_b") - col("n_both"))
+          .as("n_either"),
+        expr("n_both * 1000000 div (n_a + n_b - n_both)").as("jac_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** QUANTILE NORMALIZATION across strata — the batch-effect
     * correction: each row's score is replaced by the GLOBAL value at
     * the same within-stratum order statistic (row r of n_s maps to

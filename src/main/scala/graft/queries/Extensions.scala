@@ -6659,6 +6659,76 @@ object Extensions {
          |  max(CASE WHEN rn = 1 THEN shingle END) AS ev1,
          |  max(CASE WHEN rn = 2 THEN shingle END) AS ev2,
          |  max(CASE WHEN rn = 3 THEN shingle END) AS ev3
-         |FROM rk GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin)
+         |FROM rk GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin),
+
+    // audience-overlap matrix in ONE bitmask pass: per-user bit_or
+    // over the type alphabet, then every pair statistic reads off the
+    // <=2^T-row mask histogram — the whole distinct-overlap grid for
+    // one corpus-sized shuffle, vs T^2 COUNT(DISTINCT) fans
+    Q.df("x277_audience_overlap",
+      (s, dir) => Profile.audienceOverlap(
+        Tables.load(s, dir, "events"), "user_id", "event_type"),
+      """WITH per AS (SELECT DISTINCT event_type, user_id FROM events),
+        |na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |       FROM per GROUP BY 1),
+        |ty AS (SELECT event_type FROM na),
+        |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |       FROM ty a JOIN ty b ON a.event_type < b.event_type),
+        |bt AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM per x JOIN per y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.ta AS type_a, pr.tb AS type_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  coalesce(bt.n_both, 0) AS n_both,
+        |  a.n + b.n - coalesce(bt.n_both, 0) AS n_either,
+        |  coalesce(bt.n_both, 0) * 1000000
+        |    // (a.n + b.n - coalesce(bt.n_both, 0)) AS jac_ppm
+        |FROM pr JOIN na a ON a.event_type = pr.ta
+        |JOIN na b ON b.event_type = pr.tb
+        |LEFT JOIN bt ON bt.ta = pr.ta AND bt.tb = pr.tb
+        |ORDER BY type_a, type_b""".stripMargin),
+
+    // cross-modal consistency: text near-dup pairs full-outer-joined
+    // with real-payload image-dup pairs — both/text_only/image_only
+    // route to different curation policies; a ratio shift is a
+    // pipeline bug (e.g. a thumbnailer collapsing distinct images);
+    // oracle: image equality == the x142 dimension-formula collision
+    Q.df("x278_multimodal_consistency",
+      (s, dir) => Multimodal.multimodalConsistency(
+        Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok, ${duckShinglesFiltered(2)}, $duckJaccardTail,
+         |tp AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2),
+         |img AS (SELECT doc_id, n_chars % 64 AS iw, n_chars % 37 AS ih
+         |        FROM documents),
+         |ip AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM img a JOIN img b
+         |    ON a.iw = b.iw AND a.ih = b.ih AND a.doc_id < b.doc_id),
+         |cl AS (
+         |  SELECT coalesce(tp.d1, ip.d1) AS d1,
+         |    coalesce(tp.d2, ip.d2) AS d2,
+         |    CASE WHEN tp.d1 IS NOT NULL AND ip.d1 IS NOT NULL
+         |        THEN 'both'
+         |      WHEN tp.d1 IS NOT NULL THEN 'text_only'
+         |      ELSE 'image_only' END AS category
+         |  FROM tp FULL JOIN ip ON tp.d1 = ip.d1 AND tp.d2 = ip.d2),
+         |ag AS (
+         |  SELECT category, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    min(d1) AS e1,
+         |    min_by(d2, lpad(CAST(d1 AS VARCHAR), 20, '0') || ':'
+         |               || lpad(CAST(d2 AS VARCHAR), 20, '0')) AS e2
+         |  FROM cl GROUP BY 1),
+         |cats AS (SELECT unnest(['both', 'image_only', 'text_only'])
+         |           AS category)
+         |SELECT cats.category, coalesce(ag.n_pairs, 0) AS n_pairs,
+         |  ag.e1 AS example_d1, ag.e2 AS example_d2
+         |FROM cats LEFT JOIN ag USING (category)
+         |ORDER BY cats.category""".stripMargin)
   )
 }

@@ -3185,6 +3185,42 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("audienceOverlap: bitmask grid equals direct distinct counts") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, dir, "events")
+    val out = Profile.audienceOverlap(ev, "user_id", "event_type")
+      .collect()
+    assert(out.nonEmpty)
+    val per = ev.select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == per(a).size && r.getLong(3) == per(b).size, r)
+      assert(r.getLong(4) == (per(a) & per(b)).size, s"n_both: $r")
+      assert(r.getLong(5) == (per(a) | per(b)).size, s"n_either: $r")
+    }
+  }
+
+  test("multimodalConsistency: categories partition the union of both pair sets") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.multimodalConsistency(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("both", "image_only", "text_only"))
+    val t = Dedup.jaccardPairs(docs, 0.2, Some(2))
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m = Multimodal.withBmpPayload(docs)
+      .select(col("doc_id"), md5(col("payload")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val i = (for {
+      (da, ha) <- m; (db, hb) <- m if da < db && ha == hb
+    } yield (da, db)).toSet
+    assert(out("both") == (t & i).size, out.toString)
+    assert(out("text_only") == (t -- i).size, out.toString)
+    assert(out("image_only") == (i -- t).size, out.toString)
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
