@@ -749,6 +749,17 @@ object Dedup {
     * as x66). Edge DELETION splits components and needs a cold run;
     * this operator does not detect that case.
     *
+    * MONOTONICITY WARNING (found by the sf0.1 oracle spot-check, not
+    * the sf0.01 gate): the precondition is about the EDGE SET, and a
+    * candidate generator whose pruning depends on a GLOBAL statistic
+    * is not addition-monotone — jaccardPairs with a df cap drops a
+    * shingle once new documents push its document frequency over the
+    * cap, which DELETES old edges as the corpus grows and silently
+    * carries stale merges through the prior. Pair warm-start only
+    * with a generator whose old-corpus edges survive growth (plain
+    * thresholded Jaccard qualifies: adding documents cannot change
+    * the Jaccard of an existing pair).
+    *
     * `prior`: (doc_id, cluster_id); docs absent from it (today's new
     * arrivals) start at identity. Converges in rounds proportional to
     * how much the graph CHANGED, not its diameter — an unchanged graph

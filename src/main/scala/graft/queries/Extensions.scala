@@ -6125,19 +6125,22 @@ object Extensions {
     // warm-start connected components: min-label propagation seeded
     // from yesterday's labels (docs with doc_id % 5 != 4) — under
     // edge/doc ADDITION the per-component min over prior labels is
-    // still the min member id, so the answer equals cold-start x66
-    // bit-for-bit (same recursive-CTE oracle); rounds now track graph
-    // CHANGE, not diameter (spec pins warm < cold on a chain)
+    // still the min member id, so the answer equals cold-start
+    // bit-for-bit (same recursive-CTE oracle shape as x66); rounds now
+    // track graph CHANGE, not diameter (spec pins warm < cold on a
+    // chain). Pairs come from the UNCAPPED thresholded generator: a
+    // df-capped candidate set is not addition-monotone (growth deletes
+    // edges via the global df statistic) — the sf0.1 spot-check caught
+    // exactly that; see the clustersWarmStart scaladoc
     Q.df("x263_cc_warm_start",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val old = docs.where(col("doc_id") % 5 =!= 4)
-        val prior = Dedup.clusters(old,
-          Dedup.jaccardPairs(old, 0.2, maxDocFreq = Some(2)))
+        val prior = Dedup.clusters(old, Dedup.jaccardPairs(old, 0.2))
         Dedup.clustersWarmStart(docs,
-          Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2)), prior)
+          Dedup.jaccardPairs(docs, 0.2), prior)
       },
-      s"""WITH RECURSIVE $duckTok, ${duckShinglesFiltered(2)}, $duckJaccardTail,
+      s"""WITH RECURSIVE $duckTok, $duckShingles, $duckJaccardTail,
          |pairs AS (
          |  SELECT d1, d2 FROM inter
          |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id

@@ -2963,10 +2963,13 @@ class ExtSpec extends SparkSpec {
   test("clustersWarmStart: equals cold start on the corpus; converges faster on a chain") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val pairs = Dedup.jaccardPairs(docs, 0.2, maxDocFreq = Some(2))
+    // UNCAPPED generator: a df-capped candidate set is not
+    // addition-monotone (see clustersWarmStart scaladoc — the sf0.1
+    // spot-check caught the capped variant violating the warm-start
+    // precondition)
+    val pairs = Dedup.jaccardPairs(docs, 0.2)
     val old = docs.where(col("doc_id") % 5 =!= 4)
-    val prior = Dedup.clusters(old,
-      Dedup.jaccardPairs(old, 0.2, maxDocFreq = Some(2)))
+    val prior = Dedup.clusters(old, Dedup.jaccardPairs(old, 0.2))
     val warm = Dedup.clustersWarmStart(docs, pairs, prior).collect().toSeq
     val cold = Dedup.clusters(docs, pairs).collect().toSeq
     assert(warm == cold)
