@@ -494,6 +494,32 @@ object Profile {
       .orderBy(stratum)
   }
 
+  /** WEIGHTED median per group: the smallest value whose cumulative
+    * weight reaches half the group's total — "the price at which half
+    * the VOLUME trades", which an unweighted median ([[valueFences]]'
+    * quartile family) distorts whenever line sizes vary. Exact by
+    * cross-multiplication (2·cumw >= totw), one group-partitioned
+    * cumulative window in (value, tie-break) order — deterministic
+    * under ties because equal values share the decision boundary.
+    *
+    * Output: (grp, n, tot_weight, wmedian), ordered by group. */
+  def weightedMedian(df: DataFrame, grp: String, value: Column,
+                     weight: Column, tieBreak: Column): DataFrame = {
+    val d = df.select(col(grp).as("g"), value.cast("bigint").as("v"),
+      weight.cast("bigint").as("w"), tieBreak.as("tb"))
+    val wc = Window.partitionBy("g").orderBy("v", "tb")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.partitionBy("g")
+    d.withColumn("cumw", sum("w").over(wc))
+      .withColumn("totw", sum("w").over(wt))
+      .withColumn("n", count(lit(1)).over(wt))
+      .where(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("g").as(grp))
+      .agg(max("n").as("n"), max("totw").as("tot_weight"),
+        min("v").as("wmedian"))
+      .orderBy(grp)
+  }
+
   /** Audience-overlap matrix via ONE bitmask pass: every pairwise
     * "how many users did both X and Y" — the segment-overlap grid a
     * T²-fan of COUNT(DISTINCT CASE …) queries answers with T² shuffles

@@ -641,6 +641,66 @@ object TimeSeries {
       .orderBy(keyCol)
   }
 
+  /** TOKEN-BUCKET admission audit per key — replay a rate limit
+    * (capacity `burst` tokens, refill `ratePerHour` tokens/hour, one
+    * token per event) over the event history and report what it WOULD
+    * have admitted: the capacity-planning question behind every
+    * throttling rollout, answered exactly before a limiter ships.
+    *
+    * The bucket is sequential state with a clamp (min(cap, s+refill))
+    * — like [[cusumChart]]'s max-reset, not a prefix sum — but per-key
+    * event lists are collect-bounded, so the whole replay folds
+    * IN-ROW with aggregate() over the key's time-sorted events.
+    * Integer units: 1 token = 3.6e9 units (1 unit = one
+    * microsecond-of-refill at 1 token/hour), so refill is
+    * elapsed_us × ratePerHour with no division anywhere.
+    *
+    * At 100 TB, segment the replay by day and carry the closing
+    * bucket state forward (the x134 mergeable-partial discipline) —
+    * the per-key collect here is bounded by per-key event counts.
+    *
+    * Output: (key, n_events, n_admitted, n_rejected,
+    * first_rejected_id — −1 if none), ordered by key. */
+  def tokenBucketAudit(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, ratePerHour: Long,
+                       burst: Long): DataFrame = {
+    require(ratePerHour >= 1 && burst >= 1, "rate and burst must be >= 1")
+    val cost = 3600000000L
+    val cap = burst * cost
+    events.select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("tm"),
+        col(idCol).as("id"))
+      .groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("tm"), col("id")))).as("evs"))
+      .select(col(keyCol), col("n_events"),
+        expr(
+          s"""aggregate(evs,
+             |  named_struct('s', ${cap}L, 'pt', -1L, 'adm', 0L,
+             |               'rej', 0L, 'first', -1L),
+             |  (acc, e) -> named_struct(
+             |    's', IF(least(${cap}L, acc.s + IF(acc.pt < 0, 0L,
+             |           (e.tm - acc.pt) * $ratePerHour)) >= ${cost}L,
+             |         least(${cap}L, acc.s + IF(acc.pt < 0, 0L,
+             |           (e.tm - acc.pt) * $ratePerHour)) - ${cost}L,
+             |         least(${cap}L, acc.s + IF(acc.pt < 0, 0L,
+             |           (e.tm - acc.pt) * $ratePerHour))),
+             |    'pt', e.tm,
+             |    'adm', acc.adm + IF(least(${cap}L, acc.s +
+             |      IF(acc.pt < 0, 0L, (e.tm - acc.pt) * $ratePerHour))
+             |        >= ${cost}L, 1L, 0L),
+             |    'rej', acc.rej + IF(least(${cap}L, acc.s +
+             |      IF(acc.pt < 0, 0L, (e.tm - acc.pt) * $ratePerHour))
+             |        >= ${cost}L, 0L, 1L),
+             |    'first', IF(acc.first >= 0L, acc.first,
+             |      IF(least(${cap}L, acc.s + IF(acc.pt < 0, 0L,
+             |        (e.tm - acc.pt) * $ratePerHour)) >= ${cost}L,
+             |        -1L, e.id))))""".stripMargin).as("st"))
+      .select(col(keyCol), col("n_events"),
+        col("st.adm").as("n_admitted"), col("st.rej").as("n_rejected"),
+        col("st.first").as("first_rejected_id"))
+      .orderBy(keyCol)
+  }
+
   /** Weekday-seasonality-adjusted outlier audit: a Monday is only
     * anomalous relative to MONDAYS — the raw daily-count z-chart
     * (x204's shape) alarms every weekend of a weekday-heavy service.

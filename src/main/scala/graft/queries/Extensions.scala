@@ -6732,6 +6732,72 @@ object Extensions {
          |SELECT cats.category, coalesce(ag.n_pairs, 0) AS n_pairs,
          |  ag.e1 AS example_d1, ag.e2 AS example_d2
          |FROM cats LEFT JOIN ag USING (category)
-         |ORDER BY cats.category""".stripMargin)
+         |ORDER BY cats.category""".stripMargin),
+
+    // token-bucket admission replay per user (rate 1/h, burst 1): the
+    // capacity-planning audit run BEFORE a limiter ships; sequential
+    // clamp state folded IN-ROW over each user's time-sorted events
+    // (the x271 bounded-recursion discipline at per-key granularity);
+    // oracle = the same machine as a recursive CTE
+    Q.df("x279_token_bucket",
+      (s, dir) => TimeSeries.tokenBucketAudit(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        ratePerHour = 1L, burst = 1L),
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS tm, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS ne
+        |  FROM events),
+        |c(k, rn, s, pt, adm, rej, first, ne) AS (
+        |  SELECT k, rn, CAST(0 AS BIGINT), tm, CAST(1 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(-1 AS BIGINT), ne
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.k, e.rn,
+        |    CASE WHEN least(3600000000, c.s + (e.tm - c.pt))
+        |        >= 3600000000
+        |      THEN least(3600000000, c.s + (e.tm - c.pt)) - 3600000000
+        |      ELSE least(3600000000, c.s + (e.tm - c.pt)) END,
+        |    e.tm,
+        |    c.adm + CASE WHEN least(3600000000, c.s + (e.tm - c.pt))
+        |      >= 3600000000 THEN 1 ELSE 0 END,
+        |    c.rej + CASE WHEN least(3600000000, c.s + (e.tm - c.pt))
+        |      >= 3600000000 THEN 0 ELSE 1 END,
+        |    CASE WHEN c.first >= 0 THEN c.first
+        |      WHEN least(3600000000, c.s + (e.tm - c.pt)) >= 3600000000
+        |      THEN -1 ELSE e.event_id END,
+        |    c.ne
+        |  FROM c JOIN e ON e.k = c.k AND e.rn = c.rn + 1)
+        |SELECT k AS user_id, CAST(ne AS BIGINT) AS n_events,
+        |  CAST(adm AS BIGINT) AS n_admitted,
+        |  CAST(rej AS BIGINT) AS n_rejected,
+        |  CAST(first AS BIGINT) AS first_rejected_id
+        |FROM c WHERE rn = ne ORDER BY user_id""".stripMargin),
+
+    // weighted median price per return flag, weighted by quantity —
+    // "the price at which half the VOLUME trades"; exact
+    // cross-multiplied threshold on the group-partitioned cumulative
+    Q.df("x280_weighted_median",
+      (s, dir) => Profile.weightedMedian(
+        Tables.load(s, dir, "lineitem"), "l_returnflag",
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"),
+        col("l_quantity"), col("l_orderkey")),
+      """WITH d AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey AS tb
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT g, v, w,
+        |    sum(w) OVER (PARTITION BY g ORDER BY v, tb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY g) AS totw,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM d)
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(totw) AS BIGINT) AS tot_weight, min(v) AS wmedian
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
   )
 }

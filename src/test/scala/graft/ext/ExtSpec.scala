@@ -3224,6 +3224,35 @@ class ExtSpec extends SparkSpec {
     assert(out("image_only") == (i -- t).size, out.toString)
   }
 
+  test("tokenBucketAudit: burst admits, immediate repeat rejects, refill re-admits") {
+    import spark.implicits._
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // rate 1/h burst 1: t=0 admitted (full bucket), t=60s rejected
+    // (bucket empty, 1 min refills only 1/60 token), t=3601s admitted
+    // (a full hour refilled), t=3610s rejected again
+    val ev = Seq((1L, at(0), 1L), (1L, at(60), 2L),
+      (1L, at(3601), 3L), (1L, at(3610), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val r = TimeSeries.tokenBucketAudit(ev, "user_id", "ts", "event_id",
+      1L, 1L).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (4L, 2L, 2L, 2L), r.toString)
+  }
+
+  test("weightedMedian: volume-weighted answer differs from the row median by design") {
+    import spark.implicits._
+    // prices 1,2,3 with weights 1,1,10: half the 12 units of volume
+    // sit at price 3 — weighted median 3, row median 2
+    val df = Seq(("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L), ("g", 3L, 10L, 3L))
+      .toDF("grp", "v", "w", "id")
+    val r = Profile.weightedMedian(df, "grp",
+      org.apache.spark.sql.functions.col("v"),
+      org.apache.spark.sql.functions.col("w"),
+      org.apache.spark.sql.functions.col("id")).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (3L, 12L, 3L),
+      r.toString)
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
