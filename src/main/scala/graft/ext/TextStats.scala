@@ -941,4 +941,28 @@ object TextStats {
           .as("cos2_x10k"))
       .orderBy("s1", "s2")
   }
+
+  /** Hapax-legomena ratio per source: the share of each source's
+    * vocabulary occurring exactly once — the classic lexical-richness
+    * signal that separates natural prose (hapax-heavy, Zipf tail
+    * intact) from templated/generated text (hapax-poor: the generator
+    * reuses its phrasebook). Complements the type-token ratio
+    * ([[stats]]) which conflates richness with length, and the
+    * Gini-Simpson diversity (x139) which weights the HEAD of the
+    * distribution where hapax measures the TAIL.
+    *
+    * One (source, token) keyed count, one source rollup — integer
+    * exact. Output: (source, n_tok, n_types, n_hapax, hapax_ppm),
+    * ordered by source. */
+  def hapaxRatio(docs: DataFrame): DataFrame = {
+    val counts = tokens(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    counts.groupBy("source")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tok"), col("n_types"), col("n_hapax"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+      .orderBy("source")
+  }
 }

@@ -641,6 +641,48 @@ object TimeSeries {
       .orderBy(keyCol)
   }
 
+  /** Time-to-convert percentile mart: per signup-week cohort, how
+    * many signups converted (first qualifying event strictly after
+    * the first signup) and the exact p50/p90 of the conversion delay
+    * — the funnel-latency companion of [[funnelSteps]]' counts and
+    * [[cohortRetention]]'s grid: "half of week-12's signups purchased
+    * within N seconds" is the number growth teams actually quote.
+    *
+    * Exact integers: delays in whole seconds (epoch-micros delta div
+    * 1e6), percentile_disc picks data points. Two keyed min-aggregates
+    * (never an event-pair join), one cohort rollup.
+    *
+    * Output: (cohort_wk, n_signups, n_converted, conv_ppm, p50_s,
+    * p90_s — percentiles NULL for cohorts with no conversions),
+    * ordered by cohort_wk. */
+  def timeToConvert(events: DataFrame, keyCol: String, tsCol: String,
+                    typeCol: String, fromType: String,
+                    toType: String): DataFrame = {
+    val e = events.select(col(keyCol).as("k"), col(typeCol).as("t"),
+      unix_micros(col(tsCol)).as("tm"))
+    val first = e.where(col("t") === fromType)
+      .groupBy("k").agg(min("tm").as("t0"))
+    val conv = e.where(col("t") === toType)
+      .join(first, Seq("k"))
+      .where(col("tm") > col("t0"))
+      .groupBy("k").agg(min(col("tm") - col("t0")).as("delta_us"))
+    first.join(conv, Seq("k"), "left")
+      .select(expr("t0 div 604800000000").as("cohort_wk"),
+        when(col("delta_us").isNotNull,
+          expr("delta_us div 1000000")).as("delta_s"))
+      .groupBy("cohort_wk")
+      .agg(count(lit(1)).as("n_signups"),
+        count(col("delta_s")).as("n_converted"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delta_s)" +
+          " AS BIGINT)").as("p50_s"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delta_s)" +
+          " AS BIGINT)").as("p90_s"))
+      .select(col("cohort_wk"), col("n_signups"), col("n_converted"),
+        expr("n_converted * 1000000 div n_signups").as("conv_ppm"),
+        col("p50_s"), col("p90_s"))
+      .orderBy("cohort_wk")
+  }
+
   /** TOKEN-BUCKET admission audit per key — replay a rate limit
     * (capacity `burst` tokens, refill `ratePerHour` tokens/hour, one
     * token per event) over the event history and report what it WOULD

@@ -6798,6 +6798,56 @@ object Extensions {
         |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
         |  CAST(max(totw) AS BIGINT) AS tot_weight, min(v) AS wmedian
         |FROM c WHERE cumw * 2 >= totw
-        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+
+    // time-to-convert percentile mart: per signup-week cohort, exact
+    // p50/p90 of the signup→first-purchase delay — the funnel-latency
+    // number growth teams quote; two keyed min-aggregates, never an
+    // event-pair join
+    Q.df("x281_time_to_convert",
+      (s, dir) => TimeSeries.timeToConvert(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+        "signup", "purchase"),
+      """WITH e AS (
+        |  SELECT user_id AS k, event_type AS t, epoch_us(ts) AS tm
+        |  FROM events),
+        |f AS (SELECT k, min(tm) AS t0 FROM e WHERE t = 'signup'
+        |      GROUP BY 1),
+        |cv AS (
+        |  SELECT e.k, min(e.tm - f.t0) AS delta_us
+        |  FROM e JOIN f ON e.k = f.k
+        |  WHERE e.t = 'purchase' AND e.tm > f.t0
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT f.t0 // 604800000000 AS cohort_wk,
+        |    cv.delta_us // 1000000 AS delta_s
+        |  FROM f LEFT JOIN cv ON f.k = cv.k)
+        |SELECT cohort_wk, CAST(count(*) AS BIGINT) AS n_signups,
+        |  CAST(count(delta_s) AS BIGINT) AS n_converted,
+        |  CAST(count(delta_s) * 1000000 // count(*) AS BIGINT)
+        |    AS conv_ppm,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delta_s)
+        |    AS BIGINT) AS p50_s,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delta_s)
+        |    AS BIGINT) AS p90_s
+        |FROM d GROUP BY 1 ORDER BY cohort_wk""".stripMargin),
+
+    // hapax-legomena ratio per source: the Zipf-tail lexical-richness
+    // gate that separates natural prose from templated text; one
+    // (source, token) count + one rollup, integer exact
+    Q.df("x282_hapax_ratio",
+      (s, dir) => TextStats.hapaxRatio(
+        Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |tc AS (
+         |  SELECT d.source, t.w, count(*) AS c
+         |  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_tok,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hapax,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS hapax_ppm
+         |FROM tc GROUP BY 1 ORDER BY source""".stripMargin)
   )
 }

@@ -3253,6 +3253,24 @@ class ExtSpec extends SparkSpec {
       r.toString)
   }
 
+  test("timeToConvert and hapaxRatio: structural invariants hold on the corpus") {
+    val ev = Tables.load(spark, dir, "events")
+    val ttc = TimeSeries.timeToConvert(ev, "user_id", "ts", "event_type",
+      "signup", "purchase").collect()
+    assert(ttc.nonEmpty)
+    ttc.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= 1000000L, r)
+      if (!r.isNullAt(4))
+        assert(r.getLong(4) <= r.getLong(5), s"p50 > p90: $r")
+    }
+    val hx = TextStats.hapaxRatio(docs).collect()
+    assert(hx.nonEmpty)
+    hx.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(1), r)
+      assert(r.getLong(4) <= 1000000L, r)
+    }
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
