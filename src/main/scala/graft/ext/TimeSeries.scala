@@ -641,6 +641,66 @@ object TimeSeries {
       .orderBy(keyCol)
   }
 
+  /** Activity streaks per key (gaps-and-islands): longest run of
+    * CONSECUTIVE active days — the engagement-streak metric, and the
+    * canonical islands derivation done distributed: within a key,
+    * epoch-day minus its per-key rank is constant exactly along a
+    * consecutive run, so one window plus one keyed aggregation finds
+    * every island without any self-join.
+    *
+    * Output: (key, n_active_days, longest_streak, streak_start —
+    * the epoch-day the longest streak begins, smallest on ties),
+    * ordered by key. */
+  def activityStreaks(events: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame = {
+    val act = events.select(col(keyCol).as("k"),
+      expr(s"CAST(datediff(to_date($tsCol), date '1970-01-01') AS BIGINT)")
+        .as("ep")).distinct()
+    val w = Window.partitionBy("k").orderBy("ep")
+    act.withColumn("grp", col("ep") - row_number().over(w))
+      .groupBy("k", "grp")
+      .agg(count(lit(1)).as("len"), min("ep").as("start"))
+      .groupBy(col("k").as(keyCol))
+      .agg(sum("len").as("n_active_days"),
+        min(struct((-col("len")).as("nl"), col("start").as("s"))).as("b"))
+      .select(col(keyCol), col("n_active_days"),
+        (-col("b.nl")).as("longest_streak"), col("b.s").as("streak_start"))
+      .orderBy(keyCol)
+  }
+
+  /** EXACT trailing-window active users per day (the WAU/MAU family
+    * without sketches): each (key, active-day) pair contributes to at
+    * most `windowDays` window-end days, so the sliding distinct —
+    * normally the awkward one, because distinct does not merge across
+    * windows — becomes explode(activity × window) + dedupe + count:
+    * cost O(activity · window), grid-bounded, no sketch error. At a
+    * 90-day window on years of data, that constant is the price of
+    * exactness; the HLL tier (x112's family) is the alternative when
+    * ±2% is acceptable.
+    *
+    * Output: (ep — epoch-day window end, dau, wau — distinct keys
+    * active in [ep−windowDays+1, ep]), for every day in the corpus
+    * span, ordered by ep. */
+  def rollingActiveUsers(events: DataFrame, keyCol: String, tsCol: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val act = events.select(col(keyCol).as("k"),
+      expr(s"CAST(datediff(to_date($tsCol), date '1970-01-01') AS BIGINT)")
+        .as("ep")).distinct()
+    val span = act.agg(min("ep").as("a"), max("ep").as("b"))
+    val dau = act.groupBy("ep").agg(count(lit(1)).as("dau"))
+    val contrib = act.crossJoin(broadcast(span))
+      .select(col("k"), explode(expr(
+        s"sequence(ep, least(ep + ${windowDays - 1}, b))")).as("ep"))
+      .distinct()
+    val wau = contrib.groupBy("ep").agg(count(lit(1)).as("wau"))
+    val cal = span.select(explode(expr("sequence(a, b)")).as("ep"))
+    cal.join(dau, Seq("ep"), "left").join(wau, Seq("ep"), "left")
+      .select(col("ep"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .orderBy("ep")
+  }
+
   /** Time-to-convert percentile mart: per signup-week cohort, how
     * many signups converted (first qualifying event strictly after
     * the first signup) and the exact p50/p90 of the conversion delay

@@ -6848,6 +6848,57 @@ object Extensions {
          |    AS n_hapax,
          |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
          |    // count(*) AS BIGINT) AS hapax_ppm
-         |FROM tc GROUP BY 1 ORDER BY source""".stripMargin)
+         |FROM tc GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // activity streaks (gaps-and-islands, distributed): epoch-day
+    // minus per-key rank is constant along a consecutive run — one
+    // window + one keyed agg, no self-join; longest streak per user
+    Q.df("x283_activity_streaks",
+      (s, dir) => TimeSeries.activityStreaks(
+        Tables.load(s, dir, "events"), "user_id", "ts"),
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS k,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') AS ep
+        |  FROM events),
+        |g AS (
+        |  SELECT k, ep,
+        |    ep - row_number() OVER (PARTITION BY k ORDER BY ep) AS grp
+        |  FROM act),
+        |runs AS (
+        |  SELECT k, grp, count(*) AS len, min(ep) AS start
+        |  FROM g GROUP BY 1, 2)
+        |SELECT k AS user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(min(CASE WHEN len = ml THEN start END) AS BIGINT)
+        |    AS streak_start
+        |FROM (SELECT runs.*, max(len) OVER (PARTITION BY k) AS ml
+        |      FROM runs)
+        |GROUP BY 1 ORDER BY user_id""".stripMargin),
+
+    // exact trailing 28-day active users per day: each activity pair
+    // feeds <= 28 window ends, so sliding DISTINCT becomes
+    // explode+dedupe+count — O(activity*window), no sketch error
+    Q.df("x284_rolling_active",
+      (s, dir) => TimeSeries.rollingActiveUsers(
+        Tables.load(s, dir, "events"), "user_id", "ts", 28),
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS k,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') AS ep
+        |  FROM events),
+        |sp AS (SELECT min(ep) AS a, max(ep) AS b FROM act),
+        |dau AS (SELECT ep, CAST(count(*) AS BIGINT) AS dau
+        |        FROM act GROUP BY 1),
+        |contrib AS (
+        |  SELECT DISTINCT k, unnest(generate_series(ep,
+        |    least(ep + 27, sp.b))) AS ep
+        |  FROM act, sp),
+        |wau AS (SELECT ep, CAST(count(*) AS BIGINT) AS wau
+        |        FROM contrib GROUP BY 1),
+        |cal AS (SELECT unnest(generate_series(a, b)) AS ep FROM sp)
+        |SELECT CAST(cal.ep AS BIGINT) AS ep,
+        |  coalesce(dau.dau, 0) AS dau, coalesce(wau.wau, 0) AS wau
+        |FROM cal LEFT JOIN dau ON dau.ep = cal.ep
+        |LEFT JOIN wau ON wau.ep = cal.ep
+        |ORDER BY ep""".stripMargin)
   )
 }

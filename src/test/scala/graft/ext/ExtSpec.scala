@@ -3271,6 +3271,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("activityStreaks and rollingActiveUsers: crafted timelines answer exactly") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.ofEpochDay(day.toLong).atStartOfDay())
+    val ev = (Seq(1, 2, 3, 7, 8).map(d => (1L, ts(d))) ++
+      Seq((2L, ts(10)))).toDF("user_id", "ts")
+    val st = TimeSeries.activityStreaks(ev, "user_id", "ts").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(st(1L) == (5L, 3L, 1L), st.toString)
+    assert(st(2L) == (1L, 1L, 10L), st.toString)
+    val ra = TimeSeries.rollingActiveUsers(ev, "user_id", "ts", 28)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(ra(10L) == (1L, 2L), ra.toString)   // dau 1, trailing-28 2
+    assert(ra(5L) == (0L, 1L), ra.toString)    // silent day, u1 trailing
+    assert(ra.values.forall { case (d, w) => w >= d }, ra.toString)
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
