@@ -352,6 +352,34 @@ class PlanSpec extends SparkSpec {
     assert(!ours.contains("SinglePartition"), ours)
   }
 
+  test("x254 quantile normalize: global order statistics via zipWithIndex, never SinglePartition") {
+    val p = plan("x254_quantile_normalize")
+    // the global order-statistic table must come from the x132
+    // machinery (range sort + zipWithIndex -> RDD boundary); a
+    // data-sized SinglePartition would mean the corpus-wide
+    // row_number spelling sneaked back in
+    assert(p.contains("Scan ExistingRDD"), p)
+    // the only SinglePartition exchanges allowed are scalar
+    // aggregates over zero-column scans (the N total count) — every
+    // occurrence must sit on an empty ReadSchema
+    "SinglePartition".r.findAllMatchIn(p).map(_.start).foreach { i =>
+      val ctx = p.substring(i, math.min(p.length, i + 400))
+      assert(ctx.contains("keys=[]"),
+        s"data-sized SinglePartition:\n$ctx")
+    }
+    // the per-stratum rank window stays hash-partitioned by stratum
+    assert(p.contains("hashpartitioning(s"), p)
+  }
+
+  test("x277 audience overlap: mask histogram broadcast — the pair grid never shuffles data") {
+    val p = plan("x277_audience_overlap")
+    // the <=2^T-row mask histogram reaches the pair grid as a
+    // broadcast; the only data-sized exchange is the per-user mask agg
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("x127 block dedup: keyed aggregations only — no window, no nested loop") {
     val p = plan("x127_block_dedup")
     assert(!p.contains("Window"), p)
