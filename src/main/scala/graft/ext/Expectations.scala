@@ -90,6 +90,51 @@ object Expectations {
     }.reduce(_ unionByName _).orderBy("fk_edge")
   }
 
+  /** INVOICE reconciliation: does each order's stored total equal the
+    * sum of its lines priced as extendedprice·(1−discount)·(1+tax)?
+    * The financial closing audit every billing pipeline runs — and the
+    * discipline matters more than the answer: all arithmetic is EXACT
+    * DECIMAL (cast once at the source, multiply, sum, round(2) —
+    * half-up in both engines — THEN difference in cents), because a
+    * double anywhere makes "off by one cent" indistinguishable from
+    * float noise. Orders with no lines are reported separately, not
+    * silently matched.
+    *
+    * One keyed line rollup + one key join + one status rollup.
+    * Output: (o_orderstatus, n_orders, n_no_lines, n_exact,
+    * n_mismatch, max_abs_delta_cents, sum_abs_delta_cents), ordered
+    * by status. */
+  def invoiceReconciliation(orders: DataFrame,
+                            lineitem: DataFrame): DataFrame = {
+    val lines = lineitem.select(col("l_orderkey").as("k"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)")) *
+          (lit(1).cast("decimal(18,2)") +
+            col("l_tax").cast("decimal(18,2)"))).as("line_amt"))
+      .groupBy("k").agg(sum("line_amt").as("expected"))
+    orders.select(col("o_orderkey").as("k"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("total"))
+      .join(lines, Seq("k"), "left")
+      .select(col("o_orderstatus"),
+        when(col("expected").isNotNull,
+          (round(col("expected"), 2) - col("total")) * 100)
+          .cast("bigint").as("delta_cents"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("delta_cents").isNull, 1L).otherwise(0L))
+          .as("n_no_lines"),
+        sum(when(col("delta_cents") === 0, 1L).otherwise(0L))
+          .as("n_exact"),
+        sum(when(col("delta_cents").isNotNull &&
+          col("delta_cents") =!= 0, 1L).otherwise(0L)).as("n_mismatch"),
+        coalesce(max(abs(col("delta_cents"))), lit(0L))
+          .as("max_abs_delta_cents"),
+        coalesce(sum(abs(col("delta_cents"))), lit(0L)).cast("bigint")
+          .as("sum_abs_delta_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Merkle-style block-checksum diff between two replicas of a keyed
     * table — the anti-entropy pass of replicated storage (Dynamo/
     * Cassandra lineage): rows hash into key-range BLOCKS whose

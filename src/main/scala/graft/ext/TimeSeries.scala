@@ -641,6 +641,45 @@ object TimeSeries {
       .orderBy(keyCol)
   }
 
+  /** NEXT-EVENT predictability: evaluate the first-order Markov
+    * baseline ([[transitionMatrix]]'s argmax) against the corpus it
+    * was fit on — per current type, the modal next type and the
+    * in-sample share of transitions it gets right. This is the
+    * model-eval-in-SQL pattern: the ppm accuracy is the ceiling any
+    * fancier sequence model must beat, and a type whose ceiling is
+    * near uniform is genuinely unpredictable, not under-modeled.
+    * (In-sample by construction — an upper bound, stated as such.)
+    *
+    * One per-key lead window (no event self-join), one |types|²-grid
+    * count, argmax as min(struct(-cnt, next)). Output: (event_type,
+    * n_transitions, predicted_next, n_hits, acc_ppm), ordered by
+    * event_type. */
+  def nextEventAccuracy(events: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("tm", "id")
+    val tr = events.select(col(keyCol).as("k"),
+        unix_micros(col(tsCol)).as("tm"), col(idCol).as("id"),
+        col(typeCol).as("cur"))
+      .withColumn("nxt", lead("cur", 1).over(w))
+      .where(col("nxt").isNotNull)
+    val grid = tr.groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+    val pred = grid.groupBy("cur")
+      .agg(sum("c").as("n_transitions"),
+        min(struct((-col("c")).as("nc"), col("nxt").as("p"))).as("b"))
+      .select(col("cur"), col("n_transitions"),
+        col("b.p").as("predicted_next"))
+    grid.join(pred, Seq("cur"))
+      .groupBy(col("cur").as(typeCol))
+      .agg(max("n_transitions").as("n_transitions"),
+        max("predicted_next").as("predicted_next"),
+        sum(when(col("nxt") === col("predicted_next"), col("c"))
+          .otherwise(0L)).as("n_hits"))
+      .select(col(typeCol), col("n_transitions"), col("predicted_next"),
+        col("n_hits"),
+        expr("n_hits * 1000000 div n_transitions").as("acc_ppm"))
+      .orderBy(typeCol)
+  }
+
   /** Activity streaks per key (gaps-and-islands): longest run of
     * CONSECUTIVE active days — the engagement-streak metric, and the
     * canonical islands derivation done distributed: within a key,

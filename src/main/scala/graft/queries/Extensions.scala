@@ -6899,6 +6899,72 @@ object Extensions {
         |  coalesce(dau.dau, 0) AS dau, coalesce(wau.wau, 0) AS wau
         |FROM cal LEFT JOIN dau ON dau.ep = cal.ep
         |LEFT JOIN wau ON wau.ep = cal.ep
-        |ORDER BY ep""".stripMargin)
+        |ORDER BY ep""".stripMargin),
+
+    // next-event predictability: the first-order Markov argmax
+    // evaluated in-sample — per type, the modal next event and the
+    // ppm of transitions it gets right (the ceiling a sequence model
+    // must beat; near-uniform means unpredictable, not under-modeled)
+    Q.df("x285_next_event_accuracy",
+      (s, dir) => TimeSeries.nextEventAccuracy(
+        Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type"),
+      """WITH e AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS tm, event_id,
+        |    event_type AS cur
+        |  FROM events),
+        |tr AS (
+        |  SELECT cur, lead(cur) OVER (PARTITION BY k
+        |    ORDER BY tm, event_id) AS nxt
+        |  FROM e),
+        |grid AS (SELECT cur, nxt, count(*) AS c FROM tr
+        |         WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT cur, CAST(sum(c) AS BIGINT) AS n_transitions,
+        |    min_by(nxt, lpad(CAST(1000000000 - c AS VARCHAR), 12, '0')
+        |      || ':' || nxt) AS predicted_next
+        |  FROM grid GROUP BY 1)
+        |SELECT g.cur AS event_type, p.n_transitions, p.predicted_next,
+        |  CAST(sum(CASE WHEN g.nxt = p.predicted_next THEN g.c
+        |    ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN g.nxt = p.predicted_next THEN g.c
+        |    ELSE 0 END) * 1000000 // p.n_transitions AS BIGINT)
+        |    AS acc_ppm
+        |FROM grid g JOIN pred p ON g.cur = p.cur
+        |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin),
+
+    // invoice reconciliation: stored order total vs the exact-DECIMAL
+    // sum of its lines at price*(1-disc)*(1+tax) — the financial
+    // closing audit; round(2) half-up in both engines, difference in
+    // cents, no doubles anywhere
+    Q.df("x286_invoice_reconciliation",
+      (s, dir) => Expectations.invoiceReconciliation(
+        Tables.load(s, dir, "orders"), Tables.load(s, dir, "lineitem")),
+      """WITH lines AS (
+        |  SELECT l_orderkey AS k,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2))
+        |         - CAST(l_discount AS DECIMAL(18,2)))
+        |      * (CAST(1 AS DECIMAL(18,2))
+        |         + CAST(l_tax AS DECIMAL(18,2)))) AS expected
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderstatus,
+        |    CASE WHEN l.expected IS NULL THEN NULL
+        |      ELSE CAST((round(l.expected, 2)
+        |        - CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+        |        AS BIGINT) END AS delta_cents
+        |  FROM orders o LEFT JOIN lines l ON o.o_orderkey = l.k)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN delta_cents IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_no_lines,
+        |  CAST(sum(CASE WHEN delta_cents = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN delta_cents IS NOT NULL AND delta_cents <> 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  coalesce(max(abs(delta_cents)), 0) AS max_abs_delta_cents,
+        |  CAST(coalesce(sum(abs(delta_cents)), 0) AS BIGINT)
+        |    AS sum_abs_delta_cents
+        |FROM j GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
   )
 }

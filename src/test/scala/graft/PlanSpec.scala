@@ -380,6 +380,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x261/x271/x279: TTL dedup and in-row sequential-state ops plan with NO window function") {
+    // each is one keyed aggregation (plus in-row aggregate() folds) —
+    // a Window node appearing here would mean a per-row state spelling
+    // regressed into a sort-based window
+    Seq("x261_ttl_dedup", "x271_cusum_chart", "x279_token_bucket")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Window"), s"$q plans a window:\n$p")
+      }
+  }
+
   test("x127 block dedup: keyed aggregations only — no window, no nested loop") {
     val p = plan("x127_block_dedup")
     assert(!p.contains("Window"), p)

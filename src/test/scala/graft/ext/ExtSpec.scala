@@ -3290,6 +3290,37 @@ class ExtSpec extends SparkSpec {
     assert(ra.values.forall { case (d, w) => w >= d }, ra.toString)
   }
 
+  test("nextEventAccuracy and invoiceReconciliation: crafted cases answer exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, m))
+    // one user alternating A,B,A,B,A: A->B twice, B->A twice — both
+    // types perfectly predictable in-sample
+    val ev = Seq(("A", 1), ("B", 2), ("A", 3), ("B", 4), ("A", 5))
+      .zipWithIndex.map { case ((t, m), i) => (1L, ts(m), i.toLong, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val acc = TimeSeries.nextEventAccuracy(ev, "user_id", "ts",
+      "event_id", "event_type").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(4))).toMap
+    assert(acc("A") == (2L, "B", 1000000L), acc.toString)
+    assert(acc("B") == (2L, "A", 1000000L), acc.toString)
+    // order 1 reconciles exactly; order 2 is a cent short; order 3 has
+    // no lines
+    val ords = Seq((1L, "O", 21.60), (2L, "O", 10.00), (3L, "F", 5.00))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val lis = Seq((1L, 10.00, 0.10, 0.20), (1L, 10.00, 0.00, 0.08),
+      (2L, 9.99, 0.00, 0.00))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val rec = Expectations.invoiceReconciliation(ords, lis).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // order 1: 10*0.9*1.2 + 10*1.08 = 10.80 + 10.80 = 21.60 exact
+    assert(rec("O") == (2L, 0L, 1L, 1L, 1L), rec.toString)
+    assert(rec("F") == (1L, 1L, 0L, 0L, 0L), rec.toString)
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
