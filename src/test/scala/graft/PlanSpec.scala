@@ -391,6 +391,25 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("x252 Pass-Join: candidates are an EQUI-join — no cartesian, no nested loop") {
+    val p = plan("x252_edit_passjoin")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("x262 purge audit: victim list broadcasts; fact tables never shuffle for the check") {
+    val p = plan("x262_purge_audit")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x275 merkle diff: block-checksum compare — no window, no nested loop") {
+    val p = plan("x275_merkle_diff")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("x127 block dedup: keyed aggregations only — no window, no nested loop") {
     val p = plan("x127_block_dedup")
     assert(!p.contains("Window"), p)

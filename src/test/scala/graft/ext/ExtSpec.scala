@@ -3168,6 +3168,22 @@ class ExtSpec extends SparkSpec {
     assert(d.head.getLong(1) == d.head.getLong(2), "same row count, different content")
   }
 
+  test("merkleDiff: a replica missing whole blocks reports them with zero count and NULL checksum") {
+    import spark.implicits._
+    val t = (1L to 1024L).map(k => (k, k * 3)).toDF("k", "v")
+    val truncated = t.where($"k" < 512L)
+    val d = Expectations.merkleDiff(t, truncated, "k", "v", 256L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.isNullAt(4))).toMap
+    // blocks 2..4 are entirely absent on the truncated side (block 1
+    // loses only part: keys 512..255? no — keys 1..511 survive, so
+    // block 1 [256..511] is intact and blocks 2..4 vanish)
+    assert(d.keySet == Set(2L, 3L, 4L), d.toString)
+    d.values.foreach { case (na, nb, xbNull) =>
+      assert(na > 0 && nb == 0L && xbNull, d.toString)
+    }
+  }
+
   test("neardupEvidence: evidence phrases genuinely occur in both documents") {
     import org.apache.spark.sql.functions._
     val ev = Dedup.neardupEvidence(docs, 0.2, 2).collect()
