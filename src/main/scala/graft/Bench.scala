@@ -1,8 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.LongAdder
 
 /** Benchmark main: runs every judged query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line with total + per-query seconds.
+  * prints one JSON line with total + per-query seconds, plus per-query
+  * executor TASK time and in-task GC time ("task"/"gc" maps).
+  *
+  * The task-time column exists because wall time on a shared host
+  * carries a ±2× noise band (BENCH_NOTES.md round-7 characterization):
+  * the SUM of executor task run time is what the PLAN costs, and its
+  * minimum across decorrelated runs is the only statistic that moves
+  * on a genuine plan regression — round-over-round deltas are
+  * adjudicated from this committed column, not ad-hoc reruns.
   *
   * Execution is forced through the `noop` sink rather than `.count()`:
   * count() lets Catalyst prune every non-output column and skip
@@ -10,6 +20,8 @@ import org.apache.spark.sql.SparkSession
   * and sort-heavy queries.
   */
 object Bench {
+  private case class Timing(wall: Double, task: Double, gc: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,6 +32,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val taskMs = new LongAdder; val gcMs = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { taskMs.add(m.executorRunTime); gcMs.add(m.jvmGCTime) }
+      }
+    })
+    // listener events post asynchronously and the bus-drain API is
+    // private[spark]: wait until the adders stop moving (quiet period;
+    // runs OUTSIDE the timed window, so wall numbers are unaffected)
+    def drainListener(): Unit = {
+      var prev = -1L
+      while ({ val cur = taskMs.sum + gcMs.sum
+               val moved = cur != prev; prev = cur
+               if (moved) Thread.sleep(100); moved }) ()
+    }
     // Warm the JVM + register views once so per-query numbers measure the
     // queries, not session bring-up (first action pays codegen warm-up).
     Tables.registerAll(spark, sfDir)
@@ -37,54 +65,72 @@ object Bench {
     // scales — at identical total cost to back-to-back min-of-2.
     // Pass 1 warms each plan (codegen + planning) before its first
     // timed run; pass 2 reuses the warm JVM.
-    def pass(warm: Boolean): Seq[(String, Double)] =
+    def timedOnce(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  warm: Boolean): Timing = {
+      def once(): Unit =
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try {
+        if (warm) once()
+        drainListener(); taskMs.reset(); gcMs.reset()
+        val t0 = System.nanoTime()
+        once()
+        val wall = (System.nanoTime() - t0) / 1e9
+        drainListener()
+        Timing(wall, taskMs.sum / 1e3, gcMs.sum / 1e3)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Timing(-1.0, -1.0, -1.0)
+      } finally {
+        // release operator-pinned caches between queries: nothing
+        // accumulates across the suite (cross-query cache build-up
+        // turns into storage-pool pressure + GC stalls that land on
+        // unrelated queries)
+        graft.ext.CacheRegistry.clearAll()
+      }
+    }
+    // min wall across runs (what a user feels) and, independently, the
+    // min-task run's (task, gc) (what the plan costs — the adjudicable
+    // column): a wall spike and a task spike rarely coincide, so the
+    // two minima may come from different runs by design
+    def merge(a: Timing, b: Timing): Timing = {
+      if (a.wall < 0) b
+      else if (b.wall < 0) a
+      else {
+        val (t, g) = if (b.task >= 0 && (a.task < 0 || b.task < a.task))
+          (b.task, b.gc) else (a.task, a.gc)
+        Timing(math.min(a.wall, b.wall), t, g)
+      }
+    }
+    def pass(warm: Boolean): Seq[(String, Timing)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        def once(): Unit =
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        try {
-          if (warm) once()
-          val t0 = System.nanoTime()
-          once()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            name -> -1.0
-        } finally {
-          // release operator-pinned caches between queries: nothing
-          // accumulates across the suite (cross-query cache build-up
-          // turns into storage-pool pressure + GC stalls that land on
-          // unrelated queries)
-          graft.ext.CacheRegistry.clearAll()
-        }
+        name -> timedOnce(name, fn, warm)
       }
     val p1 = pass(warm = true).toMap
     val p12 = pass(warm = false).map { case (name, t2) =>
-      val t1 = p1.getOrElse(name, -1.0)
-      name -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+      name -> merge(p1.getOrElse(name, Timing(-1, -1, -1)), t2)
     }
     // adaptive third look: anything still slow after two decorrelated
     // timings is either genuinely heavy or was unlucky twice — re-time
     // just those (cheap: the tail, not the suite) and keep the min
-    val slow = p12.filter { case (_, t) => t > 2.0 }.map(_._1).toSet
+    val slow = p12.filter { case (_, t) => t.wall > 2.0 }.map(_._1).toSet
     val p3 = SparkEntry.queries.toSeq.filter(q => slow.contains(q._1))
       .sortBy(_._1).map { case (name, fn) =>
-        try {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => name -> -1.0 }
-        finally graft.ext.CacheRegistry.clearAll()
+        name -> timedOnce(name, fn, warm = false)
       }.toMap
     val results = p12.map { case (name, t) =>
-      val t3 = p3.getOrElse(name, -1.0)
-      name -> (if (t3 < 0) t else math.min(t, t3))
+      name -> merge(t, p3.getOrElse(name, Timing(-1, -1, -1)))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def jmap(f: Timing => Double): String = results
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val qs = jmap(_.wall)
+    val total = results.map(_._2.wall).sum
+    val totalTask = results.map(_._2.task).filter(_ > 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""task":${jmap(_.task)},"gc":${jmap(_.gc)},""" +
+        s""""task_total":$totalTask,"sf":"$sfDir"}"""
     // Round 1 the driver failed to parse this line out of interleaved sbt/
     // log4j stdout ("parsed": null). Belt and braces now: (a) persist the
     // JSON to a file (SPARK_GRAFT_BENCH_OUT, default bench_out.json in the

@@ -3,6 +3,9 @@ package graft.cli
 import scala.io.StdIn
 import graft.engine.Session
 import graft.io.Save
+import org.jline.reader.{EndOfFileException, LineReader, LineReaderBuilder,
+  UserInterruptException}
+import org.jline.terminal.{Terminal, TerminalBuilder}
 
 /** Interactive SQL shell over discovered files — the reference's REPL
   * surface (localsql/localsql.py:269-364) on the Spark engine.
@@ -14,6 +17,9 @@ import graft.io.Save
   *    export, `\q` quit, unknown `\x` -> help (ref :155-214)
   *  - bare table name -> schema info (ref :226-228)
   *  - `/t` suffix -> transposed (vertical) display (ref :349-358)
+  *  - line editing + PERSISTENT prompt history via JLine, seeded from
+  *    and saved to `~/.local/share/graft/lsql_history` — the
+  *    reference's FileHistory (ref :26-29, :336-340)
   *
   * Not carried over: the `\lpy` raw-Python eval mode — its Spark analog
   * is the spark-shell Dataset API itself (SURVEY.md §2.6).
@@ -75,7 +81,70 @@ object Repl {
     session.spark.stop()
   }
 
+  /** Prompt-history file — the reference's only persistent state
+    * (localsql/localsql.py:26-29,336-340: prompt_toolkit FileHistory
+    * under ~/.local/share/localsql/lsql_history). Overridable via
+    * GRAFT_HISTORY for tests and sandboxed homes. */
+  private[cli] def historyPath: java.nio.file.Path =
+    sys.env.get("GRAFT_HISTORY").map(java.nio.file.Paths.get(_)).getOrElse(
+      java.nio.file.Paths.get(sys.props.getOrElse("user.home", "."),
+        ".local", "share", "graft", "lsql_history"))
+
+  /** Line reader with line editing + up-arrow recall seeded from the
+    * persistent history file (JLine ships on the Spark classpath).
+    * Factored out so a spec can drive it on a dumb terminal and prove
+    * a restarted Repl replays the previous session's lines. */
+  private[cli] def buildReader(terminal: Terminal,
+                               hist: java.nio.file.Path): LineReader = {
+    Option(hist.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val r = LineReaderBuilder.builder()
+      .terminal(terminal)
+      .variable(LineReader.HISTORY_FILE, hist)
+      // csh-style !-event expansion strips backslashes — fatal for a
+      // SQL shell (`\t` specials, `LIKE ... ESCAPE '\'` literals):
+      // lines must come back exactly as typed
+      .option(LineReader.Option.DISABLE_EVENT_EXPANSION, true)
+      .build()
+    // attach eagerly: JLine otherwise defers the history-file LOAD to
+    // the first readLine, so a restarted session would briefly see an
+    // empty history (and specs could never observe the replay)
+    r.getHistory.attach(r)
+    r
+  }
+
   private def loop(session: Session): Unit = {
+    val reader =
+      try {
+        // dumb(true): piped/headless stdin degrades to a plain reader
+        // instead of throwing — history still loads and persists
+        val term = TerminalBuilder.builder().system(true).dumb(true).build()
+        Some(buildReader(term, historyPath))
+      } catch { case _: Throwable => None }
+    reader match {
+      case Some(r) => jlineLoop(session, r)
+      case None => stdinLoop(session)
+    }
+  }
+
+  private[cli] def jlineLoop(session: Session, reader: LineReader): Unit = {
+    var done = false
+    while (!done) {
+      val line =
+        try reader.readLine("lsql> ")
+        catch {
+          case _: EndOfFileException => null
+          case _: UserInterruptException => "" // ^C drops the line, keeps the shell
+        }
+      if (line != null)
+        // persist incrementally (readLine already added the line to the
+        // in-memory history): a killed session keeps everything typed
+        try reader.getHistory.save() catch { case _: Exception => () }
+      if (line == null || line.trim == "\\q") done = true
+      else if (line.trim.nonEmpty) run(session, line.trim)
+    }
+  }
+
+  private def stdinLoop(session: Session): Unit = {
     var done = false
     while (!done) {
       print("lsql> ")

@@ -72,11 +72,12 @@ object Cdc {
     *
     * One 3-way full-outer join on the key (presence markers per
     * side), per-row classification — the same single-shuffle
-    * discipline as diff/applyDiff. Output: one row per key present
-    * in any snapshot that is classified `removed` nowhere it
-    * survives — (key, status ∈ {unchanged, a_only, b_only,
-    * both_same, conflict}, value — the MERGED value, null when the
-    * merged state is absent, plus present flag). */
+    * discipline as diff/applyDiff. Output: one row per key whose
+    * merged state is present, PLUS every conflict row regardless of
+    * merged presence (an add-add conflict reverts to the absent base
+    * state and would otherwise vanish) — (key, status ∈ {unchanged,
+    * a_only, b_only, both_same, conflict}, value — the MERGED value,
+    * null when the merged state is absent, present flag). */
   def threeWayMerge(base: DataFrame, a: DataFrame, b: DataFrame,
                     key: String, value: String): DataFrame = {
     val v0 = base.select(col(key), col(value).as("__c0"), lit(1).as("__p0"))
@@ -106,7 +107,11 @@ object Cdc {
           .when(!chA && chB, col("__pb").isNotNull)
           .when(sameAB, col("__pa").isNotNull)
           .otherwise(col("__p0").isNotNull).as("present"))
-      .where(col("present"))
-      .select(col(key), col("status"), col(value))
+      // conflicts must ALWAYS surface: an add-add conflict (key absent
+      // from base, added divergently on both branches) reverts to the
+      // absent base state — present=false — and a bare present filter
+      // would silently swallow the very row the caller must resolve
+      .where(col("present") || col("status") === "conflict")
+      .select(col(key), col("status"), col(value), col("present"))
   }
 }

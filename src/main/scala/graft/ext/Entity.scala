@@ -117,6 +117,10 @@ object Entity {
     * join shuffles 16-byte-scale segment keys, not the corpus.
     * `levenshtein` verifies candidates exactly; losslessness means the
     * brute-force oracle is matched bit-for-bit, not approximated.
+    * Names of length <= tau are outside the pigeonhole (fewer than
+    * tau+1 non-empty segments, so every segment can be edited) and are
+    * completed by a brute-force pass over the tiny <=2*tau-length name
+    * set — see the in-line note.
     *
     * Output: (name_a, name_b, dist) with name_a < name_b and
     * 1 <= dist <= tau, totally ordered by (name_a, name_b). */
@@ -153,9 +157,27 @@ object Entity {
       .select(col("name").as("name_p"),
         col("pb.slot").as("slot"), col("pb.ls").as("l_i"),
         expr("substr(name, pb.q + 1, pb.sl)").as("seg"))
-    idx.join(probe, Seq("seg", "slot", "l_i"))
+    val segPairs = idx.join(probe, Seq("seg", "slot", "l_i"))
       .where(col("name_i") < col("name_p"))
       .select(col("name_i").as("name_a"), col("name_p").as("name_b"))
+    // Short-string completion: the pigeonhole needs tau+1 NON-EMPTY
+    // segments, i.e. |a| >= tau+1 for the smaller name a — a name of
+    // length <= tau can have every segment touched by the tau edits
+    // and the equi-join silently misses it (tau=1: 'a' vs 'b').
+    // Any such pair has both sides of length <= 2*tau (|b| <= |a|+tau),
+    // so the patch set is the <=|Σ|^(2tau)-bounded shorts crossed with
+    // the equally bounded <=2*tau names: a broadcast nested loop over
+    // two TINY relations, never corpus-sized. Losslessness is restored
+    // exactly, not approximated.
+    val shorts = names.where(col("l") <= tau)
+      .select(col("name").as("s_name"))
+    val near = names.where(col("l") <= 2 * tau)
+      .select(col("name").as("o_name"))
+    val shortPairs = near.join(broadcast(shorts),
+        col("s_name") =!= col("o_name"))
+      .select(least(col("s_name"), col("o_name")).as("name_a"),
+        greatest(col("s_name"), col("o_name")).as("name_b"))
+    segPairs.union(shortPairs)
       .distinct()
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast("bigint"))

@@ -524,30 +524,53 @@ object Profile {
     * "how many users did both X and Y" — the segment-overlap grid a
     * T²-fan of COUNT(DISTINCT CASE …) queries answers with T² shuffles
     * — computed from a single per-user bit_or aggregation: each user
-    * folds to one mask over the type alphabet, the mask histogram is
-    * at most 2^T rows, and every pair statistic (including Jaccard)
-    * reads off that bounded grid. One corpus-sized shuffle TOTAL, for
-    * the whole matrix, at any pair count.
+    * folds to one mask over the type alphabet, and every pair
+    * statistic (including Jaccard) reads off the mask histogram ×
+    * the broadcast T² pair grid with map-side partial aggregation.
+    * One corpus-sized shuffle TOTAL, for the whole matrix, at any
+    * pair count.
     *
-    * Requires a bounded type alphabet (mask in a BIGINT: T <= 63;
-    * the type-index ranking runs over the distinct-type grid only).
+    * Requires a bounded type alphabet (mask in a BIGINT: T <= 63) —
+    * ENFORCED: the distinct-type read is a TakeOrdered(64) (bounded at
+    * any event cardinality), and a 64th type fails loudly instead of
+    * letting `shiftleft(1L, i)` wrap mod 64 and silently corrupt every
+    * count. The type index is built driver-side from that <=63-row
+    * read (no SinglePartition row_number window), and the BROADCAST
+    * side of the final join is the <=T²/2-row pair GRID — never the
+    * mask histogram, whose row count is bounded only by
+    * min(distinct keys, 2^T) and is therefore data-sized at scale.
     * Output: (type_a, type_b, n_a, n_b, n_both, n_either, jac_ppm),
     * type_a < type_b, ordered. */
   def audienceOverlap(events: DataFrame, keyCol: String,
                       typeCol: String): DataFrame = {
-    val ti = events.select(col(typeCol).as("t")).distinct()
-      .withColumn("i",
-        (row_number().over(Window.orderBy("t")) - 1).cast("int"))
+    val spark = events.sparkSession
+    val tRows = events.select(col(typeCol).as("t"))
+      .where(col("t").isNotNull).distinct()
+      .orderBy("t").limit(64).collect()
+    require(tRows.length <= 63,
+      s"audienceOverlap: type alphabet exceeds 63 (bitmask capacity " +
+        s"of one BIGINT); got >= ${tRows.length} distinct values of " +
+        s"'$typeCol'. Bucket or filter the type column first.")
+    val tType = events.select(col(typeCol).as("t")).schema.head.dataType
+    val tiSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", tType),
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val tiRows = tRows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i)
+    }
+    val ti = spark.createDataFrame(
+      java.util.Arrays.asList(tiRows: _*), tiSchema)
     val masks = events.select(col(keyCol).as("k"), col(typeCol).as("t"))
       .join(broadcast(ti), Seq("t"))
       .groupBy("k").agg(expr("bit_or(shiftleft(1L, i))").as("mask"))
     val mc = masks.groupBy("mask").agg(count(lit(1)).as("cnt"))
-    val bitA = expr("(mask div shiftleft(1L, ia)) % 2 = 1")
-    val bitB = expr("(mask div shiftleft(1L, ib)) % 2 = 1")
-    ti.as("a").join(ti.as("b"), col("a.t") < col("b.t"))
+    val grid = ti.as("a").join(ti.as("b"), col("a.t") < col("b.t"))
       .select(col("a.t").as("type_a"), col("a.i").as("ia"),
         col("b.t").as("type_b"), col("b.i").as("ib"))
-      .crossJoin(broadcast(mc))
+    val bitA = expr("(mask div shiftleft(1L, ia)) % 2 = 1")
+    val bitB = expr("(mask div shiftleft(1L, ib)) % 2 = 1")
+    mc.crossJoin(broadcast(grid))
       .groupBy("type_a", "type_b")
       .agg(sum(when(bitA, col("cnt")).otherwise(0L)).as("n_a"),
         sum(when(bitB, col("cnt")).otherwise(0L)).as("n_b"),

@@ -637,7 +637,11 @@ object TimeSeries {
       .select(col(keyCol), col("n_events"),
         expr("covered_us div 1000000").as("covered_s"),
         expr("span_us div 1000000").as("span_s"),
-        expr("covered_us * 1000000 div span_us").as("utilization_ppm"))
+        // ppm numerator in DECIMAL(38,0): covered_us * 1e6 overflows
+        // BIGINT once a key's covered time passes ~107 days — well
+        // inside the years-of-uptime use this operator exists for
+        expr("CAST(CAST(covered_us AS DECIMAL(38,0)) * 1000000" +
+          " div span_us AS BIGINT)").as("utilization_ppm"))
       .orderBy(keyCol)
   }
 
@@ -740,6 +744,53 @@ object TimeSeries {
       .orderBy("ep")
   }
 
+  /** APPROXIMATE trailing-window active users — the sliding-HLL tier
+    * beside [[rollingActiveUsers]]'s exact explode, completing the
+    * exact/approx pairing discipline used for percentiles (x88/x129).
+    * The exact tier's cost is O(activity · window): every (key, day)
+    * pair is replicated `windowDays` times. Here each DAY folds to ONE
+    * HLL sketch first (one activity-sized aggregation — the only
+    * corpus-scale pass), and the window slide replicates those
+    * days × window SKETCHES (a grid-bounded few KB each), merged per
+    * window end with hll_union_agg. At a 90-day window on years of
+    * 100 TB activity that turns the dominant explode into noise, for
+    * the standard HLL error (rse ≈ 1.04/√2^lgK ≈ 1.6% at lgK=12).
+    *
+    * DataSketches HLL is deterministic (fixed hash, order-independent
+    * merge), so results are stable run-to-run — but engine-specific,
+    * hence rows-only at the oracle with an error-bound spec against
+    * the exact tier.
+    *
+    * Output: (ep — epoch-day window end, dau_est, wau_est) for every
+    * day in the corpus span, ordered by ep. */
+  def rollingActiveUsersApprox(events: DataFrame, keyCol: String,
+                               tsCol: String, windowDays: Int,
+                               lgK: Int = 12): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    require(lgK >= 4 && lgK <= 21, s"lgK in [4,21]; got $lgK")
+    // no pre-distinct: the sketch IS the dedup (saves the exact
+    // tier's first corpus-wide shuffle)
+    val act = events.select(col(keyCol).as("k"),
+      expr(s"CAST(datediff(to_date($tsCol), date '1970-01-01') AS BIGINT)")
+        .as("ep"))
+    val sk = act.groupBy("ep")
+      .agg(expr(s"hll_sketch_agg(k, $lgK)").as("sk"))
+    val span = sk.agg(min("ep").as("a"), max("ep").as("b"))
+    val dau = sk.select(col("ep"),
+      expr("hll_sketch_estimate(sk)").as("dau_est"))
+    val contrib = sk.crossJoin(broadcast(span))
+      .select(col("sk"), explode(expr(
+        s"sequence(ep, least(ep + ${windowDays - 1}, b))")).as("ep"))
+    val wau = contrib.groupBy("ep")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+        .as("wau_est"))
+    val cal = span.select(explode(expr("sequence(a, b)")).as("ep"))
+    cal.join(dau, Seq("ep"), "left").join(wau, Seq("ep"), "left")
+      .select(col("ep"), coalesce(col("dau_est"), lit(0L)).as("dau_est"),
+        coalesce(col("wau_est"), lit(0L)).as("wau_est"))
+      .orderBy("ep")
+  }
+
   /** Time-to-convert percentile mart: per signup-week cohort, how
     * many signups converted (first qualifying event strictly after
     * the first signup) and the exact p50/p90 of the conversion delay
@@ -808,6 +859,16 @@ object TimeSeries {
     require(ratePerHour >= 1 && burst >= 1, "rate and burst must be >= 1")
     val cost = 3600000000L
     val cap = burst * cost
+    // Refill overflow guard: a raw epoch-micros gap × ratePerHour
+    // wraps BIGINT once gap > ~9.2e18/rate (months of silence at
+    // rates ~1e5/h). Any gap >= gapCap fills the bucket completely,
+    // so clamping BEFORE the multiply is exact: the clamped product
+    // is >= cap whenever the true refill is, and least(cap, ·)
+    // collapses both to cap. Max product = (cap/rate + 1)·rate
+    // <= cap + rate — never near the BIGINT edge for any sane burst.
+    val gapCap = cap / ratePerHour + 1L
+    val avail = s"least(${cap}L, acc.s + IF(acc.pt < 0, 0L, " +
+      s"least(e.tm - acc.pt, ${gapCap}L) * $ratePerHour))"
     events.select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("tm"),
         col(idCol).as("id"))
       .groupBy(col("k").as(keyCol))
@@ -819,23 +880,15 @@ object TimeSeries {
              |  named_struct('s', ${cap}L, 'pt', -1L, 'adm', 0L,
              |               'rej', 0L, 'first', -1L),
              |  (acc, e) -> named_struct(
-             |    's', IF(least(${cap}L, acc.s + IF(acc.pt < 0, 0L,
-             |           (e.tm - acc.pt) * $ratePerHour)) >= ${cost}L,
-             |         least(${cap}L, acc.s + IF(acc.pt < 0, 0L,
-             |           (e.tm - acc.pt) * $ratePerHour)) - ${cost}L,
-             |         least(${cap}L, acc.s + IF(acc.pt < 0, 0L,
-             |           (e.tm - acc.pt) * $ratePerHour))),
+             |    's', IF($avail >= ${cost}L,
+             |         $avail - ${cost}L,
+             |         $avail),
              |    'pt', e.tm,
-             |    'adm', acc.adm + IF(least(${cap}L, acc.s +
-             |      IF(acc.pt < 0, 0L, (e.tm - acc.pt) * $ratePerHour))
-             |        >= ${cost}L, 1L, 0L),
-             |    'rej', acc.rej + IF(least(${cap}L, acc.s +
-             |      IF(acc.pt < 0, 0L, (e.tm - acc.pt) * $ratePerHour))
-             |        >= ${cost}L, 0L, 1L),
+             |    'adm', acc.adm + IF($avail >= ${cost}L, 1L, 0L),
+             |    'rej', acc.rej + IF($avail >= ${cost}L, 0L, 1L),
              |    'first', IF(acc.first >= 0L, acc.first,
-             |      IF(least(${cap}L, acc.s + IF(acc.pt < 0, 0L,
-             |        (e.tm - acc.pt) * $ratePerHour)) >= ${cost}L,
-             |        -1L, e.id))))""".stripMargin).as("st"))
+             |      IF($avail >= ${cost}L, -1L, e.id))))""".stripMargin)
+          .as("st"))
       .select(col(keyCol), col("n_events"),
         col("st.adm").as("n_admitted"), col("st.rej").as("n_rejected"),
         col("st.first").as("first_rejected_id"))

@@ -6530,7 +6530,7 @@ object Extensions {
         |SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(min(k) AS BIGINT) AS example_k
-        |FROM m WHERE present
+        |FROM m WHERE present OR status = 'conflict'
         |GROUP BY 1 ORDER BY status""".stripMargin),
 
     // matryoshka truncation-recall curve: exact top-5 retrieval with
@@ -6965,6 +6965,30 @@ object Extensions {
         |  coalesce(max(abs(delta_cents)), 0) AS max_abs_delta_cents,
         |  CAST(coalesce(sum(abs(delta_cents)), 0) AS BIGINT)
         |    AS sum_abs_delta_cents
-        |FROM j GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
+        |FROM j GROUP BY 1 ORDER BY o_orderstatus""".stripMargin),
+
+    // sliding-HLL rolling actives: the approx tier beside exact x253 —
+    // per-day sketches merged over the trailing window, so the window
+    // slide replicates days x window SKETCHES, not activity x window
+    // rows. DataSketches estimates are engine-specific -> rows-only;
+    // the <=5% error bound vs the exact tier is spec-gated (ExtSpec)
+    Q.dfOnly("x287_rolling_active_approx",
+      (s, dir) => TimeSeries.rollingActiveUsersApprox(
+        Tables.load(s, dir, "events"), "user_id", "ts", 7)),
+
+    // Z-order layout REWRITE (x250 prices layouts; this one WRITES the
+    // winner): range-partitioned Morton sort-write, then the judged
+    // rollup reads the rewritten files through a both-dimension
+    // predicate — pushdown to the new scan and the measured <=50%
+    // file-scan win are require'd in-line; content equality sits on
+    // the oracle
+    Q.df("x288_zorder_rewrite",
+      (s, dir) => graft.io.Warehouse.zorderRewrite(s, dir),
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT))
+        |    AS BIGINT) AS retail_cents
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 15 AND (p_partkey & 255) <= 63
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin)
   )
 }

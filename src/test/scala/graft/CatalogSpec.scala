@@ -32,7 +32,7 @@ class CatalogSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("rows-only queries are exactly the documented ten — nothing loses its oracle silently") {
+  test("rows-only queries are exactly the documented eleven — nothing loses its oracle silently") {
     // a new query registered without its oracleSql entry would demote
     // itself to the weaker rows-only check without any test noticing;
     // pin the intentional rows-only set (COVERAGE.md Totals) so the
@@ -42,7 +42,8 @@ class CatalogSpec extends AnyFunSuite {
       "x63_approx_distinct", "x64_knn_float", "x72_knn_ivf",
       "x103_knn_pq", "x110_knn_ivfpq", "x112_profile_approx",
       "x116_semdedup", "x124_knn_ivfpq_residual",
-      "x125_ann_incremental_assign", "x129_median_gate_approx"),
+      "x125_ann_incremental_assign", "x129_median_gate_approx",
+      "x287_rolling_active_approx"),
       s"unexpected rows-only set: ${rowsOnly.toSeq.sorted.mkString(",")}")
   }
 }

@@ -371,13 +371,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(s"), p)
   }
 
-  test("x277 audience overlap: mask histogram broadcast — the pair grid never shuffles data") {
+  test("x277 audience overlap: the broadcast side is the pair GRID, never the mask histogram") {
     val p = plan("x277_audience_overlap")
-    // the <=2^T-row mask histogram reaches the pair grid as a
-    // broadcast; the only data-sized exchange is the per-user mask agg
-    assert(p.contains("BroadcastExchange") ||
-      p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"), p)
+    // the mask histogram's row count is bounded only by
+    // min(distinct users, 2^T) — it must be the STREAMED side; only
+    // the <=T²/2-row pair grid (built from the driver-side type
+    // index, a LocalTableScan) may broadcast. The histogram's
+    // signature agg is bit_or: assert it appears in NO broadcast
+    // subtree, not merely that "a" broadcast exists.
+    val bx = subtrees(p, "BroadcastExchange")
+    assert(bx.nonEmpty, p)
+    bx.foreach(t => assert(!t.contains("bit_or"),
+      s"mask histogram reached a BroadcastExchange:\n$t"))
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  /** Extract each `marker` node's full subtree from a plan tree
+    * string (child lines are the ones whose node-name start column is
+    * deeper than the parent's). */
+  private def subtrees(p: String, marker: String): Seq[String] = {
+    val lines = p.split("\n")
+    def nameStart(s: String): Int = s.indexWhere(c => !" :+-*(0123456789)".contains(c))
+    lines.indices.filter(i => lines(i).contains(marker)).map { i =>
+      val d = nameStart(lines(i))
+      val buf = new StringBuilder(lines(i)).append('\n')
+      var j = i + 1
+      while (j < lines.length &&
+             (nameStart(lines(j)) < 0 || nameStart(lines(j)) > d)) {
+        buf.append(lines(j)).append('\n'); j += 1
+      }
+      buf.toString
+    }
   }
 
   test("x261/x271/x279: TTL dedup and in-row sequential-state ops plan with NO window function") {
@@ -391,10 +415,18 @@ class PlanSpec extends SparkSpec {
       }
   }
 
-  test("x252 Pass-Join: candidates are an EQUI-join — no cartesian, no nested loop") {
+  test("x252 Pass-Join: corpus candidates are an EQUI-join; only the bounded short-name patch may nest") {
     val p = plan("x252_edit_passjoin")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoop"), p)
+    // the pigeonhole candidates themselves must stay an equi-join; the
+    // ONLY admissible nested loop is the short-string completion pass
+    // (both inputs length-filtered to the <=|alphabet|^2tau-bounded
+    // short-name sets) — any BNLJ subtree without those filters means
+    // the corpus-sized join regressed to all-pairs
+    subtrees(p, "BroadcastNestedLoopJoin").foreach { t =>
+      assert("length\\(\\w+#\\d+\\) <= \\d".r.findAllIn(t).length >= 2,
+        s"nested loop without length-bounded inputs:\n$t")
+    }
   }
 
   test("x262 purge audit: victim list broadcasts; fact tables never shuffle for the check") {

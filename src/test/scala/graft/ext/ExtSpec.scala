@@ -2738,10 +2738,12 @@ class ExtSpec extends SparkSpec {
     // crafted to exercise every edit kind and the fuzzyNameMatch blind
     // spot (single-token names share no whitespace block): substitute
     // ("karla"/"karlo"), delete ("karla"/"karl"), insert
-    // ("brandt"/"brandta"), far pairs, and a length-2 gap that must
-    // NOT match at tau=1
+    // ("brandt"/"brandta"), far pairs, a length-2 gap that must
+    // NOT match at tau=1, and the SHORT-NAME hole (length <= tau has
+    // no untouched pigeonhole segment): 'a'/'b' at tau=1, 'ab'/'cd'
+    // at tau=2 — both found only by the short-string completion pass
     val names = Seq("karla", "karlo", "karl", "brandt", "brandta",
-      "xylophone", "zebra", "ka").toDF("nm")
+      "xylophone", "zebra", "ka", "a", "b", "ab", "cd").toDF("nm")
     for (tau <- 1 to 2) {
       val got = Entity.passJoin(names, "nm", tau)
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -3058,6 +3060,25 @@ class ExtSpec extends SparkSpec {
     assert(r.getLong(4) == 1500L * 1000000L / 10600L, r.toString)
   }
 
+  test("intervalCoverage: ppm exact past the BIGINT edge (years of covered uptime)") {
+    import spark.implicits._
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // 365 day-long covers every other day over ~2 years: covered_us
+    // = 365 d = 3.15e13 µs, so covered_us * 1e6 = 3.15e19 > Long.Max
+    // — the ppm numerator must run in DECIMAL, not wrap negative
+    val day = 86400L
+    val ev = (0L until 365L).map(k => (1L, at(k * 2 * day), k))
+      .toDF("user_id", "ts", "event_id")
+    val r = TimeSeries.intervalCoverage(ev, "user_id", "ts", "event_id",
+      day).head()
+    val coveredUs = BigInt(365L) * day * 1000000L
+    val spanUs = BigInt(364L * 2 * day + day) * 1000000L
+    assert(r.getLong(2) == 365L * day && r.getLong(3) == 364L * 2 * day + day,
+      r.toString)
+    assert(BigInt(r.getLong(4)) == coveredUs * 1000000 / spanUs, r.toString)
+    assert(r.getLong(4) > 0, s"ppm wrapped negative: $r")
+  }
+
   test("percentileTrend: exact slope on a deterministic weekly ramp") {
     import spark.implicits._
     def ts(day: Int) = java.sql.Timestamp.valueOf(
@@ -3127,6 +3148,21 @@ class ExtSpec extends SparkSpec {
     assert(self.forall(_.getString(1) != "conflict"))
     assert(self.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq ==
       a.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // ADD-ADD conflict: key 9 absent from base, added divergently on
+    // both branches — the merged state reverts to the (absent) base,
+    // so a bare present filter would swallow it; it must surface as a
+    // conflict with null value / present=false. Key 10 added
+    // IDENTICALLY on both sides converges as both_same and survives.
+    val a2 = a.union(Seq((9L, 900L), (10L, 1000L)).toDF("k", "v"))
+    val b2 = b.union(Seq((9L, 901L), (10L, 1000L)).toDF("k", "v"))
+    val out2 = Cdc.threeWayMerge(base, a2, b2, "k", "v").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out2(9L).getString(1) == "conflict", out2(9L).toString)
+    assert(out2(9L).isNullAt(2) && !out2(9L).getBoolean(3),
+      out2(9L).toString)
+    assert(out2(10L).getString(1) == "both_same" &&
+      out2(10L).getLong(2) == 1000L && out2(10L).getBoolean(3),
+      out2(10L).toString)
   }
 
   test("matryoshkaRecall: monotone in width; full width is exact") {
@@ -3221,6 +3257,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("audienceOverlap: a 64th type throws instead of silently wrapping the bitmask") {
+    // shiftleft on BIGINT takes the shift mod 64 — at 64+ types two
+    // types would share a bit and every count would be silently wrong;
+    // the contract is to fail loudly. 63 types must still work.
+    import spark.implicits._
+    val wide = (0L until 200L).map(u => (u, s"t${u % 64}"))
+      .toDF("user_id", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      Profile.audienceOverlap(wide, "user_id", "event_type").collect()
+    }
+    assert(e.getMessage.contains("63"), e.getMessage)
+    val ok = (0L until 200L).map(u => (u, s"t${u % 63}"))
+      .toDF("user_id", "event_type")
+    val out = Profile.audienceOverlap(ok, "user_id", "event_type").collect()
+    assert(out.length == 63 * 62 / 2)
+    // with users striped u % 63, distinct types co-occur only when a
+    // user hit both — u<63*3 ensures some overlap rows exist and the
+    // per-type audience counts are exact
+    assert(out.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0))
+  }
+
   test("multimodalConsistency: categories partition the union of both pair sets") {
     import org.apache.spark.sql.functions._
     val out = Multimodal.multimodalConsistency(docs).collect()
@@ -3253,6 +3310,27 @@ class ExtSpec extends SparkSpec {
       1L, 1L).head()
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
       (4L, 2L, 2L, 2L), r.toString)
+  }
+
+  test("tokenBucketAudit: a months-long gap at a high rate refills without BIGINT wrap") {
+    import spark.implicits._
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // rate 1e6/h: an unclamped refill term gap_us * rate wraps once
+    // gap > ~9.2e12 µs ≈ 107 days. Drain the burst-2 bucket at t=0,
+    // then return after a YEAR: the bucket must be FULL again (both
+    // follow-ups admitted), not poisoned by a negative wrapped refill
+    val yr = 365L * 86400L
+    val ev = Seq((1L, at(0), 1L), (1L, at(1), 2L), (1L, at(2), 3L),
+      (1L, at(yr), 4L), (1L, at(yr + 1), 5L), (1L, at(yr + 2), 6L))
+      .toDF("user_id", "ts", "event_id")
+    val r = TimeSeries.tokenBucketAudit(ev, "user_id", "ts", "event_id",
+      1000000L, 2L).head()
+    // at rate 1e6/h every 1 s gap refills 1e12 units >> cost 3.6e9,
+    // so ALL six must be admitted. Unclamped, the year gap's refill
+    // (3.15e19) wraps to ~-5.4e18, poisons the bucket, and events
+    // 4-6 are all rejected — the exact corruption this guards.
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (6L, 6L, 0L),
+      r.toString)
   }
 
   test("weightedMedian: volume-weighted answer differs from the row median by design") {
@@ -3304,6 +3382,25 @@ class ExtSpec extends SparkSpec {
     assert(ra(10L) == (1L, 2L), ra.toString)   // dau 1, trailing-28 2
     assert(ra(5L) == (0L, 1L), ra.toString)    // silent day, u1 trailing
     assert(ra.values.forall { case (d, w) => w >= d }, ra.toString)
+  }
+
+  test("rollingActiveUsersApprox: within 5% of the exact tier on the corpus, same calendar") {
+    // the sliding-HLL tier's contract: identical day grid, and every
+    // dau/wau estimate inside the standard-HLL error envelope of the
+    // exact answer (lgK=12 -> rse ~1.6%; 5% is the hard gate)
+    val ev = Tables.load(spark, dir, "events")
+    val exact = TimeSeries.rollingActiveUsers(ev, "user_id", "ts", 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = TimeSeries.rollingActiveUsersApprox(ev, "user_id", "ts", 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet, "calendar grids differ")
+    def within(est: Long, truth: Long): Boolean =
+      math.abs(est - truth) <= math.max(1L, (truth * 0.05).toLong)
+    exact.foreach { case (ep, (dau, wau)) =>
+      val (dEst, wEst) = approx(ep)
+      assert(within(dEst, dau), s"day $ep dau est $dEst vs exact $dau")
+      assert(within(wEst, wau), s"day $ep wau est $wEst vs exact $wau")
+    }
   }
 
   test("nextEventAccuracy and invoiceReconciliation: crafted cases answer exactly") {

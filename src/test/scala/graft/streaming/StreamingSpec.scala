@@ -263,6 +263,243 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  // ---- checkpoint-recovery proofs for the remaining stateful shapes:
+  // the sessionization spec above proves mapGroupsWithState recovery;
+  // these prove it for stream-stream JOIN buffers, the foreachBatch
+  // CDC journal, the DLQ two-way split, and the parquet file sink's
+  // manifest discipline (x96 / x170 / x209 / x111 families).
+
+  private def landDf(df: org.apache.spark.sql.DataFrame,
+                     stage: java.nio.file.Path, name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_land")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    java.nio.file.Files.list(tmp).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach(p => java.nio.file.Files.copy(p, stage.resolve(name)))
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  private def rmAll(roots: java.nio.file.Path*): Unit = {
+    import scala.jdk.CollectionConverters._
+    roots.foreach { root =>
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("checkpoint recovery: stream-stream join buffers survive a restart; drained halves never re-emit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_ssjr_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssjr_ckpt")
+    val out1 = java.nio.file.Files.createTempDirectory("graft_ssjr_o1")
+    val out2 = java.nio.file.Files.createTempDirectory("graft_ssjr_o2")
+    def drain(outDir: String): Unit = {
+      def side(et: String, idAs: String, tsAs: String, uAs: String) =
+        spark.readStream
+          .schema("user_id LONG, event_type STRING, event_id LONG, ts_us LONG")
+          .parquet(stage.toString)
+          .where(col("event_type") === et)
+          .select(col("event_id").as(idAs),
+            timestamp_micros(col("ts_us")).as(tsAs), col("user_id").as(uAs))
+          .withWatermark(tsAs, "1 hour")
+      val joined = side("signup", "signup_id", "ts_s", "user_id")
+        .join(side("purchase", "purchase_id", "ts_p", "p_user_id"),
+          col("user_id") === col("p_user_id") &&
+            col("ts_p") >= col("ts_s") &&
+            col("ts_p") <= col("ts_s") + expr("INTERVAL 1 HOUR"))
+        .select("user_id", "signup_id", "purchase_id")
+      val q = joined.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def rows(d: java.nio.file.Path): Set[(Long, Long, Long)] = {
+      val fs = java.nio.file.Files.list(d)
+      val any = try fs.findAny().isPresent finally fs.close()
+      if (!any) Set.empty
+      else spark.read.parquet(d.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val min10 = 600L * 1000000L
+    // modern epoch base: event times near 0 sit AT the initial zero
+    // watermark and the join's range bounds treat them as expired
+    val base = 1700000000L * 1000000L
+    try {
+      // fileA: u1 signup+purchase (matches in run 1); u2 signup only —
+      // its join BUFFER must survive the restart
+      landDf(Seq((1L, "signup", 1L, base), (1L, "purchase", 2L, base + min10),
+        (2L, "signup", 3L, base)).toDF("user_id", "event_type", "event_id", "ts_us"),
+        stage, "a.parquet")
+      drain(out1.toString)
+      assert(rows(out1) == Set((1L, 1L, 2L)), rows(out1).toString)
+      // fileB: u2's purchase 30 min after its buffered signup, plus a
+      // signup-less purchase that must match nothing
+      landDf(Seq((2L, "purchase", 4L, base + 3 * min10),
+        (3L, "purchase", 5L, base)).toDF("user_id", "event_type", "event_id", "ts_us"),
+        stage, "b.parquet")
+      drain(out2.toString)
+      // exactly-once: (1,1,2) NOT re-emitted (fileA never reprocessed);
+      // state recovery: u2's pair joins ACROSS the restart
+      assert(rows(out2) == Set((2L, 3L, 4L)), rows(out2).toString)
+    } finally rmAll(stage, ckpt, out1, out2)
+  }
+
+  test("checkpoint recovery: foreachBatch CDC journal stays exactly-once across a restart") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_cdcr_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcr_ckpt")
+    val out = java.nio.file.Files.createTempDirectory("graft_cdcr_out")
+    val schema = "k LONG, status STRING, cents_v1 LONG, cents_v2 LONG"
+    def drain(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out.toString); ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      landDf(Seq((1L, "changed", Some(1L), Some(10L)),
+        (2L, "added", None, Some(20L)))
+        .toDF("k", "status", "cents_v1", "cents_v2"), stage, "a.parquet")
+      drain()
+      // crash here; a LATER change to k=1 and a removal land
+      landDf(Seq((1L, "changed", Some(1L), Some(11L)),
+        (3L, "removed", Some(3L), None))
+        .toDF("k", "status", "cents_v1", "cents_v2"), stage, "b.parquet")
+      drain()
+      val journal = spark.read.parquet(out.toString)
+      // exactly-once journal: each (k, batch) row written ONCE — the
+      // restart neither re-journals fileA nor skips fileB
+      val perRow = journal.groupBy("k", "batch_id").count().collect()
+      assert(perRow.forall(_.getLong(2) == 1L), perRow.mkString(","))
+      assert(journal.count() == 4, journal.collect().mkString(","))
+      // batch ids must ADVANCE across the restart (continued log, not
+      // a fresh one overwriting batch 0)
+      val batches = journal.select("batch_id").distinct().collect()
+        .map(_.getLong(0)).sorted
+      assert(batches.length == 2 && batches(0) < batches(1),
+        batches.mkString(","))
+      // serve-time compaction (latest batch wins) + applyDiff equals
+      // the uninterrupted final state: {1->11, 2->20}, 3 removed
+      val changes = journal.groupBy("k")
+        .agg(max_by(struct(col("status"), col("cents_v1"), col("cents_v2")),
+          col("batch_id")).as("s"))
+        .select(col("k"), col("s.status").as("status"),
+          col("s.cents_v1").as("cents_v1"), col("s.cents_v2").as("cents_v2"))
+      val v1 = Seq((1L, 1L), (3L, 3L)).toDF("k", "cents")
+      val applied = graft.ext.Cdc.applyDiff(v1, changes, "k", "cents")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(applied == Map(1L -> 11L, 2L -> 20L), applied.toString)
+    } finally rmAll(stage, ckpt, out)
+  }
+
+  test("checkpoint recovery: DLQ split routes each record exactly once across a restart") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_dlqr_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dlqr_ckpt")
+    val out = java.nio.file.Files.createTempDirectory("graft_dlqr_out")
+    def drain(): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, n_chars LONG")
+        .parquet(stage.toString)
+        .select(col("doc_id"), col("n_chars"),
+          when(col("n_chars") < 150, "too_short").otherwise("ok").as("reason"))
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val stamped = b.withColumn("batch_id", lit(id))
+          stamped.where(col("reason") === "ok")
+            .write.mode("append").parquet(s"$out/accepted")
+          stamped.where(col("reason") =!= "ok")
+            .write.mode("append").parquet(s"$out/rejected"); ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def ids(sub: String): Seq[Long] = {
+      val d = java.nio.file.Paths.get(s"$out/$sub")
+      if (!java.nio.file.Files.exists(d)) Seq.empty
+      else spark.read.parquet(d.toString).select("doc_id").collect()
+        .map(_.getLong(0)).toSeq
+    }
+    try {
+      landDf(Seq((1L, 200L), (2L, 100L)).toDF("doc_id", "n_chars"),
+        stage, "a.parquet")
+      drain()
+      landDf(Seq((3L, 300L), (4L, 50L)).toDF("doc_id", "n_chars"),
+        stage, "b.parquet")
+      drain()
+      // each record lands in exactly ONE branch exactly ONCE: the
+      // restart must not re-split fileA (dup in both branches) nor
+      // lose fileB
+      val acc = ids("accepted"); val rej = ids("rejected")
+      assert(acc.sorted == Seq(1L, 3L), acc.toString)
+      assert(rej.sorted == Seq(2L, 4L), rej.toString)
+      assert(acc.distinct.length == acc.length &&
+        rej.distinct.length == rej.length, "duplicated routing")
+    } finally rmAll(stage, ckpt, out)
+  }
+
+  test("file sink manifest: a crashed batch's orphan part-file is invisible to sink reads") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_fsm_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsm_ckpt")
+    val out = java.nio.file.Files.createTempDirectory("graft_fsm_out")
+    def drain(): Unit = {
+      val src = spark.readStream.schema("event_id LONG, cents LONG")
+        .parquet(stage.toString)
+      val q = src.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      landDf(Seq((1L, 10L), (2L, 20L)).toDF("event_id", "cents"),
+        stage, "a.parquet")
+      drain()
+      // simulate a batch killed between executor writes and the
+      // manifest commit: a data file lands in the sink dir with NO
+      // _spark_metadata entry
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fsm_orphan")
+      Seq((99L, 999L)).toDF("event_id", "cents")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val orphanSrc = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      val orphan = out.resolve("part-00000-orphan-crashed.snappy.parquet")
+      java.nio.file.Files.copy(orphanSrc, orphan)
+      rmAll(tmp)
+      landDf(Seq((3L, 30L)).toDF("event_id", "cents"), stage, "b.parquet")
+      drain()
+      // the orphan IS on disk and readable as a bare file...
+      assert(java.nio.file.Files.exists(orphan))
+      assert(spark.read.parquet(orphan.toString).count() == 1)
+      // ...but the sink read goes through _spark_metadata and must see
+      // exactly the committed batches: both halves once, no orphan row
+      val got = spark.read.parquet(out.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L)), got.toString)
+    } finally rmAll(stage, ckpt, out)
+  }
+
   test("streaming retention mart equals the batch cohort triangle") {
     val streamed = Streaming.streamRetention(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
