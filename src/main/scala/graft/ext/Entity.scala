@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Entity-resolution operators (beyond-reference, SURVEY.md §2.8).
@@ -183,5 +183,54 @@ object Entity {
         levenshtein(col("name_a"), col("name_b")).cast("bigint"))
       .where(col("dist") <= tau)
       .orderBy("name_a", "name_b")
+  }
+
+  /** BLOCKING-QUALITY audit — the meta-metrics that justify (or
+    * condemn) a blocking scheme BEFORE it silently costs recall in
+    * production: against the LOSSLESS truth set ([[passJoin]], which
+    * provably finds every pair within `tau` edits), a candidate
+    * blocking keyed by `blockKey` is scored on the two standard
+    * record-linkage axes:
+    *  - reduction ratio: the fraction of the all-pairs quadratic the
+    *    blocking never generates (its entire cost argument);
+    *  - pair completeness: the fraction of TRUE pairs the blocking
+    *    retains (its entire recall argument).
+    * A scheme is only as good as BOTH — all-pairs has completeness 1
+    * and reduction 0; hash-everything-to-one-value the reverse.
+    *
+    * Scale shape: truth comes from the pigeonhole equi-join (never
+    * all-pairs); candidates are an in-block self-join (the scheme
+    * being audited); n_all_pairs is ARITHMETIC (n·(n−1)/2), not a
+    * materialized cross join — the quadratic is priced, never paid.
+    * Counts are single-row aggregates cross-joined together; ppm
+    * numerators run in DECIMAL.
+    *
+    * Output: ONE row (n_names, n_all_pairs, n_candidates, n_true,
+    * n_found, reduction_ppm, completeness_ppm). */
+  def blockingQuality(records: DataFrame, nameCol: String, tau: Int,
+                      blockKey: Column): DataFrame = {
+    val names = records.select(col(nameCol).as("name")).distinct()
+    val truth = passJoin(records, nameCol, tau)
+      .select("name_a", "name_b")
+    val blocked = names.select(col("name"), blockKey.as("blk"))
+    val cand = blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.name") < col("y.name"))
+      .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
+      .distinct()
+    val found = cand.join(truth, Seq("name_a", "name_b"), "left_semi")
+    val nNames = names.agg(count(lit(1)).as("n_names"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nFound = found.agg(count(lit(1)).as("n_found"))
+    nNames.crossJoin(nCand).crossJoin(nTrue).crossJoin(nFound)
+      .select(col("n_names"),
+        expr("n_names * (n_names - 1) div 2").as("n_all_pairs"),
+        col("n_candidates"), col("n_true"), col("n_found"))
+      .select(col("n_names"), col("n_all_pairs"), col("n_candidates"),
+        col("n_true"), col("n_found"),
+        expr("CAST(CAST(n_all_pairs - n_candidates AS DECIMAL(38,0))" +
+          " * 1000000 div n_all_pairs AS BIGINT)").as("reduction_ppm"),
+        expr("CAST(CAST(n_found AS DECIMAL(38,0)) * 1000000" +
+          " div n_true AS BIGINT)").as("completeness_ppm"))
   }
 }

@@ -209,6 +209,53 @@ object Multimodal {
     spark.createDataFrame(rdd, wavSchema)
   }
 
+  val clipSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_clipped", LongType, nullable = false),
+    StructField("max_abs", LongType, nullable = false),
+    StructField("min_abs", LongType, nullable = false)))
+
+  /** SAMPLE-LEVEL audio QA: clipping + amplitude envelope read from
+    * every 16-bit PCM word of the data chunk — the audit a speech
+    * pipeline runs before paying for transcription (clipped capture
+    * degrades ASR; a dead-mic min amplitude flags silent files). A
+    * word is CLIPPED iff |value| >= 32000 (within 767 of int16
+    * full-scale). Real decode in the mapPartitions loop — the bytes
+    * are parsed, not trusted — and judged against a formula-twin
+    * oracle (the synthetic capture's sample pattern re-derived in
+    * SQL), so a byte-order or offset bug is a correctness failure,
+    * not a silent skew. Media bytes never shuffle: the per-doc stats
+    * rows are all that leaves the scan.
+    *
+    * Output: (doc_id, n_words — samples × channels, n_clipped,
+    * max_abs, min_abs), one row per document, ordered by doc_id. */
+  def audioClippingAudit(withPayloadDf: DataFrame): DataFrame = {
+    val spark = withPayloadDf.sparkSession
+    val rdd = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions {
+      it => it.map { r =>
+        val docId = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        parseWav(docId, payload) // validates RIFF/PCM/size invariants
+        val buf = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nWords = (payload.length - 44) / 2
+        var (nClipped, maxAbs, minAbs) = (0L, 0L, Long.MaxValue)
+        var j = 0
+        while (j < nWords) {
+          val v = math.abs(buf.getShort(44 + 2 * j).toLong)
+          if (v >= 32000L) nClipped += 1
+          if (v > maxAbs) maxAbs = v
+          if (v < minAbs) minAbs = v
+          j += 1
+        }
+        Row(docId, nWords.toLong, nClipped, maxAbs,
+          if (nWords == 0) 0L else minAbs)
+      }
+    }
+    spark.createDataFrame(rdd, clipSchema).orderBy("doc_id")
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("features", ArrayType(LongType, containsNull = false),

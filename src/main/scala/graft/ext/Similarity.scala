@@ -1086,4 +1086,41 @@ object Similarity {
         (-col("w.nd")).as("nearest_dot"))
     self.join(cross, Seq("label")).orderBy("label")
   }
+
+  /** EMBEDDING-SPACE drift between label populations: the pairwise L2²
+    * distance matrix of per-label INTEGER centroids — the one-glance
+    * answer to "did source/class X move in embedding space relative to
+    * Y" that re-embedding audits and mixture rebalancing start from.
+    * Coordinates quantize to floor(x·10⁴) (the repo's deterministic
+    * fixed-point rule, same as the kNN tiers), centroid dims are
+    * integer `sum div n` (both engines truncate toward zero), so the
+    * whole matrix is oracle-exact — no float summation order anywhere.
+    *
+    * Scale shape: ONE corpus-sized posexplode + (label × dim) keyed
+    * aggregation; everything after runs on the ≤ labels·dims grid —
+    * the pair join never touches vectors. At 100 TB the explode is
+    * the map-side partial-sum shape (dims per row, combined before
+    * the shuffle).
+    *
+    * Output: (label_a, label_b, n_a, n_b, l2sq), label_a < label_b,
+    * ordered. */
+  def labelCentroidDrift(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("label").cast("bigint").as("label"),
+        posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("label"), (col("i0") + 1).as("i"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)").as("qv"))
+    val c = q.groupBy("label", "i")
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"), expr("s div n").as("cd"), col("n"))
+    c.as("a").join(c.as("b"),
+        col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        ((col("a.cd") - col("b.cd")) * (col("a.cd") - col("b.cd")))
+          .as("d2"))
+      .groupBy("label_a", "label_b")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sum("d2").as("l2sq"))
+      .orderBy("label_a", "label_b")
+  }
 }

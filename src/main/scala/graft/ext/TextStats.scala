@@ -965,4 +965,53 @@ object TextStats {
         expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
       .orderBy("source")
   }
+
+  /** PHRASE SEARCH over a positional inverted index — the retrieval
+    * serve shape (distinct from the x89 PMI statistics and the dedup
+    * family's shingle DETECTION): the corpus is indexed ONCE as
+    * (term, doc, pos) postings, and a phrase query then touches only
+    * its terms' postings — two bounded equi-joins, never a corpus
+    * scan. Queried here with the corpus's own top-`topN` bigrams
+    * (deterministic: ties to the lexicographically smallest), each
+    * answered in two modes a search engine serves:
+    *  - exact adjacency (pos2 = pos1 + 1 — the quoted-phrase match);
+    *  - proximity within 3 (0 < pos2 - pos1 <= 3 — the NEAR operator;
+    *    a superset of exact by construction).
+    *
+    * Scale shape: postings build is one narrow posexplode; the top-N
+    * pick is a TakeOrdered over the bigram grid; each query joins
+    * postings ON (doc, pos) equi-keys with the tiny query list
+    * broadcast into BOTH probes. At 100 TB the postings table is the
+    * serve index you'd persist (x260's build-once discipline); query
+    * cost is postings-of-terms, not corpus.
+    *
+    * Output: (w1, w2, n_occ_exact, n_docs_exact, n_occ_within3,
+    * n_docs_within3), ordered by (w1, w2). */
+  def phraseSearch(docs: DataFrame, topN: Int): DataFrame = {
+    require(topN >= 1 && topN <= 100, s"topN in [1,100]; got $topN")
+    val post = CacheRegistry.pin(tokens(docs))
+    val adj = post.as("a").join(post.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") === col("a.pos") + 1)
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+    val top = adj.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(topN)
+      .select("w1", "w2")
+    val q1 = post.join(broadcast(top), col("w") === col("w1"))
+      .select(col("w1"), col("w2"), col("doc_id").as("d"),
+        col("pos").as("p1"))
+    val p2 = post.select(col("doc_id").as("d2"), col("w").as("wq"),
+      col("pos").as("p2"))
+    val hits = q1.join(p2,
+        col("d2") === col("d") && col("wq") === col("w2") &&
+          col("p2") > col("p1") && col("p2") <= col("p1") + 3)
+      .select(col("w1"), col("w2"), col("d"),
+        (col("p2") === col("p1") + 1).as("exact"))
+    hits.groupBy("w1", "w2")
+      .agg(sum(when(col("exact"), 1L).otherwise(0L)).as("n_occ_exact"),
+        countDistinct(when(col("exact"), col("d"))).as("n_docs_exact"),
+        count(lit(1)).as("n_occ_within3"),
+        countDistinct(col("d")).as("n_docs_within3"))
+      .orderBy("w1", "w2")
+  }
 }

@@ -6989,6 +6989,142 @@ object Extensions {
         |    AS BIGINT) AS retail_cents
         |FROM part
         |WHERE p_size BETWEEN 10 AND 15 AND (p_partkey & 255) <= 63
-        |GROUP BY 1 ORDER BY p_brand""".stripMargin)
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin),
+
+    // phrase search over a positional inverted index: the corpus's
+    // top-3 bigrams answered in exact-adjacency (quoted phrase) and
+    // within-3 proximity (NEAR) modes — postings equi-joins with the
+    // query list broadcast, never a corpus scan; the retrieval SERVE
+    // shape, distinct from x89's PMI statistics
+    Q.df("x289_phrase_search",
+      (s, dir) => TextStats.phraseSearch(
+        Tables.load(s, dir, "documents"), 3),
+      s"""WITH $duckTok,
+         |adj AS (
+         |  SELECT a.doc_id, a.pos AS p1, a.w AS w1, b.w AS w2
+         |  FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |top AS (
+         |  SELECT w1, w2 FROM (
+         |    SELECT w1, w2, count(*) AS c FROM adj GROUP BY 1, 2)
+         |  ORDER BY c DESC, w1, w2 LIMIT 3),
+         |hits AS (
+         |  SELECT t.w1, t.w2, p.doc_id, p.pos AS p1, q.pos AS p2
+         |  FROM top t JOIN tok p ON p.w = t.w1
+         |  JOIN tok q ON q.doc_id = p.doc_id AND q.w = t.w2
+         |    AND q.pos > p.pos AND q.pos <= p.pos + 3)
+         |SELECT w1, w2,
+         |  CAST(sum(CASE WHEN p2 = p1 + 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_occ_exact,
+         |  CAST(count(DISTINCT CASE WHEN p2 = p1 + 1 THEN doc_id END)
+         |    AS BIGINT) AS n_docs_exact,
+         |  CAST(count(*) AS BIGINT) AS n_occ_within3,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_within3
+         |FROM hits GROUP BY 1, 2 ORDER BY w1, w2""".stripMargin),
+
+    // curriculum ordering: easy-first tiers (n_chars div 100),
+    // deterministic md5 shuffle within tier, global position via the
+    // distributed zipWithIndex shape — judged on every 97th position
+    // so the oracle checks the whole ORDER, not tier totals
+    Q.df("x290_curriculum_order",
+      (s, dir) => Sampling.curriculumOrder(
+        Tables.load(s, dir, "documents"), "doc_id",
+        expr("n_chars div 100"), "42"),
+      """WITH d AS (
+        |  SELECT doc_id, n_chars // 100 AS tier,
+        |    md5('42' || ':' || doc_id) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, tier,
+        |    row_number() OVER (ORDER BY tier, h, doc_id) AS rank
+        |  FROM d)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+        |  CAST(tier AS BIGINT) AS tier
+        |FROM r WHERE (rank - 1) % 97 = 0 ORDER BY rank""".stripMargin),
+
+    // blocking-quality audit: last-4-chars blocking on supplier names
+    // scored against the LOSSLESS tau=2 truth set (passJoin) on the
+    // two record-linkage axes — reduction ratio (cost) and pair
+    // completeness (recall); the quadratic all-pairs is priced
+    // arithmetically, never materialized
+    Q.df("x291_blocking_quality",
+      (s, dir) => Entity.blockingQuality(
+        Tables.load(s, dir, "supplier"), "s_name", 2,
+        expr("right(name, 4)")),
+      """WITH names AS (SELECT DISTINCT s_name AS name FROM supplier),
+        |truth AS (
+        |  SELECT a.name AS name_a, b.name AS name_b
+        |  FROM names a JOIN names b ON a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |blk AS (SELECT name, right(name, 4) AS b FROM names),
+        |cand AS (
+        |  SELECT x.name AS name_a, y.name AS name_b
+        |  FROM blk x JOIN blk y ON x.b = y.b AND x.name < y.name),
+        |found AS (SELECT * FROM cand INTERSECT SELECT * FROM truth),
+        |m AS (SELECT
+        |  (SELECT count(*) FROM names) AS nn,
+        |  (SELECT count(*) FROM cand) AS nc,
+        |  (SELECT count(*) FROM truth) AS nt,
+        |  (SELECT count(*) FROM found) AS nf)
+        |SELECT CAST(nn AS BIGINT) AS n_names,
+        |  CAST(nn * (nn - 1) // 2 AS BIGINT) AS n_all_pairs,
+        |  CAST(nc AS BIGINT) AS n_candidates,
+        |  CAST(nt AS BIGINT) AS n_true, CAST(nf AS BIGINT) AS n_found,
+        |  CAST((nn * (nn - 1) // 2 - nc) * 1000000
+        |    // (nn * (nn - 1) // 2) AS BIGINT) AS reduction_ppm,
+        |  CAST(CASE WHEN nt = 0 THEN NULL
+        |    ELSE nf * 1000000 // nt END AS BIGINT) AS completeness_ppm
+        |FROM m""".stripMargin),
+
+    // sample-level audio QA: clipping + amplitude envelope read from
+    // every 16-bit PCM word (real decode in mapPartitions; media
+    // bytes never shuffle); oracle = the synthetic capture's sample
+    // pattern re-derived in SQL, so a byte-order or offset bug is a
+    // hash failure, not silent skew
+    Q.df("x292_audio_clipping",
+      (s, dir) => Multimodal.audioClippingAudit(
+        Multimodal.withWavPayload(Tables.load(s, dir, "documents"))),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (n_chars % 500 + 50) * (1 + n_chars % 2) AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT r.range AS j,
+        |    CASE WHEN r.range >= 64 THEN 514 * r.range + 256 - 65536
+        |      ELSE 514 * r.range + 256 END AS v
+        |  FROM range(0, 128) r),
+        |f AS (SELECT doc_id, words, words // 128 AS np,
+        |        words % 128 AS rem FROM d)
+        |SELECT f.doc_id, CAST(f.words AS BIGINT) AS n_words,
+        |  CAST(sum(CASE WHEN abs(g.v) >= 32000
+        |    THEN f.np + CASE WHEN g.j < f.rem THEN 1 ELSE 0 END
+        |    ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  CAST(max(CASE WHEN g.j < f.rem OR f.np > 0
+        |    THEN abs(g.v) END) AS BIGINT) AS max_abs,
+        |  CAST(min(CASE WHEN g.j < f.rem OR f.np > 0
+        |    THEN abs(g.v) END) AS BIGINT) AS min_abs
+        |FROM f, g GROUP BY 1, 2 ORDER BY doc_id""".stripMargin),
+
+    // embedding-space drift between label populations: pairwise L2^2
+    // of per-label INTEGER centroids (floor(x*1e4) quantization, sum
+    // div n) — one corpus explode + keyed agg, pair join on the
+    // labels x dims grid only; oracle-exact, no float summation order
+    Q.df("x293_label_centroid_drift",
+      (s, dir) => Similarity.labelCentroidDrift(
+        Tables.load(s, dir, "embeddings")),
+      """WITH q AS (
+        |  SELECT label, r.i AS i,
+        |    CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 10000)
+        |      AS BIGINT) AS qv
+        |  FROM embeddings, range(1, 65) r(i)),
+        |c AS (SELECT label, i, CAST(sum(qv) AS BIGINT) AS s,
+        |        CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1, 2),
+        |ce AS (SELECT label, i, s // n AS cd, n FROM c)
+        |SELECT CAST(a.label AS BIGINT) AS label_a,
+        |  CAST(b.label AS BIGINT) AS label_b,
+        |  max(a.n) AS n_a, max(b.n) AS n_b,
+        |  CAST(sum((a.cd - b.cd) * (a.cd - b.cd)) AS BIGINT) AS l2sq
+        |FROM ce a JOIN ce b ON a.i = b.i AND a.label < b.label
+        |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin)
   )
 }

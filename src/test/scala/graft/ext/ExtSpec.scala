@@ -3434,6 +3434,103 @@ class ExtSpec extends SparkSpec {
     assert(rec("F") == (1L, 1L, 0L, 0L, 0L), rec.toString)
   }
 
+  test("phraseSearch: crafted corpus answers exactly; exact is a subset of proximity") {
+    import spark.implicits._
+    // (big,cat): adjacent twice in doc 1 + once in doc 2; gap-2 in
+    // doc 3 (proximity-only); (red,dog): adjacent once in doc 3 and
+    // twice in doc 5 — both reach exact-count 3, every other bigram 1
+    val docs = Seq(
+      (1L, "big cat big cat sits"),
+      (2L, "a big cat naps"),
+      (3L, "big old cat runs red dog"),
+      (4L, "nothing here"),
+      (5L, "red dog barks red dog")).toDF("doc_id", "text")
+    val out = TextStats.phraseSearch(docs, 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == Set(("big", "cat"), ("red", "dog")), out.toString)
+    // big cat: exact 3 in docs {1,2}; within-3 adds doc1's big@1-cat@4
+    // (gap 3) and doc3's big@1-cat@3 (gap 2) -> 5 occ in 3 docs
+    assert(out(("big", "cat")) == (3L, 2L, 5L, 3L), out.toString)
+    assert(out(("red", "dog")) == (3L, 2L, 3L, 2L), out.toString)
+    out.values.foreach { case (oe, de, ow, dw) =>
+      assert(oe <= ow && de <= dw, "exact must be a subset of proximity")
+    }
+  }
+
+  test("curriculumOrder: tiers serve in order, deterministic across runs, seed reshuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val rows = (1L to 600L).toDF("doc_id")
+    val tier = expr("doc_id % 3")
+    val a = Sampling.curriculumOrder(rows, "doc_id", tier, "42").collect()
+    val b = Sampling.curriculumOrder(rows, "doc_id", tier, "42").collect()
+    assert(a.toSeq == b.toSeq, "curriculum must be reproducible")
+    val tiers = a.map(_.getLong(2))
+    assert(tiers.sameElements(tiers.sorted), "tiers must be nondecreasing")
+    val ranks = a.map(_.getLong(0))
+    assert(ranks.forall(r => (r - 1) % 97 == 0) && ranks.head == 1L)
+    assert(ranks.length == 7, ranks.mkString(",")) // 600 rows -> 1..583
+    // a different seed must reshuffle within tiers: 7 sampled slots
+    // from 200-row tiers agreeing by chance is ~(1/200)^7
+    val c = Sampling.curriculumOrder(rows, "doc_id", tier, "7").collect()
+    assert(c.map(_.getLong(1)).toSeq != a.map(_.getLong(1)).toSeq,
+      "seed must change the within-tier order")
+  }
+
+  test("blockingQuality: degenerate blockings bound the metrics; lost pair detected exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    // aa~ab (dist 1, same first char: found), xy~zy (dist 1, first
+    // chars differ: LOST by first-char blocking), qq far from all
+    val recs = Seq("aa", "ab", "xy", "zy", "qq").toDF("nm")
+    val r = Entity.blockingQuality(recs, "nm", 1,
+      expr("substr(name, 1, 1)")).head()
+    // n=5, all_pairs=10, candidates: only (aa,ab) share a first char
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (5L, 10L, 1L, 2L, 1L), r.toString)
+    assert(r.getLong(5) == 900000L, s"reduction: $r")   // (10-1)/10
+    assert(r.getLong(6) == 500000L, s"completeness: $r") // 1 of 2
+    // all-in-one-block: completeness 1e6, reduction 0
+    val full = Entity.blockingQuality(recs, "nm", 1, lit("k")).head()
+    assert(full.getLong(6) == 1000000L && full.getLong(5) == 0L,
+      full.toString)
+  }
+
+  test("audioClippingAudit: real sample decode matches the capture-formula twin per doc") {
+    val out = Multimodal.audioClippingAudit(
+      Multimodal.withWavPayload(docs)).collect()
+    val twin = docs.select("doc_id", "n_chars").collect().map { r =>
+      val words = ((r.getLong(1) % 500 + 50) * (1 + r.getLong(1) % 2)).toInt
+      def v(j: Int): Long =
+        514L * j + 256 - (if (j >= 64) 65536L else 0L)
+      val vals = (0 until words).map(w => math.abs(v(w % 128)))
+      (r.getLong(0), words.toLong, vals.count(_ >= 32000L).toLong,
+        vals.max, vals.min)
+    }.sortBy(_._1).toSeq
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == twin)
+  }
+
+  test("labelCentroidDrift: identical populations drift zero; a planted shift is exact") {
+    import spark.implicits._
+    // quarters are exactly representable floats, so the +0.5 shift
+    // quantizes to EXACTLY 5000 per dim (0.1f would floor to 999/1000
+    // asymmetries)
+    val base = (0 until 8).map(_.toFloat / 4f).toArray
+    val shifted = base.map(_ + 0.5f)
+    val emb2 = ((1L to 4L).map(i => (i, base, 0)) ++
+      (5L to 8L).map(i => (i, base, 1)) ++
+      (9L to 12L).map(i => (i, shifted, 2)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidDrift(emb2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(out((0L, 1L)) == 0L, out.toString)
+    // shift of +0.5 on every dim: quantized 5000 per dim, 8 dims
+    assert(out((0L, 2L)) == 8L * 5000L * 5000L, out.toString)
+    assert(out((1L, 2L)) == out((0L, 2L)), out.toString)
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
