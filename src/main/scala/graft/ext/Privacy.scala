@@ -133,4 +133,39 @@ object Privacy {
       .unionAll(audit(events, "events", col("user_id"), col("event_id")))
       .orderBy("tbl")
   }
+
+  /** L-DIVERSITY audit — the disclosure check k-anonymity alone
+    * misses: a class can hold k rows and still leak, because every
+    * row shares the SAME sensitive value (the homogeneity attack —
+    * "all 12 patients in that ZIP+age class have the same
+    * diagnosis"). Per quasi-identifier class this audit measures both
+    * axes: class size (k) and distinct sensitive values (l), and
+    * rolls up how much of the table sits in violating classes under
+    * the given thresholds — the one-row go/no-go a release review
+    * reads before publishing.
+    *
+    * Scale shape: ONE keyed aggregation over the QI grid (size +
+    * distinct-sensitive in the same pass), then a 1-row rollup —
+    * never a per-class loop, never a row-level self-join.
+    *
+    * Output: one row (n_classes, n_rows, k_violating_classes,
+    * rows_at_risk_k, l_violating_classes, rows_at_risk_l,
+    * min_class_size, min_l). */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitive: Column, k: Long, l: Long): DataFrame = {
+    require(k >= 1 && l >= 1, s"k and l must be >= 1; got k=$k l=$l")
+    val cls = df.select(qiCols.map(col) :+ sensitive.as("__s"): _*)
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"), countDistinct(col("__s")).as("ldiv"))
+    cls.agg(count(lit(1)).as("n_classes"), sum("sz").as("n_rows"),
+      sum(when(col("sz") < k, 1L).otherwise(0L))
+        .as("k_violating_classes"),
+      sum(when(col("sz") < k, col("sz")).otherwise(0L))
+        .as("rows_at_risk_k"),
+      sum(when(col("ldiv") < l, 1L).otherwise(0L))
+        .as("l_violating_classes"),
+      sum(when(col("ldiv") < l, col("sz")).otherwise(0L))
+        .as("rows_at_risk_l"),
+      min("sz").as("min_class_size"), min("ldiv").as("min_l"))
+  }
 }

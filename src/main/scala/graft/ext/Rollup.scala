@@ -87,4 +87,45 @@ object Rollup {
         expr("cents * 10000L div total").as("share_of_total_bp"))
       .orderBy(l1, l2)
   }
+
+  /** COUNT-MIN sketch calibration audit — the sketch-vs-truth table
+    * that sizes a heavy-hitter sketch before it serves alone: every
+    * key's exact count beside its count-min estimate (min over
+    * `depth` hash rows of `width` bucket sums). The estimate can only
+    * OVERCOUNT (collisions add, never subtract) — est >= exact is a
+    * structural invariant the spec pins — and the audit shows whether
+    * depth×width is tight enough for the tail before the exact side
+    * is dropped at 100 TB.
+    *
+    * The sketch itself is the depth×width-row keyed aggregation — the
+    * mergeable partial that actually ships (same algebra as
+    * [[partials]]/[[merge]]: bucket sums merge by +). Bucket hashes
+    * are md5-derived (first 8 hex chars mod width), so the whole
+    * construction is deterministic and engine-portable — the oracle
+    * re-derives every bucket with a hex fold and matches hash-exact.
+    *
+    * Output: (key, exact_cnt, est_cnt), ordered by key. */
+  def countMinCalibration(events: DataFrame, keyCol: String,
+                          depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && depth <= 16 && width >= 2 && width <= 65536,
+      s"depth in [1,16], width in [2,65536]; got $depth x $width")
+    val bucket = expr(
+      s"CAST(conv(substr(md5(concat(CAST(seed AS STRING), ':', t)), " +
+        s"1, 8), 16, 10) AS BIGINT) % $width")
+    val keyed = events.select(col(keyCol).cast("string").as("t"))
+    val sketch = keyed
+      .select(col("t"), explode(expr(s"sequence(0, ${depth - 1})"))
+        .as("seed"))
+      .withColumn("b", bucket)
+      .groupBy("seed", "b").agg(count(lit(1)).as("c"))
+    val exact = keyed.groupBy("t").agg(count(lit(1)).as("exact_cnt"))
+    exact
+      .select(col("t"), col("exact_cnt"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("seed"))
+      .withColumn("b", bucket)
+      .join(broadcast(sketch), Seq("seed", "b"))
+      .groupBy(col("t").as(keyCol))
+      .agg(max("exact_cnt").as("exact_cnt"), min("c").as("est_cnt"))
+      .orderBy(keyCol)
+  }
 }

@@ -999,6 +999,53 @@ object TimeSeries {
       .orderBy(grp)
   }
 
+  /** EWMA control chart per group — the LEVEL-tracking companion of
+    * [[cusumChart]]'s drift accumulator: the exponentially weighted
+    * moving average of the zero-filled daily count adapts to slow
+    * trends, and a day alarms when it exceeds TWICE the running
+    * level (the same exact doubling rule as [[seasonalOutliers]] —
+    * cross-multiplication, no floats). Integer fixed point with
+    * alpha = 1/8: e' = (y + 7·e) div 8, seeded from day one's count
+    * — every step is a BIGINT op both engines compute identically,
+    * so the chart is oracle-exact (recursive-CTE twin), unlike the
+    * float EWMA every monitoring vendor ships.
+    *
+    * Same scale shape as cusum: sequential state folds IN-ROW with
+    * aggregate() over the (group, day)-grid-bounded series — one
+    * keyed agg, no window over events, no driver loop.
+    *
+    * Output: (grp, n_days, n_alarms, first_alarm_x — day offset from
+    * the group's first day, −1 if none, final_ewma), ordered. */
+  def ewmaChart(events: DataFrame, grp: String, tsCol: String): DataFrame = {
+    val d = events.select(col(grp).as("g"),
+      expr(s"CAST(datediff(to_date($tsCol), date '1970-01-01') AS BIGINT)")
+        .as("ep"))
+    val per = d.groupBy("g", "ep").agg(count(lit(1)).as("y"))
+    val cal = per.groupBy("g").agg(min("ep").as("a"), max("ep").as("b"))
+      .select(col("g"), col("a"), explode(expr("sequence(a, b)")).as("ep"))
+    cal.join(per, Seq("g", "ep"), "left")
+      .select(col("g"), (col("ep") - col("a")).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .groupBy(col("g").as(grp))
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("x"), col("y")))).as("ys"))
+      .select(col(grp), col("n_days"),
+        expr("""aggregate(ys,
+          |  named_struct('e', -1L, 'alarms', 0L, 'first_x', -1L),
+          |  (acc, p) -> named_struct(
+          |    'e', IF(acc.e < 0, p.y, (p.y + 7L * acc.e) div 8L),
+          |    'alarms', acc.alarms
+          |      + IF(acc.e > 0 AND p.y > 2L * acc.e, 1L, 0L),
+          |    'first_x', IF(acc.first_x >= 0L, acc.first_x,
+          |      IF(acc.e > 0 AND p.y > 2L * acc.e, p.x, -1L))))"""
+          .stripMargin).as("st"))
+      .select(col(grp), col("n_days"),
+        col("st.alarms").as("n_alarms"),
+        col("st.first_x").as("first_alarm_x"),
+        col("st.e").as("final_ewma"))
+      .orderBy(grp)
+  }
+
   /** Per-key TIME-WEIGHTED average of a metered value — the billing /
     * capacity aggregate: each reading holds until the next one, so its
     * weight is the micros until that next reading, and the average is

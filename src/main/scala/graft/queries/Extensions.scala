@@ -7125,6 +7125,101 @@ object Extensions {
         |  max(a.n) AS n_a, max(b.n) AS n_b,
         |  CAST(sum((a.cd - b.cd) * (a.cd - b.cd)) AS BIGINT) AS l2sq
         |FROM ce a JOIN ce b ON a.i = b.i AND a.label < b.label
-        |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin),
+
+    // l-diversity audit: the homogeneity-attack check k-anonymity
+    // misses — per QI class, size AND distinct sensitive values, one
+    // keyed agg + 1-row rollup; k=5, l=3 on (nation, segment) with
+    // the acctbal-thousands bucket as the sensitive attribute
+    Q.df("x294_l_diversity",
+      (s, dir) => Privacy.lDiversityAudit(
+        Tables.load(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"), 5L, 3L),
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |      AS BIGINT) AS ldiv
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS k_violating_classes,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk_k,
+        |  CAST(sum(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS l_violating_classes,
+        |  CAST(sum(CASE WHEN ldiv < 3 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk_l,
+        |  min(sz) AS min_class_size, min(ldiv) AS min_l
+        |FROM cls""".stripMargin),
+
+    // EWMA control chart: integer fixed-point level tracker
+    // (e' = (y + 7e) div 8) over the zero-filled daily calendar,
+    // alarm on the exact doubling rule — sequential state folded
+    // in-row (x271's shape); oracle = recursive CTE, bit-identical
+    Q.df("x295_ewma_chart",
+      (s, dir) => TimeSeries.ewmaChart(
+        Tables.load(s, dir, "events"), "event_type", "ts"),
+      """WITH RECURSIVE per AS (
+        |  SELECT event_type AS g,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') AS ep,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT g, a, unnest(generate_series(a, b)) AS ep
+        |  FROM (SELECT g, min(ep) AS a, max(ep) AS b FROM per
+        |        GROUP BY 1)),
+        |ser AS (
+        |  SELECT cal.g, cal.ep - cal.a AS x, coalesce(per.y, 0) AS y,
+        |    count(*) OVER (PARTITION BY cal.g) AS nd
+        |  FROM cal LEFT JOIN per ON per.g = cal.g AND per.ep = cal.ep),
+        |c(g, x, e, alarms, first_x, nd) AS (
+        |  SELECT g, x, y, CAST(0 AS BIGINT), CAST(-1 AS BIGINT), nd
+        |  FROM ser WHERE x = 0
+        |  UNION ALL
+        |  SELECT s.g, s.x,
+        |    (s.y + 7 * c.e) // 8,
+        |    c.alarms + CASE WHEN c.e > 0 AND s.y > 2 * c.e
+        |      THEN 1 ELSE 0 END,
+        |    CASE WHEN c.first_x >= 0 THEN c.first_x
+        |      WHEN c.e > 0 AND s.y > 2 * c.e THEN s.x ELSE -1 END,
+        |    c.nd
+        |  FROM c JOIN ser s ON s.g = c.g AND s.x = c.x + 1)
+        |SELECT g AS event_type, CAST(nd AS BIGINT) AS n_days,
+        |  CAST(alarms AS BIGINT) AS n_alarms,
+        |  CAST(first_x AS BIGINT) AS first_alarm_x,
+        |  CAST(e AS BIGINT) AS final_ewma
+        |FROM c WHERE x = nd - 1 ORDER BY event_type""".stripMargin),
+
+    // count-min calibration: every event type's exact count beside
+    // its depth-4 x width-64 sketch estimate (md5-derived buckets,
+    // min over rows) — est >= exact structurally; the d x w sketch is
+    // the mergeable partial that ships; oracle re-derives buckets
+    // with a hex fold and matches hash-exact
+    Q.df("x296_countmin_calibration",
+      (s, dir) => graft.ext.Rollup.countMinCalibration(
+        Tables.load(s, dir, "events"), "event_type"),
+      """WITH k AS (SELECT CAST(event_type AS VARCHAR) AS t FROM events),
+        |b AS (
+        |  SELECT t, seed,
+        |    CAST(list_aggregate(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5(seed || ':' || t), CAST(i AS INTEGER), 1))
+        |            - 1) * 16 ** (8 - i)), 'sum') AS BIGINT) % 64 AS bk
+        |  FROM k, (SELECT unnest(generate_series(0, 3)) AS seed)),
+        |sketch AS (
+        |  SELECT seed, bk, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM k GROUP BY 1),
+        |tb AS (SELECT DISTINCT t, seed, bk FROM b)
+        |SELECT tb.t AS event_type, max(e.exact_cnt) AS exact_cnt,
+        |  CAST(min(sk.c) AS BIGINT) AS est_cnt
+        |FROM tb JOIN sketch sk ON sk.seed = tb.seed AND sk.bk = tb.bk
+        |JOIN exact e ON e.t = tb.t
+        |GROUP BY 1 ORDER BY event_type""".stripMargin)
   )
 }

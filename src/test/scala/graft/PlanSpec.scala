@@ -386,6 +386,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x289 phrase search: postings joins are equi-joins; top-N is a bounded TakeOrdered") {
+    val p = plan("x289_phrase_search")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    // the top-N bigram pick must never be a global sort-then-limit
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x290 curriculum order: global rank has NO window (zipWithIndex discipline)") {
+    val p = plan("x290_curriculum_order")
+    assert(!p.contains("Window"), s"curriculum rank regressed to a window:\n$p")
+  }
+
+  test("x296 count-min: the d*w sketch is the broadcast side, never the key table") {
+    val p = plan("x296_countmin_calibration")
+    val bx = subtrees(p, "BroadcastExchange")
+    assert(bx.nonEmpty, p)
+    // the sketch subtree aggregates on (seed, b); the per-key exact
+    // table must stay streamed — its signature is the key groupBy
+    bx.foreach { t =>
+      assert(t.contains("seed") && !t.contains("exact_cnt"),
+        s"wrong broadcast side:\n$t")
+    }
+  }
+
   /** Extract each `marker` node's full subtree from a plan tree
     * string (child lines are the ones whose node-name start column is
     * deeper than the parent's). */

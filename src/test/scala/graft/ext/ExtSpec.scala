@@ -3531,6 +3531,57 @@ class ExtSpec extends SparkSpec {
     assert(out((1L, 2L)) == out((0L, 2L)), out.toString)
   }
 
+  test("lDiversityAudit: homogeneous class caught by l even when k passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A: 5 rows, ONE sensitive value (k ok at 3, l-violating at 2);
+    // B: 2 rows, two values (k-violating, l ok); C: 4 rows, 3 values
+    val rows = Seq.fill(5)(("A", "x", 1L)) ++
+      Seq(("B", "y", 1L), ("B", "y", 2L)) ++
+      Seq(("C", "z", 1L), ("C", "z", 2L), ("C", "z", 3L), ("C", "z", 1L))
+    val df = rows.toDF("q1", "q2", "s")
+    val r = Privacy.lDiversityAudit(df, Seq("q1", "q2"), col("s"), 3L, 2L)
+      .head()
+    assert((r.getLong(0), r.getLong(1)) == (3L, 11L), r.toString)
+    assert((r.getLong(2), r.getLong(3)) == (1L, 2L), s"k axis: $r")
+    assert((r.getLong(4), r.getLong(5)) == (1L, 5L), s"l axis: $r")
+    assert((r.getLong(6), r.getLong(7)) == (2L, 1L), r.toString)
+  }
+
+  test("ewmaChart: hand-computed integer fold; spike alarms on the doubling rule") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      day * 86400000L + i * 1000L)
+    // 4 events/day for days 0-3 (e stays 4), 16 on day 4: 16 > 2*4 ->
+    // alarm at x=4, e' = (16 + 28) div 8 = 5
+    val ev = ((0 to 3).flatMap(d => (1 to 4).map(i => ("t", ts(d, i)))) ++
+      (1 to 16).map(i => ("t", ts(4, i)))).toDF("event_type", "ts")
+    val r = TimeSeries.ewmaChart(ev, "event_type", "ts").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (5L, 1L, 4L, 5L), r.toString)
+    // a silent (zero-filled) day decays the level: days 0,2 active
+    // only -> day1 y=0: e = (0 + 7*4) div 8 = 3; day2 y=16 > 6 alarms
+    val ev2 = ((1 to 4).map(i => ("u", ts(0, i))) ++
+      (1 to 16).map(i => ("u", ts(2, i)))).toDF("event_type", "ts")
+    val r2 = TimeSeries.ewmaChart(ev2, "event_type", "ts").head()
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == (3L, 1L, 2L),
+      r2.toString)
+  }
+
+  test("countMinCalibration: estimates only overcount; a wide sketch is exact here") {
+    val ev = Tables.load(spark, dir, "events")
+    val out = graft.ext.Rollup.countMinCalibration(ev, "event_type")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"count-min undercounted: $r"))
+    // 5 types into 65536 buckets x 4 rows: no all-rows collision, so
+    // the estimate equals truth — the calibration says "wide enough"
+    val wide = graft.ext.Rollup
+      .countMinCalibration(ev, "event_type", 4, 65536).collect()
+    wide.foreach(r => assert(r.getLong(2) == r.getLong(1), r.toString))
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
