@@ -1104,6 +1104,49 @@ object Similarity {
     *
     * Output: (label_a, label_b, n_a, n_b, l2sq), label_a < label_b,
     * ordered. */
+  /** HASH-NEGATIVE mining for contrastive training: per anchor, k
+    * reproducible negatives drawn from the different-label population
+    * by md5(anchor ":" candidate) order — the deterministic stand-in
+    * for "uniform random negatives" that makes a contrastive dataset
+    * REGENERABLE: any shard of any epoch rebuilds the same pairs on
+    * any cluster, so a training run is auditable end-to-end.
+    *
+    * Scale shape: the anchor set broadcasts into ONE pass over the
+    * corpus; per-anchor selection is the bounded bottom-k-by-hash
+    * aggregate ([[graft.functions.BottomKHashAgg]]) — never a window
+    * over a corpus-sized partition, never a per-anchor sort. Cost is
+    * |anchors| × corpus hash evaluations with k-bounded state.
+    *
+    * Output: (anchor_id, neg_rank 1..k, neg_id, neg_label), ordered
+    * by (anchor_id, neg_rank). */
+  def contrastiveNegatives(emb: DataFrame, nAnchors: Int,
+                           k: Int): DataFrame = {
+    require(nAnchors >= 1 && k >= 1, "nAnchors and k must be positive")
+    val anchors = emb.where(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"),
+        col("label").cast("bigint").as("a_label"))
+    val cands = emb.select(col("vec_id").as("cand_id"),
+      col("label").cast("bigint").as("c_label"))
+    val bottomK = udaf(new graft.functions.BottomKHashAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.HashedKey])
+    cands.join(broadcast(anchors), col("c_label") =!= col("a_label"))
+      .select(col("anchor_id"),
+        md5(concat(col("anchor_id").cast("string"), lit(":"),
+          col("cand_id").cast("string"))).as("h"),
+        col("cand_id").cast("string").as("key_s"))
+      .groupBy("anchor_id")
+      .agg(bottomK(col("h"), col("key_s")).as("picks"))
+      .select(col("anchor_id"), posexplode(col("picks"))
+        .as(Seq("pos", "pick")))
+      .where(col("pos") < k)
+      .select(col("anchor_id"), (col("pos") + 1).cast("bigint")
+        .as("neg_rank"), col("pick.key").cast("bigint").as("neg_id"))
+      .join(cands.select(col("cand_id").as("neg_id"),
+        col("c_label").as("neg_label")), Seq("neg_id"))
+      .select("anchor_id", "neg_rank", "neg_id", "neg_label")
+      .orderBy("anchor_id", "neg_rank")
+  }
+
   def labelCentroidDrift(emb: DataFrame): DataFrame = {
     val q = emb.select(col("label").cast("bigint").as("label"),
         posexplode(col("embedding")).as(Seq("i0", "x")))

@@ -7220,6 +7220,89 @@ object Extensions {
         |  CAST(min(sk.c) AS BIGINT) AS est_cnt
         |FROM tb JOIN sketch sk ON sk.seed = tb.seed AND sk.bk = tb.bk
         |JOIN exact e ON e.t = tb.t
-        |GROUP BY 1 ORDER BY event_type""".stripMargin)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    // Bradley-Terry preference ranking: consecutive-event duels ->
+    // win grid -> 3 integer fixed-point MM rounds (Hunter 2004) — the
+    // RLHF reward-data aggregation with strength-of-schedule, exact
+    // in both engines because every op is a truncating BIGINT div
+    Q.df("x297_bradley_terry",
+      (s, dir) => graft.ext.Preference.bradleyTerry(
+        Tables.load(s, dir, "events"), 3),
+      btOracleSql(3)),
+
+    // hash-negative mining for contrastive training: per anchor, k
+    // reproducible different-label negatives by md5 order — selected
+    // with the bounded bottom-k-by-hash aggregate, never a
+    // corpus-partition window; regenerable on any cluster
+    Q.df("x298_contrastive_negatives",
+      (s, dir) => Similarity.contrastiveNegatives(
+        Tables.load(s, dir, "embeddings"), 50, 3),
+      """WITH a AS (SELECT vec_id AS anchor_id, label AS al
+        |           FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS cand_id, label AS cl FROM embeddings),
+        |h AS (
+        |  SELECT a.anchor_id, c.cand_id, c.cl,
+        |    md5(a.anchor_id || ':' || c.cand_id) AS hh
+        |  FROM a JOIN c ON c.cl <> a.al),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |    ORDER BY hh, CAST(cand_id AS VARCHAR)) AS rn
+        |  FROM h)
+        |SELECT anchor_id, CAST(rn AS BIGINT) AS neg_rank,
+        |  cand_id AS neg_id, CAST(cl AS BIGINT) AS neg_label
+        |FROM r WHERE rn <= 3 ORDER BY anchor_id, neg_rank""".stripMargin)
   )
+
+  /** DuckDB twin of [[graft.ext.Preference.bradleyTerry]]: the MM
+    * rounds unrolled as CTE pairs (d_n, s_n) — every operation the
+    * same truncating BIGINT arithmetic as the Spark side. */
+  private def btOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { n =>
+      s"""d$n AS (
+         |  SELECT g.i, CAST(sum(g.n_ij * 1000000000000 // (a.s + b.s))
+         |    AS BIGINT) AS dn
+         |  FROM games g JOIN s${n - 1} a ON a.i = g.i
+         |  JOIN s${n - 1} b ON b.i = g.j GROUP BY 1),
+         |s$n AS (
+         |  SELECT d$n.i, CAST(coalesce(w.n_wins, 0) * 1000000000000
+         |    // d$n.dn AS BIGINT) AS s
+         |  FROM d$n LEFT JOIN wins w ON w.i = d$n.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT user_id AS u, epoch_us(ts) AS tm, event_id,
+       |    event_type AS t, CAST(floor(value * 100) AS BIGINT) AS v
+       |  FROM events),
+       |sq AS (
+       |  SELECT t, v, lead(t) OVER w AS nt, lead(v) OVER w AS nv
+       |  FROM e WINDOW w AS (PARTITION BY u ORDER BY tm, event_id)),
+       |cmp AS (
+       |  SELECT CASE WHEN v > nv OR (v = nv AND t < nt)
+       |      THEN t ELSE nt END AS w,
+       |    CASE WHEN v > nv OR (v = nv AND t < nt)
+       |      THEN nt ELSE t END AS l
+       |  FROM sq WHERE nt IS NOT NULL AND nt <> t),
+       |dir AS (SELECT w, l, CAST(count(*) AS BIGINT) AS c
+       |        FROM cmp GROUP BY 1, 2),
+       |games AS (
+       |  SELECT i, j, CAST(sum(c) AS BIGINT) AS n_ij FROM (
+       |    SELECT w AS i, l AS j, c FROM dir
+       |    UNION ALL SELECT l AS i, w AS j, c FROM dir)
+       |  GROUP BY 1, 2),
+       |wins AS (SELECT w AS i, CAST(sum(c) AS BIGINT) AS n_wins
+       |         FROM dir GROUP BY 1),
+       |s0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS s
+       |       FROM games),
+       |$rounds,
+       |tot AS (SELECT i, CAST(sum(n_ij) AS BIGINT) AS n_games
+       |        FROM games GROUP BY 1)
+       |SELECT s$iters.i AS event_type,
+       |  CAST(coalesce(w.n_wins, 0) AS BIGINT) AS n_wins, tot.n_games,
+       |  s$iters.s AS strength_x1e6,
+       |  CAST(row_number() OVER (ORDER BY s$iters.s DESC, s$iters.i)
+       |    AS BIGINT) AS rank
+       |FROM s$iters JOIN tot ON tot.i = s$iters.i
+       |LEFT JOIN wins w ON w.i = s$iters.i
+       |ORDER BY rank, event_type""".stripMargin
+  }
 }

@@ -3582,6 +3582,58 @@ class ExtSpec extends SparkSpec {
     wide.foreach(r => assert(r.getLong(2) == r.getLong(1), r.toString))
   }
 
+  test("bradleyTerry: strength-of-schedule separates equal win rates; counts exact") {
+    import spark.implicits._
+    def duel(u: Long, winT: String, loseT: String) = Seq(
+      (u, new java.sql.Timestamp(1000L), u * 10, winT, 2.0),
+      (u, new java.sql.Timestamp(2000L), u * 10 + 1, loseT, 1.0))
+    // A>B x2, B>C x2, D>B x1, E>C x1: D and E both 1.0 win rate, but
+    // D beat the STRONGER opponent — BT must rank D above E, which a
+    // plain win-rate table cannot do
+    val ev = (duel(1, "A", "B") ++ duel(2, "A", "B") ++
+      duel(3, "B", "C") ++ duel(4, "B", "C") ++
+      duel(5, "D", "B") ++ duel(6, "E", "C"))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = graft.ext.Preference.bradleyTerry(ev, 3).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("A")._1 == 2L && out("A")._2 == 2L, out.toString)
+    assert(out("B")._1 == 2L && out("B")._2 == 5L, out.toString)
+    assert(out("C")._1 == 0L && out("C")._2 == 3L, out.toString)
+    val rank = out.view.mapValues(_._4).toMap
+    assert(rank("D") < rank("E"), s"schedule strength lost: $out")
+    assert(rank("A") < rank("B") && rank("B") < rank("C"), out.toString)
+    assert(rank("C") == 5L, out.toString)
+    assert(out("C")._3 == 0L, s"zero-win type must fix to 0: $out")
+    // reproducible bit-for-bit, and more rounds keep the ordering
+    val again = graft.ext.Preference.bradleyTerry(ev, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(again == rank, s"not reproducible: $again vs $rank")
+    val deeper = graft.ext.Preference.bradleyTerry(ev, 6).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(deeper("D") < deeper("E") && deeper("C") == 5L,
+      s"ordering unstable in later rounds: $deeper")
+  }
+
+  test("contrastiveNegatives: k per anchor, never the anchor's label, reproducible") {
+    val out = Similarity.contrastiveNegatives(emb, 20, 5).collect()
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val byAnchor = out.groupBy(_.getLong(0))
+    assert(byAnchor.keySet == labels.keySet.filter(_ < 20), "anchor set")
+    byAnchor.foreach { case (a, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 5L),
+        s"anchor $a ranks")
+      rows.foreach { r =>
+        assert(labels(r.getLong(2)) == r.getLong(3), r.toString)
+        assert(r.getLong(3) != labels(a),
+          s"anchor $a drew a same-label negative: $r")
+      }
+    }
+    val again = Similarity.contrastiveNegatives(emb, 20, 5).collect()
+    assert(again.map(_.toString).toSeq == out.map(_.toString).toSeq)
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
