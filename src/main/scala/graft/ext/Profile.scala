@@ -44,6 +44,43 @@ object Profile {
     * exact cardinalities, one scan. */
   def profile(df: DataFrame): DataFrame = stacked(df, countDistinct(_))
 
+  /** SNAPSHOT DRIFT audit between two versions of a table — the
+    * data-contract diff a pipeline runs before promoting a new drop:
+    * schema drift (columns added/removed) AND column-level profile
+    * drift (row count, null rate, distinct cardinality) in one
+    * manifest, built from [[profile]]'s one-scan-per-side stack and a
+    * full-outer join on column name. Null rates are exact ppm
+    * (cross-multiplied BIGINTs, never a float rate), −1 marks "column
+    * absent on this side" so a schema change can never masquerade as
+    * a 0% rate.
+    *
+    * Scale shape: one scan per snapshot (the stacked single-pass
+    * aggregation), then column-count-sized joins — at 100 TB the
+    * audit costs two scans, independent of column count.
+    *
+    * Output: (col_name, status ∈ {common, added, removed}, rows_v1,
+    * rows_v2, null_ppm_v1, null_ppm_v2, dist_v1, dist_v2), ordered
+    * by col_name. */
+  def snapshotDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def side(df: DataFrame, s: String): DataFrame =
+      profile(df).select(col("col_name"),
+        col("n_rows").as(s"rows_$s"),
+        expr(s"n_null * 1000000 div n_rows").as(s"null_ppm_$s"),
+        col("n_distinct").as(s"dist_$s"))
+    side(v1, "v1").join(side(v2, "v2"), Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        when(col("rows_v1").isNull, "added")
+          .when(col("rows_v2").isNull, "removed")
+          .otherwise("common").as("status"),
+        coalesce(col("rows_v1"), lit(-1L)).as("rows_v1"),
+        coalesce(col("rows_v2"), lit(-1L)).as("rows_v2"),
+        coalesce(col("null_ppm_v1"), lit(-1L)).as("null_ppm_v1"),
+        coalesce(col("null_ppm_v2"), lit(-1L)).as("null_ppm_v2"),
+        coalesce(col("dist_v1"), lit(-1L)).as("dist_v1"),
+        coalesce(col("dist_v2"), lit(-1L)).as("dist_v2"))
+      .orderBy("col_name")
+  }
+
   /** [[profile]] with HLL++ cardinalities: one scan, one aggregation
     * pass, NO per-column Expand replication — columns cost a fixed-size
     * sketch each instead of an input copy (plan-guarded in PlanSpec).

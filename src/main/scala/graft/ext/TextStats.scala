@@ -966,6 +966,53 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** RAG CHUNK MANIFEST: fixed-size token windows with overlap — the
+    * retrieval-pipeline chunker (split every document into
+    * `chunkTokens`-token chunks advancing by chunkTokens − overlap),
+    * as a STABLE manifest: (doc, chunk, start, length, first/last
+    * token), a pure function of the text, so embeddings and serving
+    * indexes built from it can always be traced back to exact spans
+    * and regenerated bit-identically.
+    *
+    * Chunk count is INTEGER arithmetic — ceil((n_tok − N)/step) via
+    * (a + step − 1) div step, no floats — and the boundary-token
+    * lookups are postings equi-joins on (doc, pos): document text
+    * never shuffles; only the manifest rows move. The last chunk
+    * keeps its natural short length (>= overlap + 1), never padded,
+    * never dropped — the two classic chunker bugs.
+    *
+    * Output: (doc_id, chunk_id 0-based, start_pos 1-based, chunk_len,
+    * first_token, last_token), ordered by (doc_id, chunk_id);
+    * zero-token documents have no chunks. */
+  def ragChunks(docs: DataFrame, chunkTokens: Int,
+                overlap: Int): DataFrame = {
+    require(chunkTokens >= 2 && overlap >= 0 && overlap < chunkTokens,
+      s"need 2 <= chunkTokens and 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val post = CacheRegistry.pin(tokens(docs))
+    val nt = post.groupBy("doc_id").agg(max("pos").as("n_tok"))
+    val manifest = nt.select(col("doc_id"), col("n_tok"),
+        explode(expr(s"sequence(0, IF(n_tok <= $chunkTokens, 0, " +
+          s"(n_tok - $chunkTokens + ${step - 1}) div $step))"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        (col("chunk_id") * step + 1).cast("bigint").as("start_pos"),
+        least(lit(chunkTokens.toLong),
+          col("n_tok") - col("chunk_id") * step).as("chunk_len"))
+    val f = post.select(col("doc_id").as("fd"), col("pos").as("fp"),
+      col("w").as("first_token"))
+    val l = post.select(col("doc_id").as("ld"), col("pos").as("lp"),
+      col("w").as("last_token"))
+    manifest
+      .join(f, col("fd") === col("doc_id") &&
+        col("fp") === col("start_pos"))
+      .join(l, col("ld") === col("doc_id") &&
+        col("lp") === col("start_pos") + col("chunk_len") - 1)
+      .select(col("doc_id"), col("chunk_id"), col("start_pos"),
+        col("chunk_len"), col("first_token"), col("last_token"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** PHRASE SEARCH over a positional inverted index — the retrieval
     * serve shape (distinct from the x89 PMI statistics and the dedup
     * family's shingle DETECTION): the corpus is indexed ONCE as

@@ -7251,7 +7251,109 @@ object Extensions {
         |  FROM h)
         |SELECT anchor_id, CAST(rn AS BIGINT) AS neg_rank,
         |  cand_id AS neg_id, CAST(cl AS BIGINT) AS neg_label
-        |FROM r WHERE rn <= 3 ORDER BY anchor_id, neg_rank""".stripMargin)
+        |FROM r WHERE rn <= 3 ORDER BY anchor_id, neg_rank""".stripMargin),
+
+    // RAG chunk manifest: 32-token windows advancing by 24 (overlap
+    // 8), integer ceil arithmetic, boundary tokens via postings
+    // equi-joins — text never shuffles; the stable span ledger every
+    // embedding/serving index traces back to
+    Q.df("x299_rag_chunks",
+      (s, dir) => TextStats.ragChunks(
+        Tables.load(s, dir, "documents"), 32, 8),
+      s"""WITH $duckTok,
+         |nt AS (SELECT doc_id, max(pos) AS n_tok FROM tok GROUP BY 1),
+         |m AS (
+         |  SELECT doc_id, n_tok, unnest(generate_series(0,
+         |    CASE WHEN n_tok <= 32 THEN 0
+         |      ELSE (n_tok - 32 + 23) // 24 END)) AS chunk_id
+         |  FROM nt),
+         |c AS (
+         |  SELECT doc_id, chunk_id, chunk_id * 24 + 1 AS start_pos,
+         |    least(32, n_tok - chunk_id * 24) AS chunk_len
+         |  FROM m)
+         |SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(c.start_pos AS BIGINT) AS start_pos,
+         |  CAST(c.chunk_len AS BIGINT) AS chunk_len,
+         |  f.w AS first_token, l.w AS last_token
+         |FROM c
+         |JOIN tok f ON f.doc_id = c.doc_id AND f.pos = c.start_pos
+         |JOIN tok l ON l.doc_id = c.doc_id
+         |  AND l.pos = c.start_pos + c.chunk_len - 1
+         |ORDER BY c.doc_id, c.chunk_id""".stripMargin),
+
+    // snapshot drift audit: schema + column-profile diff between two
+    // versions (orders vs a mutated v2: rows filtered, a column
+    // dropped, a column added, planted nulls) — one scan per side,
+    // exact ppm null rates, -1 marks column-absent
+    Q.df("x300_snapshot_drift",
+      (s, dir) => {
+        val v1 = Tables.load(s, dir, "orders")
+        val v2 = v1.where(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+              .otherwise(col("o_totalprice")))
+          .drop("o_orderpriority")
+          .withColumn("o_flag", (col("o_orderkey") % 3).cast("bigint"))
+        Profile.snapshotDrift(v1, v2)
+      },
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderkey % 3 AS o_flag
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |p1 AS (
+        |  SELECT 'o_orderkey' AS c, count(*) AS r,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn,
+        |    count(DISTINCT o_orderkey) AS d FROM orders
+        |  UNION ALL SELECT 'o_custkey', count(*),
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_custkey) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', count(*),
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', count(*),
+        |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_totalprice) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', count(*),
+        |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_orderdate) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', count(*),
+        |    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_orderpriority) FROM orders),
+        |p2 AS (
+        |  SELECT 'o_orderkey' AS c, count(*) AS r,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn,
+        |    count(DISTINCT o_orderkey) AS d FROM v2
+        |  UNION ALL SELECT 'o_custkey', count(*),
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_custkey) FROM v2
+        |  UNION ALL SELECT 'o_orderstatus', count(*),
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_orderstatus) FROM v2
+        |  UNION ALL SELECT 'o_totalprice', count(*),
+        |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_totalprice) FROM v2
+        |  UNION ALL SELECT 'o_orderdate', count(*),
+        |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_orderdate) FROM v2
+        |  UNION ALL SELECT 'o_flag', count(*),
+        |    sum(CASE WHEN o_flag IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_flag) FROM v2)
+        |SELECT coalesce(p1.c, p2.c) AS col_name,
+        |  CASE WHEN p1.c IS NULL THEN 'added'
+        |    WHEN p2.c IS NULL THEN 'removed'
+        |    ELSE 'common' END AS status,
+        |  CAST(coalesce(p1.r, -1) AS BIGINT) AS rows_v1,
+        |  CAST(coalesce(p2.r, -1) AS BIGINT) AS rows_v2,
+        |  CAST(coalesce(p1.nn * 1000000 // p1.r, -1) AS BIGINT)
+        |    AS null_ppm_v1,
+        |  CAST(coalesce(p2.nn * 1000000 // p2.r, -1) AS BIGINT)
+        |    AS null_ppm_v2,
+        |  CAST(coalesce(p1.d, -1) AS BIGINT) AS dist_v1,
+        |  CAST(coalesce(p2.d, -1) AS BIGINT) AS dist_v2
+        |FROM p1 FULL OUTER JOIN p2 ON p1.c = p2.c
+        |ORDER BY col_name""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Preference.bradleyTerry]]: the MM

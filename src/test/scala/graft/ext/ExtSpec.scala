@@ -3634,6 +3634,62 @@ class ExtSpec extends SparkSpec {
     assert(again.map(_.toString).toSeq == out.map(_.toString).toSeq)
   }
 
+  test("ragChunks: exact manifests, full coverage, natural short tail, no empty docs") {
+    import spark.implicits._
+    // 10 tokens at N=4/overlap=1 (step 3): starts 1,4,7 all len 4;
+    // 11 tokens: starts 1,4,7,10 with a natural len-2 tail;
+    // 3 tokens (< N): one whole-doc chunk; empty text: absent
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 11).map(i => s"w$i").mkString(" ")),
+      (3L, "a b c"), (4L, "")).toDF("doc_id", "text")
+    val out = TextStats.ragChunks(docs, 4, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(!out.keySet.exists(_._1 == 4L), "empty doc must have no chunks")
+    assert(out((1L, 0L)) == (1L, 4L, "w1", "w4"), out.toString)
+    assert(out((1L, 2L)) == (7L, 4L, "w7", "w10"), out.toString)
+    assert(out((2L, 3L)) == (10L, 2L, "w10", "w11"), out.toString)
+    assert(out((3L, 0L)) == (1L, 3L, "a", "c"), out.toString)
+    // coverage: chunk spans tile each doc with no gap (next start =
+    // prev start + step) and the last chunk ends at n_tok
+    Seq(1L -> 10L, 2L -> 11L, 3L -> 3L).foreach { case (d, n) =>
+      val ch = out.collect { case ((`d`, c), v) => (c, v._1, v._2) }
+        .toSeq.sortBy(_._1)
+      ch.sliding(2).foreach {
+        case Seq((_, s1, _), (_, s2, _)) => assert(s2 == s1 + 3)
+        case _ =>
+      }
+      assert(ch.last._2 + ch.last._3 - 1 == n, s"doc $d tail")
+    }
+  }
+
+  test("snapshotDrift: added/removed/null-shift/row-shift all surface exactly") {
+    import spark.implicits._
+    val v1 = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("b")),
+      (4L, None)).toDF("k", "s")
+    val v2 = Seq((1L, Option.empty[String], 7L),
+      (2L, Some("b"), 8L)).toDF("k", "s", "extra")
+      .drop("zzz")
+    val out = Profile.snapshotDrift(v1, v2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("k", "s", "extra"))
+    assert(out("extra").getString(1) == "added" &&
+      out("extra").getLong(2) == -1L && out("extra").getLong(6) == -1L)
+    assert(out("k").getString(1) == "common" &&
+      out("k").getLong(2) == 4L && out("k").getLong(3) == 2L)
+    // null rate: v1 1/4 = 250000 ppm; v2 1/2 = 500000 ppm
+    assert(out("s").getLong(4) == 250000L &&
+      out("s").getLong(5) == 500000L, out("s").toString)
+    // distinct: countDistinct ignores nulls -> v1 {a,b}=2, v2 {b}=1
+    assert(out("s").getLong(6) == 2L && out("s").getLong(7) == 1L)
+    // a removed column: diff against a narrower v2
+    val out2 = Profile.snapshotDrift(v1, v2.drop("s")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out2("s") == "removed", out2.toString)
+  }
+
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
     val rows = graft.ext.Layout.zonemapAudit(
       graft.Tables.load(spark, dir, "part")).collect()
