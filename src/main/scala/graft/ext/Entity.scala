@@ -56,8 +56,12 @@ object Entity {
         col("a.cnt").as("cnt_a"), col("b.cnt").as("cnt_b"))
       .distinct() // a pair sharing two tokens appears once per block
     cand
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= maxDist)
+      // threshold variant: banded early-abandon DP, O(maxDist·len)
+      // per pair instead of O(len²) — returns -1 past the bound, so
+      // the filter keeps the same rows with the same distances
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist))
+      .where(col("dist") =!= -1)
       .select("name_a", "name_b", "dist", "cnt_a", "cnt_b")
       .orderBy("name_a", "name_b")
   }
@@ -179,9 +183,11 @@ object Entity {
         greatest(col("s_name"), col("o_name")).as("name_b"))
     segPairs.union(shortPairs)
       .distinct()
+      // banded early-abandon verify (see fuzzyNameMatch): identical
+      // rows and distances, O(tau·len) per candidate
       .withColumn("dist",
-        levenshtein(col("name_a"), col("name_b")).cast("bigint"))
-      .where(col("dist") <= tau)
+        levenshtein(col("name_a"), col("name_b"), tau).cast("bigint"))
+      .where(col("dist") =!= -1)
       .orderBy("name_a", "name_b")
   }
 
@@ -210,13 +216,16 @@ object Entity {
   def blockingQuality(records: DataFrame, nameCol: String, tau: Int,
                       blockKey: Column): DataFrame = {
     val names = records.select(col(nameCol).as("name")).distinct()
-    val truth = passJoin(records, nameCol, tau)
-      .select("name_a", "name_b")
+    // both sides feed TWO consumers (their own count + the found
+    // semi-join): pin so the lossless truth join runs once, not twice
+    val truth = CacheRegistry.pin(passJoin(records, nameCol, tau)
+      .select("name_a", "name_b"))
     val blocked = names.select(col("name"), blockKey.as("blk"))
-    val cand = blocked.as("x").join(blocked.as("y"),
-        col("x.blk") === col("y.blk") && col("x.name") < col("y.name"))
-      .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
-      .distinct()
+    val cand = CacheRegistry.pin(
+      blocked.as("x").join(blocked.as("y"),
+          col("x.blk") === col("y.blk") && col("x.name") < col("y.name"))
+        .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
+        .distinct())
     val found = cand.join(truth, Seq("name_a", "name_b"), "left_semi")
     val nNames = names.agg(count(lit(1)).as("n_names"))
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
