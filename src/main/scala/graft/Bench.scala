@@ -40,13 +40,19 @@ object Bench {
       }
     })
     // listener events post asynchronously and the bus-drain API is
-    // private[spark]: wait until the adders stop moving (quiet period;
-    // runs OUTSIDE the timed window, so wall numbers are unaffected)
+    // private[spark]: wait until the adders hold still for one 25ms
+    // window (runs OUTSIDE the timed span, so wall numbers are
+    // unaffected; one sleep minimum -> ~40s fixed cost over ~750
+    // timings, vs minutes at the naive 100ms-per-check cadence)
     def drainListener(): Unit = {
-      var prev = -1L
-      while ({ val cur = taskMs.sum + gcMs.sum
-               val moved = cur != prev; prev = cur
-               if (moved) Thread.sleep(100); moved }) ()
+      var prev = taskMs.sum + gcMs.sum
+      var quiet = false
+      while (!quiet) {
+        Thread.sleep(25)
+        val cur = taskMs.sum + gcMs.sum
+        quiet = cur == prev
+        prev = cur
+      }
     }
     // Warm the JVM + register views once so per-query numbers measure the
     // queries, not session bring-up (first action pays codegen warm-up).

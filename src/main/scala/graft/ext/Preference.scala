@@ -56,10 +56,14 @@ object Preference {
     * (event_type, n_wins, n_games, strength_x1e6, rank — 1 =
     * strongest, ties by type), ordered by rank then type.
     *
-    * Precondition (documented, holds for any data where every type
-    * both wins and loses at least once): a type with ZERO wins fixes
-    * to strength 0, and two zero-strength types that dueled each
-    * other would make an MM term divide by zero. */
+    * Preconditions (documented): (1) a type with ZERO wins fixes to
+    * strength 0, and two zero-strength types that dueled each other
+    * would make an MM term divide by zero — holds whenever every type
+    * wins at least once; (2) each MM term n_ij·10¹²/(s_i+s_j) must
+    * fit a BIGINT: the multiply runs in DECIMAL(38,0) (so the naive
+    * ~9.2e6-duel wrap cannot happen), leaving a bound of roughly
+    * n_ij < 9.2e6·(s_i+s_j) — trillions of duels per PAIR at normal
+    * strength scales, beyond any real corpus. */
   def bradleyTerry(events: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters in [1,8]; got $iters")
     val cmp = comparisons(events)
@@ -76,13 +80,18 @@ object Preference {
     var s = types.select(col("i"), lit(S).as("s"))
     for (_ <- 1 to iters) {
       val sj = s.select(col("i").as("j"), col("s").as("s_j"))
+      // numerators in DECIMAL(38,0): n_ij * 1e12 wraps BIGINT once a
+      // pair logs ~9.2e6 duels — routine at corpus scale (the oracle
+      // runs the same widening in HUGEINT)
       val denom = games.join(s, Seq("i")).join(sj, Seq("j"))
         .select(col("i"),
-          expr(s"n_ij * ${S2}L div (s + s_j)").as("term"))
+          expr(s"CAST(CAST(n_ij AS DECIMAL(38,0)) * ${S2}L" +
+            " div (s + s_j) AS DECIMAL(38,0))").as("term"))
         .groupBy("i").agg(sum("term").as("denom"))
       s = denom.join(wins, Seq("i"), "left")
         .select(col("i"),
-          expr(s"coalesce(n_wins, 0L) * ${S2}L div denom").as("s"))
+          expr(s"CAST(CAST(coalesce(n_wins, 0L) AS DECIMAL(38,0))" +
+            s" * ${S2}L div denom AS BIGINT)").as("s"))
     }
     val totals = games.groupBy("i").agg(sum("n_ij").as("n_games"))
     val out = s.join(wins, Seq("i"), "left").join(totals, Seq("i"))

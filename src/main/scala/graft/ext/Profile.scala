@@ -50,9 +50,10 @@ object Profile {
     * drift (row count, null rate, distinct cardinality) in one
     * manifest, built from [[profile]]'s one-scan-per-side stack and a
     * full-outer join on column name. Null rates are exact ppm
-    * (cross-multiplied BIGINTs, never a float rate), −1 marks "column
-    * absent on this side" so a schema change can never masquerade as
-    * a 0% rate.
+    * (DECIMAL-widened cross-multiplication, never a float rate); −1
+    * marks "column absent on this side" ONLY — an empty-but-present
+    * side reports 0 ppm with rows_* = 0 carrying the emptiness, so
+    * schema drift and an empty snapshot can never be confused.
     *
     * Scale shape: one scan per snapshot (the stacked single-pass
     * aggregation), then column-count-sized joins — at 100 TB the
@@ -65,7 +66,12 @@ object Profile {
     def side(df: DataFrame, s: String): DataFrame =
       profile(df).select(col("col_name"),
         col("n_rows").as(s"rows_$s"),
-        expr(s"n_null * 1000000 div n_rows").as(s"null_ppm_$s"),
+        // DECIMAL numerator (BIGINT wraps past ~9.2e12 nulls); an
+        // EMPTY-but-present side reports 0 ppm — the -1 sentinel is
+        // reserved for column-absent, and rows_* = 0 carries the
+        // emptiness signal
+        expr("IF(n_rows = 0, 0L, CAST(CAST(n_null AS DECIMAL(38,0))" +
+          s" * 1000000 div n_rows AS BIGINT))").as(s"null_ppm_$s"),
         col("n_distinct").as(s"dist_$s"))
     side(v1, "v1").join(side(v2, "v2"), Seq("col_name"), "full_outer")
       .select(col("col_name"),

@@ -1087,23 +1087,6 @@ object Similarity {
     self.join(cross, Seq("label")).orderBy("label")
   }
 
-  /** EMBEDDING-SPACE drift between label populations: the pairwise L2²
-    * distance matrix of per-label INTEGER centroids — the one-glance
-    * answer to "did source/class X move in embedding space relative to
-    * Y" that re-embedding audits and mixture rebalancing start from.
-    * Coordinates quantize to floor(x·10⁴) (the repo's deterministic
-    * fixed-point rule, same as the kNN tiers), centroid dims are
-    * integer `sum div n` (both engines truncate toward zero), so the
-    * whole matrix is oracle-exact — no float summation order anywhere.
-    *
-    * Scale shape: ONE corpus-sized posexplode + (label × dim) keyed
-    * aggregation; everything after runs on the ≤ labels·dims grid —
-    * the pair join never touches vectors. At 100 TB the explode is
-    * the map-side partial-sum shape (dims per row, combined before
-    * the shuffle).
-    *
-    * Output: (label_a, label_b, n_a, n_b, l2sq), label_a < label_b,
-    * ordered. */
   /** HASH-NEGATIVE mining for contrastive training: per anchor, k
     * reproducible negatives drawn from the different-label population
     * by md5(anchor ":" candidate) order — the deterministic stand-in
@@ -1147,6 +1130,23 @@ object Similarity {
       .orderBy("anchor_id", "neg_rank")
   }
 
+  /** EMBEDDING-SPACE drift between label populations: the pairwise L2²
+    * distance matrix of per-label INTEGER centroids — the one-glance
+    * answer to "did source/class X move in embedding space relative to
+    * Y" that re-embedding audits and mixture rebalancing start from.
+    * Coordinates quantize to floor(x·10⁴) (the repo's deterministic
+    * fixed-point rule, same as the kNN tiers), centroid dims are
+    * integer `sum div n` (both engines truncate toward zero), so the
+    * whole matrix is oracle-exact — no float summation order anywhere.
+    *
+    * Scale shape: ONE corpus-sized posexplode + (label × dim) keyed
+    * aggregation; everything after runs on the ≤ labels·dims grid —
+    * the pair join never touches vectors. At 100 TB the explode is
+    * the map-side partial-sum shape (dims per row, combined before
+    * the shuffle).
+    *
+    * Output: (label_a, label_b, n_a, n_b, l2sq), label_a < label_b,
+    * ordered. */
   def labelCentroidDrift(emb: DataFrame): DataFrame = {
     val q = emb.select(col("label").cast("bigint").as("label"),
         posexplode(col("embedding")).as(Seq("i0", "x")))

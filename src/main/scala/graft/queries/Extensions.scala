@@ -7362,13 +7362,13 @@ object Extensions {
   private def btOracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { n =>
       s"""d$n AS (
-         |  SELECT g.i, CAST(sum(g.n_ij * 1000000000000 // (a.s + b.s))
-         |    AS BIGINT) AS dn
+         |  SELECT g.i, sum(CAST(g.n_ij AS HUGEINT) * 1000000000000
+         |    // (a.s + b.s)) AS dn
          |  FROM games g JOIN s${n - 1} a ON a.i = g.i
          |  JOIN s${n - 1} b ON b.i = g.j GROUP BY 1),
          |s$n AS (
-         |  SELECT d$n.i, CAST(coalesce(w.n_wins, 0) * 1000000000000
-         |    // d$n.dn AS BIGINT) AS s
+         |  SELECT d$n.i, CAST(CAST(coalesce(w.n_wins, 0) AS HUGEINT)
+         |    * 1000000000000 // d$n.dn AS BIGINT) AS s
          |  FROM d$n LEFT JOIN wins w ON w.i = d$n.i)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (
