@@ -87,6 +87,50 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** JOIN-CARDINALITY calibration: for each declared join edge, the
+    * textbook uniform-NDV estimate |L|·|R| / max(ndv_L, ndv_R) beside
+    * the ACTUAL join cardinality — the table that tells you how far
+    * the estimator every cost-based optimizer relies on is off on
+    * YOUR data, per edge, before trusting it to order a 100 TB join
+    * tree (skewed or correlated keys are exactly where it lies).
+    * All arithmetic is exact integers (DECIMAL(38,0)
+    * cross-multiplication; error in ppm of actual).
+    *
+    * Scale shape: per edge, two keyed counts + one equi-join count —
+    * each map-side combinable; nothing row-level ever collects. At
+    * 100 TB run it on a consistent key-hash sample per side (the
+    * estimate/actual RATIO survives sampling).
+    *
+    * Output: (edge, n_left, n_right, ndv_left, ndv_right, est_rows,
+    * actual_rows, err_ppm — |est−actual|·10⁶/actual), ordered by
+    * edge. */
+  def joinCardinalityAudit(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(edges.nonEmpty, "need at least one join edge")
+    edges.map { case (name, l, lk, r, rk) =>
+      val ls = l.agg(count(lit(1)).as("n_left"),
+        countDistinct(col(lk)).as("ndv_left"))
+      val rs = r.agg(count(lit(1)).as("n_right"),
+        countDistinct(col(rk)).as("ndv_right"))
+      val act = l.select(col(lk).as("k"))
+        .join(r.select(col(rk).as("k")), Seq("k"))
+        .agg(count(lit(1)).as("actual_rows"))
+      ls.crossJoin(rs).crossJoin(act)
+        .select(lit(name).as("edge"), col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"),
+          expr("CAST(CAST(n_left AS DECIMAL(38,0)) * n_right" +
+            " div greatest(ndv_left, ndv_right) AS BIGINT)")
+            .as("est_rows"),
+          col("actual_rows"))
+        .select(col("edge"), col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"), col("est_rows"),
+          col("actual_rows"),
+          expr("CAST(CAST(abs(est_rows - actual_rows) AS DECIMAL(38,0))" +
+            " * 1000000 div actual_rows AS BIGINT)").as("err_ppm"))
+    }.reduce(_ unionByName _).orderBy("edge")
+  }
+
   /** [[profile]] with HLL++ cardinalities: one scan, one aggregation
     * pass, NO per-column Expand replication — columns cost a fixed-size
     * sketch each instead of an input copy (plan-guarded in PlanSpec).

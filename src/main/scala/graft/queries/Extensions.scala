@@ -7353,7 +7353,82 @@ object Extensions {
         |  CAST(coalesce(p1.d, -1) AS BIGINT) AS dist_v1,
         |  CAST(coalesce(p2.d, -1) AS BIGINT) AS dist_v2
         |FROM p1 FULL OUTER JOIN p2 ON p1.c = p2.c
-        |ORDER BY col_name""".stripMargin)
+        |ORDER BY col_name""".stripMargin),
+
+    // join-cardinality calibration: textbook uniform-NDV estimate vs
+    // ACTUAL join rows per star-schema edge — how far the CBO
+    // assumption is off on this data; DECIMAL cross-multiplication,
+    // err in ppm of actual
+    Q.df("x301_join_cardinality",
+      (s, dir) => Profile.joinCardinalityAudit(Seq(
+        ("li_orders", Tables.load(s, dir, "lineitem"), "l_orderkey",
+          Tables.load(s, dir, "orders"), "o_orderkey"),
+        ("li_part", Tables.load(s, dir, "lineitem"), "l_partkey",
+          Tables.load(s, dir, "part"), "p_partkey"),
+        ("li_supplier", Tables.load(s, dir, "lineitem"), "l_suppkey",
+          Tables.load(s, dir, "supplier"), "s_suppkey"),
+        ("orders_customer", Tables.load(s, dir, "orders"), "o_custkey",
+          Tables.load(s, dir, "customer"), "c_custkey"),
+        ("customer_nation", Tables.load(s, dir, "customer"),
+          "c_nationkey", Tables.load(s, dir, "nation"), "n_nationkey"))),
+      """WITH edge AS (
+        |  SELECT 'li_orders' AS edge,
+        |    (SELECT count(*) FROM lineitem) AS n_left,
+        |    (SELECT count(*) FROM orders) AS n_right,
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS ndv_left,
+        |    (SELECT count(DISTINCT o_orderkey) FROM orders) AS ndv_right,
+        |    (SELECT count(*) FROM lineitem JOIN orders
+        |      ON l_orderkey = o_orderkey) AS actual_rows
+        |  UNION ALL SELECT 'li_part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM part),
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |    (SELECT count(DISTINCT p_partkey) FROM part),
+        |    (SELECT count(*) FROM lineitem JOIN part
+        |      ON l_partkey = p_partkey)
+        |  UNION ALL SELECT 'li_supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+        |    (SELECT count(DISTINCT s_suppkey) FROM supplier),
+        |    (SELECT count(*) FROM lineitem JOIN supplier
+        |      ON l_suppkey = s_suppkey)
+        |  UNION ALL SELECT 'orders_customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(DISTINCT o_custkey) FROM orders),
+        |    (SELECT count(DISTINCT c_custkey) FROM customer),
+        |    (SELECT count(*) FROM orders JOIN customer
+        |      ON o_custkey = c_custkey)
+        |  UNION ALL SELECT 'customer_nation',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM nation),
+        |    (SELECT count(DISTINCT c_nationkey) FROM customer),
+        |    (SELECT count(DISTINCT n_nationkey) FROM nation),
+        |    (SELECT count(*) FROM customer JOIN nation
+        |      ON c_nationkey = n_nationkey))
+        |SELECT edge, CAST(n_left AS BIGINT) AS n_left,
+        |  CAST(n_right AS BIGINT) AS n_right,
+        |  CAST(ndv_left AS BIGINT) AS ndv_left,
+        |  CAST(ndv_right AS BIGINT) AS ndv_right,
+        |  CAST(CAST(n_left AS HUGEINT) * n_right
+        |    // greatest(ndv_left, ndv_right) AS BIGINT) AS est_rows,
+        |  CAST(actual_rows AS BIGINT) AS actual_rows,
+        |  CAST(CAST(abs(CAST(n_left AS HUGEINT) * n_right
+        |      // greatest(ndv_left, ndv_right) - actual_rows)
+        |    AS HUGEINT) * 1000000 // actual_rows AS BIGINT) AS err_ppm
+        |FROM edge ORDER BY edge""".stripMargin),
+
+    // per-entity provenance fingerprints: each key's event-id history
+    // in (ts, id) order folds to one md5 — the 16-byte settle-the-
+    // dispute ledger; any gap, reorder, or injection flips it
+    Q.df("x302_provenance_chains",
+      (s, dir) => Expectations.provenanceChains(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id"),
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  md5(string_agg(CAST(event_id AS VARCHAR), ','
+        |    ORDER BY epoch_us(ts), event_id)) AS chain_hash
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Preference.bradleyTerry]]: the MM

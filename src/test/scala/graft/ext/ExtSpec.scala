@@ -2763,6 +2763,38 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("passJoin: lossless on a seeded random corpus (short strings, dense near-pairs)") {
+    import spark.implicits._
+    // alphabet {a,b,c} and lengths 1-8 make near-pairs dense and hit
+    // every edge: short-string completion (len <= tau), cross-length
+    // pigeonhole slots, identical prefixes. Seeded -> reproducible.
+    val rnd = new scala.util.Random(42)
+    val names = (1 to 150)
+      .map(_ => (0 to rnd.nextInt(8))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      .distinct
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j), m(i)(j - 1)) + 1,
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val df = names.toDF("nm")
+    for (tau <- 1 to 2) {
+      val got = Entity.passJoin(df, "nm", tau).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val brute = (for {
+        a <- names; b <- names if a < b
+        d = lev(a, b) if d <= tau
+      } yield (a, b, d.toLong)).sortBy(t => (t._1, t._2))
+      assert(got == brute,
+        s"tau=$tau: ${got.size} found vs ${brute.size} true; " +
+          s"missing=${brute.toSet -- got.toSet}")
+    }
+  }
+
   test("ksDrift: planted shift dominates; self-identical strata score zero") {
     import spark.implicits._
     // two strata drawn identically, one shifted by +100: the shifted
@@ -3688,6 +3720,55 @@ class ExtSpec extends SparkSpec {
     val out2 = Profile.snapshotDrift(v1, v2.drop("s")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out2("s") == "removed", out2.toString)
+  }
+
+  test("joinCardinalityAudit: uniform FK estimates exactly; skew exposes the estimator") {
+    import spark.implicits._
+    // uniform: 12 facts over 4 keys joining a 4-row dim -> est =
+    // 12*4/4 = 12 = actual (err 0)
+    val factU = (1L to 12L).map(i => i % 4).toDF("fk")
+    val dim = (0L to 3L).toDF("k")
+    // skewed: 12 facts ALL on key 0 -> actual 12, est still 12*4/4
+    // ... so skew the DIM side instead: dim2 has key 0 duplicated 4x
+    // -> actual = 12*4 = 48 but est = 12*7/max(4,4)... craft exact:
+    val factS = Seq.fill(12)(0L).toDF("fk")
+    val dimS = (Seq.fill(4)(0L) ++ Seq(1L, 2L, 3L)).toDF("k")
+    val out = Profile.joinCardinalityAudit(Seq(
+      ("uniform", factU, "fk", dim, "k"),
+      ("skewed", factS, "fk", dimS, "k"))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val u = out("uniform")
+    assert((u.getLong(1), u.getLong(3), u.getLong(5), u.getLong(6),
+      u.getLong(7)) == (12L, 4L, 12L, 12L, 0L), u.toString)
+    // skewed: n_l=12 n_r=7 ndv_l=1 ndv_r=4 -> est = 12*7 div 4 = 21;
+    // actual = 12 facts x 4 copies of key 0 = 48; err = 27/48
+    val s = out("skewed")
+    assert((s.getLong(5), s.getLong(6)) == (21L, 48L), s.toString)
+    assert(s.getLong(7) == 27L * 1000000L / 48L, s.toString)
+  }
+
+  test("provenanceChains: identical histories agree; any reorder/injection flips the hash") {
+    import spark.implicits._
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val base = Seq((1L, at(1), 10L), (1L, at(2), 11L), (1L, at(3), 12L),
+      (2L, at(1), 10L), (2L, at(2), 11L), (2L, at(3), 12L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Expectations.provenanceChains(base, "user_id", "ts",
+      "event_id").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == out(2L), "identical histories must fingerprint equal")
+    // injection: one extra event for user 2 flips only user 2
+    val inj = base.union(Seq((2L, at(4), 13L)).toDF("user_id", "ts",
+      "event_id"))
+    val out2 = Expectations.provenanceChains(inj, "user_id", "ts",
+      "event_id").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out2(1L) == out(1L) && out2(2L) != out(2L), out2.toString)
+    // reorder: same ids at swapped times is a DIFFERENT history
+    val swap = Seq((3L, at(1), 11L), (3L, at(2), 10L), (3L, at(3), 12L))
+      .toDF("user_id", "ts", "event_id")
+    val out3 = Expectations.provenanceChains(base.union(swap), "user_id",
+      "ts", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out3(3L) != out3(1L), "reorder must flip the fingerprint")
   }
 
   test("zone-map audit: conserved file counts and conjunction-dominance invariants") {
