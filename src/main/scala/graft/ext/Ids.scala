@@ -38,7 +38,7 @@ object Ids {
                     checkUnique: Boolean = false): DataFrame = {
     if (checkUnique) {
       val c = df.agg(count(col(key)).as("n"),
-        count_distinct(col(key)).as("d")).head
+        count_distinct(col(key)).as("d")).head()
       require(c.getLong(0) == c.getLong(1),
         s"contiguousIds requires unique '$key' values: " +
           s"${c.getLong(0)} rows but only ${c.getLong(1)} distinct — " +
@@ -47,7 +47,7 @@ object Ids {
     val sorted = df.select(col(key)).orderBy(key)
     val schema = StructType(sorted.schema.fields :+
       StructField("gid", LongType, nullable = false))
-    val numbered = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     sorted.sparkSession.createDataFrame(numbered, schema).orderBy(key)
@@ -65,7 +65,7 @@ object Ids {
     val sorted = df.select(keep.map(col): _*).orderBy(order: _*)
     val schema = StructType(sorted.schema.fields :+
       StructField(outName, LongType, nullable = false))
-    val numbered = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     sorted.sparkSession.createDataFrame(numbered, schema)

@@ -77,7 +77,7 @@ object Layout {
       val schema = StructType(sorted.schema.fields :+
         StructField("gid", LongType, nullable = false))
       val numbered = spark.createDataFrame(
-        sorted.rdd.zipWithIndex.map { case (r, i) =>
+        sorted.rdd.zipWithIndex().map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ i)
         }, schema)
       numbered

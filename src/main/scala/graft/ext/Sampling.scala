@@ -275,7 +275,7 @@ object Sampling {
       .orderBy("epoch", "h", key)
     val schema = StructType(sorted.schema.fields :+
       StructField("gid", LongType, nullable = false))
-    val numbered = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(numbered, schema)

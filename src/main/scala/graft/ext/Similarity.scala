@@ -545,7 +545,7 @@ object Similarity {
     * explicit `.where(ivf_cell isin probed)` on a serve path) prunes
     * unprobed directories at planning time. */
   def loadIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
-    val meta = spark.read.parquet(s"$path/meta").head
+    val meta = spark.read.parquet(s"$path/meta").head()
     IvfPqIndex(
       codes = spark.read.parquet(s"$path/codes"),
       coarse = spark.read.parquet(s"$path/coarse"),
