@@ -2795,6 +2795,37 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ppjoinPairs: lossless vs brute-force Jaccard on a seeded random corpus") {
+    import spark.implicits._
+    // tiny vocabulary + short docs make 3-gram sets densely
+    // overlapping — the regime where a broken prefix/positional
+    // filter actually loses pairs; seeded -> reproducible
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpus = (1L to 60L).map { i =>
+      val len = 3 + rnd.nextInt(10)
+      (i, (1 to len).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] =
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val sets = corpus.map { case (i, t) => i -> shingleSet(t) }.toMap
+    for (thr <- Seq(300000L, 600000L)) {
+      val got = Dedup.ppjoinPairs(df, thr).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = (for {
+        a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+        sa = sets(a); sb = sets(b) if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        if inter * 1000000L >= (sa.size + sb.size - inter) * thr
+      } yield (a, b, inter.toLong)).toSet
+      assert(got == brute, s"thr=$thr missing=${brute -- got} " +
+        s"extra=${got -- brute}")
+    }
+  }
+
   test("ksDrift: planted shift dominates; self-identical strata score zero") {
     import spark.implicits._
     // two strata drawn identically, one shifted by +100: the shifted
