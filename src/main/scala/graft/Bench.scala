@@ -40,17 +40,19 @@ object Bench {
       }
     })
     // listener events post asynchronously and the bus-drain API is
-    // private[spark]: wait until the adders hold still for one 25ms
-    // window (runs OUTSIDE the timed span, so wall numbers are
-    // unaffected; one sleep minimum -> ~40s fixed cost over ~750
-    // timings, vs minutes at the naive 100ms-per-check cadence)
+    // private[spark]: wait until the adders hold still for TWO
+    // consecutive 25ms windows — a single dispatch stall or GC pause
+    // longer than one window cannot fake quiescence, it would have to
+    // straddle both checks exactly. Runs OUTSIDE the timed span, so
+    // wall numbers are unaffected; ~50ms minimum -> ~75s fixed cost
+    // over ~750 timings, vs minutes at the naive 100ms cadence.
     def drainListener(): Unit = {
       var prev = taskMs.sum + gcMs.sum
-      var quiet = false
-      while (!quiet) {
+      var quietRuns = 0
+      while (quietRuns < 2) {
         Thread.sleep(25)
         val cur = taskMs.sum + gcMs.sum
-        quiet = cur == prev
+        quietRuns = if (cur == prev) quietRuns + 1 else 0
         prev = cur
       }
     }

@@ -185,10 +185,18 @@ object Expectations {
     * sequential-state operator here documents), and only 16-byte
     * hashes plus counts leave it.
     *
+    * Null discipline: rows with a null key are excluded (an unowned
+    * event belongs to no entity's chain), and a null timestamp sorts
+    * LAST (coalesced to Long.MaxValue) — matching SQL's default
+    * NULLS LAST so both engines derive the same chain; Spark's
+    * sort_array would otherwise put null-ts structs first.
+    *
     * Output: (key, n_events, chain_hash), ordered by key. */
   def provenanceChains(events: DataFrame, keyCol: String, tsCol: String,
                        idCol: String): DataFrame =
-    events.select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("tm"),
+    events.where(col(keyCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        coalesce(unix_micros(col(tsCol)), lit(Long.MaxValue)).as("tm"),
         col(idCol).as("id"))
       .groupBy(col("k").as(keyCol))
       .agg(count(lit(1)).as("n_events"),

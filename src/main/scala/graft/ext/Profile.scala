@@ -96,9 +96,12 @@ object Profile {
     * All arithmetic is exact integers (DECIMAL(38,0)
     * cross-multiplication; error in ppm of actual).
     *
-    * Scale shape: per edge, two keyed counts + one equi-join count —
-    * each map-side combinable; nothing row-level ever collects. At
-    * 100 TB run it on a consistent key-hash sample per side (the
+    * Scale shape: per edge, ONE keyed count per side; n, ndv AND the
+    * actual join cardinality all read off those count tables —
+    * |A ⋈ B| = Σ_k cA(k)·cB(k), an NDV-bounded join of counts, so the
+    * audit never materializes the joined rows it is sizing (on a
+    * skewed edge that output is exactly the blow-up being priced).
+    * At 100 TB run it on a consistent key-hash sample per side (the
     * estimate/actual RATIO survives sampling).
     *
     * Output: (edge, n_left, n_right, ndv_left, ndv_right, est_rows,
@@ -109,13 +112,20 @@ object Profile {
       : DataFrame = {
     require(edges.nonEmpty, "need at least one join edge")
     edges.map { case (name, l, lk, r, rk) =>
-      val ls = l.agg(count(lit(1)).as("n_left"),
-        countDistinct(col(lk)).as("ndv_left"))
-      val rs = r.agg(count(lit(1)).as("n_right"),
-        countDistinct(col(rk)).as("ndv_right"))
-      val act = l.select(col(lk).as("k"))
-        .join(r.select(col(rk).as("k")), Seq("k"))
-        .agg(count(lit(1)).as("actual_rows"))
+      val lc = CacheRegistry.pin(
+        l.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl")))
+      val rc = CacheRegistry.pin(
+        r.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr")))
+      // ndv counts non-null keys (countDistinct semantics); n keeps
+      // every row; the count-table equi-join drops null keys exactly
+      // like the real join would
+      val ls = lc.agg(sum("cl").as("n_left"),
+        count(when(col("k").isNotNull, 1)).as("ndv_left"))
+      val rs = rc.agg(sum("cr").as("n_right"),
+        count(when(col("k").isNotNull, 1)).as("ndv_right"))
+      val act = lc.join(rc, Seq("k"))
+        .agg(coalesce(sum(expr("CAST(cl AS DECIMAL(38,0)) * cr")),
+          lit(0).cast("decimal(38,0)")).cast("bigint").as("actual_rows"))
       ls.crossJoin(rs).crossJoin(act)
         .select(lit(name).as("edge"), col("n_left"), col("n_right"),
           col("ndv_left"), col("ndv_right"),

@@ -7346,9 +7346,11 @@ object Extensions {
         |    ELSE 'common' END AS status,
         |  CAST(coalesce(p1.r, -1) AS BIGINT) AS rows_v1,
         |  CAST(coalesce(p2.r, -1) AS BIGINT) AS rows_v2,
-        |  CAST(coalesce(p1.nn * 1000000 // p1.r, -1) AS BIGINT)
+        |  CAST(coalesce(CASE WHEN p1.r = 0 THEN 0
+        |    ELSE p1.nn * 1000000 // p1.r END, -1) AS BIGINT)
         |    AS null_ppm_v1,
-        |  CAST(coalesce(p2.nn * 1000000 // p2.r, -1) AS BIGINT)
+        |  CAST(coalesce(CASE WHEN p2.r = 0 THEN 0
+        |    ELSE p2.nn * 1000000 // p2.r END, -1) AS BIGINT)
         |    AS null_ppm_v2,
         |  CAST(coalesce(p1.d, -1) AS BIGINT) AS dist_v1,
         |  CAST(coalesce(p2.d, -1) AS BIGINT) AS dist_v2
@@ -7428,7 +7430,8 @@ object Extensions {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  md5(string_agg(CAST(event_id AS VARCHAR), ','
         |    ORDER BY epoch_us(ts), event_id)) AS chain_hash
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Preference.bradleyTerry]]: the MM

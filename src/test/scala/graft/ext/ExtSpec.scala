@@ -3730,6 +3730,7 @@ class ExtSpec extends SparkSpec {
 
   test("snapshotDrift: added/removed/null-shift/row-shift all surface exactly") {
     import spark.implicits._
+    import org.apache.spark.sql.functions.lit
     val v1 = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("b")),
       (4L, None)).toDF("k", "s")
     val v2 = Seq((1L, Option.empty[String], 7L),
@@ -3751,6 +3752,14 @@ class ExtSpec extends SparkSpec {
     val out2 = Profile.snapshotDrift(v1, v2.drop("s")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out2("s") == "removed", out2.toString)
+    // EMPTY-but-present side: 0 ppm with rows=0, never the -1
+    // column-absent sentinel — schema drift and an empty snapshot
+    // must stay distinguishable
+    val out3 = Profile.snapshotDrift(v1, v2.where(lit(false))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out3("k").getString(1) == "common" &&
+      out3("k").getLong(3) == 0L && out3("k").getLong(5) == 0L,
+      out3("k").toString)
   }
 
   test("joinCardinalityAudit: uniform FK estimates exactly; skew exposes the estimator") {
