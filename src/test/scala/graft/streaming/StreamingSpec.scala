@@ -455,6 +455,61 @@ class StreamingSpec extends SparkSpec {
     } finally rmAll(stage, ckpt, out)
   }
 
+  test("checkpoint recovery: native session-window state survives a restart and closes exactly once") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_swr_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_swr_ckpt")
+    val out1 = java.nio.file.Files.createTempDirectory("graft_swr_o1")
+    val out2 = java.nio.file.Files.createTempDirectory("graft_swr_o2")
+    def drain(outDir: String): Unit = {
+      val src = spark.readStream.schema("user_id LONG, ts_us LONG")
+        .parquet(stage.toString)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+        .withWatermark("ts", "10 minutes")
+      val agg = src
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"))
+      val q = agg.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def rows(d: java.nio.file.Path): Seq[(Long, Long)] = {
+      val fs = java.nio.file.Files.list(d)
+      val any = try fs.findAny().isPresent finally fs.close()
+      if (!any) Seq.empty
+      else spark.read.parquet(d.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val base = 1700000000L * 1000000L
+    val min = 60L * 1000000L
+    try {
+      // fileA: u1 session of 3 events; the watermark (max - 10min)
+      // has NOT passed the session end, so nothing emits in run 1 —
+      // the open session lives purely in checkpointed state
+      landDf(Seq((1L, base), (1L, base + min), (1L, base + 2 * min))
+        .toDF("user_id", "ts_us"), stage, "a.parquet")
+      drain(out1.toString)
+      assert(rows(out1).isEmpty, s"open session leaked: ${rows(out1)}")
+      // fileB: one event 2h later pushes the watermark past the
+      // session end; the RECOVERED session must close with all 3
+      // fileA events — lost state would report fewer, reprocessing
+      // more or twice
+      landDf(Seq((1L, base + 120 * min)).toDF("user_id", "ts_us"),
+        stage, "b.parquet")
+      drain(out2.toString)
+      assert(rows(out2) == Seq((1L, 3L)),
+        s"session not recovered intact: ${rows(out2)}")
+    } finally rmAll(stage, ckpt, out1, out2)
+  }
+
   test("file sink manifest: a crashed batch's orphan part-file is invisible to sink reads") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
