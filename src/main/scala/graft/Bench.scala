@@ -46,15 +46,25 @@ object Bench {
     // straddle both checks exactly. Runs OUTSIDE the timed span, so
     // wall numbers are unaffected; ~50ms minimum -> ~75s fixed cost
     // over ~750 timings, vs minutes at the naive 100ms cadence.
+    // Hard cap: if a query leaves a job posting task-end events
+    // continuously (or the bus wedges), give up after ~5s rather than
+    // hang the suite — the affected query's task/gc numbers may then be
+    // slightly incomplete, which we log but do not fail on.
     def drainListener(): Unit = {
       var prev = taskMs.sum + gcMs.sum
       var quietRuns = 0
-      while (quietRuns < 2) {
+      var waitedMs = 0
+      while (quietRuns < 2 && waitedMs < 5000) {
         Thread.sleep(25)
+        waitedMs += 25
         val cur = taskMs.sum + gcMs.sum
         quietRuns = if (cur == prev) quietRuns + 1 else 0
         prev = cur
       }
+      if (quietRuns < 2)
+        System.err.println(
+          "[bench] listener drain capped at 5s; task/gc for the " +
+            "preceding query may be incomplete")
     }
     // Warm the JVM + register views once so per-query numbers measure the
     // queries, not session bring-up (first action pays codegen warm-up).

@@ -212,7 +212,14 @@ object Entity {
     * numerators run in DECIMAL.
     *
     * Output: ONE row (n_names, n_all_pairs, n_candidates, n_true,
-    * n_found, reduction_ppm, completeness_ppm). */
+    * n_found, reduction_ppm, completeness_ppm).
+    *
+    * API contract: `blockKey` is evaluated against the INTERNAL alias
+    * `name` (the deduplicated `nameCol` projection), not against the
+    * caller's input column — e.g. pass `expr("right(name, 4)")`, not
+    * `expr("right(s_name, 4)")`. Prefer the overload taking a
+    * `Column => Column`, which removes the coupling: it receives the
+    * aliased column directly. */
   def blockingQuality(records: DataFrame, nameCol: String, tau: Int,
                       blockKey: Column): DataFrame = {
     val names = records.select(col(nameCol).as("name")).distinct()
@@ -242,4 +249,11 @@ object Entity {
         expr("CAST(CAST(n_found AS DECIMAL(38,0)) * 1000000" +
           " div n_true AS BIGINT)").as("completeness_ppm"))
   }
+
+  /** [[blockingQuality]] without the alias coupling: `keyFn` receives
+    * the deduplicated name column and returns the blocking key — no
+    * knowledge of internal aliases required. */
+  def blockingQuality(records: DataFrame, nameCol: String, tau: Int,
+                      keyFn: Column => Column): DataFrame =
+    blockingQuality(records, nameCol, tau, keyFn(col("name")))
 }

@@ -280,13 +280,39 @@ object Warehouse {
           sum(floor(col("p_retailprice") * 100).cast("bigint"))
             .as("retail_cents"))
         .orderBy("p_brand")
-      val planStr = out.queryExecution.executedPlan.toString
-      // PushedFilters prints truncated past ~100 chars; the DataFilters
-      // list (same pushdown set) prints in full — match both dimensions
-      require(planStr.contains("GreaterThanOrEqual(p_size,10)") &&
-        "pk8#\\d+L? <= 63".r.findFirstIn(planStr).isDefined &&
-        "p_size#\\d+L? <= 15".r.findFirstIn(planStr).isDefined,
-        s"predicate not pushed to the rewritten scan:\n$planStr")
+      // Assert pushdown STRUCTURALLY on the scan node's dataFilters
+      // (the same predicate set the parquet reader receives), not on
+      // the rendered plan string — plan toString formatting changes
+      // across Spark versions and truncates long filter lists.
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.catalyst.expressions.{
+        Attribute, BinaryComparison, GreaterThanOrEqual, LessThanOrEqual, Literal}
+      // AdaptiveSparkPlanExec is a LEAF wrapping the real plan — unwrap
+      // recursively before collecting scan nodes.
+      def scanFiltersOf(p: SparkPlan): Seq[
+          org.apache.spark.sql.catalyst.expressions.Expression] =
+        p.collect {
+          case a: AdaptiveSparkPlanExec => scanFiltersOf(a.executedPlan)
+          case s: FileSourceScanExec => s.dataFilters
+        }.flatten
+      val scanFilters = scanFiltersOf(out.queryExecution.executedPlan)
+      def hasCmp(name: String, value: Long,
+                 want: BinaryComparison => Boolean): Boolean =
+        scanFilters.exists(_.exists {
+          case c: BinaryComparison => want(c) && ((c.left, c.right) match {
+            case (a: Attribute, Literal(v, _)) =>
+              a.name == name && String.valueOf(v) == value.toString
+            case _ => false
+          })
+          case _ => false
+        })
+      require(
+        hasCmp("p_size", 10, _.isInstanceOf[GreaterThanOrEqual]) &&
+          hasCmp("p_size", 15, _.isInstanceOf[LessThanOrEqual]) &&
+          hasCmp("pk8", 63, _.isInstanceOf[LessThanOrEqual]),
+        "predicate not pushed to the rewritten scan; dataFilters = " +
+          scanFilters.mkString("[", ", ", "]"))
       val rows = out.collect()
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)

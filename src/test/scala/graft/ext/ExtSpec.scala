@@ -3558,6 +3558,12 @@ class ExtSpec extends SparkSpec {
     val full = Entity.blockingQuality(recs, "nm", 1, lit("k")).head()
     assert(full.getLong(6) == 1000000L && full.getLong(5) == 0L,
       full.toString)
+    // the Column => Column overload needs no alias knowledge and
+    // must agree exactly with the aliased-Column form
+    val viaFn = Entity.blockingQuality(recs, "nm", 1,
+      (nm: org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.functions.substring(nm, 1, 1)).head()
+    assert(viaFn == r, s"overload disagrees: $viaFn vs $r")
   }
 
   test("audioClippingAudit: real sample decode matches the capture-formula twin per doc") {
