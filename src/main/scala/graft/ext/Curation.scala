@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-data curation pipeline, composed from the
@@ -112,4 +112,49 @@ object Curation {
              evalSource: String = "src19",
              lmGate: Boolean = false): DataFrame =
     Pack.packManifest(survivors(docs, evalSource, lmGate), window)
+
+  /** 2-D PARETO FRONTIER (skyline) — multi-objective data selection:
+    * the documents not dominated on the (a, b) score pair, i.e. no
+    * other document is ≥ on both axes and > on one. When curation
+    * must trade off two signals that don't reduce to one number
+    * (quality vs. length, novelty vs. fluency), the frontier IS the
+    * set of defensible picks; everything below it is strictly worse
+    * than something else in the corpus.
+    *
+    * Exact and integer-only, via the classic two-stage skyline:
+    *  1. per distinct a-value, the max b (ONE corpus-wide keyed
+    *     aggregation, map-side combinable — this is the only pass
+    *     over the data);
+    *  2. among those (a, max_b) pairs, keep the ones whose b exceeds
+    *     every max_b at a STRICTLY larger a — a running max over a
+    *     descending, on a table bounded by |distinct a-values| (a
+    *     bounded score scale, never data-sized), so the one global
+    *     window is cheap by construction.
+    * A point with max_b equal to the running max of a larger a-value
+    * is dominated (≥,≥ with > on a), so strict inequality is correct.
+    *
+    * Output: one row per frontier (a, b) point with the min doc_id
+    * witness and the count of docs sitting exactly on the point,
+    * ordered by a. Columns: (a, b, doc_id, n_docs). */
+  def paretoFrontier(df: DataFrame, idCol: String,
+                     aCol: Column, bCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(idCol).cast("bigint").as("id"),
+      aCol.cast("bigint").as("a"), bCol.cast("bigint").as("b"))
+    val byA = pts.groupBy("a")
+      .agg(max(col("b")).as("mb"))
+    // running max of mb over strictly-larger a: window over the
+    // per-a-value table only
+    val w = Window.orderBy(col("a").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = byA
+      .withColumn("better", max(col("mb")).over(w))
+      .where(col("better").isNull || col("mb") > col("better"))
+      .select(col("a"), col("mb").as("fb"))
+    pts.join(frontier, Seq("a"))
+      .where(col("b") === col("fb"))
+      .groupBy(col("a"), col("b"))
+      .agg(min("id").as("doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy("a")
+  }
 }

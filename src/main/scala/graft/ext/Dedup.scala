@@ -1283,4 +1283,61 @@ object Dedup {
         expr("dup_tok * 1000000 div n_tok").as("dup_ppm"))
       .orderBy("source")
   }
+
+  /** TRUNCATION dedup — exact prefix-containment: a document whose full
+    * text is a strict prefix of another document's text is a cut-off
+    * copy (a re-crawl that hit a length limit, a feed that truncates
+    * bodies, an export that clipped at N bytes). Whole-document hashing
+    * misses these entirely, and Jaccard tiers only score them
+    * approximately; this operator finds every one, exactly.
+    *
+    * The classic one-sort trick: among DISTINCT texts in lexicographic
+    * order, some text extends t iff t's IMMEDIATE successor does —
+    * any extension sorts after t and before t's upper bound, and the
+    * least such string is the successor. So one sorted `lead` replaces
+    * the all-pairs `startswith` scan.
+    *
+    * Scale shape: the sort is NOT a global single-partition window —
+    * any extension of t (len >= prefixLen) shares t's first `prefixLen`
+    * characters, so the successor test runs inside windows PARTITIONED
+    * by that bucket (parallel, range-free). The handful of texts
+    * shorter than `prefixLen` (at 100 TB: essentially none) are checked
+    * against the corpus by a broadcast prefix-equality join — the only
+    * non-equi step, bounded by the tiny short side.
+    *
+    * Witness contract: container_id is the min doc_id owning the
+    * LEXICOGRAPHICALLY SMALLEST strict extension — deterministic.
+    *
+    * Output: (doc_id, n_chars_trunc, container_id), one row per input
+    * doc whose text some other doc strictly extends, ordered by doc_id. */
+  def truncationDupes(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      prefixLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val owners = docs
+      .select(col(idCol).cast("bigint").as("id"), col(textCol).as("t"))
+      .groupBy("t").agg(min(col("id")).as("owner"))
+    val long = owners.where(length(col("t")) >= prefixLen)
+    val bucketed = Window
+      .partitionBy(substring(col("t"), 1, prefixLen)).orderBy("t")
+    val flaggedLong = long
+      .withColumn("nxt", lead(col("t"), 1).over(bucketed))
+      .withColumn("nxt_owner", lead(col("owner"), 1).over(bucketed))
+      .where(col("nxt").isNotNull && col("nxt").startsWith(col("t")))
+      .select(col("t"), col("nxt_owner").as("container_id"))
+    // short-text tail: broadcast the (tiny) short side, test prefix
+    // equality against every distinct text; witness = owner of the
+    // smallest strict extension, matching the windowed path's contract
+    val short = owners.where(length(col("t")) < prefixLen)
+    val flaggedShort = broadcast(short.select(col("t").as("st")))
+      .join(owners, col("t").startsWith(col("st")) && col("t") =!= col("st"))
+      .groupBy(col("st")).agg(min(struct(col("t"), col("owner"))).as("m"))
+      .select(col("st").as("t"), col("m.owner").as("container_id"))
+    val flagged = flaggedLong.unionByName(flaggedShort)
+    docs.select(col(idCol).cast("bigint").as("doc_id"), col(textCol).as("t"))
+      .join(flagged, Seq("t"))
+      .select(col("doc_id"), length(col("t")).cast("bigint").as("n_chars_trunc"),
+        col("container_id"))
+      .orderBy("doc_id")
+  }
 }

@@ -100,4 +100,49 @@ object Layout {
         Seq(zorderKey(col("sz"), col("pk"), 8), col("pk"))))
       .orderBy("layout")
   }
+
+  /** Hilbert-curve cell index of (a, b) via the native codegen'd
+    * expression [[graft.functions.HilbertKey]] — see there for why the
+    * rotation loop can't be a composed Column. */
+  def hilbertKey(df: DataFrame, a: Column, b: Column, bits: Int = 8): Column = {
+    graft.functions.HilbertKey.register(df.sparkSession)
+    call_function("hilbert_key", a.cast("bigint"), b.cast("bigint"), lit(bits))
+  }
+
+  /** The same walk as portable SQL: returns (roundsCTE, finalRelation)
+    * where roundsCTE unrolls the xy2d loop as `bits` chained CTEs over
+    * a seed relation `h0(id, x, y, d)` the caller provides. Pure
+    * integer CASE/&/xor arithmetic — identical in Spark and DuckDB. */
+  def hilbertSqlRounds(bits: Int = 8): String = {
+    val rounds = (1 to bits).map { r =>
+      val s = 1L << (bits - r)
+      val prev = s"h${r - 1}"
+      s"""h$r AS (
+         |  SELECT id,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      (CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END)
+         |    ELSE x END AS x,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      (CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END)
+         |    ELSE y END AS y,
+         |    d + ${s * s} * xor(
+         |      CASE WHEN (x & $s) > 0 THEN 3 ELSE 0 END,
+         |      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+         |  FROM $prev)""".stripMargin
+    }
+    rounds.mkString(",\n")
+  }
+
+  /** part clustered by the Hilbert index of (p_size, p_partkey & 255):
+    * per-row curve positions, totally ordered by (hkey, p_partkey) —
+    * the write order a Hilbert-clustered rewrite would use, judged
+    * row-exact against the unrolled-SQL oracle. */
+  def partHilbert(part: DataFrame, bits: Int = 8): DataFrame = {
+    val base = part.select(col("p_partkey"),
+      col("p_size").cast("bigint").as("x"),
+      col("p_partkey").bitwiseAND(255).cast("bigint").as("y"))
+    base.select(col("p_partkey"), col("x"), col("y"),
+        hilbertKey(base, col("x"), col("y"), bits).as("hkey"))
+      .orderBy("hkey", "p_partkey")
+  }
 }

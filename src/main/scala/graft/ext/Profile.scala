@@ -725,4 +725,85 @@ object Profile {
         sum("x_norm").as("sum_norm"))
       .orderBy(stratum)
   }
+
+  /** MAD robust outliers — the median-absolute-deviation twin of
+    * [[valueFences]]'s IQR fences. IQR fences collapse when >50% of a
+    * group sits on one value or the tails are one-sided; MAD (median of
+    * |x − median|) is the 50%-breakdown scale estimator and the
+    * standard robust-z denominator in drift monitors. Both medians are
+    * DISCRETE (percentile_disc picks a data point), so every quantity
+    * is an exact BIGINT — no interpolated half-values, no floats, and
+    * the disc rule is already proven engine-portable by x224's gate.
+    *
+    * A point is an outlier iff |x − med| > 3·MAD (the classic "3 MAD"
+    * rule; with MAD = 0 — over half the group on one value — any
+    * deviation at all is flagged, the correct degenerate behavior).
+    *
+    * Scale shape: two grouped percentile_disc aggregations (group-keyed
+    * sort, distributed by group), each followed by a broadcast of the
+    * tiny per-group statistic back onto the data — the same shape as
+    * [[valueFences]], twice. Nothing quadratic, nothing driver-side.
+    *
+    * Output: (grp, n, med_cents, mad_cents, n_outliers, max_dev_cents),
+    * ordered by group. */
+  def madOutliers(df: DataFrame, grp: String, value: Column): DataFrame = {
+    val c = df.select(col(grp),
+      floor(value * 100).cast("bigint").as("cents"))
+    val med = c.groupBy(grp).agg(
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)" +
+        " AS BIGINT)").as("med_cents"))
+    val dev = c.join(broadcast(med), Seq(grp))
+      .withColumn("d", abs(col("cents") - col("med_cents")))
+    val mad = dev.groupBy(grp).agg(
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d)" +
+        " AS BIGINT)").as("mad_cents"))
+    dev.join(broadcast(mad), Seq(grp))
+      .groupBy(grp)
+      .agg(count(lit(1)).as("n"), max("med_cents").as("med_cents"),
+        max("mad_cents").as("mad_cents"),
+        sum(when(col("d") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max("d").as("max_dev_cents"))
+      .select(col(grp), col("n"), col("med_cents"), col("mad_cents"),
+        col("n_outliers"), col("max_dev_cents"))
+      .orderBy(grp)
+  }
+
+  /** Split-conformal threshold calibration — the distribution-free
+    * coverage audit: fit NOTHING, just take the discrete 0.9-quantile
+    * of a calibration half as the threshold, then measure what fraction
+    * of the held-out half falls at or under it. If the data is
+    * exchangeable the empirical coverage concentrates near 90%; a
+    * coverage collapse on fresh data is a drift alarm with a finite-
+    * sample guarantee behind it (split conformal prediction, Papadopoulos
+    * et al. 2002 / Vovk et al.).
+    *
+    * The split is hash-deterministic (event_id parity), the threshold is
+    * a DATA POINT (percentile_disc — exact BIGINT, engine-portable), and
+    * coverage is an integer ppm ratio: no randomness, no floats.
+    *
+    * Scale shape: one grouped percentile_disc over the calibration half,
+    * broadcast of the per-group threshold row, one counting pass over
+    * the test half. Output per group: (grp, n_cal, n_test, thr_cents,
+    * n_covered, coverage_ppm), ordered by group. */
+  def conformalCoverage(df: DataFrame, grp: String, value: Column,
+                        idCol: Column): DataFrame = {
+    val c = df.select(col(grp),
+      floor(value * 100).cast("bigint").as("cents"),
+      (idCol % 2 === 0).as("is_cal"))
+    val thr = c.where(col("is_cal")).groupBy(grp).agg(
+      count(lit(1)).as("n_cal"),
+      expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)" +
+        " AS BIGINT)").as("thr_cents"))
+    c.where(!col("is_cal")).join(broadcast(thr), Seq(grp))
+      .groupBy(grp)
+      .agg(max("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        max("thr_cents").as("thr_cents"),
+        sum(when(col("cents") <= col("thr_cents"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col(grp), col("n_cal"), col("n_test"), col("thr_cents"),
+        col("n_covered"),
+        expr("n_covered * 1000000 div n_test").as("coverage_ppm"))
+      .orderBy(grp)
+  }
 }

@@ -328,6 +328,74 @@ object Sampling {
     * needs a prefix SUM, which no bounded top-k aggregate can carry;
     * partitions stay bounded by stratum count, never global).
     * Output: (stratum, key, n_tok) of the selected rows. */
+  /** Epoch WATERFILLING — the repeat-budget allocator a compute-bound
+    * training run needs: given per-source native token masses n_s, a
+    * total token budget B = total · budNum div budDen, and a repeat cap
+    * of `capEpochs` epochs per source (data quality degrades past a few
+    * repeats — the Muennighoff et al. 2023 "scaling data-constrained"
+    * regime), allocate tokens by water level: every source gets
+    * min(cap_s, λ) with the level λ chosen so allocations sum to B.
+    * Small sources hit their cap and the surplus flows to larger ones —
+    * exactly the "fill the cups" picture, computed in closed form.
+    *
+    * Everything is exact integer arithmetic on the PER-SOURCE table:
+    * caps sorted ascending, one cumulative sum, and the classic
+    * monotone test S_k + (m−k)·c_k ≤ B counts how many sources cap out
+    * (k*); then λ = (B − S_k*) div (m − k*). The division's remainder
+    * r (< m − k*) is distributed +1 to the r alphabetically-first
+    * sources with slack (cap > λ), so Σ alloc = B exactly except in
+    * the tie case cap = λ (shortfall ≤ ties, deterministic both
+    * engines). If B ≥ Σ cap, every source caps and the budget is
+    * deliberately underspent — repeating data past the cap is the
+    * thing this operator exists to refuse.
+    *
+    * Scale shape: ONE corpus-wide keyed aggregation (map-side
+    * combinable) produces the per-source mass table; every window and
+    * cross join after that runs on that TINY table (|sources| rows) —
+    * the global sort is bounded by source cardinality, never data.
+    *
+    * Output: (stratum, native_tokens, cap_tokens, alloc_tokens,
+    * epochs_x1000 = alloc·1000 div native), ordered by stratum. */
+  def epochWaterfill(df: DataFrame, stratum: String, weight: Column,
+                     capEpochs: Int, budNum: Long, budDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(capEpochs >= 1 && budNum > 0 && budDen > 0,
+      s"bad parameters: cap=$capEpochs budget=$budNum/$budDen")
+    val sizes = df.groupBy(col(stratum).as("s"))
+      .agg(sum(weight).cast("bigint").as("n"))
+      .withColumn("cap", lit(capEpochs.toLong) * col("n"))
+    val tot = sizes.agg(sum("n").as("tn"), count(lit(1)).as("m"))
+      .select(expr(s"tn * $budNum div $budDen").as("bud"), col("m"))
+    val wAsc = Window.orderBy(col("cap"), col("s"))
+    val st = sizes.crossJoin(broadcast(tot))
+      .withColumn("k", row_number().over(wAsc).cast("bigint"))
+      .withColumn("sk", sum(col("cap")).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ok",
+        col("sk") + (col("m") - col("k")) * col("cap") <= col("bud"))
+    val kstar = st.agg(
+      sum(when(col("ok"), 1L).otherwise(0L)).as("kstar"),
+      coalesce(max(when(col("ok"), col("sk"))), lit(0L)).as("skstar"))
+    val based = st.crossJoin(broadcast(kstar))
+      .withColumn("lam", when(col("kstar") < col("m"),
+        expr("(bud - skstar) div (m - kstar)")))
+      .withColumn("base", when(col("k") <= col("kstar"), col("cap"))
+        .otherwise(least(col("cap"), col("lam"))))
+    val spent = based.agg((max("bud") - sum("base")).as("r"))
+    val wBump = Window.orderBy("s")
+    val bumped = based.crossJoin(broadcast(spent))
+      .withColumn("eligible", col("k") > col("kstar") && col("cap") > col("lam"))
+      .withColumn("brank",
+        sum(when(col("eligible"), 1L).otherwise(0L)).over(
+          wBump.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("alloc", col("base") +
+        when(col("eligible") && col("brank") <= col("r"), 1L).otherwise(0L))
+    bumped.select(col("s").as(stratum), col("n").as("native_tokens"),
+        col("cap").as("cap_tokens"), col("alloc").as("alloc_tokens"),
+        expr("alloc * 1000 div n").as("epochs_x1000"))
+      .orderBy(stratum)
+  }
+
   def tokenBudgetMix(df: DataFrame, stratum: String, key: String,
                      text: String, tokenBudget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1166,4 +1166,46 @@ object Similarity {
         sum("d2").as("l2sq"))
       .orderBy("label_a", "label_b")
   }
+
+  /** Retrieval MRR — mean-reciprocal-rank's per-query form: for each
+    * query vector, the rank of the FIRST same-label corpus vector under
+    * (quantized dot desc, vec_id asc), and its reciprocal in exact ppm.
+    * This is the eval that catches a broken embedding space even when
+    * top-k overlap metrics look fine: if the nearest same-class item
+    * ranks 400th, recall@10 is silently 0 but MRR says exactly how bad.
+    *
+    * NO top-k sort, NO per-query ranking window: first_rank is
+    * 1 + |{neighbors strictly better than the best same-label one}|,
+    * so the whole eval is two broadcast-query scans of the corpus with
+    * aggregates keyed by qid — each partition streams its corpus slice
+    * through the codegen'd dot, nothing pair-shaped is ever shuffled
+    * (the scored pair set is pinned once for the two consumers).
+    *
+    * Queries with no same-label corpus vector at all drop out (inner
+    * join) — they have no defined rank. Output: (qid, qlabel,
+    * first_rank, rr_ppm), ordered by qid. */
+  def retrievalMrr(emb: DataFrame, step: Int): DataFrame = {
+    val q = emb.where(col("vec_id") % step === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val scored = CacheRegistry.pin(
+      broadcast(q).join(emb, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          dotQNative(emb, col("qe"), col("embedding")).as("dot_q")))
+    // best same-label neighbor per query: max over (dot_q, -vec_id)
+    // structs — associative, partial-agg safe
+    val best = scored.where(col("label") === col("qlabel"))
+      .groupBy("qid")
+      .agg(max(struct(col("dot_q"), (-col("vec_id")).as("nid"))).as("b"))
+      .select(col("qid"), col("b.dot_q").as("bd"), (-col("b.nid")).as("bid"))
+    scored.join(broadcast(best), Seq("qid"))
+      .groupBy("qid")
+      .agg(max("qlabel").as("qlabel"),
+        (sum(when(col("dot_q") > col("bd") ||
+            (col("dot_q") === col("bd") && col("vec_id") < col("bid")),
+          1L).otherwise(0L)) + 1L).as("first_rank"))
+      .select(col("qid"), col("qlabel"), col("first_rank"),
+        expr("1000000 div first_rank").as("rr_ppm"))
+      .orderBy("qid")
+  }
 }

@@ -52,6 +52,59 @@ object TimeSeries {
       .orderBy(keyCol, "day")
   }
 
+  /** Linear-INTERPOLATION gap fill — the arithmetic sibling of
+    * [[gapFillLocf]]: a missing day between two observed days gets the
+    * value linearly interpolated between its neighbors instead of a
+    * held-last copy. LOCF is right for state-like series (a price holds
+    * until changed); interpolation is right for flow-like series (a
+    * meter read on Mon and Thu implies Tue/Wed in between). Exactness:
+    * values are integer cents and the interpolation is
+    *   prev + (next − prev) · (day − prevDay) div (nextDay − prevDay)
+    * — one integer division, truncation toward zero in both engines,
+    * so the fill is bit-portable with no float ramp.
+    *
+    * Scale shape: identical to LOCF — one keyed daily aggregate, a
+    * per-key calendar explode bounded by `maxSpanDays`, and TWO
+    * one-row-state windows per key (last-observed-before carries
+    * (prevDay, prevVal) forward; first-observed-after carries
+    * (nextDay, nextVal) backward). The spine never leaves its key's
+    * partition; nothing global.
+    *
+    * Output: (key, day DATE, cents_filled, is_interp 0/1), totally
+    * ordered by (key, day). */
+  def gapFillInterp(events: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, idCol: String,
+                    maxSpanDays: Int = 3700): DataFrame = {
+    require(maxSpanDays >= 1, s"maxSpanDays must be positive")
+    val daily = events
+      .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(expr(s"max_by(CAST(floor($valCol * 100) AS BIGINT), $idCol)")
+        .as("v"))
+    val cal = daily.groupBy("k")
+      .agg(min(col("day")).as("a"), max(col("day")).as("b"))
+      .where(datediff(col("b"), col("a")) < maxSpanDays)
+      .select(col("k"), explode(expr("sequence(a, b, interval 1 day)"))
+        .as("day"))
+    val back = Window.partitionBy("k").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("k").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cal.join(daily, Seq("k", "day"), "left")
+      .select(col("k"), col("day"), col("v"),
+        last(when(col("v").isNotNull, struct(col("day"), col("v"))),
+          ignoreNulls = true).over(back).as("p"),
+        first(when(col("v").isNotNull, struct(col("day"), col("v"))),
+          ignoreNulls = true).over(fwd).as("nx"))
+      .select(col("k").as(keyCol), col("day"),
+        when(col("v").isNotNull, col("v")).otherwise(
+          col("p.v") + expr(
+            "((nx.v - p.v) * CAST(datediff(day, p.day) AS BIGINT))" +
+              " div CAST(datediff(nx.day, p.day) AS BIGINT)"))
+          .as("cents_filled"),
+        when(col("v").isNull, 1).otherwise(0).as("is_interp"))
+      .orderBy(keyCol, "day")
+  }
+
   /** Linear multi-touch attribution: each conversion's value is split
     * in exact integer cents across the touch events that precede it
     * within `windowDays` for the same key; remainder cents go one

@@ -7431,7 +7431,234 @@ object Extensions {
         |  md5(string_agg(CAST(event_id AS VARCHAR), ','
         |    ORDER BY epoch_us(ts), event_id)) AS chain_hash
         |FROM events WHERE user_id IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // exact prefix-containment (truncation) dedup via the sorted-
+    // successor trick; the corpus is seeded with deterministic
+    // truncated copies (same derivation in the oracle) so the
+    // operator is exercised for real, not on an empty natural set
+    Q.df("x303_truncation_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val trunc = docs
+          .where(col("doc_id") % 7 === 0 && col("n_chars") >= 40)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("substring(text, 1, CAST(n_chars div 2 AS INT))").as("text"))
+        Dedup.truncationDupes(
+          docs.select("doc_id", "text").unionByName(trunc))
+      },
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, CAST(n_chars // 2 AS INT))
+        |  FROM documents WHERE doc_id % 7 = 0 AND n_chars >= 40),
+        |own AS (SELECT text AS t, min(doc_id) AS owner FROM corpus GROUP BY 1),
+        |srt AS (SELECT t, owner, lead(t) OVER (ORDER BY t) AS nxt,
+        |        lead(owner) OVER (ORDER BY t) AS nxt_owner FROM own),
+        |flag AS (SELECT t, nxt_owner FROM srt
+        |         WHERE nxt IS NOT NULL AND starts_with(nxt, t))
+        |SELECT c.doc_id AS doc_id,
+        |  CAST(length(c.text) AS BIGINT) AS n_chars_trunc,
+        |  f.nxt_owner AS container_id
+        |FROM corpus c JOIN flag f ON c.text = f.t
+        |ORDER BY doc_id""".stripMargin),
+
+    // MAD robust outliers: discrete-median absolute deviation, the
+    // 50%-breakdown twin of the IQR fences (x224's percentile_disc
+    // parity rule, verified n=1..12 both engines)
+    Q.df("x304_mad_outliers",
+      (s, dir) => Profile.madOutliers(
+        Tables.load(s, dir, "events"), "event_type", col("value")),
+      """WITH c AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |med AS (SELECT event_type,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS med_cents FROM c GROUP BY 1),
+        |dev AS (SELECT c.event_type, cents, med_cents,
+        |    abs(cents - med_cents) AS d FROM c JOIN med USING (event_type)),
+        |mad AS (SELECT event_type,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d)
+        |      AS BIGINT) AS mad_cents FROM dev GROUP BY 1)
+        |SELECT dev.event_type AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(med_cents) AS med_cents, max(mad_cents) AS mad_cents,
+        |  CAST(sum(CASE WHEN d > 3 * mad_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  max(d) AS max_dev_cents
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // retrieval MRR: rank of the first same-label neighbor under the
+    // quantized dot, computed rank-free (1 + count of strictly-better
+    // neighbors) — no top-k window over the pair set
+    Q.df("x305_retrieval_mrr",
+      (s, dir) => Similarity.retrievalMrr(
+        Tables.load(s, dir, "embeddings"), 100),
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |pairs AS (
+        |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+        |    CAST(sum(CAST(floor(CAST(qe[i] AS DOUBLE) * 10000) AS BIGINT)
+        |           * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000)
+        |               AS BIGINT)) AS BIGINT) AS dot_q
+        |  FROM q, embeddings e, range(1, 65) r(i)
+        |  WHERE q.qid <> e.vec_id GROUP BY 1, 2, 3, 4),
+        |best AS (
+        |  SELECT qid, dot_q AS bd, vec_id AS bid FROM (
+        |    SELECT qid, dot_q, vec_id, row_number() OVER (
+        |        PARTITION BY qid ORDER BY dot_q DESC, vec_id) AS rn
+        |    FROM pairs WHERE label = qlabel) x WHERE rn = 1)
+        |SELECT qid, qlabel, first_rank,
+        |  CAST(1000000 // first_rank AS BIGINT) AS rr_ppm
+        |FROM (
+        |  SELECT p.qid AS qid, max(p.qlabel) AS qlabel,
+        |    CAST(1 + sum(CASE WHEN p.dot_q > b.bd OR
+        |        (p.dot_q = b.bd AND p.vec_id < b.bid) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS first_rank
+        |  FROM pairs p JOIN best b USING (qid) GROUP BY p.qid) y
+        |ORDER BY qid""".stripMargin),
+
+    // split-conformal coverage: parity-split calibration, discrete 0.9
+    // threshold (a data point — exact BIGINT), held-out coverage ppm
+    Q.df("x306_conformal_coverage",
+      (s, dir) => Profile.conformalCoverage(
+        Tables.load(s, dir, "events"), "event_type", col("value"),
+        col("event_id")),
+      """WITH c AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    event_id % 2 = 0 AS is_cal FROM events),
+        |thr AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+        |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS thr_cents
+        |  FROM c WHERE is_cal GROUP BY 1)
+        |SELECT c.event_type AS event_type, max(n_cal) AS n_cal,
+        |  CAST(count(*) AS BIGINT) AS n_test, max(thr_cents) AS thr_cents,
+        |  CAST(sum(CASE WHEN cents <= thr_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  CAST(sum(CASE WHEN cents <= thr_cents THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+        |FROM c JOIN thr USING (event_type) WHERE NOT is_cal
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Hilbert-curve clustering key: the native codegen'd xy2d walk,
+    // judged row-exact against the same walk unrolled as SQL CTEs
+    Q.df("x307_hilbert_layout",
+      (s, dir) => graft.ext.Layout.partHilbert(Tables.load(s, dir, "part")),
+      s"""WITH h0 AS (
+         |  SELECT p_partkey AS id, CAST(p_size AS BIGINT) AS x,
+         |    CAST(p_partkey & 255 AS BIGINT) AS y, CAST(0 AS BIGINT) AS d
+         |  FROM part),
+         |${graft.ext.Layout.hilbertSqlRounds(8)}
+         |SELECT p.p_partkey AS p_partkey, CAST(p.p_size AS BIGINT) AS x,
+         |  CAST(p.p_partkey & 255 AS BIGINT) AS y, CAST(h8.d AS BIGINT) AS hkey
+         |FROM part p JOIN h8 ON h8.id = p.p_partkey
+         |ORDER BY hkey, p_partkey""".stripMargin),
+
+    // epoch waterfilling: closed-form capped token-budget allocation
+    // over the per-source mass table, exact-integer water level +
+    // largest-remainder top-up
+    Q.df("x308_epoch_waterfill",
+      (s, dir) => Sampling.epochWaterfill(
+        Tables.load(s, dir, "documents"), "source", col("n_chars"),
+        3, 17L, 10L),
+      """WITH sizes AS (SELECT source AS s, CAST(sum(n_chars) AS BIGINT) AS n
+        |               FROM documents GROUP BY 1),
+        |caps AS (SELECT s, n, 3 * n AS cap FROM sizes),
+        |tot AS (SELECT CAST(sum(n) * 17 // 10 AS BIGINT) AS bud,
+        |               CAST(count(*) AS BIGINT) AS m FROM sizes),
+        |st AS (SELECT s, n, cap, bud, m,
+        |    CAST(row_number() OVER (ORDER BY cap, s) AS BIGINT) AS k,
+        |    CAST(sum(cap) OVER (ORDER BY cap, s ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS sk
+        |  FROM caps, tot),
+        |flags AS (SELECT *, (sk + (m - k) * cap <= bud) AS ok FROM st),
+        |kst AS (SELECT CAST(coalesce(sum(CASE WHEN ok THEN 1 END), 0)
+        |      AS BIGINT) AS kstar,
+        |    CAST(coalesce(max(CASE WHEN ok THEN sk END), 0) AS BIGINT)
+        |      AS skstar FROM flags),
+        |based AS (SELECT f.*, kstar, skstar,
+        |    CASE WHEN kstar < m THEN (bud - skstar) // (m - kstar) END AS lam,
+        |    CASE WHEN k <= kstar THEN cap ELSE least(cap,
+        |      CASE WHEN kstar < m THEN (bud - skstar) // (m - kstar) END)
+        |    END AS base
+        |  FROM flags f, kst),
+        |sp AS (SELECT CAST(max(bud) - sum(base) AS BIGINT) AS r FROM based),
+        |bumped AS (SELECT b.*, r,
+        |    (k > kstar AND cap > lam) AS eligible,
+        |    CAST(sum(CASE WHEN (k > kstar AND cap > lam) THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) AS BIGINT) AS brank
+        |  FROM based b, sp)
+        |SELECT s AS source, n AS native_tokens, cap AS cap_tokens,
+        |  CAST(base + CASE WHEN eligible AND brank <= r THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc_tokens,
+        |  CAST((base + CASE WHEN eligible AND brank <= r THEN 1 ELSE 0 END)
+        |    * 1000 // n AS BIGINT) AS epochs_x1000
+        |FROM bumped ORDER BY source""".stripMargin),
+
+    // linear-interpolation gap fill (the flow-series sibling of x184's
+    // LOCF): integer-cents ramp between observed neighbors
+    Q.df("x309_gapfill_interp",
+      (s, dir) => TimeSeries.gapFillInterp(
+          Tables.load(s, dir, "events").where(col("user_id") % 5 === 0)
+            .withColumn("k2",
+              concat_ws("|", col("user_id"), col("event_type"))),
+          "k2", "ts", "value", "event_id")
+        // DATE columns render differently in the two compare paths
+        // (pandas datetime64 vs datetime.date) — ship the day as text
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd")),
+      """WITH ev AS (SELECT user_id || '|' || event_type AS k2, ts, value,
+        |            event_id FROM events WHERE user_id % 5 = 0),
+        |daily AS (SELECT k2, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(max_by(CAST(floor(value * 100) AS BIGINT), event_id)
+        |      AS BIGINT) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT k2, min(day) AS a, max(day) AS b FROM daily
+        |         GROUP BY 1),
+        |cal AS (SELECT k2,
+        |    unnest(generate_series(a, b, INTERVAL 1 DAY))::DATE AS day
+        |  FROM span),
+        |j AS (SELECT c.k2, c.day, d.v FROM cal c
+        |      LEFT JOIN daily d ON d.k2 = c.k2 AND d.day = c.day),
+        |f AS (SELECT k2, day, v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER w AS pd,
+        |    last_value(v IGNORE NULLS) OVER w AS pv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER w2 AS nd,
+        |    first_value(v IGNORE NULLS) OVER w2 AS nv
+        |  FROM j WINDOW
+        |    w AS (PARTITION BY k2 ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW),
+        |    w2 AS (PARTITION BY k2 ORDER BY day ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING))
+        |SELECT k2, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + ((nv - pv) * date_diff('day', pd, day))
+        |      // date_diff('day', pd, nd) END AS BIGINT) AS cents_filled,
+        |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_interp
+        |FROM f ORDER BY k2, day""".stripMargin),
+
+    // 2-D Pareto frontier over (type-token ratio, token count): the
+    // non-dominated docs of the quality-vs-length tradeoff
+    Q.df("x310_pareto_frontier",
+      (s, dir) => Curation.paretoFrontier(
+        TextStats.stats(Tables.load(s, dir, "documents")),
+        "doc_id", col("ttr_x10k"), col("n_tok")),
+      s"""WITH $duckTok,
+         |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(floor(10000.0 * count(DISTINCT w) / count(*)) AS BIGINT)
+         |      AS a
+         |  FROM tok GROUP BY doc_id),
+         |pts AS (SELECT doc_id AS id, a, n_tok AS b FROM st),
+         |bya AS (SELECT a, max(b) AS mb FROM pts GROUP BY 1),
+         |fr AS (SELECT a, mb AS b FROM (
+         |    SELECT a, mb, max(mb) OVER (ORDER BY a DESC ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS better FROM bya) z
+         |  WHERE better IS NULL OR mb > better)
+         |SELECT p.a AS a, p.b AS b, CAST(min(id) AS BIGINT) AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pts p JOIN fr ON p.a = fr.a AND p.b = fr.b
+         |GROUP BY 1, 2 ORDER BY a""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Preference.bradleyTerry]]: the MM
