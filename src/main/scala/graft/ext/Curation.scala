@@ -157,4 +157,76 @@ object Curation {
       .agg(min("id").as("doc_id"), count(lit(1)).as("n_docs"))
       .orderBy("a")
   }
+
+  /** Word-3-gram shingles of one doc, built in-row (no shuffle);
+    * `keep` carries extra doc columns through. */
+  private def shingles3(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    docs.select(col("doc_id").cast("bigint").as("doc_id") +: keep.map(col) :+
+        TextStats.tokensCol(col("text")).as("t"): _*)
+      .select(col("doc_id") +: keep.map(col) :+ explode(expr(
+        """CASE WHEN size(t) < 3 THEN array()
+          |ELSE transform(sequence(1, size(t) - 2),
+          |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1),
+          |              ' ', element_at(t, i + 2)))
+          |END""".stripMargin)).as("s"): _*)
+
+  /** Corpus novelty-decay curve — the diminishing-returns audit run
+    * before buying/crawling MORE of the same data: docs are grouped
+    * into arrival buckets (doc_id div bucket) and each bucket reports
+    * what fraction of its distinct word-3-gram shingles was never
+    * seen in any earlier document (ppm, exact). A flattening curve
+    * means new data is re-treading old content and dedup/mixing
+    * budgets should shift.
+    *
+    * Scale shape: one in-row shingling, one distinct on (doc, s),
+    * one hash-aggregate min(doc_id) per shingle (the "first owner"),
+    * one equi-join back, two keyed aggregates — all shuffle keys are
+    * shingles or doc ids, never pair sets. */
+  def noveltyCurve(docs: DataFrame, bucket: Int = 50): DataFrame = {
+    val ds = shingles3(docs).select("doc_id", "s").distinct()
+    val owner = ds.groupBy("s").agg(min("doc_id").as("owner"))
+    ds.join(owner, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .groupBy(expr(s"doc_id div $bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_sh").as("n_shingles"),
+        sum("n_novel").as("n_novel"))
+      .select(col("bucket"), col("n_docs"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000 div n_shingles").as("novelty_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** Cross-source contamination matrix — pairwise overlap of the
+    * DISTINCT word-3-gram shingle sets of every source pair (shared
+    * count + exact Jaccard ppm). The "is source B just a re-crawl of
+    * source A" audit, and the leakage check before treating sources
+    * as independent mixture components.
+    *
+    * Scale shape: the corpus collapses to the distinct (source,
+    * shingle) inverted index first (one hash-aggregate); the pair
+    * join is an EQUI-join on the shingle key over that index, so a
+    * shingle present in p sources costs p^2 grid rows, bounded by
+    * |sources|^2 — at 100 TB you'd drop the head shingles present in
+    * every source first (they contribute a constant to every cell).
+    * Output is one row per unordered source pair. */
+  def contaminationMatrix(docs: DataFrame): DataFrame = {
+    val st = shingles3(docs, Seq("source")).select("source", "s").distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = st.select(col("source").as("src_a"), col("s"))
+      .join(st.select(col("source").as("src_b"), col("s")), Seq("s"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        expr("n_shared * 1000000 div (n_a + n_b - n_shared)")
+          .as("jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
 }

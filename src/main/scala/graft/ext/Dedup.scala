@@ -1340,4 +1340,41 @@ object Dedup {
         col("container_id"))
       .orderBy("doc_id")
   }
+
+  /** Segment-level (paragraph-chunk) exact dedup — the C4/RefinedWeb
+    * "repeated boilerplate lines" rule re-expressed for a corpus
+    * without newlines: each doc is cut into NON-OVERLAPPING w-word
+    * chunks (full chunks only) and a chunk counts as duplicated when
+    * its exact text occurs in >= 2 distinct documents. Per doc:
+    * chunk count, duplicated-chunk count, and the dup fraction in ppm
+    * (exact integer division).
+    *
+    * Scale shape: one in-row chunking (transform over the token
+    * array, zero shuffles), one hash-aggregate on the chunk text
+    * (map-side combinable; the shuffle key is the chunk string — at
+    * 100 TB you'd md5 it to pin the key at 16 bytes), one equi-join
+    * of the instances against the multi-doc chunk set, one keyed
+    * per-doc aggregate. Never all-pairs, never a global window. Docs
+    * with fewer than w tokens contribute no chunks and drop out. */
+  def segmentDupes(docs: DataFrame, w: Int = 3): DataFrame = {
+    val segs = docs
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        TextStats.tokensCol(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(t) < $w THEN array()
+           |ELSE transform(sequence(0, size(t) div $w - 1),
+           |  j -> array_join(slice(t, j * $w + 1, $w), ' '))
+           |END""".stripMargin)).as("seg"))
+    val multi = segs.groupBy("seg")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("seg"), lit(1L).as("is_dup"))
+    segs.join(multi, Seq("seg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_segments"))
+      .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
+        expr("n_dup_segments * 1000000 div n_segments").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
 }

@@ -806,4 +806,94 @@ object Profile {
         expr("n_covered * 1000000 div n_test").as("coverage_ppm"))
       .orderBy(grp)
   }
+
+  /** Cohen's kappa inter-annotator agreement per group — the label-
+    * quality audit run before trusting crowd/model annotations. Two
+    * deterministic raters are derived from the value column (rater B
+    * is a noisy copy of rater A, so agreement is high but imperfect):
+    * observed agreement po, chance agreement pe (product of the
+    * marginals), and kappa = (po - pe)/(1 - pe), all in exact ppm.
+    *
+    * Scale shape: ONE corpus aggregate to the (group, a, b) cell
+    * table — bounded by |groups| x |classes|^2, here 5 x 9 — and
+    * every statistic (totals, marginals, marginal products) is
+    * computed on that bounded table. The kappa numerator is
+    * non-negative by construction (B is a noisy copy of A, so
+    * po > pe); the ppm divisions stay in the engines' common
+    * truncating-division regime. */
+  def cohenKappa(events: DataFrame, grp: String = "event_type"): DataFrame = {
+    val rated = events.select(col(grp),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+        col("event_id").cast("bigint").as("eid"))
+      .select(col(grp),
+        expr("CASE WHEN cents < 2000 THEN 0 WHEN cents < 6000 THEN 1 ELSE 2 END")
+          .as("ra"),
+        expr("""CASE WHEN cents + (eid * 37) % 1000 - 500 < 2000 THEN 0
+               |     WHEN cents + (eid * 37) % 1000 - 500 < 6000 THEN 1
+               |     ELSE 2 END""".stripMargin).as("rb"))
+    val cells = rated.groupBy(col(grp), col("ra"), col("rb"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy(grp)
+      .agg(sum("c").as("n"),
+        sum(when(col("ra") === col("rb"), col("c")).otherwise(0L)).as("agree"))
+    val mA = cells.groupBy(col(grp), col("ra").as("cls")).agg(sum("c").as("na"))
+    val mB = cells.groupBy(col(grp), col("rb").as("cls")).agg(sum("c").as("nb"))
+    val pe = mA.join(mB, Seq(grp, "cls"))
+      .groupBy(grp).agg(sum(col("na") * col("nb")).as("prod"))
+    totals.join(pe, Seq(grp))
+      .select(col(grp), col("n"),
+        expr("agree * 1000000 div n").as("po_ppm"),
+        expr("prod * 1000000 div (n * n)").as("pe_ppm"))
+      .select(col(grp), col("n"), col("po_ppm"), col("pe_ppm"),
+        // pe = 1 forces po = 1 (one marginal class on both sides):
+        // kappa is pinned at 1e6 instead of dividing by zero
+        expr("""CASE WHEN pe_ppm >= 1000000 THEN 1000000
+               |ELSE (po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)
+               |END""".stripMargin).as("kappa_ppm"))
+      .orderBy(grp)
+  }
+
+  /** Exact 1-Wasserstein (earth-mover) distance of each source's
+    * length distribution against a baseline source — the drift metric
+    * that, unlike KS (x214), weighs HOW FAR mass moved, not just the
+    * largest CDF gap. Integer-exact: with counts cumA/cumB on the
+    * global value grid, W1 * nA * nB = sum over consecutive grid
+    * values of |cumA*nB - cumB*nA| * (v_next - v); the output carries
+    * that scaled integer plus micro-chars (x1e6 truncating div).
+    *
+    * Scale shape: ONE corpus aggregate to the (source, value) count
+    * table; the grid (all sources x all distinct values), the
+    * per-source cumulative sums (windows PARTITIONED by source over
+    * the bounded grid), and the pair sum all live on that bounded
+    * table — |sources| x |distinct lengths| rows, never corpus rows. */
+  def wassersteinDrift(docs: DataFrame, baseSource: String = "src0",
+                       valueCol: String = "n_chars"): DataFrame = {
+    val vc = docs.groupBy(col("source"), col(valueCol).cast("bigint").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val values = vc.select("v").distinct()
+    val sources = vc.select("source").distinct()
+      .where(col("source") =!= baseSource)
+    val baseCnt = vc.where(col("source") === baseSource)
+      .select(col("v"), col("c").as("cb"))
+    val grid = sources.crossJoin(values)
+      .join(vc, Seq("source", "v"), "left")
+      .join(baseCnt, Seq("v"), "left")
+      .na.fill(0L, Seq("c", "cb"))
+    val w = Window.partitionBy("source").orderBy("v")
+    val stepped = grid
+      .withColumn("cumA", sum("c").over(w))
+      .withColumn("cumB", sum("cb").over(w))
+      .withColumn("nextV", lead(col("v"), 1).over(w))
+      .where(col("nextV").isNotNull)
+    val totA = vc.where(col("source") =!= baseSource)
+      .groupBy("source").agg(sum("c").as("n_a"))
+    val totB = baseCnt.agg(sum("cb").as("n_b"))
+    stepped.join(totA, Seq("source")).crossJoin(broadcast(totB))
+      .groupBy(col("source"), col("n_a"), col("n_b"))
+      .agg(sum(abs(col("cumA") * col("n_b") - col("cumB") * col("n_a"))
+        * (col("nextV") - col("v"))).as("w1_scaled"))
+      .select(col("source"), col("n_a"), col("n_b"), col("w1_scaled"),
+        expr("w1_scaled * 1000000 div (n_a * n_b)").as("w1_micro"))
+      .orderBy("source")
+  }
 }

@@ -598,4 +598,29 @@ object Sampling {
         col("n_reps"), col("lo95_x10k"), col("med_x10k"), col("hi95_x10k"))
       .orderBy(stratum)
   }
+
+  /** Inverse-frequency length-balancing weights — the sampling
+    * weights that flatten a skewed document-length distribution:
+    * docs are bucketed by n_chars div width, and each bucket gets
+    * weight N * 1e6 div (B * n_b) ppm (N = corpus size, B = number
+    * of inhabited buckets, n_b = bucket count), so expected sampled
+    * mass is uniform across buckets. Beside each weight: the bucket's
+    * natural share (ppm) for the before/after comparison.
+    *
+    * Scale shape: one map-side-combinable aggregate to the bucket
+    * table (bounded by the length range / width), then the scalar
+    * totals crossed back in via broadcast — corpus rows are touched
+    * exactly once. */
+  def lengthBalanceWeights(docs: DataFrame, width: Int = 50): DataFrame = {
+    val buckets = docs
+      .groupBy(expr(s"CAST(n_chars div $width AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = buckets.agg(sum("n_docs").as("n_total"),
+      count(lit(1)).as("n_buckets"))
+    buckets.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_docs"),
+        expr("n_docs * 1000000 div n_total").as("share_ppm"),
+        expr("n_total * 1000000 div (n_buckets * n_docs)").as("weight_ppm"))
+      .orderBy("bucket")
+  }
 }

@@ -1208,4 +1208,34 @@ object Similarity {
         expr("1000000 div first_rank").as("rr_ppm"))
       .orderBy("qid")
   }
+
+  /** Labeled precision@k — the retrieval-quality gate beside MRR
+    * ([[retrievalMrr]]): for each probe (every step-th vector), the
+    * fraction of its k nearest neighbors (quantized dot, ties by
+    * vec_id) sharing the probe's label, in exact ppm.
+    *
+    * Scale shape: the probe side is broadcast; each partition scores
+    * its corpus slice with the codegen'd quant_dot and folds it into
+    * the bounded top-k aggregate ([[rankTopK]]) — the exchange
+    * carries at most k rows per (partition, probe), never the scored
+    * pair set. Neighbor labels come back via one equi-join of the
+    * |probes| x k winner table against the corpus ids. */
+  def precisionAtK(emb: DataFrame, step: Int, k: Int): DataFrame = {
+    val q = emb.where(col("vec_id") % step === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val pairs = broadcast(q).join(emb, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
+    rankTopK(pairs, k)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(broadcast(q.select(col("qid"), col("qlabel"))), Seq("qid"))
+      .groupBy("qid")
+      .agg(max("qlabel").as("qlabel"),
+        sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("qid"), col("qlabel"), col("n_hits"),
+        expr(s"n_hits * 1000000 div $k").as("p_at_k_ppm"))
+      .orderBy("qid")
+  }
 }

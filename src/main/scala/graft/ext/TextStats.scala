@@ -1061,4 +1061,44 @@ object TextStats {
         countDistinct(col("d")).as("n_docs_within3"))
       .orderBy("w1", "w2")
   }
+
+  /** Intra-document repetition audit — the Gopher-style "repetitious
+    * document" quality rule: per doc the duplicate-word fraction
+    * (1 - types/tokens), the most-frequent-word share, and the
+    * duplicate-bigram fraction, each as an exact ppm. A doc whose
+    * top word dominates or whose bigrams collapse onto a few types
+    * is boilerplate/spam, not prose — these three columns are the
+    * standard filter inputs.
+    *
+    * Scale shape: tokens and bigrams are built in-row (transform over
+    * the token array), then two map-side-combinable keyed aggregates
+    * per doc — the shuffle carries (doc_id, term) counts, never text
+    * pair sets. Output one row per doc. */
+  def repetitionAudit(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id").cast("bigint").as("doc_id"),
+      tokensCol(col("text")).as("t"))
+    val wordAgg = toks
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), count(lit(1)).as("n_types"),
+        max("c").as("top_c"))
+    val biAgg = toks
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) < 2 THEN array()
+          |ELSE transform(sequence(1, size(t) - 1),
+          |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+          |END""".stripMargin)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), count(lit(1)).as("n_bitypes"))
+    wordAgg.join(biAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_types"),
+        expr("(n_words - n_types) * 1000000 div n_words").as("dup_word_ppm"),
+        expr("top_c * 1000000 div n_words").as("top_word_ppm"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("(n_bigrams - n_bitypes) * 1000000 div n_bigrams"),
+          lit(0L)).as("dup_bigram_ppm"))
+      .orderBy("doc_id")
+  }
 }

@@ -7658,7 +7658,192 @@ object Extensions {
          |SELECT p.a AS a, p.b AS b, CAST(min(id) AS BIGINT) AS doc_id,
          |  CAST(count(*) AS BIGINT) AS n_docs
          |FROM pts p JOIN fr ON p.a = fr.a AND p.b = fr.b
-         |GROUP BY 1, 2 ORDER BY a""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY a""".stripMargin),
+
+    // segment-level exact dedup: non-overlapping 3-word chunks; a
+    // chunk is duplicated when its text occurs in >= 2 distinct docs
+    Q.df("x311_segment_dedup",
+      (s, dir) => Dedup.segmentDupes(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |seg AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS seg
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         |  WHERE a.pos % 3 = 1),
+         |multi AS (SELECT seg FROM seg GROUP BY 1
+         |          HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT s.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(count(m.seg) AS BIGINT) AS n_dup_segments,
+         |  CAST(count(m.seg) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+         |FROM seg s LEFT JOIN multi m USING (seg)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Gopher-style intra-doc repetition audit: duplicate-word /
+    // top-word / duplicate-bigram fractions, exact ppm
+    Q.df("x312_repetition_audit",
+      (s, dir) => TextStats.repetitionAudit(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(max(c) AS BIGINT) AS top_c FROM wc GROUP BY 1),
+         |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS b
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         |ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |    CAST(count(*) AS BIGINT) AS n_bitypes FROM bc GROUP BY 1)
+         |SELECT wa.doc_id AS doc_id, n_words, n_types,
+         |  (n_words - n_types) * 1000000 // n_words AS dup_word_ppm,
+         |  top_c * 1000000 // n_words AS top_word_ppm,
+         |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce((n_bigrams - n_bitypes) * 1000000 // n_bigrams, 0)
+         |    AS BIGINT) AS dup_bigram_ppm
+         |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+         |ORDER BY 1""".stripMargin),
+
+    // Cohen's kappa per event_type: rater B is a deterministic noisy
+    // copy of rater A; po/pe/kappa in exact ppm off the bounded
+    // (group, a, b) cell table
+    Q.df("x313_cohen_kappa",
+      (s, dir) => Profile.cohenKappa(Tables.load(s, dir, "events")),
+      """WITH r AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    event_id AS eid FROM events),
+        |ab AS (SELECT event_type,
+        |    CASE WHEN cents < 2000 THEN 0 WHEN cents < 6000 THEN 1
+        |      ELSE 2 END AS ra,
+        |    CASE WHEN cents + (eid * 37) % 1000 - 500 < 2000 THEN 0
+        |      WHEN cents + (eid * 37) % 1000 - 500 < 6000 THEN 1
+        |      ELSE 2 END AS rb FROM r),
+        |cells AS (SELECT event_type, ra, rb, count(*) AS c
+        |  FROM ab GROUP BY 1, 2, 3),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT) AS agree
+        |  FROM cells GROUP BY 1),
+        |ma AS (SELECT event_type, ra AS cls, sum(c) AS na
+        |  FROM cells GROUP BY 1, 2),
+        |mb AS (SELECT event_type, rb AS cls, sum(c) AS nb
+        |  FROM cells GROUP BY 1, 2),
+        |pe AS (SELECT ma.event_type, CAST(sum(na * nb) AS BIGINT) AS prod
+        |  FROM ma JOIN mb ON ma.event_type = mb.event_type
+        |    AND ma.cls = mb.cls GROUP BY 1),
+        |base AS (SELECT t.event_type, n,
+        |    agree * 1000000 // n AS po_ppm,
+        |    prod * 1000000 // (n * n) AS pe_ppm
+        |  FROM tot t JOIN pe ON t.event_type = pe.event_type)
+        |SELECT event_type, n, po_ppm, pe_ppm,
+        |  CASE WHEN pe_ppm >= 1000000 THEN 1000000
+        |    ELSE (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+        |  END AS kappa_ppm
+        |FROM base ORDER BY 1""".stripMargin),
+
+    // labeled precision@10 for every 100th vector, judged against the
+    // window top-k formulation
+    Q.df("x314_precision_at_k",
+      (s, dir) => Similarity.precisionAtK(
+        Tables.load(s, dir, "embeddings"), 100, 10),
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |pairs AS (
+        |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+        |    CAST(sum(CAST(floor(CAST(qe[i] AS DOUBLE) * 10000) AS BIGINT)
+        |           * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000)
+        |               AS BIGINT)) AS BIGINT) AS dot_q
+        |  FROM q, embeddings e, range(1, 65) r(i)
+        |  WHERE q.qid <> e.vec_id GROUP BY 1, 2, 3, 4),
+        |top AS (SELECT qid, qlabel, label FROM (
+        |    SELECT qid, qlabel, label, row_number() OVER (
+        |        PARTITION BY qid ORDER BY dot_q DESC, vec_id) AS rn
+        |    FROM pairs) z WHERE rn <= 10)
+        |SELECT qid, max(qlabel) AS qlabel,
+        |  CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) * 1000000
+        |    // 10 AS BIGINT) AS p_at_k_ppm
+        |FROM top GROUP BY qid ORDER BY qid""".stripMargin),
+
+    // corpus novelty-decay curve: per 50-doc arrival bucket, the
+    // fraction of distinct shingles never seen in an earlier doc
+    Q.df("x315_novelty_curve",
+      (s, dir) => Curation.noveltyCurve(Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok, $duckShingles,
+         |own AS (SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY 1),
+         |per AS (SELECT sh.doc_id, count(*) AS n_sh,
+         |    sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+         |  FROM sh JOIN own USING (shingle) GROUP BY 1)
+         |SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+         |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+         |  CAST(sum(n_novel) * 1000000 // sum(n_sh) AS BIGINT) AS novelty_ppm
+         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // exact 1-Wasserstein length drift of every source vs src0, on the
+    // global value grid, scaled integers
+    Q.df("x316_wasserstein_drift",
+      (s, dir) => Profile.wassersteinDrift(Tables.load(s, dir, "documents")),
+      """WITH vc AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |    count(*) AS c FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT v FROM vc),
+        |srcs AS (SELECT DISTINCT source FROM vc WHERE source <> 'src0'),
+        |basec AS (SELECT v, c AS cb FROM vc WHERE source = 'src0'),
+        |grid AS (SELECT s.source, vals.v, coalesce(vc.c, 0) AS c,
+        |    coalesce(b.cb, 0) AS cb
+        |  FROM srcs s CROSS JOIN vals
+        |  LEFT JOIN vc ON vc.source = s.source AND vc.v = vals.v
+        |  LEFT JOIN basec b ON b.v = vals.v),
+        |st AS (SELECT source, v,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY source ORDER BY v) AS cumb,
+        |    lead(v) OVER (PARTITION BY source ORDER BY v) AS nv
+        |  FROM grid),
+        |tota AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_a FROM vc
+        |  WHERE source <> 'src0' GROUP BY 1),
+        |totb AS (SELECT CAST(sum(cb) AS BIGINT) AS n_b FROM basec)
+        |SELECT st.source AS source, n_a, n_b,
+        |  CAST(sum(abs(cuma * n_b - cumb * n_a) * (nv - v)) AS BIGINT)
+        |    AS w1_scaled,
+        |  CAST(sum(abs(cuma * n_b - cumb * n_a) * (nv - v)) * 1000000
+        |    // (n_a * n_b) AS BIGINT) AS w1_micro
+        |FROM st JOIN tota USING (source) CROSS JOIN totb
+        |WHERE nv IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
+
+    // cross-source shingle contamination matrix: shared distinct
+    // 3-gram counts + exact Jaccard ppm per source pair
+    Q.df("x317_contamination_matrix",
+      (s, dir) => Curation.contaminationMatrix(
+        Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |st AS (SELECT DISTINCT d.source,
+         |    a.w || ' ' || b.w || ' ' || c.w AS s
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         |             JOIN documents d ON d.doc_id = a.doc_id),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM st GROUP BY 1),
+         |shared AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM st a JOIN st b ON a.s = b.s AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+         |  n_shared * 1000000 // (sa.n + sb.n - n_shared) AS jaccard_ppm
+         |FROM shared JOIN sizes sa ON sa.source = src_a
+         |            JOIN sizes sb ON sb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin),
+
+    // inverse-frequency length-balancing sampling weights per
+    // 50-char bucket
+    Q.df("x318_length_balance",
+      (s, dir) => Sampling.lengthBalanceWeights(
+        Tables.load(s, dir, "documents")),
+      """WITH b AS (SELECT CAST(n_chars // 50 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS n_buckets FROM b)
+        |SELECT bucket, n_docs,
+        |  n_docs * 1000000 // n_total AS share_ppm,
+        |  n_total * 1000000 // (n_buckets * n_docs) AS weight_ppm
+        |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Preference.bradleyTerry]]: the MM

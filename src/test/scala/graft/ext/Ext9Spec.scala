@@ -273,4 +273,209 @@ class Ext9Spec extends SparkSpec {
         s"$p neither on frontier nor dominated")
     }
   }
+
+  // ---- segmentDupes --------------------------------------------------
+
+  test("segmentDupes: cross-doc chunks flagged, intra-doc repeats and partial chunks not") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f",     // chunks "a b c", "d e f"
+      2L -> "a b c x y z",     // shares "a b c" with doc 1
+      3L -> "p q r",           // unique chunk
+      4L -> "x y",             // no full chunk -> absent from output
+      5L -> "m n o m n o"      // SAME-doc repeat only -> not a dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDupes(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq((1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L),
+      (3L, 1L, 0L, 0L), (5L, 2L, 0L, 0L)), out.toString)
+  }
+
+  test("segmentDupes: agrees with brute force on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(311311)
+    val base = (0 until 80).map { i =>
+      (i.toLong, (0 until (rnd.nextInt(10) + 1))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar.toString).mkString(" "))
+    }
+    val got = Dedup.segmentDupes(base.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val chunks = base.map { case (id, t) =>
+      id -> t.split(" ").grouped(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq
+    }
+    val docsOf = chunks.flatMap { case (id, cs) => cs.map(_ -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+    val want = chunks.filter(_._2.nonEmpty).map { case (id, cs) =>
+      (id, cs.size.toLong, cs.count(c => docsOf(c) >= 2).toLong)
+    }.toSet
+    assert(got == want)
+  }
+
+  // ---- repetitionAudit -----------------------------------------------
+
+  test("repetitionAudit: hand-computed ratios incl. the single-word degenerate") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a a a b", 2L -> "z").toDF("doc_id", "text")
+    val out = Ext9SpecHelpers.rowsAsLongSeq(
+      TextStats.repetitionAudit(docs))
+    // doc 1: 4 words 2 types -> dup 500000; top "a" 3/4 -> 750000;
+    // bigrams "a a","a a","a b": 3 tokens 2 types -> dup 333333
+    assert(out == Seq(
+      Seq(1L, 4L, 2L, 500000L, 750000L, 3L, 333333L),
+      Seq(2L, 1L, 1L, 0L, 1000000L, 0L, 0L)), out.toString)
+  }
+
+  // ---- cohenKappa ----------------------------------------------------
+
+  test("cohenKappa: matches an independent in-test computation at sf0.001") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val got = Profile.cohenKappa(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val raw = ev.select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100).toLong,
+        r.getLong(2)))
+    def bucket(c: Long): Int =
+      if (c < 2000) 0 else if (c < 6000) 1 else 2
+    val want = raw.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      val ab = xs.map { case (_, c, e) =>
+        (bucket(c), bucket(c + (e * 37) % 1000 - 500)) }
+      val n = ab.size.toLong
+      val agree = ab.count(p => p._1 == p._2).toLong
+      val prod = (0 to 2).map(k => ab.count(_._1 == k).toLong *
+        ab.count(_._2 == k).toLong).sum
+      val po = agree * 1000000L / n
+      val pe = prod * 1000000L / (n * n)
+      val kappa = if (pe >= 1000000L) 1000000L
+        else (po - pe) * 1000000L / (1000000L - pe)
+      (t, n, po, pe, kappa)
+    }
+    assert(got == want, s"got $got want $want")
+    // the noisy-copy construction must keep the numerator positive
+    got.foreach(r => assert(r._3 > r._4, s"po<=pe in $r"))
+  }
+
+  test("cohenKappa: perfect-agreement degenerate pins kappa at 1e6") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // cents=100, noise=(0*37)%1000-500=-500 -> both raters bucket 0;
+    // one class only -> pe = 1e6 -> kappa defined as 1e6
+    val ev = Seq((0L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "t",
+      1.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Profile.cohenKappa(ev).collect()
+    assert(out.length == 1 && out(0).getLong(4) == 1000000L)
+  }
+
+  // ---- precisionAtK --------------------------------------------------
+
+  test("precisionAtK: equals the sort-based formulation on a random labeled set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(314314)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f), i % 4)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.precisionAtK(emb, 7, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    def dot(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * 10000).toLong *
+          math.floor(y.toDouble * 10000).toLong }.sum
+    val want = vecs.filter(_._1 % 7 == 0).map { case (qid, qe, ql) =>
+      val top = vecs.filter(_._1 != qid)
+        .map(v => (dot(qe, v._2), v._1, v._3))
+        .sortBy { case (d, id, _) => (-d, id) }.take(5)
+      qid -> top.count(_._3 == ql).toLong
+    }.toMap
+    assert(got == want, s"got $got want $want")
+  }
+
+  // ---- noveltyCurve --------------------------------------------------
+
+  test("noveltyCurve: verbatim repeat contributes zero novelty; first bucket of fresh content is fully novel") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "a b c d",   // shingles "a b c","b c d" both novel
+      1L -> "a b c d",   // exact repeat: 0 novel
+      2L -> "p q r s",   // fresh: 2 novel
+      3L -> "p q r s t"  // 3 shingles, only "r s t" novel
+    ).toDF("doc_id", "text")
+    val out = Curation.noveltyCurve(docs, bucket = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq((0L, 2L, 4L, 2L, 500000L),
+      (1L, 2L, 5L, 3L, 600000L)), out.toString)
+  }
+
+  // ---- wassersteinDrift ----------------------------------------------
+
+  test("wassersteinDrift: hand-computed transport cost and zero self-drift") {
+    import spark.implicits._
+    def docsOf(rows: Seq[(String, Long)]) =
+      rows.zipWithIndex.map { case ((s, n), i) =>
+        (i.toLong, "x", "en", s, n) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // src0 {1,1,3} vs srcA {2,2,4}: optimal transport = 2*1 + 1*1 = 3
+    // over 3 mass units -> W1 = 1.0 -> micro = 1000000, scaled = 9
+    val out = Profile.wassersteinDrift(docsOf(Seq(
+      ("src0", 1L), ("src0", 1L), ("src0", 3L),
+      ("srcA", 2L), ("srcA", 2L), ("srcA", 4L)))).collect()
+    assert(out.length == 1)
+    assert((out(0).getString(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3), out(0).getLong(4)) == ("srcA", 3L, 3L, 9L, 1000000L))
+    // identical distribution -> zero drift
+    val self = Profile.wassersteinDrift(docsOf(Seq(
+      ("src0", 5L), ("src0", 9L), ("srcB", 5L), ("srcB", 9L)))).collect()
+    assert(self.length == 1 && self(0).getLong(3) == 0L
+      && self(0).getLong(4) == 0L)
+  }
+
+  // ---- contaminationMatrix -------------------------------------------
+
+  test("contaminationMatrix: only overlapping pairs emitted, exact jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "en", "sA", 7L),
+      (2L, "b c d e", "en", "sB", 7L),
+      (3L, "x y z w", "en", "sC", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.contaminationMatrix(docs).collect()
+    // sA {abc,bcd} sB {bcd,cde}: shared 1, union 3 -> 333333; sC disjoint
+    assert(out.length == 1)
+    assert((out(0).getString(0), out(0).getString(1), out(0).getLong(2),
+      out(0).getLong(3), out(0).getLong(4), out(0).getLong(5)) ==
+      ("sA", "sB", 2L, 2L, 1L, 333333L))
+  }
+
+  // ---- lengthBalanceWeights ------------------------------------------
+
+  test("lengthBalanceWeights: uniform buckets get weight 1e6; weighted mass conserved within truncation") {
+    import spark.implicits._
+    val docs = Seq(10L, 20L, 60L, 70L).zipWithIndex
+      .map { case (n, i) => (i.toLong, "x", "en", "s", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Sampling.lengthBalanceWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq((0L, 2L, 500000L, 1000000L),
+      (1L, 2L, 500000L, 1000000L)), out.toString)
+    // skewed corpus: sum(n_docs * weight_ppm) within B*1e3 of N*1e6
+    val docs2 = (0 until 30).map(i =>
+        (i.toLong, "x", "en", "s", if (i < 27) 10L else 160L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Sampling.lengthBalanceWeights(docs2).collect()
+    val mass = rows.map(r => r.getLong(1) * r.getLong(3)).sum
+    assert(math.abs(mass - 30L * 1000000L) <= rows.length * 30L,
+      mass.toString)
+  }
+}
+
+/** Row flattening helper for fixed-width Long rows (first col id). */
+object Ext9SpecHelpers {
+  def rowsAsLongSeq(df: org.apache.spark.sql.DataFrame): Seq[Seq[Long]] =
+    df.collect().toSeq.map(r =>
+      (0 until r.length).map(i => r.getLong(i)))
 }
