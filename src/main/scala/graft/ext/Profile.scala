@@ -896,4 +896,24 @@ object Profile {
         expr("w1_scaled * 1000000 div (n_a * n_b)").as("w1_micro"))
       .orderBy("source")
   }
+
+  /** Class-balance audit of a labeled set (one row): class count,
+    * effective number of classes 1/sum(p^2) (the inverse Simpson
+    * index, in milli — equals n_classes exactly when balanced), and
+    * the max/min imbalance ratio. The "is this eval set usable"
+    * gate before trusting per-class metrics. Exact integers; the
+    * n^2 cross-multiplication stays in BIGINT up to ~3e9 rows — at
+    * 100 TB widen to DECIMAL(38,0) like the x301 calibration does.
+    *
+    * Scale shape: one map-side-combinable label count, then a single
+    * aggregate over the |classes|-sized table. */
+  def classBalance(labeled: DataFrame, labelCol: String = "label"): DataFrame =
+    labeled.groupBy(col(labelCol)).agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_rows"), count(lit(1)).as("n_classes"),
+        sum(col("c") * col("c")).as("sumsq"),
+        max("c").as("max_n"), min("c").as("min_n"))
+      .select(col("n_rows"), col("n_classes"),
+        expr("n_rows * n_rows * 1000 div sumsq").as("eff_classes_milli"),
+        col("max_n"), col("min_n"),
+        expr("max_n * 1000 div min_n").as("imbalance_milli"))
 }

@@ -1101,4 +1101,41 @@ object TextStats {
           lit(0L)).as("dup_bigram_ppm"))
       .orderBy("doc_id")
   }
+
+  /** Per-source vocabulary divergence from the corpus in WHOLE-BIT
+    * surprise (the flog2 = length(bin n) - 1 quantization the
+    * perplexity tiers use — engine-identical, no floating log): for
+    * each word occurrence, the corpus-model surprise
+    * flog2(N) - flog2(c_corpus) minus the source-model surprise
+    * flog2(n_s) - flog2(c_s), summed — a KL-divergence analog telling
+    * which sources are lexically OFF-DISTRIBUTION and need their own
+    * mixing weight. Whole-bit quantization means individual terms can
+    * be negative; the aggregate ranks sources correctly and is exact.
+    *
+    * Scale shape: one (source, word) count (map-side combinable), one
+    * word-keyed corpus rollup, everything after on those bounded
+    * vocabulary tables; the scalar total is broadcast back. */
+  def vocabDivergence(docs: DataFrame): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("bigint")
+    val sc = docs
+      .select(col("source"), explode(tokensCol(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val corpus = sc.groupBy("w").agg(sum("c").as("cc"))
+    val nS = sc.groupBy("source").agg(sum("c").as("n_s"))
+    val nTot = corpus.agg(sum("cc").as("n_tot"))
+    sc.join(corpus, Seq("w"))
+      .join(broadcast(nS), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("source"), col("n_s"))
+      .agg(sum(col("c") * (flog2(col("n_tot")) - flog2(col("cc"))))
+          .as("cross_bits"),
+        sum(col("c") * (flog2(col("n_s")) - flog2(col("c"))))
+          .as("self_bits"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("cross_bits"),
+        col("self_bits"),
+        (col("cross_bits") - col("self_bits")).as("div_bits"),
+        expr("(cross_bits - self_bits) * 1000 div n_s")
+          .as("div_millibits_per_tok"))
+      .orderBy("source")
+  }
 }

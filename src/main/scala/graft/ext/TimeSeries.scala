@@ -1152,4 +1152,62 @@ object TimeSeries {
         expr("active_users * 1000000L div cohort_size").as("retention_ppm"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** Index of dispersion (variance-to-mean of DAILY counts) per group
+    * — the burstiness audit that separates Poisson-like steady traffic
+    * (ratio ~ 1) from bursty/campaign-driven streams (>> 1), which
+    * decides state-store sizing and salting thresholds downstream.
+    * Exact integers: over the global day span m (zero-activity days
+    * count as zeros — they contribute 0 to both sum and sumsq, so the
+    * active-days aggregate already carries them),
+    *   disp_milli = 1000 * (m*sumsq - sum^2) div (m*sum),
+    * non-negative by Cauchy-Schwarz.
+    *
+    * Scale shape: one map-side-combinable (group, day) count, then
+    * aggregation over that bounded table; the global span is a scalar
+    * broadcast back. */
+  def dispersionIndex(events: DataFrame, grp: String = "event_type"): DataFrame = {
+    val daily = events
+      .select(col(grp),
+        expr("CAST(datediff(to_date(ts), DATE'1970-01-01') AS BIGINT)")
+          .as("d"))
+      .groupBy(col(grp), col("d")).agg(count(lit(1)).as("c"))
+    val span = daily.agg((max("d") - min("d") + 1).as("m_days"))
+    daily.groupBy(grp)
+      .agg(count(lit(1)).as("n_active_days"), sum("c").as("n_events"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .crossJoin(broadcast(span))
+      .select(col(grp), col("m_days"), col("n_active_days"), col("n_events"),
+        expr("(m_days * sumsq - n_events * n_events) * 1000" +
+          " div (m_days * n_events)").as("disp_milli"))
+      .orderBy(grp)
+  }
+
+  /** Inter-arrival profile: per group, the distribution of gaps (whole
+    * seconds, truncating) between a user's consecutive events —
+    * count, discrete median, discrete p90, max. The feed-health /
+    * engagement-cadence audit; percentile_disc keeps every tier an
+    * actual member of the gap multiset, so both engines agree
+    * bit-for-bit.
+    *
+    * Scale shape: one window partitioned by (group, user) — state
+    * bounded per user — then a keyed aggregate per group. */
+  def interArrival(events: DataFrame, grp: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(col(grp), col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events.where(col("user_id").isNotNull)
+      .select(col(grp), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col(grp), expr("(ts_us - prev) div 1000000").as("gap_s"))
+      .groupBy(grp)
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s)" +
+          " AS BIGINT)").as("med_gap_s"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s)" +
+          " AS BIGINT)").as("p90_gap_s"),
+        max("gap_s").as("max_gap_s"))
+      .orderBy(grp)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Storage-layout operators for the scale path (beyond-reference;
   * SURVEY.md §2.8): the two techniques that remove shuffles/scans
@@ -247,7 +248,25 @@ object Warehouse {
     * Output is content-only (p_brand, n_parts, retail_cents — integer
     * cents), so the oracle ALSO checks the rewrite preserved the data
     * bit-for-bit. */
-  def zorderRewrite(spark: SparkSession, dir: String): DataFrame = {
+  def zorderRewrite(spark: SparkSession, dir: String): DataFrame =
+    clusteredRewrite(spark, dir,
+      p => graft.ext.Layout.zorderKey(col("p_size"), col("pk8"), 8))
+
+  /** The same physical rewrite clustered by the HILBERT curve key
+    * ([[graft.ext.Layout.hilbertKey]], the native codegen walk)
+    * instead of the Morton key. Hilbert keeps consecutive curve
+    * positions grid-adjacent (no Morton quadrant jumps), so file
+    * min/max boxes are tighter for the same file count — the x307
+    * locality spec measures that; here the SAME in-line requires
+    * (pushdown + at-most-half-files-scanned) must hold on the files
+    * actually written, and the oracle re-checks content
+    * bit-for-bit. */
+  def hilbertRewrite(spark: SparkSession, dir: String): DataFrame =
+    clusteredRewrite(spark, dir,
+      p => graft.ext.Layout.hilbertKey(p, col("p_size"), col("pk8"), 8))
+
+  private def clusteredRewrite(spark: SparkSession, dir: String,
+                               keyOf: DataFrame => Column): DataFrame = {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft_zorder")
     try {
@@ -255,8 +274,7 @@ object Warehouse {
         .select(col("p_partkey"), col("p_size").cast("bigint").as("p_size"),
           col("p_retailprice"), col("p_brand"),
           col("p_partkey").bitwiseAND(255).cast("bigint").as("pk8"))
-      part.withColumn("zkey",
-          graft.ext.Layout.zorderKey(col("p_size"), col("pk8"), 8))
+      part.withColumn("zkey", keyOf(part))
         .repartitionByRange(16, col("zkey"))
         .sortWithinPartitions("zkey")
         .write.mode("overwrite").parquet(root.toString)

@@ -7843,7 +7843,19 @@ object Extensions {
         |SELECT bucket, n_docs,
         |  n_docs * 1000000 // n_total AS share_ppm,
         |  n_total * 1000000 // (n_buckets * n_docs) AS weight_ppm
-        |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin)
+        |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin),
+
+    // Hilbert-clustered physical rewrite (x288's Z-order twin): same
+    // in-line pushdown + at-most-half-files-scanned requires, content
+    // re-checked bit-for-bit by the oracle
+    Q.df("x319_hilbert_rewrite",
+      (s, dir) => graft.io.Warehouse.hilbertRewrite(s, dir),
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT))
+        |    AS BIGINT) AS retail_cents
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 15 AND (p_partkey & 255) <= 63
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Preference.bradleyTerry]]: the MM

@@ -471,6 +471,17 @@ class Ext9Spec extends SparkSpec {
     assert(math.abs(mass - 30L * 1000000L) <= rows.length * 30L,
       mass.toString)
   }
+
+  // ---- hilbertRewrite ------------------------------------------------
+
+  test("hilbertRewrite: identical content to the Z-order rewrite (layout changes, data does not)") {
+    val dir = "/root/testdata/sf0.001"
+    val h = graft.io.Warehouse.hilbertRewrite(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val z = graft.io.Warehouse.zorderRewrite(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(h == z && h.nonEmpty)
+  }
 }
 
 /** Row flattening helper for fixed-width Long rows (first col id). */
