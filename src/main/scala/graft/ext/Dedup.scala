@@ -1300,10 +1300,24 @@ object Dedup {
     * Scale shape: the sort is NOT a global single-partition window —
     * any extension of t (len >= prefixLen) shares t's first `prefixLen`
     * characters, so the successor test runs inside windows PARTITIONED
-    * by that bucket (parallel, range-free). The handful of texts
-    * shorter than `prefixLen` (at 100 TB: essentially none) are checked
-    * against the corpus by a broadcast prefix-equality join — the only
-    * non-equi step, bounded by the tiny short side.
+    * by that bucket (parallel, range-free). Texts shorter than
+    * `prefixLen` are checked against the corpus by a broadcast
+    * prefix-equality join — the only non-equi step, bounded by the
+    * short side's size.
+    *
+    * SKEW MODE (priced, not hidden): the bucket key is the first
+    * `prefixLen` characters, and truncation-PRONE corpora are exactly
+    * the ones with shared boilerplate prefixes ("Subscribe to read
+    * …", license headers) — at the default prefixLen=8 those collapse
+    * into one giant window partition. The knob IS the mitigation:
+    * raise `prefixLen` past the boilerplate length (64–256 for web
+    * text) and the windows re-shard on post-boilerplate content,
+    * while every text shorter than the raised prefix falls back to
+    * the broadcast path, whose cost is bounded by that short side
+    * (at prefixLen=256, the sub-256-char slice of a corpus — small,
+    * and itself a one-line pre-count if you need to check). Both
+    * paths keep the exact witness contract for ANY prefixLen, so
+    * tuning it is purely a physical decision.
     *
     * Witness contract: container_id is the min doc_id owning the
     * LEXICOGRAPHICALLY SMALLEST strict extension — deterministic.

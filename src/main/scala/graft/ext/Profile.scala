@@ -893,7 +893,11 @@ object Profile {
       .agg(sum(abs(col("cumA") * col("n_b") - col("cumB") * col("n_a"))
         * (col("nextV") - col("v"))).as("w1_scaled"))
       .select(col("source"), col("n_a"), col("n_b"), col("w1_scaled"),
-        expr("w1_scaled * 1000000 div (n_a * n_b)").as("w1_micro"))
+        // w1_scaled is itself bounded by n_a*n_b*range, so the ×1e6
+        // numerator would wrap BIGINT near ~9.2e12 — widen to
+        // DECIMAL(38,0) (DuckDB twin: HUGEINT), truncating div both
+        expr("CAST(CAST(w1_scaled AS DECIMAL(38,0)) * 1000000" +
+          " div (n_a * n_b) AS BIGINT)").as("w1_micro"))
       .orderBy("source")
   }
 
@@ -902,8 +906,9 @@ object Profile {
     * index, in milli — equals n_classes exactly when balanced), and
     * the max/min imbalance ratio. The "is this eval set usable"
     * gate before trusting per-class metrics. Exact integers; the
-    * n^2 cross-multiplication stays in BIGINT up to ~3e9 rows — at
-    * 100 TB widen to DECIMAL(38,0) like the x301 calibration does.
+    * n²·1000 numerator would wrap BIGINT near ~9.6e7 rows, so it is
+    * widened to DECIMAL(38,0) (DuckDB twin: HUGEINT) — exact past
+    * 1e17 rows, i.e. at any realistic corpus size.
     *
     * Scale shape: one map-side-combinable label count, then a single
     * aggregate over the |classes|-sized table. */
@@ -913,7 +918,8 @@ object Profile {
         sum(col("c") * col("c")).as("sumsq"),
         max("c").as("max_n"), min("c").as("min_n"))
       .select(col("n_rows"), col("n_classes"),
-        expr("n_rows * n_rows * 1000 div sumsq").as("eff_classes_milli"),
+        expr("CAST(CAST(n_rows AS DECIMAL(38,0)) * n_rows * 1000" +
+          " div sumsq AS BIGINT)").as("eff_classes_milli"),
         col("max_n"), col("min_n"),
         expr("max_n * 1000 div min_n").as("imbalance_milli"))
 }

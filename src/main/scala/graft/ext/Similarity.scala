@@ -1178,8 +1178,11 @@ object Similarity {
     * 1 + |{neighbors strictly better than the best same-label one}|,
     * so the whole eval is two broadcast-query scans of the corpus with
     * aggregates keyed by qid — each partition streams its corpus slice
-    * through the codegen'd dot, nothing pair-shaped is ever shuffled
-    * (the scored pair set is pinned once for the two consumers).
+    * through the codegen'd dot, and NOTHING pair-shaped is ever
+    * shuffled OR materialized: scan 1 folds the best same-label
+    * neighbor per query into a |queries|-row table; scan 2 re-scores
+    * the corpus against the (query, best) pairs — both query sides
+    * broadcast, both aggregates map-side partial.
     *
     * Queries with no same-label corpus vector at all drop out (inner
     * join) — they have no defined rank. Output: (qid, qlabel,
@@ -1188,17 +1191,21 @@ object Similarity {
     val q = emb.where(col("vec_id") % step === 0)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("embedding").as("qe"))
-    val scored = CacheRegistry.pin(
-      broadcast(q).join(emb, col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
-          dotQNative(emb, col("qe"), col("embedding")).as("dot_q")))
-    // best same-label neighbor per query: max over (dot_q, -vec_id)
-    // structs — associative, partial-agg safe
-    val best = scored.where(col("label") === col("qlabel"))
-      .groupBy("qid")
-      .agg(max(struct(col("dot_q"), (-col("vec_id")).as("nid"))).as("b"))
+    // scan 1 — best same-label neighbor per query: max over
+    // (dot_q, -vec_id) structs — associative, partial-agg safe
+    val best = broadcast(q).join(emb,
+        col("qid") =!= col("vec_id") && col("label") === col("qlabel"))
+      .select(col("qid"),
+        struct(dotQNative(emb, col("qe"), col("embedding")).as("dot_q"),
+          (-col("vec_id")).as("nid")).as("p"))
+      .groupBy("qid").agg(max(col("p")).as("b"))
       .select(col("qid"), col("b.dot_q").as("bd"), (-col("b.nid")).as("bid"))
-    scored.join(broadcast(best), Seq("qid"))
+    // scan 2 — count neighbors strictly better than that best; the
+    // (query × best) side is |queries| rows, broadcast again
+    val qb = q.join(best, Seq("qid"))
+    broadcast(qb).join(emb, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qlabel"), col("bd"), col("bid"),
+        col("vec_id"), dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
       .groupBy("qid")
       .agg(max("qlabel").as("qlabel"),
         (sum(when(col("dot_q") > col("bd") ||

@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
   * s²·((3·rx) xor ry) and rotate/reflect the lower quadrant.
   * Pure integer arithmetic — bit-identical in any engine; the DuckDB
   * oracle runs the same rounds unrolled as SQL CTEs
-  * ([[graft.ext.Layout.hilbertSql]]).
+  * ([[graft.ext.Layout.hilbertSqlRounds]]).
   */
 case class HilbertKey(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {

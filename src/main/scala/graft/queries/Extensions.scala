@@ -7802,8 +7802,8 @@ object Extensions {
         |SELECT st.source AS source, n_a, n_b,
         |  CAST(sum(abs(cuma * n_b - cumb * n_a) * (nv - v)) AS BIGINT)
         |    AS w1_scaled,
-        |  CAST(sum(abs(cuma * n_b - cumb * n_a) * (nv - v)) * 1000000
-        |    // (n_a * n_b) AS BIGINT) AS w1_micro
+        |  CAST(CAST(sum(abs(cuma * n_b - cumb * n_a) * (nv - v)) AS HUGEINT)
+        |    * 1000000 // (n_a * n_b) AS BIGINT) AS w1_micro
         |FROM st JOIN tota USING (source) CROSS JOIN totb
         |WHERE nv IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
@@ -7855,7 +7855,87 @@ object Extensions {
         |    AS BIGINT) AS retail_cents
         |FROM part
         |WHERE p_size BETWEEN 10 AND 15 AND (p_partkey & 255) <= 63
-        |GROUP BY 1 ORDER BY p_brand""".stripMargin)
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin),
+
+    // class-balance audit: effective class count (inverse Simpson,
+    // milli) + max/min imbalance over the embeddings labels
+    Q.df("x320_class_balance",
+      (s, dir) => Profile.classBalance(Tables.load(s, dir, "embeddings")),
+      """WITH l AS (SELECT label, CAST(count(*) AS BIGINT) AS c
+        |  FROM embeddings GROUP BY 1),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(sum(c * c) AS BIGINT) AS sumsq,
+        |    CAST(max(c) AS BIGINT) AS max_n,
+        |    CAST(min(c) AS BIGINT) AS min_n FROM l)
+        |SELECT n_rows, n_classes,
+        |  CAST(CAST(n_rows AS HUGEINT) * n_rows * 1000 // sumsq
+        |    AS BIGINT) AS eff_classes_milli,
+        |  max_n, min_n, max_n * 1000 // min_n AS imbalance_milli
+        |FROM a""".stripMargin),
+
+    // per-source lexical divergence from the corpus in whole-bit
+    // surprise (the flog2 quantization of the perplexity tiers)
+    Q.df("x321_vocab_divergence",
+      (s, dir) => TextStats.vocabDivergence(Tables.load(s, dir, "documents")),
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |sc AS (SELECT d.source, t.w, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |corpus AS (SELECT w, CAST(sum(c) AS BIGINT) AS cc
+        |  FROM sc GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+        |  FROM sc GROUP BY 1),
+        |nt AS (SELECT CAST(sum(cc) AS BIGINT) AS n_tot FROM corpus),
+        |agg AS (SELECT sc.source, ns.n_s,
+        |    CAST(sum(c * ((length(bin(n_tot)) - 1)
+        |      - (length(bin(cc)) - 1))) AS BIGINT) AS cross_bits,
+        |    CAST(sum(c * ((length(bin(ns.n_s)) - 1)
+        |      - (length(bin(c)) - 1))) AS BIGINT) AS self_bits
+        |  FROM sc JOIN corpus USING (w) JOIN ns USING (source)
+        |  CROSS JOIN nt GROUP BY 1, 2)
+        |SELECT source, n_s AS n_tokens, cross_bits, self_bits,
+        |  cross_bits - self_bits AS div_bits,
+        |  (cross_bits - self_bits) * 1000 // n_s AS div_millibits_per_tok
+        |FROM agg ORDER BY source""".stripMargin),
+
+    // burstiness audit: variance-to-mean of daily counts per event
+    // type over the global day span, exact milli
+    Q.df("x322_dispersion_index",
+      (s, dir) => TimeSeries.dispersionIndex(Tables.load(s, dir, "events")),
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |span AS (SELECT CAST(max(d) - min(d) + 1 AS BIGINT) AS m_days
+        |  FROM daily),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_active_days,
+        |    CAST(sum(c) AS BIGINT) AS n_events,
+        |    CAST(sum(c * c) AS BIGINT) AS sumsq FROM daily GROUP BY 1)
+        |SELECT event_type, m_days, n_active_days, n_events,
+        |  (m_days * sumsq - n_events * n_events) * 1000
+        |    // (m_days * n_events) AS disp_milli
+        |FROM g CROSS JOIN span ORDER BY event_type""".stripMargin),
+
+    // inter-arrival cadence profile: whole-second gap count / discrete
+    // median / discrete p90 / max per event type
+    Q.df("x323_inter_arrival",
+      (s, dir) => TimeSeries.interArrival(Tables.load(s, dir, "events")),
+      """WITH e AS (SELECT event_type, user_id, event_id,
+        |    epoch_us(ts) AS ts_us FROM events WHERE user_id IS NOT NULL),
+        |g AS (SELECT event_type, (ts_us - lag(ts_us) OVER
+        |    (PARTITION BY event_type, user_id ORDER BY ts_us, event_id))
+        |    // 1000000 AS gap_s
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s)
+        |    AS BIGINT) AS med_gap_s,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s)
+        |    AS BIGINT) AS p90_gap_s,
+        |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Preference.bradleyTerry]]: the MM

@@ -1,0 +1,112 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-10 operator invariants: hand-computed fixtures and degenerate
+  * branches for the four profiling operators judged as x320–x323. */
+class Ext10Spec extends SparkSpec {
+
+  // ---- classBalance --------------------------------------------------
+
+  test("classBalance: hand-computed effective classes and imbalance") {
+    import spark.implicits._
+    // labels a*4, b*2, c*2: n=8, sumsq=24 -> eff = 8*8*1000 div 24 = 2666
+    // imbalance = 4*1000 div 2 = 2000
+    val df = Seq("a", "a", "a", "a", "b", "b", "c", "c").toDF("label")
+    val r = Profile.classBalance(df).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((8L, 3L, 2666L, 4L, 2L, 2000L)),
+      r.toString)
+  }
+
+  test("classBalance: perfectly balanced set has eff_classes_milli == n_classes * 1000") {
+    import spark.implicits._
+    val df = (0 until 60).map(i => s"c${i % 5}").toDF("label")
+    val r = Profile.classBalance(df).collect().head
+    assert(r.getLong(2) == 5000L && r.getLong(5) == 1000L, r.toString)
+  }
+
+  // ---- vocabDivergence -----------------------------------------------
+
+  test("vocabDivergence: hand-computed whole-bit surprise on a two-source fixture") {
+    import spark.implicits._
+    // s1 = "a a b" (a:2 b:1), s2 = "a"; corpus a:3 b:1, n_tot=4
+    // flog2: 4->2, 3->1, 2->1, 1->0
+    // s1 cross = 2*(2-1) + 1*(2-0) = 4, self = 2*(1-1) + 1*(1-0) = 1
+    // s2 cross = 1*(2-1) = 1, self = 1*(0-0) = 0
+    val docs = Seq((1L, "a a b", "s1"), (2L, "a", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextStats.vocabDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(("s1", 3L, 4L, 1L, 3L, 1000L),
+      ("s2", 1L, 1L, 0L, 1L, 1000L)), out.toString)
+  }
+
+  test("vocabDivergence: a single-source corpus has zero divergence") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z x", "only"), (2L, "y q", "only"))
+      .toDF("doc_id", "text", "source")
+    val r = TextStats.vocabDivergence(docs).collect().head
+    // n_s == n_tot and c == cc per word -> cross_bits == self_bits
+    assert(r.getLong(2) == r.getLong(3) && r.getLong(4) == 0L, r.toString)
+  }
+
+  // ---- dispersionIndex -----------------------------------------------
+
+  test("dispersionIndex: steady group scores 0, bursty group hand-computed") {
+    import spark.implicits._
+    // A: 2 events each on days 0 and 1 -> variance 0 over the 2-day
+    // span. B: 3 events on day 0 only -> (2*9-9)*1000 div (2*3) = 1500
+    val df = Seq(
+      ("A", "2024-01-01 00:00:00"), ("A", "2024-01-01 05:00:00"),
+      ("A", "2024-01-02 00:00:00"), ("A", "2024-01-02 05:00:00"),
+      ("B", "2024-01-01 01:00:00"), ("B", "2024-01-01 02:00:00"),
+      ("B", "2024-01-01 03:00:00"))
+      .toDF("event_type", "ts0")
+      .select(col("event_type"), col("ts0").cast("timestamp").as("ts"))
+    val out = TimeSeries.dispersionIndex(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(("A", 2L, 2L, 4L, 0L), ("B", 2L, 1L, 3L, 1500L)),
+      out.toString)
+  }
+
+  // ---- interArrival --------------------------------------------------
+
+  test("interArrival: hand-computed gaps, discrete median/p90 semantics") {
+    import spark.implicits._
+    // user 1 type t at 0s/10s/30s -> gaps {10, 20}: med = 10
+    // (smallest value with cume_dist >= 0.5), p90 = 20, max = 20.
+    // user 2 contributes one event -> no gap. NULL user dropped.
+    val base = 1700000000L
+    val df = Seq(
+      (1L, Option(1L), base), (2L, Option(1L), base + 10),
+      (3L, Option(1L), base + 30), (4L, Option(2L), base + 99),
+      (5L, Option.empty[Long], base + 7))
+      .toDF("event_id", "user_id", "sec")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("sec")).as("ts"),
+        lit("t").as("event_type"))
+    val out = TimeSeries.interArrival(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(("t", 2L, 10L, 20L, 20L)), out.toString)
+  }
+
+  test("interArrival: gaps are per (type, user) — cross-user deltas never appear") {
+    import spark.implicits._
+    val base = 1700000000L
+    // two users interleaved in time: user gaps are 100s each; the
+    // interleaved cross-user deltas (50s) must not leak in
+    val df = Seq((1L, 1L, base), (2L, 2L, base + 50),
+      (3L, 1L, base + 100), (4L, 2L, base + 150))
+      .toDF("event_id", "user_id", "sec")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("sec")).as("ts"), lit("t").as("event_type"))
+    val out = TimeSeries.interArrival(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    assert(out == Seq((2L, 100L, 100L)), out.toString)
+  }
+}
