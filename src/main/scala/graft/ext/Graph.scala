@@ -264,4 +264,53 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
       .orderBy("node")
   }
+
+  /** k-CORE PEELING trajectory: `rounds` synchronous peel steps on a
+    * SYMMETRIZED distinct edge list — each round drops every node
+    * whose current degree is below k, then restricts the edges to
+    * surviving endpoints — reporting (n_nodes, n_arcs) after every
+    * round. The dense-core extractor behind spam-farm detection and
+    * community seeding; the trajectory (not just the fixpoint) is the
+    * output because WHERE the curve flattens says how deep the
+    * genuine core starts. A fixed round count keeps the result
+    * deterministic and oracle-checkable (the true k-core is the
+    * fixpoint; the curve flattening at round r < rounds proves
+    * convergence in-band).
+    *
+    * Scale shape: per round, one keyed degree count and two
+    * semi-joins (src, dst) against the surviving-node set — the
+    * standard distributed peel; each round's edge frame is
+    * checkpointed with eager release of the previous one (same
+    * rationale as [[pageRank]]: unmaterialized rounds re-execute the
+    * chain under nested broadcasts). The only driver traffic is TWO
+    * SCALARS per round — counting a checkpointed frame costs nothing
+    * extra and lets the superseded round be unpersisted immediately
+    * (a lazily-unioned trajectory would have to keep every round's
+    * blocks alive to the end).
+    *
+    * Output: (round, n_nodes, n_arcs), round 1..rounds; n_nodes
+    * counts nodes with a surviving arc, n_arcs counts DIRECTED arcs
+    * (2x undirected edges). */
+  def kCoreTrajectory(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 16,
+      s"need k >= 1 and 1 <= rounds <= 16; got k=$k rounds=$rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = CacheRegistry.checkpoint(edges.distinct())
+    val traj = (1 to rounds).map { r =>
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("node"))
+      val prev = e
+      e = CacheRegistry.checkpoint(
+        prev.join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst"))
+      CacheRegistry.release(prev)
+      val row = e.agg(countDistinct(col("src")).as("n_nodes"),
+        count(lit(1)).as("n_arcs")).collect().head
+      (r.toLong, row.getLong(0), row.getLong(1))
+    }
+    CacheRegistry.release(e)
+    traj.toDF("round", "n_nodes", "n_arcs").orderBy("round")
+  }
 }

@@ -168,4 +168,89 @@ object Privacy {
         .as("rows_at_risk_l"),
       min("sz").as("min_class_size"), min("ldiv").as("min_l"))
   }
+
+  /** t-CLOSENESS audit (Li et al., ICDE 2007) for an ORDERED numeric
+    * sensitive attribute: per quasi-identifier class, the ordered
+    * earth-mover distance between the class's sensitive-value
+    * distribution and the GLOBAL one,
+    *   D = (1/(m-1)) * sum_{i<m} |cumP_i - cumQ_i|
+    * over the m global distinct values — the guard k-anonymity and
+    * l-diversity both miss (a class can be k-large and l-diverse yet
+    * have every salary in the top decile). Exact integers: the cum
+    * fractions cross-multiply to |cumA_i*n_g - cumG_i*n| and the ppm
+    * divides once at the end, DECIMAL(38,0)-widened past the BIGINT
+    * wrap (DuckDB twin: HUGEINT).
+    *
+    * Scale shape: one (class, value) count (map-side combinable), a
+    * grid of classes x global distinct values (bounded by the value
+    * domain, not the row count), one cum window per class partition,
+    * and the global cum table broadcast back — the same machinery as
+    * [[Profile.wassersteinDrift]] with the t-closeness normalization.
+    *
+    * Output: (qi, n_rows, emd_ppm), ordered by qi. */
+  def tCloseness(df: DataFrame, qiCol: String, sensitive: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = df.select(col(qiCol).as("qi"), sensitive.as("v"))
+      .groupBy("qi", "v").agg(count(lit(1)).as("c"))
+    val glob = vc.groupBy("v").agg(sum("c").as("cg"))
+    val qis = vc.select("qi").distinct()
+    // both cum series run inside the SAME per-class window — no
+    // global single-partition pass anywhere
+    val grid = qis.crossJoin(broadcast(glob))
+      .join(vc, Seq("qi", "v"), "left").na.fill(0L, Seq("c"))
+    val wq = Window.partitionBy("qi").orderBy("v")
+    val nG = vc.groupBy("qi").agg(sum("c").as("n_g"))
+    val tot = glob.agg(sum("cg").as("n"), count(lit(1)).as("m"))
+    grid
+      .withColumn("cum_q", sum("c").over(wq))
+      .withColumn("cum_g", sum("cg").over(wq))
+      .join(broadcast(nG), Seq("qi"))
+      .crossJoin(broadcast(tot))
+      // the i = m term has cum_q*n == cum_g*n_g; dropping it via the
+      // rank filter would cost a second window — it contributes 0
+      .groupBy(col("qi"), col("n_g"), col("n"), col("m"))
+      .agg(sum(abs(col("cum_q") * col("n") - col("cum_g") * col("n_g")))
+        .as("steps"))
+      .select(col("qi"), col("n_g").as("n_rows"),
+        expr("CAST(CAST(steps AS DECIMAL(38,0)) * 1000000" +
+          " div (n_g * n * (m - 1)) AS BIGINT)").as("emd_ppm"))
+      .orderBy("qi")
+  }
+
+  /** USER-CONTRIBUTION bounding audit — the pre-flight for any
+    * per-user sensitivity cap (DP aggregate releases, dedup-by-user
+    * sampling, abuse throttles): per cell, how many rows the heaviest
+    * user contributes, the discrete p99 of rows-per-user, and exactly
+    * how many rows a clamp at that p99 would drop. The clamp budget
+    * in ppm is the number release engineering actually negotiates.
+    *
+    * Scale shape: one (cell, user) count (map-side combinable), one
+    * keyed aggregate for the per-cell stats including the discrete
+    * p99 (an exact member of the multiset, so both engines agree
+    * bit-for-bit), then one re-aggregate of the SAME bounded
+    * (cell, user) table against the broadcast p99 row for the excess
+    * sum. Nothing row-shaped crosses twice.
+    *
+    * Output: (cell, n_rows, n_users, max_rows_user, p99_rows,
+    * excess_rows, excess_ppm), ordered by cell. */
+  def contributionBounds(df: DataFrame, cellCol: String,
+                         userCol: String): DataFrame = {
+    val cu = df.where(col(userCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(userCol).as("u"))
+      .groupBy("cell", "u").agg(count(lit(1)).as("c"))
+    val stats = cu.groupBy("cell")
+      .agg(sum("c").as("n_rows"), count(lit(1)).as("n_users"),
+        max("c").as("max_rows_user"),
+        expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c)" +
+          " AS BIGINT)").as("p99_rows"))
+    cu.join(broadcast(stats), Seq("cell"))
+      .groupBy(col("cell"), col("n_rows"), col("n_users"),
+        col("max_rows_user"), col("p99_rows"))
+      .agg(sum(greatest(col("c") - col("p99_rows"), lit(0L)))
+        .as("excess_rows"))
+      .select(col("cell"), col("n_rows"), col("n_users"),
+        col("max_rows_user"), col("p99_rows"), col("excess_rows"),
+        expr("excess_rows * 1000000 div n_rows").as("excess_ppm"))
+      .orderBy("cell")
+  }
 }

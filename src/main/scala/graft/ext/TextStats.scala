@@ -1138,4 +1138,74 @@ object TextStats {
           .as("div_millibits_per_tok"))
       .orderBy("source")
   }
+
+  /** CHARACTER-CLASS profile per source: lowercase / uppercase /
+    * digit / whitespace / other fractions of all characters, exact
+    * ppm — the first-glance encoding-and-genre audit (code corpora
+    * run punctuation-heavy, shouty scraped text runs uppercase-heavy,
+    * table dumps run digit-heavy), and the cheap canary for mojibake
+    * (the "other" bucket absorbs every non-ASCII byte sequence).
+    * Class counts come from length deltas under class-targeted
+    * regexp_replace — no per-character explode, no UDF; identical
+    * RE2/Java character-class semantics both engines.
+    *
+    * Scale shape: one narrow projection computing five integer
+    * lengths per doc in-row (whole-stage codegen), then a single
+    * map-side-combinable keyed aggregate. Output: (source, n_docs,
+    * n_chars, lower_ppm, upper_ppm, digit_ppm, space_ppm, other_ppm),
+    * ordered by source. */
+  def charClassProfile(docs: DataFrame): DataFrame = {
+    def cnt(cls: String): Column =
+      length(col("text")) - length(regexp_replace(col("text"), cls, ""))
+    docs.select(col("source"), length(col("text")).as("n"),
+        cnt("[a-z]").as("lo"), cnt("[A-Z]").as("up"),
+        cnt("[0-9]").as("di"), cnt("[ \\t\\n\\r]").as("sp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_chars"),
+        sum("lo").as("lo"), sum("up").as("up"), sum("di").as("di"),
+        sum("sp").as("sp"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        expr("lo * 1000000 div n_chars").as("lower_ppm"),
+        expr("up * 1000000 div n_chars").as("upper_ppm"),
+        expr("di * 1000000 div n_chars").as("digit_ppm"),
+        expr("sp * 1000000 div n_chars").as("space_ppm"),
+        expr("(n_chars - lo - up - di - sp) * 1000000 div n_chars")
+          .as("other_ppm"))
+      .orderBy("source")
+  }
+
+  /** ZIPF-CURVE audit in whole bits: corpus word frequencies at
+    * power-of-two ranks (1, 2, 4, …, 2^maxDoubling), each with its
+    * flog2 and the bit DROP from the previous power — a Zipfian
+    * corpus loses ~1 bit per rank doubling; a flat curve (synthetic /
+    * template text) or a cliff (boilerplate spam) shows immediately.
+    * Ties rank deterministically by (freq desc, word asc); everything
+    * integer, so the curve is oracle-exact.
+    *
+    * Scale shape: one map-side-combinable word count, then a bounded
+    * TOP-2^maxDoubling take (TakeOrderedAndProject — never a global
+    * sort of the vocabulary) and a |2^maxDoubling|-row local window.
+    *
+    * Output: (rank, word, freq, flog2_freq, drop_bits — NULL at
+    * rank 1), ordered by rank. */
+  def zipfAudit(docs: DataFrame, maxDoubling: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDoubling >= 1 && maxDoubling <= 20,
+      s"maxDoubling must be in [1, 20]; got $maxDoubling")
+    val top = (1 << maxDoubling)
+    val counts = docs
+      .select(explode(tokensCol(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(top)
+    val wr = Window.orderBy(col("freq").desc, col("w"))
+    counts
+      .withColumn("rank", row_number().over(wr).cast("bigint"))
+      .where(expr("(rank & (rank - 1)) = 0")) // powers of two
+      .withColumn("flog2_freq", (length(bin(col("freq"))) - 1).cast("bigint"))
+      .withColumn("drop_bits",
+        lag("flog2_freq", 1).over(Window.orderBy("rank")) - col("flog2_freq"))
+      .select(col("rank"), col("w").as("word"), col("freq"),
+        col("flog2_freq"), col("drop_bits"))
+      .orderBy("rank")
+  }
 }

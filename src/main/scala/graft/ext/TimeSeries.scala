@@ -1183,6 +1183,68 @@ object TimeSeries {
       .orderBy(grp)
   }
 
+  /** EXACT lag-k autocorrelation of DAILY event counts per group, for
+    * k = 1..maxLag — the seasonality / burst-persistence audit behind
+    * capacity planning and anomaly-window sizing (a strong lag-7 says
+    * weekly cycle; fast decay says memoryless traffic). Zero-activity
+    * days inside the global span COUNT AS ZEROS, as they must for a
+    * time-series statistic — but no zero row is ever materialized:
+    * with d_t = m*c_t - S (so d_t = -S on inactive days),
+    *   acf_k = num_k / den,
+    *   num_k = m^2*P_k - m*S*(A_k + B_k) + (m-k)*S^2,
+    *   den   = m^2*sumsq - m*S^2,
+    * where P_k sums c_t*c_{t+k} over ACTIVE pairs and A_k/B_k are
+    * range-filtered active sums — algebra replaces the dense grid.
+    * All BIGINT, truncating division, reported in milli (can be
+    * negative; both engines truncate toward zero).
+    *
+    * Scale shape: one map-side-combinable (group, day) count, one
+    * |lags|-way explode of that bounded daily table, one equi-join on
+    * (group, day+k) for P_k, keyed aggregates for the rest; the
+    * global span is a scalar broadcast. Nothing row-shaped after the
+    * first count.
+    *
+    * Output: (grp, lag, n_pairs, acf_milli), ordered. */
+  def autocorrDaily(events: DataFrame, grp: String = "event_type",
+                    maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1; got $maxLag")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = CacheRegistry.pin(events
+      .select(col(grp).as("g"),
+        expr("CAST(datediff(to_date(ts), DATE'1970-01-01') AS BIGINT)")
+          .as("d"))
+      .groupBy("g", "d").agg(count(lit(1)).as("c")))
+    val span = daily.agg(min("d").as("dmin"), max("d").as("dmax"),
+      (max("d") - min("d") + 1).as("m"))
+    val stats = daily.groupBy("g")
+      .agg(sum("c").as("s"), sum(col("c") * col("c")).as("sumsq"))
+    val lags = (1 to maxLag).map(_.toLong).toDF("k")
+    val dl = daily.crossJoin(broadcast(lags))
+    val p = dl.as("a")
+      .join(daily.as("b"),
+        col("a.g") === col("b.g") && col("b.d") === col("a.d") + col("a.k"))
+      .groupBy(col("a.g").as("g"), col("a.k").as("k"))
+      .agg(sum(col("a.c") * col("b.c")).as("p"))
+    val ab = dl.crossJoin(broadcast(span))
+      .groupBy("g", "k")
+      .agg(sum(when(col("d") <= col("dmax") - col("k"), col("c"))
+          .otherwise(0L)).as("a_sum"),
+        sum(when(col("d") >= col("dmin") + col("k"), col("c"))
+          .otherwise(0L)).as("b_sum"))
+    stats.crossJoin(broadcast(lags))
+      .join(ab, Seq("g", "k"))
+      .join(p, Seq("g", "k"), "left").na.fill(0L, Seq("p"))
+      .crossJoin(broadcast(span.select("m")))
+      .select(col("g").as(grp), col("k").as("lag"),
+        (col("m") - col("k")).as("n_pairs"),
+        expr("""(m * m * p - m * s * (a_sum + b_sum) + (m - k) * s * s)
+               | * 1000 div nullif(m * m * sumsq - m * s * s, 0)"""
+          .stripMargin).as("acf_milli"))
+      .where(col("n_pairs") > 0) // lags at/past the span have no pairs
+      .orderBy(grp, "lag")
+  }
+
   /** Inter-arrival profile: per group, the distribution of gaps (whole
     * seconds, truncating) between a user's consecutive events —
     * count, discrete median, discrete p90, max. The feed-health /

@@ -7935,8 +7935,182 @@ object Extensions {
         |    AS BIGINT) AS p90_gap_s,
         |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
         |FROM g WHERE gap_s IS NOT NULL
-        |GROUP BY 1 ORDER BY event_type""".stripMargin)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    // t-closeness of the value distribution per event_type vs global:
+    // ordered EMD over the global cents grid, exact ppm
+    Q.df("x324_t_closeness",
+      (s, dir) => Privacy.tCloseness(Tables.load(s, dir, "events"),
+        "event_type", expr("CAST(floor(value * 100) AS BIGINT)")),
+      """WITH vc AS (SELECT event_type AS qi,
+        |    CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |gdist AS (SELECT v, CAST(sum(c) AS BIGINT) AS cg
+        |  FROM vc GROUP BY 1),
+        |qis AS (SELECT DISTINCT qi FROM vc),
+        |grid AS (SELECT q.qi, g.v, g.cg, coalesce(vc.c, 0) AS c
+        |  FROM qis q CROSS JOIN gdist g
+        |  LEFT JOIN vc ON vc.qi = q.qi AND vc.v = g.v),
+        |st AS (SELECT qi, v,
+        |    sum(c) OVER (PARTITION BY qi ORDER BY v) AS cum_q,
+        |    sum(cg) OVER (PARTITION BY qi ORDER BY v) AS cum_g
+        |  FROM grid),
+        |ng AS (SELECT qi, CAST(sum(c) AS BIGINT) AS n_g
+        |  FROM vc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS m FROM gdist)
+        |SELECT st.qi AS qi, n_g AS n_rows,
+        |  CAST(CAST(sum(abs(cum_q * n - cum_g * n_g)) AS HUGEINT)
+        |    * 1000000 // (n_g * n * (m - 1)) AS BIGINT) AS emd_ppm
+        |FROM st JOIN ng USING (qi) CROSS JOIN tot
+        |GROUP BY 1, 2, n, m ORDER BY qi""".stripMargin),
+
+    // per-user contribution bounding audit: discrete p99 clamp and
+    // exactly how many rows it would drop, per event_type
+    Q.df("x325_contribution_bounds",
+      (s, dir) => Privacy.contributionBounds(
+        Tables.load(s, dir, "events"), "event_type", "user_id"),
+      """WITH cu AS (SELECT event_type AS cell, user_id AS u,
+        |    CAST(count(*) AS BIGINT) AS c FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT cell, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(max(c) AS BIGINT) AS max_rows_user,
+        |    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c)
+        |      AS BIGINT) AS p99_rows
+        |  FROM cu GROUP BY 1)
+        |SELECT st.cell AS cell, n_rows, n_users, max_rows_user, p99_rows,
+        |  CAST(sum(greatest(c - p99_rows, 0)) AS BIGINT) AS excess_rows,
+        |  CAST(sum(greatest(c - p99_rows, 0)) * 1000000 // n_rows
+        |    AS BIGINT) AS excess_ppm
+        |FROM cu JOIN st USING (cell)
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY cell""".stripMargin),
+
+    // exact lag-1..7 autocorrelation of daily counts per event type —
+    // zero days counted via algebra, never materialized
+    Q.df("x326_autocorr_daily",
+      (s, dir) => TimeSeries.autocorrDaily(Tables.load(s, dir, "events")),
+      """WITH daily AS (SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |span AS (SELECT CAST(min(d) AS BIGINT) AS dmin,
+        |    CAST(max(d) AS BIGINT) AS dmax,
+        |    CAST(max(d) - min(d) + 1 AS BIGINT) AS m FROM daily),
+        |stats AS (SELECT g, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(c * c) AS BIGINT) AS sumsq FROM daily GROUP BY 1),
+        |lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS k),
+        |p AS (SELECT a.g, l.k, CAST(sum(a.c * b.c) AS BIGINT) AS p
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.g = a.g AND b.d = a.d + l.k GROUP BY 1, 2),
+        |ab AS (SELECT dl.g, dl.k,
+        |    CAST(sum(CASE WHEN dl.d <= span.dmax - dl.k THEN dl.c
+        |      ELSE 0 END) AS BIGINT) AS a_sum,
+        |    CAST(sum(CASE WHEN dl.d >= span.dmin + dl.k THEN dl.c
+        |      ELSE 0 END) AS BIGINT) AS b_sum
+        |  FROM (SELECT daily.*, lags.k FROM daily CROSS JOIN lags) dl
+        |  CROSS JOIN span GROUP BY 1, 2)
+        |SELECT stats.g AS event_type, lags.k AS lag,
+        |  m - lags.k AS n_pairs,
+        |  CAST((m * m * coalesce(p.p, 0) - m * s * (a_sum + b_sum)
+        |      + (m - lags.k) * s * s) * 1000
+        |    // nullif(m * m * sumsq - m * s * s, 0) AS BIGINT)
+        |    AS acf_milli
+        |FROM stats CROSS JOIN lags
+        |JOIN ab ON ab.g = stats.g AND ab.k = lags.k
+        |LEFT JOIN p ON p.g = stats.g AND p.k = lags.k
+        |CROSS JOIN span
+        |ORDER BY event_type, lag""".stripMargin),
+
+    // character-class profile per source: lower/upper/digit/space/
+    // other fractions of all characters, exact ppm
+    Q.df("x327_charclass_profile",
+      (s, dir) => TextStats.charClassProfile(Tables.load(s, dir, "documents")),
+      """WITH p AS (SELECT source, CAST(length(text) AS BIGINT) AS n,
+        |    CAST(length(text) - length(regexp_replace(text, '[a-z]',
+        |      '', 'g')) AS BIGINT) AS lo,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Z]',
+        |      '', 'g')) AS BIGINT) AS up,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]',
+        |      '', 'g')) AS BIGINT) AS di,
+        |    CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]',
+        |      '', 'g')) AS BIGINT) AS sp
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_chars,
+        |  CAST(sum(lo) * 1000000 // sum(n) AS BIGINT) AS lower_ppm,
+        |  CAST(sum(up) * 1000000 // sum(n) AS BIGINT) AS upper_ppm,
+        |  CAST(sum(di) * 1000000 // sum(n) AS BIGINT) AS digit_ppm,
+        |  CAST(sum(sp) * 1000000 // sum(n) AS BIGINT) AS space_ppm,
+        |  CAST((sum(n) - sum(lo) - sum(up) - sum(di) - sum(sp))
+        |    * 1000000 // sum(n) AS BIGINT) AS other_ppm
+        |FROM p GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // k-core peeling trajectory (k=18, 5 rounds) on the symmetrized
+    // customer-supplier graph (x169's edge set); round 1 peels the
+    // low-degree customers, the flat tail proves the 18-core is
+    // reached in-band. Oracle = the rounds unrolled.
+    Q.df("x328_kcore_trajectory",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+        Graph.kCoreTrajectory(
+          cs.union(cs.select(col("dst").as("src"), col("src").as("dst"))),
+          18, 5)
+      },
+      kcoreOracleSql(18, 5)),
+
+    // Zipf-curve audit: corpus frequencies at power-of-two ranks with
+    // whole-bit drops per doubling
+    Q.df("x329_zipf_audit",
+      (s, dir) => TextStats.zipfAudit(Tables.load(s, dir, "documents")),
+      """WITH tok AS (SELECT
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |counts AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM tok GROUP BY 1),
+        |r AS (SELECT w, freq, CAST(row_number() OVER
+        |    (ORDER BY freq DESC, w) AS BIGINT) AS rank FROM counts),
+        |pw AS (SELECT rank, w, freq,
+        |    CAST(length(bin(freq)) - 1 AS BIGINT) AS flog2_freq
+        |  FROM r WHERE rank <= 1024 AND (rank & (rank - 1)) = 0)
+        |SELECT rank, w AS word, freq, flog2_freq,
+        |  lag(flog2_freq) OVER (ORDER BY rank) - flog2_freq AS drop_bits
+        |FROM pw ORDER BY rank""".stripMargin)
   )
+
+  /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the
+    * customer-supplier graph: the peel rounds unrolled as materialized
+    * CTE triples (n_r, e_r, r_r) — same contract (degree >= k on the
+    * symmetrized distinct arc list, counts after restriction). */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""n$r AS (SELECT src AS node FROM e${r - 1}
+         |  GROUP BY 1 HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN n$r a ON e.src = a.node JOIN n$r b ON e.dst = b.node),
+         |r$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM e$r)
+         |    AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_arcs)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = (1 to rounds).map(r => s"SELECT * FROM r$r")
+      .mkString(" UNION ALL ")
+    s"""WITH b AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR)
+       |      AS src,
+       |    's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e0 AS MATERIALIZED (
+       |  SELECT src, dst FROM b UNION SELECT dst, src FROM b),
+       |$steps
+       |$sel ORDER BY round""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.ext.Preference.bradleyTerry]]: the MM
     * rounds unrolled as CTE pairs (d_n, s_n) — every operation the

@@ -95,6 +95,111 @@ class Ext10Spec extends SparkSpec {
     assert(out == Seq(("t", 2L, 10L, 20L, 20L)), out.toString)
   }
 
+  // ---- tCloseness ----------------------------------------------------
+
+  test("tCloseness: hand-computed ordered EMD on a two-class fixture") {
+    import spark.implicits._
+    // global: v=1 x2, v=2 x2, v=3 x1 (n=5, m=3)
+    // class A = {1,1,2}: steps |2*5-2*3| + |3*5-4*3| + 0 = 7
+    //   -> 7e6 div (3*5*2) = 233333
+    // class B = {2,3}:   steps |0-2*2| + |1*5-4*2| + 0 = 7
+    //   -> 7e6 div (2*5*2) = 350000
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L))
+      .toDF("grp", "v")
+    val out = Privacy.tCloseness(df, "grp", col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("A", 3L, 233333L), ("B", 2L, 350000L)), out.toString)
+  }
+
+  test("tCloseness: a class matching the global distribution scores 0") {
+    import spark.implicits._
+    // both classes identically distributed -> EMD 0 for each
+    val df = (0 until 40).map(i => (if (i % 2 == 0) "p" else "q",
+      (i / 2 % 4).toLong)).toDF("grp", "v")
+    Privacy.tCloseness(df, "grp", col("v")).collect()
+      .foreach(r => assert(r.getLong(2) == 0L, r.toString))
+  }
+
+  // ---- contributionBounds --------------------------------------------
+
+  test("contributionBounds: discrete p99 clamp and exact excess") {
+    import spark.implicits._
+    // users 1..100 contribute i rows each: p99 = 99 (smallest value
+    // with cume_dist >= .99), excess = (100-99) = 1, n_rows = 5050
+    val df = (1 to 100).flatMap(i => Seq.fill(i)(("X", i.toLong)))
+      .toDF("cell", "user")
+    val r = Privacy.contributionBounds(df, "cell", "user").collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      (("X", 5050L, 100L, 100L, 99L, 1L, 198L)), r.toString)
+  }
+
+  // ---- autocorrDaily -------------------------------------------------
+
+  test("autocorrDaily: hand-computed lags with an unmaterialized zero day; constant series yields NULL") {
+    import spark.implicits._
+    // group B: 1 event on day 0, 2 events on day 2 (day 1 silent);
+    // group A: 2 events on each of days 0,1,2 -> zero variance -> NULL
+    val mk = (g: String, day: Int, n: Int) =>
+      Seq.fill(n)((g, s"2024-01-0${day + 1} 12:00:00"))
+    val df = (mk("A", 0, 2) ++ mk("A", 1, 2) ++ mk("A", 2, 2) ++
+      mk("B", 0, 1) ++ mk("B", 2, 2))
+      .toDF("event_type", "ts0")
+      .select(col("event_type"), col("ts0").cast("timestamp").as("ts"))
+    val out = TimeSeries.autocorrDaily(df, maxLag = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3))))
+      .toSeq
+    // B lag1: num = 9*0 - 3*3*(1+2) + 2*9 = -9, den = 9*5 - 3*9 = 18
+    //   -> -9000 div 18 = -500
+    // B lag2: num = 9*2 - 27 + 9 = 0 -> 0
+    assert(out == Seq(("A", 1L, 2L, null), ("A", 2L, 1L, null),
+      ("B", 1L, 2L, java.lang.Long.valueOf(-500L)),
+      ("B", 2L, 1L, java.lang.Long.valueOf(0L))), out.toString)
+  }
+
+  // ---- charClassProfile ----------------------------------------------
+
+  test("charClassProfile: hand-counted classes") {
+    import spark.implicits._
+    val docs = Seq((1L, "Ab1 c", "s")).toDF("doc_id", "text", "source")
+    val r = TextStats.charClassProfile(docs).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((1L, 5L, 400000L, 200000L, 200000L, 200000L, 0L)), r.toString)
+  }
+
+  // ---- kCoreTrajectory -----------------------------------------------
+
+  test("kCoreTrajectory: a path graph cascades one layer per round at k=2") {
+    import spark.implicits._
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.kCoreTrajectory(edges, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // round 1 peels the endpoints a,e; round 2 peels b,d leaving c
+    // with no surviving arc; round 3 stays empty (converged)
+    assert(out == Seq((1L, 3L, 4L), (2L, 0L, 0L), (3L, 0L, 0L)),
+      out.toString)
+  }
+
+  // ---- zipfAudit -----------------------------------------------------
+
+  test("zipfAudit: power-of-two ranks, deterministic ties, whole-bit drops") {
+    import spark.implicits._
+    // freqs: a:8 b:4 c:4 d:2 e:1 -> ranks a1 b2 c3 d4 e5 (tie b<c)
+    val docs = Seq((1L, ("a " * 8) + ("b " * 4) + ("c " * 4) + "d d e"))
+      .toDF("doc_id", "text")
+    val out = TextStats.zipfAudit(docs, maxDoubling = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4))))
+      .toSeq
+    assert(out == Seq(
+      (1L, "a", 8L, 3L, null),
+      (2L, "b", 4L, 2L, java.lang.Long.valueOf(1L)),
+      (4L, "d", 2L, 1L, java.lang.Long.valueOf(1L))), out.toString)
+  }
+
   test("interArrival: gaps are per (type, user) — cross-user deltas never appear") {
     import spark.implicits._
     val base = 1700000000L
