@@ -229,4 +229,39 @@ object Curation {
           .as("jaccard_ppm"))
       .orderBy("src_a", "src_b")
   }
+
+  /** DUPLICATION-vs-LENGTH calibration: exact-duplicate rate per
+    * length decile — the one-table answer to "is our dup problem a
+    * short-boilerplate problem?" that decides whether dedup should
+    * gate on length first (it usually should: near-empty docs both
+    * dupe more and matter less). RANK-FREE deciles: a doc's decile is
+    * cum_before * 10 div n over the (n_chars) value histogram — ties
+    * share a decile (sizes then differ slightly), which keeps the
+    * whole assignment on the bounded value table instead of
+    * row-numbering the corpus.
+    *
+    * Scale shape: one text-keyed count for the dup flag (at 100 TB:
+    * md5 the text first), one value-keyed histogram + cum window for
+    * the decile map (broadcast back), one keyed aggregate.
+    *
+    * Output: (decile, n_docs, dup_docs, dup_ppm), ordered. */
+  def dupByLengthDecile(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = docs.groupBy("text").agg(count(lit(1)).as("n_copies"))
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("hc"))
+    val tot = hist.agg(sum("hc").as("n_total"))
+    val decileOf = hist
+      .withColumn("cum", sum("hc").over(Window.orderBy("n_chars")))
+      .crossJoin(broadcast(tot))
+      .select(col("n_chars"),
+        expr("(cum - hc) * 10 div n_total").as("decile"))
+    docs.join(dup, Seq("text"))
+      .join(broadcast(decileOf), Seq("n_chars"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1L, 1L).otherwise(0L)).as("dup_docs"))
+      .select(col("decile"), col("n_docs"), col("dup_docs"),
+        expr("dup_docs * 1000000 div n_docs").as("dup_ppm"))
+      .orderBy("decile")
+  }
 }

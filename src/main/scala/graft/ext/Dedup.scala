@@ -1391,4 +1391,36 @@ object Dedup {
         expr("n_dup_segments * 1000000 div n_segments").as("dup_ppm"))
       .orderBy("doc_id")
   }
+
+  /** BOUNDARY-OVERLAP detection: document pairs where A's LAST w
+    * tokens equal B's FIRST w tokens — the signature of a chunking
+    * pipeline that split one source document across records (crawl
+    * segmentation, context-window packing leaks). Whole-document and
+    * shingle dedup both miss it: the overlap is w tokens out of
+    * hundreds, and it sits at exactly the positions chunkers cut.
+    * Docs with fewer than w tokens have no full boundary gram and
+    * drop out; self-pairs (a doc whose own head equals its tail)
+    * are excluded.
+    *
+    * Scale shape: two in-row slices per doc (no explode), then ONE
+    * equi-join of the tail-gram table against the head-gram table on
+    * the gram string (at 100 TB: md5 the gram to pin the shuffle key
+    * at 16 bytes). Output size is bounded by real boundary
+    * collisions, not by any pair enumeration.
+    *
+    * Output: (src_id, dst_id, gram), ordered. */
+  def boundaryOverlap(docs: DataFrame, w: Int = 5): DataFrame = {
+    require(w >= 1, s"w must be >= 1; got $w")
+    val toks = docs.select(col("doc_id"),
+      graft.ext.TextStats.tokensCol(col("text")).as("t"))
+      .where(size(col("t")) >= w)
+    val head = toks.select(col("doc_id").as("dst_id"),
+      array_join(slice(col("t"), 1, w), " ").as("gram"))
+    val tail = toks.select(col("doc_id").as("src_id"),
+      array_join(slice(col("t"), -w, w), " ").as("gram"))
+    tail.join(head, Seq("gram"))
+      .where(col("src_id") =!= col("dst_id"))
+      .select(col("src_id"), col("dst_id"), col("gram"))
+      .orderBy("src_id", "dst_id")
+  }
 }

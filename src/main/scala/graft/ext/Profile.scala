@@ -922,4 +922,39 @@ object Profile {
           " div sumsq AS BIGINT)").as("eff_classes_milli"),
         col("max_n"), col("min_n"),
         expr("max_n * 1000 div min_n").as("imbalance_milli"))
+
+  /** EXACT trimmed mean per group — drop the lowest and highest
+    * floor(n * trimPct / 100) values, average the middle — the robust
+    * location estimate between the median (too coarse for drift
+    * deltas) and the mean (one corrupt outlier moves it). RANK-FREE:
+    * instead of row-numbering the group (a per-group sort of every
+    * row), each (group, value) count knows its cum range
+    * [cum - c + 1, cum] and contributes its overlap with the kept
+    * band [t+1, n-t] — so the whole computation runs on the bounded
+    * value-histogram table and one cum window per group partition.
+    * Mean is reported x100 (truncating), plus the kept count.
+    *
+    * Output: (grp, n, n_kept, sum_kept, mean_x100), ordered. */
+  def trimmedMean(df: DataFrame, grp: String, value: Column,
+                  trimPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trimPct >= 0 && trimPct < 50,
+      s"trimPct must be in [0, 50); got $trimPct")
+    val vc = df.select(col(grp).as("g"), value.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy("g").orderBy("v")
+    val tot = vc.groupBy("g").agg(sum("c").as("n"))
+    vc.withColumn("cum", sum("c").over(wg))
+      .join(tot, Seq("g"))
+      .withColumn("t", expr(s"n * $trimPct div 100"))
+      .withColumn("keep",
+        greatest(least(col("cum"), col("n") - col("t"))
+          - greatest(col("cum") - col("c"), col("t")), lit(0L)))
+      .groupBy(col("g").as(grp), col("n"))
+      .agg(sum("keep").as("n_kept"),
+        sum(col("v") * col("keep")).as("sum_kept"))
+      .select(col(grp), col("n"), col("n_kept"), col("sum_kept"),
+        expr("sum_kept * 100 div n_kept").as("mean_x100"))
+      .orderBy(grp)
+  }
 }

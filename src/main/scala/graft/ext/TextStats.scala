@@ -1208,4 +1208,41 @@ object TextStats {
         col("flog2_freq"), col("drop_bits"))
       .orderBy("rank")
   }
+
+  /** VOCABULARY-SIZING curve: for each candidate vocab size 2^j
+    * (top-2^j words by frequency, ties by word asc), the exact
+    * fraction of corpus TOKEN OCCURRENCES left out-of-vocabulary —
+    * the tokenizer-budget tradeoff read directly (double the vocab,
+    * watch the OOV mass halve or not). The cum machinery runs only
+    * over the top-2^maxDoubling slice, never the full vocabulary.
+    *
+    * Scale shape: one map-side-combinable word count, a bounded
+    * TOP-2^maxDoubling take (TakeOrderedAndProject), a cum window
+    * over those <= 2^maxDoubling rows, and the scalar total broadcast
+    * back. Output: (vocab_size, covered_tokens, oov_tokens, oov_ppm),
+    * ordered by vocab_size; sizes past the actual vocabulary are
+    * absent. */
+  def oovCurve(docs: DataFrame, maxDoubling: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDoubling >= 1 && maxDoubling <= 20,
+      s"maxDoubling must be in [1, 20]; got $maxDoubling")
+    val counts = docs
+      .select(explode(tokensCol(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val tot = counts.agg(sum("freq").as("n_tokens"))
+    val top = counts.orderBy(col("freq").desc, col("w"))
+      .limit(1 << maxDoubling)
+    val wr = Window.orderBy(col("freq").desc, col("w"))
+    top
+      .withColumn("rank", row_number().over(wr).cast("bigint"))
+      .withColumn("covered", sum("freq").over(
+        wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(expr("(rank & (rank - 1)) = 0"))
+      .crossJoin(broadcast(tot))
+      .select(col("rank").as("vocab_size"),
+        col("covered").as("covered_tokens"),
+        (col("n_tokens") - col("covered")).as("oov_tokens"),
+        expr("(n_tokens - covered) * 1000000 div n_tokens").as("oov_ppm"))
+      .orderBy("vocab_size")
+  }
 }

@@ -1272,4 +1272,38 @@ object TimeSeries {
         max("gap_s").as("max_gap_s"))
       .orderBy(grp)
   }
+
+  /** HOUR-OF-DAY entropy per group in WHOLE-BIT millibits (the flog2
+    * quantization every perplexity-family operator uses — engine-
+    * identical, no floating log): H = sum c_h * (flog2(n) - flog2(c_h))
+    * * 1000 div n over the 24 hourly buckets, plus the peak hour and
+    * its exact share. Near-zero entropy with a tall peak = scheduled /
+    * batch traffic; ~4.58 bits (log2 24) = organic. The
+    * cron-vs-human separator that decides whether a stream belongs
+    * in the anomaly baseline at all.
+    *
+    * Scale shape: one map-side-combinable (group, hour) count — a
+    * table bounded at 24 rows per group — then one keyed aggregate;
+    * peak tie-break is (count desc, hour asc) via one max(struct).
+    *
+    * Output: (grp, n_events, entropy_millibits, peak_hour,
+    * peak_ppm), ordered. */
+  def hourEntropy(events: DataFrame, grp: String = "event_type"): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("bigint")
+    val hc = events
+      .select(col(grp).as("g"), hour(col("ts")).cast("bigint").as("h"))
+      .groupBy("g", "h").agg(count(lit(1)).as("c"))
+    // H = sum c*(flog2(n) - flog2(c)) = n*flog2(n) - sum c*flog2(c):
+    // the constant term factors out, so one keyed aggregate suffices
+    hc.groupBy("g")
+      .agg(sum("c").as("n"),
+        sum(col("c") * flog2(col("c"))).as("self_bits"),
+        max(struct(col("c"), (-col("h")).as("nh"))).as("pk"))
+      .withColumn("hbits_raw", col("n") * flog2(col("n")) - col("self_bits"))
+      .select(col("g").as(grp), col("n").as("n_events"),
+        expr("hbits_raw * 1000 div n").as("entropy_millibits"),
+        (-col("pk.nh")).as("peak_hour"),
+        expr("pk.c * 1000000 div n").as("peak_ppm"))
+      .orderBy(grp)
+  }
 }

@@ -8081,7 +8081,115 @@ object Extensions {
         |  FROM r WHERE rank <= 1024 AND (rank & (rank - 1)) = 0)
         |SELECT rank, w AS word, freq, flog2_freq,
         |  lag(flog2_freq) OVER (ORDER BY rank) - flog2_freq AS drop_bits
-        |FROM pw ORDER BY rank""".stripMargin)
+        |FROM pw ORDER BY rank""".stripMargin),
+
+    // chunking-pipeline boundary overlap: pairs where A's last 3
+    // tokens equal B's first 3 — split-document forensics
+    Q.df("x330_boundary_overlap",
+      (s, dir) => Dedup.boundaryOverlap(
+        Tables.load(s, dir, "documents"), 3),
+      s"""WITH $duckTok,
+         |nt AS (SELECT doc_id, CAST(max(pos) AS BIGINT) AS n
+         |  FROM tok GROUP BY 1),
+         |hd AS (SELECT t.doc_id AS dst_id,
+         |    string_agg(w, ' ' ORDER BY pos) AS gram
+         |  FROM tok t JOIN nt USING (doc_id)
+         |  WHERE pos <= 3 AND n >= 3 GROUP BY 1),
+         |tl AS (SELECT t.doc_id AS src_id,
+         |    string_agg(w, ' ' ORDER BY pos) AS gram
+         |  FROM tok t JOIN nt USING (doc_id)
+         |  WHERE pos > n - 3 AND n >= 3 GROUP BY 1)
+         |SELECT src_id, dst_id, tl.gram AS gram
+         |FROM tl JOIN hd ON tl.gram = hd.gram AND src_id <> dst_id
+         |ORDER BY src_id, dst_id""".stripMargin),
+
+    // exact 10%-trimmed mean of order value per priority — rank-free,
+    // off the bounded (group, cents) histogram
+    Q.df("x331_trimmed_mean",
+      (s, dir) => Profile.trimmedMean(Tables.load(s, dir, "orders"),
+        "o_orderpriority",
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)"), 10),
+      """WITH vc AS (SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1, 2),
+        |cumt AS (SELECT g, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS cum FROM vc),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY 1),
+        |k AS (SELECT cumt.g, v, c, cum, n, n * 10 // 100 AS t
+        |  FROM cumt JOIN tot USING (g)),
+        |kept AS (SELECT g, v, n,
+        |    greatest(least(cum, n - t) - greatest(cum - c, t), 0) AS keep
+        |  FROM k)
+        |SELECT g AS o_orderpriority, n,
+        |  CAST(sum(keep) AS BIGINT) AS n_kept,
+        |  CAST(sum(v * keep) AS BIGINT) AS sum_kept,
+        |  CAST(sum(v * keep) * 100 // sum(keep) AS BIGINT) AS mean_x100
+        |FROM kept GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+
+    // hour-of-day whole-bit entropy + peak share per event type: the
+    // cron-vs-organic traffic separator
+    Q.df("x332_hour_entropy",
+      (s, dir) => TimeSeries.hourEntropy(Tables.load(s, dir, "events")),
+      """WITH hc AS (SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS h,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) AS self_bits
+        |  FROM hc GROUP BY 1),
+        |peak AS (SELECT g, h AS peak_hour, c AS pc FROM (
+        |    SELECT g, h, c, row_number() OVER
+        |      (PARTITION BY g ORDER BY c DESC, h) AS rn FROM hc)
+        |  WHERE rn = 1)
+        |SELECT a.g AS event_type, n AS n_events,
+        |  CAST((n * (length(bin(n)) - 1) - self_bits) * 1000 // n
+        |    AS BIGINT) AS entropy_millibits,
+        |  peak_hour, CAST(pc * 1000000 // n AS BIGINT) AS peak_ppm
+        |FROM a JOIN peak USING (g) ORDER BY 1""".stripMargin),
+
+    // tokenizer vocab-sizing curve: exact OOV token mass at
+    // power-of-two vocab sizes
+    Q.df("x333_oov_curve",
+      (s, dir) => TextStats.oovCurve(Tables.load(s, dir, "documents")),
+      """WITH tok AS (SELECT
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |counts AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_tokens FROM counts),
+        |r AS (SELECT w, freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT)
+        |      AS rank,
+        |    CAST(sum(freq) OVER (ORDER BY freq DESC, w
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered
+        |  FROM counts)
+        |SELECT rank AS vocab_size, covered AS covered_tokens,
+        |  n_tokens - covered AS oov_tokens,
+        |  (n_tokens - covered) * 1000000 // n_tokens AS oov_ppm
+        |FROM r CROSS JOIN tot
+        |WHERE rank <= 1024 AND (rank & (rank - 1)) = 0
+        |ORDER BY 1""".stripMargin),
+
+    // duplication-vs-length calibration: exact-dup rate per rank-free
+    // length decile
+    Q.df("x334_dup_length_decile",
+      (s, dir) => Curation.dupByLengthDecile(
+        Tables.load(s, dir, "documents")),
+      """WITH dupc AS (SELECT text, CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM documents GROUP BY 1),
+        |hist AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS hc
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(hc) AS BIGINT) AS n_total FROM hist),
+        |dec AS (SELECT n_chars,
+        |    (CAST(sum(hc) OVER (ORDER BY n_chars) AS BIGINT) - hc)
+        |      * 10 // n_total AS decile
+        |  FROM hist CROSS JOIN tot)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_docs,
+        |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS dup_ppm
+        |FROM documents JOIN dupc USING (text) JOIN dec USING (n_chars)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

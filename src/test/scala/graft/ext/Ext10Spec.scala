@@ -200,6 +200,92 @@ class Ext10Spec extends SparkSpec {
       (4L, "d", 2L, 1L, java.lang.Long.valueOf(1L))), out.toString)
   }
 
+  // ---- boundaryOverlap -----------------------------------------------
+
+  test("boundaryOverlap: tail-head gram pairs found; self and short docs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t"),   // tail "r s t"
+      (2L, "r s t x y"),   // head "r s t" -> pair (1, 2)
+      (3L, "m m m m"),     // head == own tail -> self excluded
+      (4L, "a b")          // < 3 tokens -> dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.boundaryOverlap(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq((1L, 2L, "r s t")), out.toString)
+  }
+
+  // ---- trimmedMean ---------------------------------------------------
+
+  test("trimmedMean: hand-computed band overlap, ties straddling the cut") {
+    import spark.implicits._
+    // g1: 1..10, trim 10% -> t=1, keep 2..9: sum 44, mean_x100 550
+    // g2: {1,1,1,2,3}, trim 20% -> t=1, kept multiset {1,1,2}:
+    //   sum 4, mean_x100 = 400 div 3 = 133
+    val df = ((1 to 10).map(v => ("g1", v.toLong)) ++
+      Seq(("g2", 1L), ("g2", 1L), ("g2", 1L), ("g2", 2L), ("g2", 3L)))
+      .toDF("grp", "v")
+    val t10 = Profile.trimmedMean(df.where(col("grp") === "g1"), "grp",
+      col("v"), 10).collect().head
+    assert((t10.getLong(1), t10.getLong(2), t10.getLong(3),
+      t10.getLong(4)) == ((10L, 8L, 44L, 550L)), t10.toString)
+    val t20 = Profile.trimmedMean(df.where(col("grp") === "g2"), "grp",
+      col("v"), 20).collect().head
+    assert((t20.getLong(1), t20.getLong(2), t20.getLong(3),
+      t20.getLong(4)) == ((5L, 3L, 4L, 133L)), t20.toString)
+  }
+
+  // ---- hourEntropy ---------------------------------------------------
+
+  test("hourEntropy: spike scores 0 bits, uniform 4 hours scores exactly 2 bits") {
+    import spark.implicits._
+    val mk = (g: String, h: Int) => (g, f"2024-01-01 $h%02d:30:00")
+    val df = (Seq.fill(5)(mk("spike", 9)) ++
+      (1 to 4).map(h => mk("flat", h)))
+      .toDF("event_type", "ts0")
+      .select(col("event_type"), col("ts0").cast("timestamp").as("ts"))
+    val out = TimeSeries.hourEntropy(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(("flat", 4L, 2000L, 1L, 250000L),
+      ("spike", 5L, 0L, 9L, 1000000L)), out.toString)
+  }
+
+  // ---- oovCurve ------------------------------------------------------
+
+  test("oovCurve: exact OOV mass at power-of-two vocab sizes") {
+    import spark.implicits._
+    // freqs a:8 b:4 c:4 d:2 e:1, total 19
+    val docs = Seq((1L, ("a " * 8) + ("b " * 4) + ("c " * 4) + "d d e"))
+      .toDF("doc_id", "text")
+    val out = TextStats.oovCurve(docs, maxDoubling = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq((1L, 8L, 11L, 578947L), (2L, 12L, 7L, 368421L),
+      (4L, 18L, 1L, 52631L)), out.toString)
+  }
+
+  // ---- dupByLengthDecile ---------------------------------------------
+
+  test("dupByLengthDecile: dup mass lands in the right rank-free deciles") {
+    import spark.implicits._
+    // 12 docs: length 10 and 20 are exact-dup pairs, 30..100 unique
+    val texts = Seq("x" * 10, "x" * 10, "y" * 20, "y" * 20) ++
+      (3 to 10).map(i => (("z" + i.toString) * (i * 10)).take(i * 10))
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val out = Curation.dupByLengthDecile(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // len 10: cum_before 0 -> decile 0 (2 dup docs); len 20:
+    // cum_before 2 -> decile 1 (2 dup docs); singles spread beyond
+    assert(out.take(2) == Seq((0L, 2L, 2L, 1000000L),
+      (1L, 2L, 2L, 1000000L)), out.toString)
+    assert(out.drop(2).forall(r => r._3 == 0L && r._4 == 0L), out.toString)
+    assert(out.map(_._2).sum == 12L, out.toString)
+  }
+
   test("interArrival: gaps are per (type, user) — cross-user deltas never appear") {
     import spark.implicits._
     val base = 1700000000L
