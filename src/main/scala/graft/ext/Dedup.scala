@@ -1423,4 +1423,37 @@ object Dedup {
       .select(col("src_id"), col("dst_id"), col("gram"))
       .orderBy("src_id", "dst_id")
   }
+
+  /** NEAR-DUP graph TRANSITIVITY audit: on the SimHash near-dup pair
+    * graph ([[simhashNearDups]]), the fraction of wedges (a-b, a-c)
+    * whose closing pair (b, c) is also a near-dup — the one number
+    * that says whether connected-component dedup over-merges: at
+    * closure ~1 the pair relation is effectively an equivalence and
+    * CC groups are tight; low closure means chains of borderline
+    * pairs are fusing unrelated docs and CC needs a verify pass
+    * (exactly the failure x276's evidence tiers exist to audit).
+    *
+    * Scale shape: the pair table is pinned once (three consumers);
+    * wedges come from one self-equi-join of the symmetrized pairs on
+    * the center node, closure from one equi-join of wedges against
+    * the canonical pairs — both bounded by the near-dup graph, never
+    * by the corpus.
+    *
+    * Output: one row (n_pairs, n_wedges, n_closed, closure_ppm). */
+  def nearDupTransitivity(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val pairs = CacheRegistry.pin(
+      simhashNearDups(docs, maxHamming).select("d1", "d2"))
+    val sym = pairs.select(col("d1").as("s"), col("d2").as("t"))
+      .unionAll(pairs.select(col("d2").as("s"), col("d1").as("t")))
+    val wedges = sym.as("e1").join(sym.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.t").as("d1"), col("e2.t").as("d2"))
+    val closed = wedges.join(pairs, Seq("d1", "d2"), "left_semi")
+    pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
+      .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+        expr("n_closed * 1000000 div nullif(n_wedges, 0)")
+          .as("closure_ppm"))
+  }
 }

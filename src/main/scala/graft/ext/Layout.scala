@@ -145,4 +145,45 @@ object Layout {
         hilbertKey(base, col("x"), col("y"), bits).as("hkey"))
       .orderBy("hkey", "p_partkey")
   }
+
+  /** RANGE-PARTITION boundary plan: the exact value cuts a
+    * `repartitionByRange(parts)` / range-bucketed write would want,
+    * with the partition census those cuts actually produce — the
+    * pre-flight that catches the classic range-layout failure (one
+    * hot value owning 40% of the rows makes partition i giant no
+    * matter where the other cuts land) BEFORE a 100 TB shuffle is
+    * committed. Boundaries are discrete quantiles (actual members of
+    * the value multiset); a row goes to partition = number of
+    * boundaries strictly below its value, so every engine places
+    * ties identically. balance_milli = 1000 means perfectly even.
+    *
+    * Scale shape: one map-side-combinable value histogram; the
+    * quantile cuts come from one percentile_disc aggregate; the
+    * census is the histogram joined to the broadcast one-row cut
+    * table — nothing row-shaped after the first count.
+    *
+    * Output: (part, lo, hi, n_rows, balance_milli), ordered. */
+  def rangeBoundaries(df: DataFrame, value: Column,
+                      parts: Int = 8): DataFrame = {
+    require(parts >= 2 && parts <= 256,
+      s"parts must be in [2, 256]; got $parts")
+    val v = df.select(value.as("v"))
+    val hist = v.groupBy("v").agg(count(lit(1)).as("c"))
+    val cuts = v.agg(
+      expr(s"percentile_disc(${1.0 / parts}) WITHIN GROUP (ORDER BY v)")
+        .cast("long").as("b1"),
+      (2 until parts).map(i =>
+        expr(s"percentile_disc(${i.toDouble / parts})" +
+          " WITHIN GROUP (ORDER BY v)").cast("long").as(s"b$i")): _*)
+    val bArr = (1 until parts).map(i => s"b$i").mkString(", ")
+    hist.crossJoin(broadcast(cuts))
+      .withColumn("part",
+        expr(s"CAST(size(filter(array($bArr), b -> b < v)) AS BIGINT)"))
+      .groupBy("part")
+      .agg(min("v").as("lo"), max("v").as("hi"), sum("c").as("n_rows"))
+      .crossJoin(broadcast(hist.agg(sum("c").as("n_total"))))
+      .select(col("part"), col("lo"), col("hi"), col("n_rows"),
+        expr(s"n_rows * $parts * 1000 div n_total").as("balance_milli"))
+      .orderBy("part")
+  }
 }

@@ -623,4 +623,47 @@ object Sampling {
         expr("n_total * 1000000 div (n_buckets * n_docs)").as("weight_ppm"))
       .orderBy("bucket")
   }
+
+  /** COVERAGE-FLOOR sample: a deterministic `target`-row sample that
+    * GUARANTEES at least min(floorN, |cell|) rows from every
+    * (source, lang) cell before filling the remainder by global hash
+    * order — the downsample that never silently drops a rare
+    * language (a plain hash sample at 1% keeps 0 rows of a 50-row
+    * cell with probability ~.6). Selection is md5-ranked both
+    * stages, so the sample is a pure function of the corpus.
+    *
+    * Scale shape: the per-cell floor picks use the bounded bottom-k
+    * aggregate ([[graft.functions.BottomKHashAgg]] — k rows per
+    * (partition, cell) on the shuffle, never a per-cell window); the
+    * top-up is one anti-join and a TakeOrdered of the remainder (the
+    * scalar guaranteed-count is the only driver traffic).
+    *
+    * Output: (doc_id, source, lang, picked_by in {floor, topup}),
+    * ordered by doc_id. */
+  def coverageFloorSample(docs: DataFrame, floorN: Int = 2,
+                          target: Int = 400): DataFrame = {
+    require(floorN >= 1 && target >= 1,
+      s"floorN and target must be >= 1; got $floorN, $target")
+    val bottomK = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BottomKHashAgg(floorN),
+      org.apache.spark.sql.Encoders.product[graft.functions.HashedKey])
+    val base = docs.select(col("doc_id"), col("source"), col("lang"),
+      md5(col("doc_id").cast("string")).as("h"))
+    val floorPicks = CacheRegistry.pin(base
+      .groupBy("source", "lang")
+      .agg(bottomK(col("h"), col("doc_id").cast("string")).as("picks"))
+      .select(col("source"), col("lang"),
+        explode(col("picks")).as("p"))
+      .select(col("p.key").cast("bigint").as("doc_id"),
+        col("source"), col("lang")))
+    val nFloor = floorPicks.count()
+    val topup = base.join(floorPicks.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      .orderBy("h", "doc_id")
+      .limit(math.max(0, target - nFloor.toInt))
+      .select(col("doc_id"), col("source"), col("lang"))
+    floorPicks.withColumn("picked_by", lit("floor"))
+      .unionByName(topup.withColumn("picked_by", lit("topup")))
+      .orderBy("doc_id")
+  }
 }

@@ -8189,7 +8189,131 @@ object Extensions {
         |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1000000
         |    // count(*) AS BIGINT) AS dup_ppm
         |FROM documents JOIN dupc USING (text) JOIN dec USING (n_chars)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // KMV distinct sketch judged against its own ground truth: exact
+    // distinct users, the k=64 minimum 32-bit hash, the estimate, and
+    // its error — deterministic, unlike the HLL tiers
+    Q.df("x335_kmv_distinct",
+      (s, dir) => Profile.kmvDistinct(Tables.load(s, dir, "events"),
+        "event_type", "user_id", 64),
+      """WITH dk AS (SELECT DISTINCT event_type AS g,
+        |    CAST(user_id AS VARCHAR) AS u FROM events
+        |  WHERE user_id IS NOT NULL),
+        |h AS (SELECT g, u, md5(u) AS h FROM dk),
+        |rn AS (SELECT g, u, h, row_number() OVER
+        |    (PARTITION BY g ORDER BY h, u) AS rn FROM h),
+        |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM dk GROUP BY 1),
+        |kth AS (SELECT g, CAST(list_aggregate(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+        |      * 16 ** (8 - i)), 'sum') AS BIGINT) AS vk_32
+        |  FROM rn WHERE rn = 64)
+        |SELECT ex.g AS event_type, n_exact,
+        |  CAST(least(n_exact, 64) AS BIGINT) AS n_sketch,
+        |  CAST(coalesce(vk_32, 0) AS BIGINT) AS vk_32,
+        |  CAST(CASE WHEN n_exact < 64 THEN n_exact
+        |    ELSE 63 * 4294967296 // vk_32 END AS BIGINT) AS est_distinct,
+        |  CAST(abs((CASE WHEN n_exact < 64 THEN n_exact
+        |      ELSE 63 * 4294967296 // vk_32 END) - n_exact) * 1000000
+        |    // n_exact AS BIGINT) AS err_ppm
+        |FROM ex LEFT JOIN kth USING (g) ORDER BY 1""".stripMargin),
+
+    // range-partition boundary plan for an 8-way repartitionByRange
+    // of order value: discrete cuts + the census they produce
+    Q.df("x336_range_boundaries",
+      (s, dir) => graft.ext.Layout.rangeBoundaries(
+        Tables.load(s, dir, "orders"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)"), 8),
+      {
+        val cuts = (1 to 7).map(i =>
+          s"CAST(percentile_disc(${i / 8.0}) WITHIN GROUP (ORDER BY v)" +
+            " AS BIGINT)").mkString(", ")
+        s"""WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
+           |    AS v FROM orders),
+           |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+           |  FROM v GROUP BY 1),
+           |cuts AS (SELECT [$cuts] AS bs FROM v),
+           |asg AS (SELECT v, c,
+           |    CAST(len(list_filter(cuts.bs, b -> b < v)) AS BIGINT)
+           |      AS part
+           |  FROM hist CROSS JOIN cuts),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM hist)
+           |SELECT part, CAST(min(v) AS BIGINT) AS lo,
+           |  CAST(max(v) AS BIGINT) AS hi,
+           |  CAST(sum(c) AS BIGINT) AS n_rows,
+           |  CAST(sum(c) * 8 * 1000 // n_total AS BIGINT)
+           |    AS balance_milli
+           |FROM asg CROSS JOIN tot GROUP BY 1, n_total
+           |ORDER BY 1""".stripMargin
+      }),
+
+    // coverage-floor sample: >= 2 docs per (source, lang) cell
+    // guaranteed, hash-ordered top-up to 400
+    Q.df("x337_coverage_floor",
+      (s, dir) => Sampling.coverageFloorSample(
+        Tables.load(s, dir, "documents"), 2, 400),
+      """WITH b AS (SELECT doc_id, source, lang,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |rn AS (SELECT b.*, row_number() OVER
+        |    (PARTITION BY source, lang ORDER BY h, doc_id) AS rn
+        |  FROM b),
+        |fl AS (SELECT doc_id, source, lang FROM rn WHERE rn <= 2),
+        |g AS (SELECT count(*) AS ng FROM fl),
+        |rest AS (SELECT b.* FROM b
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM fl)),
+        |grn AS (SELECT doc_id, source, lang, row_number() OVER
+        |    (ORDER BY h, doc_id) AS rn2 FROM rest)
+        |SELECT doc_id, source, lang, 'floor' AS picked_by FROM fl
+        |UNION ALL
+        |SELECT doc_id, source, lang, 'topup' FROM grn CROSS JOIN g
+        |WHERE rn2 <= 400 - ng
+        |ORDER BY doc_id""".stripMargin),
+
+    // near-dup graph transitivity: wedge closure rate on the simhash
+    // pair graph — the CC over-merge audit
+    Q.df("x338_dedup_transitivity",
+      (s, dir) => Dedup.nearDupTransitivity(
+        Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |nib AS (
+         |  SELECT doc_id, j,
+         |    instr('0123456789abcdef', substr(md5(w), j, 1)) - 1 AS v
+         |  FROM tok, range(1, 5) r(j)
+         |), bits AS (
+         |  SELECT doc_id, (j - 1) * 4 + b.b AS pos,
+         |    sum(CASE WHEN (v & b.mask) > 0 THEN 1 ELSE -1 END) AS s
+         |  FROM nib, (VALUES (0, 1), (1, 2), (2, 4), (3, 8)) AS b(b, mask)
+         |  GROUP BY doc_id, (j - 1) * 4 + b.b
+         |), sk AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN s >= 0
+         |    THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |    AS simhash
+         |  FROM bits GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (b * 4)) & 15 AS nib
+         |  FROM sk, range(0, 4) r(b)
+         |), pr AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.nib = b.nib AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), sym AS (
+         |  SELECT d1 AS s, d2 AS t FROM pr
+         |  UNION ALL SELECT d2, d1 FROM pr
+         |), w AS (
+         |  SELECT e1.t AS d1, e2.t AS d2 FROM sym e1
+         |  JOIN sym e2 ON e1.s = e2.s AND e1.t < e2.t
+         |), cl AS (SELECT count(*) AS n_closed FROM w
+         |  WHERE EXISTS (SELECT 1 FROM pr
+         |    WHERE pr.d1 = w.d1 AND pr.d2 = w.d2))
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+         |  CAST(cl.n_closed AS BIGINT) AS n_closed,
+         |  CAST(cl.n_closed * 1000000
+         |    // nullif((SELECT count(*) FROM w), 0) AS BIGINT)
+         |    AS closure_ppm
+         |FROM cl""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

@@ -286,6 +286,95 @@ class Ext10Spec extends SparkSpec {
     assert(out.map(_._2).sum == 12L, out.toString)
   }
 
+  // ---- kmvDistinct ---------------------------------------------------
+
+  test("kmvDistinct: exact branch under k; estimator matches a brute-force k-th hash") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    // group small: 3 distinct keys < k=4 -> est == exact, err 0
+    // group big: 100 keys, k=4 -> est = 3 * 2^32 div v4
+    val df = ((1 to 3).map(i => ("small", i.toLong)) ++
+      (1 to 100).map(i => ("big", i.toLong))).toDF("grp", "key")
+    val out = Profile.kmvDistinct(df, "grp", "key", 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val small = out("small")
+    assert(small == ((3L, 3L, 0L, 3L, 0L)), small.toString)
+    val v4 = (1 to 100).map(i => md5hex(i.toString)).sorted.apply(3)
+    val vk = java.lang.Long.parseLong(v4.take(8), 16)
+    val est = 3L * 4294967296L / vk
+    val big = out("big")
+    assert(big == ((100L, 4L, vk, est,
+      math.abs(est - 100L) * 1000000L / 100L)), big.toString)
+  }
+
+  // ---- rangeBoundaries -----------------------------------------------
+
+  test("rangeBoundaries: uniform 1..80 splits into four exact quarters") {
+    import spark.implicits._
+    val df = (1 to 80).map(_.toLong).toDF("x")
+    val out = graft.ext.Layout.rangeBoundaries(df, col("x"), 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq((0L, 1L, 20L, 20L, 1000L), (1L, 21L, 40L, 20L, 1000L),
+      (2L, 41L, 60L, 20L, 1000L), (3L, 61L, 80L, 20L, 1000L)),
+      out.toString)
+  }
+
+  test("rangeBoundaries: a hot value overloads exactly one partition and the census shows it") {
+    import spark.implicits._
+    // 60 copies of value 5 + 1..20 -> the cut values collapse around 5
+    val df = (Seq.fill(60)(5L) ++ (1L to 20L)).toDF("x")
+    val out = graft.ext.Layout.rangeBoundaries(df, col("x"), 4).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(out.map(_._2).sum == 80L, out.toString)
+    assert(out.exists(_._3 > 2000L), s"no overloaded partition: $out")
+  }
+
+  // ---- coverageFloorSample -------------------------------------------
+
+  test("coverageFloorSample: every cell represented, target met, deterministic") {
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"s${i % 3}", if (i % 7 == 0) "rare" else "en")
+    }.toDF("doc_id", "source", "lang")
+    def run() = Sampling.coverageFloorSample(docs, 2, 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    val out = run()
+    assert(out.length == 20, out.length.toString)
+    val cells = docs.select("source", "lang").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val covered = out.map(p => (p._2, p._3)).toSet
+    assert(cells == covered, s"missing cells: ${cells -- covered}")
+    // each cell contributes at least min(2, |cell|) floor picks
+    val floorPerCell = out.filter(_._4 == "floor")
+      .groupBy(p => (p._2, p._3)).view.mapValues(_.size).toMap
+    assert(floorPerCell.values.forall(_ <= 2) &&
+      cells.forall(c => floorPerCell.getOrElse(c, 0) >= 1), out.toString)
+    assert(run() == out) // pure function of the corpus
+  }
+
+  // ---- nearDupTransitivity -------------------------------------------
+
+  test("nearDupTransitivity: agrees with a brute-force wedge count on real docs") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.simhashNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = (pairs.toSeq ++ pairs.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val wedges = adj.toSeq.flatMap { case (_, ns) =>
+      for (b <- ns; c <- ns if b < c) yield (b, c)
+    }
+    val nClosed = wedges.count(w => pairs.contains(w))
+    val r = Dedup.nearDupTransitivity(docs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((pairs.size.toLong, wedges.size.toLong, nClosed.toLong)), r.toString)
+    graft.ext.CacheRegistry.clearAll()
+  }
+
   test("interArrival: gaps are per (type, user) — cross-user deltas never appear") {
     import spark.implicits._
     val base = 1700000000L
