@@ -77,4 +77,58 @@ object AsofJoin {
       .where(col("_side") === 1 && col("_match").isNotNull)
       .select(col("_lp").as("l"), col("_match").as("asof"))
   }
+
+  /** NEAREST as-of join: for each left row, the right row minimizing
+    * |rightTs - leftTs| on the same key, ties broken toward the PAST
+    * (the backward match) — the alignment sensor-fusion and
+    * feature-attachment pipelines want when "most recent" is wrong
+    * for rows that sit just before a burst of fresh state. Rows with
+    * no right row on their key at all drop (inner).
+    *
+    * Same single-shuffle discipline as [[asofJoin]]: ONE union, one
+    * exchange on the key, and two in-partition sorted windows (asc
+    * carrying the latest past (ts, payload), desc carrying the
+    * earliest future one) — never an inequality join, no pair
+    * blowup. Timestamps are normalized to BIGINT microseconds inside
+    * the operator so the delta arithmetic is engine-exact.
+    *
+    * Output: (l: struct(leftCols), asof: rightPayload, dir 'b'|'f',
+    * delta_us >= 0). Same uniqueness contract: right unique per
+    * (key, ts). */
+  def asofNearest(left: DataFrame, right: DataFrame,
+                  leftKey: Column, rightKey: Column,
+                  leftTs: Column, rightTs: Column,
+                  leftCols: Seq[Column], rightPayload: Column): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    def us(df: DataFrame, ts: Column): Column =
+      if (df.select(ts).schema.head.dataType == TimestampType)
+        unix_micros(ts)
+      else ts.cast("bigint")
+    val rpT = right.select(rightPayload).schema.head.dataType
+    val lpT = left.select(struct(leftCols: _*)).schema.head.dataType
+    val l = left.select(
+      leftKey.as("_k"), us(left, leftTs).as("_t"), lit(1).as("_side"),
+      struct(leftCols: _*).as("_lp"), lit(null).cast(rpT).as("_rp"))
+    val r = right.select(
+      rightKey.as("_k"), us(right, rightTs).as("_t"), lit(0).as("_side"),
+      lit(null).cast(lpT).as("_lp"), rightPayload.as("_rp"))
+    val wB = Window.partitionBy("_k").orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("_k").orderBy(col("_t").desc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = when(col("_side") === 0,
+      struct(col("_t").as("t"), col("_rp").as("p")))
+    l.unionByName(r)
+      .withColumn("_b", last(cand, ignoreNulls = true).over(wB))
+      .withColumn("_f", last(cand, ignoreNulls = true).over(wF))
+      .where(col("_side") === 1 &&
+        (col("_b").isNotNull || col("_f").isNotNull))
+      .withColumn("_useB", col("_f").isNull || (col("_b").isNotNull &&
+        col("_t") - col("_b.t") <= col("_f.t") - col("_t")))
+      .select(col("_lp").as("l"),
+        when(col("_useB"), col("_b.p")).otherwise(col("_f.p")).as("asof"),
+        when(col("_useB"), lit("b")).otherwise(lit("f")).as("dir"),
+        when(col("_useB"), col("_t") - col("_b.t"))
+          .otherwise(col("_f.t") - col("_t")).as("delta_us"))
+  }
 }

@@ -8313,7 +8313,63 @@ object Extensions {
          |  CAST(cl.n_closed * 1000000
          |    // nullif((SELECT count(*) FROM w), 0) AS BIGINT)
          |    AS closure_ppm
-         |FROM cl""".stripMargin)
+         |FROM cl""".stripMargin),
+
+    // nearest as-of join: min |orderdate - cutoff| per event with ties
+    // to the past — one shuffle, two sorted windows, no pair blowup
+    Q.df("x339_asof_nearest",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            date_add(lit(java.sql.Date.valueOf("1995-01-01")),
+              (col("event_id") % 2400).cast("int")).cast("timestamp")
+              .as("cutoff"))
+        val ord = Tables.load(s, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max("o_orderkey").as("o_orderkey"))
+          .select(col("o_custkey"),
+            col("o_orderdate").cast("timestamp").as("odt"),
+            col("o_orderkey"))
+        AsofJoin.asofNearest(ev, ord,
+            col("user_id"), col("o_custkey"),
+            col("cutoff"), col("odt"),
+            Seq(col("event_id")), col("o_orderkey"))
+          .select(col("l.event_id").as("event_id"),
+            col("asof").as("o_orderkey"), col("dir"), col("delta_us"))
+          .orderBy("event_id")
+      },
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CAST(DATE '1995-01-01' + INTERVAL (event_id % 2400) DAY
+        |      AS TIMESTAMP) AS cutoff
+        |  FROM events
+        |), ord AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS odt,
+        |    max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2
+        |), b AS (
+        |  SELECT ev.event_id, ord.o_orderkey AS bk, ord.odt AS bt
+        |  FROM ev ASOF LEFT JOIN ord
+        |    ON ev.user_id = ord.o_custkey AND ev.cutoff >= ord.odt
+        |), f AS (
+        |  SELECT ev.event_id, ord.o_orderkey AS fk, ord.odt AS ft
+        |  FROM ev ASOF LEFT JOIN ord
+        |    ON ev.user_id = ord.o_custkey AND ev.cutoff <= ord.odt
+        |), j AS (
+        |  SELECT ev.event_id, ev.cutoff, b.bk, b.bt, f.fk, f.ft,
+        |    (f.ft IS NULL OR (b.bt IS NOT NULL AND
+        |      epoch_us(ev.cutoff) - epoch_us(b.bt)
+        |        <= epoch_us(f.ft) - epoch_us(ev.cutoff))) AS useb
+        |  FROM ev JOIN b USING (event_id) JOIN f USING (event_id)
+        |)
+        |SELECT event_id,
+        |  CASE WHEN useb THEN bk ELSE fk END AS o_orderkey,
+        |  CASE WHEN useb THEN 'b' ELSE 'f' END AS dir,
+        |  CAST(CASE WHEN useb THEN epoch_us(cutoff) - epoch_us(bt)
+        |    ELSE epoch_us(ft) - epoch_us(cutoff) END AS BIGINT)
+        |    AS delta_us
+        |FROM j WHERE bk IS NOT NULL OR fk IS NOT NULL
+        |ORDER BY event_id""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

@@ -375,6 +375,29 @@ class Ext10Spec extends SparkSpec {
     graft.ext.CacheRegistry.clearAll()
   }
 
+  // ---- asofNearest ---------------------------------------------------
+
+  test("asofNearest: direction choice, past-tie, and no-match drop") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 90L), (2L, 1L, 150L), (3L, 1L, 160L),
+      (4L, 1L, 210L), (5L, 2L, 500L)).toDF("id", "k", "t")
+    val right = Seq((1L, 100L, "r100"), (1L, 200L, "r200"))
+      .toDF("k", "t", "p")
+    val out = AsofJoin.asofNearest(left, right,
+        col("k"), col("k"), col("t"), col("t"),
+        Seq(col("id")), col("p"))
+      .select(col("l.id"), col("asof"), col("dir"), col("delta_us"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, "r100", "f", 10L),  // nothing in the past
+      (2L, "r100", "b", 50L),  // exact tie -> past wins
+      (3L, "r200", "f", 40L),  // future strictly nearer
+      (4L, "r200", "b", 10L)), // nothing in the future; key 2 dropped
+      out.toString)
+  }
+
   test("interArrival: gaps are per (type, user) — cross-user deltas never appear") {
     import spark.implicits._
     val base = 1700000000L
