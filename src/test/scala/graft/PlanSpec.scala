@@ -654,4 +654,51 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("x330 boundary overlap: a plain hash equi-join on the gram — never a pair enumeration") {
+    val p = plan("x330_boundary_overlap")
+    // the tail-gram/head-gram match must plan as an equi-join; a
+    // nested-loop or cartesian here would be the all-pairs scan the
+    // operator exists to avoid
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("x335 kmv: bounded bottom-k aggregate (partial ObjectHashAggregate), no per-group window") {
+    val p = plan("x335_kmv_distinct")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("x339 nearest asof: exactly one exchange on the key — the single-shuffle contract") {
+    import org.apache.spark.sql.functions._
+    val p = ext.AsofJoin.asofNearest(
+        Tables.load(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        Tables.load(spark, dir, "orders")
+          .select(col("o_custkey"),
+            col("o_orderdate").cast("timestamp").as("odt"),
+            col("o_orderkey")),
+        col("user_id"), col("o_custkey"), col("ts"), col("odt"),
+        Seq(col("event_id")), col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    // every exchange is the key shuffle (one per union branch, both
+    // hashpartitioning(_k)); the second window rides the first's
+    // partitioning with only a re-sort — and an inequality-join
+    // formulation would show a nested loop instead
+    val allEx = "Exchange [a-zA-Z]+".r.findAllIn(p).toSeq
+    assert(allEx.nonEmpty && allEx.size <= 2 &&
+      allEx.forall(_ == "Exchange hashpartitioning"), s"$allEx\n$p")
+    assert("Exchange hashpartitioning\\(_k".r.findAllIn(p).size == allEx.size,
+      p)
+    // no exchange sits between the two windows: the plan segment from
+    // the outer (second) Window to the inner one is shuffle-free
+    val seg = p.substring(p.indexOf("Window ["),
+      p.lastIndexOf("Window ["))
+    assert(!seg.contains("Exchange"), seg)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
 }
