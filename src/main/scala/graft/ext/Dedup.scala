@@ -1424,36 +1424,54 @@ object Dedup {
       .orderBy("src_id", "dst_id")
   }
 
-  /** NEAR-DUP graph TRANSITIVITY audit: on the SimHash near-dup pair
-    * graph ([[simhashNearDups]]), the fraction of wedges (a-b, a-c)
-    * whose closing pair (b, c) is also a near-dup — the one number
-    * that says whether connected-component dedup over-merges: at
-    * closure ~1 the pair relation is effectively an equivalence and
-    * CC groups are tight; low closure means chains of borderline
-    * pairs are fusing unrelated docs and CC needs a verify pass
-    * (exactly the failure x276's evidence tiers exist to audit).
+  /** NEAR-DUP graph TRANSITIVITY audit: on the production-width
+    * 60-bit SimHash near-dup pair graph ([[simhashNearDups60]]), the
+    * fraction of wedges (a-b, a-c) whose closing pair (b, c) is also
+    * a near-dup — the one number that says whether connected-component
+    * dedup over-merges: at closure ~1 the pair relation is effectively
+    * an equivalence and CC groups are tight; low closure means chains
+    * of borderline pairs are fusing unrelated docs and CC needs a
+    * verify pass (exactly the failure x276's evidence tiers audit).
     *
-    * Scale shape: the pair table is pinned once (three consumers);
-    * wedges come from one self-equi-join of the symmetrized pairs on
-    * the center node, closure from one equi-join of wedges against
-    * the canonical pairs — both bounded by the near-dup graph, never
-    * by the corpus.
+    * Scale shape — NO wedge is ever materialized:
+    *   - n_wedges is closed-form from the degree table:
+    *     sum over nodes of C(deg, 2). One groupBy over the pair list.
+    *   - n_closed = 3 * triangles (every triangle closes exactly its
+    *     three wedges, and every closed wedge is a triangle), and
+    *     triangles are counted min-vertex-oriented: canonical edges
+    *     (d1 < d2) self-joined on the LOWER endpoint generate each
+    *     candidate wedge once at its smallest vertex, then one
+    *     left-semi probe against the edge list. Work is bounded by
+    *     the oriented wedge count of the SPARSE 60-bit graph, not by
+    *     the corpus. (An earlier revision enumerated all wedges of
+    *     the 16-bit demo sketch; collision-dense at scale — 1.5e9
+    *     wedges at sf0.1 — so both the sketch width and the counting
+    *     shape changed. At 100 TB, identical-sketch boilerplate
+    *     cliques make C(deg,2) large; the degree SUM still fits
+    *     BIGINT far past 1e9-degree hubs, and the triangle join's
+    *     cost is the true triangle mass, which is exactly what the
+    *     audit measures.)
     *
     * Output: one row (n_pairs, n_wedges, n_closed, closure_ppm). */
   def nearDupTransitivity(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val pairs = CacheRegistry.pin(
-      simhashNearDups(docs, maxHamming).select("d1", "d2"))
-    val sym = pairs.select(col("d1").as("s"), col("d2").as("t"))
-      .unionAll(pairs.select(col("d2").as("s"), col("d1").as("t")))
-    val wedges = sym.as("e1").join(sym.as("e2"),
-        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-      .select(col("e1.t").as("d1"), col("e2.t").as("d2"))
-    val closed = wedges.join(pairs, Seq("d1", "d2"), "left_semi")
+      simhashNearDups60(docs, maxHamming).select("d1", "d2"))
+    val deg = pairs.select(col("d1").as("s"))
+      .unionAll(pairs.select(col("d2").as("s")))
+      .groupBy("s").agg(count(lit(1)).as("deg"))
+    val wedgeCount = deg.agg(
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
+    val candidates = pairs.as("e1").join(pairs.as("e2"),
+        col("e1.d1") === col("e2.d1") && col("e1.d2") < col("e2.d2"))
+      .select(col("e1.d2").as("d1"), col("e2.d2").as("d2"))
+    val triangles = candidates.join(pairs, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("n_tri"))
     pairs.agg(count(lit(1)).as("n_pairs"))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
-      .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
-        expr("n_closed * 1000000 div nullif(n_wedges, 0)")
+      .crossJoin(wedgeCount)
+      .crossJoin(triangles)
+      .select(col("n_pairs"), col("n_wedges"),
+        expr("n_tri * 3").as("n_closed"),
+        expr("n_tri * 3 * 1000000 div nullif(n_wedges, 0)")
           .as("closure_ppm"))
   }
 }

@@ -8270,8 +8270,8 @@ object Extensions {
         |WHERE rn2 <= 400 - ng
         |ORDER BY doc_id""".stripMargin),
 
-    // near-dup graph transitivity: wedge closure rate on the simhash
-    // pair graph — the CC over-merge audit
+    // near-dup graph transitivity: wedge closure rate on the 60-bit
+    // simhash pair graph — the CC over-merge audit
     Q.df("x338_dedup_transitivity",
       (s, dir) => Dedup.nearDupTransitivity(
         Tables.load(s, dir, "documents")),
@@ -8279,7 +8279,7 @@ object Extensions {
          |nib AS (
          |  SELECT doc_id, j,
          |    instr('0123456789abcdef', substr(md5(w), j, 1)) - 1 AS v
-         |  FROM tok, range(1, 5) r(j)
+         |  FROM tok, range(1, 16) r(j)
          |), bits AS (
          |  SELECT doc_id, (j - 1) * 4 + b.b AS pos,
          |    sum(CASE WHEN (v & b.mask) > 0 THEN 1 ELSE -1 END) AS s
@@ -8291,7 +8291,8 @@ object Extensions {
          |    AS simhash
          |  FROM bits GROUP BY doc_id
          |), bands AS (
-         |  SELECT doc_id, simhash, b, (simhash >> (b * 4)) & 15 AS nib
+         |  SELECT doc_id, simhash, b,
+         |    (simhash >> (b * 15)) & 32767 AS nib
          |  FROM sk, range(0, 4) r(b)
          |), pr AS (
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2

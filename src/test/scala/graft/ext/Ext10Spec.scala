@@ -361,7 +361,7 @@ class Ext10Spec extends SparkSpec {
 
   test("nearDupTransitivity: agrees with a brute-force wedge count on real docs") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
-    val pairs = Dedup.simhashNearDups(docs).collect()
+    val pairs = Dedup.simhashNearDups60(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val adj = (pairs.toSeq ++ pairs.toSeq.map(p => (p._2, p._1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
