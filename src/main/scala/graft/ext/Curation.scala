@@ -230,6 +230,62 @@ object Curation {
       .orderBy("src_a", "src_b")
   }
 
+  /** The PRICED head-shingle-drop tier of [[contaminationMatrix]] —
+    * the 100 TB mitigation that scaladoc documents, as a real
+    * operator: shingles present in >= `minSources` distinct sources
+    * are dropped from the inverted index BEFORE the pair join, so the
+    * p^2 grid blow-up of universal boilerplate ("terms of service",
+    * navigation chrome) never reaches the shuffle. The price is
+    * exact and carried in-band: `n_dropped` counts the pruned
+    * shingles, and when minSources = |sources| every dropped shingle
+    * was by definition in EVERY source, so it contributed exactly +1
+    * to each cell's n_shared, n_a and n_b — the exact matrix is
+    * recoverable by adding n_dropped to those three columns (the
+    * identity the spec proves). For minSources < |sources| the
+    * recovery is a bound, not an identity, which is why the dropped
+    * count rides on every row instead of vanishing.
+    *
+    * Scale shape: one extra hash-aggregate (shingle -> source count)
+    * and a broadcast-friendly one-row dropped count; everything else
+    * is [[contaminationMatrix]]'s bounded equi-join, now with the
+    * head removed.
+    *
+    * Output: one row per unordered source pair present AFTER pruning
+    * (src_a, src_b, n_a, n_b, n_shared, jaccard_ppm, n_dropped). */
+  def contaminationMatrixPruned(docs: DataFrame,
+                                minSources: Int = 3): DataFrame = {
+    require(minSources >= 2, s"minSources must be >= 2; got $minSources")
+    val st = CacheRegistry.pin(
+      shingles3(docs, Seq("source")).select("source", "s").distinct())
+    val hot = st.groupBy("s").agg(count(lit(1)).as("p"))
+      .where(col("p") >= minSources)
+      .select("s")
+    val dropped = hot.agg(count(lit(1)).as("n_dropped"))
+    val flagged = st.join(hot.withColumn("is_hot", lit(true)), Seq("s"), "left")
+    // sizes over EVERY source (a source whose whole index is head
+    // shingles keeps its row with n = 0), so no cell vanishes and the
+    // +n_dropped recovery identity stays visible per pair
+    val sizes = flagged.groupBy("source").agg(
+      sum(when(col("is_hot").isNull, 1L).otherwise(0L)).as("n"))
+    val pruned = flagged.where(col("is_hot").isNull).select("source", "s")
+    val shared = pruned.select(col("source").as("src_a"), col("s"))
+      .join(pruned.select(col("source").as("src_b"), col("s")), Seq("s"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("source").as("src_b"), col("n").as("n_b")))
+      .where(col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .crossJoin(broadcast(dropped))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        expr("coalesce(coalesce(n_shared, 0) * 1000000" +
+          " div nullif(n_a + n_b - coalesce(n_shared, 0), 0), 0)")
+          .as("jaccard_ppm"),
+        col("n_dropped"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** DUPLICATION-vs-LENGTH calibration: exact-duplicate rate per
     * length decile — the one-table answer to "is our dup problem a
     * short-boilerplate problem?" that decides whether dedup should

@@ -146,6 +146,171 @@ object Layout {
       .orderBy("hkey", "p_partkey")
   }
 
+  /** d-dimensional Hilbert index of the axis columns via the native
+    * codegen'd expression [[graft.functions.HilbertKeyNd]] (Skilling
+    * transpose walk) — see there for why the sweep can't be a composed
+    * Column. */
+  def hilbertKeyNd(df: DataFrame, axes: Seq[Column], bits: Int): Column = {
+    graft.functions.HilbertKeyNd.register(df.sparkSession)
+    call_function("hilbert_key_nd",
+      axes.map(_.cast("bigint")) :+ lit(bits): _*)
+  }
+
+  /** Skilling's d-dimensional walk as portable SQL: unrolls the
+    * inverse-undo sweep, Gray encode, correction fold, and interleave
+    * as chained CTEs over a seed relation `${p}0(carry..., x0..x{d-1})`
+    * the caller provides; the final CTE `${p}f` adds `hkey`. Pure
+    * integer CASE/&/xor/shift arithmetic — identical in any engine. */
+  def hilbertNdSqlRounds(dims: Int, bits: Int, carry0: Seq[String],
+                         p: String = "hs"): String = {
+    require(dims >= 2 && dims <= 4 && bits >= 1 && dims * bits <= 63)
+    val xs = (0 until dims).map(i => s"x$i")
+    // the sweep MUTATES the axes (transpose form); the originals ride
+    // along as o0..o{d-1} so the final CTE can emit them under x* names
+    val os = (0 until dims).map(i => s"o$i")
+    val carry = carry0 ++ os
+    val keep = carry.mkString(", ")
+    def sel(changed: Map[String, String], from: String, name: String) = {
+      val cols = xs.map(x => changed.get(x).map(e => s"$e AS $x").getOrElse(x))
+      s"$name AS (SELECT $keep${if (carry.nonEmpty) ", " else ""}${cols.mkString(", ")} FROM $from)"
+    }
+    var prev = s"${p}p"
+    var k = 0
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"${p}p AS (SELECT ${(carry0 ++
+      xs.zip(os).map { case (x, o) => s"$x AS $o" } ++ xs).mkString(", ")}" +
+      s" FROM ${p}0)"
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val pm = q - 1
+      for (i <- 0 until dims) {
+        k += 1
+        val name = s"$p$k"
+        val changed =
+          if (i == 0)
+            Map("x0" -> s"CASE WHEN (x0 & $q) > 0 THEN xor(x0, $pm) ELSE x0 END")
+          else Map(
+            "x0" -> (s"CASE WHEN (x$i & $q) > 0 THEN xor(x0, $pm)" +
+              s" ELSE xor(x0, xor(x0, x$i) & $pm) END"),
+            s"x$i" -> (s"CASE WHEN (x$i & $q) > 0 THEN x$i" +
+              s" ELSE xor(x$i, xor(x0, x$i) & $pm) END"))
+        ctes += sel(changed, prev, name)
+        prev = name
+      }
+      q >>= 1
+    }
+    for (i <- 1 until dims) {
+      k += 1
+      val name = s"$p$k"
+      ctes += sel(Map(s"x$i" -> s"xor(x$i, x${i - 1})"), prev, name)
+      prev = name
+    }
+    val tTerms = {
+      var qq = 1L << (bits - 1)
+      val terms = scala.collection.mutable.ArrayBuffer[String]()
+      while (qq > 1) {
+        terms += s"CASE WHEN (x${dims - 1} & $qq) > 0 THEN ${qq - 1} ELSE 0 END"
+        qq >>= 1
+      }
+      if (terms.isEmpty) "0" else terms.reduce((a, b) => s"xor($a, $b)")
+    }
+    val tName = s"${p}t"
+    ctes += s"$tName AS (SELECT *, $tTerms AS tt FROM $prev)"
+    val aName = s"${p}a"
+    ctes += sel(xs.map(x => x -> s"xor($x, tt)").toMap, tName, aName)
+    val hkey = (for (qi <- (bits - 1) to 0 by -1; i <- 0 until dims)
+      yield s"(((x$i >> $qi) & 1) << ${qi * dims + (dims - 1 - i)})")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    ctes += s"${p}f AS (SELECT ${(carry0 ++
+      os.zip(xs).map { case (o, x) => s"$o AS $x" }).mkString(", ")}, " +
+      s"$hkey AS hkey FROM $aName)"
+    ctes.mkString(",\n")
+  }
+
+  /** lineitem clustered by the 3-D Hilbert index of
+    * (l_suppkey & 63, l_partkey & 63, l_quantity & 63): per-row curve
+    * positions, totally ordered by (hkey, every column) — the write
+    * order a 3-column Hilbert-clustered rewrite would use, judged
+    * row-exact against the unrolled-SQL oracle. */
+  def lineitemHilbert3(li: DataFrame, bits: Int = 6): DataFrame = {
+    val mask = (1 << bits) - 1
+    val base = li.select(col("l_orderkey"),
+      col("l_linenumber").cast("bigint").as("l_linenumber"),
+      col("l_suppkey").bitwiseAND(mask).cast("bigint").as("x0"),
+      col("l_partkey").bitwiseAND(mask).cast("bigint").as("x1"),
+      floor(col("l_quantity")).cast("bigint").bitwiseAND(mask).as("x2"))
+    base.select(col("l_orderkey"), col("l_linenumber"),
+        col("x0"), col("x1"), col("x2"),
+        hilbertKeyNd(base, Seq(col("x0"), col("x1"), col("x2")), bits)
+          .as("hkey"))
+      .orderBy("hkey", "l_orderkey", "l_linenumber", "x0", "x1", "x2")
+  }
+
+  /** Zone-map pricing of 2-D vs 3-D Hilbert clustering ([[zonemapAudit]]
+    * shape, on lineitem): rows are laid out natural / Hilbert-(x,y) /
+    * Hilbert-(x,y,z), cut into `rowsPerFile`-row files with min/max
+    * zone maps of all three dims, and each candidate predicate counts
+    * the files it must scan. The 2-D layout never prunes z; the 3-D
+    * layout prunes all three at a small cost on x/y — this mart
+    * reports that trade as numbers, the scan-cost argument for (or
+    * against) adding the third clustering column BEFORE a 100 TB
+    * rewrite pays for it.
+    *
+    * Per-layout positions come from a range-partitioned sort +
+    * zipWithIndex, never a SinglePartition window; zone maps are one
+    * keyed agg per layout. Ties: rows identical in every sort column
+    * are interchangeable and zone maps are unaffected, so the audit is
+    * deterministic without a unique id.
+    *
+    * Output: (layout, n_files, scan_x, scan_y, scan_z, scan_xyz),
+    * ordered by layout. */
+  def zonemapAuditHilbert(li: DataFrame, bits: Int = 6,
+                          rowsPerFile: Int = 16): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(rowsPerFile >= 2, s"rowsPerFile >= 2; got $rowsPerFile")
+    val spark = li.sparkSession
+    val mask = (1 << bits) - 1
+    val base = li.select(col("l_orderkey").cast("bigint").as("ok"),
+      col("l_linenumber").cast("bigint").as("ln"),
+      col("l_suppkey").bitwiseAND(mask).cast("bigint").as("x"),
+      col("l_partkey").bitwiseAND(mask).cast("bigint").as("y"),
+      floor(col("l_quantity")).cast("bigint").bitwiseAND(mask).as("z"))
+    def audit(layout: String, order: Seq[Column]): DataFrame = {
+      val sorted = base.orderBy(order: _*)
+      val schema = StructType(sorted.schema.fields :+
+        StructField("gid", LongType, nullable = false))
+      val numbered = spark.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ i)
+        }, schema)
+      numbered
+        .groupBy((col("gid") / rowsPerFile).cast("bigint").as("file"))
+        .agg(min("x").as("lox"), max("x").as("hix"),
+          min("y").as("loy"), max("y").as("hiy"),
+          min("z").as("loz"), max("z").as("hiz"))
+        .select(lit(layout).as("layout"),
+          (col("lox") <= 15 && col("hix") >= 8).as("sx"),
+          (col("loy") <= 31 && col("hiy") >= 16).as("sy"),
+          (col("loz") <= 10 && col("hiz") >= 1).as("sz"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("sx"), 1L).otherwise(0L)).as("scan_x"),
+          sum(when(col("sy"), 1L).otherwise(0L)).as("scan_y"),
+          sum(when(col("sz"), 1L).otherwise(0L)).as("scan_z"),
+          sum(when(col("sx") && col("sy") && col("sz"), 1L).otherwise(0L))
+            .as("scan_xyz"))
+    }
+    val h2 = hilbertKeyNd(base, Seq(col("x"), col("y")), bits)
+    val h3 = hilbertKeyNd(base, Seq(col("x"), col("y"), col("z")), bits)
+    audit("1_natural", Seq(col("ok"), col("ln"), col("x"), col("y"), col("z")))
+      .unionByName(audit("2_hilbert2d",
+        Seq(h2, col("x"), col("y"), col("z"))))
+      .unionByName(audit("3_hilbert3d",
+        Seq(h3, col("x"), col("y"), col("z"))))
+      .orderBy("layout")
+  }
+
   /** RANGE-PARTITION boundary plan: the exact value cuts a
     * `repartitionByRange(parts)` / range-bucketed write would want,
     * with the partition census those cuts actually produce — the

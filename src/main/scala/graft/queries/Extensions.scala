@@ -8370,7 +8370,112 @@ object Extensions {
         |    ELSE epoch_us(ft) - epoch_us(cutoff) END AS BIGINT)
         |    AS delta_us
         |FROM j WHERE bk IS NOT NULL OR fk IS NOT NULL
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin),
+
+    // 3-column Hilbert clustering of lineitem: the native d-dim
+    // Skilling expression vs the same walk unrolled as SQL CTEs
+    Q.df("x340_hilbert3_layout",
+      (s, dir) => graft.ext.Layout.lineitemHilbert3(
+        Tables.load(s, dir, "lineitem")),
+      s"""WITH hs0 AS (
+         |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+         |      AS l_linenumber,
+         |    CAST(l_suppkey & 63 AS BIGINT) AS x0,
+         |    CAST(l_partkey & 63 AS BIGINT) AS x1,
+         |    CAST(floor(l_quantity) AS BIGINT) & 63 AS x2
+         |  FROM lineitem
+         |),
+         |${graft.ext.Layout.hilbertNdSqlRounds(3, 6,
+             Seq("l_orderkey", "l_linenumber"))}
+         |SELECT l_orderkey, l_linenumber, x0, x1, x2, hkey
+         |FROM hsf
+         |ORDER BY hkey, l_orderkey, l_linenumber, x0, x1, x2"""
+        .stripMargin),
+
+    // zone-map pricing of 2-D vs 3-D Hilbert clustering: does the
+    // third clustering column pay for itself before the rewrite runs
+    Q.df("x341_zonemap_3d",
+      (s, dir) => graft.ext.Layout.zonemapAuditHilbert(
+        Tables.load(s, dir, "lineitem")),
+      {
+        def lay(name: String, src: String, order: String) =
+          s"""SELECT '$name' AS layout,
+             |  CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(sum(CASE WHEN lox <= 15 AND hix >= 8
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS scan_x,
+             |  CAST(sum(CASE WHEN loy <= 31 AND hiy >= 16
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS scan_y,
+             |  CAST(sum(CASE WHEN loz <= 10 AND hiz >= 1
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS scan_z,
+             |  CAST(sum(CASE WHEN lox <= 15 AND hix >= 8
+             |    AND loy <= 31 AND hiy >= 16
+             |    AND loz <= 10 AND hiz >= 1
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS scan_xyz
+             |FROM (SELECT gid // 16 AS file,
+             |    min(x0) AS lox, max(x0) AS hix,
+             |    min(x1) AS loy, max(x1) AS hiy,
+             |    min(x2) AS loz, max(x2) AS hiz
+             |  FROM (SELECT x0, x1, x2,
+             |      row_number() OVER (ORDER BY $order) - 1 AS gid
+             |    FROM $src)
+             |  GROUP BY 1)""".stripMargin
+        s"""WITH hs0 AS (
+           |  SELECT CAST(l_orderkey AS BIGINT) AS ok,
+           |    CAST(l_linenumber AS BIGINT) AS ln,
+           |    CAST(l_suppkey & 63 AS BIGINT) AS x0,
+           |    CAST(l_partkey & 63 AS BIGINT) AS x1,
+           |    CAST(floor(l_quantity) AS BIGINT) & 63 AS x2
+           |  FROM lineitem
+           |),
+           |ha0 AS (SELECT * FROM hs0),
+           |${graft.ext.Layout.hilbertNdSqlRounds(2, 6,
+               Seq("ok", "ln", "x2"), "ha")},
+           |hb0 AS (SELECT * FROM hs0),
+           |${graft.ext.Layout.hilbertNdSqlRounds(3, 6,
+               Seq("ok", "ln"), "hb")}
+           |${lay("1_natural", "hs0", "ok, ln, x0, x1, x2")}
+           |UNION ALL
+           |${lay("2_hilbert2d", "haf", "hkey, x0, x1, x2")}
+           |UNION ALL
+           |${lay("3_hilbert3d", "hbf", "hkey, x0, x1, x2")}
+           |ORDER BY layout""".stripMargin
+      }),
+
+    // head-shingle-drop contamination tier: universal boilerplate
+    // pruned before the pair join, dropped count carried in-band
+    Q.df("x342_contamination_pruned",
+      (s, dir) => Curation.contaminationMatrixPruned(
+        Tables.load(s, dir, "documents")),
+      s"""WITH $duckTok,
+         |st AS (SELECT DISTINCT d.source,
+         |    a.w || ' ' || b.w || ' ' || c.w AS s
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         |             JOIN documents d ON d.doc_id = a.doc_id),
+         |hot AS (SELECT s FROM st GROUP BY s HAVING count(*) >= 3),
+         |drp AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped FROM hot),
+         |pr AS (SELECT source, s FROM st
+         |  WHERE s NOT IN (SELECT s FROM hot)),
+         |sizes AS (SELECT st.source,
+         |    CAST(count(CASE WHEN hot.s IS NULL THEN 1 END) AS BIGINT)
+         |      AS n
+         |  FROM st LEFT JOIN hot ON st.s = hot.s GROUP BY 1),
+         |shared AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM pr a JOIN pr b ON a.s = b.s AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT sa.source AS src_a, sb.source AS src_b,
+         |  sa.n AS n_a, sb.n AS n_b,
+         |  coalesce(n_shared, 0) AS n_shared,
+         |  coalesce(coalesce(n_shared, 0) * 1000000
+         |    // nullif(sa.n + sb.n - coalesce(n_shared, 0), 0), 0)
+         |    AS jaccard_ppm,
+         |  n_dropped
+         |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+         |  LEFT JOIN shared
+         |    ON shared.src_a = sa.source AND shared.src_b = sb.source
+         |  CROSS JOIN drp
+         |ORDER BY src_a, src_b""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

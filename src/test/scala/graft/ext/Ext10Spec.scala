@@ -412,4 +412,125 @@ class Ext10Spec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
     assert(out == Seq((2L, 100L, 100L)), out.toString)
   }
+
+  // ---- HilbertKeyNd --------------------------------------------------
+
+  test("hilbertKeyNd: 3-D bijective on the 8^3 grid and consecutive positions are grid neighbors") {
+    import spark.implicits._
+    val cells = (for (x <- 0 until 8; y <- 0 until 8; z <- 0 until 8)
+      yield (x, y, z)).toDF("x", "y", "z")
+    val keyed = cells.select(col("x"), col("y"), col("z"),
+        Layout.hilbertKeyNd(cells,
+          Seq(col("x"), col("y"), col("z")), 3).as("d"))
+      .orderBy("d").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(keyed.map(_._4).toSeq == (0L until 512L).toSeq,
+      "keys must be a bijection onto 0..511")
+    keyed.sliding(2).foreach { case Array((x1, y1, z1, _), (x2, y2, z2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"curve jump at ($x1,$y1,$z1)->($x2,$y2,$z2)")
+    }
+  }
+
+  test("hilbertKeyNd: 4-D bijective on the 4^4 grid with unit steps") {
+    import spark.implicits._
+    val cells = (for (a <- 0 until 4; b <- 0 until 4; c <- 0 until 4;
+                      d <- 0 until 4) yield (a, b, c, d))
+      .toDF("a", "b", "c", "d")
+    val keyed = cells.select(col("a"), col("b"), col("c"), col("d"),
+        Layout.hilbertKeyNd(cells,
+          Seq(col("a"), col("b"), col("c"), col("d")), 2).as("h"))
+      .orderBy("h").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4)))
+    assert(keyed.map(_._5).toSeq == (0L until 256L).toSeq,
+      "keys must be a bijection onto 0..255")
+    keyed.sliding(2).foreach { case Array(p, q) =>
+      val step = math.abs(p._1 - q._1) + math.abs(p._2 - q._2) +
+        math.abs(p._3 - q._3) + math.abs(p._4 - q._4)
+      assert(step == 1, s"curve jump at $p->$q")
+    }
+  }
+
+  test("hilbertKeyNd: codegen path equals the reference walk on random wide points") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // d=3 x bits=20 exercises the 60-bit key range far past int
+    val pts = (0 until 120).map { _ =>
+      (rnd.nextLong(1L << 20), rnd.nextLong(1L << 20),
+        rnd.nextLong(1L << 20))
+    }
+    val df = pts.toDF("x", "y", "z")
+    val viaPlan = df.select(
+        Layout.hilbertKeyNd(df, Seq(col("x"), col("y"), col("z")), 20)
+          .as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaWalk = pts.map { case (x, y, z) =>
+      graft.functions.HilbertKeyNd.walk(Array(x, y, z), 20)
+    }
+    assert(viaPlan == viaWalk)
+  }
+
+  // ---- contaminationMatrixPruned -------------------------------------
+
+  test("contaminationMatrixPruned: at minSources = |sources| each dropped shingle contributed exactly +1 to n_shared, n_a, n_b") {
+    import spark.implicits._
+    // three sources; "u1 u2 u3" (and its shifted twin) appear in all
+    // three; other shingles scatter. minSources = 3 drops exactly the
+    // universal shingles, and the exact matrix must be recoverable by
+    // adding n_dropped to n_shared/n_a/n_b of every cell.
+    val docs = Seq(
+      (1L, "a", "u1 u2 u3 u4 ax ay az"),
+      (2L, "b", "u1 u2 u3 u4 bx by bz"),
+      (3L, "c", "u1 u2 u3 u4 cx cy ax"),
+      (4L, "a", "ax ay az aw av"),
+      (5L, "b", "bx by ax ay az")).toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r).toMap
+    val exact = rows(Curation.contaminationMatrix(docs))
+    val pruned = rows(Curation.contaminationMatrixPruned(docs, 3))
+    // the pruned tier keeps EVERY pair cell (the exact tier omits
+    // never-overlapping pairs, which cannot happen here)
+    assert(exact.keySet.subsetOf(pruned.keySet), s"${pruned.keySet}")
+    val nd = pruned.values.head.getLong(6)
+    // "u1 u2 u3" and "u2 u3 u4" are in all three sources
+    assert(nd == 2L, s"n_dropped = $nd")
+    exact.foreach { case (k, e) =>
+      val p = pruned(k)
+      assert(e.getLong(2) == p.getLong(2) + nd, s"n_a at $k") // n_a
+      assert(e.getLong(3) == p.getLong(3) + nd, s"n_b at $k") // n_b
+      assert(e.getLong(4) == p.getLong(4) + nd, s"n_shared at $k")
+    }
+    graft.ext.CacheRegistry.clearAll()
+  }
+
+  test("contaminationMatrixPruned: a shingle in only two sources survives a minSources=3 prune") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "p q r s"), (2L, "b", "p q r t"), (3L, "c", "zz yy xx"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.contaminationMatrixPruned(docs, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4),
+        r.getLong(6))).toSeq
+    // "p q r" shared by a and b only -> kept; nothing dropped; the
+    // non-overlapping pairs keep their cells with n_shared = 0
+    assert(out == Seq(("a", "b", 1L, 0L), ("a", "c", 0L, 0L),
+      ("b", "c", 0L, 0L)), out.toString)
+    graft.ext.CacheRegistry.clearAll()
+  }
+
+  test("zonemapAuditHilbert: the third clustering column pays — 3-D prunes z where 2-D cannot") {
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val out = Layout.zonemapAuditHilbert(li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val Seq(nat, h2, h3) =
+      Seq("1_natural", "2_hilbert2d", "3_hilbert3d").map(out)
+    assert(nat._1 == h2._1 && h2._1 == h3._1, "same file count")
+    // 2-D never prunes z (unclustered): it scans essentially all files
+    assert(h3._4 < h2._4, s"3-D must beat 2-D on the z predicate: $out")
+    // and 2-D beats natural on x/y, 3-D still prunes x/y
+    assert(h2._2 < nat._2 && h3._2 < nat._2, s"x pruning: $out")
+    assert(h3._5 <= h2._5, s"conjunction: $out")
+  }
 }
