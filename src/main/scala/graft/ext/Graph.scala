@@ -313,4 +313,50 @@ object Graph {
     CacheRegistry.release(e)
     traj.toDF("round", "n_nodes", "n_arcs").orderBy("round")
   }
+
+  /** DEGREE ASSORTATIVITY of an undirected edge list (one row): the
+    * Pearson correlation of endpoint degrees over directed arcs
+    * (each undirected edge contributes both orientations — the
+    * standard convention, Newman 2002). Positive = hubs link to
+    * hubs (social-graph shape), negative = hubs link to leaves
+    * (star/crawl shape) — the one-number "which kind of graph is
+    * this" audit run before choosing between the hub-oriented and
+    * leaf-oriented partitioning strategies.
+    *
+    * Integer-exact WITHOUT a square root: orientation symmetry makes
+    * the two endpoint-degree marginals identical, so
+    * var(x) = var(y) and r = cov/var exactly —
+    * r_ppm = (M·Σxy - Σx·Σy) · 1e6 div (M·Σxx - Σx·Σx), the ×1e6
+    * numerator widened to DECIMAL(38,0) (DuckDB twin: HUGEINT; the
+    * moment sums themselves are BIGINT, exact to ~1e6-degree hubs on
+    * ~1e9-arc graphs).
+    *
+    * Scale shape: one degree count, one equi-join of arcs to degrees
+    * at each endpoint, one global moment aggregate — the same
+    * two-shuffle budget as a PageRank round, never a pair join.
+    *
+    * Output: (n_nodes, n_arcs, r_ppm); r_ppm NULL on a degree-regular
+    * graph (zero variance, the textbook undefined case). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val arcs = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = arcs.groupBy("src").agg(count(lit(1)).as("deg"))
+    arcs
+      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")),
+        Seq("dst"))
+      .agg(countDistinct("src").as("n_nodes"),
+        count(lit(1)).as("n_arcs"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n_nodes"), col("n_arcs"),
+        // widen BEFORE the moment products — M·Σxy is O(M²·deg²)
+        expr("CAST((CAST(n_arcs AS DECIMAL(38,0)) * sxy" +
+          " - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000" +
+          " div nullif(CAST(n_arcs AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx, 0)" +
+          " AS BIGINT)").as("r_ppm"))
+  }
 }

@@ -311,6 +311,73 @@ object Layout {
       .orderBy("layout")
   }
 
+  /** COMPACTION CANDIDATE ranking: which files would a clustering
+    * compaction help MOST? Rows in their natural write order are cut
+    * into `rowsPerFile`-row files with min/max zone maps of the
+    * clustering value; a file's badness is how many OTHER files its
+    * [lo, hi] range overlaps — overlapped ranges are exactly what
+    * makes zone maps useless (every range predicate touching the span
+    * must scan all of them), and the top-overlap files are where a
+    * bounded incremental rewrite (compact k files, not the table)
+    * buys the most pruning. Emits the `k` worst files.
+    *
+    * Scale shape: file stats come from one range-partitioned sort +
+    * zipWithIndex and one keyed agg; the overlap count is NOT a pair
+    * join — n_overlap(f) = #files(lo <= f.hi) - #files(hi < f.lo) - 1,
+    * computed by two boundary-sweep windows over the bounded file
+    * table (2F rows each; at 100 TB file stats are already collected
+    * by the writer — parquet footers — and F << rows). The O(F²)
+    * interval join never happens; the DuckDB oracle deliberately uses
+    * per-file correlated counts, a different shape.
+    *
+    * Output: (file, lo, hi, n_overlap), worst first (ties by file),
+    * k rows. */
+  def compactionCandidates(li: DataFrame, rowsPerFile: Int = 64,
+                           k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(rowsPerFile >= 2 && k >= 1)
+    val spark = li.sparkSession
+    val base = li.select(col("l_orderkey").cast("bigint").as("ok"),
+      col("l_linenumber").cast("bigint").as("ln"),
+      col("l_partkey").cast("bigint").as("v"))
+    val sorted = base.orderBy("ok", "ln", "v")
+    val schema = StructType(sorted.schema.fields :+
+      StructField("gid", LongType, nullable = false))
+    val files = spark.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ i)
+        }, schema)
+      .groupBy((col("gid") / rowsPerFile).cast("bigint").as("file"))
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("nr"))
+    // sweep 1: files with lo <= my hi (lo events sort BEFORE the hi
+    // probe at equal v, so equality counts)
+    val loLe = files.select(col("lo").as("v"), lit(0L).as("typ"),
+        lit(-1L).as("file"))
+      .unionAll(files.select(col("hi").as("v"), lit(1L).as("typ"),
+        col("file")))
+      .withColumn("cnt", sum(when(col("typ") === 0, 1L).otherwise(0L))
+        .over(Window.orderBy("v", "typ")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("typ") === 1).select(col("file"), col("cnt").as("n_lo_le"))
+    // sweep 2: files with hi < my lo (the lo probe sorts BEFORE hi
+    // events at equal v, so equality does NOT count)
+    val hiLt = files.select(col("lo").as("v"), lit(0L).as("typ"),
+        col("file"))
+      .unionAll(files.select(col("hi").as("v"), lit(1L).as("typ"),
+        lit(-1L).as("file")))
+      .withColumn("cnt", sum(when(col("typ") === 1, 1L).otherwise(0L))
+        .over(Window.orderBy("v", "typ")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("typ") === 0).select(col("file"), col("cnt").as("n_hi_lt"))
+    files.join(loLe, Seq("file")).join(hiLt, Seq("file"))
+      .select(col("file"), col("lo"), col("hi"),
+        (col("n_lo_le") - col("n_hi_lt") - 1L).as("n_overlap"))
+      .orderBy(col("n_overlap").desc, col("file"))
+      .limit(k)
+  }
+
   /** RANGE-PARTITION boundary plan: the exact value cuts a
     * `repartitionByRange(parts)` / range-bucketed write would want,
     * with the partition census those cuts actually produce — the

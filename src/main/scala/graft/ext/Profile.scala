@@ -1004,4 +1004,145 @@ object Profile {
         expr("abs(est_distinct - n_exact) * 1000000 div n_exact"))
       .orderBy(grp)
   }
+
+  /** POPULATION STABILITY INDEX per source vs the rest of the corpus,
+    * in the whole-bit quantization this repo's divergence operators
+    * use ([[graft.ext.TextStats.vocabDivergence]]): for each
+    * (source, category) cell, with Laplace +1 smoothing so empty
+    * cells stay finite, term = (p_a_ppm - p_b_ppm) ·
+    * (flog2(a·totB) - flog2(b·totA)) where flog2 is the integer bit
+    * length minus one. Whole-bit logs keep every number engine-exact;
+    * monotonicity of floor and flog2 guarantees the two factors never
+    * disagree in sign, so the sum is non-negative like the textbook
+    * PSI. The standard "did this source's category mix move away
+    * from the portfolio" monitoring gate (PSI > 0.2-rule analog:
+    * compare psi_ppm_bits across sources, not to the float
+    * threshold). The a·totB products inside flog2 stay BIGINT —
+    * exact to n ~ 3e9 rows; past that, feed pre-thinned counts.
+    *
+    * Scale shape: ONE map-side-combinable (source, category) count;
+    * the smoothed grid, margins, and the PSI sum all run on that
+    * bounded |sources|×|categories| table — the corpus is scanned
+    * exactly once.
+    *
+    * Output: (source, n_a, psi_ppm_bits) ordered by source. */
+  def psiDrift(docs: DataFrame, catCol: String = "lang"): DataFrame = {
+    val vc = docs.groupBy(col("source"), col(catCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val values = vc.select("v").distinct()
+    val sources = vc.select("source").distinct()
+    val grid = sources.crossJoin(values)
+      .join(vc, Seq("source", "v"), "left").na.fill(0L, Seq("c"))
+    val gtot = vc.groupBy("v").agg(sum("c").as("g"))
+    val totA = vc.groupBy("source").agg(sum("c").as("n_a"))
+    val corpus = vc.agg(sum("c").as("n_corpus"),
+      countDistinct("v").as("nv"))
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("bigint")
+    grid.join(gtot, Seq("v")).join(totA, Seq("source"))
+      .crossJoin(broadcast(corpus))
+      .select(col("source"), col("n_a"),
+        (col("c") + 1L).as("a"), (col("g") - col("c") + 1L).as("b"),
+        (col("n_a") + col("nv")).as("ta"),
+        (col("n_corpus") - col("n_a") + col("nv")).as("tb"))
+      .select(col("source"), col("n_a"),
+        (expr("a * 1000000 div ta") - expr("b * 1000000 div tb"))
+          .as("dp"),
+        (flog2(col("a") * col("tb")) - flog2(col("b") * col("ta")))
+          .as("lr"))
+      .groupBy("source", "n_a")
+      .agg(sum(col("dp") * col("lr")).as("psi_ppm_bits"))
+      .orderBy("source")
+  }
+
+  /** MANN-WHITNEY U rank-sum drift test of a numeric column, each
+    * group vs the rest — the nonparametric "did this slice's value
+    * distribution shift" check that needs no distributional
+    * assumption and no float moments. Values quantize to
+    * q = floor(value·10); midranks (tie-averaged ranks) are carried
+    * in DOUBLED units so ties stay integer-exact:
+    * midrank2(q) = 2·(count below q) + count(q) + 1,
+    * U2 = Σ_A count_A(q)·midrank2(q) - n_a·(n_a+1)  (twice the
+    * textbook U), and the effect size is the rank-biserial
+    * correlation r = U2/(n_a·n_b) - 1 in ppm (0 = no shift,
+    * ±1e6 = total separation). The ×1e6 numerator is widened to
+    * DECIMAL(38,0) (DuckDB twin: HUGEINT) — U2 is itself O(n²), so
+    * the BIGINT rank sums are exact to n ~ 2e9 rows; past that,
+    * coarsen the quantization (fewer, heavier bins keep the same
+    * midrank algebra).
+    *
+    * Scale shape: ONE map-side-combinable (group, q) count; the
+    * global rank prefix is one window over the bounded distinct-q
+    * table (bounded by the value RANGE at this quantization, not by
+    * rows), and each group's U folds from that same table. The
+    * corpus never sorts globally — the histogram does.
+    *
+    * Output: (grp, n_a, n_b, u2_a, rbc_ppm) ordered by group. */
+  def mannWhitney(df: DataFrame, grpCol: String = "event_type",
+                  valueCol: String = "value"): DataFrame = {
+    val h = df.select(col(grpCol).as("grp"),
+        expr(s"CAST(floor(CAST($valueCol AS DOUBLE) * 10) AS BIGINT)")
+          .as("q"))
+      .where(col("q").isNotNull)
+      .groupBy("grp", "q").agg(count(lit(1)).as("ca"))
+    val g = h.groupBy("q").agg(sum("ca").as("g"))
+      .withColumn("below",
+        coalesce(sum("g").over(Window.orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("q"), (lit(2L) * col("below") + col("g") + 1L)
+        .as("midrank2"))
+    h.join(g, Seq("q"))
+      .groupBy("grp")
+      .agg(sum("ca").as("n_a"),
+        sum(col("ca") * col("midrank2")).as("sumrank2"))
+      .crossJoin(broadcast(h.agg(sum("ca").as("n_all"))))
+      .select(col("grp").as(grpCol), col("n_a"),
+        (col("n_all") - col("n_a")).as("n_b"),
+        expr("sumrank2 - n_a * (n_a + 1)").as("u2_a"))
+      .withColumn("rbc_ppm",
+        expr("CAST(CAST(u2_a AS DECIMAL(38,0)) * 1000000" +
+          " div (n_a * n_b) AS BIGINT) - 1000000"))
+      .orderBy(grpCol)
+  }
+
+  /** CHI-SQUARE INDEPENDENCE statistic between two categorical
+    * columns (one row): over the FULL |rows|×|cols| margin grid
+    * (zero cells included — they contribute their whole expectation),
+    * chi2_micro = Σ (o·N - r·c)² · 1e6 div (N·r·c), term-truncating,
+    * with the squared numerator widened to DECIMAL(38,0) (DuckDB
+    * twin: HUGEINT) — o·N alone is O(n²). The "are these two
+    * labelings actually independent" audit (lang × source here: a
+    * large value means sources have language identities, so
+    * source-stratified splits are also language-stratified). Degrees
+    * of freedom ride along; compare chi2_micro across snapshots
+    * rather than to a float critical value.
+    *
+    * Scale shape: ONE map-side-combinable (row, col) count; margins
+    * and the full grid (cross join of the two bounded margin tables)
+    * never touch the corpus again.
+    *
+    * Output: (n, n_row_cats, n_col_cats, dof, chi2_micro). */
+  def chiSquareIndependence(docs: DataFrame, rowCol: String = "lang",
+                            colCol: String = "source"): DataFrame = {
+    val vc = docs.groupBy(col(rowCol).as("rv"), col(colCol).as("cv"))
+      .agg(count(lit(1)).as("o"))
+    val rm = vc.groupBy("rv").agg(sum("o").as("r"))
+    val cm = vc.groupBy("cv").agg(sum("o").as("c"))
+    rm.crossJoin(cm)
+      .join(vc, Seq("rv", "cv"), "left").na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(vc.agg(sum("o").as("n"))))
+      .agg(max("n").as("n"),
+        countDistinct("rv").as("n_row_cats"),
+        countDistinct("cv").as("n_col_cats"),
+        // the o·N products must widen BEFORE they multiply — a BIGINT
+        // o*n wraps near n ~ 3e9; the 38-digit square is exact to
+        // n ~ 3e8 (n⁴ < 1e38) — past that, bucket the categories
+        sum(expr("(CAST(o AS DECIMAL(38,0)) * n" +
+          " - CAST(r AS DECIMAL(38,0)) * c)" +
+          " * (CAST(o AS DECIMAL(38,0)) * n" +
+          " - CAST(r AS DECIMAL(38,0)) * c) * 1000000 div" +
+          " (CAST(n AS DECIMAL(38,0)) * r * c)")).as("chi2s"))
+      .select(col("n"), col("n_row_cats"), col("n_col_cats"),
+        ((col("n_row_cats") - 1) * (col("n_col_cats") - 1)).as("dof"),
+        col("chi2s").cast("bigint").as("chi2_micro"))
+  }
 }

@@ -1245,4 +1245,87 @@ object Similarity {
         expr(s"n_hits * 1000000 div $k").as("p_at_k_ppm"))
       .orderBy("qid")
   }
+
+  /** SIMPLIFIED SILHOUETTE per label (the centroid form, Vendramin et
+    * al. — public knowledge): for each vector, a = squared quantized
+    * distance to its OWN label centroid, b = min squared distance to
+    * any OTHER label centroid, s = (b - a) / max(a, b) in exact milli
+    * (truncating BIGINT div; squared distances throughout — the
+    * monotone transform does not change the sign or the min). The
+    * label-quality audit beside [[labelCompactness]]: avg s near 1000
+    * = tight well-separated labels; s < 0 = the vector sits closer to
+    * a foreign centroid than its own (a labeling-noise candidate —
+    * n_negative counts them).
+    *
+    * Scale shape: centroids are a (|labels| x dims) table built by one
+    * keyed agg and BROADCAST back; each vector is then scored against
+    * |labels| centroid rows via the broadcast join — corpus x labels
+    * work, never corpus x corpus pairs, and nothing vector-shaped
+    * shuffles twice.
+    *
+    * Output: (label, n_vecs, avg_s_milli, n_negative), ordered. */
+  def silhouette(emb: DataFrame): DataFrame = {
+    val comp = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("label"), col("i"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)").as("q"))
+    val cent = comp.groupBy("label", "i")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .select(col("label").as("clabel"), col("i"),
+        expr("sq div n").as("c"))
+    val d2 = comp.join(broadcast(cent), Seq("i"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+    val ab = d2.groupBy("vec_id", "label")
+      .agg(max(when(col("label") === col("clabel"), col("d2"))).as("a"),
+        min(when(col("label") =!= col("clabel"), col("d2"))).as("b"))
+      .select(col("vec_id"), col("label"),
+        expr("coalesce((b - a) * 1000 div nullif(greatest(a, b), 0), 0)")
+          .as("s_milli"))
+    ab.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(s_milli) div count(1)").as("avg_s_milli"),
+        sum(when(col("s_milli") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .orderBy("label")
+  }
+
+  /** EMBEDDING DIMENSION UTILIZATION (anisotropy audit): per-dimension
+    * mean and biased variance of the quantized components, each dim's
+    * share of total variance, and the cumulative share in variance
+    * order — the "is the space actually 8-dimensional" check run
+    * before trusting cosine retrieval or choosing a matryoshka
+    * truncation (a few dims owning most variance = anisotropic space,
+    * where dot-product ranking degenerates; public observation, e.g.
+    * Ethayarajh 2019). All moments DECIMAL(38,0)-widened: n * sum(q²)
+    * wraps BIGINT near n ~ 1e9 at this quantization.
+    *
+    * Scale shape: ONE map-side-combinable keyed agg to the (dims)-row
+    * moment table; shares and cum shares are windows over that
+    * bounded table, never the corpus.
+    *
+    * Output: (dim, mean_q, var_q, var_share_ppm, cum_share_ppm)
+    * ordered by var_q desc then dim. */
+  def dimUtilization(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mom = emb.select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .select((col("i") + 1).cast("bigint").as("dim"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("s1"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("s2"))
+      .select(col("dim"), expr("s1 div n").as("mean_q"),
+        expr("CAST((n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)" +
+          " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("var_q"))
+    val tot = mom.agg(sum("var_q").as("tv"))
+    mom.crossJoin(broadcast(tot))
+      .withColumn("var_share_ppm",
+        expr("coalesce(var_q * 1000000 div nullif(tv, 0), 0)"))
+      .withColumn("cum_share_ppm",
+        expr("coalesce(sum(var_q) OVER (ORDER BY var_q DESC, dim" +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+          " * 1000000 div nullif(tv, 0), 0)"))
+      .select(col("dim"), col("mean_q"), col("var_q"),
+        col("var_share_ppm"), col("cum_share_ppm"))
+      .orderBy(col("var_q").desc, col("dim"))
+  }
 }

@@ -1245,4 +1245,46 @@ object TextStats {
         expr("(n_tokens - covered) * 1000000 div n_tokens").as("oov_ppm"))
       .orderBy("vocab_size")
   }
+
+  /** READABILITY AUDIT per language: corpus-pooled Flesch reading
+    * ease in exact milli units from three regex counts per document —
+    * words = latin-letter runs, sentences = terminal-punctuation runs
+    * (floored at 1 per doc), syllables = vowel-group runs in the
+    * lowercased text (the standard public heuristic; exact syllable
+    * counting needs a dictionary). Pooled, not per-doc-averaged:
+    * flesch_milli = 206835 - 1015·W div S - 84600·Y div W over the
+    * per-language sums, with both numerators widened to
+    * DECIMAL(38,0) (DuckDB twin: HUGEINT) — 84600·Y wraps BIGINT
+    * near ~1e14 syllables, inside 100 TB range. The training-mix
+    * knob: a source whose flesch collapses is OCR garbage or legal
+    * boilerplate, not prose.
+    *
+    * Scale shape: ONE corpus pass computing the three codegen'd
+    * regexp_count columns, one map-side-combinable per-lang sum;
+    * nothing else touches the corpus.
+    *
+    * Output: (lang, n_docs, words, sentences, syllables,
+    * words_per_sentence_milli, syllables_per_word_milli,
+    * flesch_milli) ordered by lang. */
+  def readability(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        expr("regexp_count(text, '[A-Za-z]+')").cast("bigint").as("w"),
+        greatest(expr("regexp_count(text, '[.!?]+')").cast("bigint"),
+          lit(1L)).as("s"),
+        expr("regexp_count(lower(text), '[aeiouy]+')").cast("bigint")
+          .as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("words"),
+        sum("s").as("sentences"), sum("y").as("syllables"))
+      .select(col("lang"), col("n_docs"), col("words"),
+        col("sentences"), col("syllables"),
+        expr("words * 1000 div sentences")
+          .as("words_per_sentence_milli"),
+        expr("syllables * 1000 div words")
+          .as("syllables_per_word_milli"),
+        expr("206835 - CAST(CAST(1015 AS DECIMAL(38,0)) * words" +
+          " div sentences AS BIGINT)" +
+          " - CAST(CAST(84600 AS DECIMAL(38,0)) * syllables" +
+          " div words AS BIGINT)").as("flesch_milli"))
+      .orderBy("lang")
 }

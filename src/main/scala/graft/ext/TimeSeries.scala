@@ -1306,4 +1306,122 @@ object TimeSeries {
         expr("pk.c * 1000000 div n").as("peak_ppm"))
       .orderBy(grp)
   }
+
+  /** THEIL-SEN robust trend slope of the daily event-count series —
+    * the median of all pairwise slopes (public estimator, Theil 1950 /
+    * Sen 1968; 29% breakdown vs OLS's zero): one corrupted burst day
+    * drags an OLS fit, the pairwise median shrugs it off. Slopes are
+    * integer micro-units ((y2-y1)*1e6 div (d2-d1), truncating), the
+    * median is the DISCRETE percentile of that integer multiset, and
+    * the OLS slope (same micro scale, day index re-based to the min
+    * day to keep moments small) rides along for the contrast — the
+    * gap between the two IS the burst-contamination signal.
+    *
+    * Scale shape: the corpus collapses to the (day, count) table
+    * first (one map-side-combinable agg, bounded by the observation
+    * window, NOT the corpus); the pair join and the percentile run on
+    * that bounded table — days², not rows², and days is a constant of
+    * the time range at any SF.
+    *
+    * Output: one row (n_days, n_pairs, theilsen_micro, ols_micro). */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val daily = events.select(
+        datediff(to_date(col("ts")), lit("1995-01-01")).cast("bigint")
+          .as("d"))
+      .groupBy("d").agg(count(lit(1)).as("y"))
+    val base = daily.crossJoin(
+        broadcast(daily.agg(min("d").as("d0"))))
+      .select((col("d") - col("d0")).as("d"), col("y"))
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.d") < col("b.d"))
+      .select(expr("(b.y - a.y) * 1000000 div (b.d - a.d)").as("slope"))
+    val ts = pairs.agg(count(lit(1)).as("n_pairs"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)")
+        .cast("bigint").as("theilsen_micro"))
+    val ols = base.agg(count(lit(1)).as("n_days"), sum("d").as("sd"),
+        sum("y").as("sy"), sum(expr("d * d")).as("sdd"),
+        sum(expr("d * y")).as("sdy"))
+      .select(col("n_days"),
+        // the x1e6 numerator wraps BIGINT near ~9.2e12 covariance
+        // mass — widen to DECIMAL(38,0) (DuckDB twin: HUGEINT)
+        expr("CAST(CAST(n_days * sdy - sd * sy AS DECIMAL(38,0))" +
+          " * 1000000 div (n_days * sdd - sd * sd) AS BIGINT)")
+          .as("ols_micro"))
+    ols.crossJoin(ts)
+      .select(col("n_days"), col("n_pairs"), col("theilsen_micro"),
+        col("ols_micro"))
+  }
+
+  /** DISCRETE HAZARD CURVE of user lifetime (Kaplan-Meier's hazard
+    * column without the float survival product): lifespan = whole days
+    * between a user's first and last event; for each day k,
+    * n_at_risk = users whose lifespan >= k, n_churned = users whose
+    * lifespan is exactly k, hazard_ppm = churned * 1e6 div at_risk —
+    * all exact integers. The retention-cliff locator: a hazard spike
+    * at k = 7 is a weekly-billing artifact, a flat tail is organic
+    * decay. (The survival product is deliberately NOT emitted: its
+    * running float product is engine-order-dependent; every number
+    * here is engine-exact.)
+    *
+    * Scale shape: one (user -> min ts, max ts) keyed agg, one
+    * lifespan histogram (bounded by the observation window), one
+    * suffix-sum window over that bounded table.
+    *
+    * Output: (k, n_churned, n_at_risk, hazard_ppm), ordered by k. */
+  def hazardCurve(events: DataFrame): DataFrame = {
+    val ls = events.groupBy("user_id")
+      .agg(datediff(to_date(max("ts")), to_date(min("ts")))
+        .cast("bigint").as("k"))
+    val hist = ls.groupBy("k").agg(count(lit(1)).as("n_churned"))
+    hist
+      .withColumn("n_at_risk",
+        sum("n_churned").over(Window.orderBy(col("k").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("k"), col("n_churned"), col("n_at_risk"),
+        expr("n_churned * 1000000 div n_at_risk").as("hazard_ppm"))
+      .orderBy("k")
+  }
+
+  /** SCD-2 INTERVALIZATION of an event log: collapse each user's
+    * consecutive same-type event runs into validity intervals
+    * (valid_from = first event of the run, valid_to = first event of
+    * the NEXT run, NULL while current) — the standard
+    * slowly-changing-dimension type-2 history build that turns an
+    * append-only log into a point-in-time-joinable dimension
+    * ("what state was this user in at time t" becomes one range
+    * predicate instead of a per-probe window scan). Gaps-and-islands:
+    * a run boundary is lag(type) ≠ type under the per-user
+    * (ts, event_id) order — the event_id tiebreak makes equal-ts
+    * runs deterministic across engines. Epoch seconds out, not
+    * timestamps, so the row is hash-stable across writers.
+    *
+    * Scale shape: two windows and one aggregate, all partitioned by
+    * user — a single hash shuffle of (user, ts, type), reused by
+    * every step (no second exchange: the run-id window, the groupBy,
+    * and the valid_to lead all share the user partitioning). State
+    * per user is O(its events), never global.
+    *
+    * Output: (user_id, seq, event_type, valid_from, valid_to,
+    * n_events) ordered by (user_id, seq); seq is the 1-based run
+    * index per user. */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runs = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), unix_timestamp(col("ts")).as("ep"))
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull
+          || lag("event_type", 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("seq", sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("seq"), col("event_type"))
+      .agg(min("ep").as("valid_from"), count(lit(1)).as("n_events"))
+    runs
+      .withColumn("valid_to", lead("valid_from", 1).over(
+        Window.partitionBy("user_id").orderBy("seq")))
+      .select(col("user_id"), col("seq"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+      .orderBy("user_id", "seq")
+  }
 }

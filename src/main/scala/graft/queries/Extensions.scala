@@ -8475,7 +8475,306 @@ object Extensions {
          |  LEFT JOIN shared
          |    ON shared.src_a = sa.source AND shared.src_b = sb.source
          |  CROSS JOIN drp
-         |ORDER BY src_a, src_b""".stripMargin)
+         |ORDER BY src_a, src_b""".stripMargin),
+
+    // simplified silhouette per label: centroid-based, exact milli —
+    // the label-quality audit with the misassignment counter
+    Q.df("x343_silhouette",
+      (s, dir) => Similarity.silhouette(
+        Tables.load(s, dir, "embeddings")),
+      """WITH comp AS (
+        |  SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings, range(1, 65) r(i)),
+        |cent AS (
+        |  SELECT label AS clabel, i,
+        |    CAST(sum(q) // count(*) AS BIGINT) AS c
+        |  FROM comp GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT comp.vec_id, comp.label, cent.clabel,
+        |    CAST(sum((q - c) * (q - c)) AS BIGINT) AS d2
+        |  FROM comp JOIN cent USING (i)
+        |  GROUP BY 1, 2, 3),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |    max(CASE WHEN label = clabel THEN d2 END) AS a,
+        |    min(CASE WHEN label <> clabel THEN d2 END) AS b
+        |  FROM d2 GROUP BY 1, 2),
+        |sm AS (
+        |  SELECT label,
+        |    coalesce((b - a) * 1000 // nullif(greatest(a, b), 0), 0)
+        |      AS s
+        |  FROM ab)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(s) // count(*) AS BIGINT) AS avg_s_milli,
+        |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_negative
+        |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // compaction candidates: top-overlap files by zone-map sweep —
+    // the bounded-rewrite shopping list
+    Q.df("x344_compaction_candidates",
+      (s, dir) => graft.ext.Layout.compactionCandidates(
+        Tables.load(s, dir, "lineitem")),
+      """WITH b AS (SELECT CAST(l_orderkey AS BIGINT) AS ok,
+        |    CAST(l_linenumber AS BIGINT) AS ln,
+        |    CAST(l_partkey AS BIGINT) AS v FROM lineitem),
+        |n AS (SELECT v, row_number() OVER (ORDER BY ok, ln, v) - 1
+        |    AS gid FROM b),
+        |fs AS (SELECT gid // 64 AS file, min(v) AS lo, max(v) AS hi
+        |  FROM n GROUP BY 1)
+        |SELECT file, lo, hi,
+        |  CAST((SELECT count(*) FROM fs f2 WHERE f2.lo <= f1.hi)
+        |     - (SELECT count(*) FROM fs f2 WHERE f2.hi < f1.lo) - 1
+        |    AS BIGINT) AS n_overlap
+        |FROM fs f1
+        |ORDER BY n_overlap DESC, file
+        |LIMIT 20""".stripMargin),
+
+    // Theil-Sen robust daily-trend slope vs OLS, exact micro units
+    Q.df("x345_theil_sen",
+      (s, dir) => TimeSeries.theilSenTrend(
+        Tables.load(s, dir, "events")),
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |mn AS (SELECT min(d) AS d0 FROM daily),
+        |base AS (SELECT d - d0 AS d, y FROM daily CROSS JOIN mn),
+        |pairs AS (SELECT (b.y - a.y) * 1000000 // (b.d - a.d) AS slope
+        |  FROM base a JOIN base b ON a.d < b.d),
+        |ts AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)
+        |    AS BIGINT) AS theilsen_micro FROM pairs),
+        |ols AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(CAST(count(*) * sum(d * y) - sum(d) * sum(y) AS HUGEINT)
+        |    * 1000000
+        |    // (count(*) * sum(d * d) - sum(d) * sum(d)) AS BIGINT)
+        |    AS ols_micro FROM base)
+        |SELECT n_days, n_pairs, theilsen_micro, ols_micro
+        |FROM ols CROSS JOIN ts""".stripMargin),
+
+    // discrete hazard curve of user lifetime — retention-cliff audit
+    Q.df("x346_hazard_curve",
+      (s, dir) => TimeSeries.hazardCurve(
+        Tables.load(s, dir, "events")),
+      """WITH ls AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(max(ts) AS DATE)) AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT k, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM ls GROUP BY 1),
+        |c AS (SELECT k, n_churned,
+        |    CAST(sum(n_churned) OVER (ORDER BY k DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_at_risk
+        |  FROM h)
+        |SELECT k, n_churned, n_at_risk,
+        |  n_churned * 1000000 // n_at_risk AS hazard_ppm
+        |FROM c ORDER BY k""".stripMargin),
+
+    // per-dimension variance utilization — the anisotropy audit
+    Q.df("x347_dim_utilization",
+      (s, dir) => Similarity.dimUtilization(
+        Tables.load(s, dir, "embeddings")),
+      """WITH comp AS (
+        |  SELECT i AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings, range(1, 65) r(i)),
+        |mom AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s1,
+        |    sum(CAST(q AS HUGEINT) * q) AS s2
+        |  FROM comp GROUP BY 1),
+        |mv AS (SELECT CAST(dim AS BIGINT) AS dim,
+        |    s1 // n AS mean_q,
+        |    CAST((n * s2 - CAST(s1 AS HUGEINT) * s1)
+        |      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_q
+        |  FROM mom),
+        |tot AS (SELECT CAST(sum(var_q) AS BIGINT) AS tv FROM mv)
+        |SELECT dim, mean_q, var_q,
+        |  coalesce(var_q * 1000000 // nullif(tv, 0), 0)
+        |    AS var_share_ppm,
+        |  coalesce(CAST(sum(var_q) OVER (ORDER BY var_q DESC, dim
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) * 1000000 // nullif(tv, 0), 0)
+        |    AS cum_share_ppm
+        |FROM mv CROSS JOIN tot
+        |ORDER BY var_q DESC, dim""".stripMargin),
+
+    // population stability index per source vs the rest, whole-bit
+    // log quantization with Laplace smoothing — the category-mix
+    // drift monitor
+    Q.df("x348_psi_drift",
+      (s, dir) => Profile.psiDrift(Tables.load(s, dir, "documents")),
+      """WITH vc AS (SELECT source, lang AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT v FROM vc),
+        |srcs AS (SELECT DISTINCT source FROM vc),
+        |grid AS (SELECT srcs.source, vals.v, coalesce(vc.c, 0) AS c
+        |  FROM srcs CROSS JOIN vals
+        |  LEFT JOIN vc ON vc.source = srcs.source AND vc.v = vals.v),
+        |gt AS (SELECT v, sum(c) AS g FROM vc GROUP BY 1),
+        |ta AS (SELECT source, sum(c) AS n_a FROM vc GROUP BY 1),
+        |corp AS (SELECT sum(c) AS n_corpus, count(DISTINCT v) AS nv
+        |  FROM vc),
+        |t AS (SELECT grid.source, ta.n_a, grid.c + 1 AS a,
+        |    gt.g - grid.c + 1 AS b, ta.n_a + corp.nv AS taa,
+        |    corp.n_corpus - ta.n_a + corp.nv AS tb
+        |  FROM grid JOIN gt USING (v)
+        |  JOIN ta ON ta.source = grid.source CROSS JOIN corp)
+        |SELECT source, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(sum((a * 1000000 // taa - b * 1000000 // tb)
+        |    * ((length(bin(a * tb)) - 1) - (length(bin(b * taa)) - 1)))
+        |    AS BIGINT) AS psi_ppm_bits
+        |FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin),
+
+    // Mann-Whitney U per event type vs the rest: doubled midranks
+    // from the value histogram, rank-biserial effect size in ppm
+    Q.df("x349_mann_whitney",
+      (s, dir) => Profile.mannWhitney(Tables.load(s, dir, "events")),
+      """WITH h AS (SELECT event_type AS grp,
+        |    CAST(floor(value * 10) AS BIGINT) AS q,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |gq AS (SELECT q, sum(ca) AS gc FROM h GROUP BY 1),
+        |m AS (SELECT q, 2 * coalesce(sum(gc) OVER (ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + gc + 1 AS midrank2 FROM gq),
+        |s AS (SELECT grp, sum(ca) AS n_a,
+        |    sum(ca * midrank2) AS sumrank2
+        |  FROM h JOIN m USING (q) GROUP BY 1),
+        |tot AS (SELECT sum(ca) AS n_all FROM h)
+        |SELECT grp AS event_type, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_all - n_a AS BIGINT) AS n_b,
+        |  CAST(sumrank2 - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+        |  CAST(CAST(sumrank2 - n_a * (n_a + 1) AS HUGEINT) * 1000000
+        |    // (n_a * (n_all - n_a)) - 1000000 AS BIGINT) AS rbc_ppm
+        |FROM s CROSS JOIN tot ORDER BY event_type""".stripMargin),
+
+    // degree assortativity of the co-purchase graph (x191's edge
+    // construction): sqrt-free Pearson r via orientation symmetry
+    Q.df("x350_degree_assortativity",
+      (s, dir) => {
+        val it = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+          .distinct()
+        val edges = it.as("a")
+          .join(it.as("c"), col("a.b") === col("c.b")
+            && col("a.i") < col("c.i"))
+          .groupBy(col("a.i").as("src"), col("c.i").as("dst"))
+          .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+          .select("src", "dst")
+        Graph.degreeAssortativity(edges)
+      },
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e AS (
+        |  SELECT a.i AS lo, c.i AS hi
+        |  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |arcs AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT lo AS src, hi AS dst FROM e
+        |  UNION ALL SELECT hi, lo FROM e) u),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM arcs GROUP BY 1),
+        |j AS (SELECT arcs.src, dx.deg AS dx, dy.deg AS dy
+        |  FROM arcs JOIN deg dx ON arcs.src = dx.node
+        |  JOIN deg dy ON arcs.dst = dy.node),
+        |mo AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+        |    CAST(count(*) AS BIGINT) AS n_arcs,
+        |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |    CAST(sum(dx * dy) AS BIGINT) AS sxy
+        |  FROM j)
+        |SELECT n_nodes, n_arcs,
+        |  CAST((CAST(n_arcs AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |    * 1000000 // nullif(CAST(n_arcs AS HUGEINT) * sxx
+        |    - CAST(sx AS HUGEINT) * sx, 0) AS BIGINT) AS r_ppm
+        |FROM mo""".stripMargin),
+
+    // pooled Flesch reading ease per language, exact milli from three
+    // regex counts — the prose-vs-boilerplate mix audit
+    Q.df("x351_readability",
+      (s, dir) => TextStats.readability(Tables.load(s, dir, "documents")),
+      """WITH d AS (SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+        |      AS w,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS y
+        |  FROM documents),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS words,
+        |    CAST(sum(s) AS BIGINT) AS sentences,
+        |    CAST(sum(y) AS BIGINT) AS syllables
+        |  FROM d GROUP BY 1)
+        |SELECT lang, n_docs, words, sentences, syllables,
+        |  words * 1000 // sentences AS words_per_sentence_milli,
+        |  syllables * 1000 // words AS syllables_per_word_milli,
+        |  206835 - CAST(CAST(1015 AS HUGEINT) * words // sentences
+        |      AS BIGINT)
+        |    - CAST(CAST(84600 AS HUGEINT) * syllables // words
+        |      AS BIGINT) AS flesch_milli
+        |FROM a ORDER BY lang""".stripMargin),
+
+    // SCD-2 intervalization of the event log: per-user consecutive
+    // same-type runs to (valid_from, valid_to) epoch-second intervals
+    Q.df("x352_scd2_intervals",
+      (s, dir) => TimeSeries.scd2Intervals(Tables.load(s, dir, "events")),
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+        |    CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+        |      AS BIGINT) AS ep
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ep, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, event_type, ep,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM c),
+        |runs AS (SELECT user_id, seq, event_type,
+        |    CAST(min(ep) AS BIGINT) AS valid_from,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, CAST(seq AS BIGINT) AS seq, event_type,
+        |  valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY seq)
+        |    AS valid_to,
+        |  n_events
+        |FROM runs ORDER BY user_id, seq""".stripMargin),
+
+    // chi-square independence of lang x source over the full margin
+    // grid (zero cells included), term-truncating micro units
+    Q.df("x353_chi_square",
+      (s, dir) => Profile.chiSquareIndependence(
+        Tables.load(s, dir, "documents")),
+      """WITH vc AS (SELECT lang AS rv, source AS cv,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT rv, sum(o) AS r FROM vc GROUP BY 1),
+        |cm AS (SELECT cv, sum(o) AS c FROM vc GROUP BY 1),
+        |nn AS (SELECT sum(o) AS n FROM vc),
+        |grid AS (SELECT rm.rv, cm.cv, rm.r, cm.c, coalesce(vc.o, 0) AS o
+        |  FROM rm CROSS JOIN cm LEFT JOIN vc USING (rv, cv))
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT rv) AS BIGINT) AS n_row_cats,
+        |  CAST(count(DISTINCT cv) AS BIGINT) AS n_col_cats,
+        |  CAST((count(DISTINCT rv) - 1) * (count(DISTINCT cv) - 1)
+        |    AS BIGINT) AS dof,
+        |  CAST(sum((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |    * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |    * 1000000 // (CAST(n AS HUGEINT) * r * c)) AS BIGINT)
+        |    AS chi2_micro
+        |FROM grid CROSS JOIN nn""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

@@ -1,0 +1,271 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-10 batch-2 operator invariants: hand-computed fixtures for the
+  * five operators judged as x343–x347. All fixture embedding values are
+  * exact binary fractions (0, 0.25, 0.5, 0.75, 1.0) so the ×10000
+  * quantization is float-exact. */
+class Ext11Spec extends SparkSpec {
+
+  // ---- silhouette (x343) ---------------------------------------------
+
+  test("silhouette: two tight separated clusters score high, hand-computed milli") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, "A", Seq(0.0, 0.0)), (2L, "A", Seq(0.0, 0.25)),
+      (3L, "B", Seq(1.0, 1.0)), (4L, "B", Seq(1.0, 0.75)))
+      .toDF("vec_id", "label", "embedding")
+    // q: A (0,0),(0,2500); B (10000,10000),(10000,7500)
+    // centA (0,1250)  centB (10000,8750)
+    // vec1: a=1250²=1562500  b=10000²+8750²=176562500
+    //   s = 175000000000 div 176562500 = 991
+    // vec2: a=1562500  b=1e8+6250²=139062500 -> s=988
+    // avg per label = 1979 div 2 = 989, symmetric for B
+    val out = Similarity.silhouette(emb).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("A", 2L, 989L, 0L), ("B", 2L, 989L, 0L)),
+      out.mkString(","))
+  }
+
+  test("silhouette: a mislabeled vector scores exactly -1000 and is counted") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, "A", Seq(0.0, 0.0)), (2L, "A", Seq(0.0, 0.0)),
+      (3L, "A", Seq(1.0, 1.0)), // sits ON B's centroid
+      (4L, "B", Seq(1.0, 1.0)), (5L, "B", Seq(1.0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+    // centA = (3333,3333) (10000 div 3), centB = (10000,10000)
+    // vec3: a=(10000-3333)²*2=88897778, b=0 -> s = -1000
+    // vec1/2: a=3333²*2=22217778, b=2e8 -> s=177782222000 div 2e8=888
+    // avgA = (888+888-1000) div 3 = 258, n_negative=1; B: s=1000 each
+    val out = Similarity.silhouette(emb).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("A", 3L, 258L, 1L), ("B", 2L, 1000L, 0L)),
+      out.mkString(","))
+  }
+
+  // ---- dimUtilization (x347) -----------------------------------------
+
+  test("dimUtilization: hand-computed moments; dead dims carry zero share") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(0.0, 0.0, 0.25)), (2L, Seq(0.5, 0.0, 0.25)))
+      .toDF("vec_id", "embedding")
+    // q: dim1 {0,5000} mean 2500 var (2*25e6-25e6) div 4 = 6250000
+    // dim2 all-zero, dim3 constant 2500 -> var 0; total var = 6250000
+    val out = Similarity.dimUtilization(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2500L, 6250000L, 1000000L, 1000000L),
+      (2L, 0L, 0L, 0L, 1000000L),
+      (3L, 2500L, 0L, 0L, 1000000L)), out.mkString(","))
+  }
+
+  // ---- compactionCandidates (x344) -----------------------------------
+
+  test("compactionCandidates: zone-map boundary equality counts as overlap") {
+    import spark.implicits._
+    // write order (ok asc) cuts 2-row files with value spans
+    // f0=[1,10] f1=[10,20] f2=[30,40]: f0~f1 touch at 10 (lo<=hi
+    // counts), f2 disjoint
+    val li = Seq((1L, 1L, 1L), (2L, 1L, 10L), (3L, 1L, 10L),
+      (4L, 1L, 20L), (5L, 1L, 30L), (6L, 1L, 40L))
+      .toDF("l_orderkey", "l_linenumber", "l_partkey")
+    val out = Layout.compactionCandidates(li, rowsPerFile = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 1L, 10L, 1L), (1L, 10L, 20L, 1L),
+      (2L, 30L, 40L, 0L)), out.mkString(","))
+  }
+
+  test("compactionCandidates: fully interleaved files all overlap each other") {
+    import spark.implicits._
+    // spans [1,100],[2,101],[3,102] -> every file overlaps both others
+    val li = Seq((1L, 1L, 1L), (2L, 1L, 100L), (3L, 1L, 2L),
+      (4L, 1L, 101L), (5L, 1L, 3L), (6L, 1L, 102L))
+      .toDF("l_orderkey", "l_linenumber", "l_partkey")
+    val out = Layout.compactionCandidates(li, rowsPerFile = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 2L), (1L, 2L)),
+      "k cap keeps the two worst (ties broken by file id): " +
+        out.mkString(","))
+  }
+
+  // ---- theilSenTrend (x345) ------------------------------------------
+
+  test("theilSenTrend: one burst day drags OLS but not the pairwise median") {
+    import spark.implicits._
+    // daily counts d=0..3 -> y=1,2,3,100
+    // slopes (micro): 1e6,1e6,33e6,1e6,49e6,97e6 -> disc median 1e6
+    // OLS: (4*308-6*106)*1e6 div (4*14-36) = 596e6 div 20 = 29800000
+    val rows = Seq(0 -> 1, 1 -> 2, 2 -> 3, 3 -> 100).flatMap {
+      case (d, n) => Seq.fill(n)(d)
+    }
+    val ev = rows.toDF("d").select(
+      date_add(lit("1997-03-01").cast("date"), col("d"))
+        .cast("timestamp").as("ts"))
+    val r = TimeSeries.theilSenTrend(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 6L, 1000000L, 29800000L)), r.toString)
+  }
+
+  test("theilSenTrend: an exact linear series agrees with OLS") {
+    import spark.implicits._
+    val rows = Seq(0 -> 1, 1 -> 3, 2 -> 5).flatMap {
+      case (d, n) => Seq.fill(n)(d)
+    }
+    val ev = rows.toDF("d").select(
+      date_add(lit("1997-03-01").cast("date"), col("d"))
+        .cast("timestamp").as("ts"))
+    val r = TimeSeries.theilSenTrend(ev).collect().head
+    assert(r.getLong(2) == 2000000L && r.getLong(3) == 2000000L,
+      r.toString)
+  }
+
+  // ---- hazardCurve (x346) --------------------------------------------
+
+  test("hazardCurve: hand-computed at-risk suffix sums and ppm hazards") {
+    import spark.implicits._
+    val day = 86400L
+    val base = 1700000000L
+    // lifespans: u1 -> 0, u2 -> 1, u3 -> 1, u4 -> 3
+    val ev = Seq(
+      (1L, base), (1L, base + 3600),
+      (2L, base), (2L, base + day),
+      (3L, base + day), (3L, base + 2 * day),
+      (4L, base), (4L, base + 3 * day))
+      .toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+    val out = TimeSeries.hazardCurve(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 1L, 4L, 250000L), (1L, 2L, 3L, 666666L),
+      (3L, 1L, 1L, 1000000L)), out.mkString(","))
+  }
+
+  // ---- psiDrift (x348) -----------------------------------------------
+
+  test("psiDrift: mirrored two-source mix, hand-computed whole-bit terms") {
+    import spark.implicits._
+    val docs = (Seq.fill(3)(("A", "en")) ++ Seq(("A", "fr")) ++
+      Seq(("B", "en")) ++ Seq.fill(3)(("B", "fr")))
+      .toDF("source", "lang")
+    // A/en: a=4 b=2 ta=tb=6 -> dp=333333, lr=flog2(24)-flog2(12)=1
+    // A/fr mirrors with both signs flipped -> psi_A = 666666
+    val out = Profile.psiDrift(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("A", 4L, 666666L), ("B", 4L, 666666L)),
+      out.mkString(","))
+  }
+
+  test("psiDrift: identical mixes score exactly zero") {
+    import spark.implicits._
+    val docs = Seq(("A", "en"), ("A", "en"), ("A", "fr"), ("A", "fr"),
+      ("B", "en"), ("B", "en"), ("B", "fr"), ("B", "fr"))
+      .toDF("source", "lang")
+    val out = Profile.psiDrift(docs).collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(0L, 0L), out.mkString(","))
+  }
+
+  // ---- mannWhitney (x349) ----------------------------------------------
+
+  test("mannWhitney: complete separation hits rbc ±1e6") {
+    import spark.implicits._
+    val ev = Seq(("X", 0.1), ("X", 0.2), ("Y", 1.0), ("Y", 1.1))
+      .toDF("event_type", "value")
+    // midrank2 by q: 2,4,6,8 -> U2_X = 6-6 = 0, U2_Y = 14-6 = 8
+    val out = Profile.mannWhitney(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("X", 2L, 2L, 0L, -1000000L),
+      ("Y", 2L, 2L, 8L, 1000000L)), out.mkString(","))
+  }
+
+  test("mannWhitney: an all-tied bin midranks to rbc = 0") {
+    import spark.implicits._
+    val ev = Seq(("X", 0.1), ("X", 0.1), ("Y", 0.1))
+      .toDF("event_type", "value")
+    // one bin g=3: midrank2 = 4; U2_X = 8-6 = 2 = n_a*n_b -> rbc 0
+    val out = Profile.mannWhitney(ev).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("X", 2L, 0L), ("Y", 2L, 0L)),
+      out.mkString(","))
+  }
+
+  // ---- degreeAssortativity (x350) --------------------------------------
+
+  test("degreeAssortativity: a star is exactly -1e6, a cycle is NULL") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r1 = Graph.degreeAssortativity(star).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) ==
+      ((4L, 6L, -1000000L)), r1.toString)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r2 = Graph.degreeAssortativity(cycle).collect().head
+    assert(r2.isNullAt(2), "degree-regular graph must yield NULL r")
+  }
+
+  // ---- readability (x351) ----------------------------------------------
+
+  test("readability: hand-counted words/sentences/vowel groups and flesch") {
+    import spark.implicits._
+    val docs = Seq(("en", "Hello world. It is good.")).toDF("lang", "text")
+    // W=5 S=2 Y=6: flesch = 206835 - 2537 - 101520 = 102778
+    val r = TextStats.readability(docs).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((1L, 5L, 2L, 6L, 2500L, 1200L, 102778L)), r.toString)
+  }
+
+  test("readability: a doc with no terminal punctuation floors at one sentence") {
+    import spark.implicits._
+    val docs = Seq(("en", "no punctuation here")).toDF("lang", "text")
+    val r = TextStats.readability(docs).collect().head
+    assert(r.getLong(3) == 1L, r.toString)
+  }
+
+  // ---- scd2Intervals (x352) ----------------------------------------------
+
+  test("scd2Intervals: runs collapse, valid_to chains, equal-ts ties break on event_id") {
+    import spark.implicits._
+    val base = 1700000000L
+    val ev = Seq(
+      (1L, 1L, "A", base), (2L, 1L, "A", base + 10),
+      (3L, 1L, "B", base + 20), (4L, 1L, "A", base + 30),
+      (5L, 2L, "B", base),
+      (6L, 3L, "C", base), (7L, 3L, "D", base))
+      .toDF("event_id", "user_id", "event_type", "sec")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val out = TimeSeries.scd2Intervals(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "A", base, base + 20, 2L),
+      (1L, 2L, "B", base + 20, base + 30, 1L),
+      (1L, 3L, "A", base + 30, -1L, 1L),
+      (2L, 1L, "B", base, -1L, 1L),
+      (3L, 1L, "C", base, base, 1L),
+      (3L, 2L, "D", base, -1L, 1L)), out.mkString(","))
+  }
+
+  // ---- chiSquareIndependence (x353) ---------------------------------------
+
+  test("chiSquareIndependence: independent grid scores 0, perfect association scores N") {
+    import spark.implicits._
+    val ind = Seq(("en", "s1"), ("en", "s1"), ("en", "s2"), ("en", "s2"),
+      ("fr", "s1"), ("fr", "s1"), ("fr", "s2"), ("fr", "s2"))
+      .toDF("lang", "source")
+    val r1 = Profile.chiSquareIndependence(ind).collect().head
+    assert((r1.getLong(0), r1.getLong(3), r1.getLong(4)) ==
+      ((8L, 1L, 0L)), r1.toString)
+    // diagonal-only: every cell contributes 1e6 incl. the zero cells
+    val dep = Seq(("en", "s1"), ("en", "s1"), ("fr", "s2"), ("fr", "s2"))
+      .toDF("lang", "source")
+    val r2 = Profile.chiSquareIndependence(dep).collect().head
+    assert((r2.getLong(0), r2.getLong(3), r2.getLong(4)) ==
+      ((4L, 1L, 4000000L)), r2.toString)
+  }
+}
