@@ -1,0 +1,165 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experimentation / measurement operators (beyond-reference,
+  * SURVEY.md §2.8): the A/B-readout arithmetic a data platform runs
+  * beside its pipelines — difference-in-differences, CUPED variance
+  * reduction, and forecast-calibration audits. All integer-exact:
+  * values quantize to milli units (floor(value·1000)) up front, every
+  * downstream mean/moment is truncating integer arithmetic with
+  * DECIMAL(38,0) widening where a product is O(n²) (DuckDB twin:
+  * HUGEINT), so results are bit-identical across partitionings and
+  * engines.
+  *
+  * Scale shape (shared): each operator is one or two
+  * map-side-combinable aggregations — a conditional-sum pass over the
+  * corpus, optionally a per-user pass first — and a constant-size
+  * finishing select. Nothing user- or row-shaped is ever broadcast or
+  * collected.
+  */
+object Experiment {
+
+  /** DIFFERENCE-IN-DIFFERENCES readout (one row): mean outcome in
+    * milli units per (treated, post) cell from ONE conditional-sum
+    * corpus pass, and did_milli = (T,post − T,pre) − (C,post − C,pre)
+    * — the standard two-way estimate of a cutover's effect when
+    * treatment was not randomized but trends were parallel.
+    *
+    * `treated` / `post` are caller-supplied boolean Columns (the
+    * synthetic default in the judged query: user-id parity and a
+    * mid-range cutover date), so the operator is assignment-agnostic.
+    *
+    * Output: (n_t_pre, n_t_post, n_c_pre, n_c_post, mean_t_pre_milli,
+    * mean_t_post_milli, mean_c_pre_milli, mean_c_post_milli,
+    * did_milli). */
+  def diffInDiff(events: DataFrame, treated: Column, post: Column,
+                 valueCol: String = "value"): DataFrame =
+    events
+      .select(expr(s"CAST(floor(CAST($valueCol AS DOUBLE) * 1000)" +
+          " AS BIGINT)").as("q"),
+        treated.as("t"), post.as("p"))
+      .agg(
+        count(when(col("t") && !col("p"), lit(1))).as("n_t_pre"),
+        count(when(col("t") && col("p"), lit(1))).as("n_t_post"),
+        count(when(!col("t") && !col("p"), lit(1))).as("n_c_pre"),
+        count(when(!col("t") && col("p"), lit(1))).as("n_c_post"),
+        sum(when(col("t") && !col("p"), col("q"))).as("s_t_pre"),
+        sum(when(col("t") && col("p"), col("q"))).as("s_t_post"),
+        sum(when(!col("t") && !col("p"), col("q"))).as("s_c_pre"),
+        sum(when(!col("t") && col("p"), col("q"))).as("s_c_post"))
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+        col("n_c_post"),
+        expr("s_t_pre div n_t_pre").as("mean_t_pre_milli"),
+        expr("s_t_post div n_t_post").as("mean_t_post_milli"),
+        expr("s_c_pre div n_c_pre").as("mean_c_pre_milli"),
+        expr("s_c_post div n_c_post").as("mean_c_post_milli"))
+      .withColumn("did_milli",
+        expr("(mean_t_post_milli - mean_t_pre_milli)" +
+          " - (mean_c_post_milli - mean_c_pre_milli)"))
+
+  /** CUPED variance-reduced treatment readout (one row): per user,
+    * x = pre-period mean value and y = post-period mean value (milli,
+    * truncating; users present in BOTH periods only — CUPED needs the
+    * covariate); θ = cov(x,y)/var(x) in ppm over all kept users
+    * (pooled, the standard practice); the adjusted effect subtracts
+    * θ·(x̄_T − x̄_C) from the raw post-period difference, cancelling
+    * the pre-existing imbalance the covariate explains. `treated`
+    * must be constant per user (it is grouped with the user key). Every moment
+    * product is widened to DECIMAL(38,0) (DuckDB twin: HUGEINT) —
+    * n·Σxy is O(n²·value²).
+    *
+    * Scale shape: one per-user conditional-sum aggregation (the only
+    * corpus pass), one global moment aggregation over the user table,
+    * one constant-size finish — no broadcast, no window.
+    *
+    * Output: (n_users, n_treated, theta_ppm, raw_diff_micro,
+    * adj_diff_micro). */
+  def cuped(events: DataFrame, treated: Column, post: Column,
+            valueCol: String = "value"): DataFrame = {
+    val users = events
+      .select(col("user_id"),
+        expr(s"CAST(floor(CAST($valueCol AS DOUBLE) * 1000)" +
+          " AS BIGINT)").as("q"),
+        treated.as("t"), post.as("p"))
+      .groupBy("user_id", "t")
+      .agg(count(when(!col("p"), lit(1))).as("n_pre"),
+        sum(when(!col("p"), col("q"))).as("s_pre"),
+        count(when(col("p"), lit(1))).as("n_post"),
+        sum(when(col("p"), col("q"))).as("s_post"))
+      .where(col("n_pre") > 0 && col("n_post") > 0)
+      .select(col("t"), expr("s_pre div n_pre").as("x"),
+        expr("s_post div n_post").as("y"))
+    users.agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("t"), lit(1))).as("n_treated"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(when(col("t"), col("x"))).as("sx_t"),
+        sum(when(!col("t"), col("x"))).as("sx_c"),
+        sum(when(col("t"), col("y"))).as("sy_t"),
+        sum(when(!col("t"), col("y"))).as("sy_c"))
+      .select(col("n_users"), col("n_treated"),
+        expr("CAST((CAST(n_users AS DECIMAL(38,0)) * sxy" +
+          " - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000" +
+          " div nullif(CAST(n_users AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx, 0) AS BIGINT)")
+          .as("theta_ppm"),
+        expr("sy_t * 1000 div n_treated" +
+          " - sy_c * 1000 div (n_users - n_treated)")
+          .as("raw_diff_micro"),
+        expr("sx_t * 1000 div n_treated" +
+          " - sx_c * 1000 div (n_users - n_treated)")
+          .as("x_diff_micro"))
+      .withColumn("adj_diff_micro",
+        expr("raw_diff_micro - CAST(CAST(theta_ppm AS DECIMAL(38,0))" +
+          " * x_diff_micro div 1000000 AS BIGINT)"))
+      .select("n_users", "n_treated", "theta_ppm", "raw_diff_micro",
+        "adj_diff_micro")
+  }
+
+  /** FORECAST CALIBRATION BINS + expected calibration error (ECE):
+    * the score column min-max-normalizes to ppm on its milli
+    * quantization (all-integer, so the normalization is engine-exact),
+    * lands in ten equal-width bins, and each bin reports its mean
+    * score vs its realized positive rate — the reliability diagram as
+    * a table. ece_ppm = Σ n_k·|gap_k| div N rides on every row
+    * (constant), widened to DECIMAL(38,0) (DuckDB twin: HUGEINT) —
+    * n_k·gap is O(n·1e6). The "is this quality score a probability
+    * or just a ranking" audit run before thresholding a filter on it.
+    *
+    * Scale shape: one min/max aggregate broadcast back, one
+    * map-side-combinable bin aggregate, one 10-row finish.
+    *
+    * Output: (bin, n, mean_score_ppm, pos_rate_ppm, gap_ppm, ece_ppm)
+    * ordered by bin. */
+  def calibrationBins(events: DataFrame, positive: Column,
+                      scoreCol: String = "value"): DataFrame = {
+    val q = events.select(
+      expr(s"CAST(floor(CAST($scoreCol AS DOUBLE) * 1000) AS BIGINT)")
+        .as("q"),
+      positive.cast("long").as("y"))
+    val mm = q.agg(min("q").as("qlo"), max("q").as("qhi"))
+    val bins = q.crossJoin(broadcast(mm))
+      .select(expr("least(9L, (q - qlo) * 10 div" +
+          " greatest(qhi - qlo, 1L))").as("bin"),
+        expr("(q - qlo) * 1000000 div greatest(qhi - qlo, 1L)")
+          .as("s_ppm"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("s_ppm").as("ss"),
+        sum("y").as("n_pos"))
+      .select(col("bin"), col("n"),
+        expr("ss div n").as("mean_score_ppm"),
+        expr("n_pos * 1000000 div n").as("pos_rate_ppm"))
+      .withColumn("gap_ppm",
+        abs(col("mean_score_ppm") - col("pos_rate_ppm")))
+    bins.crossJoin(broadcast(
+        bins.agg(expr("CAST(sum(CAST(n AS DECIMAL(38,0)) * gap_ppm)" +
+          " div sum(n) AS BIGINT)").as("ece_ppm"))))
+      .select(col("bin"), col("n"), col("mean_score_ppm"),
+        col("pos_rate_ppm"), col("gap_ppm"), col("ece_ppm"))
+      .orderBy("bin")
+  }
+}

@@ -1145,4 +1145,100 @@ object Profile {
         ((col("n_row_cats") - 1) * (col("n_col_cats") - 1)).as("dof"),
         col("chi2s").cast("bigint").as("chi2_micro"))
   }
+
+  /** MUTUAL INFORMATION between two categorical columns in the
+    * whole-bit quantization ([[psiDrift]]'s flog2), plus both
+    * marginal entropies and the two uncertainty coefficients
+    * U(row|col) = MI/H(row) in ppm — the directional "how much does
+    * knowing the source tell you about the language" companion to
+    * [[chiSquareIndependence]] (chi² says IF dependent, U says HOW
+    * MUCH, normalized). All sums are count-weighted whole-bit
+    * surprises: mi_scaled = Σ o·(flog2(o·N) − flog2(r·c)) over the
+    * OBSERVED cells (an o = 0 cell contributes exactly 0, so the full
+    * margin grid is never built), h_row_scaled = Σ r·(flog2(N) −
+    * flog2(r)). Per-cell whole-bit terms can be negative (the
+    * textbook pointwise MI can too); the o·N products stay BIGINT —
+    * exact to n ~ 3e9 rows.
+    *
+    * Scale shape: ONE map-side-combinable (row, col) count; margins
+    * and all three sums run on that bounded table.
+    *
+    * Output: (n, mi_bits_scaled, h_row_bits_scaled, h_col_bits_scaled,
+    * u_row_ppm, u_col_ppm). */
+  def mutualInformation(docs: DataFrame, rowCol: String = "lang",
+                        colCol: String = "source"): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("bigint")
+    val vc = docs.groupBy(col(rowCol).as("rv"), col(colCol).as("cv"))
+      .agg(count(lit(1)).as("o"))
+    val rm = vc.groupBy("rv").agg(sum("o").as("r"))
+    val cm = vc.groupBy("cv").agg(sum("o").as("c"))
+    val nn = vc.agg(sum("o").as("n"))
+    val mi = vc.join(rm, Seq("rv")).join(cm, Seq("cv"))
+      .crossJoin(broadcast(nn))
+      .agg(sum(col("o") * (flog2(col("o") * col("n"))
+        - flog2(col("r") * col("c")))).as("mi_bits_scaled"))
+    val hr = rm.crossJoin(broadcast(nn))
+      .agg(sum(col("r") * (flog2(col("n")) - flog2(col("r"))))
+        .as("h_row_bits_scaled"))
+    val hc = cm.crossJoin(broadcast(nn))
+      .agg(sum(col("c") * (flog2(col("n")) - flog2(col("c"))))
+        .as("h_col_bits_scaled"))
+    nn.crossJoin(mi).crossJoin(hr).crossJoin(hc)
+      .select(col("n"), col("mi_bits_scaled"),
+        col("h_row_bits_scaled"), col("h_col_bits_scaled"),
+        expr("mi_bits_scaled * 1000000" +
+          " div nullif(h_row_bits_scaled, 0)").as("u_row_ppm"),
+        expr("mi_bits_scaled * 1000000" +
+          " div nullif(h_col_bits_scaled, 0)").as("u_col_ppm"))
+  }
+
+  /** Q-Q DECILE DRIFT per group vs the whole corpus: the nine
+    * discrete deciles (type-1 quantile: smallest value whose
+    * cumulative count reaches ⌈k·n/10⌉) of the ×10-quantized value,
+    * side by side with the corpus deciles and the delta — the
+    * interpretable companion to the one-number drift stats
+    * ([[ksDrift]] / [[wassersteinDrift]] / [[mannWhitney]]): it says
+    * WHERE in the distribution the slice moved. Deciles come from
+    * the (group, q) histogram via 10·cum ≥ k·n (all-integer — no
+    * float percentile positions, whose ceil(0.1·n) is
+    * representation-dependent).
+    *
+    * Scale shape: one map-side-combinable (group, q) count; the
+    * cumulative window and the min-filter run per group on the
+    * bounded histogram (bounded by the value RANGE, not rows); the
+    * nine probe points explode from a literal array.
+    *
+    * Output: (grp, decile, grp_q, corpus_q, delta_q) ordered by
+    * (grp, decile). */
+  def qqDrift(df: DataFrame, grpCol: String = "event_type",
+              valueCol: String = "value"): DataFrame = {
+    val h = df.select(col(grpCol).as("grp"),
+        expr(s"CAST(floor(CAST($valueCol AS DOUBLE) * 10) AS BIGINT)")
+          .as("q"))
+      .where(col("q").isNotNull)
+      .groupBy("grp", "q").agg(count(lit(1)).as("c"))
+    def deciles(hist: DataFrame, key: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(key.map(col): _*).orderBy("q")
+      val tot = hist.groupBy(key.map(col): _*).agg(sum("c").as("n"))
+      hist
+        .withColumn("cum", sum("c").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(tot, key)
+        .withColumn("decile", explode(expr("sequence(1, 9)")))
+        .where(col("cum") * 10 >= col("decile") * col("n"))
+        .groupBy((key.map(col) :+ col("decile")): _*)
+        .agg(min("q").as("dq"))
+    }
+    val g = deciles(h, Seq("grp"))
+    val corpus = deciles(
+      h.groupBy("q").agg(sum("c").as("c")).withColumn("all", lit(1)),
+      Seq("all"))
+      .select(col("decile"), col("dq").as("corpus_q"))
+    g.join(broadcast(corpus), Seq("decile"))
+      .select(col("grp").as(grpCol), col("decile").cast("bigint")
+          .as("decile"),
+        col("dq").as("grp_q"), col("corpus_q"),
+        (col("dq") - col("corpus_q")).as("delta_q"))
+      .orderBy(grpCol, "decile")
+  }
 }

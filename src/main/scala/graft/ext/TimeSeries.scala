@@ -1424,4 +1424,52 @@ object TimeSeries {
         col("valid_from"), col("valid_to"), col("n_events"))
       .orderBy("user_id", "seq")
   }
+
+  /** TOP EVENT TRIGRAMS with Markov-1 lift: the k most frequent
+    * consecutive type triples (a,b,c) under the per-user (ts,
+    * event_id) order, each with its conditional continuation rate
+    * p(c | a,b) in ppm, the order-1 baseline p(c | b) from the
+    * bigram table, and lift_milli = p(c|a,b)·1000 div p(c|b) — lift
+    * far from 1000 means the process is NOT memoryless at depth 2
+    * and a sessionizer/anomaly rule keyed on pairs is leaving signal
+    * on the table. Trigram-prefix counts n_ab come from the trigram
+    * table itself (the last two events of a user have no trigram, so
+    * n_ab ≠ the bigram count); the baseline n_bc/n_b• comes from the
+    * full bigram table.
+    *
+    * Scale shape: two leads over one per-user window (a single hash
+    * shuffle of (user, ts, type)), then map-side-combinable counts on
+    * the bounded |types|³ tables; the top-k is a TakeOrdered, never a
+    * global sort.
+    *
+    * Output: (a, b, c, n, p_cond_ppm, p1_ppm, lift_milli) — top k by
+    * (n desc, a, b, c). */
+  def eventTrigrams(events: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be positive; got $k")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val seq = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("a"))
+      .withColumn("b", lead("a", 1).over(w))
+      .withColumn("c", lead("a", 2).over(w))
+    val bi = seq.where(col("b").isNotNull)
+      .groupBy(col("a").as("b1"), col("b").as("b2"))
+      .agg(count(lit(1)).as("n_bc"))
+    val bOut = bi.groupBy(col("b1").as("bk")).agg(sum("n_bc").as("n_b_out"))
+    val tri = seq.where(col("c").isNotNull)
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+    val triPrefix = tri.groupBy(col("a").as("pa"), col("b").as("pb"))
+      .agg(sum("n").as("n_ab"))
+    tri
+      .join(triPrefix, col("a") === col("pa") && col("b") === col("pb"))
+      .join(bi, col("b") === col("b1") && col("c") === col("b2"))
+      .join(bOut, col("b") === col("bk"))
+      .select(col("a"), col("b"), col("c"), col("n"),
+        expr("n * 1000000 div n_ab").as("p_cond_ppm"),
+        expr("n_bc * 1000000 div n_b_out").as("p1_ppm"))
+      .withColumn("lift_milli",
+        expr("p_cond_ppm * 1000 div nullif(p1_ppm, 0)"))
+      .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+      .limit(k)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AsofJoin, Basket, Bpe, Cdc, Curation, Dedup, Entity, Expectations, Graph, Ids, LmQuality, Multimodal, Pack, Privacy, Profile, Rollup, Sampling, SessionConf, Similarity, TextStats, TimeSeries}
+import graft.ext.{AsofJoin, Basket, Bpe, Cdc, Curation, Dedup, Entity, Expectations, Experiment, Graph, Ids, LmQuality, Multimodal, Pack, Privacy, Profile, Rollup, Sampling, SessionConf, Similarity, TextStats, TimeSeries}
 import graft.streaming.Streaming
 
 /** Beyond-reference scale-out operators (SURVEY.md §2.8): dedup,
@@ -8774,7 +8774,204 @@ object Extensions {
         |    * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
         |    * 1000000 // (CAST(n AS HUGEINT) * r * c)) AS BIGINT)
         |    AS chi2_micro
-        |FROM grid CROSS JOIN nn""".stripMargin)
+        |FROM grid CROSS JOIN nn""".stripMargin),
+
+    // whole-bit mutual information + marginal entropies + uncertainty
+    // coefficients of lang x source — chi-square's "how much" twin
+    Q.df("x354_mutual_information",
+      (s, dir) => Profile.mutualInformation(
+        Tables.load(s, dir, "documents")),
+      """WITH vc AS (SELECT lang AS rv, source AS cv,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT rv, CAST(sum(o) AS BIGINT) AS r FROM vc GROUP BY 1),
+        |cm AS (SELECT cv, CAST(sum(o) AS BIGINT) AS c FROM vc GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM vc),
+        |mi AS (SELECT CAST(sum(o * ((length(bin(o * n)) - 1)
+        |      - (length(bin(r * c)) - 1))) AS BIGINT) AS mi_bits_scaled
+        |  FROM vc JOIN rm USING (rv) JOIN cm USING (cv) CROSS JOIN nn),
+        |hr AS (SELECT CAST(sum(r * ((length(bin(n)) - 1)
+        |      - (length(bin(r)) - 1))) AS BIGINT) AS h_row_bits_scaled
+        |  FROM rm CROSS JOIN nn),
+        |hc AS (SELECT CAST(sum(c * ((length(bin(n)) - 1)
+        |      - (length(bin(c)) - 1))) AS BIGINT) AS h_col_bits_scaled
+        |  FROM cm CROSS JOIN nn)
+        |SELECT n, mi_bits_scaled, h_row_bits_scaled, h_col_bits_scaled,
+        |  mi_bits_scaled * 1000000 // nullif(h_row_bits_scaled, 0)
+        |    AS u_row_ppm,
+        |  mi_bits_scaled * 1000000 // nullif(h_col_bits_scaled, 0)
+        |    AS u_col_ppm
+        |FROM nn CROSS JOIN mi CROSS JOIN hr CROSS JOIN hc""".stripMargin),
+
+    // forecast calibration bins + ECE: value min-max-normalized to
+    // ppm, ten equal-width bins, mean score vs purchase rate
+    Q.df("x355_calibration_bins",
+      (s, dir) => Experiment.calibrationBins(
+        Tables.load(s, dir, "events"), col("event_type") === "purchase"),
+      """WITH q AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS q,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |mm AS (SELECT min(q) AS qlo, max(q) AS qhi FROM q),
+        |b AS (SELECT
+        |    least(9, (q - qlo) * 10 // greatest(qhi - qlo, 1)) AS bin,
+        |    (q - qlo) * 1000000 // greatest(qhi - qlo, 1) AS s_ppm, y
+        |  FROM q CROSS JOIN mm),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(s_ppm) AS BIGINT) AS ss,
+        |    CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM b GROUP BY 1),
+        |r AS (SELECT CAST(bin AS BIGINT) AS bin, n,
+        |    ss // n AS mean_score_ppm,
+        |    n_pos * 1000000 // n AS pos_rate_ppm FROM g),
+        |r2 AS (SELECT *, abs(mean_score_ppm - pos_rate_ppm) AS gap_ppm
+        |  FROM r),
+        |e AS (SELECT CAST(sum(CAST(n AS HUGEINT) * gap_ppm) // sum(n)
+        |    AS BIGINT) AS ece_ppm FROM r2)
+        |SELECT bin, n, mean_score_ppm, pos_rate_ppm, gap_ppm, ece_ppm
+        |FROM r2 CROSS JOIN e ORDER BY bin""".stripMargin),
+
+    // difference-in-differences: user-parity treatment, mid-month
+    // cutover, all four cell means exact milli
+    Q.df("x356_diff_in_diff",
+      (s, dir) => Experiment.diffInDiff(Tables.load(s, dir, "events"),
+        col("user_id") % 2 === 0,
+        col("ts") >= lit("2024-01-16").cast("timestamp")),
+      """WITH t AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS q,
+        |    (user_id % 2 = 0) AS t,
+        |    (ts >= TIMESTAMP '2024-01-16') AS p
+        |  FROM events)
+        |SELECT
+        |  CAST(count(CASE WHEN t AND NOT p THEN 1 END) AS BIGINT)
+        |    AS n_t_pre,
+        |  CAST(count(CASE WHEN t AND p THEN 1 END) AS BIGINT)
+        |    AS n_t_post,
+        |  CAST(count(CASE WHEN NOT t AND NOT p THEN 1 END) AS BIGINT)
+        |    AS n_c_pre,
+        |  CAST(count(CASE WHEN NOT t AND p THEN 1 END) AS BIGINT)
+        |    AS n_c_post,
+        |  CAST(sum(CASE WHEN t AND NOT p THEN q END)
+        |    // count(CASE WHEN t AND NOT p THEN 1 END) AS BIGINT)
+        |    AS mean_t_pre_milli,
+        |  CAST(sum(CASE WHEN t AND p THEN q END)
+        |    // count(CASE WHEN t AND p THEN 1 END) AS BIGINT)
+        |    AS mean_t_post_milli,
+        |  CAST(sum(CASE WHEN NOT t AND NOT p THEN q END)
+        |    // count(CASE WHEN NOT t AND NOT p THEN 1 END) AS BIGINT)
+        |    AS mean_c_pre_milli,
+        |  CAST(sum(CASE WHEN NOT t AND p THEN q END)
+        |    // count(CASE WHEN NOT t AND p THEN 1 END) AS BIGINT)
+        |    AS mean_c_post_milli,
+        |  (CAST(sum(CASE WHEN t AND p THEN q END)
+        |     // count(CASE WHEN t AND p THEN 1 END) AS BIGINT)
+        |   - CAST(sum(CASE WHEN t AND NOT p THEN q END)
+        |     // count(CASE WHEN t AND NOT p THEN 1 END) AS BIGINT))
+        |  - (CAST(sum(CASE WHEN NOT t AND p THEN q END)
+        |     // count(CASE WHEN NOT t AND p THEN 1 END) AS BIGINT)
+        |   - CAST(sum(CASE WHEN NOT t AND NOT p THEN q END)
+        |     // count(CASE WHEN NOT t AND NOT p THEN 1 END) AS BIGINT))
+        |    AS did_milli
+        |FROM t""".stripMargin),
+
+    // CUPED variance reduction: per-user pre/post means, pooled theta,
+    // adjusted post-period difference
+    Q.df("x357_cuped",
+      (s, dir) => Experiment.cuped(Tables.load(s, dir, "events"),
+        col("user_id") % 2 === 0,
+        col("ts") >= lit("2024-01-16").cast("timestamp")),
+      """WITH t AS (SELECT user_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS q,
+        |    (user_id % 2 = 0) AS t,
+        |    (ts >= TIMESTAMP '2024-01-16') AS p
+        |  FROM events),
+        |u AS (SELECT user_id, t,
+        |    count(CASE WHEN NOT p THEN 1 END) AS n_pre,
+        |    sum(CASE WHEN NOT p THEN q END) AS s_pre,
+        |    count(CASE WHEN p THEN 1 END) AS n_post,
+        |    sum(CASE WHEN p THEN q END) AS s_post
+        |  FROM t GROUP BY 1, 2
+        |  HAVING count(CASE WHEN NOT p THEN 1 END) > 0
+        |    AND count(CASE WHEN p THEN 1 END) > 0),
+        |v AS (SELECT t, CAST(s_pre // n_pre AS BIGINT) AS x,
+        |    CAST(s_post // n_post AS BIGINT) AS y FROM u),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS n_treated,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    CAST(sum(CASE WHEN t THEN x END) AS BIGINT) AS sx_t,
+        |    CAST(sum(CASE WHEN NOT t THEN x END) AS BIGINT) AS sx_c,
+        |    CAST(sum(CASE WHEN t THEN y END) AS BIGINT) AS sy_t,
+        |    CAST(sum(CASE WHEN NOT t THEN y END) AS BIGINT) AS sy_c
+        |  FROM v),
+        |f AS (SELECT n_users, n_treated,
+        |    CAST((CAST(n_users AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy) * 1000000
+        |      // nullif(CAST(n_users AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * sx, 0) AS BIGINT) AS theta_ppm,
+        |    sy_t * 1000 // n_treated
+        |      - sy_c * 1000 // (n_users - n_treated) AS raw_diff_micro,
+        |    sx_t * 1000 // n_treated
+        |      - sx_c * 1000 // (n_users - n_treated) AS x_diff_micro
+        |  FROM m)
+        |SELECT n_users, n_treated, theta_ppm, raw_diff_micro,
+        |  raw_diff_micro - CAST(CAST(theta_ppm AS HUGEINT)
+        |    * x_diff_micro // 1000000 AS BIGINT) AS adj_diff_micro
+        |FROM f""".stripMargin),
+
+    // top event trigrams with Markov-1 lift: is the process
+    // memoryless at depth 2?
+    Q.df("x358_event_trigrams",
+      (s, dir) => TimeSeries.eventTrigrams(Tables.load(s, dir, "events")),
+      """WITH s AS (SELECT user_id, event_type AS a,
+        |    lead(event_type, 1) OVER w AS b,
+        |    lead(event_type, 2) OVER w AS c
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |bi AS (SELECT a AS b1, b AS b2, CAST(count(*) AS BIGINT) AS n_bc
+        |  FROM s WHERE b IS NOT NULL GROUP BY 1, 2),
+        |bo AS (SELECT b1, CAST(sum(n_bc) AS BIGINT) AS n_b_out
+        |  FROM bi GROUP BY 1),
+        |tri AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE c IS NOT NULL GROUP BY 1, 2, 3),
+        |tp AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS n_ab
+        |  FROM tri GROUP BY 1, 2)
+        |SELECT tri.a, tri.b, tri.c, tri.n,
+        |  tri.n * 1000000 // tp.n_ab AS p_cond_ppm,
+        |  bi.n_bc * 1000000 // bo.n_b_out AS p1_ppm,
+        |  (tri.n * 1000000 // tp.n_ab) * 1000
+        |    // nullif(bi.n_bc * 1000000 // bo.n_b_out, 0) AS lift_milli
+        |FROM tri JOIN tp ON tri.a = tp.a AND tri.b = tp.b
+        |JOIN bi ON tri.b = bi.b1 AND tri.c = bi.b2
+        |JOIN bo ON tri.b = bo.b1
+        |ORDER BY tri.n DESC, tri.a, tri.b, tri.c
+        |LIMIT 20""".stripMargin),
+
+    // Q-Q decile drift per event type vs the corpus: WHERE the slice
+    // moved, not just whether (oracle ranks rows, Spark folds the
+    // histogram — independent shapes, same type-1 quantile)
+    Q.df("x359_qq_drift",
+      (s, dir) => Profile.qqDrift(Tables.load(s, dir, "events")),
+      """WITH r AS (SELECT event_type AS grp,
+        |    CAST(floor(value * 10) AS BIGINT) AS q,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY floor(value * 10)) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT unnest(range(1, 10)) AS decile),
+        |gq AS (SELECT grp, d.decile, min(q) AS grp_q
+        |  FROM r CROSS JOIN d WHERE rn * 10 >= d.decile * n
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT CAST(floor(value * 10) AS BIGINT) AS q,
+        |    row_number() OVER (ORDER BY floor(value * 10)) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |cq AS (SELECT d.decile, min(q) AS corpus_q
+        |  FROM ra CROSS JOIN d WHERE rn * 10 >= d.decile * n
+        |  GROUP BY 1)
+        |SELECT gq.grp AS event_type, CAST(gq.decile AS BIGINT) AS decile,
+        |  gq.grp_q, cq.corpus_q, gq.grp_q - cq.corpus_q AS delta_q
+        |FROM gq JOIN cq USING (decile)
+        |ORDER BY event_type, decile""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

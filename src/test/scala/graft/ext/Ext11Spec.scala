@@ -268,4 +268,116 @@ class Ext11Spec extends SparkSpec {
     assert((r2.getLong(0), r2.getLong(3), r2.getLong(4)) ==
       ((4L, 1L, 4000000L)), r2.toString)
   }
+
+  // ---- mutualInformation (x354) -----------------------------------------
+
+  test("mutualInformation: diagonal grid carries exactly one bit per row, independent grid zero") {
+    import spark.implicits._
+    val diag = Seq(("en", "s1"), ("en", "s1"), ("fr", "s2"), ("fr", "s2"))
+      .toDF("lang", "source")
+    val r1 = Profile.mutualInformation(diag).collect().head
+    // each cell: 2·(flog2(8)-flog2(4)) = 2 -> mi 4; H(row)=H(col)=4
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3),
+      r1.getLong(4), r1.getLong(5)) ==
+      ((4L, 4L, 4L, 4L, 1000000L, 1000000L)), r1.toString)
+    val ind = Seq(("en", "s1"), ("en", "s2"), ("fr", "s1"), ("fr", "s2"))
+      .toDF("lang", "source")
+    val r2 = Profile.mutualInformation(ind).collect().head
+    assert(r2.getLong(1) == 0L && r2.getLong(4) == 0L, r2.toString)
+  }
+
+  // ---- calibrationBins (x355) ---------------------------------------------
+
+  test("calibrationBins: two-point score lands in bins 0 and 9, hand-computed ECE") {
+    import spark.implicits._
+    val ev = Seq(("view", 0.0), ("view", 0.0), ("view", 0.0),
+      ("purchase", 0.0), ("purchase", 1.0), ("purchase", 1.0))
+      .toDF("event_type", "value")
+    // bin0: n=4 mean 0 rate 250000 gap 250000; bin9: n=2 mean 1e6
+    // rate 1e6 gap 0; ece = 1000000 div 6 = 166666
+    val out = Experiment.calibrationBins(ev,
+        col("event_type") === "purchase").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq((0L, 4L, 0L, 250000L, 250000L, 166666L),
+      (9L, 2L, 1000000L, 1000000L, 0L, 166666L)), out.mkString(","))
+  }
+
+  // ---- diffInDiff (x356) ----------------------------------------------------
+
+  test("diffInDiff: hand-computed 2x2 cell means and estimate") {
+    import spark.implicits._
+    val ev = Seq(
+      (2L, 0L, 1.0), (2L, 100L, 3.0),  // treated: 1000 -> 3000
+      (1L, 0L, 1.0), (1L, 100L, 2.0))  // control: 1000 -> 2000
+      .toDF("user_id", "sec", "value")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("value"))
+    val r = Experiment.diffInDiff(ev, col("user_id") % 2 === 0,
+      col("ts") >= timestamp_seconds(lit(50L))).collect().head
+    assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+      r.getLong(8)) == ((1000L, 3000L, 1000L, 2000L, 1000L)),
+      r.toString)
+  }
+
+  // ---- cuped (x357) -----------------------------------------------------------
+
+  test("cuped: hand-computed theta and adjusted difference; pre-only users dropped") {
+    import spark.implicits._
+    val ev = Seq(
+      (2L, 0L, 1.0), (2L, 100L, 3.0),   // treated x=1000 y=3000
+      (4L, 0L, 3.0), (4L, 100L, 4.0),   // treated x=3000 y=4000
+      (1L, 0L, 1.0), (1L, 100L, 2.0),   // control x=1000 y=2000
+      (3L, 0L, 2.0), (3L, 100L, 3.0),   // control x=2000 y=3000
+      (6L, 0L, 9.0))                    // treated, pre only: dropped
+      .toDF("user_id", "sec", "value")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("value"))
+    // theta = 8e6*1e6 div 11e6 = 727272; raw 1e6; x_diff 5e5
+    // adj = 1e6 - 727272*5e5 div 1e6 = 636364
+    val r = Experiment.cuped(ev, col("user_id") % 2 === 0,
+      col("ts") >= timestamp_seconds(lit(50L))).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 2L, 727272L, 1000000L, 636364L)),
+      r.toString)
+  }
+
+  // ---- eventTrigrams (x358) -----------------------------------------------------
+
+  test("eventTrigrams: deterministic A-B-C cycle is exactly memoryless (lift 1000)") {
+    import spark.implicits._
+    val types = Seq("A", "B", "C", "A", "B", "C")
+    val ev = types.zipWithIndex.map { case (t, i) =>
+      (i.toLong + 1, 1L, t, 1700000000L + i * 10) }
+      .toDF("event_id", "user_id", "event_type", "sec")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val out = TimeSeries.eventTrigrams(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("A", "B", "C", 2L, 1000000L, 1000000L, 1000L),
+      ("B", "C", "A", 1L, 1000000L, 1000000L, 1000L),
+      ("C", "A", "B", 1L, 1000000L, 1000000L, 1000L)),
+      out.mkString(","))
+  }
+
+  // ---- qqDrift (x359) --------------------------------------------------------------
+
+  test("qqDrift: two shifted groups, hand-computed type-1 deciles vs the pooled corpus") {
+    import spark.implicits._
+    val ev = ((1 to 9).map(k => ("X", k * 0.5)) ++
+      (11 to 19).map(k => ("Y", k * 0.5)))
+      .toDF("event_type", "value")
+    val out = Profile.qqDrift(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val corpus = Seq(10L, 20L, 30L, 40L, 45L, 60L, 70L, 80L, 90L)
+    val expX = (1 to 9).map(k =>
+      ("X", k.toLong, k * 5L, corpus(k - 1), k * 5L - corpus(k - 1)))
+    val expY = (1 to 9).map(k =>
+      ("Y", k.toLong, 50L + k * 5L, corpus(k - 1),
+        50L + k * 5L - corpus(k - 1)))
+    assert(out.toSeq == (expX ++ expY), out.mkString(","))
+  }
 }
