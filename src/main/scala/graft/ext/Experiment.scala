@@ -162,4 +162,88 @@ object Experiment {
         col("pos_rate_ppm"), col("gap_ppm"), col("ece_ppm"))
       .orderBy("bin")
   }
+
+  /** LEAVE-ONE-DAY-OUT JACKKNIFE of a ratio metric (one row): the
+    * ratio Σ purchase-value / Σ events in ppm, its nine-or-so
+    * leave-one-day-out replicates θ_i = (S−s_i)·1e6 div (N−n_i), and
+    * the jackknife variance (D−1)·Σ(θ_i−θ̄)² div D in ppm² — the
+    * standard uncertainty estimate for RATIO metrics, whose naive
+    * per-row variance is wrong because numerator and denominator
+    * share rows (delta-method territory); day blocks also absorb
+    * within-day correlation. No square root is taken (engine-exact);
+    * compare jk_var_ppm2 across snapshots or take the root downstream.
+    * The dev² sum is widened to DECIMAL(38,0) (DuckDB twin: HUGEINT).
+    *
+    * Scale shape: one map-side-combinable per-day conditional sum
+    * (the only corpus pass); replicates and their moments run on the
+    * bounded (days) table with totals broadcast back.
+    *
+    * Output: (n_days, theta_ppm, theta_dot_ppm, jk_var_ppm2). */
+  def jackknifeRatio(events: DataFrame, positive: Column,
+                     valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .select(to_date(col("ts")).as("d"),
+        expr(s"CAST(floor(CAST($valueCol AS DOUBLE) * 1000)" +
+          " AS BIGINT)").as("q"),
+        positive.cast("long").as("y"))
+      .groupBy("d")
+      .agg(sum(expr("CASE WHEN y = 1 THEN q ELSE 0 END")).as("s_i"),
+        count(lit(1)).as("n_i"))
+    val tot = daily.agg(sum("s_i").as("s"), sum("n_i").as("n"),
+      count(lit(1)).as("d_days"))
+    val reps = daily.crossJoin(broadcast(tot))
+      .select(col("d_days"),
+        // ×1e6 numerators widened: S is a corpus-sized milli sum
+        expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div n" +
+          " AS BIGINT)").as("theta_ppm"),
+        expr("CAST(CAST(s - s_i AS DECIMAL(38,0)) * 1000000" +
+          " div (n - n_i) AS BIGINT)").as("theta_i"))
+    reps.groupBy("d_days", "theta_ppm")
+      .agg(expr("sum(theta_i) div count(1)").as("theta_dot_ppm"),
+        sum(expr("CAST(theta_i AS DECIMAL(38,0)) * theta_i")).as("tss"),
+        sum("theta_i").as("ts1"), count(lit(1)).as("dd"))
+      .select(col("d_days").as("n_days"), col("theta_ppm"),
+        col("theta_dot_ppm"),
+        // Σ(θi−θ̄)² = Σθi² − (Σθi)²/D, kept exact by scaling through
+        // D: jk_var = (D−1)·(D·Σθi² − (Σθi)²) div D²
+        expr("CAST((dd - 1) * (dd * tss" +
+          " - CAST(ts1 AS DECIMAL(38,0)) * ts1)" +
+          " div (CAST(dd AS DECIMAL(38,0)) * dd) AS BIGINT)")
+          .as("jk_var_ppm2"))
+  }
+
+  /** SAMPLE-RATIO-MISMATCH TRAJECTORY (one row per day): daily
+    * treated/control arrival counts under the caller's assignment,
+    * the daily chi-square-vs-50/50 statistic (n_t−n_c)²·1e6 div
+    * (n_t+n_c), and the same statistic on the CUMULATIVE counts — the
+    * monitor that catches a broken randomizer mid-experiment (the
+    * cumulative column is the one that trends when assignment is
+    * subtly biased; the daily column isolates which day broke). The
+    * squared deltas stay BIGINT — exact to ~3e9 arrivals/day.
+    *
+    * Scale shape: one map-side-combinable per-day conditional count;
+    * the running sums are one window over the bounded day table.
+    *
+    * Output: (d, n_t, n_c, chi2_micro, cum_t, cum_c, cum_chi2_micro)
+    * ordered by d. */
+  def srmTrajectory(events: DataFrame, treated: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("bigint").as("d"),
+        treated.cast("long").as("t"))
+      .groupBy("d")
+      .agg(sum("t").as("n_t"), sum(expr("1 - t")).as("n_c"))
+      .withColumn("cum_t", sum("n_t").over(w))
+      .withColumn("cum_c", sum("n_c").over(w))
+      .select(col("d"), col("n_t"), col("n_c"),
+        expr("(n_t - n_c) * (n_t - n_c) * 1000000" +
+          " div (n_t + n_c)").as("chi2_micro"),
+        col("cum_t"), col("cum_c"),
+        expr("(cum_t - cum_c) * (cum_t - cum_c) * 1000000" +
+          " div (cum_t + cum_c)").as("cum_chi2_micro"))
+      .orderBy("d")
+  }
 }

@@ -359,4 +359,35 @@ object Graph {
           " - CAST(sx AS DECIMAL(38,0)) * sx, 0)" +
           " AS BIGINT)").as("r_ppm"))
   }
+
+  /** LOCAL CLUSTERING COEFFICIENT per node:
+    * lcc_ppm = 2·triangles·1e6 div (deg·(deg−1)) over every node of
+    * degree ≥ 2 (nodes in no triangle score 0, not absent) — the
+    * per-node "is my neighborhood a clique or a star" refinement of
+    * [[triangleCount]]'s corpus number; the bimodality of this column
+    * separates community cores from pure hubs and is the standard
+    * precursor to a k-truss/community cut. deg·(deg−1) stays BIGINT —
+    * exact to ~3e9-degree hubs.
+    *
+    * Scale shape: [[triangleCount]]'s degree-oriented wedge join does
+    * the heavy lifting (its cost envelope, unchanged); this adds one
+    * degree count and one left equi-join on the bounded (node) table.
+    *
+    * Output: (node, deg, triangles, lcc_ppm) ordered by node. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .where(col("lo") =!= col("hi")).distinct()
+    val deg = e.select(col("lo").as("node"))
+      .union(e.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.where(col("deg") >= 2)
+      .join(triangleCount(edges), Seq("node"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .select(col("node"), col("deg"), col("triangles"),
+        expr("2 * triangles * 1000000 div (deg * (deg - 1))")
+          .as("lcc_ppm"))
+      .orderBy("node")
+  }
 }

@@ -1026,9 +1026,17 @@ object Profile {
     * exactly once.
     *
     * Output: (source, n_a, psi_ppm_bits) ordered by source. */
-  def psiDrift(docs: DataFrame, catCol: String = "lang"): DataFrame = {
-    val vc = docs.groupBy(col("source"), col(catCol).as("v"))
-      .agg(count(lit(1)).as("c"))
+  def psiDrift(docs: DataFrame, catCol: String = "lang"): DataFrame =
+    psiFromCounts(docs.groupBy(col("source"), col(catCol).as("v"))
+      .agg(count(lit(1)).as("c")))
+
+  /** [[psiDrift]]'s finishing stage on an already-aggregated
+    * (source, v, c) count table — exposed so the streaming front door
+    * ([[graft.streaming.Streaming.streamPsi]]) can drain its
+    * complete-mode count state into the SAME serve-time arithmetic
+    * (the drained mart must equal the batch result, which is what the
+    * shared oracle checks). */
+  def psiFromCounts(vc: DataFrame): DataFrame = {
     val values = vc.select("v").distinct()
     val sources = vc.select("source").distinct()
     val grid = sources.crossJoin(values)

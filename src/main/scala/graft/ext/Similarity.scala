@@ -1328,4 +1328,48 @@ object Similarity {
         col("var_share_ppm"), col("cum_share_ppm"))
       .orderBy(col("var_q").desc, col("dim"))
   }
+
+  /** INT8 SCALAR-QUANTIZATION AUDIT per dimension: symmetric
+    * per-dim quantization with scale = ⌈max|q|/127⌉ (ceiling
+    * division, so every code fits int8), code = q div scale
+    * (truncation toward zero — |code| ≤ 127 by construction),
+    * reconstruction error (q − code·scale)² summed exactly, and the
+    * noise-to-signal ratio nsr_ppm = Σerr² · 1e6 div Σq² (widened to
+    * DECIMAL(38,0); DuckDB twin HUGEINT — Σq² is O(n·1e8) at this
+    * quantization). The "can I ship int8 embeddings" pre-check run
+    * BEFORE re-encoding a corpus: a dim whose nsr dwarfs the others
+    * is outlier-dominated and wants clipping or per-block scales
+    * (the public LLM.int8 observation) — beside the codebook tiers
+    * ([[knnPQ]]), this is the zero-codebook baseline.
+    *
+    * Scale shape: two map-side-combinable aggs over the exploded
+    * components (max|q| per dim, then the moment pass with the
+    * 64-row scale table broadcast back) — nothing vector-shaped
+    * shuffles.
+    *
+    * Output: (dim, scale, max_abs_q, mse_q, energy_q, nsr_ppm)
+    * ordered by dim. */
+  def int8QuantAudit(emb: DataFrame): DataFrame = {
+    val comp = emb.select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .select((col("i") + 1).cast("bigint").as("dim"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)").as("q"))
+    val scales = comp.groupBy("dim")
+      .agg(max(abs(col("q"))).as("max_abs_q"))
+      .select(col("dim"), col("max_abs_q"),
+        // greatest(1,·): an all-zero dim still needs a legal divisor
+        expr("greatest(1L, (max_abs_q + 126) div 127)").as("scale"))
+    comp.join(broadcast(scales), Seq("dim"))
+      .select(col("dim"), col("max_abs_q"), col("scale"),
+        col("q"), expr("q - (q div scale) * scale").as("r"))
+      .groupBy("dim", "scale", "max_abs_q")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("se"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sq"))
+      .select(col("dim"), col("scale"), col("max_abs_q"),
+        expr("CAST(se div n AS BIGINT)").as("mse_q"),
+        expr("CAST(sq div n AS BIGINT)").as("energy_q"),
+        expr("CAST(se * 1000000 div nullif(sq, 0) AS BIGINT)")
+          .as("nsr_ppm"))
+      .orderBy("dim")
+  }
 }

@@ -8971,7 +8971,158 @@ object Extensions {
         |SELECT gq.grp AS event_type, CAST(gq.decile AS BIGINT) AS decile,
         |  gq.grp_q, cq.corpus_q, gq.grp_q - cq.corpus_q AS delta_q
         |FROM gq JOIN cq USING (decile)
-        |ORDER BY event_type, decile""".stripMargin)
+        |ORDER BY event_type, decile""".stripMargin),
+
+    // streaming PSI monitor: complete-mode (source, lang) count state
+    // drained into the batch serve-time arithmetic — oracle is x348's
+    // SQL verbatim (drained == batch)
+    Q.df("x360_stream_psi",
+      (s, dir) => Streaming.streamPsi(s, dir),
+      """WITH vc AS (SELECT source, lang AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT v FROM vc),
+        |srcs AS (SELECT DISTINCT source FROM vc),
+        |grid AS (SELECT srcs.source, vals.v, coalesce(vc.c, 0) AS c
+        |  FROM srcs CROSS JOIN vals
+        |  LEFT JOIN vc ON vc.source = srcs.source AND vc.v = vals.v),
+        |gt AS (SELECT v, sum(c) AS g FROM vc GROUP BY 1),
+        |ta AS (SELECT source, sum(c) AS n_a FROM vc GROUP BY 1),
+        |corp AS (SELECT sum(c) AS n_corpus, count(DISTINCT v) AS nv
+        |  FROM vc),
+        |t AS (SELECT grid.source, ta.n_a, grid.c + 1 AS a,
+        |    gt.g - grid.c + 1 AS b, ta.n_a + corp.nv AS taa,
+        |    corp.n_corpus - ta.n_a + corp.nv AS tb
+        |  FROM grid JOIN gt USING (v)
+        |  JOIN ta ON ta.source = grid.source CROSS JOIN corp)
+        |SELECT source, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(sum((a * 1000000 // taa - b * 1000000 // tb)
+        |    * ((length(bin(a * tb)) - 1) - (length(bin(b * taa)) - 1)))
+        |    AS BIGINT) AS psi_ppm_bits
+        |FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin),
+
+    // leave-one-day-out jackknife of the purchase-value ratio metric
+    Q.df("x361_jackknife_ratio",
+      (s, dir) => Experiment.jackknifeRatio(Tables.load(s, dir, "events"),
+        col("event_type") === "purchase"),
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 1000) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS s_i,
+        |    CAST(count(*) AS BIGINT) AS n_i
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(s_i) AS BIGINT) AS s,
+        |    CAST(sum(n_i) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS dd FROM daily),
+        |reps AS (SELECT dd,
+        |    CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT)
+        |      AS theta_ppm,
+        |    CAST(CAST(s - s_i AS HUGEINT) * 1000000 // (n - n_i)
+        |      AS BIGINT) AS theta_i
+        |  FROM daily CROSS JOIN tot)
+        |SELECT dd AS n_days, theta_ppm,
+        |  CAST(sum(theta_i) // count(*) AS BIGINT) AS theta_dot_ppm,
+        |  CAST((dd - 1) * (dd * sum(CAST(theta_i AS HUGEINT) * theta_i)
+        |    - CAST(sum(theta_i) AS HUGEINT) * sum(theta_i))
+        |    // (CAST(dd AS HUGEINT) * dd) AS BIGINT) AS jk_var_ppm2
+        |FROM reps GROUP BY 1, 2""".stripMargin),
+
+    // sample-ratio-mismatch trajectory: daily and cumulative
+    // chi-square vs 50/50 under the parity assignment
+    Q.df("x362_srm_trajectory",
+      (s, dir) => Experiment.srmTrajectory(Tables.load(s, dir, "events"),
+        col("user_id") % 2 === 0),
+      """WITH b AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+        |  FROM events),
+        |g AS (SELECT d, CAST(sum(t) AS BIGINT) AS n_t,
+        |    CAST(sum(1 - t) AS BIGINT) AS n_c FROM b GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(sum(n_t) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_t,
+        |    CAST(sum(n_c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c FROM g)
+        |SELECT d, n_t, n_c,
+        |  (n_t - n_c) * (n_t - n_c) * 1000000 // (n_t + n_c)
+        |    AS chi2_micro,
+        |  cum_t, cum_c,
+        |  (cum_t - cum_c) * (cum_t - cum_c) * 1000000
+        |    // (cum_t + cum_c) AS cum_chi2_micro
+        |FROM c ORDER BY d""".stripMargin),
+
+    // local clustering coefficient per node on the co-purchase graph
+    // (x191's edges): community cores vs pure hubs
+    Q.df("x363_local_clustering",
+      (s, dir) => {
+        val it = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+          .distinct()
+        val edges = it.as("a")
+          .join(it.as("c"), col("a.b") === col("c.b")
+            && col("a.i") < col("c.i"))
+          .groupBy(col("a.i").as("src"), col("c.i").as("dst"))
+          .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+          .select("src", "dst")
+        Graph.localClustering(edges)
+      },
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e AS (
+        |  SELECT a.i AS lo, c.i AS hi
+        |  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT lo AS node FROM e UNION ALL SELECT hi FROM e) u
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN (dl.deg, e.lo) < (dh.deg, e.hi)
+        |           THEN e.lo ELSE e.hi END AS src,
+        |         CASE WHEN (dl.deg, e.lo) < (dh.deg, e.hi)
+        |           THEN e.hi ELSE e.lo END AS dst
+        |  FROM e JOIN deg dl ON e.lo = dl.node
+        |         JOIN deg dh ON e.hi = dh.node),
+        |tri AS (
+        |  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+        |  FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst
+        |  JOIN e ON least(w1.dst, w2.dst) = e.lo
+        |        AND greatest(w1.dst, w2.dst) = e.hi),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri) n
+        |  GROUP BY 1)
+        |SELECT deg.node, deg.deg, coalesce(tc.triangles, 0) AS triangles,
+        |  2 * coalesce(tc.triangles, 0) * 1000000
+        |    // (deg.deg * (deg.deg - 1)) AS lcc_ppm
+        |FROM deg LEFT JOIN tc USING (node)
+        |WHERE deg.deg >= 2 ORDER BY node""".stripMargin),
+
+    // int8 scalar-quantization audit per embedding dimension: the
+    // zero-codebook baseline beside the PQ tiers
+    Q.df("x364_int8_quant_audit",
+      (s, dir) => Similarity.int8QuantAudit(
+        Tables.load(s, dir, "embeddings")),
+      """WITH comp AS (SELECT CAST(i AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings, range(1, 65) r(i)),
+        |sc AS (SELECT dim, CAST(max(abs(q)) AS BIGINT) AS max_abs_q,
+        |    CAST(greatest(1, (max(abs(q)) + 126) // 127) AS BIGINT)
+        |      AS scale
+        |  FROM comp GROUP BY 1),
+        |j AS (SELECT comp.dim, scale, max_abs_q, q,
+        |    q - (q // scale) * scale AS r
+        |  FROM comp JOIN sc USING (dim))
+        |SELECT dim, scale, max_abs_q,
+        |  CAST(sum(CAST(r AS HUGEINT) * r) // count(*) AS BIGINT)
+        |    AS mse_q,
+        |  CAST(sum(CAST(q AS HUGEINT) * q) // count(*) AS BIGINT)
+        |    AS energy_q,
+        |  CAST(sum(CAST(r AS HUGEINT) * r) * 1000000
+        |    // nullif(sum(CAST(q AS HUGEINT) * q), 0) AS BIGINT)
+        |    AS nsr_ppm
+        |FROM j GROUP BY 1, 2, 3 ORDER BY dim""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

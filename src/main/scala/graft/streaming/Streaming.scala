@@ -1212,4 +1212,35 @@ object Streaming {
     } }
     detachMart(spark.table(name)).orderBy("user_id")
   }
+
+  /** Streaming PSI monitor — the live twin of the batch
+    * category-mix drift gate (x348): (source, lang) counts maintained
+    * as complete-mode streaming state (bounded by |sources|×|langs|,
+    * not documents), then drained into the SAME serve-time PSI
+    * arithmetic as the batch operator
+    * ([[graft.ext.Profile.psiFromCounts]]) — smoothing, margins, and
+    * the whole-bit log terms all run at serve time on the bounded
+    * mart, so a source's PSI is always computed against the
+    * portfolio AS OF the drain, never frozen per batch. Drained over
+    * the backlog, the report equals batch x348, which is what the
+    * shared oracle checks.
+    *
+    * Output: (source, n_a, psi_ppm_bits) ordered by source. */
+  def streamPsi(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_psi_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    withStreamDirsFile(dir, "documents.parquet") { (stage, ckpt) =>
+      val src = spark.readStream.schema(docsSchema).parquet(stage)
+        .select(col("source"), col("lang").as("v"))
+      val q = src.groupBy("source", "v").agg(count(lit(1)).as("c"))
+        .writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.ext.Profile.psiFromCounts(detachMart(spark.table(name)))
+  }
 }

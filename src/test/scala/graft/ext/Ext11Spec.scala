@@ -380,4 +380,69 @@ class Ext11Spec extends SparkSpec {
         50L + k * 5L - corpus(k - 1)))
     assert(out.toSeq == (expX ++ expY), out.mkString(","))
   }
+
+  // ---- jackknifeRatio (x361) --------------------------------------------
+
+  test("jackknifeRatio: three-day fixture, hand-computed replicates and variance") {
+    import spark.implicits._
+    val day = 86400L
+    val ev = Seq(
+      (0L, "purchase", 1.0), (0L, "view", 0.5),
+      (1L, "purchase", 2.0), (1L, "view", 0.5),
+      (2L, "purchase", 3.0), (2L, "view", 0.5))
+      .toDF("dnum", "event_type", "value")
+      .select(timestamp_seconds(col("dnum") * day + 100).as("ts"),
+        col("event_type"), col("value"))
+    // S=6000 N=6 D=3; theta=1e9; theta_i = 1.25e9, 1e9, 0.75e9
+    // jk_var = 2*(3*3.125e18 - 9e18) div 9 = 83333333333333333
+    val r = Experiment.jackknifeRatio(ev,
+      col("event_type") === "purchase").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 1000000000L, 1000000000L, 83333333333333333L)), r.toString)
+  }
+
+  // ---- srmTrajectory (x362) -----------------------------------------------
+
+  test("srmTrajectory: a daily imbalance that cancels cumulatively") {
+    import spark.implicits._
+    val day = 86400L
+    val ev = Seq(
+      (2L, 1L), (4L, 1L), (6L, 1L), (1L, 1L),   // day1: 3 T, 1 C
+      (2L, 2L), (1L, 2L), (3L, 2L), (5L, 2L))   // day2: 1 T, 3 C
+      .toDF("user_id", "dnum")
+      .select(col("user_id"),
+        timestamp_seconds(col("dnum") * day + 100).as("ts"))
+    val out = Experiment.srmTrajectory(ev, col("user_id") % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 1000000L, 3L, 1L, 1000000L),
+      (2L, 1L, 3L, 1000000L, 4L, 4L, 0L)), out.mkString(","))
+  }
+
+  // ---- localClustering (x363) -----------------------------------------------
+
+  test("localClustering: triangle corners score by degree, pendant node excluded") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.localClustering(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 1000000L),
+      (2L, 2L, 1L, 1000000L), (3L, 3L, 1L, 333333L)), out.mkString(","))
+  }
+
+  // ---- int8QuantAudit (x364) ---------------------------------------------------
+
+  test("int8QuantAudit: hand-computed scale, residues (incl. a negative), and NSR") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0)), (2L, Seq(0.5)), (3L, Seq(-0.25)))
+      .toDF("vec_id", "embedding")
+    // q: 10000, 5000, -2500; scale = 10126 div 127 = 79
+    // r: 46, 23, -51 -> se 5246, mse 1748; sq 131.25e6 -> nsr 39
+    val r = Similarity.int8QuantAudit(emb).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      ((1L, 79L, 10000L, 1748L, 43750000L, 39L)), r.toString)
+  }
 }

@@ -566,4 +566,13 @@ class StreamingSpec extends SparkSpec {
         r.getLong(4))).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming PSI mart equals the batch category-mix drift gate") {
+    val streamed = Streaming.streamPsi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.ext.Profile.psiDrift(
+        graft.Tables.load(spark, dir, "documents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
