@@ -1452,12 +1452,28 @@ object TimeSeries {
         col("event_type").as("a"))
       .withColumn("b", lead("a", 1).over(w))
       .withColumn("c", lead("a", 2).over(w))
-    val bi = seq.where(col("b").isNotNull)
-      .groupBy(col("a").as("b1"), col("b").as("b2"))
-      .agg(count(lit(1)).as("n_bc"))
+    // ONE corpus pass: each position emits its trigram AND its bigram
+    // through a two-struct explode, counted in a single aggregate to
+    // the bounded (|types|³ + |types|²) table, pinned so the four
+    // consumers below never re-run the window
+    val counted = CacheRegistry.pin(seq
+      .select(explode(array(
+        struct(lit("tri").as("m"), col("a").as("xa"),
+          col("b").as("xb"), col("c").as("xc")),
+        struct(lit("bi").as("m"), col("a").as("xa"),
+          col("b").as("xb"), lit(null).cast("string").as("xc")))).as("r"))
+      .select(col("r.m").as("m"), col("r.xa").as("xa"),
+        col("r.xb").as("xb"), col("r.xc").as("xc"))
+      .where((col("m") === "tri" && col("xc").isNotNull)
+        || (col("m") === "bi" && col("xb").isNotNull))
+      .groupBy("m", "xa", "xb", "xc").agg(count(lit(1)).as("cnt")))
+    val bi = counted.where(col("m") === "bi")
+      .select(col("xa").as("b1"), col("xb").as("b2"),
+        col("cnt").as("n_bc"))
     val bOut = bi.groupBy(col("b1").as("bk")).agg(sum("n_bc").as("n_b_out"))
-    val tri = seq.where(col("c").isNotNull)
-      .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+    val tri = counted.where(col("m") === "tri")
+      .select(col("xa").as("a"), col("xb").as("b"), col("xc").as("c"),
+        col("cnt").as("n"))
     val triPrefix = tri.groupBy(col("a").as("pa"), col("b").as("pb"))
       .agg(sum("n").as("n_ab"))
     tri

@@ -701,4 +701,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
   }
+
+  test("x343 silhouette: centroids broadcast back; vectors never pair with vectors") {
+    val p = plan("x343_silhouette")
+    // the only joins are component-vs-centroid broadcasts (and the
+    // dimension equi-join); a SMJ or nested loop here would be the
+    // corpus x corpus pairing the centroid form exists to avoid
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("x350 assortativity: degree joins are equi-joins, no pair enumeration") {
+    val p = plan("x350_degree_assortativity")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("x352 scd2: one hash exchange on the user key — run-id window, groupBy, and lead share it") {
+    val p = plan("x352_scd2_intervals")
+    // the only hash exchange is the user shuffle (the run-id window,
+    // the per-run aggregate, and the valid_to lead all reuse it); the
+    // remaining exchange is the presentation-order range sort
+    val hashEx = "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).toSeq
+    assert(hashEx == Seq("Exchange hashpartitioning(user_id"),
+      s"$hashEx\n$p")
+  }
+
+  test("x358 trigrams: the four consumers share one pinned count table; top-k is a TakeOrdered") {
+    val p = plan("x358_event_trigrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the tri/bi/prefix/out branches all read the pinned bounded
+    // count table (InMemoryTableScan), so the user-key window runs
+    // once — the plan text repeats the cached subtree per reference,
+    // hence asserting the cache, not counting exchanges
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("x360 stream psi vs x348: serve-time PSI folds the bounded grid, no corpus re-read") {
+    val p = plan("x348_psi_drift")
+    // every join in the finishing stage is an equi-join or the
+    // bounded sources x values grid broadcast — never a SMJ over rows
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
