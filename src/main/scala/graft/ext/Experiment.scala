@@ -246,4 +246,59 @@ object Experiment {
           " div (cum_t + cum_c)").as("cum_chi2_micro"))
       .orderBy("d")
   }
+
+  /** POST-STRATIFIED treatment effect: users bucket by the bit
+    * length of their PRE-period event count (the power-of-two strata
+    * this repo's activity histograms use — heavy and light users
+    * never average together), each stratum reports its own
+    * treated-minus-control post-period mean difference in micro, and
+    * ate_micro (on every row) recombines the strata weighted by
+    * their user counts — the standard post-stratification estimator
+    * that removes activity-mix imbalance a raw difference inherits.
+    * Strata missing an arm are emitted with NULL diff and excluded
+    * from the weighted ATE (their weight is not redistributable
+    * without a model; documented, deterministic). The weighted sum
+    * is widened to DECIMAL(38,0) (DuckDB twin: HUGEINT).
+    *
+    * Scale shape: one per-user conditional-sum pass (the only corpus
+    * pass), one stratum aggregate on the bounded user table, the ATE
+    * broadcast back onto the ≤64-row stratum table.
+    *
+    * Output: (stratum, n_t, n_c, mean_t_micro, mean_c_micro,
+    * diff_micro, ate_micro) ordered by stratum. */
+  def postStratifiedEffect(events: DataFrame, treated: Column,
+                           post: Column,
+                           valueCol: String = "value"): DataFrame = {
+    val users = events
+      .select(col("user_id"),
+        expr(s"CAST(floor(CAST($valueCol AS DOUBLE) * 1000)" +
+          " AS BIGINT)").as("q"),
+        treated.as("t"), post.as("p"))
+      .groupBy("user_id", "t")
+      .agg(count(when(!col("p"), lit(1))).as("n_pre"),
+        count(when(col("p"), lit(1))).as("n_post"),
+        sum(when(col("p"), col("q"))).as("s_post"))
+      .where(col("n_post") > 0)
+      .select(col("t"),
+        (length(bin(col("n_pre"))) - 1).cast("bigint").as("stratum"),
+        expr("s_post div n_post").as("y"))
+    val strata = users.groupBy("stratum")
+      .agg(count(when(col("t"), lit(1))).as("n_t"),
+        count(when(!col("t"), lit(1))).as("n_c"),
+        sum(when(col("t"), col("y"))).as("sy_t"),
+        sum(when(!col("t"), col("y"))).as("sy_c"))
+      .select(col("stratum"), col("n_t"), col("n_c"),
+        expr("CASE WHEN n_t > 0 THEN sy_t * 1000 div n_t END")
+          .as("mean_t_micro"),
+        expr("CASE WHEN n_c > 0 THEN sy_c * 1000 div n_c END")
+          .as("mean_c_micro"))
+      .withColumn("diff_micro",
+        expr("mean_t_micro - mean_c_micro"))
+    strata.crossJoin(broadcast(strata
+        .where(col("diff_micro").isNotNull)
+        .agg(expr("CAST(sum(CAST(n_t + n_c AS DECIMAL(38,0))" +
+          " * diff_micro) div sum(n_t + n_c) AS BIGINT)")
+          .as("ate_micro"))))
+      .orderBy("stratum")
+  }
 }

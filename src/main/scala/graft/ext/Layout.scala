@@ -378,6 +378,68 @@ object Layout {
       .limit(k)
   }
 
+  /** SORTEDNESS AUDIT of a table's natural write order w.r.t. a
+    * clustering value (one row): adjacent-pair inversions (next < cur)
+    * split into the intra-chunk count and the chunk-BOUNDARY count,
+    * plus sorted_ppm = non-inverted adjacent pairs per million — the
+    * "is this table already close enough to clustered" measurement
+    * taken BEFORE paying for a [[hilbertRewrite]]-style rewrite (a
+    * table at 990k+ ppm wants [[compactionCandidates]]'s bounded
+    * k-file fix, not a full re-sort).
+    *
+    * Scale shape: rows chunk by natural position (`rowsPerFile`, the
+    * file-cut model shared with [[compactionCandidates]]); intra-chunk
+    * inversions come from a lag window PARTITIONED BY CHUNK (64-row
+    * partitions — embarrassingly parallel, never the single-partition
+    * global window the naive formulation wants), and the boundary
+    * pairs from one lag over the bounded per-chunk (first, last)
+    * stats table. The DuckDB oracle deliberately uses the one global
+    * lag this shape avoids.
+    *
+    * Output: (n_rows, n_chunks, intra_inversions, boundary_inversions,
+    * sorted_ppm). */
+  def sortednessAudit(li: DataFrame, rowsPerFile: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(rowsPerFile >= 2)
+    val spark = li.sparkSession
+    val base = li.select(col("l_orderkey").cast("bigint").as("ok"),
+      col("l_linenumber").cast("bigint").as("ln"),
+      col("l_partkey").cast("bigint").as("v"))
+    val schema = StructType(base.schema.fields :+
+      StructField("gid", LongType, nullable = false))
+    // the write-order model is the (ok, ln, v) sort — the same
+    // deterministic stand-in for "order the rows arrived in" that
+    // compactionCandidates uses (raw parquet row order is not an
+    // engine-portable contract)
+    val rows = spark.createDataFrame(
+        base.orderBy("ok", "ln", "v").rdd.zipWithIndex()
+          .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, schema)
+      .select(col("v"), col("gid"),
+        (col("gid") / rowsPerFile).cast("bigint").as("chunk"))
+    val wc = Window.partitionBy("chunk").orderBy("gid")
+    val intra = rows
+      .withColumn("inv",
+        when(col("v") < lag("v", 1).over(wc), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_rows"), sum("inv").as("intra_inversions"))
+    val stats = rows.groupBy("chunk")
+      .agg(min(struct(col("gid"), col("v"))).as("first"),
+        max(struct(col("gid"), col("v"))).as("last"))
+      .select(col("chunk"), col("first.v").as("fv"), col("last.v").as("lv"))
+    val wb = Window.orderBy("chunk")
+    val boundary = stats
+      .withColumn("inv",
+        when(col("fv") < lag("lv", 1).over(wb), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("inv").as("boundary_inversions"))
+    intra.crossJoin(boundary)
+      .select(col("n_rows"), col("n_chunks"),
+        col("intra_inversions"), col("boundary_inversions"),
+        expr("(n_rows - 1 - intra_inversions - boundary_inversions)" +
+          " * 1000000 div (n_rows - 1)").as("sorted_ppm"))
+  }
+
   /** RANGE-PARTITION boundary plan: the exact value cuts a
     * `repartitionByRange(parts)` / range-bucketed write would want,
     * with the partition census those cuts actually produce — the

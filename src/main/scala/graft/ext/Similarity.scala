@@ -1372,4 +1372,47 @@ object Similarity {
           .as("nsr_ppm"))
       .orderBy("dim")
   }
+
+  /** NEAREST-CENTROID CONFUSION MATRIX: each vector is assigned to
+    * its closest label centroid by exact quantized squared distance
+    * (ties to the smaller label — deterministic), and the
+    * (true label × assigned label) grid of counts comes back with
+    * per-cell row share in ppm — [[silhouette]]'s per-vector verdict
+    * rolled up to "WHICH labels bleed into which": the off-diagonal
+    * hot cells are the merge candidates / labeling-noise pairs, and
+    * the diagonal share is the nearest-centroid classifier's
+    * self-consistency. Only observed cells are emitted.
+    *
+    * Scale shape: identical to [[silhouette]] — centroids are one
+    * keyed agg broadcast back, assignment is a corpus×labels
+    * argmin folded in ONE aggregation (min over the struct-ordered
+    * (d2, clabel) pair — no window, no second pass), the matrix is a
+    * bounded |labels|² count.
+    *
+    * Output: (label, assigned, n, row_share_ppm) ordered by
+    * (label, assigned). */
+  def centroidConfusion(emb: DataFrame): DataFrame = {
+    val comp = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("label"), col("i"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)").as("q"))
+    val cent = comp.groupBy("label", "i")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .select(col("label").as("clabel"), col("i"),
+        expr("sq div n").as("c"))
+    val assigned = comp.join(broadcast(cent), Seq("i"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+      .groupBy("vec_id", "label")
+      .agg(min(struct(col("d2"), col("clabel"))).as("best"))
+      .select(col("label"), col("best.clabel").as("assigned"))
+    val cells = assigned.groupBy("label", "assigned")
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy(col("label").as("rl"))
+      .agg(sum("n").as("n_row"))
+    cells.join(broadcast(rows), col("label") === col("rl"))
+      .select(col("label"), col("assigned"), col("n"),
+        expr("n * 1000000 div n_row").as("row_share_ppm"))
+      .orderBy("label", "assigned")
+  }
 }

@@ -1287,4 +1287,39 @@ object TextStats {
           " - CAST(CAST(84600 AS DECIMAL(38,0)) * syllables" +
           " div words AS BIGINT)").as("flesch_milli"))
       .orderBy("lang")
+
+  /** TERM BURSTINESS (Katz's observation, public IR statistic): for
+    * the k most frequent tokens, occurrences-per-containing-document
+    * in milli (burst_milli = n_total·1000 div n_docs) beside document
+    * frequency in ppm — a term that is frequent because EVERY doc
+    * mentions it once (df high, burst ≈ 1000) behaves like a
+    * stopword; one that is frequent because a few docs repeat it
+    * (df low, burst high) is topical or boilerplate. The
+    * stopword-vs-template separator run before trusting TF-IDF
+    * weights or building [[vocabPruning]] lists.
+    *
+    * Scale shape: one tokenize+explode pass aggregated twice
+    * map-side ((term, doc) then term — the same envelope as
+    * [[topTokens]]); the doc total is one broadcast scalar; top-k is
+    * a TakeOrdered, never a global sort.
+    *
+    * Output: (term, n_total, n_docs, burst_milli, df_ppm) — top k by
+    * (n_total desc, term). */
+  def termBurstiness(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be positive; got $k")
+    val td = docs
+      .select(col("doc_id"), explode(split(lower(col("text")),
+        "[^a-z0-9]+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+    val terms = td.groupBy("term")
+      .agg(sum("c").as("n_total"), count(lit(1)).as("n_docs"))
+    terms.crossJoin(broadcast(
+        docs.agg(countDistinct("doc_id").as("n_all_docs"))))
+      .select(col("term"), col("n_total"), col("n_docs"),
+        expr("n_total * 1000 div n_docs").as("burst_milli"),
+        expr("n_docs * 1000000 div n_all_docs").as("df_ppm"))
+      .orderBy(col("n_total").desc, col("term"))
+      .limit(k)
+  }
 }

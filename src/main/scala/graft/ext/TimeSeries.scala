@@ -1488,4 +1488,49 @@ object TimeSeries {
       .orderBy(col("n").desc, col("a"), col("b"), col("c"))
       .limit(k)
   }
+
+  /** MARKOV ENTROPY RATE of the event-type chain (one row), in the
+    * repo's whole-bit quantization: the marginal type entropy
+    * H(X) = Σ n_b·(flog2(N)−flog2(n_b)) and the order-1 conditional
+    * entropy H(X'|X) = Σ n_bc·(flog2(n_b•)−flog2(n_bc)) over the
+    * per-user consecutive-pair counts, both count-scaled (divide by
+    * n_pairs downstream for bits/event); memory_gain_scaled =
+    * H(X)·n_pairs/N − ... is deliberately NOT blended across the two
+    * different denominators — the two scaled sums and their ppm
+    * ratio cond_vs_marginal_ppm (conditional surprise per pair vs
+    * marginal surprise per event) are emitted instead, each
+    * engine-exact. A ratio well under 1e6 = the chain has real
+    * memory, sessionization and x358's depth-2 audit will pay.
+    *
+    * Scale shape: one lead over the per-user window (one hash
+    * shuffle), counts on the bounded |types|² table; the marginal
+    * uses the same pair table's left margin so both entropies see
+    * the same sample space.
+    *
+    * Output: (n_pairs, h_marginal_scaled, h_cond_scaled,
+    * cond_vs_marginal_ppm). */
+  def markovEntropy(events: DataFrame): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("bigint")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val bi = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("bsrc"))
+      .withColumn("bdst", lead("bsrc", 1).over(w))
+      .where(col("bdst").isNotNull)
+      .groupBy("bsrc", "bdst").agg(count(lit(1)).as("n_bc"))
+    val marg = bi.groupBy("bsrc").agg(sum("n_bc").as("n_b"))
+    val nn = marg.agg(sum("n_b").as("n_pairs"))
+    val hm = marg.crossJoin(broadcast(nn))
+      .agg(sum(col("n_b") * (flog2(col("n_pairs")) - flog2(col("n_b"))))
+        .as("h_marginal_scaled"))
+    val hc = bi.join(marg, Seq("bsrc"))
+      .agg(sum(col("n_bc") * (flog2(col("n_b")) - flog2(col("n_bc"))))
+        .as("h_cond_scaled"))
+    nn.crossJoin(hm).crossJoin(hc)
+      .select(col("n_pairs"), col("h_marginal_scaled"),
+        col("h_cond_scaled"),
+        expr("h_cond_scaled * 1000000" +
+          " div nullif(h_marginal_scaled, 0)")
+          .as("cond_vs_marginal_ppm"))
+  }
 }

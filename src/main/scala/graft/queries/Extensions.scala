@@ -9122,7 +9122,149 @@ object Extensions {
         |  CAST(sum(CAST(r AS HUGEINT) * r) * 1000000
         |    // nullif(sum(CAST(q AS HUGEINT) * q), 0) AS BIGINT)
         |    AS nsr_ppm
-        |FROM j GROUP BY 1, 2, 3 ORDER BY dim""".stripMargin)
+        |FROM j GROUP BY 1, 2, 3 ORDER BY dim""".stripMargin),
+
+    // post-stratified treatment effect: power-of-two activity strata,
+    // per-stratum diff + count-weighted ATE
+    Q.df("x365_post_stratified",
+      (s, dir) => Experiment.postStratifiedEffect(
+        Tables.load(s, dir, "events"), col("user_id") % 2 === 0,
+        col("ts") >= lit("2024-01-16").cast("timestamp")),
+      """WITH t AS (SELECT user_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS q,
+        |    (user_id % 2 = 0) AS t,
+        |    (ts >= TIMESTAMP '2024-01-16') AS p
+        |  FROM events),
+        |u AS (SELECT user_id, t,
+        |    count(CASE WHEN NOT p THEN 1 END) AS n_pre,
+        |    count(CASE WHEN p THEN 1 END) AS n_post,
+        |    sum(CASE WHEN p THEN q END) AS s_post
+        |  FROM t GROUP BY 1, 2
+        |  HAVING count(CASE WHEN p THEN 1 END) > 0),
+        |v AS (SELECT t, CAST(length(bin(n_pre)) - 1 AS BIGINT)
+        |      AS stratum,
+        |    CAST(s_post // n_post AS BIGINT) AS y FROM u),
+        |s AS (SELECT stratum,
+        |    CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS n_t,
+        |    CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT) AS n_c,
+        |    sum(CASE WHEN t THEN y END) AS sy_t,
+        |    sum(CASE WHEN NOT t THEN y END) AS sy_c
+        |  FROM v GROUP BY 1),
+        |d AS (SELECT stratum, n_t, n_c,
+        |    CASE WHEN n_t > 0 THEN CAST(sy_t * 1000 // n_t AS BIGINT)
+        |      END AS mean_t_micro,
+        |    CASE WHEN n_c > 0 THEN CAST(sy_c * 1000 // n_c AS BIGINT)
+        |      END AS mean_c_micro
+        |  FROM s),
+        |d2 AS (SELECT *, mean_t_micro - mean_c_micro AS diff_micro
+        |  FROM d),
+        |a AS (SELECT CAST(sum(CAST(n_t + n_c AS HUGEINT) * diff_micro)
+        |    // sum(n_t + n_c) AS BIGINT) AS ate_micro
+        |  FROM d2 WHERE diff_micro IS NOT NULL)
+        |SELECT stratum, n_t, n_c, mean_t_micro, mean_c_micro,
+        |  diff_micro, ate_micro
+        |FROM d2 CROSS JOIN a ORDER BY stratum""".stripMargin),
+
+    // term burstiness: stopword-vs-template separator over the top-20
+    // tokens (occurrences per containing doc vs document frequency)
+    Q.df("x366_term_burstiness",
+      (s, dir) => TextStats.termBurstiness(
+        Tables.load(s, dir, "documents")),
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+        |      AS term
+        |  FROM documents),
+        |td AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE length(term) > 0 GROUP BY 1, 2),
+        |terms AS (SELECT term, CAST(sum(c) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS n_docs FROM td GROUP BY 1),
+        |alld AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+        |    AS n_all_docs FROM documents)
+        |SELECT term, n_total, n_docs,
+        |  n_total * 1000 // n_docs AS burst_milli,
+        |  n_docs * 1000000 // n_all_docs AS df_ppm
+        |FROM terms CROSS JOIN alld
+        |ORDER BY n_total DESC, term LIMIT 20""".stripMargin),
+
+    // whole-bit Markov entropy rate of the event-type chain vs the
+    // marginal entropy — how much memory does the process have
+    Q.df("x367_markov_entropy",
+      (s, dir) => TimeSeries.markovEntropy(Tables.load(s, dir, "events")),
+      """WITH s AS (SELECT event_type AS bsrc,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS bdst
+        |  FROM events),
+        |bi AS (SELECT bsrc, bdst, CAST(count(*) AS BIGINT) AS n_bc
+        |  FROM s WHERE bdst IS NOT NULL GROUP BY 1, 2),
+        |marg AS (SELECT bsrc, CAST(sum(n_bc) AS BIGINT) AS n_b
+        |  FROM bi GROUP BY 1),
+        |nn AS (SELECT CAST(sum(n_b) AS BIGINT) AS n_pairs FROM marg),
+        |hm AS (SELECT CAST(sum(n_b * ((length(bin(n_pairs)) - 1)
+        |      - (length(bin(n_b)) - 1))) AS BIGINT) AS h_marginal_scaled
+        |  FROM marg CROSS JOIN nn),
+        |hc AS (SELECT CAST(sum(n_bc * ((length(bin(n_b)) - 1)
+        |      - (length(bin(n_bc)) - 1))) AS BIGINT) AS h_cond_scaled
+        |  FROM bi JOIN marg USING (bsrc))
+        |SELECT n_pairs, h_marginal_scaled, h_cond_scaled,
+        |  h_cond_scaled * 1000000 // nullif(h_marginal_scaled, 0)
+        |    AS cond_vs_marginal_ppm
+        |FROM nn CROSS JOIN hm CROSS JOIN hc""".stripMargin),
+
+    // nearest-centroid confusion matrix: which labels bleed into
+    // which (deterministic ties to the smaller label)
+    Q.df("x368_centroid_confusion",
+      (s, dir) => Similarity.centroidConfusion(
+        Tables.load(s, dir, "embeddings")),
+      """WITH comp AS (
+        |  SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings, range(1, 65) r(i)),
+        |cent AS (
+        |  SELECT label AS clabel, i,
+        |    CAST(sum(q) // count(*) AS BIGINT) AS c
+        |  FROM comp GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT comp.vec_id, comp.label, cent.clabel,
+        |    CAST(sum((q - c) * (q - c)) AS BIGINT) AS d2
+        |  FROM comp JOIN cent USING (i)
+        |  GROUP BY 1, 2, 3),
+        |asg AS (SELECT vec_id, label, clabel AS assigned,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel)
+        |      AS rk FROM d2),
+        |cells AS (SELECT label, assigned, CAST(count(*) AS BIGINT) AS n
+        |  FROM asg WHERE rk = 1 GROUP BY 1, 2),
+        |rws AS (SELECT label, sum(n) AS n_row FROM cells GROUP BY 1)
+        |SELECT cells.label, assigned, n,
+        |  CAST(n * 1000000 // n_row AS BIGINT) AS row_share_ppm
+        |FROM cells JOIN rws USING (label)
+        |ORDER BY label, assigned""".stripMargin),
+
+    // sortedness audit: adjacent inversions (intra-chunk + boundary)
+    // of l_partkey in orderkey write order — rewrite-or-not evidence
+    // (oracle uses the one global lag the Spark shape avoids)
+    Q.df("x369_sortedness_audit",
+      (s, dir) => graft.ext.Layout.sortednessAudit(
+        Tables.load(s, dir, "lineitem")),
+      """WITH b AS (SELECT CAST(l_orderkey AS BIGINT) AS ok,
+        |    CAST(l_linenumber AS BIGINT) AS ln,
+        |    CAST(l_partkey AS BIGINT) AS v FROM lineitem),
+        |n AS (SELECT v, row_number() OVER (ORDER BY ok, ln, v) - 1
+        |    AS gid FROM b),
+        |l AS (SELECT v, gid, lag(v) OVER (ORDER BY gid) AS pv FROM n),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN pv IS NOT NULL AND v < pv
+        |      AND gid % 64 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS intra_inversions,
+        |    CAST(sum(CASE WHEN pv IS NOT NULL AND v < pv
+        |      AND gid % 64 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS boundary_inversions,
+        |    CAST(max(gid) // 64 + 1 AS BIGINT) AS n_chunks
+        |  FROM l)
+        |SELECT n_rows, n_chunks, intra_inversions, boundary_inversions,
+        |  (n_rows - 1 - intra_inversions - boundary_inversions)
+        |    * 1000000 // (n_rows - 1) AS sorted_ppm
+        |FROM agg""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

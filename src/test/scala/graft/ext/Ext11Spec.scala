@@ -445,4 +445,89 @@ class Ext11Spec extends SparkSpec {
       r.getLong(4), r.getLong(5)) ==
       ((1L, 79L, 10000L, 1748L, 43750000L, 39L)), r.toString)
   }
+
+  // ---- postStratifiedEffect (x365) ---------------------------------------
+
+  test("postStratifiedEffect: strata split by pre-count bits; one-armed stratum excluded from ATE") {
+    import spark.implicits._
+    val cut = 1700000000L
+    def ev(u: Long, pre: Int, postVal: Double) =
+      (1 to pre).map(i => (u, cut - 100 - i, 0.5)) :+
+        ((u, cut + 100, postVal))
+    val rows = ev(2L, 1, 3.0) ++ ev(4L, 2, 4.0) ++ ev(1L, 1, 2.0) ++
+      ev(3L, 2, 3.0) ++ ev(5L, 0, 1.0) ++ ev(6L, 8, 9.0)
+    val df = rows.toDF("user_id", "sec", "value")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("value"))
+    // stratum 0 {0,1 pre}: T u2 y3000 / C u1,u5 -> diff 1.5e6
+    // stratum 1 {2-3}: T u4 / C u3 -> diff 1e6; stratum 3: T only
+    // ATE = (3*1.5e6 + 2*1e6) div 5 = 1300000
+    val out = Experiment.postStratifiedEffect(df,
+        col("user_id") % 2 === 0, col("ts") >= timestamp_seconds(lit(cut)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(5)) -1L else r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq((0L, 1L, 2L, 1500000L, 1300000L),
+      (1L, 1L, 1L, 1000000L, 1300000L),
+      (3L, 1L, 0L, -1L, 1300000L)), out.mkString(","))
+  }
+
+  // ---- termBurstiness (x366) -------------------------------------------------
+
+  test("termBurstiness: repeated term bursts, ubiquitous term does not") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "a b"), (3L, "b"))
+      .toDF("doc_id", "text")
+    val out = TextStats.termBurstiness(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("a", 4L, 2L, 2000L, 666666L),
+      ("b", 3L, 3L, 1000L, 1000000L)), out.mkString(","))
+  }
+
+  // ---- markovEntropy (x367) ------------------------------------------------------
+
+  test("markovEntropy: a deterministic alternation has zero conditional entropy") {
+    import spark.implicits._
+    val types = Seq("A", "B", "A", "B", "A")
+    val ev = types.zipWithIndex.map { case (t, i) =>
+      (i.toLong + 1, 1L, t, 1700000000L + i * 10) }
+      .toDF("event_id", "user_id", "event_type", "sec")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val r = TimeSeries.markovEntropy(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 4L, 0L, 0L)), r.toString)
+  }
+
+  // ---- centroidConfusion (x368) -----------------------------------------------------
+
+  test("centroidConfusion: the mislabeled vector lands in the off-diagonal cell") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, "A", Seq(0.0, 0.0)), (2L, "A", Seq(0.0, 0.0)),
+      (3L, "A", Seq(1.0, 1.0)), // on B's centroid
+      (4L, "B", Seq(1.0, 1.0)), (5L, "B", Seq(1.0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidConfusion(emb).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(("A", "A", 2L, 666666L),
+      ("A", "B", 1L, 333333L), ("B", "B", 2L, 1000000L)),
+      out.mkString(","))
+  }
+
+  // ---- sortednessAudit (x369) -----------------------------------------------------------
+
+  test("sortednessAudit: intra and boundary inversions counted separately, hand-built chunks") {
+    import spark.implicits._
+    val vs = Seq(1L, 3L, 2L, 4L, 2L, 5L, 6L, 1L)
+    val li = vs.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, v) }
+      .toDF("l_orderkey", "l_linenumber", "l_partkey")
+    // chunks of 4: [1,3,2,4][2,5,6,1]: intra 3>2 and 6>1; boundary
+    // 4>2 -> sorted_ppm = 4e6 div 7 = 571428
+    val r = Layout.sortednessAudit(li, rowsPerFile = 4).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((8L, 2L, 2L, 1L, 571428L)), r.toString)
+  }
 }
