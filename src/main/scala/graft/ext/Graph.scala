@@ -390,4 +390,45 @@ object Graph {
           .as("lcc_ppm"))
       .orderBy("node")
   }
+
+  /** RICH-CLUB TRAJECTORY: for each power-of-two degree cutoff k,
+    * the subgraph induced on nodes of degree > k — node count,
+    * directed-arc count, and its density φ(k) = arcs·1e6 div
+    * (N_k·(N_k−1)) in ppm (Zhou & Mondragón's rich-club
+    * coefficient) — a φ that RISES with k means the hubs form a
+    * tight club (one hot partition at shuffle time, the natural
+    * broadcast set); a falling φ means hubs are mutually distant
+    * (salting beats broadcasting). Levels with fewer than two
+    * surviving nodes are omitted (φ undefined).
+    *
+    * Scale shape: one degree count, one arcs⨝degrees equi-join
+    * (both endpoints), then the bounded 16-level literal explode on
+    * that joined arc table and a per-level count — the arc table is
+    * scanned once per plan, never re-shuffled per level. N_k·(N_k−1)
+    * stays BIGINT — exact to ~3e9 club members.
+    *
+    * Output: (k, n_nodes, n_arcs, phi_ppm) ordered by k. */
+  def richClub(edges: DataFrame): DataFrame = {
+    val arcs = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = arcs.groupBy("src").agg(count(lit(1)).as("deg"))
+    val joined = arcs
+      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")),
+        Seq("dst"))
+    val perK = joined
+      .withColumn("j", explode(expr("sequence(0, 15)")))
+      .select(expr("CAST(shiftleft(1, j) AS BIGINT)").as("k"),
+        col("src"), col("dst"), col("dx"), col("dy"))
+      .where(col("dx") > col("k") && col("dy") > col("k"))
+      .groupBy("k")
+      .agg(countDistinct("src").as("n_nodes"),
+        count(lit(1)).as("n_arcs"))
+    perK.where(col("n_nodes") >= 2)
+      .select(col("k"), col("n_nodes"), col("n_arcs"),
+        expr("n_arcs * 1000000 div (n_nodes * (n_nodes - 1))")
+          .as("phi_ppm"))
+      .orderBy("k")
+  }
 }

@@ -1249,4 +1249,45 @@ object Profile {
         (col("dq") - col("corpus_q")).as("delta_q"))
       .orderBy(grpCol, "decile")
   }
+
+  /** TAIL-INDEX CURVE (peaks-over-threshold doubling audit): counts
+    * of quantized values above max/2, max/4, …, max/2¹⁰, with the
+    * consecutive-count ratio in milli — on a power-law tail the
+    * ratio is roughly constant (2^α per halving); on an exponential
+    * tail it explodes as the threshold drops. The one-table "how
+    * heavy is this tail really" audit run before choosing between
+    * [[graft.ext.Sampling]]'s cap-and-redistribute knobs and plain
+    * truncation — a genuinely heavy tail makes per-key caps
+    * load-bearing, a light one makes them cosmetic.
+    *
+    * Scale shape: one map-side-combinable value histogram (bounded
+    * by the quantized value RANGE); the 10 thresholds come from one
+    * broadcast max and the counts fold from histogram × the literal
+    * 10-row level list — the corpus is scanned once.
+    *
+    * Output: (j, threshold_q, n_above, ratio_milli — NULL at j=1)
+    * ordered by j. */
+  def tailIndexCurve(df: DataFrame,
+                     valueCol: String = "value"): DataFrame = {
+    val h = df.select(
+        expr(s"CAST(floor(CAST($valueCol AS DOUBLE) * 1000) AS BIGINT)")
+          .as("q"))
+      .where(col("q").isNotNull)
+      .groupBy("q").agg(count(lit(1)).as("c"))
+    val mx = h.agg(max("q").as("vmax"))
+    val levels = h.crossJoin(broadcast(mx))
+      .withColumn("j", explode(expr("sequence(1, 10)")))
+      .select(col("j").cast("bigint").as("j"),
+        expr("vmax div CAST(shiftleft(1, j) AS BIGINT)")
+          .as("threshold_q"),
+        col("q"), col("c"))
+      .where(col("q") > col("threshold_q"))
+      .groupBy("j", "threshold_q")
+      .agg(sum("c").as("n_above"))
+    levels
+      .withColumn("ratio_milli",
+        expr("n_above * 1000 div lag(n_above, 1)" +
+          " OVER (ORDER BY j)"))
+      .orderBy("j")
+  }
 }

@@ -1322,4 +1322,50 @@ object TextStats {
       .orderBy(col("n_total").desc, col("term"))
       .limit(k)
   }
+
+  /** DOCUMENT-LEVEL TERM CO-OCCURRENCE with independence lift for the
+    * top-m terms by document frequency: for each ordered pair
+    * (t1 < t2), n_both = docs containing both, and lift_milli =
+    * n_both·N·1000 div (df1·df2) — the expected co-occurrence under
+    * independence is df1·df2/N, so lift 1000 = independent, ≫1000 =
+    * the terms travel together (topic or template), ≪1000 = they
+    * repel (register separation). The document-level companion to the
+    * adjacency-window [[pmiBigrams]]; the n_both·N product is widened
+    * to DECIMAL(38,0) (DuckDB twin: HUGEINT).
+    *
+    * Scale shape: the top-m vocabulary is a broadcast TakeOrdered;
+    * the per-doc presence table is then at most m rows per doc
+    * (left-semi against the broadcast), and the pair join is an
+    * equi-join ON doc_id of that m-bounded table — corpus-sized
+    * input, m²-bounded output, never a token×token blowup.
+    *
+    * Output: (t1, t2, n_both, df1, df2, lift_milli) ordered by
+    * (n_both desc, t1, t2), observed pairs only. */
+  def termCooccurrence(docs: DataFrame, m: Int = 10): DataFrame = {
+    require(m >= 2 && m <= 1000, s"m must be in [2, 1000]; got $m")
+    val presence = docs
+      .select(col("doc_id"), explode(split(lower(col("text")),
+        "[^a-z0-9]+")).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+    val dfTab = presence.groupBy("term").agg(count(lit(1)).as("df"))
+    val top = dfTab.orderBy(col("df").desc, col("term")).limit(m)
+    val kept = presence
+      .join(broadcast(top), Seq("term"))
+      .select(col("doc_id"), col("term"), col("df"))
+    kept.as("x")
+      .join(kept.as("y"), col("x.doc_id") === col("y.doc_id")
+        && col("x.term") < col("y.term"))
+      .groupBy(col("x.term").as("t1"), col("y.term").as("t2"),
+        col("x.df").as("df1"), col("y.df").as("df2"))
+      .agg(count(lit(1)).as("n_both"))
+      .crossJoin(broadcast(
+        docs.agg(countDistinct("doc_id").as("n_all"))))
+      .select(col("t1"), col("t2"), col("n_both"), col("df1"),
+        col("df2"),
+        expr("CAST(CAST(n_both AS DECIMAL(38,0)) * n_all * 1000" +
+          " div (CAST(df1 AS DECIMAL(38,0)) * df2) AS BIGINT)")
+          .as("lift_milli"))
+      .orderBy(col("n_both").desc, col("t1"), col("t2"))
+  }
 }

@@ -1533,4 +1533,36 @@ object TimeSeries {
           " div nullif(h_marginal_scaled, 0)")
           .as("cond_vs_marginal_ppm"))
   }
+
+  /** PARTITION COMPLETENESS audit: each day's event count against the
+    * DISCRETE lower median of its ±3-day neighborhood (the seasonal
+    * local baseline — a sorted 7-element array, element (size+1)/2,
+    * no float percentile), with completeness in ppm — the
+    * partial-load detector run after every backfill: a day at
+    * 400k ppm of its neighbors is a half-written partition, a day at
+    * 0 is a hole the calendar join would silently skip. Median via
+    * sort_array keeps every number engine-exact, including at the
+    * series edges where the window is shorter than 7.
+    *
+    * Scale shape: the corpus collapses to the (day, count) table
+    * first (one map-side-combinable agg); the collect_list window
+    * holds ≤7 BIGINTs per row of that bounded table.
+    *
+    * Output: (d, n, med7, completeness_ppm) ordered by d; d is the
+    * epoch day. */
+  def partitionCompleteness(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("bigint").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("d").rowsBetween(-3, 3)
+    daily
+      .withColumn("neigh", sort_array(collect_list("n").over(w)))
+      .select(col("d"), col("n"),
+        expr("element_at(neigh, CAST((size(neigh) + 1) div 2 AS INT))")
+          .as("med7"))
+      .withColumn("completeness_ppm",
+        expr("n * 1000000 div med7"))
+      .orderBy("d")
+  }
 }

@@ -9264,7 +9264,110 @@ object Extensions {
         |SELECT n_rows, n_chunks, intra_inversions, boundary_inversions,
         |  (n_rows - 1 - intra_inversions - boundary_inversions)
         |    * 1000000 // (n_rows - 1) AS sorted_ppm
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin),
+
+    // document-level co-occurrence lift of the top-10 df terms —
+    // which words travel together vs repel
+    Q.df("x370_term_cooccurrence",
+      (s, dir) => TextStats.termCooccurrence(
+        Tables.load(s, dir, "documents")),
+      """WITH pres AS (SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+        |        AS term
+        |    FROM documents) u WHERE length(term) > 0),
+        |dfb AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM pres GROUP BY 1),
+        |top AS (SELECT term, df FROM dfb
+        |  ORDER BY df DESC, term LIMIT 10),
+        |kept AS (SELECT pres.doc_id, pres.term, top.df
+        |  FROM pres JOIN top USING (term)),
+        |alln AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+        |    AS n_all FROM documents)
+        |SELECT x.term AS t1, y.term AS t2,
+        |  CAST(count(*) AS BIGINT) AS n_both,
+        |  x.df AS df1, y.df AS df2,
+        |  CAST(CAST(count(*) AS HUGEINT) * max(n_all) * 1000
+        |    // (CAST(x.df AS HUGEINT) * y.df) AS BIGINT) AS lift_milli
+        |FROM kept x JOIN kept y
+        |  ON x.doc_id = y.doc_id AND x.term < y.term
+        |CROSS JOIN alln
+        |GROUP BY 1, 2, 4, 5
+        |ORDER BY n_both DESC, t1, t2""".stripMargin),
+
+    // peaks-over-threshold doubling curve of the value tail
+    Q.df("x371_tail_index",
+      (s, dir) => Profile.tailIndexCurve(Tables.load(s, dir, "events")),
+      """WITH h AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS q,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |mx AS (SELECT max(q) AS vmax FROM h),
+        |lv AS (SELECT CAST(j AS BIGINT) AS j,
+        |    CAST(vmax // (1 << j) AS BIGINT) AS threshold_q
+        |  FROM (SELECT unnest(range(1, 11)) AS j) js CROSS JOIN mx),
+        |ag AS (SELECT j, threshold_q, CAST(sum(c) AS BIGINT) AS n_above
+        |  FROM lv JOIN h ON h.q > lv.threshold_q GROUP BY 1, 2)
+        |SELECT j, threshold_q, n_above,
+        |  n_above * 1000 // lag(n_above) OVER (ORDER BY j)
+        |    AS ratio_milli
+        |FROM ag ORDER BY j""".stripMargin),
+
+    // partition completeness: each day vs its ±3-day discrete median
+    // — the partial-load / hole detector
+    Q.df("x372_partition_completeness",
+      (s, dir) => TimeSeries.partitionCompleteness(
+        Tables.load(s, dir, "events")),
+      """WITH daily AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT d, n, list_sort(list(n) OVER (ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS neigh
+        |  FROM daily)
+        |SELECT d, n,
+        |  CAST(neigh[(len(neigh) + 1) // 2] AS BIGINT) AS med7,
+        |  n * 1000000 // CAST(neigh[(len(neigh) + 1) // 2] AS BIGINT)
+        |    AS completeness_ppm
+        |FROM w ORDER BY d""".stripMargin),
+
+    // rich-club trajectory of the co-purchase graph: does the hub
+    // set densify as the degree cutoff rises
+    Q.df("x373_rich_club",
+      (s, dir) => {
+        val it = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+          .distinct()
+        val edges = it.as("a")
+          .join(it.as("c"), col("a.b") === col("c.b")
+            && col("a.i") < col("c.i"))
+          .groupBy(col("a.i").as("src"), col("c.i").as("dst"))
+          .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+          .select("src", "dst")
+        Graph.richClub(edges)
+      },
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e AS (
+        |  SELECT a.i AS lo, c.i AS hi
+        |  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |arcs AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT lo AS src, hi AS dst FROM e
+        |  UNION ALL SELECT hi, lo FROM e) u),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM arcs GROUP BY 1),
+        |jn AS (SELECT arcs.src, arcs.dst, dx.deg AS dx, dy.deg AS dy
+        |  FROM arcs JOIN deg dx ON arcs.src = dx.node
+        |  JOIN deg dy ON arcs.dst = dy.node),
+        |lv AS (SELECT CAST((1 << jj) AS BIGINT) AS k
+        |  FROM (SELECT unnest(range(0, 16)) AS jj) q),
+        |ag AS (SELECT k, CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+        |    CAST(count(*) AS BIGINT) AS n_arcs
+        |  FROM lv JOIN jn ON jn.dx > lv.k AND jn.dy > lv.k
+        |  GROUP BY 1)
+        |SELECT k, n_nodes, n_arcs,
+        |  n_arcs * 1000000 // (n_nodes * (n_nodes - 1)) AS phi_ppm
+        |FROM ag WHERE n_nodes >= 2 ORDER BY k""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

@@ -530,4 +530,70 @@ class Ext11Spec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) == ((8L, 2L, 2L, 1L, 571428L)), r.toString)
   }
+
+  // ---- termCooccurrence (x370) --------------------------------------------
+
+  test("termCooccurrence: hand-computed pair counts and independence lift") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "c"))
+      .toDF("doc_id", "text")
+    // df: a3 b2 c2, N=4; (a,b)=2 lift 8000 div 6 = 1333
+    // (a,c)=1 lift 4000 div 6 = 666; (b,c) unobserved, absent
+    val out = TextStats.termCooccurrence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("a", "b", 2L, 3L, 2L, 1333L),
+      ("a", "c", 1L, 3L, 2L, 666L)), out.mkString(","))
+  }
+
+  // ---- tailIndexCurve (x371) -------------------------------------------------
+
+  test("tailIndexCurve: geometric fixture doubles per level until the tail is exhausted") {
+    import spark.implicits._
+    val vals = Seq.fill(1)(8.0) ++ Seq.fill(2)(3.0) ++
+      Seq.fill(4)(1.0) ++ Seq.fill(8)(0.5)
+    val df = vals.toDF("value")
+    val out = Profile.tailIndexCurve(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val exp = Seq(
+      (1L, 4000L, 1L, -1L), (2L, 2000L, 3L, 3000L),
+      (3L, 1000L, 3L, 1000L), (4L, 500L, 7L, 2333L),
+      (5L, 250L, 15L, 2142L), (6L, 125L, 15L, 1000L),
+      (7L, 62L, 15L, 1000L), (8L, 31L, 15L, 1000L),
+      (9L, 15L, 15L, 1000L), (10L, 7L, 15L, 1000L))
+    assert(out.toSeq == exp, out.mkString(","))
+  }
+
+  // ---- partitionCompleteness (x372) ---------------------------------------------
+
+  test("partitionCompleteness: the half-written day scores against its neighbors' median") {
+    import spark.implicits._
+    val day = 86400L
+    val rows = Seq(1 -> 4, 2 -> 4, 3 -> 1, 4 -> 4, 5 -> 4).flatMap {
+      case (d, n) => Seq.fill(n)(d.toLong)
+    }
+    val ev = rows.toDF("dnum")
+      .select(timestamp_seconds(col("dnum") * day + 100).as("ts"))
+    val out = TimeSeries.partitionCompleteness(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 4L, 1000000L), (2L, 4L, 4L, 1000000L),
+      (3L, 1L, 4L, 250000L), (4L, 4L, 4L, 1000000L),
+      (5L, 4L, 4L, 1000000L)), out.mkString(","))
+  }
+
+  // ---- richClub (x373) ---------------------------------------------------------------
+
+  test("richClub: a clique with a pendant keeps full density once the pendant is cut") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("src", "dst")
+    // deg: 1->4, 2/3/4->3, 5->1; k=1 and k=2 keep the 4-clique
+    // (12 directed arcs, phi exactly 1e6); k>=4 leaves <2 nodes
+    val out = Graph.richClub(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 4L, 12L, 1000000L),
+      (2L, 4L, 12L, 1000000L)), out.mkString(","))
+  }
 }
