@@ -226,16 +226,24 @@ object Experiment {
     *
     * Output: (d, n_t, n_c, chi2_micro, cum_t, cum_c, cum_chi2_micro)
     * ordered by d. */
-  def srmTrajectory(events: DataFrame, treated: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("d")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
+  def srmTrajectory(events: DataFrame, treated: Column): DataFrame =
+    srmFromDaily(events
       .select(datediff(to_date(col("ts")), lit("1970-01-01"))
           .cast("bigint").as("d"),
         treated.cast("long").as("t"))
       .groupBy("d")
-      .agg(sum("t").as("n_t"), sum(expr("1 - t")).as("n_c"))
+      .agg(sum("t").as("n_t"), sum(expr("1 - t")).as("n_c")))
+
+  /** [[srmTrajectory]]'s finishing stage on an already-aggregated
+    * (d, n_t, n_c) daily count table — exposed so the streaming
+    * front door ([[graft.streaming.Streaming.streamSrm]]) can drain
+    * its complete-mode state into the SAME running-chi-square
+    * arithmetic (drained == batch, checked by the shared oracle). */
+  def srmFromDaily(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
       .withColumn("cum_t", sum("n_t").over(w))
       .withColumn("cum_c", sum("n_c").over(w))
       .select(col("d"), col("n_t"), col("n_c"),

@@ -440,6 +440,71 @@ object Layout {
           " * 1000000 div (n_rows - 1)").as("sorted_ppm"))
   }
 
+  /** SORT-KEY CHOOSER matrix: for each candidate clustering column,
+    * lay lineitem out sorted by that column (files of `rowsPerFile`
+    * rows with min/max zone maps of ALL candidates) and price the
+    * same mid-range quarter-width predicate on EVERY candidate
+    * dimension — the 4×4 scan-fraction matrix whose diagonal shows
+    * what each sort key buys on its own dimension and whose
+    * off-diagonal shows what it costs the others. The
+    * "which column do we actually sort by" decision, measured on the
+    * real data before a 100 TB rewrite (the multi-column compromise
+    * tiers live in [[zonemapAudit]] / [[zonemapAuditHilbert]]).
+    * Predicate bounds are integer quarter points of each column's
+    * global [min, max] (broadcast), so every number is engine-exact.
+    *
+    * Scale shape: one global min/max pass; per candidate sort, one
+    * range-partitioned sort + zipWithIndex (the epoch-shuffle shape,
+    * never a SinglePartition window) and one keyed file agg; the
+    * pricing join is file-stats × 4 literal predicates — bounded.
+    *
+    * Output: (sort_key, pred_col, n_files, files_scanned, scan_ppm)
+    * ordered by (sort_key, pred_col). */
+  def sortKeyChooser(li: DataFrame, rowsPerFile: Int = 256): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(rowsPerFile >= 2)
+    val spark = li.sparkSession
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val base = li.select(cols.map(c => col(c).cast("bigint").as(c)): _*)
+    val bounds = base.agg(
+      cols.flatMap(c => Seq(min(col(c)).as(s"lo_$c"),
+        max(col(c)).as(s"hi_$c"))).head,
+      cols.flatMap(c => Seq(min(col(c)).as(s"lo_$c"),
+        max(col(c)).as(s"hi_$c"))).tail: _*)
+    val perSort = cols.map { sk =>
+      val others = cols.filterNot(_ == sk)
+      val sorted = base.orderBy((col(sk) +: others.map(col)): _*)
+      val schema = StructType(base.schema.fields :+
+        StructField("gid", LongType, nullable = false))
+      val files = spark.createDataFrame(
+          sorted.rdd.zipWithIndex().map { case (r, i) =>
+            Row.fromSeq(r.toSeq :+ i)
+          }, schema)
+        .groupBy((col("gid") / rowsPerFile).cast("bigint").as("file"))
+        .agg(cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"),
+          max(col(c)).as(s"mx_$c"))).head,
+          cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"),
+            max(col(c)).as(s"mx_$c"))).tail: _*)
+      val priced = files.crossJoin(broadcast(bounds))
+        .withColumn("pred", explode(array(cols.map(lit): _*)))
+      val scanned = cols.map { c =>
+        // predicate on c: BETWEEN lo + span/4 AND lo + span/2
+        when(col("pred") === c,
+          when(col(s"mx_$c") >= expr(s"lo_$c + (hi_$c - lo_$c) div 4")
+            && col(s"mn_$c") <= expr(s"lo_$c + (hi_$c - lo_$c) div 2"),
+            1L).otherwise(0L))
+      }.reduce((a, b) => coalesce(a, b))
+      priced
+        .groupBy(col("pred").as("pred_col"))
+        .agg(count(lit(1)).as("n_files"), sum(scanned).as("files_scanned"))
+        .select(lit(sk).as("sort_key"), col("pred_col"), col("n_files"),
+          col("files_scanned"),
+          expr("files_scanned * 1000000 div n_files").as("scan_ppm"))
+    }
+    perSort.reduce(_ unionAll _).orderBy("sort_key", "pred_col")
+  }
+
   /** RANGE-PARTITION boundary plan: the exact value cuts a
     * `repartitionByRange(parts)` / range-bucketed write would want,
     * with the partition census those cuts actually produce — the

@@ -1290,4 +1290,38 @@ object Profile {
           " OVER (ORDER BY j)"))
       .orderBy("j")
   }
+
+  /** STRATIFIED (conditional) MUTUAL INFORMATION: [[mutualInformation]]
+    * recomputed INSIDE each document-length band (bit length of
+    * n_chars — the power-of-two strata this repo's audits use), one
+    * row per band plus the band's share of rows — the Simpson's-
+    * paradox check on the lang×source association: marginal MI high
+    * but every band's MI near zero means length, not language,
+    * carries the association, and a length-stratified split already
+    * removes it. Same whole-bit flog2 quantization, margins taken
+    * within the band.
+    *
+    * Scale shape: ONE map-side-combinable (band, lang, source) count;
+    * band margins and the per-band sums all run on that bounded
+    * |bands|×|langs|×|sources| table.
+    *
+    * Output: (band, n_band, mi_bits_scaled) ordered by band. */
+  def stratifiedMi(docs: DataFrame, rowCol: String = "lang",
+                   colCol: String = "source",
+                   bandCol: String = "n_chars"): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("bigint")
+    val vc = docs.select(
+        flog2(col(bandCol).cast("bigint")).as("z"),
+        col(rowCol).as("rv"), col(colCol).as("cv"))
+      .groupBy("z", "rv", "cv").agg(count(lit(1)).as("o"))
+    val rm = vc.groupBy("z", "rv").agg(sum("o").as("r"))
+    val cm = vc.groupBy("z", "cv").agg(sum("o").as("c"))
+    val nz = vc.groupBy("z").agg(sum("o").as("n_band"))
+    vc.join(rm, Seq("z", "rv")).join(cm, Seq("z", "cv"))
+      .join(nz, Seq("z"))
+      .groupBy(col("z").as("band"), col("n_band"))
+      .agg(sum(col("o") * (flog2(col("o") * col("n_band"))
+        - flog2(col("r") * col("c")))).as("mi_bits_scaled"))
+      .orderBy("band")
+  }
 }

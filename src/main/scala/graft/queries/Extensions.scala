@@ -9367,7 +9367,166 @@ object Extensions {
         |  GROUP BY 1)
         |SELECT k, n_nodes, n_arcs,
         |  n_arcs * 1000000 // (n_nodes * (n_nodes - 1)) AS phi_ppm
-        |FROM ag WHERE n_nodes >= 2 ORDER BY k""".stripMargin)
+        |FROM ag WHERE n_nodes >= 2 ORDER BY k""".stripMargin),
+
+    // sort-key chooser: 4x4 scan-fraction matrix — what each
+    // candidate clustering column buys and costs
+    Q.df("x374_sort_key_chooser",
+      (s, dir) => graft.ext.Layout.sortKeyChooser(
+        Tables.load(s, dir, "lineitem")),
+      """WITH b AS (SELECT CAST(l_orderkey AS BIGINT) AS k1,
+        |    CAST(l_partkey AS BIGINT) AS k2,
+        |    CAST(l_suppkey AS BIGINT) AS k3,
+        |    CAST(l_quantity AS BIGINT) AS k4 FROM lineitem),
+        |bd AS (SELECT min(k1) AS lo1, max(k1) AS hi1,
+        |    min(k2) AS lo2, max(k2) AS hi2,
+        |    min(k3) AS lo3, max(k3) AS hi3,
+        |    min(k4) AS lo4, max(k4) AS hi4 FROM b),
+        |pr AS (SELECT lo1 + (hi1 - lo1) // 4 AS p1lo,
+        |    lo1 + (hi1 - lo1) // 2 AS p1hi,
+        |    lo2 + (hi2 - lo2) // 4 AS p2lo,
+        |    lo2 + (hi2 - lo2) // 2 AS p2hi,
+        |    lo3 + (hi3 - lo3) // 4 AS p3lo,
+        |    lo3 + (hi3 - lo3) // 2 AS p3hi,
+        |    lo4 + (hi4 - lo4) // 4 AS p4lo,
+        |    lo4 + (hi4 - lo4) // 2 AS p4hi FROM bd),
+        |n1 AS (SELECT *, row_number()
+        |    OVER (ORDER BY k1, k2, k3, k4) - 1 AS gid FROM b),
+        |f1 AS (SELECT gid // 256 AS file,
+        |    min(k1) AS mn1, max(k1) AS mx1, min(k2) AS mn2,
+        |    max(k2) AS mx2, min(k3) AS mn3, max(k3) AS mx3,
+        |    min(k4) AS mn4, max(k4) AS mx4 FROM n1 GROUP BY 1),
+        |n2 AS (SELECT *, row_number()
+        |    OVER (ORDER BY k2, k1, k3, k4) - 1 AS gid FROM b),
+        |f2 AS (SELECT gid // 256 AS file,
+        |    min(k1) AS mn1, max(k1) AS mx1, min(k2) AS mn2,
+        |    max(k2) AS mx2, min(k3) AS mn3, max(k3) AS mx3,
+        |    min(k4) AS mn4, max(k4) AS mx4 FROM n2 GROUP BY 1),
+        |n3 AS (SELECT *, row_number()
+        |    OVER (ORDER BY k3, k1, k2, k4) - 1 AS gid FROM b),
+        |f3 AS (SELECT gid // 256 AS file,
+        |    min(k1) AS mn1, max(k1) AS mx1, min(k2) AS mn2,
+        |    max(k2) AS mx2, min(k3) AS mn3, max(k3) AS mx3,
+        |    min(k4) AS mn4, max(k4) AS mx4 FROM n3 GROUP BY 1),
+        |n4 AS (SELECT *, row_number()
+        |    OVER (ORDER BY k4, k1, k2, k3) - 1 AS gid FROM b),
+        |f4 AS (SELECT gid // 256 AS file,
+        |    min(k1) AS mn1, max(k1) AS mx1, min(k2) AS mn2,
+        |    max(k2) AS mx2, min(k3) AS mn3, max(k3) AS mx3,
+        |    min(k4) AS mn4, max(k4) AS mx4 FROM n4 GROUP BY 1),
+        |u AS (
+        |  SELECT 'l_orderkey' AS sort_key, 'l_orderkey' AS pred_col,
+        |    CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(CASE WHEN mx1 >= p1lo AND mn1 <= p1hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned
+        |  FROM f1 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_orderkey', 'l_partkey',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx2 >= p2lo AND mn2 <= p2hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f1 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_orderkey', 'l_suppkey',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx3 >= p3lo AND mn3 <= p3hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f1 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_orderkey', 'l_quantity',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx4 >= p4lo AND mn4 <= p4hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f1 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_partkey', 'l_orderkey',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx1 >= p1lo AND mn1 <= p1hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f2 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_partkey', 'l_partkey',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx2 >= p2lo AND mn2 <= p2hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f2 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_partkey', 'l_suppkey',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx3 >= p3lo AND mn3 <= p3hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f2 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_partkey', 'l_quantity',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx4 >= p4lo AND mn4 <= p4hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f2 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_suppkey', 'l_orderkey',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx1 >= p1lo AND mn1 <= p1hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f3 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_suppkey', 'l_partkey',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx2 >= p2lo AND mn2 <= p2hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f3 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_suppkey', 'l_suppkey',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx3 >= p3lo AND mn3 <= p3hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f3 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_suppkey', 'l_quantity',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx4 >= p4lo AND mn4 <= p4hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f3 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_quantity', 'l_orderkey',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx1 >= p1lo AND mn1 <= p1hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f4 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_quantity', 'l_partkey',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx2 >= p2lo AND mn2 <= p2hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f4 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_quantity', 'l_suppkey',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx3 >= p3lo AND mn3 <= p3hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f4 CROSS JOIN pr
+        |  UNION ALL SELECT 'l_quantity', 'l_quantity',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx4 >= p4lo AND mn4 <= p4hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM f4 CROSS JOIN pr)
+        |SELECT sort_key, pred_col, n_files, files_scanned,
+        |  files_scanned * 1000000 // n_files AS scan_ppm
+        |FROM u ORDER BY sort_key, pred_col""".stripMargin),
+
+    // stratified mutual information: does the lang-source association
+    // survive inside each length band (Simpson's-paradox check)
+    Q.df("x375_stratified_mi",
+      (s, dir) => Profile.stratifiedMi(Tables.load(s, dir, "documents")),
+      """WITH vc AS (SELECT
+        |    CAST(length(bin(CAST(n_chars AS BIGINT))) - 1 AS BIGINT)
+        |      AS z,
+        |    lang AS rv, source AS cv, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2, 3),
+        |rm AS (SELECT z, rv, sum(o) AS r FROM vc GROUP BY 1, 2),
+        |cm AS (SELECT z, cv, sum(o) AS c FROM vc GROUP BY 1, 2),
+        |nz AS (SELECT z, CAST(sum(o) AS BIGINT) AS n_band
+        |  FROM vc GROUP BY 1)
+        |SELECT z AS band, n_band,
+        |  CAST(sum(o * ((length(bin(o * n_band)) - 1)
+        |    - (length(bin(r * c)) - 1))) AS BIGINT) AS mi_bits_scaled
+        |FROM vc JOIN rm USING (z, rv) JOIN cm USING (z, cv)
+        |  JOIN nz USING (z)
+        |GROUP BY 1, 2 ORDER BY band""".stripMargin),
+
+    // streaming SRM monitor: complete-mode per-day arrival-count
+    // state drained into the batch running-chi-square arithmetic —
+    // oracle is x362's SQL verbatim (drained == batch)
+    Q.df("x376_stream_srm",
+      (s, dir) => Streaming.streamSrm(s, dir),
+      """WITH b AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+        |  FROM events),
+        |g AS (SELECT d, CAST(sum(t) AS BIGINT) AS n_t,
+        |    CAST(sum(1 - t) AS BIGINT) AS n_c FROM b GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(sum(n_t) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_t,
+        |    CAST(sum(n_c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c FROM g)
+        |SELECT d, n_t, n_c,
+        |  (n_t - n_c) * (n_t - n_c) * 1000000 // (n_t + n_c)
+        |    AS chi2_micro,
+        |  cum_t, cum_c,
+        |  (cum_t - cum_c) * (cum_t - cum_c) * 1000000
+        |    // (cum_t + cum_c) AS cum_chi2_micro
+        |FROM c ORDER BY d""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

@@ -1243,4 +1243,38 @@ object Streaming {
     }
     graft.ext.Profile.psiFromCounts(detachMart(spark.table(name)))
   }
+
+  /** Streaming SAMPLE-RATIO-MISMATCH monitor — the live twin of the
+    * batch SRM trajectory (x362): per-day treated/control arrival
+    * counts under the parity assignment maintained as complete-mode
+    * state (bounded by the observation window in DAYS, not events),
+    * drained into the batch serve-time arithmetic
+    * ([[graft.ext.Experiment.srmFromDaily]]) — the daily and
+    * cumulative chi-squares are recomputed at serve time over the
+    * bounded day table, so the cumulative column is always the
+    * as-of-drain trajectory. Drained over the backlog, the report
+    * equals batch x362, which is what the shared oracle checks.
+    *
+    * Output: (d, n_t, n_c, chi2_micro, cum_t, cum_c, cum_chi2_micro)
+    * ordered by d. */
+  def streamSrm(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_srm_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
+      val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
+        .withColumn("ts", nanosToTs("ts", eventsTsDivisor(spark, dir)))
+        .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+            .cast("bigint").as("d"),
+          (col("user_id") % 2 === 0).cast("long").as("t"))
+      val q = src.groupBy("d")
+        .agg(sum("t").as("n_t"), sum(expr("1 - t")).as("n_c"))
+        .writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    graft.ext.Experiment.srmFromDaily(detachMart(spark.table(name)))
+  }
 }

@@ -596,4 +596,40 @@ class Ext11Spec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 4L, 12L, 1000000L),
       (2L, 4L, 12L, 1000000L)), out.mkString(","))
   }
+
+  // ---- sortKeyChooser (x374) ------------------------------------------------
+
+  test("sortKeyChooser: the diagonal prunes where the matching sort exists, interleave defeats it") {
+    import spark.implicits._
+    // ok 1..8; pk interleaved so the ok-sort cannot prune pk; sk
+    // constant (never prunable); qty copies ok
+    val pk = Seq(1L, 8L, 2L, 7L, 3L, 6L, 4L, 5L)
+    val li = (1 to 8).map(i => (i.toLong, pk(i - 1), 5L, i.toLong))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val out = Layout.sortKeyChooser(li, rowsPerFile = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    def rows(sk: String, v: Seq[Long]) =
+      Seq("l_orderkey", "l_partkey", "l_quantity", "l_suppkey")
+        .zip(v).map { case (p, n) => (sk, p, n) }
+    val exp = rows("l_orderkey", Seq(2L, 4L, 2L, 4L)) ++
+      rows("l_partkey", Seq(2L, 2L, 2L, 4L)) ++
+      rows("l_quantity", Seq(2L, 4L, 2L, 4L)) ++
+      rows("l_suppkey", Seq(2L, 4L, 2L, 4L))
+    assert(out.toSeq == exp, out.mkString(","))
+  }
+
+  // ---- stratifiedMi (x375) ------------------------------------------------------
+
+  test("stratifiedMi: per-band MI separates the diagonal band from the independent band") {
+    import spark.implicits._
+    val docs = (Seq(("en", "s1"), ("en", "s1"), ("fr", "s2"),
+        ("fr", "s2")).map { case (l, s) => (l, s, 2L) } ++
+      Seq(("en", "s1"), ("en", "s2"), ("fr", "s1"), ("fr", "s2"))
+        .map { case (l, s) => (l, s, 4L) })
+      .toDF("lang", "source", "n_chars")
+    val out = Profile.stratifiedMi(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 4L, 4L), (2L, 4L, 0L)),
+      out.mkString(","))
+  }
 }

@@ -575,4 +575,17 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming SRM mart equals the batch trajectory") {
+    import org.apache.spark.sql.functions._
+    def row(r: org.apache.spark.sql.Row) =
+      (0 to 6).map(r.getLong).toList
+    val streamed = Streaming.streamSrm(spark, dir).collect()
+      .map(row).toSeq
+    val batch = graft.ext.Experiment.srmTrajectory(
+        graft.Tables.load(spark, dir, "events"),
+        col("user_id") % 2 === 0).collect()
+      .map(row).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
