@@ -666,4 +666,38 @@ object Sampling {
       .unionByName(topup.withColumn("picked_by", lit("topup")))
       .orderBy("doc_id")
   }
+
+  /** EFFECTIVE SAMPLE SIZE of inverse-frequency source balancing
+    * (one row): with per-source weight w_s = N·1e6 div (|S|·n_s)
+    * (the ppm-quantized inverse-frequency weights a balanced mix
+    * uses), Kish's ESS = (Σw)² div Σw² over all rows — the number
+    * that says what a weighted corpus is WORTH in unweighted rows:
+    * ess_ratio_ppm near 1e6 = balancing is nearly free, a small
+    * ratio = a few tiny sources carry huge weights and the weighted
+    * estimates will be noisy (cap the weights or upsample instead;
+    * the cap knob lives in [[lengthBalanceWeights]]'s family). Row
+    * sums fold from the bounded source table (Σw = Σ n_s·w_s); the
+    * squared sums are widened to DECIMAL(38,0) (DuckDB twin:
+    * HUGEINT) — Σw is O(N·1e6).
+    *
+    * Scale shape: ONE map-side-combinable source count; everything
+    * else is arithmetic on the |sources|-row table.
+    *
+    * Output: (n, n_sources, max_w_ppm, ess, ess_ratio_ppm). */
+  def effectiveSampleSize(docs: DataFrame): DataFrame = {
+    val src = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = src.agg(sum("n_s").as("n"),
+      count(lit(1)).as("n_sources"))
+    src.crossJoin(broadcast(tot))
+      .select(col("n"), col("n_sources"), col("n_s"),
+        expr("n * 1000000 div (n_sources * n_s)").as("w"))
+      .groupBy("n", "n_sources")
+      .agg(max("w").as("max_w_ppm"),
+        sum(col("n_s") * col("w")).as("sw"),
+        sum(expr("CAST(n_s AS DECIMAL(38,0)) * w * w")).as("sww"))
+      .select(col("n"), col("n_sources"), col("max_w_ppm"),
+        expr("CAST(CAST(sw AS DECIMAL(38,0)) * sw div sww AS BIGINT)")
+          .as("ess"))
+      .withColumn("ess_ratio_ppm", expr("ess * 1000000 div n"))
+  }
 }

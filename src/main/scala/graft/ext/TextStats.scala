@@ -1368,4 +1368,42 @@ object TextStats {
           .as("lift_milli"))
       .orderBy(col("n_both").desc, col("t1"), col("t2"))
   }
+
+  /** SHINGLE SATURATION CURVE: for k = 1..maxK, the total and
+    * distinct word-k-shingle counts and distinct_ppm — the curve
+    * that picks the MinHash/containment shingle size: at small k the
+    * space saturates (distinct_ppm tiny — everything collides, LSH
+    * bands are all noise), at large k shingles approach uniqueness
+    * (distinct_ppm → 1e6 — dedup recall dies). The knee is the k the
+    * dedup family should run at; this measures it on the real corpus
+    * instead of folklore (k=5..9 for web text).
+    *
+    * Scale shape: per k, one explode of in-row k-gram arrays (built
+    * with transform/slice — no self-join) into a distinct count;
+    * the k loop is over a literal ≤8 — each pass is
+    * map-side-combinable and the union table has maxK rows.
+    *
+    * Output: (k, n_shingles, n_distinct, distinct_ppm) ordered by k. */
+  def shingleSaturation(docs: DataFrame, maxK: Int = 6): DataFrame = {
+    require(maxK >= 1 && maxK <= 8, s"maxK must be in [1, 8]; got $maxK")
+    val toks = docs.select(split(lower(col("text")), "[^a-z0-9]+")
+      .as("t")).select(expr("filter(t, x -> length(x) > 0)").as("t"))
+    val perK = (1 to maxK).map { k =>
+      toks
+        // sequence(1, 0) DESCENDS in Spark — the short-doc branch
+        // must return an empty array explicitly
+        .select(explode(expr(
+          s"CASE WHEN size(t) >= $k THEN" +
+            s" transform(sequence(1, size(t) - $k + 1)," +
+            s" i -> array_join(slice(t, i, $k), ' '))" +
+            " ELSE array() END")).as("s"))
+        .agg(count(lit(1)).as("n_shingles"),
+          countDistinct("s").as("n_distinct"))
+        .select(lit(k.toLong).as("k"), col("n_shingles"),
+          col("n_distinct"),
+          expr("n_distinct * 1000000 div n_shingles")
+            .as("distinct_ppm"))
+    }
+    perK.reduce(_ unionAll _).orderBy("k")
+  }
 }

@@ -9526,7 +9526,79 @@ object Extensions {
         |  cum_t, cum_c,
         |  (cum_t - cum_c) * (cum_t - cum_c) * 1000000
         |    // (cum_t + cum_c) AS cum_chi2_micro
-        |FROM c ORDER BY d""".stripMargin)
+        |FROM c ORDER BY d""".stripMargin),
+
+    // Kish effective sample size of inverse-frequency source
+    // balancing — what the weighted corpus is worth in unweighted rows
+    Q.df("x377_effective_sample_size",
+      (s, dir) => Sampling.effectiveSampleSize(
+        Tables.load(s, dir, "documents")),
+      """WITH src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_sources FROM src),
+        |wtab AS (SELECT n, n_sources, n_s,
+        |    n * 1000000 // (n_sources * n_s) AS w
+        |  FROM src CROSS JOIN tot),
+        |ag AS (SELECT n, n_sources, CAST(max(w) AS BIGINT) AS max_w_ppm,
+        |    CAST(sum(n_s * w) AS BIGINT) AS sw,
+        |    sum(CAST(n_s AS HUGEINT) * w * w) AS sww
+        |  FROM wtab GROUP BY 1, 2)
+        |SELECT n, n_sources, max_w_ppm,
+        |  CAST(CAST(sw AS HUGEINT) * sw // sww AS BIGINT) AS ess,
+        |  CAST(CAST(sw AS HUGEINT) * sw // sww AS BIGINT) * 1000000
+        |    // n AS ess_ratio_ppm
+        |FROM ag""".stripMargin),
+
+    // shingle saturation curve: distinct/total per word-shingle size
+    // — measures the dedup family's k knee on the real corpus
+    Q.df("x378_shingle_saturation",
+      (s, dir) => TextStats.shingleSaturation(
+        Tables.load(s, dir, "documents")),
+      """WITH t AS (SELECT list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) > 0) AS t FROM documents),
+        |s1 AS (SELECT unnest(CASE WHEN len(t) >= 1 THEN
+        |    list_transform(range(1, len(t) + 1),
+        |      i -> array_to_string(t[i:i], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM t),
+        |s2 AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN
+        |    list_transform(range(1, len(t)),
+        |      i -> array_to_string(t[i:i+1], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM t),
+        |s3 AS (SELECT unnest(CASE WHEN len(t) >= 3 THEN
+        |    list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM t),
+        |s4 AS (SELECT unnest(CASE WHEN len(t) >= 4 THEN
+        |    list_transform(range(1, len(t) - 2),
+        |      i -> array_to_string(t[i:i+3], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM t),
+        |s5 AS (SELECT unnest(CASE WHEN len(t) >= 5 THEN
+        |    list_transform(range(1, len(t) - 3),
+        |      i -> array_to_string(t[i:i+4], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM t),
+        |s6 AS (SELECT unnest(CASE WHEN len(t) >= 6 THEN
+        |    list_transform(range(1, len(t) - 4),
+        |      i -> array_to_string(t[i:i+5], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM t),
+        |u AS (
+        |  SELECT CAST(1 AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(count(DISTINCT s) AS BIGINT) AS n_distinct FROM s1
+        |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT s) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT s) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT s) AS BIGINT) FROM s4
+        |  UNION ALL SELECT 5, CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT s) AS BIGINT) FROM s5
+        |  UNION ALL SELECT 6, CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT s) AS BIGINT) FROM s6)
+        |SELECT k, n_shingles, n_distinct,
+        |  n_distinct * 1000000 // n_shingles AS distinct_ppm
+        |FROM u ORDER BY k""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

@@ -632,4 +632,31 @@ class Ext11Spec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 4L, 4L), (2L, 4L, 0L)),
       out.mkString(","))
   }
+
+  // ---- effectiveSampleSize (x377) --------------------------------------------
+
+  test("effectiveSampleSize: skewed sources truncate to 2 effective rows, balanced keep all") {
+    import spark.implicits._
+    val skew = Seq("A", "A", "A", "B").toDF("source")
+    // w_A=666666 w_B=2000000: sw=3999998, sww=5333330666668 -> ess 2
+    val r1 = Sampling.effectiveSampleSize(skew).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3),
+      r1.getLong(4)) == ((4L, 2L, 2000000L, 2L, 500000L)), r1.toString)
+    val bal = Seq("A", "A", "B", "B").toDF("source")
+    val r2 = Sampling.effectiveSampleSize(bal).collect().head
+    assert(r2.getLong(3) == 4L && r2.getLong(4) == 1000000L, r2.toString)
+  }
+
+  // ---- shingleSaturation (x378) --------------------------------------------------
+
+  test("shingleSaturation: hand-counted shingles; short docs drop out per k") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextStats.shingleSaturation(docs, maxK = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 3L, 600000L), (2L, 3L, 2L, 666666L),
+      (3L, 2L, 2L, 1000000L), (4L, 1L, 1L, 1000000L)),
+      out.mkString(","))
+  }
 }
