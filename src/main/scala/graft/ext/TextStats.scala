@@ -1406,4 +1406,37 @@ object TextStats {
     }
     perK.reduce(_ unionAll _).orderBy("k")
   }
+
+  /** CHAO1 VOCABULARY RICHNESS (one row): observed vocabulary V,
+    * singleton/doubleton counts n1/n2, the Chao1 lower-bound estimate
+    * of the TRUE vocabulary V + n1² div (2·n2) (Chao 1984 — public
+    * estimator; the classic bias-corrected (n1(n1−1)) div (2(n2+1))
+    * rides along and stays finite at n2 = 0), and Good-Turing sample
+    * coverage 1e6 − n1·1e6 div N ppm — "how much of the language have
+    * we actually seen", the number that says whether MORE DATA will
+    * keep growing the vocab ([[vocabGrowth]] measures the curve;
+    * this estimates its asymptote). All integer-exact.
+    *
+    * Scale shape: one tokenize+count pass to the (term, count)
+    * table, one aggregate over it. n1² stays BIGINT — exact to ~3e9
+    * singletons.
+    *
+    * Output: (n_tokens, v_obs, n1, n2, chao1, chao1_bc,
+    * coverage_ppm). */
+  def chao1Richness(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+"))
+        .as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    tf.agg(sum("c").as("n_tokens"), count(lit(1)).as("v_obs"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("n_tokens"), col("v_obs"), col("n1"), col("n2"),
+        expr("v_obs + n1 * n1 div nullif(2 * n2, 0)").as("chao1"),
+        expr("v_obs + n1 * (n1 - 1) div (2 * (n2 + 1))")
+          .as("chao1_bc"),
+        expr("1000000 - n1 * 1000000 div n_tokens")
+          .as("coverage_ppm"))
+  }
 }

@@ -1565,4 +1565,87 @@ object TimeSeries {
         expr("n * 1000000 div med7"))
       .orderBy("d")
   }
+
+  /** SEASONAL-NAIVE FORECAST BACKTEST (one row): score the two
+    * baselines every capacity forecast must beat — persistence
+    * (predict today = yesterday) and seasonal-naive (today = same
+    * weekday last week) — on the daily count series, by exact MAE in
+    * milli and MAPE in ppm (per-day APE truncating, then averaged).
+    * If a model cannot beat mae_w_milli it is decoration; if
+    * seasonal-naive beats persistence (it usually does on weekly-
+    * cycled traffic) the series HAS a weekly season and capacity
+    * planning must use it. Scored days are those with both
+    * references available (d−1 and d−7 observed), counted in-band.
+    *
+    * Scale shape: the corpus collapses to the (day, count) table;
+    * the two references are lags over that bounded table.
+    *
+    * Output: (n_scored, mae_p_milli, mape_p_ppm, mae_w_milli,
+    * mape_w_ppm). */
+  def seasonalNaiveBacktest(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("bigint").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("d")
+    daily
+      .withColumn("p1", when(lag("d", 1).over(w) === col("d") - 1,
+        lag("n", 1).over(w)))
+      .withColumn("p7", when(lag("d", 7).over(w) === col("d") - 7,
+        lag("n", 7).over(w)))
+      .where(col("p1").isNotNull && col("p7").isNotNull)
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("n") - col("p1"))).as("ae1"),
+        sum(expr("abs(n - p1) * 1000000 div n")).as("ape1"),
+        sum(abs(col("n") - col("p7"))).as("ae7"),
+        sum(expr("abs(n - p7) * 1000000 div n")).as("ape7"))
+      .select(col("n_scored"),
+        expr("ae1 * 1000 div n_scored").as("mae_p_milli"),
+        expr("ape1 div n_scored").as("mape_p_ppm"),
+        expr("ae7 * 1000 div n_scored").as("mae_w_milli"),
+        expr("ape7 div n_scored").as("mape_w_ppm"))
+  }
+
+  /** CHANGEPOINT LOCALIZATION (one row): the split day s maximizing
+    * the cross-multiplied mean gap |S_s·N − S·n_s| over the daily
+    * count series (S_s, n_s = prefix sums; equivalent to the scaled
+    * two-mean CUSUM statistic, no division until the end) — WHERE
+    * the level shifted, to go with the cusum chart's WHETHER. Ties
+    * break to the earliest day. Means on both sides ride along in
+    * milli for the human reading the row. The gap products are
+    * widened to DECIMAL(38,0) (DuckDB twin: HUGEINT) — S·n_s is
+    * O(rows·days).
+    *
+    * Scale shape: one corpus collapse to (day, count), one prefix
+    * window + one argmin-by-struct aggregate over the bounded day
+    * table (the argmax folds in ONE aggregate via min on the
+    * (-score, day) struct — no second pass, no window re-sort).
+    *
+    * Output: (split_d, n_days, mean_left_milli, mean_right_milli,
+    * gap_score). */
+  def changepointLocate(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("bigint").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily
+      .withColumn("ns", sum("n").over(w))
+      .withColumn("ds", count(lit(1)).over(w))
+    val tot = pre.agg(max("ns").as("s_all"), max("ds").as("d_all"))
+    pre.crossJoin(broadcast(tot))
+      .where(col("ds") < col("d_all"))
+      .select(col("d"), col("ns"), col("ds"), col("s_all"),
+        col("d_all"),
+        expr("abs(CAST(ns AS DECIMAL(38,0)) * d_all" +
+          " - CAST(s_all AS DECIMAL(38,0)) * ds)").as("score"))
+      .agg(min(struct(expr("-score").as("neg"), col("d"), col("ns"),
+        col("ds"), col("s_all"), col("d_all"))).as("b"))
+      .select(col("b.d").as("split_d"), col("b.d_all").as("n_days"),
+        expr("b.ns * 1000 div b.ds").as("mean_left_milli"),
+        expr("(b.s_all - b.ns) * 1000 div (b.d_all - b.ds)")
+          .as("mean_right_milli"),
+        expr("CAST(-b.neg AS BIGINT)").as("gap_score"))
+  }
 }

@@ -9598,7 +9598,82 @@ object Extensions {
         |    CAST(count(DISTINCT s) AS BIGINT) FROM s6)
         |SELECT k, n_shingles, n_distinct,
         |  n_distinct * 1000000 // n_shingles AS distinct_ppm
-        |FROM u ORDER BY k""".stripMargin)
+        |FROM u ORDER BY k""".stripMargin),
+
+    // seasonal-naive vs persistence backtest — the baselines a
+    // capacity forecast must beat, exact MAE/MAPE
+    Q.df("x379_seasonal_naive_backtest",
+      (s, dir) => TimeSeries.seasonalNaiveBacktest(
+        Tables.load(s, dir, "events")),
+      """WITH daily AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |l AS (SELECT d, n,
+        |    CASE WHEN lag(d, 1) OVER (ORDER BY d) = d - 1
+        |      THEN lag(n, 1) OVER (ORDER BY d) END AS p1,
+        |    CASE WHEN lag(d, 7) OVER (ORDER BY d) = d - 7
+        |      THEN lag(n, 7) OVER (ORDER BY d) END AS p7
+        |  FROM daily),
+        |f AS (SELECT * FROM l WHERE p1 IS NOT NULL AND p7 IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_scored,
+        |  CAST(sum(abs(n - p1)) * 1000 // count(*) AS BIGINT)
+        |    AS mae_p_milli,
+        |  CAST(sum(abs(n - p1) * 1000000 // n) // count(*) AS BIGINT)
+        |    AS mape_p_ppm,
+        |  CAST(sum(abs(n - p7)) * 1000 // count(*) AS BIGINT)
+        |    AS mae_w_milli,
+        |  CAST(sum(abs(n - p7) * 1000000 // n) // count(*) AS BIGINT)
+        |    AS mape_w_ppm
+        |FROM f""".stripMargin),
+
+    // changepoint localization: argmax cross-multiplied mean gap
+    // over the daily series — WHERE the level shifted
+    Q.df("x380_changepoint_locate",
+      (s, dir) => TimeSeries.changepointLocate(
+        Tables.load(s, dir, "events")),
+      """WITH daily AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |pre AS (SELECT d, n,
+        |    sum(n) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ns,
+        |    row_number() OVER (ORDER BY d) AS ds
+        |  FROM daily),
+        |tot AS (SELECT max(ns) AS s_all, max(ds) AS d_all FROM pre),
+        |sc AS (SELECT d, ns, ds, s_all, d_all,
+        |    abs(CAST(ns AS HUGEINT) * d_all
+        |      - CAST(s_all AS HUGEINT) * ds) AS score
+        |  FROM pre CROSS JOIN tot WHERE ds < d_all),
+        |best AS (SELECT * FROM sc ORDER BY score DESC, d LIMIT 1)
+        |SELECT CAST(d AS BIGINT) AS split_d,
+        |  CAST(d_all AS BIGINT) AS n_days,
+        |  CAST(ns * 1000 // ds AS BIGINT) AS mean_left_milli,
+        |  CAST((s_all - ns) * 1000 // (d_all - ds) AS BIGINT)
+        |    AS mean_right_milli,
+        |  CAST(score AS BIGINT) AS gap_score
+        |FROM best""".stripMargin),
+
+    // Chao1 vocabulary richness + Good-Turing coverage — how much of
+    // the language has this corpus actually seen
+    Q.df("x381_chao1_richness",
+      (s, dir) => TextStats.chao1Richness(
+        Tables.load(s, dir, "documents")),
+      """WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text),
+        |      '[^a-z0-9]+')) AS term FROM documents) u
+        |  WHERE length(term) > 0 GROUP BY 1),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS v_obs,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2
+        |  FROM tf)
+        |SELECT n_tokens, v_obs, n1, n2,
+        |  v_obs + n1 * n1 // nullif(2 * n2, 0) AS chao1,
+        |  v_obs + n1 * (n1 - 1) // (2 * (n2 + 1)) AS chao1_bc,
+        |  1000000 - n1 * 1000000 // n_tokens AS coverage_ppm
+        |FROM a""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

@@ -659,4 +659,51 @@ class Ext11Spec extends SparkSpec {
       (3L, 2L, 2L, 1000000L), (4L, 1L, 1L, 1000000L)),
       out.mkString(","))
   }
+
+  // ---- seasonalNaiveBacktest (x379) ----------------------------------------
+
+  test("seasonalNaiveBacktest: weekly-cycled series — seasonal naive exact, persistence pays") {
+    import spark.implicits._
+    val day = 86400L
+    val counts = Seq(10, 20, 10, 20, 10, 20, 10, 10, 20)
+    val rows = counts.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n)(i.toLong + 1)
+    }
+    val ev = rows.toDF("dnum")
+      .select(timestamp_seconds(col("dnum") * day + 100).as("ts"))
+    // scored d8,d9: persistence errs 10 on d9 (mae 5000, mape 250000);
+    // the weekly reference is exact on both
+    val r = TimeSeries.seasonalNaiveBacktest(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 5000L, 250000L, 0L, 0L)), r.toString)
+  }
+
+  // ---- changepointLocate (x380) --------------------------------------------------
+
+  test("changepointLocate: a clean level shift is found at its last low day") {
+    import spark.implicits._
+    val day = 86400L
+    val rows = Seq(10, 10, 10, 20, 20, 20).zipWithIndex.flatMap {
+      case (n, i) => Seq.fill(n)(i.toLong + 1)
+    }
+    val ev = rows.toDF("dnum")
+      .select(timestamp_seconds(col("dnum") * day + 100).as("ts"))
+    // split s=3: |30*6 - 90*3| = 90 beats 30/60/60/30 elsewhere
+    val r = TimeSeries.changepointLocate(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 6L, 10000L, 20000L, 90L)), r.toString)
+  }
+
+  // ---- chao1Richness (x381) ------------------------------------------------------
+
+  test("chao1Richness: hand-computed singleton/doubleton estimate and coverage") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b b b c d")).toDF("doc_id", "text")
+    // N=7 V=4 n1=2 n2=1: chao1 = 4 + 4 div 2 = 6; bc = 4 + 2 div 4 = 4
+    // coverage = 1e6 - 2e6 div 7 = 714286
+    val r = TextStats.chao1Richness(docs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((7L, 4L, 2L, 1L, 6L, 4L, 714286L)), r.toString)
+  }
 }
