@@ -1415,4 +1415,41 @@ object Similarity {
         expr("n * 1000000 div n_row").as("row_share_ppm"))
       .orderBy("label", "assigned")
   }
+
+  /** HUBNESS AUDIT: the k-occurrence histogram — for each corpus
+    * vector, how many step-sampled probes list it in their top-k by
+    * the codegen'd quantized dot; emitted as (occ, n_points) rows
+    * INCLUDING the occ = 0 bucket (the "anti-hubs" no probe ever
+    * retrieves). A heavy right tail (a few points retrieved by
+    * everyone) is the classic high-dimensional hubness pathology
+    * (Radovanović et al., public) — it silently dominates kNN
+    * labeling ([[knnClassify]]) and retrieval evals, and is the
+    * signal to switch scoring to [[silhouette]]-style centroids or
+    * re-normalize.
+    *
+    * Scale shape: the probe side is the step-sampled subset
+    * (|probes| = n/step, broadcast); scoring streams corpus × probes
+    * through the bounded top-k aggregate (at most k rows per
+    * (partition, probe) cross the exchange — the x59 discipline);
+    * the histogram is two keyed counts on the k·|probes| top rows.
+    * Exact-tier pricing: corpus × probes work, step is the knob.
+    *
+    * Output: (occ, n_points) ordered by occ. */
+  def hubnessAudit(emb: DataFrame, k: Int = 10, step: Int = 4): DataFrame = {
+    require(k >= 1 && step >= 1, s"need k, step >= 1; got $k, $step")
+    val q = emb.where(col("vec_id") % step === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pairs = broadcast(q).join(emb, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        dotQNative(emb, col("qe"), col("embedding")).as("dot_q"))
+    val occ = rankTopK(pairs, k)
+      .groupBy("vec_id").agg(count(lit(1)).as("occ"))
+    val hist = occ.groupBy("occ").agg(count(lit(1)).as("n_points"))
+    val zero = hist.agg(sum("n_points").as("n_pos"))
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_all"))))
+      .select(lit(0L).as("occ"), (col("n_all") - col("n_pos"))
+        .as("n_points"))
+      .where(col("n_points") > 0)
+    hist.unionAll(zero).orderBy("occ")
+  }
 }

@@ -1550,11 +1550,19 @@ object TimeSeries {
     *
     * Output: (d, n, med7, completeness_ppm) ordered by d; d is the
     * epoch day. */
-  def partitionCompleteness(events: DataFrame): DataFrame = {
-    val daily = events
+  def partitionCompleteness(events: DataFrame): DataFrame =
+    completenessFromDaily(events
       .select(datediff(to_date(col("ts")), lit("1970-01-01"))
         .cast("bigint").as("d"))
-      .groupBy("d").agg(count(lit(1)).as("n"))
+      .groupBy("d").agg(count(lit(1)).as("n")))
+
+  /** [[partitionCompleteness]]'s finishing stage on an
+    * already-aggregated (d, n) daily count table — exposed so the
+    * streaming front door
+    * ([[graft.streaming.Streaming.streamCompleteness]]) can drain its
+    * complete-mode day-count state into the SAME median arithmetic
+    * (drained == batch, checked by the shared oracle). */
+  def completenessFromDaily(daily: DataFrame): DataFrame = {
     val w = Window.orderBy("d").rowsBetween(-3, 3)
     daily
       .withColumn("neigh", sort_array(collect_list("n").over(w)))

@@ -9673,7 +9673,61 @@ object Extensions {
         |  v_obs + n1 * n1 // nullif(2 * n2, 0) AS chao1,
         |  v_obs + n1 * (n1 - 1) // (2 * (n2 + 1)) AS chao1_bc,
         |  1000000 - n1 * 1000000 // n_tokens AS coverage_ppm
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin),
+
+    // hubness audit: k-occurrence histogram over step-sampled probes,
+    // anti-hub zero bucket included — the high-dim kNN pathology check
+    Q.df("x382_hubness_audit",
+      (s, dir) => Similarity.hubnessAudit(
+        Tables.load(s, dir, "embeddings")),
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id,
+        |    CAST(sum(CAST(floor(CAST(qe[i] AS DOUBLE) * 10000)
+        |        AS BIGINT)
+        |      * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000)
+        |        AS BIGINT)) AS BIGINT) AS dot_q
+        |  FROM q, embeddings e, range(1, 65) r(i)
+        |  WHERE q.qid <> e.vec_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT vec_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot_q DESC, vec_id) AS rn
+        |  FROM pairs),
+        |occ AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS occ
+        |  FROM ranked WHERE rn <= 10 GROUP BY 1),
+        |hist AS (SELECT occ, CAST(count(*) AS BIGINT) AS n_points
+        |  FROM occ GROUP BY 1),
+        |alln AS (SELECT CAST(count(*) AS BIGINT) AS n_all
+        |  FROM embeddings),
+        |z AS (SELECT CAST(0 AS BIGINT) AS occ,
+        |    CAST(n_all - (SELECT sum(n_points) FROM hist) AS BIGINT)
+        |      AS n_points
+        |  FROM alln)
+        |SELECT occ, n_points FROM (
+        |  SELECT * FROM hist
+        |  UNION ALL SELECT occ, n_points FROM z WHERE n_points > 0) u
+        |ORDER BY occ""".stripMargin),
+
+    // streaming partition-completeness monitor: per-day count state
+    // drained into the batch median arithmetic — oracle is x372's SQL
+    // verbatim (drained == batch)
+    Q.df("x383_stream_completeness",
+      (s, dir) => Streaming.streamCompleteness(s, dir),
+      """WITH daily AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT d, n, list_sort(list(n) OVER (ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS neigh
+        |  FROM daily)
+        |SELECT d, n,
+        |  CAST(neigh[(len(neigh) + 1) // 2] AS BIGINT) AS med7,
+        |  n * 1000000 // CAST(neigh[(len(neigh) + 1) // 2] AS BIGINT)
+        |    AS completeness_ppm
+        |FROM w ORDER BY d""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

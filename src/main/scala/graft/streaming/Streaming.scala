@@ -1277,4 +1277,35 @@ object Streaming {
     } }
     graft.ext.Experiment.srmFromDaily(detachMart(spark.table(name)))
   }
+
+  /** Streaming PARTITION-COMPLETENESS monitor — the live twin of the
+    * batch ±3-day-median audit (x372): per-day event counts
+    * maintained as complete-mode state (bounded by the observation
+    * window in DAYS), drained into the batch serve-time median
+    * arithmetic ([[graft.ext.TimeSeries.completenessFromDaily]]) —
+    * the neighborhood medians recompute at serve time, so a late
+    * batch that back-fills yesterday moves yesterday's ppm the way
+    * the batch audit would. Drained over the backlog, the report
+    * equals batch x372, which is what the shared oracle checks.
+    *
+    * Output: (d, n, med7, completeness_ppm) ordered by d. */
+  def streamCompleteness(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_complete_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
+      val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
+        .withColumn("ts", nanosToTs("ts", eventsTsDivisor(spark, dir)))
+        .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("bigint").as("d"))
+      val q = src.groupBy("d").agg(count(lit(1)).as("n"))
+        .writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    graft.ext.TimeSeries.completenessFromDaily(
+      detachMart(spark.table(name)))
+  }
 }

@@ -706,4 +706,18 @@ class Ext11Spec extends SparkSpec {
       r.getLong(4), r.getLong(5), r.getLong(6)) ==
       ((7L, 4L, 2L, 1L, 6L, 4L, 714286L)), r.toString)
   }
+
+  // ---- hubnessAudit (x382) --------------------------------------------------------
+
+  test("hubnessAudit: the hub collects occurrences, the anti-hub lands in the zero bucket") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0)), (2L, Seq(0.9)), (3L, Seq(0.8)),
+      (4L, Seq(-1.0))).toDF("vec_id", "embedding")
+    // k=1 nearest by dot: 1->2, 2->1, 3->1, 4->3
+    // occ: v1=2 v2=1 v3=1 v4=0 -> hist (0,1),(1,2),(2,1)
+    val out = Similarity.hubnessAudit(emb, k = 1, step = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L), (1L, 2L), (2L, 1L)),
+      out.mkString(","))
+  }
 }

@@ -588,4 +588,15 @@ class StreamingSpec extends SparkSpec {
       .map(row).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming completeness mart equals the batch median audit") {
+    def row(r: org.apache.spark.sql.Row) =
+      (0 to 3).map(r.getLong).toList
+    val streamed = Streaming.streamCompleteness(spark, dir).collect()
+      .map(row).toSeq
+    val batch = graft.ext.TimeSeries.partitionCompleteness(
+        graft.Tables.load(spark, dir, "events")).collect()
+      .map(row).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
