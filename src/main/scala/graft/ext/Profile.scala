@@ -1324,4 +1324,50 @@ object Profile {
         - flog2(col("r") * col("c")))).as("mi_bits_scaled"))
       .orderBy("band")
   }
+
+  /** LORENZ OWNERSHIP CURVE: the exact value share owned by the top
+    * 1 / 2 / 5 / 10 / 25 / 50 % of users — [[giniConcentration]]
+    * gives the one-number inequality, this says WHO owns the mass
+    * (the "do 1% of users carry the metric" capacity/abuse check).
+    * Cut k_p = ⌈p·U/100⌉ users; because users sharing a quantized
+    * total are interchangeable, the value at the cut is EXACT from
+    * the per-total histogram: cum_v − (cum_u − k_p)·q. Shares widen
+    * to DECIMAL(38,0) (DuckDB twin: HUGEINT) — cum_v·1e6 is
+    * O(total·1e9).
+    *
+    * Scale shape: one per-user conditional sum (the only corpus
+    * pass), then a (distinct total)-sized histogram with one
+    * cumulative window — users are NEVER globally ranked (the
+    * DuckDB oracle deliberately ranks every user instead).
+    *
+    * Output: (pct, k_users, top_value_milli, share_ppm) ordered by
+    * pct. */
+  def lorenzCurve(events: DataFrame,
+                  valueCol: String = "value"): DataFrame = {
+    val users = events
+      .select(col("user_id"),
+        expr(s"CAST(floor(CAST($valueCol AS DOUBLE) * 1000)" +
+          " AS BIGINT)").as("q"))
+      .groupBy("user_id").agg(sum("q").as("v"))
+    val h = users.groupBy("v").agg(count(lit(1)).as("nu"))
+    val w = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("cum_u", sum("nu").over(w))
+      .withColumn("cum_v", sum(col("nu") * col("v")).over(w))
+    val tot = cum.agg(max("cum_u").as("u_all"), max("cum_v").as("v_all"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("pct",
+        explode(expr("array(1L, 2L, 5L, 10L, 25L, 50L)")))
+      .withColumn("k_users", expr("(pct * u_all + 99) div 100"))
+      .where(col("cum_u") >= col("k_users")
+        && col("cum_u") - col("nu") < col("k_users"))
+      .select(col("pct"), col("k_users"),
+        (col("cum_v") - (col("cum_u") - col("k_users")) * col("v"))
+          .as("top_value_milli"), col("v_all"))
+      .select(col("pct"), col("k_users"), col("top_value_milli"),
+        expr("CAST(CAST(top_value_milli AS DECIMAL(38,0)) * 1000000" +
+          " div v_all AS BIGINT)").as("share_ppm"))
+      .orderBy("pct")
+  }
 }

@@ -9727,7 +9727,36 @@ object Extensions {
         |  CAST(neigh[(len(neigh) + 1) // 2] AS BIGINT) AS med7,
         |  n * 1000000 // CAST(neigh[(len(neigh) + 1) // 2] AS BIGINT)
         |    AS completeness_ppm
-        |FROM w ORDER BY d""".stripMargin)
+        |FROM w ORDER BY d""".stripMargin),
+
+    // Lorenz ownership curve: value share of the top 1/2/5/10/25/50%
+    // of users — Spark folds the per-total histogram, the oracle
+    // ranks every user (independent shapes, identical cuts)
+    Q.df("x384_lorenz_curve",
+      (s, dir) => Profile.lorenzCurve(Tables.load(s, dir, "events")),
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT v,
+        |    row_number() OVER (ORDER BY v DESC, user_id) AS rn,
+        |    sum(v) OVER (ORDER BY v DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_v
+        |  FROM u),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS u_all,
+        |    CAST(sum(v) AS BIGINT) AS v_all FROM u),
+        |p AS (SELECT unnest([1, 2, 5, 10, 25, 50]) AS pct),
+        |c AS (SELECT CAST(pct AS BIGINT) AS pct,
+        |    CAST((pct * u_all + 99) // 100 AS BIGINT) AS k_users,
+        |    v_all
+        |  FROM p CROSS JOIN tot)
+        |SELECT c.pct, c.k_users,
+        |  CAST(r.cum_v AS BIGINT) AS top_value_milli,
+        |  CAST(CAST(r.cum_v AS HUGEINT) * 1000000 // c.v_all
+        |    AS BIGINT) AS share_ppm
+        |FROM c JOIN r ON r.rn = c.k_users
+        |ORDER BY c.pct""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

@@ -720,4 +720,23 @@ class Ext11Spec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L), (1L, 2L), (2L, 1L)),
       out.mkString(","))
   }
+
+  // ---- lorenzCurve (x384) -----------------------------------------------------------
+
+  test("lorenzCurve: the exact cut shares with the single heavy user owning the head") {
+    import spark.implicits._
+    val ev = Seq((1L, 1.0), (2L, 0.5), (3L, 0.25), (4L, 0.125))
+      .toDF("user_id", "value")
+    // totals milli: 1000, 500, 250, 125 (V=1875, U=4)
+    // cuts: p<=25 -> k=1 (share 533333); p=50 -> k=2 (share 800000)
+    val out = Profile.lorenzCurve(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val head = (1L, 1000L, 533333L)
+    assert(out.toSeq == Seq(
+      (1L, head._1, head._2, head._3), (2L, head._1, head._2, head._3),
+      (5L, head._1, head._2, head._3),
+      (10L, head._1, head._2, head._3),
+      (25L, head._1, head._2, head._3),
+      (50L, 2L, 1500L, 800000L)), out.mkString(","))
+  }
 }
