@@ -431,4 +431,45 @@ object Graph {
           .as("phi_ppm"))
       .orderBy("k")
   }
+
+  /** ASSOCIATION-STRENGTH EDGES: from a bipartite (basket, item)
+    * membership table, the top-k item pairs by the SQUARED cosine
+    * association w²·1e6 div (n_a·n_b) — w = shared baskets, n = each
+    * item's basket count. Raw co-occurrence counts rank ubiquitous
+    * items first; the normalization surfaces pairs that co-occur
+    * far above what their popularity predicts (w ≤ min(n_a, n_b), so
+    * the ppm is bounded by 1e6 — exactly 1e6 means the pair is
+    * inseparable). Squaring keeps the cosine integer — no square
+    * root ever runs.
+    *
+    * Scale shape: x191's co-occurrence envelope (basket-keyed
+    * equi-self-join — never item×item), one bounded item-count join
+    * back, top-k as a TakeOrdered.
+    *
+    * Output: (src, dst, w, n_src, n_dst, strength2_ppm) — top k by
+    * (strength2_ppm desc, w desc, src, dst). */
+  def edgeStrength(pairs: DataFrame, minShared: Long = 2,
+                   k: Int = 20): DataFrame = {
+    require(minShared >= 1 && k >= 1,
+      s"need minShared, k >= 1; got $minShared, $k")
+    val it = pairs.select(col("b"), col("i")).distinct()
+    val cnt = it.groupBy(col("i").as("node"))
+      .agg(count(lit(1)).as("n_node"))
+    val edges = it.as("a")
+      .join(it.as("c"), col("a.b") === col("c.b")
+        && col("a.i") < col("c.i"))
+      .groupBy(col("a.i").as("src"), col("c.i").as("dst"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= minShared)
+    edges
+      .join(cnt.select(col("node").as("src"), col("n_node").as("n_src")),
+        Seq("src"))
+      .join(cnt.select(col("node").as("dst"), col("n_node").as("n_dst")),
+        Seq("dst"))
+      .select(col("src"), col("dst"), col("w"), col("n_src"),
+        col("n_dst"),
+        expr("w * w * 1000000 div (n_src * n_dst)").as("strength2_ppm"))
+      .orderBy(col("strength2_ppm").desc, col("w").desc, col("src"),
+        col("dst"))
+      .limit(k)
+  }
 }

@@ -1452,4 +1452,61 @@ object Similarity {
       .where(col("n_points") > 0)
     hist.unionAll(zero).orderBy("occ")
   }
+
+  /** TWO-NN RATIO profile (Facco et al.'s intrinsic-dimension
+    * estimator's raw material, kept integer): per step-sampled probe,
+    * the EXACT quantized squared distances to its first and second
+    * nearest neighbors and their ratio d2²·1000 div d1² in milli; the
+    * discrete median and the type-1 p90 of that ratio over probes
+    * (10·cum ≥ k·n — no float percentile positions). A median ratio
+    * near 1000 = neighbors at indistinguishable distances (high
+    * intrinsic dimension — cosine/kNN contrast is collapsing); a
+    * large one = genuinely low-dimensional structure. Probes whose
+    * nearest neighbor is an exact duplicate (d1² = 0) are counted out
+    * of band, not averaged in.
+    *
+    * Scale shape: [[hubnessAudit]]'s envelope — broadcast sampled
+    * probes, bounded top-2 aggregate (distances via the norm
+    * identity |a−b|² = |a|²+|b|²−2ab on the codegen'd dot, ranked by
+    * negated distance), then two windows over the |probes|-row ratio
+    * table.
+    *
+    * Output: one row (n_probes, n_degenerate, median_ratio_milli,
+    * p90_ratio_milli). */
+  def twoNnRatio(emb: DataFrame, step: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(step >= 1, s"step must be positive; got $step")
+    def norm2(v: Column): Column =
+      aggregate(quantize(v), lit(0L), (acc, x) => acc + x * x)
+    val withN = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val q = withN.where(col("vec_id") % step === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("n2").as("qn2"))
+    val pairs = broadcast(q).join(withN, col("qid") =!= col("vec_id"))
+      .select(col("qid"),col("vec_id"),
+        (col("qn2") + col("n2")
+          - lit(2L) * dotQNative(emb, col("qe"), col("embedding")))
+          .as("d2"))
+    val top2 = rankTopK(pairs.select(col("qid"), col("vec_id"),
+        (-col("d2")).as("dot_q")), 2)
+      .groupBy("qid")
+      .agg(max(when(col("rn") === 1, -col("dot_q"))).as("d1sq"),
+        max(when(col("rn") === 2, -col("dot_q"))).as("d2sq"))
+    val ratios = top2
+      .select(col("qid"),
+        when(col("d1sq") > 0, expr("d2sq * 1000 div d1sq")).as("r"))
+    val h = ratios.where(col("r").isNotNull)
+      .groupBy("r").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val stats = h.crossJoin(broadcast(h.agg(max("cum").as("n"))))
+      .agg(min(when(col("cum") * 10 >= col("n") * 5, col("r")))
+          .as("median_ratio_milli"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("r")))
+          .as("p90_ratio_milli"))
+    ratios.agg(count(lit(1)).as("n_probes"),
+        sum(when(col("r").isNull, 1L).otherwise(0L)).as("n_degenerate"))
+      .crossJoin(stats)
+  }
 }

@@ -9756,7 +9756,75 @@ object Extensions {
         |  CAST(CAST(r.cum_v AS HUGEINT) * 1000000 // c.v_all
         |    AS BIGINT) AS share_ppm
         |FROM c JOIN r ON r.rn = c.k_users
-        |ORDER BY c.pct""".stripMargin)
+        |ORDER BY c.pct""".stripMargin),
+
+    // association-strength edges: squared-cosine normalization of
+    // co-purchase counts — pairs above their popularity prediction
+    Q.df("x385_edge_strength",
+      (s, dir) => Graph.edgeStrength(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))),
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |cnt AS (SELECT i AS node, CAST(count(*) AS BIGINT) AS n_node
+        |  FROM it GROUP BY 1),
+        |e AS (SELECT a.i AS src, c.i AS dst,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT e.src, e.dst, e.w, s.n_node AS n_src, d.n_node AS n_dst,
+        |  e.w * e.w * 1000000 // (s.n_node * d.n_node)
+        |    AS strength2_ppm
+        |FROM e JOIN cnt s ON e.src = s.node
+        |JOIN cnt d ON e.dst = d.node
+        |ORDER BY strength2_ppm DESC, w DESC, src, dst
+        |LIMIT 20""".stripMargin),
+
+    // two-NN ratio profile: integer Facco raw material — is the
+    // embedding space's neighbor contrast collapsing
+    Q.df("x386_two_nn_ratio",
+      (s, dir) => Similarity.twoNnRatio(
+        Tables.load(s, dir, "embeddings")),
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id,
+        |    CAST(sum((CAST(floor(CAST(qe[i] AS DOUBLE) * 10000)
+        |        AS BIGINT)
+        |      - CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000)
+        |        AS BIGINT))
+        |      * (CAST(floor(CAST(qe[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      - CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000)
+        |        AS BIGINT))) AS BIGINT) AS d2
+        |  FROM q, embeddings e, range(1, 65) r(i)
+        |  WHERE q.qid <> e.vec_id
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT qid, d2, row_number() OVER (PARTITION BY qid
+        |    ORDER BY d2, vec_id) AS rn FROM pairs),
+        |t2 AS (SELECT qid,
+        |    max(CASE WHEN rn = 1 THEN d2 END) AS d1sq,
+        |    max(CASE WHEN rn = 2 THEN d2 END) AS d2sq
+        |  FROM rk WHERE rn <= 2 GROUP BY 1),
+        |rat AS (SELECT qid,
+        |    CASE WHEN d1sq > 0 THEN d2sq * 1000 // d1sq END AS r
+        |  FROM t2),
+        |h AS (SELECT r, count(*) AS c FROM rat WHERE r IS NOT NULL
+        |  GROUP BY 1),
+        |hc AS (SELECT r, sum(c) OVER (ORDER BY r ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |nn AS (SELECT max(cum) AS n FROM hc),
+        |st AS (SELECT
+        |    CAST(min(CASE WHEN cum * 10 >= n * 5 THEN r END)
+        |      AS BIGINT) AS median_ratio_milli,
+        |    CAST(min(CASE WHEN cum * 10 >= n * 9 THEN r END)
+        |      AS BIGINT) AS p90_ratio_milli
+        |  FROM hc CROSS JOIN nn),
+        |cnts AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |    CAST(sum(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_degenerate FROM rat)
+        |SELECT n_probes, n_degenerate, median_ratio_milli,
+        |  p90_ratio_milli
+        |FROM cnts CROSS JOIN st""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

@@ -739,4 +739,34 @@ class Ext11Spec extends SparkSpec {
       (25L, head._1, head._2, head._3),
       (50L, 2L, 1500L, 800000L)), out.mkString(","))
   }
+
+  // ---- edgeStrength (x385) -----------------------------------------------------------
+
+  test("edgeStrength: the inseparable pair outranks the popular pair") {
+    import spark.implicits._
+    val pairs = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 1L), (4L, 3L), (5L, 2L), (5L, 3L),
+      (6L, 4L), (6L, 5L), (7L, 4L), (7L, 5L)).toDF("b", "i")
+    // (4,5): w=2, n=2/2 -> 1e6; (1,2)/(1,3): w=2, n=4·3 -> 333333;
+    // (2,3) w=1 dropped by minShared
+    val out = Graph.edgeStrength(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq((4L, 5L, 2L, 2L, 2L, 1000000L),
+      (1L, 2L, 2L, 4L, 3L, 333333L), (1L, 3L, 2L, 4L, 3L, 333333L)),
+      out.mkString(","))
+  }
+
+  // ---- twoNnRatio (x386) ------------------------------------------------------------------
+
+  test("twoNnRatio: duplicates count as degenerate; hand-computed median and p90") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(0.0)), (4L, Seq(0.0)), (2L, Seq(0.25)),
+      (3L, Seq(0.75))).toDF("vec_id", "embedding")
+    // v1/v4 have d1=0 (degenerate); v2 r=1000 (two equidistant
+    // firsts), v3 r = 56.25e6*1000 div 25e6 = 2250
+    val r = Similarity.twoNnRatio(emb, step = 1).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 1000L, 2250L)), r.toString)
+  }
 }
