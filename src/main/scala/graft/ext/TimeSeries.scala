@@ -1656,4 +1656,96 @@ object TimeSeries {
           .as("mean_right_milli"),
         expr("CAST(-b.neg AS BIGINT)").as("gap_score"))
   }
+
+  /** DAILY CO-MOVEMENT of event-type pairs: for every ordered type
+    * pair, the SIGNED SQUARED Pearson correlation of their daily
+    * count series in ppm — sign(cov)·cov²·1e6 div (var_a·var_b),
+    * the sqrt-free exact form (r itself needs a square root when the
+    * two marginals differ; r² with the covariance sign carries the
+    * same reading: ±1e6 = lockstep, 0 = unrelated). Co-moving
+    * metrics share an upstream cause — the "these two alerts are one
+    * incident" dashboard arithmetic. Days are the INNER join of the
+    * two types' observed days (documented; a type absent on a day is
+    * a missing observation, not a zero). All moment products widened
+    * to DECIMAL(38,0) (DuckDB twin: HUGEINT).
+    *
+    * Scale shape: one (type, day) count — the only corpus pass; the
+    * pair join and moments run on that bounded |types|×|days| table.
+    *
+    * Output: (type_a, type_b, n_days, signed_r2_ppm) ordered by
+    * (type_a, type_b). */
+  def dailyCoMovement(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type").as("t"),
+        datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("bigint").as("d"))
+      .groupBy("t", "d").agg(count(lit(1)).as("n"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"), col("a.d") === col("b.d")
+        && col("a.t") < col("b.t"))
+      .select(col("a.t").as("ta"), col("b.t").as("tb"),
+        col("a.n").as("x"), col("b.n").as("y"))
+    pairs.groupBy("ta", "tb")
+      .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .withColumn("cov", expr("m * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("va", expr("m * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("vb", expr("m * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("m").as("n_days"),
+        // integer sign (Spark's sign() returns DOUBLE — it would
+        // poison the exact decimal chain)
+        expr("CAST(CASE WHEN va = 0 OR vb = 0 THEN NULL ELSE" +
+          " (CASE WHEN cov < 0 THEN -1 ELSE 1 END)" +
+          " * (cov * cov * 1000000 div (va * vb)) END AS BIGINT)")
+          .as("signed_r2_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** SHIP-LAG PROFILE per order priority: days between order and
+    * line ship, summarized as exact integers — n lines, discrete
+    * median and type-1 p90 lag (10·cum ≥ k·n over the bounded lag
+    * histogram — never a per-group sort), and the >30-day late rate
+    * in ppm. The fulfillment-SLA audit: a priority class whose p90
+    * drifts while its median holds is backlogged at the tail, which
+    * a mean would hide.
+    *
+    * Scale shape: one lineitem⨝orders equi-join on the order key
+    * (the fact-to-fact shuffle every mart pays once), collapsed
+    * immediately to the (priority, lag) histogram — percentiles and
+    * rates run on that bounded table.
+    *
+    * Output: (o_orderpriority, n, median_lag, p90_lag, late_ppm)
+    * ordered by priority. */
+  def shipLag(li: DataFrame, orders: DataFrame,
+              lateDays: Long = 30L): DataFrame = {
+    val h = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("pri"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("bigint").as("lag"))
+      .groupBy("pri", "lag").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("pri").orderBy("lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.groupBy(col("pri").as("p2"))
+      .agg(sum("c").as("n"),
+        sum(when(col("lag") > lateDays, col("c")).otherwise(0L))
+          .as("n_late"))
+    h.withColumn("cum", sum("c").over(w))
+      .join(tot, col("pri") === col("p2"))
+      .groupBy(col("pri").as("o_orderpriority"), col("n"),
+        col("n_late"))
+      .agg(min(when(col("cum") * 10 >= col("n") * 5, col("lag")))
+          .as("median_lag"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("lag")))
+          .as("p90_lag"))
+      .select(col("o_orderpriority"), col("n"), col("median_lag"),
+        col("p90_lag"),
+        expr("n_late * 1000000 div n").as("late_ppm"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -9824,7 +9824,60 @@ object Extensions {
         |      AS n_degenerate FROM rat)
         |SELECT n_probes, n_degenerate, median_ratio_milli,
         |  p90_ratio_milli
-        |FROM cnts CROSS JOIN st""".stripMargin)
+        |FROM cnts CROSS JOIN st""".stripMargin),
+
+    // daily co-movement of event-type pairs: sqrt-free signed r² in
+    // ppm — "these two alerts are one incident"
+    Q.df("x387_daily_comovement",
+      (s, dir) => TimeSeries.dailyCoMovement(
+        Tables.load(s, dir, "events")),
+      """WITH daily AS (SELECT event_type AS t,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.t AS ta, b.t AS tb, a.n AS x, b.n AS y
+        |  FROM daily a JOIN daily b ON a.d = b.d AND a.t < b.t),
+        |m AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy FROM p GROUP BY 1, 2),
+        |v AS (SELECT ta, tb, m,
+        |    m * sxy - CAST(sx AS HUGEINT) * sy AS cov,
+        |    m * sxx - CAST(sx AS HUGEINT) * sx AS va,
+        |    m * syy - CAST(sy AS HUGEINT) * sy AS vb FROM m)
+        |SELECT ta AS type_a, tb AS type_b, m AS n_days,
+        |  CAST(CASE WHEN va = 0 OR vb = 0 THEN NULL ELSE
+        |    (CASE WHEN cov < 0 THEN -1 ELSE 1 END)
+        |    * (cov * cov * 1000000 // (va * vb)) END AS BIGINT)
+        |    AS signed_r2_ppm
+        |FROM v ORDER BY type_a, type_b""".stripMargin),
+
+    // ship-lag profile per order priority: histogram-folded median
+    // and type-1 p90 lag + late rate — the fulfillment-SLA audit
+    Q.df("x388_ship_lag",
+      (s, dir) => TimeSeries.shipLag(Tables.load(s, dir, "lineitem"),
+        Tables.load(s, dir, "orders")),
+      """WITH h AS (SELECT o_orderpriority AS pri,
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+        |      AS BIGINT) AS lag,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT pri, lag, c, sum(c) OVER (PARTITION BY pri
+        |    ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS cum FROM h),
+        |tot AS (SELECT pri, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lag > 30 THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_late
+        |  FROM h GROUP BY 1)
+        |SELECT cum.pri AS o_orderpriority, tot.n,
+        |  CAST(min(CASE WHEN cum * 10 >= n * 5 THEN lag END)
+        |    AS BIGINT) AS median_lag,
+        |  CAST(min(CASE WHEN cum * 10 >= n * 9 THEN lag END)
+        |    AS BIGINT) AS p90_lag,
+        |  max(n_late) * 1000000 // tot.n AS late_ppm
+        |FROM cum JOIN tot ON cum.pri = tot.pri
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

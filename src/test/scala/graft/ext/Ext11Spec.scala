@@ -769,4 +769,45 @@ class Ext11Spec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((4L, 2L, 1000L, 2250L)), r.toString)
   }
+
+  // ---- dailyCoMovement (x387) -------------------------------------------------------
+
+  test("dailyCoMovement: lockstep +1e6, mirrored -1e6, constant series NULL") {
+    import spark.implicits._
+    val day = 86400L
+    val counts = Seq(("A", 1, 1), ("A", 2, 2), ("A", 3, 3),
+      ("B", 1, 2), ("B", 2, 4), ("B", 3, 6),
+      ("C", 1, 3), ("C", 2, 2), ("C", 3, 1),
+      ("D", 1, 2), ("D", 2, 2), ("D", 3, 2))
+    val ev = counts.flatMap { case (t, d, n) =>
+      Seq.fill(n)((t, d.toLong)) }
+      .toDF("event_type", "dnum")
+      .select(col("event_type"),
+        timestamp_seconds(col("dnum") * day + 100).as("ts"))
+    val out = TimeSeries.dailyCoMovement(ev).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(3)) 0L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("A", "B", 1000000L), ("A", "C", -1000000L), ("A", "D", 0L),
+      ("B", "C", -1000000L), ("B", "D", 0L), ("C", "D", 0L)),
+      out.mkString(","))
+  }
+
+  // ---- shipLag (x388) ---------------------------------------------------------------
+
+  test("shipLag: histogram-folded median/p90 and late rate per priority") {
+    import spark.implicits._
+    val orders = Seq((1L, "1-URGENT", "1995-01-01"),
+      (2L, "2-HIGH", "1995-01-01"))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq((1L, "1995-01-06"), (1L, "1995-01-11"),
+      (1L, "1995-02-10"), (2L, "1995-01-01"))
+      .toDF("l_orderkey", "l_shipdate")
+    // urgent lags {5,10,40}: median 10, p90 40, late 1/3 = 333333
+    val out = TimeSeries.shipLag(li, orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("1-URGENT", 3L, 10L, 40L, 333333L),
+      ("2-HIGH", 1L, 0L, 0L, 0L)), out.mkString(","))
+  }
 }
