@@ -296,7 +296,14 @@ object Graph {
       s"need k >= 1 and 1 <= rounds <= 16; got k=$k rounds=$rounds")
     val spark = edges.sparkSession
     import spark.implicits._
-    var e = CacheRegistry.checkpoint(edges.distinct())
+    // symmetrize internally (same contract as degreeAssortativity /
+    // richClub): degree is counted from src alone, so a caller passing
+    // canonical lo<hi edges would silently halve degrees — the
+    // union+distinct makes any orientation convention correct, and is
+    // idempotent (a no-op distinct) on an already-symmetric list
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var e = CacheRegistry.checkpoint(sym.distinct())
     val traj = (1 to rounds).map { r =>
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("src").as("node"))

@@ -25,11 +25,6 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Attach a fake binary payload column (the UTF-8 bytes of `text`) —
-    * the opaque-bytes stand-in used by the resize/frame plumbing. */
-  def withPayload(docs: DataFrame): DataFrame =
-    docs.withColumn("payload", encode(col("text"), "UTF-8"))
-
   // ---- real BMP build + decode --------------------------------------
 
   /** BMP dimensions derived from a document's n_chars — the

@@ -133,15 +133,6 @@ object Similarity {
       .orderBy("qid")
   }
 
-  /** Deterministic mini k-means over the embedding column: centroids
-    * initialized from the first k vectors (stable), a fixed number of
-    * Lloyd iterations, assignment by the codegen'd quantized dot
-    * (max similarity). Each iteration is one broadcast (k centroids)
-    * plus one keyed aggregation — the standard distributed k-means
-    * shape; at 100 TB you'd sample for the fit and assign in one extra
-    * pass. Returns (vec_id, cell). */
-  def kmeansCells(emb: DataFrame, k: Int, iters: Int): DataFrame =
-    kmeansFit(emb, k, iters)._1
 
   /** Distributed centroid update: elementwise mean per cell, computed as
     * a posexplode + keyed aggregation so the shuffle (and the driver

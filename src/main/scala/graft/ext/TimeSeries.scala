@@ -1583,7 +1583,9 @@ object TimeSeries {
     * seasonal-naive beats persistence (it usually does on weekly-
     * cycled traffic) the series HAS a weekly season and capacity
     * planning must use it. Scored days are those with both
-    * references available (d−1 and d−7 observed), counted in-band.
+    * references available (d−1 and d−7 observed), counted in-band —
+    * looked up by VALUE (a RANGE frame pinned at exactly d−1 / d−7),
+    * so a hole elsewhere in the week never drops a scorable day.
     *
     * Scale shape: the corpus collapses to the (day, count) table;
     * the two references are lags over that bounded table.
@@ -1595,12 +1597,15 @@ object TimeSeries {
       .select(datediff(to_date(col("ts")), lit("1970-01-01"))
         .cast("bigint").as("d"))
       .groupBy("d").agg(count(lit(1)).as("n"))
-    val w = Window.orderBy("d")
+    // RANGE frames pinned at exactly d-1 / d-7: each holds at most one
+    // row (d is distinct after the groupBy), so max() IS the lookup —
+    // NULL when that calendar day is unobserved, regardless of holes
+    // elsewhere in the window
+    val w1 = Window.orderBy("d").rangeBetween(-1, -1)
+    val w7 = Window.orderBy("d").rangeBetween(-7, -7)
     daily
-      .withColumn("p1", when(lag("d", 1).over(w) === col("d") - 1,
-        lag("n", 1).over(w)))
-      .withColumn("p7", when(lag("d", 7).over(w) === col("d") - 7,
-        lag("n", 7).over(w)))
+      .withColumn("p1", max("n").over(w1))
+      .withColumn("p7", max("n").over(w7))
       .where(col("p1").isNotNull && col("p7").isNotNull)
       .agg(count(lit(1)).as("n_scored"),
         sum(abs(col("n") - col("p1"))).as("ae1"),
@@ -1669,6 +1674,15 @@ object TimeSeries {
     * a missing observation, not a zero). All moment products widened
     * to DECIMAL(38,0) (DuckDB twin: HUGEINT).
     *
+    * Exactness bound (explicit, guarded): cov is O(days²·dailyCount²),
+    * so cov²·1e6 exceeds 38 digits once |cov| ≥ 1e16 — roughly 3k days
+    * at ~1e5 events/type/day — and va·vb exceeds them once either
+    * variance term passes ~1e19. Past those bounds the pair's
+    * signed_r2_ppm is returned as NULL BY THE GUARD BELOW (same row
+    * count, deterministic under ANSI mode too), not by silent decimal
+    * overflow; a caller needing the co-movement of series that hot
+    * should pre-scale the daily counts (r² is scale-invariant).
+    *
     * Scale shape: one (type, day) count — the only corpus pass; the
     * pair join and moments run on that bounded |types|×|days| table.
     *
@@ -1696,8 +1710,13 @@ object TimeSeries {
       .select(col("ta").as("type_a"), col("tb").as("type_b"),
         col("m").as("n_days"),
         // integer sign (Spark's sign() returns DOUBLE — it would
-        // poison the exact decimal chain)
-        expr("CAST(CASE WHEN va = 0 OR vb = 0 THEN NULL ELSE" +
+        // poison the exact decimal chain); the abs(cov)/va/vb guard
+        // keeps cov²·1e6 and va·vb inside DECIMAL(38,0) — NULL past
+        // the documented exactness bound instead of overflow
+        expr("CAST(CASE WHEN va = 0 OR vb = 0 THEN NULL" +
+          " WHEN abs(cov) >= 10000000000000000BD" +
+          "   OR va >= 10000000000000000000BD OR vb >= 10000000000000000000BD" +
+          " THEN NULL ELSE" +
           " (CASE WHEN cov < 0 THEN -1 ELSE 1 END)" +
           " * (cov * cov * 1000000 div (va * vb)) END AS BIGINT)")
           .as("signed_r2_ppm"))

@@ -173,11 +173,32 @@ object HilbertKeyNd {
   }
 
   /** SQL surface: hilbert_key_nd(x0, ..., xk, bits) with a foldable
-    * bits literal; dimensionality = argument count - 1. */
+    * bits literal; dimensionality = argument count - 1. A non-foldable
+    * or non-integral last argument is rejected here with a named
+    * AnalysisException (the builder runs at function-resolution time,
+    * before checkInputDataTypes — a raw eval() would surface as a
+    * ClassCastException with no function name). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hilbert_key_nd",
-      exprs => HilbertKeyNd(exprs.dropRight(1),
-        exprs.last.eval().asInstanceOf[Number].intValue),
+      exprs => {
+        def bad(what: String) = throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "NON_FOLDABLE_ARGUMENT",
+          messageParameters = Map(
+            "funcName" -> "`hilbert_key_nd`",
+            "paramName" -> s"`bits` (last argument; got $what)",
+            "paramType" -> "\"INT\""))
+        if (exprs.isEmpty) bad("no arguments")
+        val last = exprs.last
+        if (!last.foldable) bad(s"non-foldable expression ${last.sql}")
+        last.eval() match {
+          case n: java.lang.Integer => HilbertKeyNd(exprs.dropRight(1), n.intValue)
+          case n: java.lang.Long => HilbertKeyNd(exprs.dropRight(1), n.intValue)
+          case n: java.lang.Short => HilbertKeyNd(exprs.dropRight(1), n.intValue)
+          case n: java.lang.Byte => HilbertKeyNd(exprs.dropRight(1), n.intValue)
+          case other => bad(
+            if (other == null) "NULL" else s"${last.dataType.sql} literal")
+        }
+      },
       "built-in")
 }

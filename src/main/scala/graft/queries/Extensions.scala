@@ -8059,9 +8059,8 @@ object Extensions {
         val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
           .select(concat(lit("c"), col("o_custkey")).as("src"),
             concat(lit("s"), col("l_suppkey")).as("dst"))
-        Graph.kCoreTrajectory(
-          cs.union(cs.select(col("dst").as("src"), col("src").as("dst"))),
-          18, 5)
+        // one orientation only — the operator symmetrizes internally
+        Graph.kCoreTrajectory(cs, 18, 5)
       },
       kcoreOracleSql(18, 5)),
 
@@ -9609,10 +9608,10 @@ object Extensions {
         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
         |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
         |l AS (SELECT d, n,
-        |    CASE WHEN lag(d, 1) OVER (ORDER BY d) = d - 1
-        |      THEN lag(n, 1) OVER (ORDER BY d) END AS p1,
-        |    CASE WHEN lag(d, 7) OVER (ORDER BY d) = d - 7
-        |      THEN lag(n, 7) OVER (ORDER BY d) END AS p7
+        |    max(n) OVER (ORDER BY d RANGE BETWEEN 1 PRECEDING
+        |      AND 1 PRECEDING) AS p1,
+        |    max(n) OVER (ORDER BY d RANGE BETWEEN 7 PRECEDING
+        |      AND 7 PRECEDING) AS p7
         |  FROM daily),
         |f AS (SELECT * FROM l WHERE p1 IS NOT NULL AND p7 IS NOT NULL)
         |SELECT CAST(count(*) AS BIGINT) AS n_scored,

@@ -183,6 +183,18 @@ class Ext10Spec extends SparkSpec {
       out.toString)
   }
 
+  test("kCoreTrajectory: one-orientation input symmetrized internally") {
+    import spark.implicits._
+    // canonical lo<hi edges only — internal union+distinct must give
+    // the same trajectory as the pre-symmetrized list above
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val out = Graph.kCoreTrajectory(edges, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 3L, 4L), (2L, 0L, 0L), (3L, 0L, 0L)),
+      out.toString)
+  }
+
   // ---- zipfAudit -----------------------------------------------------
 
   test("zipfAudit: power-of-two ranks, deterministic ties, whole-bit drops") {
@@ -469,6 +481,29 @@ class Ext10Spec extends SparkSpec {
       graft.functions.HilbertKeyNd.walk(Array(x, y, z), 20)
     }
     assert(viaPlan == viaWalk)
+  }
+
+  test("hilbertKeyNd: SQL surface rejects a non-foldable / non-integral bits argument with a named error") {
+    import spark.implicits._
+    graft.functions.HilbertKeyNd.register(spark)
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    df.createOrReplaceTempView("hk_bad_bits")
+    // non-foldable bits: a column reference
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hilbert_key_nd(x, y, x) FROM hk_bad_bits").collect()
+    }
+    assert(e1.getMessage.contains("hilbert_key_nd"), e1.getMessage)
+    assert(e1.getMessage.contains("foldable"), e1.getMessage)
+    // foldable but non-integral bits: a string literal
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hilbert_key_nd(x, y, 'eight') FROM hk_bad_bits")
+        .collect()
+    }
+    assert(e2.getMessage.contains("hilbert_key_nd"), e2.getMessage)
+    // the good path still resolves through the same builder
+    val ok = spark.sql("SELECT hilbert_key_nd(x, y, 3) AS h FROM hk_bad_bits")
+      .collect().head.getLong(0)
+    assert(ok == graft.functions.HilbertKeyNd.walk(Array(1L, 2L), 3))
   }
 
   // ---- contaminationMatrixPruned -------------------------------------
