@@ -2734,12 +2734,12 @@ object Extensions {
       (s, dir) => Curation.curate(Tables.load(s, dir, "documents"), 256,
         lmGate = true),
       """WITH RECURSIVE
-        |tok0 AS (
+        |tok0 AS MATERIALIZED (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
         |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
         |  FROM documents
         |),
-        |st AS (
+        |st AS MATERIALIZED (
         |  SELECT doc_id, count(*) AS n_tok,
         |    CAST(floor(10000.0 * sum(CASE WHEN w IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS stop_x10k,
         |    CAST(floor(10000.0 * sum(length(w)) / count(*)) AS BIGINT) AS avglen_x10k
@@ -2750,17 +2750,17 @@ object Extensions {
         |  WHERE n_tok >= 20 AND stop_x10k >= 100
         |    AND avglen_x10k BETWEEN 30000 AND 80000
         |),
-        |base1 AS (
+        |base1 AS MATERIALIZED (
         |  SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
         |  WHERE d.source <> 'src19'
         |),
-        |tokb1 AS (SELECT t.* FROM tok0 t JOIN base1 USING (doc_id)),
-        |lmbig AS (
+        |tokb1 AS MATERIALIZED (SELECT t.* FROM tok0 t JOIN base1 USING (doc_id)),
+        |lmbig AS MATERIALIZED (
         |  SELECT a.doc_id, a.w AS w1, b.w AS w2
         |  FROM tokb1 a JOIN tokb1 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |),
-        |lmbc AS (SELECT w1, w2, count(*) AS c2 FROM lmbig GROUP BY w1, w2),
-        |lmpc AS (SELECT w1, count(*) AS c1 FROM lmbig GROUP BY w1),
+        |lmbc AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM lmbig GROUP BY w1, w2),
+        |lmpc AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM lmbig GROUP BY w1),
         |lmv AS (SELECT count(DISTINCT w) AS v FROM tokb1),
         |lmterms AS (
         |  SELECT g.doc_id,
@@ -2768,7 +2768,7 @@ object Extensions {
         |  FROM lmbig g JOIN lmbc b ON g.w1 = b.w1 AND g.w2 = b.w2
         |               JOIN lmpc p ON g.w1 = p.w1, lmv v
         |),
-        |lmsc AS (
+        |lmsc AS MATERIALIZED (
         |  SELECT doc_id,
         |    (100 * CAST(sum(nb) AS BIGINT)) // CAST(count(*) AS BIGINT) AS ppl
         |  FROM lmterms GROUP BY doc_id
@@ -2779,7 +2779,7 @@ object Extensions {
         |          FROM lmh),
         |lmthr AS (SELECT min(CASE WHEN cum >= (2 * n + 2) // 3 THEN ppl END)
         |            AS t2 FROM lmcum, lmn),
-        |base1b AS (
+        |base1b AS MATERIALIZED (
         |  SELECT b.* FROM base1 b JOIN lmsc s ON b.doc_id = s.doc_id, lmthr t
         |  WHERE s.ppl <= t.t2
         |),
@@ -2790,27 +2790,27 @@ object Extensions {
         |        FROM base1b)
         |  GROUP BY fp
         |),
-        |base2 AS (SELECT b.* FROM base1b b JOIN ex USING (doc_id)),
-        |tok AS (SELECT t.* FROM tok0 t JOIN base2 USING (doc_id)),
-        |sh0 AS (
+        |base2 AS MATERIALIZED (SELECT b.* FROM base1b b JOIN ex USING (doc_id)),
+        |tok AS MATERIALIZED (SELECT t.* FROM tok0 t JOIN base2 USING (doc_id)),
+        |sh0 AS MATERIALIZED (
         |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
         |),
-        |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 2),
-        |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
+        |keep AS MATERIALIZED (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 2),
+        |sh AS MATERIALIZED (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+        |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS MATERIALIZED (
         |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2
         |),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT d1, d2 FROM inter
         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
         |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
         |),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT d1 AS src, d2 AS dst FROM pairs
         |  UNION SELECT d2, d1 FROM pairs
         |),
@@ -2819,27 +2819,27 @@ object Extensions {
         |  UNION
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
         |),
-        |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
-        |base3 AS (
+        |labels AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |base3 AS MATERIALIZED (
         |  SELECT b.* FROM base2 b JOIN labels c ON b.doc_id = c.doc_id
         |  WHERE b.doc_id = c.cluster_id
         |),
-        |nib AS (
+        |nib AS MATERIALIZED (
         |  SELECT doc_id, j, instr('0123456789abcdef', substr(md5(w), j, 1)) - 1 AS v
         |  FROM tok0, range(1, 5) r(j)
         |),
-        |bits AS (
+        |bits AS MATERIALIZED (
         |  SELECT doc_id, (j - 1) * 4 + b.b AS pos,
         |    sum(CASE WHEN (v & b.mask) > 0 THEN 1 ELSE -1 END) AS s
         |  FROM nib, (VALUES (0, 1), (1, 2), (2, 4), (3, 8)) AS b(b, mask)
         |  GROUP BY doc_id, (j - 1) * 4 + b.b
         |),
-        |sk AS (
+        |sk AS MATERIALIZED (
         |  SELECT doc_id,
         |    CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |  FROM bits GROUP BY doc_id
         |),
-        |base4 AS (
+        |base4 AS MATERIALIZED (
         |  SELECT b3.* FROM base3 b3
         |  WHERE NOT EXISTS (
         |    SELECT 1 FROM sk n JOIN sk o ON n.simhash = o.simhash
@@ -9876,7 +9876,19 @@ object Extensions {
         |    AS BIGINT) AS p90_lag,
         |  max(n_late) * 1000000 // tot.n AS late_ppm
         |FROM cum JOIN tot ON cum.pri = tot.pri
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+
+    // streaming shape #24: NATIVE dropDuplicatesWithinWatermark TTL
+    // dedup — (user, event_type) admitted once per 7-day window with
+    // watermark-evicted per-key state; drained key set == batch
+    // DISTINCT over the backlog (x261's windowedDedup is the batch
+    // twin carrying counts; the native state op emits keys only)
+    Q.df("x389_stream_ttl_dedup",
+      (s, dir) => Streaming.streamTtlDedup(s, dir),
+      """SELECT DISTINCT user_id, event_type,
+        |  (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS win
+        |FROM events
+        |ORDER BY user_id, event_type, win""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

@@ -510,6 +510,85 @@ class StreamingSpec extends SparkSpec {
     } finally rmAll(stage, ckpt, out1, out2)
   }
 
+  test("streaming TTL dedup equals the batch per-window key distinct") {
+    import org.apache.spark.sql.functions._
+    val drained = Streaming.streamTtlDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("datediff(to_date(ts), date '1970-01-01') div 7").as("win"))
+      .distinct().orderBy("user_id", "event_type", "win")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(drained == batch, s"${drained.size} drained vs ${batch.size} batch")
+  }
+
+  test("checkpoint recovery: dropDuplicatesWithinWatermark state survives a restart, then expires by TTL") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_ttlr_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ttlr_ckpt")
+    val outs = (1 to 3).map(i =>
+      java.nio.file.Files.createTempDirectory(s"graft_ttlr_o$i"))
+    def drain(outDir: String): Unit = {
+      val src = spark.readStream
+        .schema("user_id LONG, event_type STRING, win LONG, ts_us LONG")
+        .parquet(stage.toString)
+        .select(col("user_id"), col("event_type"), col("win"),
+          timestamp_micros(col("ts_us")).as("ts"))
+      val q = src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "win")
+        .select("user_id", "event_type", "win")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def rows(d: java.nio.file.Path): Seq[(Long, String, Long)] = {
+      val fs = java.nio.file.Files.list(d)
+      val any = try fs.findAny().isPresent finally fs.close()
+      if (!any) Seq.empty
+      else spark.read.parquet(d.toString).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+    }
+    val base = 1700000000L * 1000000L // modern epoch: near-zero event
+    val min = 60L * 1000000L          // times sit below the watermark
+    try {
+      // fileA: K1 admitted, its in-batch duplicate dropped, K2 admitted
+      landDf(Seq(
+        (1L, "a", 0L, base), (1L, "a", 0L, base + min),
+        (2L, "b", 0L, base)).toDF("user_id", "event_type", "win", "ts_us"),
+        stage, "a.parquet")
+      drain(outs(0).toString)
+      assert(rows(outs(0)) == Seq((1L, "a", 0L), (2L, "b", 0L)),
+        s"run1: ${rows(outs(0))}")
+      // fileB after a RESTART: K1's duplicate must hit the RECOVERED
+      // state and stay dropped; the fresh K3 admits and its event time
+      // (base+3h) pushes the watermark to base+2h at batch end — past
+      // K1/K2's expiry (first seen + 1h delay), so their state evicts
+      landDf(Seq(
+        (1L, "a", 0L, base + 2 * min),
+        (3L, "c", 0L, base + 180 * min))
+        .toDF("user_id", "event_type", "win", "ts_us"), stage, "b.parquet")
+      drain(outs(1).toString)
+      assert(rows(outs(1)) == Seq((3L, "c", 0L)),
+        s"run2 (recovered state must drop K1's dup): ${rows(outs(1))}")
+      // fileC: a K1 straggler ABOVE the watermark but LATER than its
+      // TTL re-admits — the documented bounded-state tradeoff; losing
+      // this re-admit would mean state never expires (unbounded)
+      landDf(Seq((1L, "a", 0L, base + 150 * min))
+        .toDF("user_id", "event_type", "win", "ts_us"), stage, "c.parquet")
+      drain(outs(2).toString)
+      assert(rows(outs(2)) == Seq((1L, "a", 0L)),
+        s"run3 (TTL-expired key must re-admit): ${rows(outs(2))}")
+    } finally rmAll((stage +: ckpt +: outs): _*)
+  }
+
   test("file sink manifest: a crashed batch's orphan part-file is invisible to sink reads") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
