@@ -762,26 +762,36 @@ object Streaming {
         col("n").as("n1")))
     val numHashes = 8; val bands = 2
     withStreamDirsFile(dir, "documents.parquet") { (stage, ckpt) =>
-      // the staged single file arrives as ONE input split, so without
-      // an explicit redistribution the per-arrival hashing (8 md5
-      // minhashes × every shingle of every doc) runs on one core —
-      // repartition the narrow (doc_id, text) rows across the
-      // executors first; at scale this is the standard
-      // ingest-fan-out before per-record feature extraction
+      val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      // In-row signature: mirror shingles3 + minhashBandTable exactly
+      // (same tokenizer, same 'i:shingle' md5, same band concat).
+      //
+      // The derivation is staged through explicit exchanges because
+      // higher-order functions are interpreted (no codegen) and
+      // CollapseProject + predicate-pushdown would otherwise inline
+      // the tokenize->shingle tree into the filter AND all 8 hash
+      // columns — ~10 re-derivations per arriving row, all pinned to
+      // the staged file's single input split (measured: 12s ->  ~2s
+      // addBatch per 5k-doc batch). Each exchange (a) fans the work
+      // across the executors and (b) materializes the array exactly
+      // once, so every stage references a column, never a re-derived
+      // expression. The shuffled payloads are the narrow
+      // (doc_id, tokens/shingles) rows — at scale this is the standard
+      // ingest fan-out ahead of per-record feature extraction.
       val src = spark.readStream.schema(docsSchema).parquet(stage)
-        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
-      // in-row signature: mirror shingles3 + minhashBandTable exactly
-      // (same tokenizer, same 'i:shingle' md5, same band concat)
+        .select(col("doc_id"), col("text"))
+        .repartition(nParts)
       val withSh = src
         .select(col("doc_id"),
           graft.ext.TextStats.tokensCol(col("text")).as("t"))
+        .where(size(col("t")) >= 3)
+        .repartition(nParts)
         .select(col("doc_id"), expr(
-          """CASE WHEN size(t) < 3 THEN array()
-            |ELSE array_distinct(transform(sequence(1, size(t) - 2),
+          """array_distinct(transform(sequence(1, size(t) - 2),
             |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1),
-            |              ' ', element_at(t, i + 2))))
-            |END""".stripMargin).as("sh"))
-        .where(size(col("sh")) > 0)
+            |              ' ', element_at(t, i + 2))))""".stripMargin)
+          .as("sh"))
+        .repartition(nParts)
       val withMins = (0 until numHashes).foldLeft(withSh) { (df, i) =>
         df.withColumn(s"m$i", expr(
           s"array_min(transform(sh, s -> md5(concat('$i', ':', s))))"))
