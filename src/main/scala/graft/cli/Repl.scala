@@ -57,6 +57,24 @@ object Repl {
     val base = Session.local("graft-repl")
     if (verbose) base.spark.sparkContext.setLogLevel("INFO")
     val session = new Session(base.spark, jsonNormalize = jsonNormalize)
+    startup(session, files, dir, recursive, verbose,
+      haveQuery = query.nonEmpty, eprint)
+
+    query match {
+      case Some(q) => run(session, q)
+      case None => loop(session)
+    }
+    session.spark.stop()
+  }
+
+  /** The load-and-announce phase of `main`, factored out so the
+    * README golden-session spec can drive the EXACT printed startup
+    * lines (not just the loaded tables) through the same code path
+    * the CLI runs. */
+  private[cli] def startup(session: Session, files: List[String],
+                           dir: Option[String], recursive: Boolean,
+                           verbose: Boolean, haveQuery: Boolean,
+                           eprint: (=> String) => Unit): Unit = {
     def describe(name: String): String = {
       val df = session.tables(name)
       if (verbose) s"table=$name, columns=${df.columns.length}, rows=${df.count()}"
@@ -71,14 +89,8 @@ object Repl {
     dir.orElse(if (recursive) Some(".") else None).foreach { d =>
       session.loadDir(d, recursive).foreach(n => eprint(s"Load ${describe(n)}"))
     }
-    if (session.tables.isEmpty && query.isEmpty)
+    if (session.tables.isEmpty && !haveQuery)
       eprint("Warning: no tables loaded. Try -r, -d or --help")
-
-    query match {
-      case Some(q) => run(session, q)
-      case None => loop(session)
-    }
-    session.spark.stop()
   }
 
   /** Prompt-history file — the reference's only persistent state

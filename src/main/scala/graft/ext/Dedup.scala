@@ -306,10 +306,16 @@ object Dedup {
     * thus no rows (the streaming twin mirrors this with its
     * size(sh) > 0 guard). */
   def minhashBandTable(docs: DataFrame, numHashes: Int = 8,
-                       bands: Int = 2): DataFrame = {
+                       bands: Int = 2): DataFrame =
+    minhashBandTableFromShingles(shingles3(docs), numHashes, bands)
+
+  /** [[minhashBandTable]] over a caller-supplied (doc_id, shingle)
+    * table — the seam that lets the stop-filtered tier share one
+    * signature definition with the unfiltered one. */
+  private def minhashBandTableFromShingles(sh: DataFrame, numHashes: Int,
+                                           bands: Int): DataFrame = {
     require(numHashes % bands == 0 && bands >= 1 && numHashes >= bands,
       s"numHashes=$numHashes must be a positive multiple of bands=$bands")
-    val sh = shingles3(docs)
     // Hash dictionary: md5^k computed once per DISTINCT shingle, then
     // joined back (Catalyst/AQE broadcasts the dictionary when small).
     // Corpora repeat shingles heavily — hashing occurrences instead of
@@ -331,10 +337,35 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
   }
 
+  /** [[minhashBandTable]] over a stop-filtered shingle set: shingles in
+    * more than `maxDf` docs are dropped BEFORE the signatures. The
+    * adversarial-corpus mitigation (same rule as
+    * `jaccardPairs(maxDocFreq)`): a universal footer/boilerplate shingle
+    * otherwise wins the min for some hash indices CORPUS-WIDE, collapsing
+    * band signatures into one giant bucket whose candidate join is
+    * O(n²). With the hot shingles gone, signatures (and the verify
+    * Jaccard) are over CONTENT shingles only — which is also the
+    * measurement near-dup hunters want (C4/RefinedWeb drop boilerplate
+    * before dedup for the same reason). Docs whose every shingle is hot
+    * drop out, exactly like the filtered Jaccard tier. */
+  private def stopFilteredShingles(docs: DataFrame, maxDf: Int): DataFrame = {
+    val shAll = shingles3(docs)
+    val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("shingle")
+    shAll.join(hot, Seq("shingle"), "left_anti")
+  }
+
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 8,
-                      bands: Int = 2): DataFrame = {
-    val sh = shingles3(docs)
-    val bandDf = minhashBandTable(docs, numHashes, bands)
+                      bands: Int = 2,
+                      maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = maxDocFreq match {
+      case Some(f) => CacheRegistry.pin(stopFilteredShingles(docs, f))
+      case None => shingles3(docs)
+    }
+    val bandDf = maxDocFreq match {
+      case Some(_) => minhashBandTableFromShingles(sh, numHashes, bands)
+      case None => minhashBandTable(docs, numHashes, bands)
+    }
     val a = bandDf.as("a"); val b = bandDf.as("b")
     // cand is consumed TWICE (as the broadcast doc filter and in the
     // final join) — cache it, or the whole signature pipeline

@@ -85,6 +85,47 @@ object Extensions {
       |  FROM documents
       |)""".stripMargin
 
+  /** Adversarially SKEWED corpus (x390-x392): 47-char boilerplate
+    * prefix on even doc_ids, universal footer on every doc — the two
+    * dedup killers (giant shared-prefix windows, one shingle in all
+    * documents) derived deterministically from the documents table so
+    * the Spark side and the DuckDB oracle rebuild the identical
+    * fixture. */
+  private def skewDocs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(
+        when(col("doc_id") % 2 === 0,
+          lit("subscribe to read the full article terms apply "))
+          .otherwise(lit("")),
+        col("text"), lit(" copyright footer notice legal")).as("text"))
+
+  private val duckSkew =
+    """skew AS MATERIALIZED (SELECT doc_id, source,
+      |    concat(CASE WHEN doc_id % 2 = 0
+      |      THEN 'subscribe to read the full article terms apply '
+      |      ELSE '' END,
+      |      text, ' copyright footer notice legal') AS text
+      |  FROM documents)""".stripMargin
+
+  /** duckTok over the skewed corpus (needs skew). */
+  private val duckSkewTok =
+    """tok AS MATERIALIZED (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+      |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+      |  FROM skew
+      |)""".stripMargin
+
+  /** duckShinglesFiltered over the skewed tok (needs tok). */
+  private def duckSkewShinglesFiltered(maxDf: Int) =
+    s"""sh0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+       |), keep AS MATERIALIZED (
+       |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $maxDf
+       |), sh AS MATERIALIZED (SELECT sh0.* FROM sh0 JOIN keep USING (shingle))""".stripMargin
+
   /** DuckDB distinct word-3-gram shingles CTE (needs tok). */
   private val duckShingles =
     """sh AS (
@@ -9877,6 +9918,127 @@ object Extensions {
         |  max(n_late) * 1000000 // tot.n AS late_ppm
         |FROM cum JOIN tot ON cum.pri = tot.pri
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+
+    // ---- adversarial-skew fixture family (x390-x392): the corpus
+    // rebuilt with the two dedup killers web text actually has — a
+    // 47-char boilerplate prefix on half the docs and a universal
+    // footer on ALL of them (one shingle in every document). Derived
+    // identically in both engines (skewDocs / duckSkew), so each
+    // documented skew mitigation is JUDGED on the corpus shape it
+    // exists for, not just described.
+
+    // MinHash LSH on the skewed corpus through the stop-shingle
+    // prefilter (maxDocFreq=10): without it the universal footer wins
+    // min for some hash indices corpus-wide and one band bucket goes
+    // O(n²); with it, signatures and the verify Jaccard run on content
+    // shingles only. Oracle = the full filtered pipeline re-derived.
+    Q.df("x390_skew_minhash_stopfiltered",
+      (s, dir) => Dedup.minhashLshPairs(
+        skewDocs(Tables.load(s, dir, "documents")),
+        maxDocFreq = Some(10)),
+      s"""WITH $duckSkew, $duckSkewTok, ${duckSkewShinglesFiltered(10)},
+         |mh AS MATERIALIZED (
+         |  SELECT doc_id, i, min(md5(CAST(i AS STRING) || ':' || shingle)) AS m
+         |  FROM sh, range(0, 8) r(i) GROUP BY doc_id, i
+         |), bands AS MATERIALIZED (
+         |  SELECT doc_id, i % 2 AS band,
+         |    md5(min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 0 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 1 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 2 THEN m END) || ':' ||
+         |        min(CASE WHEN CAST(floor(i/2.0) AS BIGINT) = 3 THEN m END)) AS sig
+         |  FROM mh GROUP BY doc_id, i % 2
+         |), cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |), sz AS MATERIALIZED (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS MATERIALIZED (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+         |    AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT cand.d1, cand.d2,
+         |  CAST(floor(10000.0 * i / (s1.n + s2.n - i)) AS BIGINT)
+         |    AS jac_x10k
+         |FROM cand JOIN inter ON cand.d1 = inter.d1 AND cand.d2 = inter.d2
+         |JOIN sz s1 ON cand.d1 = s1.doc_id
+         |JOIN sz s2 ON cand.d2 = s2.doc_id
+         |ORDER BY cand.d1, cand.d2""".stripMargin),
+
+    // truncation dedup on the prefix-collapsed corpus at the DOCUMENTED
+    // knob setting: prefixLen=64 clears the 47-char boilerplate so the
+    // successor windows re-shard on content (at the default 8 every
+    // boilerplate doc lands in ONE window partition); planted truncated
+    // copies (some shorter than 64 -> the broadcast short-text path
+    // runs for real) are derived identically in the oracle
+    Q.df("x391_skew_truncation",
+      (s, dir) => {
+        val skew = skewDocs(Tables.load(s, dir, "documents"))
+          .select("doc_id", "text")
+        val planted = skew
+          .where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("substring(text, 1, 40 + CAST(doc_id % 37 AS INT))")
+              .as("text"))
+        Dedup.truncationDupes(skew.unionByName(planted), prefixLen = 64)
+      },
+      s"""WITH $duckSkew,
+         |corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM skew
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substr(text, 1, 40 + CAST(doc_id % 37 AS INT))
+         |  FROM skew WHERE doc_id % 5 = 0),
+         |own AS MATERIALIZED (
+         |  SELECT text AS t, min(doc_id) AS owner FROM corpus GROUP BY 1),
+         |srt AS (SELECT t, owner, lead(t) OVER (ORDER BY t) AS nxt,
+         |        lead(owner) OVER (ORDER BY t) AS nxt_owner FROM own),
+         |flag AS (SELECT t, nxt_owner FROM srt
+         |         WHERE nxt IS NOT NULL AND starts_with(nxt, t))
+         |SELECT c.doc_id AS doc_id,
+         |  CAST(length(c.text) AS BIGINT) AS n_chars_trunc,
+         |  f.nxt_owner AS container_id
+         |FROM corpus c JOIN flag f ON c.text = f.t
+         |ORDER BY doc_id""".stripMargin),
+
+    // contamination matrix on the skewed corpus through x342's pruning
+    // tier: the planted universal footer/boilerplate shingles cross
+    // EVERY source pair, so without the >=3-source drop the matrix
+    // saturates; the pruned tier prices them in n_dropped and measures
+    // content overlap only
+    Q.df("x392_skew_contamination_pruned",
+      (s, dir) => Curation.contaminationMatrixPruned(
+        skewDocs(Tables.load(s, dir, "documents"))),
+      s"""WITH $duckSkew, $duckSkewTok,
+         |st AS MATERIALIZED (SELECT DISTINCT d.source,
+         |    a.w || ' ' || b.w || ' ' || c.w AS s
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         |             JOIN skew d ON d.doc_id = a.doc_id),
+         |hot AS MATERIALIZED (SELECT s FROM st GROUP BY s HAVING count(*) >= 3),
+         |drp AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped FROM hot),
+         |pr AS MATERIALIZED (SELECT source, s FROM st
+         |  WHERE s NOT IN (SELECT s FROM hot)),
+         |sizes AS MATERIALIZED (SELECT st.source,
+         |    CAST(count(CASE WHEN hot.s IS NULL THEN 1 END) AS BIGINT)
+         |      AS n
+         |  FROM st LEFT JOIN hot ON st.s = hot.s GROUP BY 1),
+         |shared AS MATERIALIZED (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM pr a JOIN pr b ON a.s = b.s AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT sa.source AS src_a, sb.source AS src_b,
+         |  sa.n AS n_a, sb.n AS n_b,
+         |  coalesce(n_shared, 0) AS n_shared,
+         |  coalesce(coalesce(n_shared, 0) * 1000000
+         |    // nullif(sa.n + sb.n - coalesce(n_shared, 0), 0), 0)
+         |    AS jaccard_ppm,
+         |  n_dropped
+         |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+         |  LEFT JOIN shared
+         |    ON shared.src_a = sa.source AND shared.src_b = sb.source
+         |  CROSS JOIN drp
+         |ORDER BY src_a, src_b""".stripMargin),
 
     // streaming shape #24: NATIVE dropDuplicatesWithinWatermark TTL
     // dedup — (user, event_type) admitted once per 7-day window with
