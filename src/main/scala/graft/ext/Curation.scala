@@ -211,6 +211,44 @@ object Curation {
     * |sources|^2 — at 100 TB you'd drop the head shingles present in
     * every source first (they contribute a constant to every cell).
     * Output is one row per unordered source pair. */
+  /** EXACT n-token-window decontamination — the published eval-leak
+    * rule (GPT-3 appendix C / PaLM: drop a training document sharing
+    * any exact 13-gram with an eval example; Brown et al. 2020, public
+    * knowledge): every train doc that shares at least one exact
+    * `n`-token window with any eval doc, with the shared-window count
+    * and the smallest offending eval id as the audit evidence. The
+    * fuzzy simhash tier ([[graft.ext.Dedup.contaminationFuzzy]], x87)
+    * catches paraphrase-level leaks; THIS tier is the contractual
+    * exact rule eval cards cite.
+    *
+    * Scale shape: windows are built IN-ROW (one transform over the
+    * token array — zero shuffles, the shingles3 discipline) and
+    * immediately md5-hashed, so the equi-join that does the work is
+    * keyed on 16-byte digests, never window text; the eval side is the
+    * small side by construction (eval suites are thousands of docs,
+    * the corpus is the 100 TB side) and arrives distinct-per-doc. No
+    * pair join, no window function.
+    *
+    * Output: (doc_id, n_shared, first_eval_id) — one row per
+    * CONTAMINATED train doc, ordered by doc_id. */
+  def ngramDecontaminate(train: DataFrame, eval0: DataFrame,
+                         n: Int = 13): DataFrame = {
+    require(n >= 2 && n <= 64, s"window must be 2..64 tokens; got $n")
+    def windows(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), TextStats.tokensCol(col("text")).as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(t) - ${n - 1})," +
+          s" i -> md5(array_join(slice(t, i, $n), ' '))))")).as("g"))
+    windows(train)
+      .join(windows(eval0).select(col("g"), col("doc_id").as("eval_id")),
+        Seq("g"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("g")).as("n_shared"),
+        min(col("eval_id")).as("first_eval_id"))
+      .orderBy("doc_id")
+  }
+
   def contaminationMatrix(docs: DataFrame): DataFrame = {
     val st = shingles3(docs, Seq("source")).select("source", "s").distinct()
     val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))

@@ -479,4 +479,78 @@ object Graph {
         col("dst"))
       .limit(k)
   }
+
+  /** BOUNDED-PROBE HARMONIC CENTRALITY: for each probe node, the exact
+    * count of nodes at shortest-path distance 1, 2 and 3, and the
+    * 3-hop harmonic score Σ n_d·(1000 div d) = 1000·n1 + 500·n2 +
+    * 333·n3 (integer milli — no float harmonic sum). Harmonic
+    * centrality is the textbook reachability-with-decay measure
+    * (Boldi & Vigna, "Axioms for Centrality", 2014 — public knowledge)
+    * and its 3-hop truncation is what "who sits centrally in the
+    * supply web" dashboards actually compute: full-graph BFS per node
+    * is O(n·m) and unpayable, while hop-3 already separates hubs from
+    * periphery on any small-world graph.
+    *
+    * Scale shape: the frontier expansion is PROBE-KEYED — each round
+    * is one equi-join of the (probe, node) frontier against the arc
+    * list plus one anti-join against the visited set, so round d costs
+    * |probes| × (nodes within d hops), never the full n² BFS; the
+    * probe set is the sampling knob (the x382 hubness-audit
+    * discipline). Edges are symmetrized internally ([[kCoreTrajectory]]
+    * contract). Rounds are checkpointed with eager release.
+    *
+    * Output: (node, n1, n2, n3, harmonic_milli), probes with at least
+    * one neighbor, ordered by node. */
+  def harmonicCentralityBounded(edges: DataFrame,
+                                probes: DataFrame): DataFrame = {
+    val arcs = CacheRegistry.pin(
+      edges.select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    val p0 = probes.select(col("node").as("probe"))
+    // visited starts as the probe itself (distance 0, not scored);
+    // each round's frontier stays pinned until the joined result
+    // materializes (a released local checkpoint cannot recompute)
+    var visited = CacheRegistry.checkpoint(
+      p0.select(col("probe"), col("probe").as("node")))
+    var frontier = visited
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val counts = (1 to 3).map { d =>
+      val next = CacheRegistry.checkpoint(
+        frontier.join(arcs, frontier("node") === arcs("src"))
+          .select(col("probe"), col("dst").as("node"))
+          .distinct()
+          .join(visited, Seq("probe", "node"), "left_anti"))
+      rounds += next
+      val prevVisited = visited
+      visited = CacheRegistry.checkpoint(visited.unionByName(next))
+      CacheRegistry.release(prevVisited)
+      frontier = next
+      // rename the key per round: the count frames share p0's lineage,
+      // so an acc("probe") === c("probe") join would be ambiguous
+      next.groupBy("probe").agg(count(lit(1)).as(s"n$d"))
+        .withColumnRenamed("probe", s"probe_$d")
+    }
+    val out = counts.zipWithIndex
+      .foldLeft(p0) { case (acc, (c, i)) =>
+        acc.join(c, col("probe") === col(s"probe_${i + 1}"), "left")
+          .drop(s"probe_${i + 1}")
+      }
+      .select(col("probe").as("node"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("n3"), lit(0L)).as("n3"))
+      .where(col("n1") > 0)
+      .withColumn("harmonic_milli",
+        expr("n1 * 1000 + n2 * 500 + n3 * 333"))
+      .orderBy("node")
+    // pin (not bare cache) so Session.clearAll reclaims it; materialize
+    // before releasing the round frontiers it reads from
+    val materialized = CacheRegistry.pin(out)
+    materialized.count()
+    rounds.foreach(CacheRegistry.release)
+    CacheRegistry.release(visited)
+    CacheRegistry.release(arcs)
+    materialized
+  }
 }

@@ -1370,4 +1370,61 @@ object Profile {
           " div v_all AS BIGINT)").as("share_ppm"))
       .orderBy("pct")
   }
+
+  /** ONE-PASS column-pair correlation matrix: sqrt-free SIGNED r² (in
+    * MILLI) between every pair of the supplied integer columns —
+    * sign(cov)·cov²·1e3 div (va·vb), the exact form x387 uses between
+    * series, here between COLUMNS of one fact table: the "which
+    * measures move together" profiling card that decides which columns
+    * can share a sort key or a sampling stratum.
+    *
+    * Scale shape: ONE aggregation over the table computes every
+    * Σx, Σx² and Σxy (k + k(k+1)/2 sums, merged map-side — the whole
+    * matrix costs one corpus pass regardless of k); the per-pair
+    * arithmetic then runs on a single exploded row. Never one scan per
+    * pair, never a pair shuffle.
+    *
+    * Exactness bound (explicit, guarded — the x387 discipline): all
+    * moment products are DECIMAL(38,0) (DuckDB twin: HUGEINT); r² is
+    * emitted in MILLI, not ppm, because fact-table moments are
+    * O(rows²·value²) — with cov²·1e3 the chain stays exact up to
+    * |cov| < 3.1e17 and va,vb < 1e19 (≈ 10⁸ rows of 10⁵-unit values);
+    * past the guard the pair reports NULL rather than overflowing.
+    * Pre-scale the value columns (r² is scale-invariant) for hotter
+    * tables.
+    *
+    * Output: (col_a, col_b, n, signed_r2_milli) for every unordered
+    * pair, ordered by (col_a, col_b). */
+  def correlationMatrix(df: DataFrame,
+                        cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"need 2..8 columns; got ${cols.size}")
+    val names = cols.map(_._1)
+    val sums =
+      Seq(count(lit(1)).as("m")) ++
+        names.map(nm => sum(col(nm)).as(s"s_$nm")) ++
+        (for (an <- names; bn <- names if an <= bn)
+          yield sum(col(an) * col(bn)).as(s"p_${an}_$bn"))
+    val agg = df
+      .select(cols.map { case (nm, c) =>
+        c.cast("decimal(38,0)").as(nm) }: _*)
+      .agg(sums.head, sums.tail: _*)
+    val pairCols = for (an <- names; bn <- names if an < bn)
+      yield struct(
+        lit(an).as("col_a"), lit(bn).as("col_b"),
+        expr(s"m * p_${an}_$bn - s_$an * s_$bn").as("cov"),
+        expr(s"m * p_${an}_$an - s_$an * s_$an").as("va"),
+        expr(s"m * p_${bn}_$bn - s_$bn * s_$bn").as("vb"))
+    agg.select(col("m"), explode(array(pairCols: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("m").as("n"),
+        expr("CAST(CASE WHEN p.va = 0 OR p.vb = 0 THEN NULL" +
+          " WHEN abs(p.cov) >= 310000000000000000BD" +
+          "   OR p.va >= 10000000000000000000BD" +
+          "   OR p.vb >= 10000000000000000000BD THEN NULL" +
+          " ELSE (CASE WHEN p.cov < 0 THEN -1 ELSE 1 END)" +
+          " * (p.cov * p.cov * 1000 div (p.va * p.vb)) END AS BIGINT)")
+          .as("signed_r2_milli"))
+      .orderBy("col_a", "col_b")
+  }
 }

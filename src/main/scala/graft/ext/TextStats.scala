@@ -1439,4 +1439,40 @@ object TextStats {
         expr("1000000 - n1 * 1000000 div n_tokens")
           .as("coverage_ppm"))
   }
+
+  /** ENCODING-DAMAGE audit per source — the crawl-hygiene check run
+    * before any tokenizer sees the text: counts of the four classic
+    * damage signatures (U+FFFD replacement characters from decode
+    * failures; 'Ã'-led mojibake digraphs from UTF-8 read as Latin-1;
+    * unescaped HTML entities from half-done extraction; raw C0 control
+    * characters) plus the share of documents carrying ANY of them.
+    * Damaged text poisons BPE merges and n-gram statistics silently —
+    * this audit prices it per source so the fix lands at the ingester
+    * that caused it.
+    *
+    * Scale shape: four regexp counts in one narrow projection (no
+    * shuffle), one keyed aggregate by source.
+    *
+    * Output: (source, n_docs, n_replacement, n_mojibake, n_entity,
+    * n_ctrl, damaged_ppm), ordered by source. */
+  def encodingDamage(docs: DataFrame): DataFrame = {
+    def cnt(re: String) =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    val entityRe = "&(amp|lt|gt|quot|apos|#[0-9]+);"
+    val ctrlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    docs
+      .select(col("source"),
+        cnt("\\uFFFD").as("r"), cnt("\\u00C3.").as("m"),
+        cnt(entityRe).as("e"), cnt(ctrlRe).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("r").as("n_replacement"), sum("m").as("n_mojibake"),
+        sum("e").as("n_entity"), sum("c").as("n_ctrl"),
+        sum(when(col("r") + col("m") + col("e") + col("c") > 0, 1L)
+          .otherwise(0L)).as("dmg"))
+      .select(col("source"), col("n_docs"), col("n_replacement"),
+        col("n_mojibake"), col("n_entity"), col("n_ctrl"),
+        expr("dmg * 1000000 div n_docs").as("damaged_ppm"))
+      .orderBy("source")
+  }
 }

@@ -10050,7 +10050,205 @@ object Extensions {
       """SELECT DISTINCT user_id, event_type,
         |  (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS win
         |FROM events
-        |ORDER BY user_id, event_type, win""".stripMargin)
+        |ORDER BY user_id, event_type, win""".stripMargin),
+
+    // exact 13-gram eval decontamination (the published GPT-3/PaLM
+    // rule) — windows built in-row, joined on md5 digests; the corpus
+    // is seeded with deterministic leaked copies so the rule fires for
+    // real (same derivation in the oracle)
+    Q.df("x393_ngram_decontaminate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val eval0 = docs.where(col("source") === "src19")
+        val train = docs.where(col("source") =!= "src19")
+          .select("doc_id", "text")
+          .unionByName(eval0.where(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(lit("press syndication wire copy "), col("text"),
+                lit(" republished with permission")).as("text")))
+        Curation.ngramDecontaminate(train, eval0)
+      },
+      """WITH ev AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src19'),
+        |tr AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src19'
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    concat('press syndication wire copy ', text,
+        |           ' republished with permission')
+        |  FROM ev WHERE doc_id % 3 = 0),
+        |tw AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, len(t) - 11),
+        |      i -> md5(array_to_string(t[i:i+12], ' '))))) AS g
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |        FROM tr)
+        |  WHERE len(t) >= 13),
+        |ew AS MATERIALIZED (
+        |  SELECT doc_id AS eval_id, unnest(list_distinct(list_transform(
+        |      range(1, len(t) - 11),
+        |      i -> md5(array_to_string(t[i:i+12], ' '))))) AS g
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |        FROM ev)
+        |  WHERE len(t) >= 13)
+        |SELECT tw.doc_id,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS n_shared,
+        |  min(eval_id) AS first_eval_id
+        |FROM tw JOIN ew USING (g)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // one-pass column-pair correlation matrix over lineitem numerics:
+    // every Σx/Σx²/Σxy in ONE aggregation, per-pair signed r² milli on
+    // the exploded single row — one corpus pass for the whole matrix
+    Q.df("x394_correlation_matrix",
+      (s, dir) => Profile.correlationMatrix(
+        Tables.load(s, dir, "lineitem"),
+        Seq(
+          "disc" -> expr("CAST(floor(l_discount * 100) AS BIGINT)"),
+          "price" -> expr("CAST(floor(l_extendedprice) AS BIGINT)"),
+          "qty" -> expr("CAST(l_quantity AS BIGINT)"),
+          "tax" -> expr("CAST(floor(l_tax * 100) AS BIGINT)"))),
+      """WITH b AS (SELECT
+        |    CAST(floor(l_discount * 100) AS HUGEINT) AS disc,
+        |    CAST(floor(l_extendedprice) AS HUGEINT) AS price,
+        |    CAST(l_quantity AS HUGEINT) AS qty,
+        |    CAST(floor(l_tax * 100) AS HUGEINT) AS tax
+        |  FROM lineitem),
+        |mo AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+        |    sum(disc) AS sd, sum(price) AS sp, sum(qty) AS sq,
+        |    sum(tax) AS st,
+        |    sum(disc*disc) AS pdd, sum(disc*price) AS pdp,
+        |    sum(disc*qty) AS pdq, sum(disc*tax) AS pdt,
+        |    sum(price*price) AS ppp, sum(price*qty) AS ppq,
+        |    sum(price*tax) AS ppt, sum(qty*qty) AS pqq,
+        |    sum(qty*tax) AS pqt, sum(tax*tax) AS ptt
+        |  FROM b),
+        |pairs AS (
+        |  SELECT 'disc' AS col_a, 'price' AS col_b, m,
+        |    m*pdp - sd*sp AS cov, m*pdd - sd*sd AS va,
+        |    m*ppp - sp*sp AS vb FROM mo
+        |  UNION ALL SELECT 'disc', 'qty', m, m*pdq - sd*sq,
+        |    m*pdd - sd*sd, m*pqq - sq*sq FROM mo
+        |  UNION ALL SELECT 'disc', 'tax', m, m*pdt - sd*st,
+        |    m*pdd - sd*sd, m*ptt - st*st FROM mo
+        |  UNION ALL SELECT 'price', 'qty', m, m*ppq - sp*sq,
+        |    m*ppp - sp*sp, m*pqq - sq*sq FROM mo
+        |  UNION ALL SELECT 'price', 'tax', m, m*ppt - sp*st,
+        |    m*ppp - sp*sp, m*ptt - st*st FROM mo
+        |  UNION ALL SELECT 'qty', 'tax', m, m*pqt - sq*st,
+        |    m*pqq - sq*sq, m*ptt - st*st FROM mo)
+        |SELECT col_a, col_b, CAST(m AS BIGINT) AS n,
+        |  CAST(CASE WHEN va = 0 OR vb = 0 THEN NULL
+        |    WHEN abs(cov) >= 310000000000000000
+        |      OR va >= 10000000000000000000
+        |      OR vb >= 10000000000000000000 THEN NULL
+        |    ELSE (CASE WHEN cov < 0 THEN -1 ELSE 1 END)
+        |      * (cov * cov * 1000 // (va * vb)) END AS BIGINT)
+        |    AS signed_r2_milli
+        |FROM pairs ORDER BY col_a, col_b""".stripMargin),
+
+    // encoding-damage audit (U+FFFD, mojibake digraphs, HTML entities,
+    // C0 controls) per source — the corpus is seeded with deterministic
+    // damage (same derivation in the oracle) so every counter fires
+    Q.df("x395_encoding_damage",
+      (s, dir) => TextStats.encodingDamage(
+        Tables.load(s, dir, "documents")
+          .select(col("source"),
+            when(col("doc_id") % 13 === 0,
+              concat(col("text"),
+                lit("Ã© &amp; &#233; x�")))
+              .otherwise(col("text")).as("text"))),
+      """WITH dmg AS (SELECT source,
+        |    CASE WHEN doc_id % 13 = 0 THEN
+        |      concat(text, chr(195), chr(169), ' &amp; &#233; x',
+        |             chr(65533))
+        |    ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT source,
+        |    CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+        |      AS r,
+        |    CAST(len(regexp_extract_all(text, chr(195) || '.'))
+        |      AS BIGINT) AS m,
+        |    CAST(len(regexp_extract_all(text,
+        |      '&(amp|lt|gt|quot|apos|#[0-9]+);')) AS BIGINT) AS e,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS ct
+        |  FROM dmg)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(r) AS BIGINT) AS n_replacement,
+        |  CAST(sum(m) AS BIGINT) AS n_mojibake,
+        |  CAST(sum(e) AS BIGINT) AS n_entity,
+        |  CAST(sum(ct) AS BIGINT) AS n_ctrl,
+        |  CAST(sum(CASE WHEN r + m + e + ct > 0 THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS damaged_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin),
+
+    // bounded-probe harmonic centrality (3 hops) on the customer-
+    // supplier graph: exact per-distance counts + integer-milli
+    // harmonic score for every 200th customer — oracle = the three
+    // frontier hops unrolled as materialized anti-joined CTEs. Node
+    // ids are BIGINT (cust*2 / supp*2+1): the hop joins and distincts
+    // stream |probes|×paths rows, and an 8-byte key halves that
+    // shuffle vs 'c123'-style strings — the probe density is the
+    // other cost knob (the x382 sampling discipline)
+    Q.df("x396_harmonic_centrality",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        val probes = Tables.load(s, dir, "customer")
+          .where(col("c_custkey") % 200 === 0)
+          .select((col("c_custkey") * 2).as("node"))
+        Graph.harmonicCentralityBounded(cs, probes)
+      },
+      """WITH arcs0 AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS src,
+        |    l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |arcs AS MATERIALIZED (
+        |  SELECT src, dst FROM arcs0
+        |  UNION SELECT dst, src FROM arcs0),
+        |p AS MATERIALIZED (
+        |  SELECT c_custkey * 2 AS probe FROM customer
+        |  WHERE c_custkey % 200 = 0),
+        |h1 AS MATERIALIZED (
+        |  SELECT DISTINCT p.probe, a.dst AS node
+        |  FROM p JOIN arcs a ON a.src = p.probe
+        |  WHERE a.dst <> p.probe),
+        |h2 AS MATERIALIZED (
+        |  SELECT DISTINCT h1.probe, a.dst AS node
+        |  FROM h1 JOIN arcs a ON a.src = h1.node
+        |  WHERE a.dst <> h1.probe
+        |    AND NOT EXISTS (SELECT 1 FROM h1 v
+        |      WHERE v.probe = h1.probe AND v.node = a.dst)),
+        |h3 AS MATERIALIZED (
+        |  SELECT DISTINCT h2.probe, a.dst AS node
+        |  FROM h2 JOIN arcs a ON a.src = h2.node
+        |  WHERE a.dst <> h2.probe
+        |    AND NOT EXISTS (SELECT 1 FROM h1 v
+        |      WHERE v.probe = h2.probe AND v.node = a.dst)
+        |    AND NOT EXISTS (SELECT 1 FROM h2 v
+        |      WHERE v.probe = h2.probe AND v.node = a.dst)),
+        |c1 AS (SELECT probe, CAST(count(*) AS BIGINT) AS n1
+        |       FROM h1 GROUP BY 1),
+        |c2 AS (SELECT probe, CAST(count(*) AS BIGINT) AS n2
+        |       FROM h2 GROUP BY 1),
+        |c3 AS (SELECT probe, CAST(count(*) AS BIGINT) AS n3
+        |       FROM h3 GROUP BY 1)
+        |SELECT p.probe AS node, c1.n1,
+        |  coalesce(c2.n2, 0) AS n2, coalesce(c3.n3, 0) AS n3,
+        |  c1.n1 * 1000 + coalesce(c2.n2, 0) * 500
+        |    + coalesce(c3.n3, 0) * 333 AS harmonic_milli
+        |FROM p JOIN c1 ON c1.probe = p.probe
+        |LEFT JOIN c2 ON c2.probe = p.probe
+        |LEFT JOIN c3 ON c3.probe = p.probe
+        |ORDER BY node""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

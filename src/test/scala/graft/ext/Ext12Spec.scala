@@ -1,0 +1,134 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-11 operator invariants: hand-computed fixtures for the
+  * operators judged as x393–x396. */
+class Ext12Spec extends SparkSpec {
+
+  // ---- ngramDecontaminate (x393) ---------------------------------------
+
+  test("ngramDecontaminate: exact n-gram sharing flags, count and witness") {
+    import spark.implicits._
+    // n=3 windows for a hand-checkable fixture. eval doc 10: "a b c d"
+    // -> 3-grams {abc, bcd}; eval doc 11: "x y z" -> {xyz}.
+    val eval0 = Seq((10L, "a b c d"), (11L, "x y z"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "p q a b c d r"),   // shares abc AND bcd -> n_shared=2, ev 10
+      (2L, "p q x y z"),       // shares xyz -> n_shared=1, ev 11
+      (3L, "a b x y c d"),     // no shared 3-gram
+      (4L, "a b")              // too short for any window
+    ).toDF("doc_id", "text")
+    val out = Curation.ngramDecontaminate(train, eval0, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 10L), (2L, 1L, 11L)), out.mkString(","))
+  }
+
+  test("ngramDecontaminate: a window shared with SEVERAL eval docs counts once, witness is min") {
+    import spark.implicits._
+    val eval0 = Seq((20L, "a b c"), (21L, "z a b c"))
+      .toDF("doc_id", "text")
+    val train = Seq((1L, "q a b c q")).toDF("doc_id", "text")
+    val out = Curation.ngramDecontaminate(train, eval0, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // "a b c" appears in both eval docs: n_shared counts the WINDOW once,
+    // the witness is the smaller eval id
+    assert(out == Seq((1L, 1L, 20L)), out.mkString(","))
+  }
+
+  // ---- correlationMatrix (x394) ------------------------------------------
+
+  test("correlationMatrix: hand-computed signed r2 milli for perfect, anti and zero correlation") {
+    import spark.implicits._
+    // x = 1..4; y = 2x (r=+1); z = -x (r=-1); w = (1,-1,1,-1) vs x:
+    // cov(x,w) = 4*(1-1+3-4... compute: sum xw = 1*1+2*(-1)+3*1+4*(-1) = -2
+    // sx=10 sw=0 -> cov = 4*(-2) - 10*0 = -8; va(x)=4*30-100=20;
+    // vb(w)=4*4-0=16 -> r2 = 64*1000 div 320 = 200, sign=-1 -> -200
+    val df = Seq((1L, 2L, -1L, 1L), (2L, 4L, -2L, -1L),
+      (3L, 6L, -3L, 1L), (4L, 8L, -4L, -1L)).toDF("x", "y", "z", "w")
+    val out = Profile.correlationMatrix(df, Seq(
+      "w" -> col("w"), "x" -> col("x"), "y" -> col("y"),
+      "z" -> col("z"))).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3))))
+      .toMap
+    assert(out(("x", "y")) == 1000L)   // perfect positive
+    assert(out(("x", "z")) == -1000L)  // perfect negative
+    assert(out(("w", "x")) == -200L)   // hand-computed partial
+    assert(out(("y", "z")) == -1000L)
+  }
+
+  test("correlationMatrix: zero-variance column reports NULL, not overflow or div0") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "k")
+    val out = Profile.correlationMatrix(df,
+      Seq("k" -> col("k"), "x" -> col("x"))).collect()
+    assert(out.length == 1 && out.head.isNullAt(3), out.mkString(","))
+  }
+
+  test("correlationMatrix: the documented exactness guard returns NULL past the cov bound") {
+    import spark.implicits._
+    // two copies of a 4e17-scale pair: cov exceeds the 3.1e17 guard
+    val big = 400000000000000000L
+    val df = Seq((big, big), (-big, -big), (big, big), (-big, -big))
+      .toDF("x", "y")
+    val out = Profile.correlationMatrix(df,
+      Seq("x" -> col("x"), "y" -> col("y"))).collect()
+    assert(out.length == 1 && out.head.isNullAt(3),
+      "guard must NULL rather than overflow: " + out.mkString(","))
+  }
+
+  // ---- encodingDamage (x395) ----------------------------------------------
+
+  test("encodingDamage: each damage class counted, clean docs zero") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "clean text here"),
+      ("a", "bad � and Ã© mojibake"),
+      ("b", "one &amp; two &#42; three &#99; four"),
+      ("b", "ctrl\u0001char\u001F here"),
+      ("b", "tabs\tand\nnewlines are fine")
+    ).toDF("source", "text")
+    val out = TextStats.encodingDamage(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // a: 2 docs, 1 replacement, 1 mojibake, damaged 1/2 = 500000 ppm
+    // b: 3 docs, entities: &amp; &#42; &#99; = 3 in doc 1; ctrl: 2 in
+    //    doc 2; tab/newline NOT counted -> damaged 2/3 = 666666 ppm
+    assert(out == Seq(
+      ("a", 2L, 1L, 1L, 0L, 0L, 500000L),
+      ("b", 3L, 0L, 0L, 3L, 2L, 666666L)), out.mkString(","))
+  }
+
+  // ---- harmonicCentralityBounded (x396) ------------------------------------
+
+  test("harmonicCentralityBounded: path graph distances counted once at their shortest hop") {
+    import spark.implicits._
+    // path a-b-c-d-e, probe a: n1={b}, n2={c}, n3={d} (e is 4 hops, out
+    // of band); probe c: n1={b,d}, n2={a,e}, n3={} — one orientation
+    // only, the operator symmetrizes
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val probes = Seq("a", "c", "zz").toDF("node") // zz: isolated, dropped
+    val out = Graph.harmonicCentralityBounded(edges, probes).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("a", 1L, 1L, 1L, 1833L),
+      ("c", 2L, 2L, 0L, 3000L)), out.mkString(","))
+  }
+
+  test("harmonicCentralityBounded: cycle revisit does not double-count (anti-join vs visited)") {
+    import spark.implicits._
+    // triangle a-b-c: from a, b and c are BOTH at distance 1 (c via the
+    // direct edge), distance-2 set is empty (everything already seen)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val probes = Seq("a").toDF("node")
+    val out = Graph.harmonicCentralityBounded(edges, probes).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(("a", 2L, 0L, 0L, 2000L)), out.mkString(","))
+  }
+}
