@@ -1455,24 +1455,39 @@ object TextStats {
     *
     * Output: (source, n_docs, n_replacement, n_mojibake, n_entity,
     * n_ctrl, damaged_ppm), ordered by source. */
-  def encodingDamage(docs: DataFrame): DataFrame = {
+  def encodingDamage(docs: DataFrame): DataFrame =
+    encodingDamageFromCounts(
+      damageCounts(docs)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("r").as("n_replacement"), sum("m").as("n_mojibake"),
+          sum("e").as("n_entity"), sum("c").as("n_ctrl"),
+          sum(when(col("r") + col("m") + col("e") + col("c") > 0, 1L)
+            .otherwise(0L)).as("dmg")))
+
+  /** Per-document damage counters (source, r, m, e, c) — the narrow
+    * in-row stage shared by the batch audit and the streaming monitor
+    * (each arriving document is scored once, state carries only the
+    * per-source sums). */
+  private[graft] def damageCounts(docs: DataFrame): DataFrame = {
     def cnt(re: String) =
       size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
     val entityRe = "&(amp|lt|gt|quot|apos|#[0-9]+);"
     val ctrlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
-    docs
-      .select(col("source"),
-        cnt("\\uFFFD").as("r"), cnt("\\u00C3.").as("m"),
-        cnt(entityRe).as("e"), cnt(ctrlRe).as("c"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("r").as("n_replacement"), sum("m").as("n_mojibake"),
-        sum("e").as("n_entity"), sum("c").as("n_ctrl"),
-        sum(when(col("r") + col("m") + col("e") + col("c") > 0, 1L)
-          .otherwise(0L)).as("dmg"))
+    docs.select(col("source"),
+      cnt("\\uFFFD").as("r"), cnt("\\u00C3.").as("m"),
+      cnt(entityRe).as("e"), cnt(ctrlRe).as("c"))
+  }
+
+  /** Serve-time finishing stage over the bounded per-source counter
+    * table — exposed so the streaming monitor
+    * ([[graft.streaming.Streaming.streamDamage]]) drains its
+    * complete-mode state into the SAME arithmetic (drained == batch,
+    * checked by the shared oracle). */
+  def encodingDamageFromCounts(agg: DataFrame): DataFrame =
+    agg
       .select(col("source"), col("n_docs"), col("n_replacement"),
         col("n_mojibake"), col("n_entity"), col("n_ctrl"),
         expr("dmg * 1000000 div n_docs").as("damaged_ppm"))
       .orderBy("source")
-  }
 }

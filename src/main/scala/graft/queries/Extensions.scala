@@ -10248,7 +10248,36 @@ object Extensions {
         |FROM p JOIN c1 ON c1.probe = p.probe
         |LEFT JOIN c2 ON c2.probe = p.probe
         |LEFT JOIN c3 ON c3.probe = p.probe
-        |ORDER BY node""".stripMargin)
+        |ORDER BY node""".stripMargin),
+    // streaming shape #25: the encoding-damage monitor — in-row damage
+    // scoring, complete-mode per-source counter state, drained through
+    // the batch finishing stage; same oracle as x395
+    Q.df("x397_stream_damage",
+      (s, dir) => Streaming.streamDamage(s, dir),
+      """WITH dmg AS (SELECT source,
+        |    CASE WHEN doc_id % 13 = 0 THEN
+        |      concat(text, chr(195), chr(169), ' &amp; &#233; x',
+        |             chr(65533))
+        |    ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT source,
+        |    CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+        |      AS r,
+        |    CAST(len(regexp_extract_all(text, chr(195) || '.'))
+        |      AS BIGINT) AS m,
+        |    CAST(len(regexp_extract_all(text,
+        |      '&(amp|lt|gt|quot|apos|#[0-9]+);')) AS BIGINT) AS e,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS ct
+        |  FROM dmg)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(r) AS BIGINT) AS n_replacement,
+        |  CAST(sum(m) AS BIGINT) AS n_mojibake,
+        |  CAST(sum(e) AS BIGINT) AS n_entity,
+        |  CAST(sum(ct) AS BIGINT) AS n_ctrl,
+        |  CAST(sum(CASE WHEN r + m + e + ct > 0 THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS damaged_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Graph.kCoreTrajectory]] on the

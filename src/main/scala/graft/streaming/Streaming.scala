@@ -1326,6 +1326,49 @@ object Streaming {
     graft.ext.Profile.psiFromCounts(detachMart(spark.table(name)))
   }
 
+  /** Streaming ENCODING-DAMAGE monitor — shape #25, the live twin of
+    * the batch crawl-hygiene audit (x395): each arriving document is
+    * scored IN-ROW by the four damage counters
+    * ([[graft.ext.TextStats.damageCounts]] — the same regex
+    * definitions as batch), complete-mode state carries ONE counter
+    * row per source (bounded by source cardinality, never documents),
+    * and the drain finishes through the shared batch arithmetic
+    * ([[graft.ext.TextStats.encodingDamageFromCounts]]) — so the
+    * drained report EQUALS batch x395 over the same backlog, which is
+    * what the shared oracle checks. The ingester that starts shipping
+    * mojibake pages its owner mid-crawl, not at the nightly audit.
+    * Output: (source, n_docs, n_replacement, n_mojibake, n_entity,
+    * n_ctrl, damaged_ppm) ordered by source. */
+  def streamDamage(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_damage_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    withStreamDirsFile(dir, "documents.parquet") { (stage, ckpt) =>
+      val src = spark.readStream.schema(docsSchema).parquet(stage)
+        // the deterministic planted damage (same derivation as the
+        // batch x395 registration and its oracle)
+        .select(col("source"),
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit("Ã© &amp; &#233; x�")))
+            .otherwise(col("text")).as("text"))
+      val q = graft.ext.TextStats.damageCounts(src)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("r").as("n_replacement"), sum("m").as("n_mojibake"),
+          sum("e").as("n_entity"), sum("c").as("n_ctrl"),
+          sum(when(col("r") + col("m") + col("e") + col("c") > 0, 1L)
+            .otherwise(0L)).as("dmg"))
+        .writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.ext.TextStats.encodingDamageFromCounts(
+      detachMart(spark.table(name)))
+  }
+
   /** Streaming SAMPLE-RATIO-MISMATCH monitor — the live twin of the
     * batch SRM trajectory (x362): per-day treated/control arrival
     * counts under the parity assignment maintained as complete-mode

@@ -745,4 +745,31 @@ class PlanSpec extends SparkSpec {
     // bounded sources x values grid broadcast — never a SMJ over rows
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x393 decontamination: the window join is keyed, never a nested loop over window text") {
+    val p = plan("x393_ngram_decontaminate")
+    // train x eval contact is ONE equi-join on the md5 digest column;
+    // any nested-loop or cartesian here is the all-pairs contact the
+    // digest key exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("x394 correlation matrix: the whole moment set comes from ONE lineitem scan") {
+    val p = plan("x394_correlation_matrix")
+    // every Σx/Σx²/Σxy folds in a single aggregation pass — a second
+    // file scan would mean the matrix re-reads the corpus per pair
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p)
+  }
+
+  test("x390 skew minhash: stop-filter prunes via anti-join before signatures; candidates stay equi-joined") {
+    val p = plan("x390_skew_minhash_stopfiltered")
+    // the hot-shingle drop is a left-anti equi-join ahead of the
+    // signature aggregation, and no stage degenerates to a nested loop
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
 }

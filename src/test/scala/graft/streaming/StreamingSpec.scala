@@ -678,4 +678,20 @@ class StreamingSpec extends SparkSpec {
       .map(row).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming encoding-damage mart equals the batch audit") {
+    import org.apache.spark.sql.functions._
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getString(0), (1 to 6).map(r.getLong).toList)
+    val streamed = Streaming.streamDamage(spark, dir).collect()
+      .map(row).toSeq
+    val batch = graft.ext.TextStats.encodingDamage(
+        graft.Tables.load(spark, dir, "documents")
+          .select(col("source"),
+            when(col("doc_id") % 13 === 0,
+              concat(col("text"), lit("Ã© &amp; &#233; x�")))
+              .otherwise(col("text")).as("text"))).collect()
+      .map(row).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
