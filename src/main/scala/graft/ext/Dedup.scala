@@ -1386,6 +1386,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SUFFIX-containment dedup — the mirror of [[truncationDupes]]:
+    * one row per doc whose text is a strict SUFFIX of another document
+    * (chat-log tails, quoted-reply bodies, head-stripped re-crawls —
+    * the truncations that cut the BEGINNING off). Implemented as the
+    * prefix operator over character-reversed text, so it inherits the
+    * one-sort successor trick, the bucketed windows, the broadcast
+    * short-text path and the prefixLen skew knob unchanged.
+    *
+    * Witness contract (in reversed space, documented): container_id is
+    * the min doc_id owning the extension whose REVERSAL is
+    * lexicographically smallest — deterministic, same uniqueness
+    * argument as the prefix side.
+    *
+    * Output: (doc_id, n_chars_trunc, container_id) — n_chars_trunc is
+    * the suffix's own length; ordered by doc_id. */
+  def suffixDupes(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  prefixLen: Int = 8): DataFrame =
+    truncationDupes(
+      docs.select(col(idCol), reverse(col(textCol)).as(textCol)),
+      idCol, textCol, prefixLen)
+
   /** Segment-level (paragraph-chunk) exact dedup — the C4/RefinedWeb
     * "repeated boilerplate lines" rule re-expressed for a corpus
     * without newlines: each doc is cut into NON-OVERLAPPING w-word

@@ -111,6 +111,71 @@ object Multimodal {
     spark.createDataFrame(rdd, decodedSchema)
   }
 
+  val histSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("px_bytes", LongType, nullable = false),
+    StructField("n_distinct_vals", LongType, nullable = false),
+    StructField("modal_val", LongType, nullable = false),
+    StructField("modal_count", LongType, nullable = false),
+    StructField("modal_ppm", LongType, nullable = false)))
+
+  /** PIXEL-HISTOGRAM audit — the "dead sensor / constant frame" check
+    * run on decoded bytes before an image enters training: per image,
+    * the 256-bin byte-value histogram of the REAL pixel region
+    * (header-validated offset, every byte read), summarized as the
+    * distinct-value count, the modal byte (smallest on ties), its
+    * count, and its share in ppm — a modal_ppm near 1e6 is a constant
+    * frame, a tiny n_distinct_vals is a posterized/black capture. No
+    * float entropy: the three integers carry the same screening power
+    * and stay hash-exact.
+    *
+    * Scale shape: the histogram folds per-partition inside the decode
+    * loop (256 longs per in-flight image, payload bytes never shuffle
+    * or hit the driver — the [[decodeBmp]] discipline); the output is
+    * one narrow row per image. The oracle re-derives the histogram
+    * from the capture rule (pixel byte i = i % 256 over the 4-aligned
+    * region), so a decode bug — wrong offset, dropped padding, short
+    * read — is a hash failure, not a plausible wrong number.
+    * Output: (doc_id, px_bytes, n_distinct_vals, modal_val,
+    * modal_count, modal_ppm), ordered by doc_id. */
+  def pixelHistogramAudit(withPayloadDf: DataFrame): DataFrame = {
+    val spark = withPayloadDf.sparkSession
+    val rdd = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions {
+      it =>
+        // one histogram buffer per task, reused across its images —
+        // where a native decoder would also keep its scratch
+        val counts = new Array[Long](256)
+        it.map { r =>
+          val docId = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          require(payload.length >= 54 &&
+            payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+            s"doc $docId: not a BMP payload")
+          val buf = java.nio.ByteBuffer.wrap(payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val fileSize = buf.getInt(2).toLong
+          val pixelOff = buf.getInt(10)
+          require(fileSize == payload.length,
+            s"doc $docId: header says $fileSize, payload has ${payload.length}")
+          java.util.Arrays.fill(counts, 0L)
+          var i = pixelOff
+          while (i < payload.length) {
+            counts(payload(i) & 0xff) += 1; i += 1
+          }
+          val px = (payload.length - pixelOff).toLong
+          var v = 0; var nd = 0L; var modalV = 0L; var modalC = 0L
+          while (v < 256) {
+            val c = counts(v)
+            if (c > 0) nd += 1
+            if (c > modalC) { modalC = c; modalV = v.toLong }
+            v += 1
+          }
+          Row(docId, px, nd, modalV, modalC, modalC * 1000000L / px)
+        }
+    }
+    spark.createDataFrame(rdd, histSchema).orderBy("doc_id")
+  }
+
   // ---- real WAV build + decode --------------------------------------
 
   /** WAV capture parameters derived from n_chars — the deterministic

@@ -10249,6 +10249,56 @@ object Extensions {
         |LEFT JOIN c2 ON c2.probe = p.probe
         |LEFT JOIN c3 ON c3.probe = p.probe
         |ORDER BY node""".stripMargin),
+    // pixel-histogram audit on REAL decoded bytes: per-image 256-bin
+    // byte histogram folded inside the decode loop (payloads never
+    // shuffle), summarized as exact integers; the oracle closed-forms
+    // the histogram from the capture rule (byte i = i % 256 over the
+    // 4-aligned region), so any decode bug is a hash failure
+    Q.df("x398_image_histogram",
+      (s, dir) => Multimodal.pixelHistogramAudit(
+        Multimodal.withBmpPayload(Tables.load(s, dir, "documents"))),
+      s"""WITH $duckBmpGeom
+         |SELECT doc_id, CAST(px AS BIGINT) AS px_bytes,
+         |  CAST(least(px, 256) AS BIGINT) AS n_distinct_vals,
+         |  CAST(0 AS BIGINT) AS modal_val,
+         |  CAST(px // 256 + CASE WHEN px % 256 > 0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS modal_count,
+         |  CAST((px // 256 + CASE WHEN px % 256 > 0 THEN 1 ELSE 0 END)
+         |    * 1000000 // px AS BIGINT) AS modal_ppm
+         |FROM g ORDER BY doc_id""".stripMargin),
+
+    // suffix-containment dedup (the truncation mirror): strict-suffix
+    // docs flagged via the prefix machinery over reversed text; the
+    // corpus is seeded with deterministic tail slices (doc_id % 7 = 3,
+    // right 40 + id % 37 chars) so both window and short-text paths run
+    Q.df("x399_suffix_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "text")
+        val planted = docs
+          .where(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("right(text, 40 + CAST(doc_id % 37 AS INT))").as("text"))
+        Dedup.suffixDupes(docs.unionByName(planted))
+      },
+      """WITH corpus AS MATERIALIZED (
+        |  SELECT doc_id, reverse(text) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(reverse(text), 1, 40 + CAST(doc_id % 37 AS INT))
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |own AS MATERIALIZED (
+        |  SELECT t, min(doc_id) AS owner FROM corpus GROUP BY 1),
+        |srt AS (SELECT t, owner, lead(t) OVER (ORDER BY t) AS nxt,
+        |        lead(owner) OVER (ORDER BY t) AS nxt_owner FROM own),
+        |flag AS (SELECT t, nxt_owner FROM srt
+        |         WHERE nxt IS NOT NULL AND starts_with(nxt, t))
+        |SELECT c.doc_id AS doc_id,
+        |  CAST(length(c.t) AS BIGINT) AS n_chars_trunc,
+        |  f.nxt_owner AS container_id
+        |FROM corpus c JOIN flag f ON c.t = f.t
+        |ORDER BY doc_id""".stripMargin),
+
     // streaming shape #25: the encoding-damage monitor — in-row damage
     // scoring, complete-mode per-source counter state, drained through
     // the batch finishing stage; same oracle as x395

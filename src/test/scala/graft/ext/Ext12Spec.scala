@@ -131,4 +131,50 @@ class Ext12Spec extends SparkSpec {
         r.getLong(4))).toSeq
     assert(out == Seq(("a", 2L, 0L, 0L, 2000L)), out.mkString(","))
   }
+
+  // ---- pixelHistogramAudit (x398) ------------------------------------------
+
+  test("pixelHistogramAudit: real bytes counted — n_chars=1 gives the 16-byte 2x2 image, all values distinct") {
+    import spark.implicits._
+    // n_chars=1 -> w=2, h=2, rowSize=((3*2+3) div 4)*4=8, px=16:
+    // bytes 0..15 -> 16 distinct values, modal 0 with count 1
+    val docs = Seq((7L, 1L)).toDF("doc_id", "n_chars")
+    val out = Multimodal.pixelHistogramAudit(
+        Multimodal.withBmpPayload(docs)).collect()
+      .map(r => (0 to 5).map(r.getLong).toList).toSeq
+    assert(out == Seq(List(7L, 16L, 16L, 0L, 1L, 62500L)), out.toString)
+  }
+
+  test("pixelHistogramAudit: a wrapped-cycle image has modal count px div 256 (+1 under remainder)") {
+    import spark.implicits._
+    // n_chars=300 -> w=300%64+1=45, h=300%37+1=5,
+    // rowSize=((135+3) div 4)*4=136, px=680: full=2, rem=168 ->
+    // modal 0 count 3, distinct 256, ppm=3*1e6 div 680=4411
+    val docs = Seq((9L, 300L)).toDF("doc_id", "n_chars")
+    val out = Multimodal.pixelHistogramAudit(
+        Multimodal.withBmpPayload(docs)).collect()
+      .map(r => (0 to 5).map(r.getLong).toList).toSeq
+    assert(out == Seq(List(9L, 680L, 256L, 0L, 3L, 4411L)), out.toString)
+  }
+
+  // ---- suffixDupes (x399) ---------------------------------------------------
+
+  test("suffixDupes: strict suffixes flagged with the reversed-space witness; prefixes are not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world"),   // contains the suffix "world" (doc 3)
+      (2L, "cruel world"),   // also ends in "world"
+      (3L, "world"),         // strict suffix of 1 AND 2
+      (4L, "worldly news"),  // doc 3 is a PREFIX of this, not a suffix
+      (5L, "o world")        // suffix of nothing; itself contains "world"
+    ).toDF("doc_id", "text")
+    val out = Dedup.suffixDupes(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // reversed space: "dlrow"(3) extends to "dlrow leurc"(2) <
+    // "dlrow o"(5) < "dlrow olleh"(1) -> witness 2; "dlrow o"(5) is a
+    // strict prefix of "dlrow olleh" only ("o world" IS a suffix of
+    // "hello world") -> witness 1; doc 4 extends doc 3 as a PREFIX
+    // ("worldly...") and must not flag it
+    assert(out == Seq((3L, 5L, 2L), (5L, 7L, 1L)), out.mkString(","))
+  }
 }
