@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experimentation / measurement operators (beyond-reference,
@@ -308,5 +309,43 @@ object Experiment {
           " * diff_micro) div sum(n_t + n_c) AS BIGINT)")
           .as("ate_micro"))))
       .orderBy("stratum")
+  }
+
+  /** QUANTILE TREATMENT EFFECTS: the treated-minus-control gap at each
+    * decile of the outcome distribution (type-1/discrete quantiles in
+    * exact cents) — the distributional reading a mean difference
+    * hides: an ATE of zero with a positive gap at p90 and a negative
+    * one at p10 is a VARIANCE-increasing treatment, which ships very
+    * differently from a no-op. Quantiles are histogram-folded
+    * (10·cum ≥ k·n over the bounded value histogram — the repo's
+    * type-1 rule, never float positions, never a per-arm sort).
+    *
+    * Scale shape: one corpus pass collapses each arm to its
+    * (cents, count) histogram; deciles fold from the two bounded
+    * histograms; the output is 9 rows.
+    *
+    * Output: (decile 1..9, q_t_cents, q_c_cents, qte_cents) ordered
+    * by decile. */
+  def quantileEffects(events: DataFrame, treated: Column): DataFrame = {
+    val h = events
+      .select(when(treated, 1L).otherwise(0L).as("t"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("t", "cents").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("t").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.groupBy(col("t").as("t2")).agg(sum("c").as("n"))
+    val q = h.withColumn("cum", sum("c").over(w))
+      .join(tot, col("t") === col("t2"))
+      .crossJoin(broadcast(
+        events.sparkSession.range(1, 10).select(col("id").as("k"))))
+      .where(col("cum") * 10 >= col("k") * col("n"))
+      .groupBy("t", "k").agg(min("cents").as("q"))
+    q.where(col("t") === 1L).select(col("k").as("decile"),
+        col("q").as("q_t_cents"))
+      .join(q.where(col("t") === 0L).select(col("k").as("decile"),
+        col("q").as("q_c_cents")), Seq("decile"))
+      .select(col("decile"), col("q_t_cents"), col("q_c_cents"),
+        (col("q_t_cents") - col("q_c_cents")).as("qte_cents"))
+      .orderBy("decile")
   }
 }

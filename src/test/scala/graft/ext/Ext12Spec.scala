@@ -132,6 +132,23 @@ class Ext12Spec extends SparkSpec {
     assert(out == Seq(("a", 2L, 0L, 0L, 2000L)), out.mkString(","))
   }
 
+  // ---- quantileEffects (x400) -----------------------------------------------
+
+  test("quantileEffects: type-1 deciles per arm, gap per decile") {
+    import spark.implicits._
+    // treated (even user) cents 1..10, control (odd) cents 11..20:
+    // decile k -> q_t = k, q_c = 10 + k, qte = -10 everywhere
+    val rows = (1 to 10).map(i => (2L, i / 100.0)) ++
+      (1 to 10).map(i => (3L, (10 + i) / 100.0))
+    val events = rows.toDF("user_id", "value")
+    val out = Experiment.quantileEffects(events,
+        col("user_id") % 2 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == (1 to 9).map(k => (k.toLong, k.toLong, 10L + k, -10L)),
+      out.mkString(","))
+  }
+
   // ---- pixelHistogramAudit (x398) ------------------------------------------
 
   test("pixelHistogramAudit: real bytes counted — n_chars=1 gives the 16-byte 2x2 image, all values distinct") {
