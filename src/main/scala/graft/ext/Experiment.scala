@@ -326,18 +326,25 @@ object Experiment {
     *
     * Output: (decile 1..9, q_t_cents, q_c_cents, qte_cents) ordered
     * by decile. */
-  def quantileEffects(events: DataFrame, treated: Column): DataFrame = {
-    val h = events
+  def quantileEffects(events: DataFrame, treated: Column): DataFrame =
+    quantileEffectsFromHist(events
       .select(when(treated, 1L).otherwise(0L).as("t"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
-      .groupBy("t", "cents").agg(count(lit(1)).as("c"))
+      .groupBy("t", "cents").agg(count(lit(1)).as("c")))
+
+  /** Serve-time finishing stage over the two bounded (t, cents, c)
+    * arm histograms — exposed so the streaming monitor
+    * ([[graft.streaming.Streaming.streamQte]]) drains its
+    * complete-mode value-grid state into the SAME decile arithmetic
+    * (drained == batch, checked by the shared oracle). */
+  def quantileEffectsFromHist(h: DataFrame): DataFrame = {
     val w = Window.partitionBy("t").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = h.groupBy(col("t").as("t2")).agg(sum("c").as("n"))
     val q = h.withColumn("cum", sum("c").over(w))
       .join(tot, col("t") === col("t2"))
       .crossJoin(broadcast(
-        events.sparkSession.range(1, 10).select(col("id").as("k"))))
+        h.sparkSession.range(1, 10).select(col("id").as("k"))))
       .where(col("cum") * 10 >= col("k") * col("n"))
       .groupBy("t", "k").agg(min("cents").as("q"))
     q.where(col("t") === 1L).select(col("k").as("decile"),

@@ -10325,6 +10325,31 @@ object Extensions {
         |FROM q qt JOIN q qc ON qt.k = qc.k AND qt.t = 1 AND qc.t = 0
         |ORDER BY decile""".stripMargin),
 
+    // streaming shape #26: the QTE monitor — in-row arm/cents scoring,
+    // complete-mode value-grid histogram state, drained through the
+    // batch decile arithmetic; same oracle as x400
+    Q.df("x401_stream_qte",
+      (s, dir) => Streaming.streamQte(s, dir),
+      """WITH c AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT t, cents, CAST(count(*) AS BIGINT) AS c
+        |      FROM c GROUP BY 1, 2),
+        |cm AS (SELECT t, cents, c, sum(c) OVER (PARTITION BY t
+        |    ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS cum FROM h),
+        |tot AS (SELECT t, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |q AS (SELECT cm.t, k.k,
+        |    CAST(min(CASE WHEN cum * 10 >= k.k * n THEN cents END)
+        |      AS BIGINT) AS q
+        |  FROM cm JOIN tot ON cm.t = tot.t
+        |  CROSS JOIN range(1, 10) k(k)
+        |  GROUP BY 1, 2)
+        |SELECT qt.k AS decile, qt.q AS q_t_cents, qc.q AS q_c_cents,
+        |  qt.q - qc.q AS qte_cents
+        |FROM q qt JOIN q qc ON qt.k = qc.k AND qt.t = 1 AND qc.t = 0
+        |ORDER BY decile""".stripMargin),
+
     // streaming shape #25: the encoding-damage monitor — in-row damage
     // scoring, complete-mode per-source counter state, drained through
     // the batch finishing stage; same oracle as x395

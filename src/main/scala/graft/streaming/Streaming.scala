@@ -1369,6 +1369,38 @@ object Streaming {
       detachMart(spark.table(name)))
   }
 
+  /** Streaming QUANTILE-TREATMENT-EFFECTS monitor — shape #26, the
+    * live twin of the batch QTE readout (x400): each arriving event is
+    * floored to integer cents and assigned its arm IN-ROW, the
+    * complete-mode state is the two (arm, cents) VALUE-GRID histograms
+    * (bounded by the distinct outcome values, never by events or
+    * users — the state flavor none of the other monitors exercises),
+    * and the drain finishes through the shared decile arithmetic
+    * ([[graft.ext.Experiment.quantileEffectsFromHist]]) — so the
+    * drained 9-row report EQUALS batch x400 over the same backlog,
+    * which is what the shared oracle checks. The experiment dashboard
+    * that notices the p90 gap moving mid-flight instead of at the
+    * nightly readout.
+    * Output: (decile 1..9, q_t_cents, q_c_cents, qte_cents). */
+  def streamQte(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_qte_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
+      val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
+        .select((col("user_id") % 2 === 0).cast("long").as("t"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val q = src.groupBy("t", "cents").agg(count(lit(1)).as("c"))
+        .writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    graft.ext.Experiment.quantileEffectsFromHist(
+      detachMart(spark.table(name)))
+  }
+
   /** Streaming SAMPLE-RATIO-MISMATCH monitor — the live twin of the
     * batch SRM trajectory (x362): per-day treated/control arrival
     * counts under the parity assignment maintained as complete-mode

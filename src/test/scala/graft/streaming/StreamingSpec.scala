@@ -679,6 +679,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming QTE mart equals the batch decile readout") {
+    import org.apache.spark.sql.functions._
+    def row(r: org.apache.spark.sql.Row) = (0 to 3).map(r.getLong).toList
+    val streamed = Streaming.streamQte(spark, dir).collect().map(row).toSeq
+    val batch = graft.ext.Experiment.quantileEffects(
+        graft.Tables.load(spark, dir, "events"),
+        col("user_id") % 2 === 0).collect().map(row).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming encoding-damage mart equals the batch audit") {
     import org.apache.spark.sql.functions._
     def row(r: org.apache.spark.sql.Row) =
