@@ -194,4 +194,94 @@ class Ext12Spec extends SparkSpec {
     // ("worldly...") and must not flag it
     assert(out == Seq((3L, 5L, 2L), (5L, 7L, 1L)), out.mkString(","))
   }
+
+  // ---- randomized brute-force cross-checks ----------------------------------
+  // Small seeded corpora, the operator vs an independent in-memory
+  // reference implementation — catches the boundary cases hand
+  // fixtures miss (window edges, tie-breaks, short texts).
+
+  private val tokenPool =
+    Vector("a", "b", "c", "d", "e", "f", "g", "h")
+
+  test("ngramDecontaminate == brute force on seeded random corpora") {
+    import spark.implicits._
+    val n = 3
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      def doc() = Seq.fill(1 + rnd.nextInt(8))(
+        tokenPool(rnd.nextInt(tokenPool.size))).mkString(" ")
+      val train = (1L to 30L).map(i => (i, doc()))
+      val eval0 = (101L to 110L).map(i => (i, doc()))
+      def windows(t: String): Set[String] =
+        t.split(" ").toSeq.sliding(n).filter(_.size == n)
+          .map(_.mkString(" ")).toSet
+      val evalW = eval0.map { case (id, t) => id -> windows(t) }
+      val expected = train.flatMap { case (id, t) =>
+        val w = windows(t)
+        val sharedWin = w.filter(g => evalW.exists(_._2.contains(g)))
+        if (sharedWin.isEmpty) None
+        else Some((id,
+          sharedWin.size.toLong,
+          evalW.filter(e => e._2.intersect(w).nonEmpty).map(_._1).min))
+      }.sortBy(_._1)
+      val out = Curation.ngramDecontaminate(
+          train.toDF("doc_id", "text"), eval0.toDF("doc_id", "text"), n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(out == expected, s"seed $seed:\n$out\nvs\n$expected")
+    }
+  }
+
+  test("suffixDupes == brute force on seeded random corpora") {
+    import spark.implicits._
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      def doc() = Seq.fill(1 + rnd.nextInt(6))(
+        tokenPool(rnd.nextInt(3))).mkString("") // tiny alphabet: collisions
+      val docs = (1L to 40L).map(i => (i, doc()))
+      val owners = docs.groupBy(_._2).map { case (t, ds) =>
+        t -> ds.map(_._1).min }
+      val expected = docs.flatMap { case (id, t) =>
+        val exts = owners.keys.filter(u => u != t && u.endsWith(t))
+        if (exts.isEmpty) None
+        else {
+          val best = exts.minBy(_.reverse)
+          Some((id, t.length.toLong, owners(best)))
+        }
+      }.sortBy(_._1)
+      val out = Dedup.suffixDupes(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(out == expected, s"seed $seed:\n$out\nvs\n$expected")
+    }
+  }
+
+  test("correlationMatrix == BigInt brute force on seeded random columns") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(200 + seed)
+      val rows = Seq.fill(25)((rnd.nextLong(2000) - 1000,
+        rnd.nextLong(2000) - 1000, rnd.nextLong(5)))
+      def r2(xs: Seq[Long], ys: Seq[Long]): Option[Long] = {
+        val m = BigInt(xs.size)
+        val sx = BigInt(xs.sum); val sy = BigInt(ys.sum)
+        val sxx = xs.map(v => BigInt(v) * v).sum
+        val syy = ys.map(v => BigInt(v) * v).sum
+        val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+        val cov = m * sxy - sx * sy
+        val va = m * sxx - sx * sx; val vb = m * syy - sy * sy
+        if (va == 0 || vb == 0) None
+        else Some((cov.sign * (cov * cov * 1000 / (va * vb))).toLong)
+      }
+      val (xs, ys, zs) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+      val expected = Map(
+        ("x", "y") -> r2(xs, ys), ("x", "z") -> r2(xs, zs),
+        ("y", "z") -> r2(ys, zs))
+      val out = Profile.correlationMatrix(rows.toDF("x", "y", "z"),
+          Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      assert(out == expected, s"seed $seed:\n$out\nvs\n$expected")
+    }
+  }
 }
