@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** Full query catalog, grouped by theme. */
   private def catalog: Seq[Q] =
-    Relational.qs ++ Windows.qs ++ Functions.qs ++ Parity.qs ++ Extensions.qs
+    Relational.qs ++ Windows.qs ++ Functions.qs ++ Parity.qs ++
+      Extensions.qs ++ Fuzz.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-join revenue rollup — exercises scan, 6-way join (dims

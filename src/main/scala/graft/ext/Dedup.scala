@@ -1220,6 +1220,21 @@ object Dedup {
       java.nio.file.Paths.get(s"$path/meta"))
   }
 
+  /** THE path derivation for a persisted per-corpus index (near-dup
+    * band store, ANN index): keyed by the testdata dir, the variant,
+    * AND the backing file's (mtime, size), so a regenerated corpus
+    * gets a fresh path and a stale index can never serve it. The ONE
+    * definition shared by the batch serve tiers (x242/x260 contract:
+    * build-once/serve-many needs both sides to derive the SAME path)
+    * and the streaming front door. Lives under the JVM tmpdir: a
+    * cache, rebuilt on first touch wherever it is missing. */
+  def persistedIndexPath(dir: String, variant: String, file: String): String = {
+    val f = new java.io.File(s"$dir/$file")
+    val key = java.lang.Integer.toHexString(
+      (dir, variant, f.lastModified, f.length).hashCode())
+    s"${System.getProperty("java.io.tmpdir")}/graft_${variant}_$key"
+  }
+
   /** Load the index at `path`, building it first iff absent (the
     * caller keys `path` by the corpus file identity, so a regenerated
     * corpus can never be served stale). Returns (bands, shingles). */

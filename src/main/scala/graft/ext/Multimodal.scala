@@ -157,6 +157,12 @@ object Multimodal {
           val pixelOff = buf.getInt(10)
           require(fileSize == payload.length,
             s"doc $docId: header says $fileSize, payload has ${payload.length}")
+          // a crafted pixelOff at/past the payload end would otherwise
+          // yield px <= 0 (divide-by-zero below) instead of the loud
+          // failure promised above
+          require(pixelOff >= 54 && pixelOff < payload.length,
+            s"doc $docId: pixel offset $pixelOff outside payload " +
+              s"(54..${payload.length - 1})")
           java.util.Arrays.fill(counts, 0L)
           var i = pixelOff
           while (i < payload.length) {

@@ -1400,6 +1400,13 @@ object Profile {
     require(cols.size >= 2 && cols.size <= 8,
       s"need 2..8 columns; got ${cols.size}")
     val names = cols.map(_._1)
+    // the names are interpolated into expr() strings and aliases: a
+    // duplicate would silently collide on the p_a_b alias, and a
+    // non-identifier would fail with an opaque parse error downstream
+    require(names.distinct.size == names.size,
+      s"column names must be distinct; got $names")
+    names.foreach(nm => require(nm.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"column name '$nm' is not a plain identifier ([A-Za-z][A-Za-z0-9_]*)"))
     val sums =
       Seq(count(lit(1)).as("m")) ++
         names.map(nm => sum(col(nm)).as(s"s_$nm")) ++

@@ -182,22 +182,37 @@ object HilbertKeyNd {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hilbert_key_nd",
       exprs => {
-        def bad(what: String) = throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "NON_FOLDABLE_ARGUMENT",
-          messageParameters = Map(
-            "funcName" -> "`hilbert_key_nd`",
-            "paramName" -> s"`bits` (last argument; got $what)",
-            "paramType" -> "\"INT\""))
-        if (exprs.isEmpty) bad("no arguments")
+        // two DISTINCT diagnostics: a non-foldable bits argument gets
+        // NON_FOLDABLE_ARGUMENT; a foldable-but-non-integral one (e.g.
+        // hilbert_key_nd(x, y, 'eight')) is a TYPE error and gets the
+        // type-mismatch class — reusing the non-foldable class there
+        // would render a message claiming the literal is non-foldable
+        def nonFoldable(what: String) =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`hilbert_key_nd`",
+              "paramName" -> s"`bits` (last argument; got $what)",
+              "paramType" -> "\"INT\""))
+        def wrongType(inputSql: String, inputType: String) =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+            messageParameters = Map(
+              "sqlExpr" -> "\"hilbert_key_nd\"",
+              "paramIndex" -> "last (`bits`)",
+              "requiredType" -> "\"INT\"",
+              "inputSql" -> inputSql,
+              "inputType" -> inputType))
+        if (exprs.isEmpty) nonFoldable("no arguments")
         val last = exprs.last
-        if (!last.foldable) bad(s"non-foldable expression ${last.sql}")
+        if (!last.foldable) nonFoldable(s"non-foldable expression ${last.sql}")
         last.eval() match {
           case n: java.lang.Integer => HilbertKeyNd(exprs.dropRight(1), n.intValue)
           case n: java.lang.Long => HilbertKeyNd(exprs.dropRight(1), n.intValue)
           case n: java.lang.Short => HilbertKeyNd(exprs.dropRight(1), n.intValue)
           case n: java.lang.Byte => HilbertKeyNd(exprs.dropRight(1), n.intValue)
-          case other => bad(
-            if (other == null) "NULL" else s"${last.dataType.sql} literal")
+          case null => wrongType("NULL", "\"NULL\"")
+          case _ => wrongType(s"\"${last.sql}\"", s"\"${last.dataType.sql}\"")
         }
       },
       "built-in")

@@ -1,0 +1,395 @@
+package graft.queries
+
+import scala.util.Random
+
+/** Differential SQL fuzz harness (VERDICT r11 next-round #5): seeded
+  * random queries from a grammar over the TPC-H-ish test schema, each
+  * registered like any catalog entry and judged against DuckDB running
+  * the IDENTICAL text. The hand-written catalog tests what the builder
+  * thought of; this tests what nobody did.
+  *
+  * The grammar is restricted to the dialect intersection where the two
+  * engines are VALUE-IDENTICAL, so any mismatch is a real bug, not
+  * drift:
+  *  - every query ends in a TOTAL order (unique key or the full group
+  *    key set, explicit NULLS FIRST) — the driver compares row-by-row;
+  *  - no order-dependent float accumulation: double SUMs go through
+  *    DECIMAL(18,2) (exact, order-free), doubles otherwise appear only
+  *    under min/max/comparison (bit-exact in both engines);
+  *  - integer SUMs reduce the operand mod a small prime and CAST the
+  *    result (DuckDB widens sum(BIGINT) to HUGEINT, which pandas reads
+  *    as float);
+  *  - key-valued literals are scale-invariant (modulo classes, not
+  *    absolute ids), so the same text is meaningful at every SF;
+  *  - no raw timestamp outputs (cast to DATE), no collation-sensitive
+  *    ORDER BY on free text, no engine-specific functions.
+  *
+  * Determinism: each query's text is produced by a fixed-seed LCG
+  * ([[scala.util.Random]] wraps java.util.Random — the algorithm is
+  * specified, so the text is stable across JVMs and rounds); the
+  * FuzzSpec locks the generated texts' digest so an accidental
+  * grammar change renames itself loudly instead of silently re-rolling
+  * 220 judged queries.
+  */
+object Fuzz {
+
+  // ---- schema model ---------------------------------------------------
+
+  /** kind: i = integral, d = double, s = low-cardinality string,
+    * t = timestamp (DATE-cast before use). */
+  private final case class C(name: String, kind: Char)
+  private final case class T(
+      name: String,
+      cols: Seq[C],
+      key: Seq[String], // unique total-order key
+      lits: Map[String, Seq[String]]) { // string-col literal domains
+    def ints: Seq[C] = cols.filter(_.kind == 'i')
+    def dbls: Seq[C] = cols.filter(_.kind == 'd')
+    def strs: Seq[C] = cols.filter(_.kind == 's')
+    def dates: Seq[C] = cols.filter(_.kind == 't')
+  }
+
+  private val lineitem = T("lineitem",
+    Seq(C("l_orderkey", 'i'), C("l_partkey", 'i'), C("l_suppkey", 'i'),
+      C("l_linenumber", 'i'), C("l_quantity", 'd'),
+      C("l_extendedprice", 'd'), C("l_discount", 'd'), C("l_tax", 'd'),
+      C("l_returnflag", 's'), C("l_linestatus", 's'), C("l_shipdate", 't')),
+    // NOT (l_orderkey, l_linenumber): the synthetic lineitem duplicates
+    // that pair (verify SKILL gotcha); the 4-column key IS unique at
+    // both gate SFs
+    Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+    Map("l_returnflag" -> Seq("A", "N", "R"),
+      "l_linestatus" -> Seq("F", "O")))
+  private val orders = T("orders",
+    Seq(C("o_orderkey", 'i'), C("o_custkey", 'i'), C("o_orderstatus", 's'),
+      C("o_totalprice", 'd'), C("o_orderdate", 't'),
+      C("o_orderpriority", 's')),
+    Seq("o_orderkey"),
+    Map("o_orderstatus" -> Seq("F", "O", "P"),
+      "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")))
+  private val customer = T("customer",
+    Seq(C("c_custkey", 'i'), C("c_nationkey", 'i'), C("c_acctbal", 'd'),
+      C("c_mktsegment", 's')),
+    Seq("c_custkey"),
+    Map("c_mktsegment" -> Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY")))
+  private val supplier = T("supplier",
+    Seq(C("s_suppkey", 'i'), C("s_nationkey", 'i'), C("s_acctbal", 'd')),
+    Seq("s_suppkey"), Map.empty)
+  private val part = T("part",
+    Seq(C("p_partkey", 'i'), C("p_size", 'i'), C("p_retailprice", 'd'),
+      C("p_brand", 's'), C("p_type", 's')),
+    Seq("p_partkey"),
+    Map("p_brand" -> (1 to 25).map(i => s"Brand#$i"),
+      "p_type" -> Seq("ECONOMY", "STANDARD", "PROMO", "SMALL", "MEDIUM",
+        "LARGE")))
+  private val nation = T("nation",
+    Seq(C("n_nationkey", 'i'), C("n_regionkey", 'i'), C("n_name", 's')),
+    Seq("n_nationkey"),
+    Map("n_name" -> (0 to 24).map(i => s"NATION_$i")))
+  private val events = T("events",
+    Seq(C("event_id", 'i'), C("user_id", 'i'), C("value", 'd'),
+      C("event_type", 's'), C("ts", 't')),
+    Seq("event_id"),
+    Map("event_type" -> Seq("click", "error", "purchase", "signup",
+      "view")))
+  private val documents = T("documents",
+    Seq(C("doc_id", 'i'), C("n_chars", 'i'), C("lang", 's'),
+      C("source", 's')),
+    Seq("doc_id"),
+    Map("lang" -> Seq("de", "en", "es", "fr", "zh"),
+      "source" -> (0 to 19).map(i => s"src$i")))
+
+  private val singleTables =
+    Seq(lineitem, orders, customer, part, events, documents)
+
+  /** FK join edges: (left, right, ON clause). */
+  private val joins2 = Seq(
+    (lineitem, orders, "l_orderkey = o_orderkey"),
+    (lineitem, part, "l_partkey = p_partkey"),
+    (lineitem, supplier, "l_suppkey = s_suppkey"),
+    (orders, customer, "o_custkey = c_custkey"),
+    (customer, nation, "c_nationkey = n_nationkey"),
+    (supplier, nation, "s_nationkey = n_nationkey"))
+  /** 3-table chains: (a, b, c, ON ab, ON bc). */
+  private val joins3 = Seq(
+    (lineitem, orders, customer,
+      "l_orderkey = o_orderkey", "o_custkey = c_custkey"),
+    (orders, customer, nation,
+      "o_custkey = c_custkey", "c_nationkey = n_nationkey"),
+    (lineitem, supplier, nation,
+      "l_suppkey = s_suppkey", "s_nationkey = n_nationkey"))
+
+  // ---- grammar pieces ---------------------------------------------------
+
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
+
+  /** A date-typed SQL expression for a timestamp column. */
+  private def asDate(c: C) = s"CAST(${c.name} AS DATE)"
+
+  private def dateLit(r: Random, t: T): String =
+    if (t.name == "events") { // 2024-01 window
+      f"DATE '2024-01-${1 + r.nextInt(29)}%02d'"
+    } else { // order/ship dates: 1995..2001
+      f"DATE '${1995 + r.nextInt(6)}%04d-${1 + r.nextInt(12)}%02d-${1 + r.nextInt(28)}%02d'"
+    }
+
+  /** One atomic predicate over table t (alias-free: single-table or
+    * disambiguated-by-name joined schemas). */
+  private def atom(r: Random, t: T): String = {
+    val kinds = Seq.newBuilder[Int]
+    if (t.strs.exists(c => t.lits.contains(c.name))) { kinds += 0; kinds += 1 }
+    if (t.ints.nonEmpty) kinds += 2
+    if (t.dbls.nonEmpty) kinds += 3
+    if (t.dates.nonEmpty) kinds += 4
+    pick(r, kinds.result()) match {
+      case 0 => // string equality / inequality
+        val c = pick(r, t.strs.filter(c => t.lits.contains(c.name)))
+        val v = pick(r, t.lits(c.name))
+        val op = pick(r, Seq("=", "<>", "<=", ">="))
+        s"${c.name} $op '$v'"
+      case 1 => // string IN-list
+        val c = pick(r, t.strs.filter(c => t.lits.contains(c.name)))
+        val dom = t.lits(c.name)
+        val k = 1 + r.nextInt(math.min(3, dom.size))
+        val vs = r.shuffle(dom.toList).take(k).sorted
+        s"${c.name} IN (${vs.map(v => s"'$v'").mkString(", ")})"
+      case 2 => // scale-invariant integer modulo class
+        val c = pick(r, t.ints)
+        val m = pick(r, Seq(2, 3, 5, 7, 11, 13))
+        val cmp = pick(r, Seq("=", "<>", "<", ">="))
+        s"${c.name} % $m $cmp ${r.nextInt(m)}"
+      case 3 => // double comparison against an in-domain literal
+        val c = pick(r, t.dbls)
+        val lit = c.name match {
+          case "l_quantity" => (1 + r.nextInt(49)).toString + ".5"
+          case "l_discount" => s"0.0${r.nextInt(10)}"
+          case "l_tax" => s"0.0${r.nextInt(8)}"
+          case "l_extendedprice" => (5000 + r.nextInt(90) * 1000).toString
+          case "o_totalprice" => (20000 + r.nextInt(40) * 10000).toString
+          case "c_acctbal" | "s_acctbal" => (-500 + r.nextInt(19) * 500).toString
+          case "p_retailprice" => (1000 + r.nextInt(40) * 50).toString
+          case _ => (10 + r.nextInt(400)).toString // events.value
+        }
+        s"${c.name} ${pick(r, Seq("<", "<=", ">", ">="))} $lit"
+      case _ => // date comparison
+        val c = pick(r, t.dates)
+        s"${asDate(c)} ${pick(r, Seq("<", ">="))} ${dateLit(r, t)}"
+    }
+  }
+
+  /** 1-3 atoms joined by AND/OR (parenthesized — precedence-proof). */
+  private def predicate(r: Random, ts: T*): String = {
+    val n = 1 + r.nextInt(3)
+    val atoms = (0 until n).map(_ => atom(r, pick(r, ts)))
+    atoms.map(a => s"($a)").mkString(s" ${pick(r, Seq("AND", "OR", "AND"))} ")
+  }
+
+  /** Aggregate select-items over t; every item aliased a0, a1, ... */
+  private def aggs(r: Random, t: T, n: Int): Seq[String] =
+    (0 until n).map { i =>
+      val menu = Seq.newBuilder[String]
+      menu += "CAST(count(*) AS BIGINT)"
+      if (t.ints.nonEmpty) {
+        val c = pick(r, t.ints).name
+        menu += s"CAST(count(DISTINCT $c) AS BIGINT)"
+        menu += s"CAST(min($c) AS BIGINT)"
+        menu += s"CAST(max($c) AS BIGINT)"
+        menu += s"CAST(sum($c % 97) AS BIGINT)"
+      }
+      if (t.dbls.nonEmpty) {
+        val c = pick(r, t.dbls).name
+        menu += s"min($c)"
+        menu += s"max($c)"
+        menu += s"CAST(round(sum(CAST($c AS DECIMAL(18,2))), 2) AS DOUBLE)"
+      }
+      if (t.strs.nonEmpty) {
+        val c = pick(r, t.strs).name
+        menu += s"min($c)"
+        menu += s"count(DISTINCT $c)" // count is BIGINT pre-widen in both
+      }
+      menu += s"CAST(sum(CASE WHEN ${atom(r, t)} THEN 1 ELSE 0 END) AS BIGINT)"
+      s"${pick(r, menu.result())} AS a$i"
+    }
+
+  /** Group keys over t: (select-exprs aliased g0.., bare alias list). */
+  private def groupKeys(r: Random, t: T): (Seq[String], Seq[String]) = {
+    val n = 1 + r.nextInt(2)
+    val exprs = (0 until n).map { i =>
+      val menu = Seq.newBuilder[String]
+      if (t.strs.nonEmpty) menu += pick(r, t.strs).name
+      if (t.ints.nonEmpty)
+        menu += s"${pick(r, t.ints).name} % ${pick(r, Seq(4, 5, 8, 10))}"
+      if (t.dates.nonEmpty)
+        menu += s"CAST(EXTRACT(YEAR FROM ${pick(r, t.dates).name}) AS BIGINT)"
+      s"${pick(r, menu.result())} AS g$i"
+    }
+    (exprs, (0 until n).map(i => s"g$i"))
+  }
+
+  // ---- query shapes -----------------------------------------------------
+
+  private def orderTail(keys: Seq[String]): String =
+    s"ORDER BY ${keys.map(k => s"$k NULLS FIRST").mkString(", ")}"
+
+  /** Shape A: single-table filtered aggregate (optionally HAVING). */
+  private def shapeAgg(r: Random): String = {
+    val t = pick(r, singleTables)
+    val (gx, gk) = groupKeys(r, t)
+    val as = aggs(r, t, 1 + r.nextInt(3))
+    val having =
+      if (r.nextInt(3) == 0) s"\nHAVING count(*) > ${r.nextInt(5)}" else ""
+    s"""SELECT ${(gx ++ as).mkString(", ")}
+       |FROM ${t.name}
+       |WHERE ${predicate(r, t)}
+       |GROUP BY ${gk.mkString(", ")}$having
+       |${orderTail(gk)}""".stripMargin
+  }
+
+  /** Shape B: projection + filter + total order + LIMIT. */
+  private def shapeProj(r: Random): String = {
+    val t = pick(r, singleTables)
+    val exprs = Seq.newBuilder[String]
+    var i = 0
+    def alias = { i += 1; s"e$i" }
+    (0 until 1 + r.nextInt(3)).foreach { _ =>
+      val menu = Seq.newBuilder[String]
+      if (t.ints.size >= 2) {
+        val a = pick(r, t.ints).name; val b = pick(r, t.ints).name
+        menu += s"CAST($a % 1000 + $b % 7 AS BIGINT)"
+      }
+      if (t.strs.nonEmpty) {
+        val c = pick(r, t.strs).name
+        menu += pick(r, Seq(s"upper($c)", s"substr($c, 1, 3)",
+          s"concat($c, '_', '${t.name}')",
+          s"CASE WHEN ${atom(r, t)} THEN $c ELSE 'other' END"))
+      }
+      if (t.dbls.nonEmpty) {
+        // the raw column: parquet doubles read bit-identically in both
+        // engines (round(double) would NOT match — Spark rounds the
+        // shortest-repr decimal, DuckDB the binary value)
+        menu += pick(r, t.dbls).name
+      }
+      if (t.dates.nonEmpty)
+        // as STRING: a projected DATE reads back as datetime64 on the
+        // DuckDB side of the compare ('yyyy-mm-dd 00:00:00') but as a
+        // python date ('yyyy-mm-dd') on the Spark side
+        menu += s"CAST(${asDate(pick(r, t.dates))} AS STRING)"
+      exprs += s"${pick(r, menu.result())} AS $alias"
+    }
+    s"""SELECT ${(t.key ++ exprs.result()).mkString(", ")}
+       |FROM ${t.name}
+       |WHERE ${predicate(r, t)}
+       |${orderTail(t.key)}
+       |LIMIT ${50 + r.nextInt(4) * 50}""".stripMargin
+  }
+
+  /** Shape C: FK join (2 tables) + aggregate over the pair schema. */
+  private def shapeJoin2(r: Random): String = {
+    val (a, b, on) = pick(r, joins2)
+    val (gx, gk) = groupKeys(r, if (r.nextBoolean()) a else b)
+    val as = aggs(r, a, 1 + r.nextInt(2))
+    s"""SELECT ${(gx ++ as).mkString(", ")}
+       |FROM ${a.name} JOIN ${b.name} ON $on
+       |WHERE ${predicate(r, a, b)}
+       |GROUP BY ${gk.mkString(", ")}
+       |${orderTail(gk)}""".stripMargin
+  }
+
+  /** Shape D: 3-table FK chain + aggregate. */
+  private def shapeJoin3(r: Random): String = {
+    val (a, b, c, ab, bc) = pick(r, joins3)
+    val (gx, gk) = groupKeys(r, pick(r, Seq(b, c)))
+    val as = aggs(r, a, 1 + r.nextInt(2))
+    s"""SELECT ${(gx ++ as).mkString(", ")}
+       |FROM ${a.name}
+       |JOIN ${b.name} ON $ab
+       |JOIN ${c.name} ON $bc
+       |WHERE ${predicate(r, a, c)}
+       |GROUP BY ${gk.mkString(", ")}
+       |${orderTail(gk)}""".stripMargin
+  }
+
+  /** Shape E: window over a filtered table, totally ordered + LIMIT. */
+  private def shapeWindow(r: Random): String = {
+    val t = pick(r, Seq(lineitem, orders, customer, events, documents))
+    val partCol = pick(r, t.strs).name
+    val keyList = t.key.mkString(", ")
+    val wf = pick(r, Seq(
+      s"CAST(row_number() OVER (PARTITION BY $partCol ORDER BY $keyList) AS BIGINT)",
+      s"CAST(rank() OVER (PARTITION BY $partCol ORDER BY ${t.key.head} % 5, $keyList) AS BIGINT)",
+      s"CAST(count(*) OVER (PARTITION BY $partCol) AS BIGINT)",
+      s"CAST(sum(${pick(r, t.ints).name} % 97) OVER (PARTITION BY $partCol ORDER BY $keyList ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+      s"CAST(lag(${t.key.head}, 1, -1) OVER (PARTITION BY $partCol ORDER BY $keyList) AS BIGINT)"))
+    s"""SELECT ${keyList}, $partCol, $wf AS w0
+       |FROM ${t.name}
+       |WHERE ${predicate(r, t)}
+       |${orderTail(t.key)}
+       |LIMIT ${100 + r.nextInt(3) * 50}""".stripMargin
+  }
+
+  /** Shape F: set operation between two predicates' key sets. */
+  private def shapeSetOp(r: Random): String = {
+    val t = pick(r, singleTables)
+    val keyExpr = t.key.head
+    val op = pick(r, Seq("UNION", "INTERSECT", "EXCEPT", "UNION ALL"))
+    // UNION ALL can duplicate a key matched by both predicates, but the
+    // duplicated rows are byte-identical single-column rows, so any
+    // tie-order under ORDER BY k yields the same output sequence.
+    s"""SELECT $keyExpr AS k FROM ${t.name} WHERE ${predicate(r, t)}
+       |$op
+       |SELECT $keyExpr FROM ${t.name} WHERE ${predicate(r, t)}
+       |ORDER BY k NULLS FIRST
+       |LIMIT 500""".stripMargin
+  }
+
+  /** Shape G: IN / scalar subquery. */
+  private def shapeSubquery(r: Random): String = {
+    pick(r, Seq(0, 1, 2)) match {
+      case 0 => // orders driven by a customer-segment IN-list
+        s"""SELECT o_orderkey, o_orderstatus
+           |FROM orders
+           |WHERE o_custkey IN (SELECT c_custkey FROM customer
+           |  WHERE ${predicate(r, customer)})
+           |  AND ${predicate(r, orders)}
+           |ORDER BY o_orderkey NULLS FIRST
+           |LIMIT ${100 + r.nextInt(3) * 100}""".stripMargin
+      case 1 => // parts near the max size
+        val off = 1 + r.nextInt(10)
+        s"""SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS sz
+           |FROM part
+           |WHERE p_size >= (SELECT max(p_size) - $off FROM part)
+           |  AND ${predicate(r, part)}
+           |ORDER BY p_partkey NULLS FIRST""".stripMargin
+      case _ => // docs from sources that clear a size floor
+        s"""SELECT doc_id, source
+           |FROM documents
+           |WHERE source IN (SELECT source FROM documents
+           |  GROUP BY source HAVING count(*) > ${2 + r.nextInt(8)})
+           |  AND ${predicate(r, documents)}
+           |ORDER BY doc_id NULLS FIRST
+           |LIMIT 300""".stripMargin
+    }
+  }
+
+  // ---- registration -----------------------------------------------------
+
+  /** Seeded query list: 220 queries across the seven shapes. Seeds are
+    * a fixed affine family — append NEW seeds to grow the list; never
+    * renumber (names carry the index, and CORRECTNESS history reads
+    * better when fz042 stays fz042). */
+  val qs: Seq[Q] = (0 until 220).map { i =>
+    val r = new Random(0x5EEDL * 1000003L + i)
+    val (tag, text) = (i % 11) match {
+      case 0 | 1 | 2 => ("agg", shapeAgg(r))
+      case 3 | 4 => ("proj", shapeProj(r))
+      case 5 | 6 => ("join2", shapeJoin2(r))
+      case 7 => ("join3", shapeJoin3(r))
+      case 8 => ("win", shapeWindow(r))
+      case 9 => ("setop", shapeSetOp(r))
+      case _ => ("subq", shapeSubquery(r))
+    }
+    Q.sql(f"fz$i%03d_$tag", text)
+  }
+}

@@ -45,15 +45,11 @@ object Streaming {
     withStreamDirsFile(dir, "events.parquet")(body)
 
   /** Staged-index location for the streaming near-dup front door —
-    * the SAME path derivation (and "nd8x2" variant) as the batch
-    * serve tier's docIndexPath, so x242 and x260 share one persisted
-    * build per corpus identity. */
-  private def nearDupIndexPath(dir: String): String = {
-    val f = new java.io.File(s"$dir/documents.parquet")
-    val key = java.lang.Integer.toHexString(
-      (dir, "nd8x2", f.lastModified, f.length).hashCode())
-    s"${System.getProperty("java.io.tmpdir")}/graft_ndidx_nd8x2_$key"
-  }
+    * the SAME derivation (one shared helper, same "nd8x2" variant) as
+    * the batch serve tier's docIndexPath, so x242 and x260 share one
+    * persisted build per corpus identity. */
+  private def nearDupIndexPath(dir: String): String =
+    graft.ext.Dedup.persistedIndexPath(dir, "ndidx_nd8x2", "documents.parquet")
 
   private def withStreamDirsFile[A](dir: String, file: String)(
       body: (String, String) => A): A = {
@@ -1337,20 +1333,21 @@ object Streaming {
     * drained report EQUALS batch x395 over the same backlog, which is
     * what the shared oracle checks. The ingester that starts shipping
     * mojibake pages its owner mid-crawl, not at the nightly audit.
+    *
+    * `prepare` is the caller's (source, text) projection over the raw
+    * arriving documents — the judged x397 registration plants its
+    * deterministic test damage THERE (mirroring the batch x395 split),
+    * so the operator itself monitors whatever actually arrives.
     * Output: (source, n_docs, n_replacement, n_mojibake, n_entity,
     * n_ctrl, damaged_ppm) ordered by source. */
-  def streamDamage(spark: SparkSession, dir: String): DataFrame = {
+  def streamDamage(spark: SparkSession, dir: String,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
     val name = "stream_damage_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
     withStreamDirsFile(dir, "documents.parquet") { (stage, ckpt) =>
-      val src = spark.readStream.schema(docsSchema).parquet(stage)
-        // the deterministic planted damage (same derivation as the
-        // batch x395 registration and its oracle)
-        .select(col("source"),
-          when(col("doc_id") % 13 === 0,
-            concat(col("text"), lit("Ã© &amp; &#233; x�")))
-            .otherwise(col("text")).as("text"))
+      val src = prepare(spark.readStream.schema(docsSchema).parquet(stage))
+        .select(col("source"), col("text"))
       val q = graft.ext.TextStats.damageCounts(src)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),

@@ -9,12 +9,13 @@ class CatalogSpec extends AnyFunSuite {
 
   test("no query-name collisions; every query has a well-formed name") {
     val names = (queries.Relational.qs ++ queries.Windows.qs ++
-      queries.Functions.qs ++ queries.Parity.qs ++ queries.Extensions.qs)
+      queries.Functions.qs ++ queries.Parity.qs ++ queries.Extensions.qs ++
+      queries.Fuzz.qs)
       .map(_.name)
     val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     assert(SparkEntry.queries.size == names.size)
-    assert(names.forall(_.matches("[qx][0-9]+_[a-z0-9_]+")), names.filterNot(_.matches("[qx][0-9]+_[a-z0-9_]+")))
+    assert(names.forall(_.matches("(q|x|fz)[0-9]+_[a-z0-9_]+")), names.filterNot(_.matches("(q|x|fz)[0-9]+_[a-z0-9_]+")))
   }
 
   test("every oracle belongs to a registered query") {

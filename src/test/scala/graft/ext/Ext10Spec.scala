@@ -500,6 +500,10 @@ class Ext10Spec extends SparkSpec {
         .collect()
     }
     assert(e2.getMessage.contains("hilbert_key_nd"), e2.getMessage)
+    // a TYPE error, not a (misleading) non-foldable diagnostic: the
+    // literal IS foldable, its type is wrong
+    assert(!e2.getMessage.contains("foldable"), e2.getMessage)
+    assert(e2.getMessage.contains("STRING"), e2.getMessage)
     // the good path still resolves through the same builder
     val ok = spark.sql("SELECT hilbert_key_nd(x, y, 3) AS h FROM hk_bad_bits")
       .collect().head.getLong(0)

@@ -693,7 +693,13 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     def row(r: org.apache.spark.sql.Row) =
       (r.getString(0), (1 to 6).map(r.getLong).toList)
-    val streamed = Streaming.streamDamage(spark, dir).collect()
+    // the planting lives in the caller (x397 registration / this spec),
+    // not in the operator — streamDamage itself monitors what arrives
+    val streamed = Streaming.streamDamage(spark, dir, raw => raw
+        .select(col("source"),
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit("Ã© &amp; &#233; x�")))
+            .otherwise(col("text")).as("text"))).collect()
       .map(row).toSeq
     val batch = graft.ext.TextStats.encodingDamage(
         graft.Tables.load(spark, dir, "documents")
