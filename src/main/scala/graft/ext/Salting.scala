@@ -34,6 +34,42 @@ object Salting {
       .agg(sum("_cnt").cast("bigint").as("cnt"), sum("_sum").as("sum_val"))
   }
 
+  /** AUTO-SALTING CHOOSER — operationalizes the x198 skew profile: one
+    * keyed count pass over the data (in production: a sample or the
+    * previous run's profile) emits the (key, salt_factor) PLAN that
+    * [[plannedSaltedCountSum]] consumes. Only keys whose row count
+    * exceeds `targetPerTask` appear (the plan is hot-keys-only, so it
+    * stays broadcast-sized no matter the key cardinality); the factor
+    * is the exact integer ceil(cnt / targetPerTask) clamped to
+    * `maxFactor` — enough sub-keys that no reducer sees more than
+    * ~targetPerTask rows of any one key, without shredding cold keys
+    * into pointless partials. */
+  def saltPlan(df: DataFrame, key: String, targetPerTask: Long,
+               maxFactor: Int): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > targetPerTask)
+      .select(col(key),
+        expr(s"CAST(least($maxFactor, " +
+          s"(cnt + ${targetPerTask - 1}) div $targetPerTask) AS INT)")
+          .as("salt_factor"))
+
+  /** Per-key-factor salted aggregation: the plan (hot keys only)
+    * broadcasts and LEFT-joins onto the data; hot keys split into
+    * their planned number of sub-keys, cold keys keep salt 0 — the
+    * salted path engages ONLY above the chooser's threshold
+    * (plan-guarded in PlanSpec). Identical to the plain aggregation by
+    * associativity. Output: (key, cnt, sum_val). */
+  def plannedSaltedCountSum(df: DataFrame, key: String, valueCol: Column,
+                            saltCol: Column, plan: DataFrame): DataFrame = {
+    val withF = df.join(broadcast(plan), Seq(key), "left")
+      .withColumn("_salt", when(col("salt_factor").isNull, lit(0))
+        .otherwise(pmod(hash(saltCol), col("salt_factor"))))
+    withF.groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_cnt"), sum(valueCol).as("_sum"))
+      .groupBy(col(key))
+      .agg(sum("_cnt").cast("bigint").as("cnt"), sum("_sum").as("sum_val"))
+  }
+
   /** Skew-mitigated equi-join: the big (skewed) side keeps its rows and
     * gains a deterministic salt; the small side is REPLICATED once per
     * salt bucket (explode over 0..buckets-1); the join runs on

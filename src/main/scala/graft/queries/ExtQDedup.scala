@@ -435,10 +435,9 @@ private[queries] object ExtQDedup {
 
     // SemDeDup: k-means clusters + within-cluster near-dup drop (keep
     // smallest id). Same planted near-dups as x114 (rescaled copies at
-    // cos ~0.9999) so the operator has real work; rows-only judged
-    // because cluster boundaries are engine-specific (like IVF/PQ) —
-    // planted-dup removal + determinism are spec-guarded in ExtSpec.
-    Q.dfOnly("x116_semdedup",
+    // cos ~0.9999) so the operator has real work; planted-dup removal
+    // + determinism additionally spec-guarded in ExtSpec.
+    Q.df("x116_semdedup",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         val base = emb.select(col("vec_id"), col("embedding"))
@@ -448,7 +447,13 @@ private[queries] object ExtQDedup {
             .as("embedding"))
         Similarity.semDedup(base.unionByName(pert),
           cells = 8, iters = 3, minCosX10k = 9900L)
-      }),
+      },
+      // oracle-exact since round 12: cluster boundaries ARE derivable —
+      // the kmeans fit is integer-deterministic, so DuckDB re-derives
+      // fit + in-cell exact-cosine victims + survivors byte-for-byte
+      // (ExtShared.semDedupOracleSql; tools/proto_semdedup_oracle.py)
+      semDedupOracleSql(cells = 8, iters = 3, dim = 64,
+        minCosX10k = 9900L)),
 
 
     // ---- round 4: passage dedup, sketch-exact heavy hitters, mixing,

@@ -71,6 +71,51 @@ private[queries] object ExtQRelOps {
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
 
 
+    // AUTO-SALTING end to end on the x390 adversarial corpus (r11
+    // advice #8): the chooser profiles per-shingle counts and emits a
+    // hot-keys-only (key, salt_factor) plan — the universal footer
+    // shingle (present in EVERY document) gets the max factor, the
+    // 47-char boilerplate-prefix shingles get proportional factors,
+    // content shingles stay unplanned — then the planned salted
+    // aggregation consumes it: hot keys split into factor sub-keys,
+    // cold keys take the direct path (PlanSpec guards the broadcast +
+    // two-phase shape). The oracle re-derives counts, checksums AND
+    // the chooser's exact factor rule, so the threshold itself is
+    // judged. Output: shingles with >= 3 docs, their doc count, an
+    // order-proof checksum (sum doc_id % 1000 re-associated across
+    // phases), and the factor the chooser assigned.
+    Q.df("x404_auto_salting",
+      (s, dir) => {
+        val sh = Dedup.shingles3(skewDocs(Tables.load(s, dir, "documents")))
+        val plan = graft.ext.Salting.saltPlan(sh, "shingle",
+          targetPerTask = 50L, maxFactor = 16)
+        graft.ext.Salting.plannedSaltedCountSum(sh, "shingle",
+            valueCol = col("doc_id") % 1000, saltCol = col("doc_id"), plan)
+          .join(plan, Seq("shingle"), "left")
+          .where(col("cnt") >= 3)
+          .select(col("shingle"), col("cnt"),
+            col("sum_val").cast("bigint").as("checksum"),
+            coalesce(col("salt_factor"), lit(1)).cast("bigint")
+              .as("salt_factor"))
+          .orderBy("shingle")
+      },
+      s"""WITH $duckSkew, $duckSkewTok,
+         |sh0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |             JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         |),
+         |c AS MATERIALIZED (
+         |  SELECT shingle, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(doc_id % 1000) AS BIGINT) AS checksum
+         |  FROM sh0 GROUP BY 1
+         |)
+         |SELECT shingle, cnt, checksum,
+         |  CAST(CASE WHEN cnt > 50 THEN least(16, (cnt + 49) // 50)
+         |       ELSE 1 END AS BIGINT) AS salt_factor
+         |FROM c WHERE cnt >= 3 ORDER BY shingle""".stripMargin),
+
+
     // the bucketed range join under DELIBERATE bucket skew: a quarter
     // of the intervals collapse onto one [1200, 1207] window, so two
     // buckets hold ~25% of the interval side — the hot-key regime every

@@ -14,27 +14,53 @@ private[queries] object ExtQSimilarity {
     // ---- similarity search --------------------------------------------
     Q.df("x59_knn_quantized",
       (s, dir) => Similarity.knnQuantized(Tables.load(s, dir, "embeddings"), 20, 3),
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
-        |pairs AS (
-        |  SELECT q.qid, e.vec_id,
-        |    CAST(sum(CAST(floor(CAST(qe[i] AS DOUBLE) * 10000) AS BIGINT)
-        |           * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS dot_q
-        |  FROM q, embeddings e, range(1, 65) r(i)
-        |  WHERE q.qid <> e.vec_id
-        |  GROUP BY 1, 2
-        |), ranked AS (
-        |  SELECT qid, vec_id, dot_q,
-        |    row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, vec_id) AS rn
-        |  FROM pairs
-        |)
-        |SELECT qid, vec_id, dot_q, CAST(rn AS BIGINT) AS rn
-        |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin),
+      exactKnnOracleSql(nQueries = 20, k = 3, dim = 64)),
+
+
+    // the judged ANN RECALL gate (r11 advice): recall@3 of each
+    // approximate tier against the exact brute-force twin, as exact
+    // integers — hits out of k*nQueries. The tiers themselves are
+    // oracle-exact (x72/x103/x110/x124); this row set is the
+    // QUANTITATIVE accuracy readout that used to live only in specs.
+    // The oracle re-derives every tier AND the exact twin in DuckDB,
+    // so recall is judged end to end, not trusted from the engine.
+    Q.df("x402_ann_recall",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val exact = graft.ext.CacheRegistry.pin(
+          Similarity.knnQuantized(emb, 20, 3).select("qid", "vec_id"))
+        def leg(tier: String, df: org.apache.spark.sql.DataFrame) =
+          df.select(col("qid"), col("vec_id"))
+            .join(exact, Seq("qid", "vec_id"))
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(tier).as("tier"), col("hits"),
+              expr("CAST(hits * 1000000 div 60 AS BIGINT)")
+                .as("recall_ppm"))
+        leg("ivf", Similarity.knnIvf(emb, 20, 3, 8))
+          .unionByName(leg("pq", Similarity.knnPQ(emb, 20, 3)))
+          .unionByName(leg("ivfpq", Similarity.searchIvfPq(
+            Similarity.ivfPqIndexAt(s, annIndexPath(dir, "ivfpq_raw"), emb),
+            emb, 20, 3)))
+          .unionByName(leg("residual", Similarity.searchIvfPq(
+            Similarity.ivfPqIndexAt(s, annIndexPath(dir, "ivfpq_res"), emb,
+              residual = true),
+            emb, 20, 3)))
+          .orderBy("tier")
+      },
+      annRecallOracleSql(nQueries = 20, k = 3, dim = 64)),
 
 
     // IVF-probed ANN: learned coarse cells (mini k-means) + cell-local
-    // search. Approximate by design -> rows-only check.
-    Q.dfOnly("x72_knn_ivf",
-      (s, dir) => Similarity.knnIvf(Tables.load(s, dir, "embeddings"), 20, 3, 8)),
+    // search. Approximate vs exact kNN by design, but fully
+    // DETERMINISTIC (integer dots, exact integer centroid means, fixed
+    // tie-breaks) — so since round 12 DuckDB re-derives the whole
+    // operator (unrolled Lloyd rounds + probe + scoring,
+    // ExtShared.ivfOracleSql) and the row set is judged exactly, no
+    // longer rows-only.
+    Q.df("x72_knn_ivf",
+      (s, dir) => Similarity.knnIvf(Tables.load(s, dir, "embeddings"), 20, 3, 8),
+      ivfOracleSql(nQueries = 20, k = 3, cells = 8, nprobe = 2,
+        iters = 3, dim = 64)),
 
 
     // ---- float-tier ANN (rows-only: float fold is engine-dependent;
@@ -61,52 +87,64 @@ private[queries] object ExtQSimilarity {
       }),
 
 
-    // product-quantization ANN with exact re-rank (rows-only like IVF:
-    // the codebooks are engine-specific; determinism is spec-guarded)
-    Q.dfOnly("x103_knn_pq",
-      (s, dir) => Similarity.knnPQ(Tables.load(s, dir, "embeddings"), 20, 3)),
+    // product-quantization ANN with exact re-rank. Oracle-exact since
+    // round 12: the per-subspace codebook fit is deterministic integer
+    // arithmetic, so DuckDB re-derives fit + ADC + re-rank byte-for-byte
+    // (ExtShared.pqOracleSql; validated in tools/proto_pq_oracle.py)
+    Q.df("x103_knn_pq",
+      (s, dir) => Similarity.knnPQ(Tables.load(s, dir, "embeddings"), 20, 3),
+      pqOracleSql(nQueries = 20, k = 3, m = 8, ksub = 32, iters = 3,
+        refine = 16, dim = 64)),
 
 
     // the composed production ANN stack: IVF coarse probe -> PQ-ADC
-    // scoring only within probed cells -> exact re-rank. Rows-only like
-    // its two legs; recall and the cell-keyed scoring join are
-    // spec-guarded (ExtSpec / PlanSpec). Served build-once/serve-many:
-    // the index (codes partitioned by ivf_cell + centroids + codebooks)
-    // is persisted on first touch and every query — including this
-    // one — READS THE STORE; no k-means job runs once the index
-    // exists. The store is keyed by the embeddings file's identity
-    // (mtime+size), so a regenerated corpus re-builds.
-    Q.dfOnly("x110_knn_ivfpq",
+    // scoring only within probed cells -> exact re-rank. The cell-keyed
+    // scoring join is spec-guarded (ExtSpec / PlanSpec). Served
+    // build-once/serve-many: the index (codes partitioned by ivf_cell +
+    // centroids + codebooks) is persisted on first touch and every
+    // query — including this one — READS THE STORE; no k-means job runs
+    // once the index exists. The store is keyed by the embeddings
+    // file's identity (mtime+size), so a regenerated corpus re-builds.
+    // Oracle-exact since round 12 (ExtShared.ivfPqOracleSql re-derives
+    // coarse fit + probe + codebooks + ADC + re-rank) — which also
+    // judges that a LOADED index equals a fresh build.
+    Q.df("x110_knn_ivfpq",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         Similarity.searchIvfPq(
           Similarity.ivfPqIndexAt(s, annIndexPath(dir, "ivfpq_raw"), emb),
           emb, 20, 3)
-      }),
+      },
+      ivfPqOracleSql(nQueries = 20, k = 3, cells = 8, nprobe = 3, m = 8,
+        ksub = 32, iters = 3, refine = 16, dim = 64, residual = false)),
 
 
     // the true FAISS IVF-PQ: codebooks fit on per-cell RESIDUALS
     // x - centroid(cell(x)) — better recall at identical index size and
     // scoring shape (spec-guarded strictly above the raw variant);
     // served from its own persisted index like x110
-    Q.dfOnly("x124_knn_ivfpq_residual",
+    Q.df("x124_knn_ivfpq_residual",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         Similarity.searchIvfPq(
           Similarity.ivfPqIndexAt(s, annIndexPath(dir, "ivfpq_res"), emb,
             residual = true),
           emb, 20, 3)
-      }),
+      },
+      // oracle-exact since round 12: the float residual subtraction is
+      // IEEE-identical in both engines, so even the residual-coded
+      // variant re-derives byte-for-byte
+      ivfPqOracleSql(nQueries = 20, k = 3, cells = 8, nprobe = 3, m = 8,
+        ksub = 32, iters = 3, refine = 16, dim = 64, residual = true)),
 
 
     // incremental ANN index maintenance — the daily-ingestion path of a
     // production vector index: the coarse quantizer is fit ONCE on the
     // base corpus, then a new batch is assigned against the FROZEN
     // centroids (one broadcast + one argmax aggregation; no refit, no
-    // driver-side corpus). Rows-only judged like the other ANN ops
-    // (cell boundaries are engine-specific); ExtSpec guards that frozen
+    // driver-side corpus). ExtSpec additionally guards that frozen
     // assignment equals a full refit's for unchanged centroids.
-    Q.dfOnly("x125_ann_incremental_assign",
+    Q.df("x125_ann_incremental_assign",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         val base = emb.where(col("vec_id") < 400)
@@ -115,7 +153,11 @@ private[queries] object ExtQSimilarity {
         Similarity.assignCells(batch, centroids)
           .select(col("vec_id"), col("cell").cast("bigint").as("cell"))
           .orderBy("vec_id")
-      }),
+      },
+      // oracle-exact since round 12: the frozen-centroid fit + assign
+      // is deterministic integer arithmetic end to end
+      incrementalAssignOracleSql(baseN = 400, cells = 8, iters = 3,
+        dim = 64)),
 
 
     // exact-cosine top-k: quantized dot over quantized norms — the only

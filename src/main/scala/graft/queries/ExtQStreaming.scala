@@ -580,7 +580,30 @@ private[queries] object ExtQStreaming {
         |  CAST(sum(ct) AS BIGINT) AS n_ctrl,
         |  CAST(sum(CASE WHEN r + m + e + ct > 0 THEN 1 ELSE 0 END)
         |    * 1000000 // count(*) AS BIGINT) AS damaged_ppm
-        |FROM c GROUP BY source ORDER BY source""".stripMargin)
+        |FROM c GROUP BY source ORDER BY source""".stripMargin),
+
+
+    // shape #27 — the APPEND-mode monitor: daily event-integrity report
+    // finalized (and state-evicted) when the 1-day watermark passes the
+    // day's end; open days are absent BY SEMANTICS. The oracle
+    // re-derives the closed-day boundary from max(ts) - 1 day, so the
+    // eviction rule itself is judged, not just the per-day arithmetic.
+    Q.df("x403_stream_daily_integrity",
+      (s, dir) => Streaming.streamDailyIntegrity(s, dir),
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN value < 1.0 OR value > 400.0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n_events,
+        |  n_anomalies,
+        |  CAST(n_anomalies * 1000000 // n_events AS BIGINT) AS anomaly_ppm
+        |FROM d, mx
+        |WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= mx.m - INTERVAL 1 DAY
+        |ORDER BY day, event_type""".stripMargin)
 
   )
 }

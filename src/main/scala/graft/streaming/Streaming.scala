@@ -1462,4 +1462,51 @@ object Streaming {
     graft.ext.TimeSeries.completenessFromDaily(
       detachMart(spark.table(name)))
   }
+
+  /** Daily EVENT-INTEGRITY report, APPEND mode — shape #27 and the
+    * state-eviction flavor the monitor family (x360/x376/x383/x397/
+    * x401, all complete-mode grids) never touches: each day's
+    * (event_type) integrity counters are a WATERMARK-FINALIZED window —
+    * the day is emitted exactly once, when the 1-day watermark passes
+    * its end, and its state is evicted; days still open when the
+    * backlog drains are (correctly) absent. This is the production
+    * "daily report finalized at close-of-books" shape: downstream
+    * consumers can treat every emitted row as immutable, which
+    * complete-mode monitors can never promise.
+    *
+    * Anomaly rule (deterministic double compares, identical text in the
+    * oracle): value < 1.0 OR value > 400.0. Output: (day 'yyyy-MM-dd',
+    * event_type, n_events, n_anomalies, anomaly_ppm) for every CLOSED
+    * day, ordered by (day, event_type); the oracle re-derives the
+    * closed-day set from max(ts) - 1 day, so the eviction boundary
+    * itself is judged. */
+  def streamDailyIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_daily_integrity_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    withNanosAsLong(spark) { withStreamDirs(dir) { (stage, ckpt) =>
+      val src = spark.readStream.schema(eventsRawSchema).parquet(stage)
+        .withColumn("ts", nanosToTs("ts", eventsTsDivisor(spark, dir)))
+      val q = src
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("value") < 1.0 || col("value") > 400.0, 1L)
+            .otherwise(0L)).as("n_anomalies"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events"), col("n_anomalies"))
+        .writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    // serve-time finishing arithmetic over the (day x type)-bounded mart
+    detachMart(spark.table(name))
+      .select(col("day"), col("event_type"), col("n_events"),
+        col("n_anomalies"),
+        expr("CAST(n_anomalies * 1000000 div n_events AS BIGINT)")
+          .as("anomaly_ppm"))
+      .orderBy("day", "event_type")
+  }
 }

@@ -39,12 +39,16 @@ class CatalogSpec extends AnyFunSuite {
     // pin the intentional rows-only set (COVERAGE.md Totals) so the
     // omission fails loudly instead
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // round 12 shrank this set 11 -> 5: the deterministic-by-
+    // construction ANN/semdedup tiers (IVF, PQ, IVF-PQ, residual,
+    // incremental assign, SemDeDup) gained full DuckDB re-derivation
+    // oracles (ExtShared.ivfOracleSql / pqOracleSql / ivfPqOracleSql /
+    // semDedupOracleSql). What remains is approximate BY NATURE on the
+    // oracle side: HLL sketches (x63, x112, x287), percentile_approx
+    // (x129), and the engine-dependent float fold (x64).
     assert(rowsOnly == Set(
-      "x63_approx_distinct", "x64_knn_float", "x72_knn_ivf",
-      "x103_knn_pq", "x110_knn_ivfpq", "x112_profile_approx",
-      "x116_semdedup", "x124_knn_ivfpq_residual",
-      "x125_ann_incremental_assign", "x129_median_gate_approx",
-      "x287_rolling_active_approx"),
+      "x63_approx_distinct", "x64_knn_float", "x112_profile_approx",
+      "x129_median_gate_approx", "x287_rolling_active_approx"),
       s"unexpected rows-only set: ${rowsOnly.toSeq.sorted.mkString(",")}")
   }
 }

@@ -772,4 +772,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
   }
+
+  test("x404 auto-salting: the hot-key plan broadcasts; aggregation is the two-phase salted shape") {
+    val p = plan("x404_auto_salting")
+    // the (key, salt_factor) plan is hot-keys-only and must join
+    // broadcast — a shuffled plan join would cost more than the skew
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
 }

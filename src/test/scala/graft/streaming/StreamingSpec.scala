@@ -710,4 +710,87 @@ class StreamingSpec extends SparkSpec {
       .map(row).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("append-mode daily report (shape #27): watermark-closed days emit exactly once across a checkpoint restart") {
+    // The eviction contract of x403: a day is emitted when the 1-day
+    // watermark passes its end, and NEVER again — not on later
+    // micro-batches, not after a restart from the same checkpoint.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val day = 86400000000L // micros
+    val base = 1704067200L * 1000000L // 2024-01-01T00:00Z (epoch-0 events sit at the zero watermark)
+    // fileA: day0 x2 (one anomaly), day1 x1 (anomaly), max at day2T06
+    // -> watermark day1T06 closes ONLY day0
+    val fileA = Seq(
+      (base + 3600000000L, 0.5), (base + 7200000000L, 10.0),
+      (base + day + 10800000000L, 500.0), (base + 2 * day + 21600000000L, 5.0))
+    // fileB: one event at day3T12 -> watermark day2T12 closes day1 ONLY
+    // (day2 end = day3T00 is still open)
+    val fileB = Seq((base + 3 * day + 43200000000L, 2.0))
+    val stage = java.nio.file.Files.createTempDirectory("graft_appnd_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_appnd_ck")
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_appnd_ck2")
+    def land(rows: Seq[(Long, Double)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_appnd_land")
+      rows.toDF("ts_us", "value").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.copy(p, stage.resolve(name)))
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    // foreachBatch -> parquet append (the memory sink cannot recover
+    // from an existing checkpoint), same discipline as the session spec
+    def runDrain(outDir: String, ckptDir: String): Unit = {
+      val src = spark.readStream.schema("ts_us LONG, value DOUBLE")
+        .parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val q = src.withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < 1.0 || col("value") > 400.0, 1L)
+            .otherwise(0L)).as("bad"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("n"), col("bad"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("append").option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def emitted(outDir: java.nio.file.Path): Seq[(String, Long, Long)] =
+      spark.read.parquet(outDir.toString).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val out1 = java.nio.file.Files.createTempDirectory("graft_appnd_o1")
+    val out2 = java.nio.file.Files.createTempDirectory("graft_appnd_o2")
+    val out3 = java.nio.file.Files.createTempDirectory("graft_appnd_o3")
+    try {
+      land(fileA, "a.parquet")
+      runDrain(out1.toString, ckpt.toString)
+      assert(emitted(out1) == Seq(("2024-01-01", 2L, 1L)),
+        s"drain1: ${emitted(out1)}")
+      land(fileB, "b.parquet")
+      runDrain(out2.toString, ckpt.toString)
+      // day0 NOT re-emitted (state was evicted, offsets not replayed);
+      // day1 closed by fileB's watermark; day2/day3 still open
+      assert(emitted(out2) == Seq(("2024-01-02", 1L, 1L)),
+        s"drain2: ${emitted(out2)}")
+      // combined incremental emissions == one uninterrupted run
+      runDrain(out3.toString, ckpt2.toString)
+      assert((emitted(out1) ++ emitted(out2)).sortBy(_._1) == emitted(out3))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(stage, ckpt, ckpt2, out1, out2, out3).foreach { root =>
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => try { java.nio.file.Files.deleteIfExists(p); () }
+                        catch { case _: java.io.IOException => () })
+      }
+    }
+  }
 }
