@@ -73,8 +73,19 @@ object Dedup {
   def shingles3(docs: DataFrame): DataFrame = {
     val key = (System.identityHashCode(docs.sparkSession),
       docs.queryExecution.logical.canonicalized.semanticHash())
+    // a frame already carrying its token array (column `t`, e.g. the
+    // curation profile — Curation.profile) is shingled from it
+    // directly: the regex tokenization is the expensive half of
+    // shingling and the profile computed it once for the whole corpus
+    val hasTokens = docs.schema.fields.exists(f =>
+      f.name == "t" && (f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) => true
+        case _ => false
+      }))
     shingleCache.getOrElseUpdate(key,
-      docs.select(col("doc_id"), TextStats.tokensCol(col("text")).as("t"))
+      (if (hasTokens) docs.select(col("doc_id"), col("t"))
+       else docs.select(col("doc_id"), TextStats.tokensCol(col("text")).as("t")))
         .select(col("doc_id"), explode(expr(
           """CASE WHEN size(t) < 3 THEN array()
             |ELSE transform(sequence(1, size(t) - 2),
@@ -138,8 +149,16 @@ object Dedup {
     * approximate (computed over surviving shingles), so the judged
     * query leaves it off. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
+                   maxDocFreq: Option[Int] = None): DataFrame =
+    jaccardPairsFromShingles(shingles3(docs), threshold, maxDocFreq)
+
+  /** [[jaccardPairs]] over a prebuilt distinct (doc_id, shingle)
+    * frame — the path a staged shingle index takes
+    * ([[graft.ext.Curation.stagedShingles]]): the per-query
+    * explode+distinct is replaced by a scan of the persisted inverted
+    * table (filtered to the candidate doc set by the caller). */
+  def jaccardPairsFromShingles(shAll: DataFrame, threshold: Double,
                    maxDocFreq: Option[Int] = None): DataFrame = {
-    val shAll = shingles3(docs)
     val sh = maxDocFreq match {
       case Some(f) =>
         val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))

@@ -46,39 +46,58 @@ object LmQuality {
     * n_big = bigram occurrences, bits = summed negbits, ppl_cbit =
     * centibits/bigram (-1 for docs with < 2 tokens, bucketed 'tail'),
     * bucket in head|middle|tail, keep = bucket != 'tail'. */
-  def lmQualityGate(docs: DataFrame): DataFrame = {
+  def lmQualityGate(docs: DataFrame): DataFrame =
+    lmQualityGateTokens(docs.select(col("doc_id"),
+      TextStats.tokensCol(col("text")).as("t")))
+
+  /** [[lmQualityGate]] over an already-tokenized frame (doc_id, t) —
+    * the path [[Curation]]'s staged profile takes, where the corpus
+    * token arrays were computed once up front and every stage reuses
+    * them instead of re-running the tokenizer regex. */
+  def lmQualityGateTokens(toksIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // tokenize ONCE and pin: the token arrays feed four branches
+    // pin ONCE: the token arrays feed four branches
     // (bigram counts, prefix counts, vocabulary, per-doc scoring) —
     // without the pin each branch would re-scan and re-tokenize the
     // raw corpus, the single-scan violation Curation guards against
-    val toks = CacheRegistry.pin(docs.select(col("doc_id"),
-      TextStats.tokensCol(col("text")).as("t")))
-    val bigrams = CacheRegistry.pin(
+    val toks = CacheRegistry.pin(toksIn.select(col("doc_id"), col("t")))
+    // per-doc DISTINCT bigram counts — scoring never touches the
+    // occurrence level again: a pair occurring k times in a doc is one
+    // (doc, w1, w2, k) row, scored once and weighted by k. Versus the
+    // occurrence-level formulation (join every bigram occurrence to
+    // the model tables), the model join input shrinks from
+    // |occurrences| to |distinct pairs per doc| and the prefix counts
+    // come from the (much smaller) pair-count table instead of a
+    // second pass over occurrences. Integer-identical: sum over
+    // occurrences of nb == sum over pairs of k * nb.
+    val dbc = CacheRegistry.pin(
       toks.select(col("doc_id"), explode(expr(
           """CASE WHEN size(t) < 2 THEN array()
             |ELSE transform(sequence(1, size(t) - 1),
             |  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))
             |END""".stripMargin)).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
-    // the model: bigram counts, bigram-prefix counts, vocabulary size
-    val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val pc = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+        .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("cnt")))
+    // the model: bigram counts, bigram-prefix counts (rolled up from
+    // the bigram counts — same integers, one less corpus pass),
+    // vocabulary size
+    val bc = dbc.groupBy("w1", "w2").agg(sum("cnt").as("c2"))
+    val pc = bc.groupBy("w1").agg(sum("c2").as("c1"))
     val vocab = toks.select(explode(col("t")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    // score every occurrence: whole-bit -log2 of the smoothed
+    // score every DISTINCT pair: whole-bit -log2 of the smoothed
     // conditional; c2 + 1 <= c1 + V always, so nb >= 0
-    val terms = bigrams
-      .join(bc, Seq("w1", "w2")).join(pc, Seq("w1"))
+    val pairScore = bc.join(pc, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
+      .select(col("w1"), col("w2"),
         ((length(bin(col("c1") + col("v"))) - 1) -
          (length(bin(col("c2") + lit(1))) - 1)).cast("bigint").as("nb"))
     // pinned: the scored frame feeds THREE consumers (the doc count,
     // the threshold histogram, and the final per-doc join) — without
     // the pin the whole scoring join re-executes per consumer
-    val scored = CacheRegistry.pin(terms.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_big"), sum("nb").as("bits"))
+    val scored = CacheRegistry.pin(dbc.join(pairScore, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_big"), sum(col("cnt") * col("nb")).as("bits"))
       .select(col("doc_id"), col("n_big"), col("bits"),
         expr("(100 * bits) div n_big").as("ppl_cbit")))
     // integer tertile thresholds from the cumulative score histogram:
@@ -95,7 +114,7 @@ object LmQuality {
           .as("t1"),
         min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("ppl_cbit")))
           .as("t2"))
-    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+    toks.select("doc_id").join(scored, Seq("doc_id"), "left")
       .crossJoin(broadcast(thr))
       .select(col("doc_id"),
         coalesce(col("n_big"), lit(0L)).as("n_big"),

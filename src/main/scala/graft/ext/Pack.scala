@@ -36,11 +36,19 @@ object Pack {
     * context, 16 md5 buckets. Returns one row per document:
     * (doc_id, bucket, n_tok, pack_id, off) where `off` is the token
     * offset of the document inside its bucket's concatenation. */
-  def assignPacks(docs: DataFrame, window: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+  def assignPacks(docs: DataFrame, window: Int): DataFrame =
+    assignPacksCounted(docs.select(col("doc_id"),
       // whitespace tokens: cheap, deterministic, and identical to
       // DuckDB's string_split on the same text
-      size(split(col("text"), " ")).cast("bigint").as("n_tok"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tok")), window)
+
+  /** [[assignPacks]] with the whitespace token count already computed —
+    * the path [[Curation]]'s staged profile takes (`counts` = (doc_id,
+    * n_tok)): the packing stage then never touches document text at
+    * all, only the two-integer manifest. */
+  def assignPacksCounted(counts: DataFrame, window: Int): DataFrame = {
+    val toks = counts.select(col("doc_id"),
+      col("n_tok").cast("bigint").as("n_tok"),
       // 16-way content-hash bucket: first hex nibble of md5(doc_id)
       (instr(lit("0123456789abcdef"),
         substring(md5(col("doc_id").cast("string")), 1, 1)) - 1)
@@ -91,7 +99,15 @@ object Pack {
     * token total, and the id range packed — the manifest a downstream
     * tokenizer job would consume. */
   def packManifest(docs: DataFrame, window: Int): DataFrame =
-    assignPacks(docs, window)
+    manifestOf(assignPacks(docs, window))
+
+  /** [[packManifest]] over precomputed (doc_id, n_tok) counts — see
+    * [[assignPacksCounted]]. */
+  def packManifestCounted(counts: DataFrame, window: Int): DataFrame =
+    manifestOf(assignPacksCounted(counts, window))
+
+  private def manifestOf(assigned: DataFrame): DataFrame =
+    assigned
       .groupBy("bucket", "pack_id")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").cast("bigint").as("n_tok"),

@@ -170,7 +170,7 @@ private[queries] object ExtQCuration {
     // no per-stage judgment sees; PlanSpec guards the single-raw-scan
     // property (every stage reads the pinned/checkpointed boundary).
     Q.df("x123_curation_pipeline",
-      (s, dir) => Curation.curate(Tables.load(s, dir, "documents"), 256),
+      (s, dir) => Curation.curateStaged(s, dir, 256),
       """WITH RECURSIVE
         |tok0 AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
@@ -394,8 +394,7 @@ private[queries] object ExtQCuration {
     // CTEs spliced in after base1 — catching any drift between the
     // judged standalone gate and its in-pipeline composition
     Q.df("x159_curation_lm_pipeline",
-      (s, dir) => Curation.curate(Tables.load(s, dir, "documents"), 256,
-        lmGate = true),
+      (s, dir) => Curation.curateStaged(s, dir, 256, lmGate = true),
       """WITH RECURSIVE
         |tok0 AS MATERIALIZED (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
