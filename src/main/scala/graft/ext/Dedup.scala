@@ -239,18 +239,28 @@ object Dedup {
     val sh = shingles3(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = ppjoinCandidates(sh, sizes, thresholdPpm, positional = true)
-    val inter = cand
-      .join(sh.as("x"), col("d1") === col("x.doc_id"))
-      .join(sh.as("y"),
-        col("d2") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+    // verification by IN-ROW array intersection (the x242 serve-path
+    // discipline): each doc's shingle set folds to ONE sorted array
+    // row, candidates equi-join the two array rows, and the exact
+    // overlap is one array_intersect per pair. The earlier shape
+    // joined candidates against the exploded shingle table and
+    // re-aggregated — materializing a |cand| x |shingles-per-doc|
+    // row explosion (~170M rows at sf1) that made the verify stage
+    // 90% of the operator and scaled 4x worse than the data.
+    val arrs = CacheRegistry.pin(sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("arr"),
+        count(lit(1)).as("n")))
+    cand
+      .join(arrs.select(col("doc_id").as("d1"), col("arr").as("a1"),
+        col("n").as("n1")), Seq("d1"))
+      .join(arrs.select(col("doc_id").as("d2"), col("arr").as("a2"),
+        col("n").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("a1"), col("a2"))).cast("bigint").as("inter"),
+        col("n1"), col("n2"))
       .where(col("inter") * 1000000L >=
-        (col("s1.n") + col("s2.n") - col("inter")) * thresholdPpm)
-      .select(col("d1"), col("d2"), col("inter"),
-        col("s1.n").as("n1"), col("s2.n").as("n2"),
+        (col("n1") + col("n2") - col("inter")) * thresholdPpm)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
         expr("inter * 1000000L div (n1 + n2 - inter)").as("jac_ppm"))
       .orderBy("d1", "d2")
   }
@@ -834,7 +844,17 @@ object Dedup {
     // executing once per branch
     val fwd = CacheRegistry.checkpoint(
       pairs.select(col("d1").as("src"), col("d2").as("dst")))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // near-dup pair lists are far smaller than the doc-sized label
+    // table, and the checkpoint erased their stats — hint the
+    // broadcast when the arc count (known from the materialized
+    // checkpoint) is under the cap, so the per-round join never
+    // shuffles the label table on the join key (Graph.nodeSide
+    // rationale; the groupBy below still shuffles labels by doc_id,
+    // which is the state update itself)
+    val nArcs = 2L * fwd.count()
+    val edges = Graph.nodeSide(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))),
+      nArcs)
     var labels = CacheRegistry.checkpoint(init)
     var changed = 1L
     var rounds = 0

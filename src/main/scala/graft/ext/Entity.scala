@@ -256,4 +256,66 @@ object Entity {
   def blockingQuality(records: DataFrame, nameCol: String, tau: Int,
                       keyFn: Column => Column): DataFrame =
     blockingQuality(records, nameCol, tau, keyFn(col("name")))
+
+  /** FELLEGI–SUNTER probabilistic record linkage (Fellegi & Sunter
+    * 1969 JASA; the model behind Splink/fastLink — public knowledge),
+    * integer-exact end to end:
+    *
+    *  - u-probabilities (the chance that two NON-matching records
+    *    agree on a field) are estimated EXACTLY from the clean file's
+    *    value distribution — u_ppm(f) = Σ_v cnt_v(f)² · 1e6 div N² —
+    *    the standard label-free estimator;
+    *  - the per-field agreement weight is the whole-bit log-odds
+    *    wa(f) = bitlen(1e6 div max(u_ppm, 1)) − 1 ≈ log2(1/u) (the m
+    *    probability folds to 1 for deterministic corruption models),
+    *    and every disagreement costs the constant wd = −4
+    *    ≈ log2(1 − m) at m = 15/16 — the same bit-length log2 the LM
+    *    gates use, so scores are engine-portable integers;
+    *  - candidates come from MULTI-PASS BLOCKING (a union of
+    *    equi-joins, deduplicated), never a cross product: a pair is
+    *    compared iff it agrees on every field of at least one pass, so
+    *    a corruption is survivable as long as one pass avoids the
+    *    corrupted fields. At 100 TB the blocking keys must have
+    *    cardinality that grows with the data (compose more fields) —
+    *    fixed-cardinality keys make block sizes, and so the candidate
+    *    join, grow quadratically; that knob is the caller's.
+    *
+    * Scale shape: k tiny per-field weight aggregates assembled into a
+    * ONE-ROW broadcast; each blocking pass is an equi-join on its
+    * composite key; agreement flags are computed in the join
+    * projection, so the distinct that merges passes operates on
+    * (id_a, id_b, flags) rows — never field text.
+    *
+    * Output: (id_a, id_b, n_agree, score) for every blocked candidate
+    * pair, ordered. */
+  def fellegiSunter(clean: DataFrame, dirty: DataFrame, idCol: String,
+                    fields: Seq[String],
+                    blockings: Seq[Seq[String]]): DataFrame = {
+    require(fields.nonEmpty && blockings.nonEmpty,
+      "need at least one field and one blocking pass")
+    require(blockings.forall(_.forall(fields.contains)),
+      "blocking keys must be scored fields")
+    // one 1-row frame per field: wa = bitlen(1e6 div max(u_ppm,1)) - 1
+    val weights = fields.map { f =>
+      clean.groupBy(col(f)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("s2"), sum(col("c")).as("n"))
+        .select((length(bin(
+          expr("1000000 div greatest(s2 * 1000000 div (n * n), 1)")))
+          - 1).cast("bigint").as(s"wa_$f"))
+    }.reduce(_.crossJoin(_))
+    val cand = blockings.map { bk =>
+      clean.as("a").join(dirty.as("b"),
+          bk.map(f => col(s"a.$f") === col(s"b.$f")).reduce(_ && _))
+        .select(col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
+          fields.map(f => (col(s"a.$f") === col(s"b.$f")).as(s"ag_$f")): _*)
+    }.reduce(_.unionByName(_)).distinct()
+    cand.crossJoin(broadcast(weights))
+      .select(col("id_a"), col("id_b"),
+        fields.map(f => when(col(s"ag_$f"), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_agree"),
+        fields.map(f => when(col(s"ag_$f"), col(s"wa_$f"))
+          .otherwise(lit(-4L))).reduce(_ + _).as("score"))
+      .orderBy("id_a", "id_b")
+  }
+
 }

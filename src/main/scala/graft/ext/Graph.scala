@@ -51,6 +51,23 @@ object Graph {
     * nodes is skipped — one fewer shuffle per round; a node that DOES
     * lack in-edges would silently drop from the result, so the flag
     * stays off unless the graph shape guarantees it. */
+  /** Broadcast hint for the NODE-SIZED side of the per-round joins in
+    * the iterative operators (pagerank / label propagation / k-core /
+    * CC): a localCheckpoint boundary erases plan statistics (a
+    * LogicalRDD defaults to "unknown = huge"), so without the hint
+    * Spark plans SortMergeJoin and re-exchanges + re-sorts the FULL
+    * checkpointed edge table every round — measured 20-42x task-time
+    * blowups at sf1 on this family, against ~10x for every
+    * non-iterative operator. The operators all know their node (or
+    * arc) count on the driver already, so the hint is size-GATED:
+    * under the cap (~2M rows, a few tens of MB as an executor hash
+    * relation) the node side broadcasts and the edge table is never
+    * shuffled again; above it the shuffle join IS the right plan
+    * (a billion-node score table must not be broadcast). */
+  private[ext] val BroadcastNodeCap = 2000000L
+  private[ext] def nodeSide(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BroadcastNodeCap) broadcast(df) else df
+
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000000L,
                checkpointEvery: Int = 1,
@@ -76,7 +93,7 @@ object Graph {
     var lastChk: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contrib = eDeg
-        .join(cur, eDeg("src") === cur("node"))
+        .join(nodeSide(cur, n), eDeg("src") === cur("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("score div deg")).as("c"))
       cur =
@@ -141,6 +158,7 @@ object Graph {
     CacheRegistry.release(e)
 
     val ns = nodes.where(col("sd") === 1).count() // one driver scalar
+    val nAll = nodes.count() // gates the per-round broadcast hint
     require(ns > 0, "personalizedPageRank needs >= 1 seed in the graph")
     val init = scale / ns
     val base = init * 15L / 100L
@@ -150,7 +168,7 @@ object Graph {
     var lastChk: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contrib = eDeg
-        .join(cur, eDeg("src") === cur("node"))
+        .join(nodeSide(cur, nAll), eDeg("src") === cur("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("score div deg")).as("c"))
       cur = nodes.select(col("node"), col("sd"))
@@ -194,11 +212,13 @@ object Graph {
       s"iterations must be in [1, 64]; got $iterations")
     val e = CacheRegistry.checkpoint(
       edges.select(col("src"), col("dst")).distinct())
-    var cur = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    var lastChk: Option[DataFrame] = None
+    var cur: DataFrame = CacheRegistry.checkpoint(
+      e.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))
+    val n = cur.count() // gates the per-round broadcast hint
+    var lastChk: Option[DataFrame] = Some(cur)
     for (i <- 1 to iterations) {
-      cur = e.join(cur, e("src") === cur("node"))
+      cur = e.join(nodeSide(cur, n), e("src") === cur("node"))
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("dst").as("node"))
@@ -304,20 +324,38 @@ object Graph {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     var e = CacheRegistry.checkpoint(sym.distinct())
+    // ONE degree aggregation per round serves BOTH consumers: the
+    // round's (n_nodes, n_arcs) trajectory row and the next round's
+    // keep set — the earlier shape paid a second arc-sized shuffle
+    // (countDistinct over e) per round for the same information. The
+    // node-sized degree table is checkpointed so its two reads never
+    // recompute the aggregation.
+    var deg = CacheRegistry.checkpoint(
+      e.groupBy("src").agg(count(lit(1)).as("deg")))
+    // nodes only shrink while peeling, so the round-0 count gates the
+    // broadcast hint for every round
+    val n0 = deg.count()
     val traj = (1 to rounds).map { r =>
-      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select(col("src").as("node"))
+      val keep = deg.where(col("deg") >= k).select(col("src").as("node"))
       val prev = e
       e = CacheRegistry.checkpoint(
-        prev.join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        prev.join(nodeSide(keep.select(col("node").as("src")), n0),
+            Seq("src"), "left_semi")
+          .join(nodeSide(keep.select(col("node").as("dst")), n0),
+            Seq("dst"), "left_semi")
           .select("src", "dst"))
       CacheRegistry.release(prev)
-      val row = e.agg(countDistinct(col("src")).as("n_nodes"),
-        count(lit(1)).as("n_arcs")).collect().head
-      (r.toLong, row.getLong(0), row.getLong(1))
+      val prevDeg = deg
+      deg = CacheRegistry.checkpoint(
+        e.groupBy("src").agg(count(lit(1)).as("deg")))
+      CacheRegistry.release(prevDeg)
+      val row = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg")).as("n_arcs")).collect().head
+      (r.toLong, row.getLong(0),
+        if (row.isNullAt(1)) 0L else row.getLong(1))
     }
     CacheRegistry.release(e)
+    CacheRegistry.release(deg)
     traj.toDF("round", "n_nodes", "n_arcs").orderBy("round")
   }
 

@@ -104,6 +104,84 @@ private[queries] object ExtQGraph {
         |ORDER BY name_a, name_b""".stripMargin),
 
 
+
+    // probabilistic record linkage (Fellegi-Sunter 1969): a dirty copy
+    // of part with four deterministic field corruptions (last name
+    // token dropped at id%7, type voided at id%13, size bumped at id%11) is re-linked to the clean file via
+    // two blocking passes (brand+type, brand+size) and integer
+    // log-odds scoring with exact chance-agreement u-probabilities.
+    // Judged as the score-calibration histogram: per score, how many
+    // candidate pairs and how many are TRUE links (same id) — the
+    // separation the linkage threshold rides on. A record corrupted in
+    // both type AND size (id % 143) escapes both blocking passes: the
+    // judged histogram prices that recall loss too.
+    Q.df("x405_record_linkage",
+      (s, dir) => {
+        val clean = Tables.load(s, dir, "part").select(
+          col("p_partkey").cast("bigint").as("id"),
+          col("p_name").as("name"), col("p_brand").as("brand"),
+          col("p_type").as("type"),
+          col("p_size").cast("bigint").as("size"))
+        val dirty = clean.select(col("id"),
+          when(col("id") % 7 === 0,
+            regexp_replace(col("name"), " [a-z]+$", "")).otherwise(col("name")).as("name"),
+          col("brand"),
+          when(col("id") % 13 === 0, lit("MISSING")).otherwise(col("type")).as("type"),
+          when(col("id") % 11 === 0, col("size") + 1).otherwise(col("size")).as("size"))
+        Entity.fellegiSunter(clean, dirty, "id",
+            Seq("name", "brand", "type", "size"),
+            Seq(Seq("brand", "type"), Seq("brand", "size")))
+          .groupBy("score")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L)).as("n_true"))
+          .orderBy("score")
+      },
+      """WITH clean AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name,
+        |         p_brand AS brand, p_type AS type, CAST(p_size AS BIGINT) AS size
+        |  FROM part),
+        |dirty AS (
+        |  SELECT id,
+        |    CASE WHEN id % 7 = 0
+        |         THEN regexp_replace(name, ' [a-z]+$', '') ELSE name END AS name,
+        |    brand,
+        |    CASE WHEN id % 13 = 0 THEN 'MISSING' ELSE type END AS type,
+        |    CASE WHEN id % 11 = 0 THEN size + 1 ELSE size END AS size
+        |  FROM clean),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM clean),
+        |w AS (
+        |  SELECT
+        |    (length(bin(1000000 // greatest((SELECT sum(c*c) FROM (SELECT count(*) AS c FROM clean GROUP BY name)) * 1000000 // ((SELECT n FROM n) * (SELECT n FROM n)), 1))) - 1) AS wa_name,
+        |    (length(bin(1000000 // greatest((SELECT sum(c*c) FROM (SELECT count(*) AS c FROM clean GROUP BY brand)) * 1000000 // ((SELECT n FROM n) * (SELECT n FROM n)), 1))) - 1) AS wa_brand,
+        |    (length(bin(1000000 // greatest((SELECT sum(c*c) FROM (SELECT count(*) AS c FROM clean GROUP BY type)) * 1000000 // ((SELECT n FROM n) * (SELECT n FROM n)), 1))) - 1) AS wa_type,
+        |    (length(bin(1000000 // greatest((SELECT sum(c*c) FROM (SELECT count(*) AS c FROM clean GROUP BY size)) * 1000000 // ((SELECT n FROM n) * (SELECT n FROM n)), 1))) - 1) AS wa_size),
+        |cand AS (
+        |  SELECT DISTINCT id_a, id_b, ag_name, ag_brand, ag_type, ag_size
+        |  FROM (
+        |    SELECT a.id AS id_a, b.id AS id_b,
+        |      a.name = b.name AS ag_name, a.brand = b.brand AS ag_brand,
+        |      a.type = b.type AS ag_type,
+        |      a.size = b.size AS ag_size
+        |    FROM clean a JOIN dirty b ON a.brand = b.brand AND a.type = b.type
+        |    UNION ALL
+        |    SELECT a.id, b.id, a.name = b.name, a.brand = b.brand,
+        |      a.type = b.type, a.size = b.size
+        |    FROM clean a JOIN dirty b ON a.brand = b.brand AND a.size = b.size)),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    CAST((CASE WHEN ag_name THEN 1 ELSE 0 END) + (CASE WHEN ag_brand THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ag_type THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ag_size THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |    CAST((CASE WHEN ag_name THEN w.wa_name ELSE -4 END)
+        |      + (CASE WHEN ag_brand THEN w.wa_brand ELSE -4 END)
+        |      + (CASE WHEN ag_type THEN w.wa_type ELSE -4 END)
+        |      + (CASE WHEN ag_size THEN w.wa_size ELSE -4 END) AS BIGINT) AS score
+        |  FROM cand, w)
+        |SELECT score, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN id_a = id_b THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+        |FROM scored GROUP BY score ORDER BY score""".stripMargin),
+
+
     // community detection: deterministic label propagation (plurality
     // label, ties to the smallest) on the symmetrized customer-supplier
     // co-purchase graph — same per-round checkpoint shape as x169;

@@ -603,7 +603,79 @@ private[queries] object ExtQStreaming {
         |  CAST(n_anomalies * 1000000 // n_events AS BIGINT) AS anomaly_ppm
         |FROM d, mx
         |WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= mx.m - INTERVAL 1 DAY
-        |ORDER BY day, event_type""".stripMargin)
+        |ORDER BY day, event_type""".stripMargin),
 
+
+
+    // streaming STAGED-PROFILE curation front door — shape #28, the
+    // live twin of x123's staged admission stages served from the
+    // persisted curation profile: in-row quality gate, Bloom+anti-join
+    // exact dedup against the staged fingerprint column, and
+    // decontamination of an in-row 16-bit SimHash (spec-pinned equal
+    // to Dedup.simhash) against the staged eval sketch set. The
+    // arrival mix plants all three rejection paths (exact dups %10=4,
+    // first-token-dropped near-copies %10=7, and the eval split itself
+    // — the leak attempt decontamination refuses).
+    Q.df("x406_stream_staged_curation",
+      (s, dir) => Streaming.streamStagedCuration(s, dir),
+      """WITH nw AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE source <> 'src19' AND doc_id % 10 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, substr(text, instr(text, ' ') + 1)
+        |  FROM documents WHERE source <> 'src19' AND doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE source = 'src19'),
+        |q AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |    FROM nw) x
+        |  WHERE len(t) >= 20
+        |    AND CAST(floor(10000.0 * len(list_filter(t,
+        |          w -> w IN ('the','a','of','and','to','in'))) / len(t))
+        |        AS BIGINT) >= 100
+        |    AND CAST(floor(10000.0 * list_sum(list_transform(t,
+        |          w -> length(w))) / len(t)) AS BIGINT)
+        |        BETWEEN 30000 AND 80000),
+        |etok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents WHERE source = 'src19'),
+        |enib AS (
+        |  SELECT doc_id, j, instr('0123456789abcdef', substr(md5(w), j, 1)) - 1 AS v
+        |  FROM etok, range(1, 5) r(j)),
+        |ebits AS (
+        |  SELECT doc_id, (j - 1) * 4 + b.b AS pos,
+        |    sum(CASE WHEN (v & b.mask) > 0 THEN 1 ELSE -1 END) AS s
+        |  FROM enib, (VALUES (0, 1), (1, 2), (2, 4), (3, 8)) AS b(b, mask)
+        |  GROUP BY doc_id, (j - 1) * 4 + b.b),
+        |esk AS (
+        |  SELECT DISTINCT CAST(sum(CASE WHEN s >= 0
+        |    THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM ebits GROUP BY doc_id),
+        |atok AS (
+        |  SELECT n.doc_id, unnest(regexp_extract_all(lower(n.text), '[a-z0-9]+')) AS w
+        |  FROM nw n JOIN q USING (doc_id)),
+        |anib AS (
+        |  SELECT doc_id, j, instr('0123456789abcdef', substr(md5(w), j, 1)) - 1 AS v
+        |  FROM atok, range(1, 5) r(j)),
+        |abits AS (
+        |  SELECT doc_id, (j - 1) * 4 + b.b AS pos,
+        |    sum(CASE WHEN (v & b.mask) > 0 THEN 1 ELSE -1 END) AS s
+        |  FROM anib, (VALUES (0, 1), (1, 2), (2, 4), (3, 8)) AS b(b, mask)
+        |  GROUP BY doc_id, (j - 1) * 4 + b.b),
+        |ask AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s >= 0
+        |    THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM abits GROUP BY doc_id)
+        |SELECT n.doc_id FROM nw n JOIN q USING (doc_id)
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents o
+        |  WHERE o.source <> 'src19'
+        |    AND md5(trim(regexp_replace(lower(o.text), '\s+', ' ', 'g'))) =
+        |        md5(trim(regexp_replace(lower(n.text), '\s+', ' ', 'g'))))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM ask a JOIN esk e ON a.simhash = e.simhash
+        |    WHERE a.doc_id = n.doc_id)
+        |ORDER BY n.doc_id""".stripMargin)
   )
 }

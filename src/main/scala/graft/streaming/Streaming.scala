@@ -713,6 +713,126 @@ object Streaming {
     spark.table(name).orderBy("doc_id")
   }
 
+  /** Streaming STAGED-PROFILE curation front door (shape #28) — the
+    * live twin of [[graft.ext.Curation.curateStaged]]'s admission
+    * stages, SERVED from the persisted curation profile (the
+    * x242/x260 build-once/serve-many discipline applied to curation):
+    * the corpus side of every check is a COLUMN of the staged profile
+    * parquet, never recomputed per batch.
+    *
+    * Each arriving document, stateless per batch:
+    *  1. C4-style quality gate IN-ROW (the same 10000.0-scaled floor
+    *     integers as the batch gate);
+    *  2. exact dedup against the staged corpus fingerprint column —
+    *     broadcast Bloom prefilter, stream-static anti-join on the
+    *     fpp-bounded maybe slice (the x154 discipline);
+    *  3. DECONTAMINATION against the staged eval sketch set: the
+    *     16-bit SimHash is computed IN-ROW ([[inRowSimhash]] — md5
+    *     nibble majority vote over the token array as one aggregate()
+    *     lambda, integer-identical to [[graft.ext.Dedup.simhash]],
+    *     spec-pinned) and anti-joined against the staged distinct
+    *     eval sketches.
+    *
+    * The arrival mix plants all three rejection paths: exact
+    * duplicates of corpus docs (id%10=4, re-keyed +1e6), NEAR-copies
+    * with the first whitespace token dropped (id%10=7, +2e6 — new
+    * fingerprints, admitted unless an unlucky sketch collision), and
+    * the eval split itself re-keyed +3e6 — the eval-leak attempt the
+    * decontamination stage exists to refuse.
+    *
+    * Output: (doc_id) of ADMITTED arrivals, ordered — drained equals
+    * the batch composition of the same three gates over the same
+    * backlog (the shared oracle). */
+  def streamStagedCuration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Curation, Dedup}
+    val name = "stream_staged_cur_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val prof = Curation.stagedProfile(spark, dir)
+    val corpusFp = prof.where(col("source") =!= "src19").select("fp")
+    val evalSk = prof.where(col("source") === "src19")
+      .where(col("simhash").isNotNull).select("simhash").distinct()
+    val bloom = corpusFp.stat.bloomFilter("fp",
+      Dedup.bloomCapacity(corpusFp), 0.01)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val might = udf((s: String) =>
+      s != null && bloomB.value.mightContainString(s))
+    withStreamDirsFile(dir, "documents.parquet") { (stage, ckpt) =>
+      stageCurationArrivals(spark, dir, stage)
+      val src = spark.readStream.schema(docsSchema).parquet(stage)
+        .where(col("source") === "arrivals")
+        .withColumn("t", graft.ext.TextStats.tokensCol(col("text")))
+        .withColumn("n_tok", size(col("t")).cast("bigint"))
+        // in-row restatement of TextStats.qualityFilter's exact
+        // integer ratios (same 10000.0-scaled floors, same bounds)
+        .withColumn("stop_x10k", floor(lit(10000.0) *
+          size(expr("filter(t, w -> w IN ('the','a','of','and','to','in'))")) /
+          col("n_tok")).cast("bigint"))
+        .withColumn("avglen_x10k", floor(lit(10000.0) *
+          expr("aggregate(t, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))") /
+          col("n_tok")).cast("bigint"))
+        .where(col("n_tok") >= 20 && col("stop_x10k") >= 100 &&
+          col("avglen_x10k") >= 30000 && col("avglen_x10k") <= 80000)
+        .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"),
+          inRowSimhash("t").as("simhash"))
+      val admitted = bloomDedupStream(
+        src.join(evalSk, Seq("simhash"), "left_anti"), corpusFp, might)
+      val q = admitted.writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("doc_id")
+  }
+
+  /** The 16-bit SimHash of the token-array column named `tokCol`, as
+    * ONE in-row aggregate — integer-identical to
+    * [[graft.ext.Dedup.simhash]] (spec-pinned): per token, the first
+    * four md5 hex digits carry 16 bits; each bit position accumulates
+    * +/-1 over token OCCURRENCES and the sketch bit is the
+    * sign-majority (ties set the bit, matching the exploded form's
+    * s >= 0). Row-local, so a streaming stage can sketch arrivals
+    * with zero shuffles and no state. */
+  private[graft] def inRowSimhash(tokCol: String)
+      : org.apache.spark.sql.Column = {
+    val sums = s"aggregate(transform($tokCol, w -> substr(md5(w), 1, 4)), " +
+      "array_repeat(CAST(0 AS BIGINT), 16), " +
+      "(acc, h) -> zip_with(acc, sequence(0, 15), (a, p) -> " +
+      "a + IF(shiftright(CAST(conv(substr(h, CAST(p div 4 AS INT) + 1, 1)," +
+      " 16, 10) AS INT), p % 4) % 2 = 1, 1, -1)))"
+    expr(s"aggregate(zip_with($sums, sequence(0, 15), " +
+      "(s, p) -> IF(s >= 0, shiftleft(CAST(1 AS BIGINT), p), " +
+      "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (x, y) -> x + y)")
+  }
+
+  /** Stages the three arrival slices beside the corpus symlink. */
+  private def stageCurationArrivals(spark: SparkSession, dir: String,
+      stage: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arrivals")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val train = docs.where(col("source") =!= "src19")
+      val dups = train.where(col("doc_id") % 10 === 4)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val near = train.where(col("doc_id") % 10 === 7)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("text", expr("substr(text, instr(text, ' ') + 1)"))
+      val leaks = docs.where(col("source") === "src19")
+        .withColumn("doc_id", col("doc_id") + 3000000L)
+      dups.unionByName(near).unionByName(leaks)
+        .withColumn("source", lit("arrivals"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.copy(
+          p, java.nio.file.Paths.get(stage, "arrivals.parquet")))
+      ()
+    } finally rmTree(tmp)
+  }
+
   /** Streaming NEAR-dup front door — the fuzzy tier beside
     * [[streamIncrementalDedup]]'s exact gate: each arriving document
     * computes its MinHash band signatures IN-ROW (tokens → distinct

@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
   * generated aliases. */
 class Ext13Spec extends SparkSpec {
 
+  private val dir = "/root/testdata/sf0.001"
+
   // ---- pixelHistogramAudit pixelOff guard ---------------------------------
 
   test("pixelHistogramAudit: crafted pixelOff at/past the payload end fails loudly, not div0") {
@@ -48,4 +50,66 @@ class Ext13Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("identifier"), e.getMessage)
   }
+
+  // ---- in-row simhash parity (x406 streaming front door) ------------------
+
+  test("inRowSimhash: integer-identical to Dedup.simhash on the corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val inRow = docs
+      .withColumn("t", TextStats.tokensCol(col("text")))
+      .where(size(col("t")) > 0) // exploded form drops tokenless docs
+      .select(col("doc_id"),
+        graft.streaming.Streaming.inRowSimhash("t").as("simhash"))
+    val exploded = Dedup.simhash(docs)
+    assert(inRow.orderBy("doc_id").collect().toSeq ==
+      exploded.orderBy("doc_id").collect().toSeq)
+  }
+
+  // ---- Fellegi-Sunter record linkage (x405) --------------------------------
+
+  test("fellegiSunter: scores equal a driver-side brute-force replay") {
+    import spark.implicits._
+    val clean = Seq(
+      (1L, "alpha beta", "B1", 10L), (2L, "gamma delta", "B1", 10L),
+      (3L, "epsilon zeta", "B2", 20L), (4L, "eta theta", "B2", 20L),
+      (5L, "iota kappa", "B1", 30L)
+    ).toDF("id", "name", "brand", "size")
+    // one corrupted name (id 2), one corrupted size (id 4)
+    val dirty = Seq(
+      (1L, "alpha beta", "B1", 10L), (2L, "gamma", "B1", 10L),
+      (3L, "epsilon zeta", "B2", 20L), (4L, "eta theta", "B2", 21L),
+      (5L, "iota kappa", "B1", 30L)
+    ).toDF("id", "name", "brand", "size")
+    val got = Entity.fellegiSunter(clean, dirty, "id",
+      Seq("name", "brand", "size"),
+      Seq(Seq("brand", "size"), Seq("brand", "name"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // brute-force replay in plain Scala
+    val cRows = Seq((1L, "alpha beta", "B1", 10L), (2L, "gamma delta", "B1", 10L),
+      (3L, "epsilon zeta", "B2", 20L), (4L, "eta theta", "B2", 20L),
+      (5L, "iota kappa", "B1", 30L))
+    val dRows = Seq((1L, "alpha beta", "B1", 10L), (2L, "gamma", "B1", 10L),
+      (3L, "epsilon zeta", "B2", 20L), (4L, "eta theta", "B2", 21L),
+      (5L, "iota kappa", "B1", 30L))
+    def uPpm[A](vals: Seq[A]): Long = {
+      val n = vals.size.toLong
+      val s2 = vals.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      math.max(s2 * 1000000L / (n * n), 1L)
+    }
+    def wa(u: Long): Long = java.lang.Long.toBinaryString(1000000L / u).length - 1L
+    val w = Seq(uPpm(cRows.map(_._2)), uPpm(cRows.map(_._3)), uPpm(cRows.map(_._4))).map(wa)
+    val expected = (for {
+      c <- cRows; d <- dRows
+      if (c._3 == d._3 && c._4 == d._4) || (c._3 == d._3 && c._2 == d._2)
+    } yield {
+      val ag = Seq(c._2 == d._2, c._3 == d._3, c._4 == d._4)
+      (c._1, d._1, ag.count(identity).toLong,
+        ag.zip(w).map { case (a, wt) => if (a) wt else -4L }.sum)
+    }).toSet
+    assert(got == expected, s"got ${got.toSeq.sorted}\nexp ${expected.toSeq.sorted}")
+  }
+
 }
