@@ -700,4 +700,77 @@ object Sampling {
           .as("ess"))
       .withColumn("ess_ratio_ppm", expr("ess * 1000000 div n"))
   }
+
+  /** Exact integer floor-sqrt: one float sqrt then a +/-1 correction
+    * against the exact integer square — float sqrt alone is off by one
+    * near perfect squares past 2^52, and both engines agree on the
+    * corrected value for any non-negative BIGINT. */
+  private def isqrt(v: Column): Column = {
+    val s0 = floor(sqrt(v.cast("double"))).cast("bigint")
+    val up = when((s0 + 1) * (s0 + 1) <= v, s0 + 1).otherwise(s0)
+    when(up * up > v, up - 1).otherwise(up)
+  }
+
+  /** NEYMAN-OPTIMAL stratified sample allocation (Neyman 1934; the
+    * survey-sampling classic, public knowledge): a fixed budget of
+    * `budget` rows is apportioned across strata proportionally to
+    * N_h * S_h (stratum size x standard deviation of `value`) — the
+    * allocation minimizing the variance of the stratified mean at
+    * fixed cost. High-variance strata buy more samples; a constant
+    * stratum prices at zero (the pure rule; production adds a floor,
+    * [[coverageFloorSample]] is that knob).
+    *
+    * Integer-exact end to end: N_h*S_h = sqrt(n*Σx² − (Σx)²) exactly,
+    * taken by corrected floor-sqrt ([[isqrt]] — a float sqrt then a
+    * +/-1 correction against the exact square, engine-portable);
+    * seats by the same largest-remainder rule the quota mixes use;
+    * selection inside each stratum smallest-md5-first (the house
+    * sampling discipline), so the realized sample is a pure function
+    * of the data. Overflow bound: n*Σx² must fit BIGINT — safe for
+    * |x| <= ~3e4 and n <= ~1e9 per stratum; wider values must be
+    * pre-scaled by the caller (the x394 DECIMAL widening does not
+    * compose with an exact integer sqrt).
+    *
+    * An over-allocated stratum (alloc > N_h) reports the shortfall
+    * (n_sampled = N_h < alloc) rather than silently rebalancing —
+    * the [[distributionMatch]] policy.
+    *
+    * Scale shape: ONE keyed moment aggregation over the data; the
+    * allocation table is bounded by |strata| (its window runs over
+    * that grid only); the selection rank is a per-stratum window
+    * (parallel across strata; at extreme per-stratum cardinality the
+    * bounded top-k aggregator replaces it, x34 discipline).
+    *
+    * Output: (stratum, n_pop, nsd, alloc, n_sampled, min_key,
+    * max_key) ordered by stratum; min/max_key are over the SELECTED
+    * rows (null when alloc = 0) — the oracle re-derives the exact
+    * selected set, so a selection-order bug is a hash mismatch. */
+  def neymanAllocation(df: DataFrame, stratum: String, key: String,
+                       value: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0; got $budget")
+    val m = CacheRegistry.pin(df.select(col(stratum).as("s"),
+      col(key).cast("bigint").as("k"), value.cast("bigint").as("x")))
+    val mom = m.groupBy("s").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+    val w = mom.select(col("s"), col("n"),
+      isqrt(col("n") * col("sxx") - col("sx") * col("sx")).as("nsd"))
+    val alloc = largestRemainder(
+      w.select(col("s"), col("nsd").as("c")), "s", budget)
+      .select(col("s"), col("q").as("alloc"))
+      .join(w, Seq("s"))
+    val sel = m.select(col("s"), col("k"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("s")
+        .orderBy(md5(col("k").cast("string")), col("k"))).as("rk"))
+    alloc.join(sel, Seq("s"), "left")
+      .select(col("s"), col("n"), col("nsd"), col("alloc"),
+        when(col("rk") <= col("alloc"), col("k")).as("sk"))
+      .groupBy(col("s").as(stratum))
+      .agg(max(col("n")).as("n_pop"), max(col("nsd")).as("nsd"),
+        max(col("alloc")).as("alloc"),
+        count(col("sk")).as("n_sampled"),
+        min(col("sk")).as("min_key"), max(col("sk")).as("max_key"))
+      .orderBy(stratum)
+  }
+
 }

@@ -1286,5 +1286,48 @@ private[queries] object ExtQCuration {
         |WHERE rn2 <= 400 - ng
         |ORDER BY doc_id""".stripMargin),
 
+
+    // Neyman-optimal stratified allocation (Neyman 1934): budget seats
+    // apportioned across market segments by N_h * S_h of floored
+    // account balance — N_h*S_h taken EXACTLY as the corrected
+    // floor-sqrt of n*Sx2 - Sx^2, seats by largest remainder,
+    // within-stratum selection smallest-md5-first. The oracle
+    // re-derives the exact selected set (min/max selected key pins
+    // the selection order, not just the counts).
+    Q.df("x407_neyman_allocation",
+      (s, dir) => Sampling.neymanAllocation(
+        Tables.load(s, dir, "customer"), "c_mktsegment", "c_custkey",
+        floor(col("c_acctbal")), 1000L),
+      """WITH m AS (
+        |  SELECT c_mktsegment AS s, CAST(c_custkey AS BIGINT) AS k,
+        |         CAST(floor(c_acctbal) AS BIGINT) AS x
+        |  FROM customer),
+        |mom AS (SELECT s, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |               sum(x*x) AS sxx FROM m GROUP BY 1),
+        |w0 AS (SELECT s, n, n*sxx - sx*sx AS v,
+        |       CAST(floor(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))) AS BIGINT) AS s0
+        |       FROM mom),
+        |w1 AS (SELECT s, n, v,
+        |       CASE WHEN (s0+1)*(s0+1) <= v THEN s0+1 ELSE s0 END AS s1 FROM w0),
+        |w AS (SELECT s, n,
+        |      CASE WHEN s1*s1 > v THEN s1-1 ELSE s1 END AS nsd FROM w1),
+        |tot AS (SELECT sum(nsd) AS t FROM w),
+        |q0 AS (SELECT s, n, nsd, (1000*nsd)//t AS q0, (1000*nsd)%t AS rem
+        |       FROM w, tot),
+        |sp AS (SELECT 1000 - sum(q0) AS r FROM q0),
+        |al AS (SELECT s, n, nsd,
+        |       q0 + CASE WHEN row_number() OVER (ORDER BY rem DESC, s)
+        |                      <= (SELECT r FROM sp) THEN 1 ELSE 0 END AS alloc
+        |       FROM q0),
+        |sel AS (SELECT s, k,
+        |        row_number() OVER (PARTITION BY s
+        |          ORDER BY md5(CAST(k AS VARCHAR)), k) AS rk FROM m)
+        |SELECT a.s AS c_mktsegment, a.n AS n_pop, a.nsd,
+        |  CAST(a.alloc AS BIGINT) AS alloc,
+        |  CAST(count(CASE WHEN sel.rk <= a.alloc THEN 1 END) AS BIGINT) AS n_sampled,
+        |  min(CASE WHEN sel.rk <= a.alloc THEN sel.k END) AS min_key,
+        |  max(CASE WHEN sel.rk <= a.alloc THEN sel.k END) AS max_key
+        |FROM al a JOIN sel ON a.s = sel.s
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)
   )
 }

@@ -112,4 +112,47 @@ class Ext13Spec extends SparkSpec {
     assert(got == expected, s"got ${got.toSeq.sorted}\nexp ${expected.toSeq.sorted}")
   }
 
+
+  // ---- Neyman allocation (x407) --------------------------------------------
+
+  test("neymanAllocation: exact isqrt and seats match a driver-side replay") {
+    import spark.implicits._
+    // two strata: A constant (sd 0 -> zero seats), B spread
+    val rows = Seq(
+      ("A", 1L, 10L), ("A", 2L, 10L), ("A", 3L, 10L),
+      ("B", 4L, 0L), ("B", 5L, 100L), ("B", 6L, 50L), ("B", 7L, 10L))
+    val df = rows.toDF("s", "k", "x")
+    val got = Sampling.neymanAllocation(df, "s", "k", col("x"), 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    def isqrt(v: Long): Long = {
+      var s = math.sqrt(v.toDouble).toLong
+      if ((s + 1) * (s + 1) <= v) s += 1
+      if (s * s > v) s -= 1
+      s
+    }
+    def nsd(xs: Seq[Long]): Long = {
+      val n = xs.size.toLong; val sx = xs.sum
+      val sxx = xs.map(x => x * x).sum
+      isqrt(n * sxx - sx * sx)
+    }
+    val a = nsd(Seq(10L, 10L, 10L)); val b = nsd(Seq(0L, 100L, 50L, 10L))
+    assert(a == 0L)
+    // all 3 seats to B (A's weight is zero)
+    assert(got == Seq(("A", 3L, a, 0L, 0L), ("B", 4L, b, 3L, 3L)))
+    // isqrt correction: perfect square and its neighbors
+    val vals = Seq(0L, 1L, 2L, 3L, 4L, 35L, 36L, 37L,
+      (1L << 31) * (1L << 31) - 1, (1L << 31) * (1L << 31))
+    val viaSpark = vals.toDF("v")
+      .select(floor(sqrt(col("v").cast("double"))).cast("bigint").as("s0"),
+        col("v"))
+      .select(when((col("s0") + 1) * (col("s0") + 1) <= col("v"),
+        col("s0") + 1).otherwise(col("s0")).as("s1"), col("v"))
+      .select(when(col("s1") * col("s1") > col("v"), col("s1") - 1)
+        .otherwise(col("s1")).as("r"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSpark == vals.map(v =>
+      java.math.BigInteger.valueOf(v).sqrt().longValueExact()))
+  }
+
 }
