@@ -154,4 +154,55 @@ object Pack {
         expr("carried_tok * 1000000 div n_tok").as("carry_ppm"))
       .orderBy("bucket")
   }
+
+  /** TOKEN-BALANCED training-shard manifest — the output-sharding step
+    * after packing chooses windows: a pretraining corpus is written as
+    * N shard files, and a shard that carries more token mass than its
+    * siblings is the straggler every data-parallel epoch waits on. A
+    * plain hash split balances DOCUMENT counts, not tokens (long-doc
+    * skew rides straight through); greedy LPT balances best but is
+    * inherently sequential. The standard deterministic middle ground is
+    * SERPENTINE (boustrophedon) assignment over the token-sorted order:
+    * rank docs by n_tok descending, deal rank r to shard r mod N on
+    * even laps and to shard N-1-(r mod N) on odd laps, so each lap's
+    * biggest doc lands on the shard the previous lap short-changed.
+    * Max spread is bounded by one lap's within-lap variation — in
+    * practice a few ppm once docs >> shards.
+    *
+    * Scale shape: the global rank comes from a range-partitioned sort +
+    * zipWithIndex ([[Ids.rankByOrder]], the x132 discipline) — never a
+    * single-partition row_number window; the assignment itself is a
+    * narrow in-row expression of (rank, N) and the audit is one keyed
+    * aggregation. Determinism: (n_tok DESC, doc_id) is a total order,
+    * so the manifest is a pure function of the corpus.
+    *
+    * Balance ratios widen through DECIMAL(38,0) (DuckDB twin: HUGEINT)
+    * before the x1e6 scaling, so corpus token totals past BIGINT/1e6
+    * (~9e12 tokens) stay exact.
+    *
+    * Output per shard: (shard, n_docs, n_tok, ppm_of_ideal — this
+    * shard's token mass as ppm of total/N, doc_sum — Σ doc_id pinning
+    * the exact assignment set, max_doc_tok), ordered by shard. */
+  def shardBalance(docs: DataFrame, shards: Int): DataFrame = {
+    require(shards >= 2 && shards <= 65536,
+      s"shards must be in [2, 65536]; got $shards")
+    val counts = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+    val ranked = Ids.rankByOrder(counts,
+      Seq(col("n_tok").desc, col("doc_id")), Seq("doc_id", "n_tok"), "rank")
+    val s = shards.toLong
+    val assigned = ranked.select(col("doc_id"), col("n_tok"),
+      expr(s"CASE WHEN ((rank - 1) div $s) % 2 = 0 THEN (rank - 1) % $s" +
+        s" ELSE $s - 1 - ((rank - 1) % $s) END").as("shard"))
+    val tot = counts.agg(sum("n_tok").as("tt"))
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
+        sum("doc_id").as("doc_sum"), max("n_tok").as("max_doc_tok"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tok"),
+        expr(s"CAST(CAST(n_tok AS DECIMAL(38,0)) * $s * 1000000 div tt" +
+          " AS BIGINT)").as("ppm_of_ideal"),
+        col("doc_sum"), col("max_doc_tok"))
+      .orderBy("shard")
+  }
 }

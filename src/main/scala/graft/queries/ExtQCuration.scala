@@ -1328,6 +1328,34 @@ private[queries] object ExtQCuration {
         |  min(CASE WHEN sel.rk <= a.alloc THEN sel.k END) AS min_key,
         |  max(CASE WHEN sel.rk <= a.alloc THEN sel.k END) AS max_key
         |FROM al a JOIN sel ON a.s = sel.s
-        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin),
+
+    // Token-balanced shard manifest: serpentine assignment over the
+    // (n_tok DESC, doc_id) order into 8 shards — the output-sharding
+    // balance audit. doc_sum pins the exact assignment set, so a rank
+    // or lap-direction bug is a hash mismatch, not a rounding blur.
+    Q.df("x408_shard_balance",
+      (s, dir) => Pack.shardBalance(
+        Tables.load(s, dir, "documents"), 8),
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |      CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id)
+        |           AS BIGINT) - 1 AS r0
+        |      FROM t),
+        |a AS (SELECT doc_id, n_tok,
+        |      CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+        |           ELSE 7 - (r0 % 8) END AS shard
+        |      FROM r),
+        |tot AS (SELECT sum(n_tok) AS tt FROM t)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |  CAST(sum(n_tok) * 8 * 1000000 // (SELECT tt FROM tot) AS BIGINT)
+        |    AS ppm_of_ideal,
+        |  CAST(sum(doc_id) AS BIGINT) AS doc_sum,
+        |  CAST(max(n_tok) AS BIGINT) AS max_doc_tok
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin)
   )
 }

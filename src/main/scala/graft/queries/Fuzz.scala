@@ -373,9 +373,217 @@ object Fuzz {
     }
   }
 
+  // ---- round-12 grammar extension (shapes H-M) --------------------------
+  //
+  // Adds the null-producing and multi-level shapes the first seven never
+  // reach: LEFT JOIN (unmatched-row NULLs through aggregates), correlated
+  // [NOT] EXISTS, ROLLUP/CUBE/GROUPING SETS (super-aggregate NULL keys +
+  // GROUPING()), scalar-expression torture (COALESCE/NULLIF/CASE/string
+  // functions/date arithmetic), CTE re-aggregation, and the second window
+  // tier (dense_rank/ntile/lead/first_value/last_value/bounded frames).
+  // Same dialect-intersection rules as shapes A-G.
+
+  /** LEFT-join edges: (left, right, ON). Right-side predicates go in the
+    * ON clause (a WHERE predicate on the right side would silently turn
+    * the join inner — the classic outer-join bug this shape exists to
+    * cross-check). */
+  private val leftJoins = Seq(
+    (customer, orders, "o_custkey = c_custkey"),
+    (orders, lineitem, "l_orderkey = o_orderkey"),
+    (part, lineitem, "l_partkey = p_partkey"),
+    (supplier, lineitem, "l_suppkey = s_suppkey"),
+    (nation, customer, "c_nationkey = n_nationkey"),
+    (nation, supplier, "s_nationkey = n_nationkey"))
+
+  /** Shape H: LEFT JOIN + aggregate — counts/sums over the NULL-padded
+    * right side, grouped by (never-null) left-table keys. */
+  private def shapeLeftJoin(r: Random): String = {
+    val (a, b, on) = pick(r, leftJoins)
+    val (gx, gk) = groupKeys(r, a)
+    val bi = pick(r, b.ints).name
+    val as = Seq.newBuilder[String]
+    as += "CAST(count(*) AS BIGINT) AS a0"
+    as += s"CAST(count($bi) AS BIGINT) AS a1" // NULLs not counted
+    pick(r, 0 to 2) match {
+      case 0 => as += s"CAST(count(DISTINCT $bi) AS BIGINT) AS a2"
+      case 1 => as += s"CAST(sum(CASE WHEN $bi IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS a2"
+      case _ => as += s"CAST(sum($bi % 97) AS BIGINT) AS a2" // sum skips NULLs
+    }
+    // 1/4 of the time: the anti-join flavor (keep only unmatched rows).
+    // predicate() can be an OR-chain, so composed uses MUST parenthesize
+    // it: a bare `pred AND x` would rebind `... OR (atom) AND x` and,
+    // in the EXISTS shape, push the correlation off the top level —
+    // semantics leak AND a decorrelation-killer (nested-loop oracle).
+    val anti = if (r.nextInt(4) == 0) s"\n  AND ${b.key.head} IS NULL" else ""
+    s"""SELECT ${(gx ++ as.result()).mkString(", ")}
+       |FROM ${a.name} LEFT JOIN ${b.name} ON $on AND (${atom(r, b)})
+       |WHERE (${predicate(r, a)})$anti
+       |GROUP BY ${gk.mkString(", ")}
+       |${orderTail(gk)}""".stripMargin
+  }
+
+  /** Correlated-subquery edges: (outer, inner, correlation). */
+  private val existsEdges = Seq(
+    (customer, orders, "o_custkey = c_custkey"),
+    (orders, lineitem, "l_orderkey = o_orderkey"),
+    (part, lineitem, "l_partkey = p_partkey"),
+    (supplier, lineitem, "l_suppkey = s_suppkey"))
+
+  /** Shape I: correlated [NOT] EXISTS semi/anti join. */
+  private def shapeExists(r: Random): (String, String) = {
+    val (a, b, corr) = pick(r, existsEdges)
+    val neg = r.nextBoolean()
+    val kw = if (neg) "NOT EXISTS" else "EXISTS"
+    val proj = a.key ++ a.strs.take(1).map(_.name)
+    val tag = if (neg) "nexists" else "exists"
+    (tag,
+      s"""SELECT ${proj.mkString(", ")}
+         |FROM ${a.name}
+         |WHERE $kw (SELECT 1 FROM ${b.name}
+         |  WHERE $corr AND (${predicate(r, b)}))
+         |  AND (${predicate(r, a)})
+         |${orderTail(a.key)}
+         |LIMIT ${200 + r.nextInt(3) * 100}""".stripMargin)
+  }
+
+  /** Tables with two plain low-cardinality string columns — GROUPING()
+    * needs bare columns, not aliased expressions. */
+  private val rollupTables = Seq(
+    (lineitem, "l_returnflag", "l_linestatus"),
+    (orders, "o_orderstatus", "o_orderpriority"),
+    (documents, "lang", "source"),
+    (part, "p_brand", "p_type"))
+
+  /** Shape J: ROLLUP / CUBE / GROUPING SETS with GROUPING() flags —
+    * (gr0, gr1, g0, g1) is a unique total-order key at every level. */
+  private def shapeRollup(r: Random): String = {
+    val (t, g0, g1) = pick(r, rollupTables)
+    val groupBy = pick(r, Seq(
+      s"ROLLUP($g0, $g1)",
+      s"CUBE($g0, $g1)",
+      s"GROUPING SETS (($g0, $g1), ($g0), ())"))
+    val as = aggs(r, t, 1 + r.nextInt(2))
+    s"""SELECT $g0, $g1, CAST(GROUPING($g0) AS BIGINT) AS gr0,
+       |  CAST(GROUPING($g1) AS BIGINT) AS gr1, ${as.mkString(", ")}
+       |FROM ${t.name}
+       |WHERE ${predicate(r, t)}
+       |GROUP BY $groupBy
+       |${orderTail(Seq("gr0", "gr1", g0, g1))}""".stripMargin
+  }
+
+  /** Shape K: scalar-expression torture — COALESCE/NULLIF/CASE chains,
+    * string functions, date arithmetic, greatest/least — projected over
+    * a filtered table with the unique key carried through. */
+  private def shapeExpr(r: Random): String = {
+    val t = pick(r, singleTables)
+    var i = 0
+    def alias = { i += 1; s"e$i" }
+    val exprs = (0 until 2 + r.nextInt(3)).map { _ =>
+      val menu = Seq.newBuilder[String]
+      if (t.ints.nonEmpty) {
+        val a = pick(r, t.ints).name
+        val m = 2 + r.nextInt(9)
+        menu += s"CAST(COALESCE(NULLIF($a % $m, ${r.nextInt(m)}), -1) AS BIGINT)"
+        menu += s"CAST(abs($a % 100 - 50) AS BIGINT)"
+        if (t.ints.size >= 2) {
+          val b = pick(r, t.ints).name
+          val fn = pick(r, Seq("greatest", "least"))
+          menu += s"CAST($fn($a % 13, $b % 13) AS BIGINT)"
+        }
+      }
+      if (t.strs.nonEmpty) {
+        val c = pick(r, t.strs).name
+        menu += pick(r, Seq(
+          s"CAST(length($c) AS BIGINT)",
+          s"replace($c, '${pick(r, Seq("a", "e", "r", "_", "1"))}', '+')",
+          s"lpad($c, ${4 + r.nextInt(9)}, '*')",
+          s"rpad($c, ${4 + r.nextInt(9)}, '.')",
+          s"reverse($c)",
+          s"substr(lower($c), ${1 + r.nextInt(2)}, ${2 + r.nextInt(4)})"))
+        if (t.strs.size >= 2) {
+          val d = pick(r, t.strs).name
+          menu += s"concat_ws('-', $c, $d)"
+        }
+        if (t.lits.contains(c)) {
+          val dom = t.lits(c)
+          menu += s"CASE WHEN $c = '${pick(r, dom)}' THEN 'hit' WHEN $c >= '${pick(r, dom)}' THEN 'high' ELSE $c END"
+        }
+      }
+      if (t.dates.nonEmpty) {
+        val d = pick(r, t.dates)
+        val k = 1 + r.nextInt(30)
+        // DuckDB types DATE + INTERVAL as TIMESTAMP; the double CAST
+        // lands both engines on the same printed date string.
+        menu += s"CAST(CAST(${asDate(d)} + INTERVAL '$k' DAY AS DATE) AS STRING)"
+        menu += s"CAST(EXTRACT(${pick(r, Seq("YEAR", "MONTH", "DAY"))} FROM ${d.name}) AS BIGINT)"
+      }
+      s"${pick(r, menu.result())} AS $alias"
+    }
+    s"""SELECT ${(t.key ++ exprs).mkString(", ")}
+       |FROM ${t.name}
+       |WHERE ${predicate(r, t)}
+       |${orderTail(t.key)}
+       |LIMIT ${100 + r.nextInt(4) * 50}""".stripMargin
+  }
+
+  /** CTE fact→dim edges: (fact, fact FK, dim, dim key). */
+  private val cteEdges = Seq(
+    (orders, "o_custkey", customer, "c_custkey"),
+    (lineitem, "l_orderkey", orders, "o_orderkey"),
+    (lineitem, "l_partkey", part, "p_partkey"),
+    (lineitem, "l_suppkey", supplier, "s_suppkey"),
+    (customer, "c_nationkey", nation, "n_nationkey"))
+
+  /** Shape L: CTE pre-aggregation re-aggregated through a dim join —
+    * the two-level GROUP BY shape (sums of counts) none of A-G produce. */
+  private def shapeCte(r: Random): String = {
+    val (fact, fk, dim, dk) = pick(r, cteEdges)
+    val fi = pick(r, fact.ints).name
+    val (gx, gk) = groupKeys(r, dim)
+    s"""WITH agg AS (
+       |  SELECT $fk AS k, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum($fi % 97) AS BIGINT) AS s
+       |  FROM ${fact.name}
+       |  WHERE ${predicate(r, fact)}
+       |  GROUP BY $fk)
+       |SELECT ${gx.mkString(", ")}, CAST(count(*) AS BIGINT) AS a0,
+       |  CAST(sum(n) AS BIGINT) AS a1, CAST(min(s) AS BIGINT) AS a2,
+       |  CAST(max(n) AS BIGINT) AS a3
+       |FROM ${dim.name} JOIN agg ON $dk = k
+       |WHERE ${predicate(r, dim)}
+       |GROUP BY ${gk.mkString(", ")}
+       |${orderTail(gk)}""".stripMargin
+  }
+
+  /** Shape M: second window tier — dense_rank / ntile / lead /
+    * first_value / last_value (explicit full frame) / bounded-frame
+    * min-max, always over the unique-key order. */
+  private def shapeWindow2(r: Random): String = {
+    val t = pick(r, Seq(lineitem, orders, customer, events, documents))
+    val partCol = pick(r, t.strs).name
+    val keyList = t.key.mkString(", ")
+    val k0 = t.key.head
+    val ic = pick(r, t.ints).name
+    val wf = pick(r, Seq(
+      s"CAST(dense_rank() OVER (PARTITION BY $partCol ORDER BY $k0 % ${3 + r.nextInt(5)}, $keyList) AS BIGINT)",
+      s"CAST(ntile(${2 + r.nextInt(5)}) OVER (PARTITION BY $partCol ORDER BY $keyList) AS BIGINT)",
+      s"CAST(lead($k0, ${1 + r.nextInt(2)}, -7) OVER (PARTITION BY $partCol ORDER BY $keyList) AS BIGINT)",
+      s"CAST(first_value($k0) OVER (PARTITION BY $partCol ORDER BY $keyList) AS BIGINT)",
+      s"CAST(last_value($k0) OVER (PARTITION BY $partCol ORDER BY $keyList ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)",
+      s"CAST(min($ic % 1000) OVER (PARTITION BY $partCol ORDER BY $keyList ROWS BETWEEN ${2 + r.nextInt(4)} PRECEDING AND CURRENT ROW) AS BIGINT)",
+      s"CAST(max($ic % 1000) OVER (PARTITION BY $partCol ORDER BY $keyList ROWS BETWEEN ${2 + r.nextInt(4)} PRECEDING AND 1 FOLLOWING) AS BIGINT)"))
+    s"""SELECT ${keyList}, $partCol, $wf AS w0
+       |FROM ${t.name}
+       |WHERE ${predicate(r, t)}
+       |${orderTail(t.key)}
+       |LIMIT ${100 + r.nextInt(3) * 50}""".stripMargin
+  }
+
   // ---- registration -----------------------------------------------------
 
-  /** Seeded query list: 220 queries across the seven shapes. Seeds are
+  /** Seeded query list. Indices 0-219 are the round-11 corpus across
+    * shapes A-G (frozen byte-for-byte — the FuzzSpec digest pins them);
+    * 220-399 are the round-12 extension across shapes H-M. Seeds are
     * a fixed affine family — append NEW seeds to grow the list; never
     * renumber (names carry the index, and CORRECTNESS history reads
     * better when fz042 stays fz042). */
@@ -389,6 +597,17 @@ object Fuzz {
       case 8 => ("win", shapeWindow(r))
       case 9 => ("setop", shapeSetOp(r))
       case _ => ("subq", shapeSubquery(r))
+    }
+    Q.sql(f"fz$i%03d_$tag", text)
+  } ++ (220 until 400).map { i =>
+    val r = new Random(0x5EEDL * 1000003L + i)
+    val (tag, text) = (i % 9) match {
+      case 0 | 1 => ("ljoin", shapeLeftJoin(r))
+      case 2 | 3 => shapeExists(r)
+      case 4 => ("rollup", shapeRollup(r))
+      case 5 | 6 => ("expr", shapeExpr(r))
+      case 7 => ("cte", shapeCte(r))
+      case _ => ("win2", shapeWindow2(r))
     }
     Q.sql(f"fz$i%03d_$tag", text)
   }

@@ -10,19 +10,30 @@ import org.scalatest.funsuite.AnyFunSuite
   * their old names. */
 class FuzzSpec extends AnyFunSuite {
 
-  test("220 queries, every one oracle-checked (texts are their own oracle)") {
-    assert(queries.Fuzz.qs.size == 220)
-    assert(queries.Fuzz.qs.forall(_.oracle.isDefined))
-  }
-
-  test("generated texts are stable (digest pin)") {
+  private def digestOf(qs: Seq[queries.Q]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    queries.Fuzz.qs.foreach { q =>
+    qs.foreach { q =>
       md.update(q.name.getBytes("UTF-8"))
       md.update(q.oracle.get.getBytes("UTF-8"))
     }
-    val digest = md.digest().map("%02x".format(_)).mkString
-    assert(digest == "dea30b05d5e2f89eff74b8f334397d53",
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  test("400 queries, every one oracle-checked (texts are their own oracle)") {
+    assert(queries.Fuzz.qs.size == 400)
+    assert(queries.Fuzz.qs.forall(_.oracle.isDefined))
+  }
+
+  test("round-11 corpus (fz000-fz219) is frozen byte-for-byte") {
+    // The UNCHANGED round-11 pin: the grammar extension appended shapes,
+    // it must never re-roll the already-judged texts.
+    assert(digestOf(queries.Fuzz.qs.take(220)) ==
+      "dea30b05d5e2f89eff74b8f334397d53")
+  }
+
+  test("generated texts are stable (digest pin)") {
+    val digest = digestOf(queries.Fuzz.qs)
+    assert(digest == "52b7c661f1e08c294fe3579bd05352db",
       s"fuzz corpus digest changed: $digest")
   }
 

@@ -155,4 +155,40 @@ class Ext13Spec extends SparkSpec {
       java.math.BigInteger.valueOf(v).sqrt().longValueExact()))
   }
 
+  // ---- shardBalance (x408) -------------------------------------------------
+
+  test("shardBalance: partition of the corpus, serpentine order, token balance") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val idSum = docs.agg(sum("doc_id")).head.getLong(0)
+    val out = Pack.shardBalance(docs, 8).collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L until 8L)) // all shards inhabited
+    // exactly-once partition: doc counts and id mass both reconcile
+    assert(out.map(_.getLong(1)).sum == n)
+    assert(out.map(_.getLong(4)).sum == idSum)
+    // serpentine deals whole laps: shard doc counts differ by <= 1
+    val counts = out.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1, counts.toSeq)
+    // token balance: every shard within 2% of ideal on this corpus
+    val ppm = out.map(_.getLong(3))
+    assert(ppm.forall(p => p >= 980000 && p <= 1020000), ppm.toSeq)
+    // brute-force replay of the serpentine rule on the driver
+    val ranked = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, t) => (-t, id) }
+    val expect = ranked.zipWithIndex.groupBy { case (_, r0) =>
+      if ((r0 / 8) % 2 == 0) r0 % 8 else 7 - (r0 % 8)
+    }.map { case (s, xs) => s.toLong ->
+      (xs.length.toLong, xs.map(_._1._2).sum, xs.map(_._1._1).sum)
+    }
+    out.foreach { r =>
+      val (nd, tok, ids) = expect(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(4)) == ((nd, tok, ids)),
+        s"shard ${r.getLong(0)}")
+    }
+  }
+
 }
