@@ -676,6 +676,32 @@ private[queries] object ExtQStreaming {
         |  AND NOT EXISTS (
         |    SELECT 1 FROM ask a JOIN esk e ON a.simhash = e.simhash
         |    WHERE a.doc_id = n.doc_id)
-        |ORDER BY n.doc_id""".stripMargin)
+        |ORDER BY n.doc_id""".stripMargin),
+
+    // streaming shape #29: the crawl-budget admission gate on the
+    // arbitrary-state v2 API (transformWithState + ValueState,
+    // RocksDB-backed) — per-source running token total folded in doc_id
+    // order, admission decided at each document's start against the
+    // 20k-token budget, counter advancing either way. Drained verdicts
+    // equal the batch cumsum rule below; admitted_id_sum pins the exact
+    // admission frontier.
+    Q.df("x409_stream_quota",
+      (s, dir) => Streaming.streamQuotaAdmission(s, dir, 20000L),
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |      sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+        |        - n_tok AS at_start
+        |      FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN at_start < 20000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_admitted,
+        |  CAST(COALESCE(sum(CASE WHEN at_start < 20000 THEN n_tok END), 0)
+        |    AS BIGINT) AS tok_admitted,
+        |  CAST(COALESCE(sum(CASE WHEN at_start < 20000 THEN doc_id END), 0)
+        |    AS BIGINT) AS admitted_id_sum
+        |FROM c GROUP BY source ORDER BY source""".stripMargin)
   )
 }

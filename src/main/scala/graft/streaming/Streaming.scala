@@ -1629,4 +1629,111 @@ object Streaming {
           .as("anomaly_ppm"))
       .orderBy("day", "event_type")
   }
+
+  /** Per-source CRAWL-BUDGET admission gate — streaming shape #29, and
+    * the first on Spark 4's arbitrary-state v2 API
+    * (`transformWithState` / [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * + [[org.apache.spark.sql.streaming.ValueState]], the designated
+    * successor of flatMapGroupsWithState): state is DECLARED on a typed
+    * handle — RocksDB-backed, TTL-capable, multiple named states per
+    * key — instead of being threaded through the function signature.
+    * The state-store provider is swapped to RocksDB for this query
+    * (the v2 API requires it) and restored afterwards.
+    *
+    * Semantics — "stop pulling from a crawl once its budget is burnt":
+    * each source's documents are folded in doc_id order; a document is
+    * ADMITTED iff the source's running token total at the document's
+    * own START is below `tokenBudget` (the running-sum-at-start rule of
+    * [[graft.ext.Pack]]), and the total advances over every document
+    * either way, so the gate closes permanently at the budget point of
+    * the arrival order. A micro-batch's per-key iterator order is not
+    * deterministic, so the processor sorts each key's batch slice by
+    * doc_id before folding (buffer bounded by the key's per-batch
+    * volume — a production trigger bounds it by ingest rate); the
+    * running total carries across batches through ValueState, which
+    * the restart-recovery spec proves. Drained verdicts over a backlog
+    * EQUAL the batch cumsum rule the shared DuckDB oracle states.
+    *
+    * Output per source: (source, n_docs, n_admitted, tok_admitted,
+    * admitted_id_sum — Σ doc_id of the admitted set, pinning the exact
+    * admission frontier), ordered by source. */
+  def streamQuotaAdmission(spark: SparkSession, dir: String,
+      tokenBudget: Long = 20000L): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = "stream_quota_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      withStreamDirsFile(dir, "documents.parquet") { (stage, ckpt) =>
+        import spark.implicits._
+        val src = spark.readStream.schema(docsSchema).parquet(stage)
+          .select(col("source"), col("doc_id").cast("long"),
+            size(split(col("text"), " ")).cast("long"))
+          .as[(String, Long, Long)]
+        val q = src.groupByKey(_._1)
+          .transformWithState(new QuotaProcessor(tokenBudget),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .toDF("source", "doc_id", "n_tok", "admitted")
+          .writeStream
+          .format("memory").queryName(name).outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    detachMart(spark.table(name))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        coalesce(sum(when(col("admitted"), col("n_tok"))), lit(0L))
+          .as("tok_admitted"),
+        coalesce(sum(when(col("admitted"), col("doc_id"))), lit(0L))
+          .as("admitted_id_sum"))
+      .orderBy("source")
+  }
+}
+
+/** The [[Streaming.streamQuotaAdmission]] state machine on the
+  * arbitrary-state v2 API: one named ValueState ("tok" — the source's
+  * running token total) declared on the typed handle in init. Rows of a
+  * batch slice are folded in doc_id order (sorted here: iterator order
+  * within a micro-batch is an execution accident); admission is decided
+  * at each document's start and the counter advances unconditionally,
+  * so the decision is a pure function of (corpus, budget) regardless of
+  * how the backlog was batched. */
+private[streaming] class QuotaProcessor(tokenBudget: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long, Long), (String, Long, Long, Boolean)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+
+  @transient private var tok: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    tok = getHandle.getValueState[Long]("tok",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(String, Long, Long, Boolean)] = {
+    var cum = if (tok.exists()) tok.get() else 0L
+    val out = rows.toArray.sortBy(_._2).map { case (src, id, nTok) =>
+      val admitted = cum < tokenBudget
+      cum += nTok
+      (src, id, nTok, admitted)
+    }
+    tok.update(cum)
+    out.iterator
+  }
 }

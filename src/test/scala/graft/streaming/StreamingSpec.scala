@@ -793,4 +793,85 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("checkpoint recovery: transformWithState ValueState survives a restart (x409 quota gate)") {
+    // The arbitrary-state v2 recovery proof: a source's running token
+    // total (RocksDB-backed ValueState) is built from fileA, the query
+    // is stopped, fileB lands, and a NEW query restarts from the SAME
+    // checkpoint. The budget boundary is crossed only with fileA's
+    // state in hand: lost state would re-admit everything, a replay
+    // would re-emit fileA's verdicts.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val stage = java.nio.file.Files.createTempDirectory("graft_tws_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt")
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_tws_ckpt2")
+    val out1 = java.nio.file.Files.createTempDirectory("graft_tws_o1")
+    val out2 = java.nio.file.Files.createTempDirectory("graft_tws_o2")
+    val out3 = java.nio.file.Files.createTempDirectory("graft_tws_o3")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    def drain(outDir: String, ckptDir: String): Unit = {
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey, "org.apache.spark.sql.execution" +
+        ".streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = spark.readStream
+          .schema("source STRING, doc_id LONG, n_tok LONG")
+          .parquet(stage.toString)
+          .as[(String, Long, Long)]
+        val q = src.groupByKey(_._1)
+          .transformWithState(new QuotaProcessor(100L),
+            TimeMode.None(), OutputMode.Update())
+          .toDF("source", "doc_id", "n_tok", "admitted")
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir); ()
+          }
+          .outputMode("update").option("checkpointLocation", ckptDir)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    }
+    def verdicts(d: java.nio.file.Path): Set[(String, Long, Boolean)] = {
+      val fs = java.nio.file.Files.list(d)
+      val any = try fs.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+      finally fs.close()
+      if (!any) Set.empty
+      else spark.read.parquet(d.toString).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(3))).toSet
+    }
+    try {
+      // fileA: s1 reaches cum 90 of the 100 budget; s2 only here
+      landDf(Seq(("s1", 1L, 40L), ("s1", 2L, 50L), ("s2", 9L, 10L))
+        .toDF("source", "doc_id", "n_tok"), stage, "a.parquet")
+      drain(out1.toString, ckpt.toString)
+      assert(verdicts(out1) == Set(("s1", 1L, true), ("s1", 2L, true),
+        ("s2", 9L, true)), s"drain1: ${verdicts(out1)}")
+      // fileB: doc3 starts at 90 (< 100: admitted, cum 110), doc4 at
+      // 110 (gate closed). Reset state would admit BOTH.
+      landDf(Seq(("s1", 3L, 20L), ("s1", 4L, 10L))
+        .toDF("source", "doc_id", "n_tok"), stage, "b.parquet")
+      drain(out2.toString, ckpt.toString)
+      // exactly-once: fileA verdicts (incl. all of s2) not re-emitted;
+      // state recovery: the budget boundary lands between doc3 and doc4
+      assert(verdicts(out2) == Set(("s1", 3L, true), ("s1", 4L, false)),
+        s"drain2: ${verdicts(out2)}")
+      // combined == one uninterrupted run over the full backlog
+      drain(out3.toString, ckpt2.toString)
+      assert(verdicts(out1) ++ verdicts(out2) == verdicts(out3))
+    } finally {
+      Seq(stage, ckpt, ckpt2, out1, out2, out3).foreach { root =>
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => try { java.nio.file.Files.deleteIfExists(p); () }
+                        catch { case _: java.io.IOException => () })
+      }
+    }
+  }
 }
