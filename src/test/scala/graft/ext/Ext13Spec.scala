@@ -112,6 +112,29 @@ class Ext13Spec extends SparkSpec {
     assert(got == expected, s"got ${got.toSeq.sorted}\nexp ${expected.toSeq.sorted}")
   }
 
+  test("fellegiSunter: block purging drops saturated blocks per pass, keeps the rest") {
+    import spark.implicits._
+    val clean = Seq(
+      (1L, "alpha beta", "B1", 10L), (2L, "gamma delta", "B1", 10L),
+      (3L, "epsilon zeta", "B2", 20L), (4L, "eta theta", "B2", 20L),
+      (5L, "iota kappa", "B1", 30L)
+    ).toDF("id", "name", "brand", "size")
+    val dirty = Seq(
+      (1L, "alpha beta", "B1", 10L), (2L, "gamma", "B1", 10L),
+      (3L, "epsilon zeta", "B2", 20L), (4L, "eta theta", "B2", 21L),
+      (5L, "iota kappa", "B1", 30L)
+    ).toDF("id", "name", "brand", "size")
+    // cap 1: the (brand, size) pass keeps only its singleton block
+    // (B1, 30) -> pair (5,5); the (brand, name) pass has all-singleton
+    // blocks (names unique) and keeps every exact-name pair. A pair
+    // survives if ANY pass keeps it.
+    val got = Entity.fellegiSunter(clean, dirty, "id",
+        Seq("name", "brand", "size"),
+        Seq(Seq("brand", "size"), Seq("brand", "name")), maxBlockRows = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (3L, 3L), (4L, 4L), (5L, 5L)), got)
+  }
+
 
   // ---- Neyman allocation (x407) --------------------------------------------
 
