@@ -18,6 +18,37 @@ import java.util.concurrent.atomic.LongAdder
   * count() lets Catalyst prune every non-output column and skip
   * result-row materialization, which would under-measure projection-
   * and sort-heavy queries.
+  *
+  * == Protocol (revised round 13) ==
+  * The round-12 suite (833 queries × [1 warm + 2 timed executions +
+  * 4 listener drains]) no longer fit the driver's wall-clock window
+  * (BENCH_r12.json: rc 124, killed mid-suite). The fixed cost is cut
+  * without giving up the decorrelated-min discipline:
+  *
+  *  - Warm-up is FOLDED into pass 1: every execution is timed, so each
+  *    query pays exactly 2 executions (pass 1 cold = planning + codegen
+  *    + run; pass 2 warm, minutes later). The reported number is the
+  *    MIN of the two — for every query whose plan cost matters the min
+  *    comes from the warm pass, so round-over-round comparability with
+  *    the old warm-only protocol is preserved; the cold pass doubles as
+  *    the decorrelated second sample. (Previously the 400 sub-second
+  *    fuzz queries alone paid ~400 untimed warm executions ≈ minutes
+  *    of suite wall for no recorded signal.)
+  *  - ONE listener drain per timed execution (after it), not two: the
+  *    previous execution's post-drain already guarantees a quiet bus at
+  *    the next reset, because no untimed execution happens in between
+  *    any more.
+  *  - The adaptive third look is capped at the TOP-20 tail (by min
+  *    wall, among those > 2s) instead of every >2s query.
+  *  - A cumulative-elapsed line is logged per timing
+  *    ("[bench] t=123.4s p1 x206_ppjoin wall=9.71"), so any future
+  *    kill is attributable to a specific query from the driver tail.
+  *  - A DEADLINE (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 2400s of
+  *    Bench-main elapsed — the driver window minus sbt/compile/session
+  *    slack) degrades the suite instead of letting the harness kill it:
+  *    on breach, remaining pass-2 timings are skipped (their pass-1
+  *    cold numbers stand, flagged "degraded":true in the record) and
+  *    pass 3 is dropped. The record is ALWAYS written and printed.
   */
 object Bench {
   private case class Timing(wall: Double, task: Double, gc: Double)
@@ -25,6 +56,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2400").toDouble
+    val mainT0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - mainT0) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,12 +79,11 @@ object Bench {
     // consecutive 25ms windows — a single dispatch stall or GC pause
     // longer than one window cannot fake quiescence, it would have to
     // straddle both checks exactly. Runs OUTSIDE the timed span, so
-    // wall numbers are unaffected; ~50ms minimum -> ~75s fixed cost
-    // over ~750 timings, vs minutes at the naive 100ms cadence.
-    // Hard cap: if a query leaves a job posting task-end events
-    // continuously (or the bus wedges), give up after ~5s rather than
-    // hang the suite — the affected query's task/gc numbers may then be
-    // slightly incomplete, which we log but do not fail on.
+    // wall numbers are unaffected. Hard cap: if a query leaves a job
+    // posting task-end events continuously (or the bus wedges), give up
+    // after ~5s rather than hang the suite — the affected query's
+    // task/gc numbers may then be slightly incomplete (logged, not
+    // fatal).
     def drainListener(): Unit = {
       var prev = taskMs.sum + gcMs.sum
       var quietRuns = 0
@@ -70,31 +104,23 @@ object Bench {
     // queries, not session bring-up (first action pays codegen warm-up).
     Tables.registerAll(spark, sfDir)
     spark.sql("SELECT count(*) FROM lineitem").collect()
+    drainListener() // quiet bus before the first reset
 
-    // Per query: one warm-up execution (pays Catalyst planning + codegen
-    // compilation for that plan shape), then the measured run — i.e.
-    // steady-state latency, the number that scales with data volume.
-    // Two full passes over the suite; per-query time = min of the two.
-    // The host shows transient multi-second stall windows (same query:
-    // ~1s in isolation, 10-40s mid-suite, a DIFFERENT query each run).
-    // Back-to-back repeats of one query can both land inside a stall
-    // window; two timings of the same query ~minutes apart cannot, so
-    // the per-query min across passes is the steady-state number that
-    // scales — at identical total cost to back-to-back min-of-2.
-    // Pass 1 warms each plan (codegen + planning) before its first
-    // timed run; pass 2 reuses the warm JVM.
-    def timedOnce(name: String,
-                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                  warm: Boolean): Timing = {
-      def once(): Unit =
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // One timed execution: reset adders (bus is quiet — the previous
+    // timing's post-drain guarantees it), run through the noop sink,
+    // drain, record. Every execution is timed; pass 1 is the cold
+    // sample (planning + codegen included), pass 2+ the warm samples.
+    def timedOnce(name: String, pass: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Timing = {
       try {
-        if (warm) once()
-        drainListener(); taskMs.reset(); gcMs.reset()
+        taskMs.reset(); gcMs.reset()
         val t0 = System.nanoTime()
-        once()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         drainListener()
+        System.err.println(
+          f"[bench] t=${elapsed()}%.1fs $pass $name wall=$wall%.3f")
         Timing(wall, taskMs.sum / 1e3, gcMs.sum / 1e3)
       } catch {
         case e: Throwable =>
@@ -121,22 +147,34 @@ object Bench {
         Timing(math.min(a.wall, b.wall), t, g)
       }
     }
-    def pass(warm: Boolean): Seq[(String, Timing)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> timedOnce(name, fn, warm)
-      }
-    val p1 = pass(warm = true).toMap
-    val p12 = pass(warm = false).map { case (name, t2) =>
-      name -> merge(p1.getOrElse(name, Timing(-1, -1, -1)), t2)
-    }
-    // adaptive third look: anything still slow after two decorrelated
-    // timings is either genuinely heavy or was unlucky twice — re-time
-    // just those (cheap: the tail, not the suite) and keep the min
-    val slow = p12.filter { case (_, t) => t.wall > 2.0 }.map(_._1).toSet
-    val p3 = SparkEntry.queries.toSeq.filter(q => slow.contains(q._1))
-      .sortBy(_._1).map { case (name, fn) =>
-        name -> timedOnce(name, fn, warm = false)
-      }.toMap
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Pass 1 (cold): one timed execution per query. The host shows
+    // transient multi-second stall windows (same query: ~1s in
+    // isolation, 10-40s mid-suite, a DIFFERENT query each run); two
+    // timings of the same query ~minutes apart cannot both land inside
+    // one, so pass 2's warm timing decorrelates the noise and the
+    // per-query min is the steady-state number that scales.
+    val p1 = names.map { case (n, fn) => n -> timedOnce(n, "p1", fn) }.toMap
+    var degraded = false
+    val p12 = names.map { case (n, fn) =>
+      val a = p1(n)
+      if (elapsed() > deadlineSec) {
+        if (!degraded) System.err.println(
+          f"[bench] deadline ${deadlineSec}%.0fs hit at t=${elapsed()}%.1fs" +
+            " — skipping remaining pass-2 timings (pass-1 numbers stand)")
+        degraded = true
+        n -> a
+      } else n -> merge(a, timedOnce(n, "p2", fn))
+    }.toMap
+    // adaptive third look, capped at the TOP-20 tail: anything still
+    // slow after two decorrelated timings is either genuinely heavy or
+    // was unlucky twice — re-time just those and keep the min
+    val slow = p12.toSeq.filter(_._2.wall > 2.0)
+      .sortBy(-_._2.wall).take(20).map(_._1).toSet
+    val p3 =
+      if (degraded || elapsed() > deadlineSec) Map.empty[String, Timing]
+      else names.filter(q => slow.contains(q._1))
+        .map { case (n, fn) => n -> timedOnce(n, "p3", fn) }.toMap
     val results = p12.map { case (name, t) =>
       name -> merge(t, p3.getOrElse(name, Timing(-1, -1, -1)))
     }
@@ -148,7 +186,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""task":${jmap(_.task)},"gc":${jmap(_.gc)},""" +
-        s""""task_total":$totalTask,"sf":"$sfDir"}"""
+        s""""task_total":$totalTask,"degraded":$degraded,"sf":"$sfDir"}"""
     // Round 1 the driver failed to parse this line out of interleaved sbt/
     // log4j stdout ("parsed": null). Belt and braces now: (a) persist the
     // JSON to a file (SPARK_GRAFT_BENCH_OUT, default bench_out.json in the
