@@ -194,11 +194,18 @@ object Pack {
     val assigned = ranked.select(col("doc_id"), col("n_tok"),
       expr(s"CASE WHEN ((rank - 1) div $s) % 2 = 0 THEN (rank - 1) % $s" +
         s" ELSE $s - 1 - ((rank - 1) % $s) END").as("shard"))
-    val tot = counts.agg(sum("n_tok").as("tt"))
+    // The grand total comes from the per-shard aggregates themselves —
+    // a global window over the grouped result, whose cardinality is
+    // bounded by the `shards` parameter (≤65536 rows), NOT the corpus —
+    // so the documents frame is scanned and tokenized exactly once.
+    // (A separate counts.agg(sum) branch would re-execute the full
+    // lineage: a second 100 TB scan for one scalar.)
     assigned.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
         sum("doc_id").as("doc_sum"), max("n_tok").as("max_doc_tok"))
-      .crossJoin(broadcast(tot))
+      .withColumn("tt", sum("n_tok").over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("shard"), col("n_docs"), col("n_tok"),
         expr(s"CAST(CAST(n_tok AS DECIMAL(38,0)) * $s * 1000000 div tt" +
           " AS BIGINT)").as("ppm_of_ideal"),
