@@ -1651,8 +1651,13 @@ object Streaming {
     * doc_id before folding (buffer bounded by the key's per-batch
     * volume — a production trigger bounds it by ingest rate); the
     * running total carries across batches through ValueState, which
-    * the restart-recovery spec proves. Drained verdicts over a backlog
-    * EQUAL the batch cumsum rule the shared DuckDB oracle states.
+    * the restart-recovery spec proves. Semantics are ARRIVAL-ORDER by
+    * definition (batch order, doc_id-sorted within each batch): drained
+    * verdicts over a backlog EQUAL the batch doc_id-ordered cumsum rule
+    * the shared DuckDB oracle states exactly when each source's files
+    * land in doc_id order — true for AvailableNow over this single
+    * staged file, and the contract a production deployment must supply
+    * (id-ordered arrival per source) for replay-identical admission.
     *
     * Output per source: (source, n_docs, n_admitted, tok_admitted,
     * admitted_id_sum — Σ doc_id of the admitted set, pinning the exact
@@ -1709,9 +1714,13 @@ object Streaming {
   * running token total) declared on the typed handle in init. Rows of a
   * batch slice are folded in doc_id order (sorted here: iterator order
   * within a micro-batch is an execution accident); admission is decided
-  * at each document's start and the counter advances unconditionally,
-  * so the decision is a pure function of (corpus, budget) regardless of
-  * how the backlog was batched. */
+  * at each document's start and the counter advances unconditionally.
+  * The decision is a pure function of (corpus, budget) GIVEN per-source
+  * id-ordered arrival across batches (each batch's lowest doc_id above
+  * the previous batch's highest): batching then cannot move the budget
+  * point. If a later batch delivers lower doc_ids than an earlier one,
+  * semantics are arrival-order — the already-emitted verdicts stand and
+  * the late rows fold against the carried total. */
 private[streaming] class QuotaProcessor(tokenBudget: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       String, (String, Long, Long), (String, Long, Long, Boolean)] {
