@@ -282,16 +282,18 @@ object Entity {
     *    candidate join, grow quadratically;
     *  - `maxBlockRows` is the BLOCK-PURGING guard for that failure
     *    mode (Christen 2012's standard treatment): within each pass,
-    *    block keys whose CLEAN-side row count exceeds the cap are
-    *    dropped from that pass entirely, so the pass's pair volume is
-    *    bounded by #blocks × cap² and a saturated pass prices itself
-    *    out instead of melting the join (the round-12 sf1 study
-    *    measured the uncapped (brand × type) pass dying at 10× data —
-    *    ~260M candidate pairs from 150 fixed blocks). Recall lost to
-    *    purging shows up honestly in the judged score histogram as
-    *    missing true pairs; a pair survives if ANY pass keeps it. The
-    *    cap binds on block size, not data size, so at the judged SFs
-    *    (blocks ≪ cap) results are identical to the uncapped run.
+    *    block keys whose row count exceeds the cap ON EITHER SIDE
+    *    (clean or dirty — both are counted; a 1-clean-row block facing
+    *    a million dirty rows melts the join just as surely as the
+    *    mirror image) are dropped from that pass entirely, so the
+    *    pass's pair volume is genuinely bounded by #blocks × cap²
+    *    (the round-12 sf1 study measured the uncapped (brand × type)
+    *    pass dying at 10× data — ~260M candidate pairs from 150 fixed
+    *    blocks). Recall lost to purging shows up honestly in the
+    *    judged score histogram as missing true pairs; a pair survives
+    *    if ANY pass keeps it. The cap binds on block size, not data
+    *    size, so at the judged SFs (blocks ≪ cap) results are
+    *    identical to the uncapped run.
     *
     * Scale shape: k tiny per-field weight aggregates assembled into a
     * ONE-ROW broadcast; each blocking pass is an equi-join on its
@@ -324,11 +326,15 @@ object Entity {
       val (a, b) =
         if (maxBlockRows == Int.MaxValue) (clean, dirty)
         else {
-          // keys of blocks the cap admits — bounded by key cardinality
-          val ok = clean.groupBy(bk.map(col): _*)
+          // keys of blocks the cap admits on BOTH sides — each count
+          // table is bounded by key cardinality; the inner join keeps
+          // only keys present (and under-cap) on both, which drops
+          // nothing real: a key absent from one side yields no pairs
+          def under(df: DataFrame) = df.groupBy(bk.map(col): _*)
             .agg(count(lit(1)).as("blk_c"))
             .where(col("blk_c") <= maxBlockRows)
             .select(bk.map(col): _*)
+          val ok = under(clean).join(under(dirty), bk)
           (clean.join(ok, bk, "left_semi"), dirty.join(ok, bk, "left_semi"))
         }
       a.as("a").join(b.as("b"),

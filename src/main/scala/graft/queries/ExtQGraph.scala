@@ -128,14 +128,22 @@ private[queries] object ExtQGraph {
           col("brand"),
           when(col("id") % 13 === 0, lit("MISSING")).otherwise(col("type")).as("type"),
           when(col("id") % 11 === 0, col("size") + 1).otherwise(col("size")).as("size"))
-        // block-purge cap 400: never binds at the judged SFs (the
-        // largest (brand, type) block is ~133 rows at sf0.1), and at
-        // sf1+ it prices out the saturated fixed-cardinality pass
-        // instead of letting its pair join grow quadratically (the
-        // uncapped run died at sf1 — BENCH_NOTES round 12)
+        // Three passes at three key cardinalities — (brand,type) 150
+        // keys, (brand,size) 1250, (brand,name) 1600 — so recall never
+        // rides one near-saturated pass (VERDICT r12 #4): a record
+        // corrupted in BOTH type and size (id % 143) is recoverable
+        // only through (brand, name). Block-purge cap 256: never binds
+        // at the judged SFs (largest sf0.1 block is (brand,type) ~165),
+        // prices the (brand,type) AND (brand,size) passes out at sf1
+        // (blocks ~1650 / ~280) while (brand,name) (~125 at sf1, ~375
+        // at sf3) carries recall two decades up instead of cliffing at
+        // sf3 — and keeps the sf1 candidate volume ~21M pairs instead
+        // of the 98M the near-saturated (brand,size) pass generated at
+        // cap 400 (BENCH_NOTES rounds 12-13)
         Entity.fellegiSunter(clean, dirty, "id",
             Seq("name", "brand", "type", "size"),
-            Seq(Seq("brand", "type"), Seq("brand", "size")), 400)
+            Seq(Seq("brand", "type"), Seq("brand", "size"),
+              Seq("brand", "name")), 256)
           .groupBy("score")
           .agg(count(lit(1)).as("n_pairs"),
             sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L)).as("n_true"))
@@ -161,9 +169,20 @@ private[queries] object ExtQGraph {
         |    (length(bin(1000000 // greatest((SELECT sum(c*c) FROM (SELECT count(*) AS c FROM clean GROUP BY type)) * 1000000 // ((SELECT n FROM n) * (SELECT n FROM n)), 1))) - 1) AS wa_type,
         |    (length(bin(1000000 // greatest((SELECT sum(c*c) FROM (SELECT count(*) AS c FROM clean GROUP BY size)) * 1000000 // ((SELECT n FROM n) * (SELECT n FROM n)), 1))) - 1) AS wa_size),
         |okbt AS (SELECT brand, type FROM clean GROUP BY 1, 2
-        |         HAVING count(*) <= 400),
+        |         HAVING count(*) <= 256
+        |         INTERSECT
+        |         SELECT brand, type FROM dirty GROUP BY 1, 2
+        |         HAVING count(*) <= 256),
         |okbs AS (SELECT brand, size FROM clean GROUP BY 1, 2
-        |         HAVING count(*) <= 400),
+        |         HAVING count(*) <= 256
+        |         INTERSECT
+        |         SELECT brand, size FROM dirty GROUP BY 1, 2
+        |         HAVING count(*) <= 256),
+        |okbn AS (SELECT brand, name FROM clean GROUP BY 1, 2
+        |         HAVING count(*) <= 256
+        |         INTERSECT
+        |         SELECT brand, name FROM dirty GROUP BY 1, 2
+        |         HAVING count(*) <= 256),
         |cand AS (
         |  SELECT DISTINCT id_a, id_b, ag_name, ag_brand, ag_type, ag_size
         |  FROM (
@@ -177,7 +196,12 @@ private[queries] object ExtQGraph {
         |    SELECT a.id, b.id, a.name = b.name, a.brand = b.brand,
         |      a.type = b.type, a.size = b.size
         |    FROM clean a JOIN dirty b ON a.brand = b.brand AND a.size = b.size
-        |    JOIN okbs k ON a.brand = k.brand AND a.size = k.size)),
+        |    JOIN okbs k ON a.brand = k.brand AND a.size = k.size
+        |    UNION ALL
+        |    SELECT a.id, b.id, a.name = b.name, a.brand = b.brand,
+        |      a.type = b.type, a.size = b.size
+        |    FROM clean a JOIN dirty b ON a.brand = b.brand AND a.name = b.name
+        |    JOIN okbn k ON a.brand = k.brand AND a.name = k.name)),
         |scored AS (
         |  SELECT id_a, id_b,
         |    CAST((CASE WHEN ag_name THEN 1 ELSE 0 END) + (CASE WHEN ag_brand THEN 1 ELSE 0 END)
