@@ -29,7 +29,7 @@ import scala.util.Random
   * specified, so the text is stable across JVMs and rounds); the
   * FuzzSpec locks the generated texts' digest so an accidental
   * grammar change renames itself loudly instead of silently re-rolling
-  * 220 judged queries.
+  * the judged corpus.
   */
 object Fuzz {
 
@@ -579,6 +579,153 @@ object Fuzz {
        |LIMIT ${100 + r.nextInt(3) * 50}""".stripMargin
   }
 
+  // ---- round-13 grammar extension (shapes N-O) ---------------------------
+  //
+  // The NULL/edge semantics the first thirteen shapes never reach
+  // (VERDICT r12 next-round #6): three-valued-logic torture — IS [NOT]
+  // DISTINCT FROM, [NOT] IN over NULL-producing subqueries (the
+  // null-aware anti-join), empty-group global aggregates over filtered
+  // joins (sum=NULL vs count=0), COALESCE/NULLIF chains over outer-join
+  // NULLs — and DECIMAL boundary arithmetic (exact cents/basis-point
+  // integers through pinned-scale DECIMAL casts, so both engines must
+  // agree bit-for-bit or the query fails loudly). Same
+  // dialect-intersection rules as A-M: NULLs are SYNTHESIZED with
+  // NULLIF over scale-invariant modulo classes (the base tables carry
+  // few organic NULLs), every output lands in BIGINT/STRING via
+  // explicit CASTs, and every scale-reducing DECIMAL cast happens on a
+  // value whose dropped digits are exactly zero (no rounding-mode
+  // exposure: Spark rounds half-up, DuckDB half-even — a tie would
+  // diverge).
+
+  /** A nullable scale-invariant integer expression over t: NULL on one
+    * residue class, the residue otherwise. */
+  private def nullableInt(r: Random, t: T): String = {
+    val c = pick(r, t.ints).name
+    val m = 2 + r.nextInt(9)
+    s"NULLIF($c % $m, ${r.nextInt(m)})"
+  }
+
+  /** [NOT] IN edges: (outer table, outer key expr, inner table, inner
+    * key column — both reduced to the same modulo domain). */
+  private val inEdges = Seq(
+    (orders, "o_custkey", customer, "c_custkey"),
+    (lineitem, "l_partkey", part, "p_partkey"),
+    (lineitem, "l_suppkey", supplier, "s_suppkey"),
+    (customer, "c_nationkey", nation, "n_nationkey"))
+
+  /** Shape N: three-valued-logic torture. */
+  private def shapeTvl(r: Random): String = pick(r, Seq(0, 1, 2, 3)) match {
+    case 0 => // IS [NOT] DISTINCT FROM over synthesized NULLs
+      val t = pick(r, singleTables)
+      val x = nullableInt(r, t); val y = nullableInt(r, t)
+      s"""SELECT ${t.key.mkString(", ")},
+         |  CAST(CASE WHEN $x IS DISTINCT FROM $y THEN 1 ELSE 0 END AS BIGINT) AS e1,
+         |  CAST(CASE WHEN $x IS NOT DISTINCT FROM $y THEN 1 ELSE 0 END AS BIGINT) AS e2,
+         |  CAST(COALESCE($x, $y, -1) AS BIGINT) AS e3
+         |FROM ${t.name}
+         |WHERE ($x IS DISTINCT FROM ${r.nextInt(4)}) AND (${predicate(r, t)})
+         |${orderTail(t.key)}
+         |LIMIT ${100 + r.nextInt(4) * 50}""".stripMargin
+    case 1 => // [NOT] IN over a NULL-producing subquery list
+      val (a, ak, b, bk) = pick(r, inEdges)
+      val m = pick(r, Seq(100, 250, 500, 1000))
+      val kw = if (r.nextBoolean()) "NOT IN" else "IN"
+      val proj = a.key ++ a.strs.take(1).map(_.name)
+      s"""SELECT ${proj.mkString(", ")}
+         |FROM ${a.name}
+         |WHERE ($ak % $m) $kw (SELECT NULLIF($bk % $m, ${r.nextInt(m)})
+         |  FROM ${b.name} WHERE ${predicate(r, b)})
+         |  AND (${predicate(r, a)})
+         |${orderTail(a.key)}
+         |LIMIT ${200 + r.nextInt(3) * 100}""".stripMargin
+    case 2 => // empty-group global aggregate over a filtered join:
+      // count()=0 beside sum/min/max=NULL when the predicate stack
+      // matches nothing — the NULL-vs-zero seam of SQL aggregation
+      val (a, b, on) = pick(r, joins2)
+      val ai = pick(r, a.ints).name; val bi = pick(r, b.ints).name
+      val sc = (a.strs ++ b.strs).headOption.map(_.name).getOrElse(ai)
+      s"""SELECT CAST(count(*) AS BIGINT) AS a0,
+         |  CAST(sum($ai % 97) AS BIGINT) AS a1,
+         |  CAST(min($bi) AS BIGINT) AS a2,
+         |  CAST(max($bi % 1000) AS BIGINT) AS a3,
+         |  CAST(count(DISTINCT $sc) AS BIGINT) AS a4
+         |FROM ${a.name} JOIN ${b.name} ON $on
+         |WHERE (${atom(r, a)}) AND (${atom(r, a)}) AND (${atom(r, b)})
+         |ORDER BY a0 NULLS FIRST""".stripMargin
+    case _ => // COALESCE chain over LEFT-JOIN NULLs, grouped by the
+      // nullable right-side key (unmatched rows form the NULL group)
+      val (a, b, on) = pick(r, leftJoins)
+      val bi = pick(r, b.ints).name
+      val bs = b.strs.headOption.map(_.name).getOrElse(b.key.head)
+      val m = 2 + r.nextInt(7)
+      s"""SELECT COALESCE($bs, '(none)') AS g0,
+         |  CAST(count(*) AS BIGINT) AS a0,
+         |  CAST(count($bi) AS BIGINT) AS a1,
+         |  CAST(sum(COALESCE(NULLIF($bi % $m, ${r.nextInt(m)}), -1)) AS BIGINT) AS a2
+         |FROM ${a.name} LEFT JOIN ${b.name} ON $on AND (${atom(r, b)})
+         |WHERE (${predicate(r, a)})
+         |GROUP BY $bs
+         |ORDER BY g0 NULLS FIRST""".stripMargin
+  }
+
+  /** Shape O: DECIMAL boundary arithmetic. Every double goes through
+    * CAST(AS DECIMAL(18,2)) (the proven value-identical bridge), every
+    * result through an integral-valued DECIMAL(38,0) (scale reduction
+    * drops only exact zeros) and lands in BIGINT. */
+  private def shapeDec(r: Random): String = {
+    val p = pick(r, Seq(999983, 1000003, 524287))
+    pick(r, Seq(0, 1, 2, 3)) match {
+      case 0 => // grouped exact-cents rollup (sum/min/max through cents)
+        val t = pick(r, Seq(lineitem, orders, customer, part, events))
+        val c = pick(r, t.dbls).name
+        val (gx, gk) = groupKeys(r, t)
+        s"""SELECT ${gx.mkString(", ")},
+           |  CAST(CAST(sum(CAST($c AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) % $p AS a0,
+           |  CAST(CAST(max(CAST($c AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS a1,
+           |  CAST(CAST(min(CAST($c AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS a2
+           |FROM ${t.name}
+           |WHERE ${predicate(r, t)}
+           |GROUP BY ${gk.mkString(", ")}
+           |${orderTail(gk)}""".stripMargin
+      case 1 => // per-row products and signed differences at the
+        // DECIMAL(36,4) boundary, projected with the unique key
+        val a = pick(r, lineitem.dbls).name
+        val b = pick(r, lineitem.dbls).name
+        s"""SELECT ${lineitem.key.mkString(", ")},
+           |  CAST(CAST(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2)) * 10000 AS DECIMAL(38,0)) AS BIGINT) % $p AS e1,
+           |  CAST(CAST((CAST($a AS DECIMAL(18,2)) + CAST($b AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS e2,
+           |  CAST(CAST((CAST($a AS DECIMAL(18,2)) - CAST($b AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS e3
+           |FROM lineitem
+           |WHERE ${predicate(r, lineitem)}
+           |${orderTail(lineitem.key)}
+           |LIMIT ${100 + r.nextInt(4) * 50}""".stripMargin
+      case 2 => // the revenue shape, exact: per-row basis points folded
+        // mod p BEFORE the sum so the output is scale-invariant-bounded
+        val (gx, gk) = groupKeys(r, lineitem)
+        s"""SELECT ${gx.mkString(", ")},
+           |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS DECIMAL(38,0)) AS BIGINT) % $p) AS BIGINT) AS a0,
+           |  CAST(count(*) AS BIGINT) AS a1
+           |FROM lineitem
+           |WHERE ${predicate(r, lineitem)}
+           |GROUP BY ${gk.mkString(", ")}
+           |${orderTail(gk)}""".stripMargin
+      case _ => // HAVING on an exact decimal sum (the predicate seam:
+        // DECIMAL >= DECIMAL literal, no doubles anywhere)
+        val t = pick(r, Seq(lineitem, orders, customer))
+        val c = pick(r, t.dbls).name
+        val (gx, gk) = groupKeys(r, t)
+        val floor = (5 + r.nextInt(50)) * 100
+        s"""SELECT ${gx.mkString(", ")},
+           |  CAST(CAST(sum(CAST($c AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) % $p AS a0,
+           |  CAST(count(*) AS BIGINT) AS a1
+           |FROM ${t.name}
+           |WHERE ${predicate(r, t)}
+           |GROUP BY ${gk.mkString(", ")}
+           |HAVING sum(CAST($c AS DECIMAL(18,2))) >= CAST($floor AS DECIMAL(18,2))
+           |${orderTail(gk)}""".stripMargin
+    }
+  }
+
   // ---- registration -----------------------------------------------------
 
   /** Seeded query list. Indices 0-219 are the round-11 corpus across
@@ -609,6 +756,11 @@ object Fuzz {
       case 7 => ("cte", shapeCte(r))
       case _ => ("win2", shapeWindow2(r))
     }
+    Q.sql(f"fz$i%03d_$tag", text)
+  } ++ (400 until 500).map { i =>
+    val r = new Random(0x5EEDL * 1000003L + i)
+    val (tag, text) =
+      if (i % 2 == 0) ("tvl", shapeTvl(r)) else ("dec", shapeDec(r))
     Q.sql(f"fz$i%03d_$tag", text)
   }
 }

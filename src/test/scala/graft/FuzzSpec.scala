@@ -2,11 +2,11 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Fuzz-harness integrity: the 220 differential queries are produced by
+/** Fuzz-harness integrity: the differential queries are produced by
   * a seeded generator, so an innocent-looking grammar edit silently
   * re-rolls every judged text. Pin the corpus digest — growing the list
   * (new seeds appended) or changing the grammar must show up here as a
-  * DELIBERATE pin update, not as 220 quietly different queries keeping
+  * DELIBERATE pin update, not as hundreds of quietly different queries keeping
   * their old names. */
 class FuzzSpec extends AnyFunSuite {
 
@@ -19,8 +19,8 @@ class FuzzSpec extends AnyFunSuite {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  test("400 queries, every one oracle-checked (texts are their own oracle)") {
-    assert(queries.Fuzz.qs.size == 400)
+  test("500 queries, every one oracle-checked (texts are their own oracle)") {
+    assert(queries.Fuzz.qs.size == 500)
     assert(queries.Fuzz.qs.forall(_.oracle.isDefined))
   }
 
@@ -31,9 +31,15 @@ class FuzzSpec extends AnyFunSuite {
       "dea30b05d5e2f89eff74b8f334397d53")
   }
 
+  test("round-12 corpus (fz220-fz399) is frozen byte-for-byte") {
+    // The UNCHANGED round-12 pin (was the full-corpus digest then).
+    assert(digestOf(queries.Fuzz.qs.take(400)) ==
+      "52b7c661f1e08c294fe3579bd05352db")
+  }
+
   test("generated texts are stable (digest pin)") {
     val digest = digestOf(queries.Fuzz.qs)
-    assert(digest == "52b7c661f1e08c294fe3579bd05352db",
+    assert(digest == "2bb949d1f8e572dea369528e16c11eb5",
       s"fuzz corpus digest changed: $digest")
   }
 
