@@ -255,21 +255,51 @@ object Dedup {
     // verification by IN-ROW array intersection (the x242 serve-path
     // discipline): each doc's shingle set folds to ONE sorted array
     // row, candidates equi-join the two array rows, and the exact
-    // overlap is one array_intersect per pair. The earlier shape
+    // overlap is one intersection count per pair. The earlier shape
     // joined candidates against the exploded shingle table and
     // re-aggregated — materializing a |cand| x |shingles-per-doc|
     // row explosion (~170M rows at sf1) that made the verify stage
-    // 90% of the operator and scaled 4x worse than the data.
-    val arrs = CacheRegistry.pin(sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("shingle"))).as("arr"),
+    // 90% of the operator and scaled 4x worse than the data. The
+    // count itself is the native sorted-merge expression (the arrays
+    // are sorted + duplicate-free by construction): array_intersect
+    // would build and discard a hash set per candidate pair.
+    // DICTIONARY-ENCODE the verify payload (round 13): the candidate
+    // pairs must rendezvous with both docs' shingle sets, and one side
+    // necessarily rides a pair-count-sized exchange — with raw shingle
+    // text that is ~1.5 KB per doc (~5 GB at sf1, measured as the sf1
+    // cost center even unsorted). A dense integer id per distinct
+    // shingle (zipWithIndex over the vocabulary — the x132 rank
+    // discipline, exact and collision-free unlike hashing) shrinks the
+    // shipped arrays ~6x and turns the per-pair merge into primitive
+    // long compares. The id order is arbitrary-but-total, which is all
+    // a sorted-merge intersection needs.
+    graft.functions.SortedLongIntersectSize.register(docs.sparkSession)
+    val dict = Ids.rankByOrder(sh.select("shingle").distinct(),
+      Seq(col("shingle")), Seq("shingle"), "sid")
+    val shId = sh.join(dict, Seq("shingle")).select(col("doc_id"), col("sid"))
+    // eager for the same two-readers reason as the prefix pin above
+    val arrs = CacheRegistry.pin(shId.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sid"))).as("arr"),
         count(lit(1)).as("n")))
+    arrs.count()
+    // SHUFFLE_HASH on the array side of both joins: past the broadcast
+    // threshold Catalyst would pick SortMergeJoin here, whose sort
+    // runs over the candidate stream WITH its attached shingle arrays
+    // — at sf1 that is ~5 GB of array-laden rows sorted and spilled
+    // per join, measured as 3x the rest of the operator combined. The
+    // hash join builds on the doc-keyed array table (already
+    // partitioned by doc_id from its groupBy — zero exchange) and
+    // STREAMS the pair side unsorted; the Jaccard filter rides the
+    // join condition, so the intersect count runs once per candidate
+    // and arrays of failing pairs never leave the join.
     cand
       .join(arrs.select(col("doc_id").as("d1"), col("arr").as("a1"),
-        col("n").as("n1")), Seq("d1"))
+        col("n").as("n1")).hint("shuffle_hash"), Seq("d1"))
       .join(arrs.select(col("doc_id").as("d2"), col("arr").as("a2"),
-        col("n").as("n2")), Seq("d2"))
+        col("n").as("n2")).hint("shuffle_hash"), Seq("d2"))
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("a1"), col("a2"))).cast("bigint").as("inter"),
+        call_function("sorted_long_intersect_size", col("a1"), col("a2"))
+          .as("inter"),
         col("n1"), col("n2"))
       .where(col("inter") * 1000000L >=
         (col("n1") + col("n2") - col("inter")) * thresholdPpm)
@@ -291,10 +321,21 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "shingle")))
       .join(sizes, Seq("doc_id"))
-    val prefix = ranked
+    // PINNED + EAGER: the self-join below references the prefix table
+    // twice (a/b sides), and Catalyst does not share subtrees — without
+    // the pin the whole df-agg + per-doc rank window executes once per
+    // side, which the round-13 stage profile measured as the single
+    // largest slice of the operator (~2x ~13s task of a ~48s total at
+    // sf0.1). The count() materializes the cache BEFORE the join reads
+    // it from two sides at once: concurrent first-touch readers of an
+    // unmaterialized cache serialize on the per-partition block locks,
+    // and the blocked side books its wait as executor task time
+    // (measured ~3x task inflation at sf1).
+    val prefix = CacheRegistry.pin(ranked
       .where(col("rk") <=
         col("n") - expr(s"($thresholdPpm * n + 999999) div 1000000") + 1)
-      .select(col("doc_id"), col("shingle"), col("rk"), col("n"))
+      .select(col("doc_id"), col("shingle"), col("rk"), col("n")))
+    prefix.count()
     // alpha = ceil(t*(n1+n2)/(1+t)) as exact integers (t = ppm/1e6):
     // ceil(ppm*(n1+n2) / (1e6+ppm)), integer `div` on named columns
     def alpha(n1: String, n2: String): Column =
@@ -1321,12 +1362,16 @@ object Dedup {
       .agg(sort_array(collect_set(col("shingle"))).as("sh2"))
       .select(col("doc_id").as("d2"), col("sh2"),
         size(col("sh2")).cast("bigint").as("n2"))
+    // both sides are sort_array(collect_set(...)) — sorted and
+    // duplicate-free — so the native sorted-merge count applies
+    graft.functions.SortedIntersectSize.register(batch.sparkSession)
     cand
       .join(idxShingles.select(col("doc_id").as("d1"), col("sh").as("sh1"),
         col("n").as("n1")), Seq("d1"))
       .join(bArr, Seq("d2"))
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("sh1"), col("sh2"))).cast("bigint").as("i"),
+        call_function("sorted_intersect_size", col("sh1"), col("sh2"))
+          .as("i"),
         col("n1"), col("n2"))
       .where(col("i") > 0)
       .select(col("d1"), col("d2"),
