@@ -25,21 +25,27 @@ import java.util.concurrent.atomic.LongAdder
   * (BENCH_r12.json: rc 124, killed mid-suite). The fixed cost is cut
   * without giving up the decorrelated-min discipline:
   *
-  *  - Warm-up is FOLDED into pass 1: every execution is timed, so each
-  *    query pays exactly 2 executions (pass 1 cold = planning + codegen
-  *    + run; pass 2 warm, minutes later). The reported number is the
-  *    MIN of the two — for every query whose plan cost matters the min
-  *    comes from the warm pass, so round-over-round comparability with
-  *    the old warm-only protocol is preserved; the cold pass doubles as
-  *    the decorrelated second sample. (Previously the 400 sub-second
-  *    fuzz queries alone paid ~400 untimed warm executions ≈ minutes
-  *    of suite wall for no recorded signal.)
+  *  - Warm-up is FOLDED into the first timed run: every execution is
+  *    timed, so each query pays exactly 2 executions, BACK TO BACK —
+  *    run 1 cold (planning + codegen + operator-pinned cache builds),
+  *    run 2 warm with those caches still live, then the caches are
+  *    released. The reported number is the MIN of the two; it comes
+  *    from the warm run, which matches what the old protocol's timed
+  *    runs measured (they always followed an untimed warm-up), so
+  *    round-over-round per-query comparability is preserved. (A
+  *    suite-wide two-pass variant was tried first and rejected by its
+  *    own record: releasing caches between passes made BOTH timed runs
+  *    pay the cache builds, inflating every pin-heavy operator —
+  *    x206 recorded 7.4s wall against a 2.9s isolated reality.)
   *  - ONE listener drain per timed execution (after it), not two: the
   *    previous execution's post-drain already guarantees a quiet bus at
   *    the next reset, because no untimed execution happens in between
   *    any more.
-  *  - The adaptive third look is capped at the TOP-20 tail (by min
-  *    wall, among those > 2s) instead of every >2s query.
+  *  - Host-stall decorrelation is reserved for the TOP-20 tail (by min
+  *    wall, among those > 2s): those re-run once more at suite end,
+  *    minutes after their first two runs, and the min is kept. For the
+  *    sub-second bulk, back-to-back min-of-2 clips the common stall
+  *    shapes and the task column adjudicates the rest.
   *  - A cumulative-elapsed line is logged per timing
   *    ("[bench] t=123.4s p1 x206_ppjoin wall=9.71"), so any future
   *    kill is attributable to a specific query from the driver tail.
@@ -108,10 +114,15 @@ object Bench {
 
     // One timed execution: reset adders (bus is quiet — the previous
     // timing's post-drain guarantees it), run through the noop sink,
-    // drain, record. Every execution is timed; pass 1 is the cold
-    // sample (planning + codegen included), pass 2+ the warm samples.
+    // drain, record. `release` controls whether operator-pinned caches
+    // are dropped afterwards: run 1 of a query keeps them (run 2 must
+    // measure the warm plan, like the old protocol's timed runs did);
+    // the query's LAST run releases them so nothing accumulates across
+    // the suite (cross-query cache build-up turns into storage-pool
+    // pressure + GC stalls that land on unrelated queries).
     def timedOnce(name: String, pass: String,
-                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  release: Boolean)
         : Timing = {
       try {
         taskMs.reset(); gcMs.reset()
@@ -127,11 +138,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Timing(-1.0, -1.0, -1.0)
       } finally {
-        // release operator-pinned caches between queries: nothing
-        // accumulates across the suite (cross-query cache build-up
-        // turns into storage-pool pressure + GC stalls that land on
-        // unrelated queries)
-        graft.ext.CacheRegistry.clearAll()
+        if (release) graft.ext.CacheRegistry.clearAll()
       }
     }
     // min wall across runs (what a user feels) and, independently, the
@@ -148,33 +155,36 @@ object Bench {
       }
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Pass 1 (cold): one timed execution per query. The host shows
-    // transient multi-second stall windows (same query: ~1s in
-    // isolation, 10-40s mid-suite, a DIFFERENT query each run); two
-    // timings of the same query ~minutes apart cannot both land inside
-    // one, so pass 2's warm timing decorrelates the noise and the
-    // per-query min is the steady-state number that scales.
-    val p1 = names.map { case (n, fn) => n -> timedOnce(n, "p1", fn) }.toMap
+    // Per query, back to back: run 1 cold (keeps its caches), run 2
+    // warm (releases them); per-query value = min of the two. On
+    // deadline breach remaining queries get ONE cold run each
+    // (flagged "degraded":true) — a one-sample cold number beats a
+    // missing record.
     var degraded = false
     val p12 = names.map { case (n, fn) =>
-      val a = p1(n)
       if (elapsed() > deadlineSec) {
         if (!degraded) System.err.println(
           f"[bench] deadline ${deadlineSec}%.0fs hit at t=${elapsed()}%.1fs" +
-            " — skipping remaining pass-2 timings (pass-1 numbers stand)")
+            " — remaining queries get one cold run each")
         degraded = true
-        n -> a
-      } else n -> merge(a, timedOnce(n, "p2", fn))
+        n -> timedOnce(n, "p1", fn, release = true)
+      } else {
+        val a = timedOnce(n, "p1", fn, release = false)
+        n -> merge(a, timedOnce(n, "p2", fn, release = true))
+      }
     }.toMap
-    // adaptive third look, capped at the TOP-20 tail: anything still
-    // slow after two decorrelated timings is either genuinely heavy or
-    // was unlucky twice — re-time just those and keep the min
+    // decorrelated third look, capped at the TOP-20 tail: the host
+    // shows transient multi-second stall windows (same query: ~1s in
+    // isolation, 10-40s mid-suite, a DIFFERENT query each run); a
+    // back-to-back pair can land inside one, a re-run minutes later
+    // cannot, so the heavy tail gets one more timing and keeps the min
     val slow = p12.toSeq.filter(_._2.wall > 2.0)
       .sortBy(-_._2.wall).take(20).map(_._1).toSet
     val p3 =
       if (degraded || elapsed() > deadlineSec) Map.empty[String, Timing]
       else names.filter(q => slow.contains(q._1))
-        .map { case (n, fn) => n -> timedOnce(n, "p3", fn) }.toMap
+        .map { case (n, fn) => n -> timedOnce(n, "p3", fn, release = true) }
+        .toMap
     val results = p12.map { case (name, t) =>
       name -> merge(t, p3.getOrElse(name, Timing(-1, -1, -1)))
     }
