@@ -53,8 +53,25 @@ import java.util.concurrent.atomic.LongAdder
   *    Bench-main elapsed — the driver window minus sbt/compile/session
   *    slack) degrades the suite instead of letting the harness kill it:
   *    on breach, remaining pass-2 timings are skipped (their pass-1
-  *    cold numbers stand, flagged "degraded":true in the record) and
-  *    pass 3 is dropped. The record is ALWAYS written and printed.
+  *    cold numbers stand) and pass 3 is dropped. The record is ALWAYS
+  *    written and printed; it carries a GLOBAL "degraded" flag plus
+  *    "degraded_n" and "degraded_from" — the degraded set is an
+  *    alphabetic suffix of the catalog, so count + first name identify
+  *    exactly which entries are one-sample cold numbers. A degraded
+  *    record must never be cited as a round's closing number
+  *    (BENCH_NOTES protocol).
+  *
+  * == Round-14 revisions ==
+  *  - The >2s tail gets a SECOND warm execution (p2b) back to back, so
+  *    its reported number is min-of-2-warm again (the r12 discipline).
+  *    Round 13's single-warm-sample protocol upper-biased the heavy
+  *    tail on a noisy host and produced unadjudicable movers. The
+  *    sub-second bulk (~85% of queries) stays at 2 executions, keeping
+  *    the suite inside the window.
+  *  - After the full record line (~68KB — it can never fit the
+  *    driver's ~2KB stdout-tail capture), a second TINY line is printed
+  *    last: totals + top-10-by-wall queries + a pointer to the full
+  *    record file. The driver tail always ends with parseable JSON.
   */
 object Bench {
   private case class Timing(wall: Double, task: Double, gc: Double)
@@ -161,16 +178,27 @@ object Bench {
     // (flagged "degraded":true) — a one-sample cold number beats a
     // missing record.
     var degraded = false
+    val degradedQs = scala.collection.mutable.ArrayBuffer[String]()
     val p12 = names.map { case (n, fn) =>
       if (elapsed() > deadlineSec) {
         if (!degraded) System.err.println(
           f"[bench] deadline ${deadlineSec}%.0fs hit at t=${elapsed()}%.1fs" +
             " — remaining queries get one cold run each")
         degraded = true
+        degradedQs += n
         n -> timedOnce(n, "p1", fn, release = true)
       } else {
         val a = timedOnce(n, "p1", fn, release = false)
-        n -> merge(a, timedOnce(n, "p2", fn, release = true))
+        // round-14: the >2s tail gets TWO warm samples (min-of-2-warm,
+        // the r12 discipline) — one warm sample is upper-biased on a
+        // noisy host and round 13's unadjudicated movers all sat in
+        // this tail. The sub-second bulk stays at 2 executions total.
+        if (a.wall > 2.0 && elapsed() <= deadlineSec) {
+          val b = timedOnce(n, "p2", fn, release = false)
+          n -> merge(merge(a, b), timedOnce(n, "p2b", fn, release = true))
+        } else {
+          n -> merge(a, timedOnce(n, "p2", fn, release = true))
+        }
       }
     }.toMap
     // decorrelated third look, capped at the TOP-20 tail: the host
@@ -193,10 +221,32 @@ object Bench {
     val qs = jmap(_.wall)
     val total = results.map(_._2.wall).sum
     val totalTask = results.map(_._2.task).filter(_ > 0).sum
+    // per-query degraded attribution (the global flag alone cannot say
+    // which entries are one-sample cold numbers): count + first name —
+    // the degraded set is always an alphabetic suffix of the catalog,
+    // so (n, from) identifies it exactly without a 100-name list
+    val degradedInfo =
+      s""""degraded":$degraded,"degraded_n":${degradedQs.size}""" +
+        degradedQs.headOption.map(n => s""","degraded_from":"$n"""")
+          .getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""task":${jmap(_.task)},"gc":${jmap(_.gc)},""" +
-        s""""task_total":$totalTask,"degraded":$degraded,"sf":"$sfDir"}"""
+        s""""task_total":$totalTask,$degradedInfo,"sf":"$sfDir"}"""
+    // The full record is ~68KB (three per-query maps over 900+ queries)
+    // and can structurally never fit the driver's ~2KB stdout-tail
+    // capture — so a second, tiny, total-only line (top-10-by-wall
+    // queries only) is printed LAST; whatever tail size the driver
+    // keeps, it ends with parseable JSON. The full record remains the
+    // adjudication source (bench_out.json).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val top10 = results.toSeq.sortBy(-_._2.wall).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + v.wall }
+      .mkString("{", ",", "}")
+    val tinyJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+        s""""task_total":$totalTask,$degradedInfo,"sf":"$sfDir",""" +
+        s""""queries":$top10,"full_record":"$outPath"}"""
     // Round 1 the driver failed to parse this line out of interleaved sbt/
     // log4j stdout ("parsed": null). Belt and braces now: (a) persist the
     // JSON to a file (SPARK_GRAFT_BENCH_OUT, default bench_out.json in the
@@ -208,7 +258,6 @@ object Bench {
     // the single source of truth for the closing number — any recorded
     // total must be read FROM it, never transcribed from the console
     // (round-3/4 drift: cited totals disagreed with the tree's file).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       val target = java.nio.file.Paths.get(outPath)
       val dir = Option(target.toAbsolutePath.getParent)
@@ -224,6 +273,7 @@ object Bench {
     spark.stop()
     System.out.println()
     System.out.println(json)
+    System.out.println(tinyJson)
     System.out.flush()
   }
 }

@@ -273,7 +273,6 @@ object Dedup {
     // shipped arrays ~6x and turns the per-pair merge into primitive
     // long compares. The id order is arbitrary-but-total, which is all
     // a sorted-merge intersection needs.
-    graft.functions.SortedLongIntersectSize.register(docs.sparkSession)
     val dict = Ids.rankByOrder(sh.select("shingle").distinct(),
       Seq(col("shingle")), Seq("shingle"), "sid")
     val shId = sh.join(dict, Seq("shingle")).select(col("doc_id"), col("sid"))
@@ -298,7 +297,7 @@ object Dedup {
       .join(arrs.select(col("doc_id").as("d2"), col("arr").as("a2"),
         col("n").as("n2")).hint("shuffle_hash"), Seq("d2"))
       .select(col("d1"), col("d2"),
-        call_function("sorted_long_intersect_size", col("a1"), col("a2"))
+        graft.functions.SortedLongIntersectSize(col("a1"), col("a2"))
           .as("inter"),
         col("n1"), col("n2"))
       .where(col("inter") * 1000000L >=
@@ -1363,14 +1362,17 @@ object Dedup {
       .select(col("doc_id").as("d2"), col("sh2"),
         size(col("sh2")).cast("bigint").as("n2"))
     // both sides are sort_array(collect_set(...)) — sorted and
-    // duplicate-free — so the native sorted-merge count applies
-    graft.functions.SortedIntersectSize.register(batch.sparkSession)
+    // duplicate-free — so the native sorted-merge count applies;
+    // built as a Column directly (GraftColumnBridge), NOT registered
+    // in the session function registry: the sorted/dup-free/no-null
+    // contract is unchecked, so the kernel must stay invisible to
+    // later SQL on a shared session (ADVICE r13)
     cand
       .join(idxShingles.select(col("doc_id").as("d1"), col("sh").as("sh1"),
         col("n").as("n1")), Seq("d1"))
       .join(bArr, Seq("d2"))
       .select(col("d1"), col("d2"),
-        call_function("sorted_intersect_size", col("sh1"), col("sh2"))
+        graft.functions.SortedIntersectSize(col("sh1"), col("sh2"))
           .as("i"),
         col("n1"), col("n2"))
       .where(col("i") > 0)

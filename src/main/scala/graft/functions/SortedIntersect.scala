@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -84,12 +84,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 }
 
 object SortedIntersectSize {
-  /** Register as SQL function `sorted_intersect_size(a, b)` in the
-    * session's function registry (native expression, not a UDF). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_size",
-      exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
+  /** Column-level constructor — deliberately NOT registered in the
+    * session function registry: the sorted/duplicate-free/no-null
+    * contract is unchecked, so the kernel must stay invisible to later
+    * SQL on a shared session (a REPL user calling it on arbitrary
+    * arrays would silently get wrong counts — ADVICE r13). */
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectSize(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
 /** [[SortedIntersectSize]] over array<bigint> — the dictionary-encoded
@@ -154,8 +156,9 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
 }
 
 object SortedLongIntersectSize {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_long_intersect_size",
-      exprs => SortedLongIntersectSize(exprs(0), exprs(1)), "built-in")
+  /** Column-level constructor; same registry-invisibility rationale as
+    * [[SortedIntersectSize.apply]]. */
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedLongIntersectSize(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -726,14 +726,154 @@ object Fuzz {
     }
   }
 
+  // ---- round-14 grammar extension (shapes P-Q) ---------------------------
+  //
+  // The two seams the 500-query corpus still never reached (VERDICT r13
+  // next-round #6): timestamp/interval BOUNDARY arithmetic and
+  // multi-level set-op/window COMPOSITION. Same dialect-intersection
+  // rules as A-O. Every piece used here was probed value-identical in
+  // Spark 4.1 (UTC session) and DuckDB before pinning: month arithmetic
+  // CLAMPS at end-of-month in both (2024-01-31 + 1 MONTH = 2024-02-29;
+  // 2024-02-29 + 12 MONTHS = 2025-02-28), last_day/make_date/
+  // date_trunc('week'|'month'|'quarter') agree, EXTRACT(QUARTER|DOY|
+  // WEEK) agree (ISO week — 2021-01-01 is week 53 in both), and date
+  // day-math is DST-free under the UTC session. DATE + INTERVAL types
+  // as TIMESTAMP in DuckDB, so every shifted date passes through the
+  // shape-K double cast (CAST(... AS DATE) then STRING for output).
+  // DOW is deliberately ABSENT: Spark numbers Sunday=1..7, DuckDB 0..6.
+
+  /** Shape P: timestamp/interval boundary arithmetic. */
+  private def shapeTime(r: Random): String = pick(r, Seq(0, 1, 2, 3)) match {
+    case 0 => // month arithmetic at end-of-month (clamp semantics) +
+      // last_day, with an is-end-of-month flag
+      val t = pick(r, Seq(lineitem, orders, events))
+      val d = asDate(pick(r, t.dates))
+      val k = 1 + r.nextInt(14)
+      s"""SELECT ${t.key.mkString(", ")},
+         |  CAST(CAST($d + INTERVAL '$k' MONTH AS DATE) AS STRING) AS e1,
+         |  CAST(last_day($d) AS STRING) AS e2,
+         |  CAST(CASE WHEN $d = last_day($d) THEN 1 ELSE 0 END AS BIGINT) AS e3,
+         |  CAST(CAST(last_day($d) + INTERVAL '${1 + r.nextInt(3)}' MONTH AS DATE) AS STRING) AS e4
+         |FROM ${t.name}
+         |WHERE ${predicate(r, t)}
+         |${orderTail(t.key)}
+         |LIMIT ${100 + r.nextInt(4) * 50}""".stripMargin
+    case 1 => // epoch-field round-trip: make_date(EXTRACT Y/M/D) must
+      // reconstruct the date; DOY/WEEK boundary fields carried along
+      val t = pick(r, Seq(lineitem, orders, events))
+      val d = asDate(pick(r, t.dates))
+      s"""SELECT ${t.key.mkString(", ")},
+         |  CAST(EXTRACT(DOY FROM $d) AS BIGINT) AS e1,
+         |  CAST(EXTRACT(WEEK FROM $d) AS BIGINT) AS e2,
+         |  CAST(EXTRACT(QUARTER FROM $d) AS BIGINT) AS e3,
+         |  CAST(make_date(EXTRACT(YEAR FROM $d), EXTRACT(MONTH FROM $d), EXTRACT(DAY FROM $d)) AS STRING) AS e4,
+         |  CAST(CASE WHEN make_date(EXTRACT(YEAR FROM $d), EXTRACT(MONTH FROM $d), EXTRACT(DAY FROM $d)) = $d THEN 1 ELSE 0 END AS BIGINT) AS e5
+         |FROM ${t.name}
+         |WHERE ${predicate(r, t)}
+         |${orderTail(t.key)}
+         |LIMIT ${100 + r.nextInt(4) * 50}""".stripMargin
+    case 2 => // grouped by a date_trunc bucket (week buckets cross year
+      // boundaries — the ISO seam), min/max dates as strings
+      val t = pick(r, Seq(lineitem, orders, events))
+      val d = asDate(pick(r, t.dates))
+      val unit = pick(r, Seq("week", "month", "quarter"))
+      val ic = pick(r, t.ints).name
+      s"""SELECT CAST(CAST(date_trunc('$unit', $d) AS DATE) AS STRING) AS g0,
+         |  CAST(count(*) AS BIGINT) AS a0,
+         |  CAST(min($d) AS STRING) AS a1,
+         |  CAST(max($d) AS STRING) AS a2,
+         |  CAST(sum($ic % 97) AS BIGINT) AS a3
+         |FROM ${t.name}
+         |WHERE ${predicate(r, t)}
+         |GROUP BY date_trunc('$unit', $d)
+         |ORDER BY g0 NULLS FIRST""".stripMargin
+    case _ => // DST-free day math: chained ±DAY shifts compared against
+      // a ±MONTH shift, with a shifted-date boundary filter
+      val t = pick(r, Seq(lineitem, orders, events))
+      val d = asDate(pick(r, t.dates))
+      val a = 1 + r.nextInt(40); val b = 1 + r.nextInt(20)
+      s"""SELECT ${t.key.mkString(", ")},
+         |  CAST(CAST($d + INTERVAL '$a' DAY - INTERVAL '$b' DAY AS DATE) AS STRING) AS e1,
+         |  CAST(CASE WHEN CAST($d + INTERVAL '${a - b}' DAY AS DATE) = CAST($d + INTERVAL '$a' DAY - INTERVAL '$b' DAY AS DATE) THEN 1 ELSE 0 END AS BIGINT) AS e2,
+         |  CAST(CASE WHEN CAST($d + INTERVAL '30' DAY AS DATE) <= CAST($d + INTERVAL '1' MONTH AS DATE) THEN 1 ELSE 0 END AS BIGINT) AS e3
+         |FROM ${t.name}
+         |WHERE (CAST($d + INTERVAL '$b' DAY AS DATE) >= ${dateLit(r, t)}) AND (${predicate(r, t)})
+         |${orderTail(t.key)}
+         |LIMIT ${100 + r.nextInt(4) * 50}""".stripMargin
+  }
+
+  /** Shape Q: multi-level set-op/window composition. */
+  private def shapeCompose(r: Random): String = pick(r, Seq(0, 1, 2, 3)) match {
+    case 0 => // EXCEPT/INTERSECT over a windowed subquery's top-N per
+      // partition vs a plain predicate key set
+      val t = pick(r, Seq(lineitem, orders, customer, events, documents))
+      val partCol = pick(r, t.strs).name
+      val keyList = t.key.mkString(", ")
+      val k0 = t.key.head
+      val op = pick(r, Seq("EXCEPT", "INTERSECT"))
+      val topN = 5 + r.nextInt(20)
+      s"""SELECT k FROM (
+         |  SELECT $k0 AS k,
+         |    row_number() OVER (PARTITION BY $partCol ORDER BY $keyList) AS rn
+         |  FROM ${t.name} WHERE ${predicate(r, t)}) s1
+         |WHERE rn <= $topN
+         |$op
+         |SELECT $k0 FROM ${t.name} WHERE ${predicate(r, t)}
+         |ORDER BY k NULLS FIRST
+         |LIMIT 500""".stripMargin
+    case 1 => // INTERSECT/EXCEPT of two GROUPING-SETS results: groups
+      // whose (keys incl. super-aggregate NULLs, exact count) agree or
+      // differ between two predicate stacks — set ops match NULL keys
+      val (t, g0, g1) = pick(r, rollupTables)
+      val op = pick(r, Seq("INTERSECT", "EXCEPT"))
+      val sets = pick(r, Seq(
+        s"GROUPING SETS (($g0, $g1), ($g0), ())",
+        s"ROLLUP($g0, $g1)"))
+      def arm: String =
+        s"""SELECT $g0, $g1, CAST(count(*) AS BIGINT) AS a0
+           |  FROM ${t.name} WHERE ${predicate(r, t)}
+           |  GROUP BY $sets""".stripMargin
+      s"""SELECT * FROM ($arm) s1
+         |$op
+         |SELECT * FROM ($arm) s2
+         |ORDER BY $g0 NULLS FIRST, $g1 NULLS FIRST, a0 NULLS FIRST""".stripMargin
+    case 2 => // windows OVER a set-op result (the composition the
+      // grammar never produced: analytic functions downstream of
+      // UNION/INTERSECT/EXCEPT)
+      val t = pick(r, singleTables)
+      val k0 = t.key.head
+      val op = pick(r, Seq("UNION", "INTERSECT", "EXCEPT"))
+      s"""SELECT k,
+         |  CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rn,
+         |  CAST(sum(k % 97) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+         |FROM (
+         |  SELECT $k0 AS k FROM ${t.name} WHERE ${predicate(r, t)}
+         |  $op
+         |  SELECT $k0 FROM ${t.name} WHERE ${predicate(r, t)}) u
+         |ORDER BY k NULLS FIRST
+         |LIMIT ${300 + r.nextInt(3) * 100}""".stripMargin
+    case _ => // EXCEPT ALL / INTERSECT ALL on modulo-reduced MULTISETS
+      // (bag semantics: the copy counts must subtract/min exactly)
+      val t = pick(r, singleTables)
+      val c = pick(r, t.ints).name
+      val m = pick(r, Seq(50, 100, 250))
+      val op = pick(r, Seq("EXCEPT ALL", "INTERSECT ALL"))
+      s"""SELECT CAST($c % $m AS BIGINT) AS k FROM ${t.name} WHERE ${predicate(r, t)}
+         |$op
+         |SELECT CAST($c % $m AS BIGINT) FROM ${t.name} WHERE ${predicate(r, t)}
+         |ORDER BY k NULLS FIRST
+         |LIMIT 500""".stripMargin
+  }
+
   // ---- registration -----------------------------------------------------
 
   /** Seeded query list. Indices 0-219 are the round-11 corpus across
     * shapes A-G (frozen byte-for-byte — the FuzzSpec digest pins them);
-    * 220-399 are the round-12 extension across shapes H-M. Seeds are
-    * a fixed affine family — append NEW seeds to grow the list; never
-    * renumber (names carry the index, and CORRECTNESS history reads
-    * better when fz042 stays fz042). */
+    * 220-399 are the round-12 extension across shapes H-M; 400-499 the
+    * round-13 extension (N-O); 500-599 the round-14 extension (P-Q).
+    * Seeds are a fixed affine family — append NEW seeds to grow the
+    * list; never renumber (names carry the index, and CORRECTNESS
+    * history reads better when fz042 stays fz042). */
   val qs: Seq[Q] = (0 until 220).map { i =>
     val r = new Random(0x5EEDL * 1000003L + i)
     val (tag, text) = (i % 11) match {
@@ -761,6 +901,11 @@ object Fuzz {
     val r = new Random(0x5EEDL * 1000003L + i)
     val (tag, text) =
       if (i % 2 == 0) ("tvl", shapeTvl(r)) else ("dec", shapeDec(r))
+    Q.sql(f"fz$i%03d_$tag", text)
+  } ++ (500 until 600).map { i =>
+    val r = new Random(0x5EEDL * 1000003L + i)
+    val (tag, text) =
+      if (i % 2 == 0) ("time", shapeTime(r)) else ("comp", shapeCompose(r))
     Q.sql(f"fz$i%03d_$tag", text)
   }
 }

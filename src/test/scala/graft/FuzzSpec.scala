@@ -19,8 +19,8 @@ class FuzzSpec extends AnyFunSuite {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  test("500 queries, every one oracle-checked (texts are their own oracle)") {
-    assert(queries.Fuzz.qs.size == 500)
+  test("600 queries, every one oracle-checked (texts are their own oracle)") {
+    assert(queries.Fuzz.qs.size == 600)
     assert(queries.Fuzz.qs.forall(_.oracle.isDefined))
   }
 
@@ -37,9 +37,15 @@ class FuzzSpec extends AnyFunSuite {
       "52b7c661f1e08c294fe3579bd05352db")
   }
 
+  test("round-13 corpus (fz400-fz499) is frozen byte-for-byte") {
+    // The UNCHANGED round-13 pin (was the full-corpus digest then).
+    assert(digestOf(queries.Fuzz.qs.take(500)) ==
+      "2bb949d1f8e572dea369528e16c11eb5")
+  }
+
   test("generated texts are stable (digest pin)") {
     val digest = digestOf(queries.Fuzz.qs)
-    assert(digest == "2bb949d1f8e572dea369528e16c11eb5",
+    assert(digest == "d9ef4d78bec072b4e9a999ea8c08b9ca",
       s"fuzz corpus digest changed: $digest")
   }
 
