@@ -327,8 +327,15 @@ object Entity {
                     maxBlockRows: Int = Int.MaxValue): DataFrame = {
     require(fields.nonEmpty && blockings.nonEmpty,
       "need at least one field and one blocking pass")
-    require(blockings.forall(_.forall(fields.contains)),
-      "blocking keys must be scored fields")
+    // r14: blocking keys may be DERIVED columns (present in both input
+    // frames, not necessarily scored) — the corruption-tolerant /
+    // cardinality-growing pass tool (e.g. a name-prefix key that two
+    // records share whether or not a suffix token was dropped). Scored
+    // fields remain exactly `fields`; a derived key contributes
+    // candidates, never weight.
+    require(blockings.forall(_.forall(k =>
+        clean.columns.contains(k) && dirty.columns.contains(k))),
+      "blocking keys must be columns of both input frames")
     require(maxBlockRows >= 1, s"maxBlockRows must be >= 1; got $maxBlockRows")
     // one 1-row frame per field: wa = bitlen(1e6 div max(u_ppm,1)) - 1
     val weights = fields.map { f =>

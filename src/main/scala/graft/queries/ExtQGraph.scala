@@ -128,22 +128,33 @@ private[queries] object ExtQGraph {
           col("brand"),
           when(col("id") % 13 === 0, lit("MISSING")).otherwise(col("type")).as("type"),
           when(col("id") % 11 === 0, col("size") + 1).otherwise(col("size")).as("size"))
-        // Three passes at three key cardinalities — (brand,type) 150
-        // keys, (brand,size) 1250, (brand,name) 1600 — so recall never
-        // rides one near-saturated pass (VERDICT r12 #4): a record
-        // corrupted in BOTH type and size (id % 143) is recoverable
-        // only through (brand, name). Block-purge cap 256: never binds
-        // at the judged SFs (largest sf0.1 block is (brand,type) ~165),
-        // prices the (brand,type) AND (brand,size) passes out at sf1
-        // (blocks ~1650 / ~280) while (brand,name) (~125 at sf1, ~375
-        // at sf3) carries recall two decades up instead of cliffing at
-        // sf3 — and keeps the sf1 candidate volume ~21M pairs instead
-        // of the 98M the near-saturated (brand,size) pass generated at
-        // cap 400 (BENCH_NOTES rounds 12-13)
-        Entity.fellegiSunter(clean, dirty, "id",
+        // Four passes — (brand,type) 150 keys, (brand,size) 1250,
+        // (brand,name) 1600, plus the r14 CORRUPTION-TOLERANT derived
+        // key (brand, name_head = first name token): two records share
+        // it whether or not the last-token corruption fired, so the
+        // name-corrupted cohort no longer depends on the two coarse
+        // passes surviving. Block-purge cap 256 prices each pass out
+        // exactly when its blocks saturate: at sf1 (brand,type)/
+        // (brand,size)/(brand,name_head) are purged (blocks ~1650 /
+        // ~280 / ~1000) and (brand,name) (~125) carries recall; the
+        // r14 sf3 study (BENCH_NOTES) shows the raw GenScale fixture
+        // is DENSITY-degenerate above sf1 for entity fields (part
+        // fields are verbatim-repeated, so every entity gains 30
+        // field-identical twins and NO key over the fields can stay
+        // under any cap — min possible block 2160 at sf3), while on a
+        // faithful corpus whose name entropy grows with the data the
+        // same registration holds ~98% recall at sf3, the derived-key
+        // pass carrying the name-corrupted cohort. Production guidance
+        // stands: compose keys whose cardinality grows with the corpus.
+        Entity.fellegiSunter(
+            clean.withColumn("name_head",
+              regexp_extract(col("name"), "^(\\S+)", 1)),
+            dirty.withColumn("name_head",
+              regexp_extract(col("name"), "^(\\S+)", 1)),
+            "id",
             Seq("name", "brand", "type", "size"),
             Seq(Seq("brand", "type"), Seq("brand", "size"),
-              Seq("brand", "name")), 256)
+              Seq("brand", "name"), Seq("brand", "name_head")), 256)
           .groupBy("score")
           .agg(count(lit(1)).as("n_pairs"),
             sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L)).as("n_true"))
@@ -161,6 +172,8 @@ private[queries] object ExtQGraph {
         |    CASE WHEN id % 13 = 0 THEN 'MISSING' ELSE type END AS type,
         |    CASE WHEN id % 11 = 0 THEN size + 1 ELSE size END AS size
         |  FROM clean),
+        |cleanh AS (SELECT *, regexp_extract(name, '^(\S+)', 1) AS name_head FROM clean),
+        |dirtyh AS (SELECT *, regexp_extract(name, '^(\S+)', 1) AS name_head FROM dirty),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM clean),
         |w AS (
         |  SELECT
@@ -183,6 +196,11 @@ private[queries] object ExtQGraph {
         |         INTERSECT
         |         SELECT brand, name FROM dirty GROUP BY 1, 2
         |         HAVING count(*) <= 256),
+        |okbh AS (SELECT brand, name_head FROM cleanh GROUP BY 1, 2
+        |         HAVING count(*) <= 256
+        |         INTERSECT
+        |         SELECT brand, name_head FROM dirtyh GROUP BY 1, 2
+        |         HAVING count(*) <= 256),
         |cand AS (
         |  SELECT DISTINCT id_a, id_b, ag_name, ag_brand, ag_type, ag_size
         |  FROM (
@@ -201,7 +219,13 @@ private[queries] object ExtQGraph {
         |    SELECT a.id, b.id, a.name = b.name, a.brand = b.brand,
         |      a.type = b.type, a.size = b.size
         |    FROM clean a JOIN dirty b ON a.brand = b.brand AND a.name = b.name
-        |    JOIN okbn k ON a.brand = k.brand AND a.name = k.name)),
+        |    JOIN okbn k ON a.brand = k.brand AND a.name = k.name
+        |    UNION ALL
+        |    SELECT a.id, b.id, a.name = b.name, a.brand = b.brand,
+        |      a.type = b.type, a.size = b.size
+        |    FROM cleanh a JOIN dirtyh b
+        |      ON a.brand = b.brand AND a.name_head = b.name_head
+        |    JOIN okbh k ON a.brand = k.brand AND a.name_head = k.name_head)),
         |scored AS (
         |  SELECT id_a, id_b,
         |    CAST((CASE WHEN ag_name THEN 1 ELSE 0 END) + (CASE WHEN ag_brand THEN 1 ELSE 0 END)

@@ -135,6 +135,34 @@ class Ext13Spec extends SparkSpec {
     assert(got == Set((1L, 1L), (3L, 3L), (4L, 4L), (5L, 5L)), got)
   }
 
+  test("fellegiSunter: a derived (non-scored) blocking key admits candidates, never weight") {
+    import spark.implicits._
+    // id 2's name loses its last token: no scored-field pass can block
+    // it together with its clean twin, but a derived first-token key
+    // (corruption-tolerant — equal whether or not the suffix was
+    // dropped) can. Scoring must still use ONLY the scored fields.
+    val clean = Seq(
+      (1L, "alpha beta", "B1", 10L), (2L, "gamma delta", "B2", 20L)
+    ).toDF("id", "name", "brand", "size")
+    val dirty = Seq(
+      (1L, "alpha beta", "B1", 10L), (2L, "gamma", "B2", 21L)
+    ).toDF("id", "name", "brand", "size")
+    def withHead(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("head", regexp_extract(col("name"), "^(\\S+)", 1))
+    val got = Entity.fellegiSunter(withHead(clean), withHead(dirty), "id",
+        Seq("name", "brand", "size"),
+        Seq(Seq("brand", "name"), Seq("brand", "head")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (2,2) agrees on brand only (n_agree 1): reachable ONLY via the
+    // derived head pass; (1,1) full agreement via either pass
+    assert(got == Set((1L, 1L, 3L), (2L, 2L, 1L)), got)
+    // a blocking key absent from a frame still fails loudly
+    intercept[IllegalArgumentException] {
+      Entity.fellegiSunter(clean, dirty, "id",
+        Seq("name", "brand", "size"), Seq(Seq("brand", "nope")))
+    }
+  }
+
 
   // ---- Neyman allocation (x407) --------------------------------------------
 
