@@ -41,11 +41,12 @@ import java.util.concurrent.atomic.LongAdder
   *    previous execution's post-drain already guarantees a quiet bus at
   *    the next reset, because no untimed execution happens in between
   *    any more.
-  *  - Host-stall decorrelation is reserved for the TOP-20 tail (by min
-  *    wall, among those > 2s): those re-run once more at suite end,
-  *    minutes after their first two runs, and the min is kept. For the
-  *    sub-second bulk, back-to-back min-of-2 clips the common stall
-  *    shapes and the task column adjudicates the rest.
+  *  - Host-stall decorrelation is reserved for the TOP-10 tail (by min
+  *    wall, among those > 2s; was 20 before the r14 p2b pass existed):
+  *    those re-run once more at suite end, minutes after their first
+  *    runs, and the min is kept. For the sub-second bulk, back-to-back
+  *    min-of-2 clips the common stall shapes and the task column
+  *    adjudicates the rest.
   *  - A cumulative-elapsed line is logged per timing
   *    ("[bench] t=123.4s p1 x206_ppjoin wall=9.71"), so any future
   *    kill is attributable to a specific query from the driver tail.
@@ -62,12 +63,15 @@ import java.util.concurrent.atomic.LongAdder
   *    (BENCH_NOTES protocol).
   *
   * == Round-14 revisions ==
-  *  - The >2s tail gets a SECOND warm execution (p2b) back to back, so
-  *    its reported number is min-of-2-warm again (the r12 discipline).
-  *    Round 13's single-warm-sample protocol upper-biased the heavy
-  *    tail on a noisy host and produced unadjudicable movers. The
-  *    sub-second bulk (~85% of queries) stays at 2 executions, keeping
-  *    the suite inside the window.
+  *  - Queries whose WARM wall exceeds 2s get a SECOND warm execution
+  *    (p2b) back to back, so their reported number is min-of-2-warm
+  *    again (the r12 discipline). Round 13's single-warm-sample
+  *    protocol upper-biased the heavy tail on a noisy host and
+  *    produced unadjudicable movers. The warm-wall gate keeps the tail
+  *    at ~60 genuinely-heavy queries (a cold-wall gate caught 151 —
+  *    planning + codegen — and blew the window); p2b also stops past
+  *    85% of the deadline so the alphabetic suffix never degrades to
+  *    cold-only just to buy third samples.
   *  - After the full record line (~68KB — it can never fit the
   *    driver's ~2KB stdout-tail capture), a second TINY line is printed
   *    last: totals + top-10-by-wall queries + a pointer to the full
@@ -189,29 +193,43 @@ object Bench {
         n -> timedOnce(n, "p1", fn, release = true)
       } else {
         val a = timedOnce(n, "p1", fn, release = false)
-        // round-14: the >2s tail gets TWO warm samples (min-of-2-warm,
+        // round-14: the heavy tail gets TWO warm samples (min-of-2-warm,
         // the r12 discipline) — one warm sample is upper-biased on a
         // noisy host and round 13's unadjudicated movers all sat in
-        // this tail. The sub-second bulk stays at 2 executions total.
-        if (a.wall > 2.0 && elapsed() <= deadlineSec) {
-          val b = timedOnce(n, "p2", fn, release = false)
-          n -> merge(merge(a, b), timedOnce(n, "p2b", fn, release = true))
+        // this tail. Tail membership is decided on the WARM wall (the
+        // first cut gated on the COLD p1 wall, which carries planning +
+        // codegen — it tripled the tail to 151 queries and blew the
+        // window). The extra sample also stops past 85% of the
+        // deadline: finishing every query's p1+p2 beats a third sample
+        // — a degraded cold-only suffix costs more than the bias.
+        val b = timedOnce(n, "p2", fn, release = false)
+        val t0 = merge(a, b)
+        if (b.wall > 2.0 && elapsed() <= 0.85 * deadlineSec) {
+          n -> merge(t0, timedOnce(n, "p2b", fn, release = true))
         } else {
-          n -> merge(a, timedOnce(n, "p2", fn, release = true))
+          graft.ext.CacheRegistry.clearAll()
+          n -> t0
         }
       }
     }.toMap
-    // decorrelated third look, capped at the TOP-20 tail: the host
-    // shows transient multi-second stall windows (same query: ~1s in
+    // decorrelated third look, capped at the TOP-10 tail (was 20 —
+    // the r14 p2b pass already gives every >2s-warm query a second
+    // back-to-back warm sample, so p3's remaining job is only the
+    // minutes-later DECORRELATED look at the very top): the host shows
+    // transient multi-second stall windows (same query: ~1s in
     // isolation, 10-40s mid-suite, a DIFFERENT query each run); a
     // back-to-back pair can land inside one, a re-run minutes later
-    // cannot, so the heavy tail gets one more timing and keeps the min
+    // cannot. Each p3 timing re-checks the deadline so this pass can
+    // never push a near-deadline run past the driver's window.
     val slow = p12.toSeq.filter(_._2.wall > 2.0)
-      .sortBy(-_._2.wall).take(20).map(_._1).toSet
+      .sortBy(-_._2.wall).take(10).map(_._1).toSet
     val p3 =
       if (degraded || elapsed() > deadlineSec) Map.empty[String, Timing]
       else names.filter(q => slow.contains(q._1))
-        .map { case (n, fn) => n -> timedOnce(n, "p3", fn, release = true) }
+        .flatMap { case (n, fn) =>
+          if (elapsed() > deadlineSec) None
+          else Some(n -> timedOnce(n, "p3", fn, release = true))
+        }
         .toMap
     val results = p12.map { case (name, t) =>
       name -> merge(t, p3.getOrElse(name, Timing(-1, -1, -1)))
