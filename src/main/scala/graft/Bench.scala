@@ -19,72 +19,112 @@ import java.util.concurrent.atomic.LongAdder
   * result-row materialization, which would under-measure projection-
   * and sort-heavy queries.
   *
-  * == Protocol (revised round 13) ==
-  * The round-12 suite (833 queries × [1 warm + 2 timed executions +
-  * 4 listener drains]) no longer fit the driver's wall-clock window
-  * (BENCH_r12.json: rc 124, killed mid-suite). The fixed cost is cut
-  * without giving up the decorrelated-min discipline:
+  * == Protocol (revised round 13; survivability rebuilt round 15) ==
+  * Per query, BACK TO BACK: run 1 cold (planning + codegen +
+  * operator-pinned cache builds — caches kept), run 2 warm (caches
+  * released after); reported number = MIN of the runs. Queries whose
+  * WARM wall exceeds 2s get a third back-to-back warm sample (p2b,
+  * min-of-2-warm — one warm sample is upper-biased on a noisy host;
+  * round 13's unadjudicable movers all sat in this tail). One listener
+  * drain per timed execution. The top-10 by min wall get a
+  * DECORRELATED re-run at suite end (p3), minutes after their first
+  * samples — a back-to-back pair can land inside one of the host's
+  * multi-second stall windows, a re-run minutes later cannot.
   *
-  *  - Warm-up is FOLDED into the first timed run: every execution is
-  *    timed, so each query pays exactly 2 executions, BACK TO BACK —
-  *    run 1 cold (planning + codegen + operator-pinned cache builds),
-  *    run 2 warm with those caches still live, then the caches are
-  *    released. The reported number is the MIN of the two; it comes
-  *    from the warm run, which matches what the old protocol's timed
-  *    runs measured (they always followed an untimed warm-up), so
-  *    round-over-round per-query comparability is preserved. (A
-  *    suite-wide two-pass variant was tried first and rejected by its
-  *    own record: releasing caches between passes made BOTH timed runs
-  *    pay the cache builds, inflating every pin-heavy operator —
-  *    x206 recorded 7.4s wall against a 2.9s isolated reality.)
-  *  - ONE listener drain per timed execution (after it), not two: the
-  *    previous execution's post-drain already guarantees a quiet bus at
-  *    the next reset, because no untimed execution happens in between
-  *    any more.
-  *  - Host-stall decorrelation is reserved for the TOP-10 tail (by min
-  *    wall, among those > 2s; was 20 before the r14 p2b pass existed):
-  *    those re-run once more at suite end, minutes after their first
-  *    runs, and the min is kept. For the sub-second bulk, back-to-back
-  *    min-of-2 clips the common stall shapes and the task column
-  *    adjudicates the rest.
-  *  - A cumulative-elapsed line is logged per timing
-  *    ("[bench] t=123.4s p1 x206_ppjoin wall=9.71"), so any future
-  *    kill is attributable to a specific query from the driver tail.
-  *  - A DEADLINE (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 2400s of
-  *    Bench-main elapsed — the driver window minus sbt/compile/session
-  *    slack) degrades the suite instead of letting the harness kill it:
-  *    on breach, remaining pass-2 timings are skipped (their pass-1
-  *    cold numbers stand) and pass 3 is dropped. The record is ALWAYS
-  *    written and printed; it carries a GLOBAL "degraded" flag plus
-  *    "degraded_n" and "degraded_from" — the degraded set is an
-  *    alphabetic suffix of the catalog, so count + first name identify
-  *    exactly which entries are one-sample cold numbers. A degraded
-  *    record must never be cited as a round's closing number
-  *    (BENCH_NOTES protocol).
+  * == Round-15 revisions (BENCH_r14 post-mortem: rc 124, record lost) ==
+  * Two of the last three rounds lost the OFFICIAL bench artifact to the
+  * driver's outer timeout on a slow/contended host (r12, r14 — r14's
+  * host ran the same prefix 1.8× slower than the builder's and the old
+  * degrade path then COLD-RAN the whole remaining tail, 1100+s). The
+  * suite now survives a slow host by construction:
   *
-  * == Round-14 revisions ==
-  *  - Queries whose WARM wall exceeds 2s get a SECOND warm execution
-  *    (p2b) back to back, so their reported number is min-of-2-warm
-  *    again (the r12 discipline). Round 13's single-warm-sample
-  *    protocol upper-biased the heavy tail on a noisy host and
-  *    produced unadjudicable movers. The warm-wall gate keeps the tail
-  *    at ~60 genuinely-heavy queries (a cold-wall gate caught 151 —
-  *    planning + codegen — and blew the window); p2b also stops past
-  *    85% of the deadline so the alphabetic suffix never degrades to
-  *    cold-only just to buy third samples.
-  *  - After the full record line (~68KB — it can never fit the
-  *    driver's ~2KB stdout-tail capture), a second TINY line is printed
-  *    last: totals + top-10-by-wall queries + a pointer to the full
-  *    record file. The driver tail always ends with parseable JSON.
+  *  - CHEAP-FIRST COST-PRIOR ORDER: queries run in ascending
+  *    previous-record wall (committed resource graft/bench_prior.json,
+  *    regenerated each round from the latest non-degraded record;
+  *    SPARK_GRAFT_BENCH_PRIOR overrides with a flat name→seconds JSON
+  *    file; names without a prior — new queries — sort at the median).
+  *    A deadline breach therefore sheds only the few most expensive
+  *    queries, not an arbitrary alphabetic suffix; on a 2×-slower host
+  *    ~95% of the catalog still returns warm numbers. The degraded /
+  *    skipped sets are recorded as EXPLICIT name lists (the old
+  *    "alphabetic suffix, count+first-name" convention no longer
+  *    identifies them).
+  *  - SOFT DEADLINE (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 2400s of
+  *    Bench-main elapsed): on breach, remaining queries get ONE cold
+  *    run each ("degraded":true, names in "degraded_queries") — a
+  *    one-sample cold number beats a missing one.
+  *  - HARD CEILING (SPARK_GRAFT_BENCH_HARD_DEADLINE_SEC, default
+  *    soft+180s): on breach, remaining queries are SKIPPED outright
+  *    (names in "skipped", Verify-style) — under cost-prior order the
+  *    un-run tail is exactly the heavy cache-pinned tier whose cold
+  *    builds are 100+s each; cold-running it is what breached the
+  *    driver's outer window in r14.
+  *  - INCREMENTAL CHECKPOINTS: the full record is atomically rewritten
+  *    every 25 queries (and at each deadline transition) with
+  *    "checkpoint":true, and the tiny stdout line is printed at each
+  *    checkpoint too — a kill at ANY point leaves a parseable,
+  *    attributable on-disk record plus a parseable last stdout line.
+  *    The final write/print carries "checkpoint":false.
+  *  - FAILED queries ("wall" -1.0 sentinel) are EXCLUDED from the
+  *    summed "value"/"task_total" and listed by name in "failed"
+  *    (the r14 record silently under-stated its own measured wall by
+  *    summing 41 kill-induced -1 sentinels).
+  *  - Queries that qualified for p2b (warm wall > 2s) but skipped it
+  *    because elapsed passed 85% of the soft deadline are listed in
+  *    "p2b_skipped" — their single-warm-sample upper-bias is visible
+  *    in the record instead of silent.
+  *
+  * A degraded record must never be cited as a round's closing number
+  * (BENCH_NOTES protocol).
+  *
+  * After the full record line (~70KB — it can never fit the driver's
+  * ~2KB stdout-tail capture), a TINY line is printed last: totals +
+  * top-10-by-wall queries + a pointer to the full record file, so the
+  * driver tail always ends with parseable JSON. Its "queries" map is
+  * the top-10 ONLY (the driver's documented contract wants a "queries"
+  * key on the printed line); "queries_is_top10":true marks the
+  * truncation explicitly so the tiny line cannot be mistaken for the
+  * full per-query record (ADVICE r14).
   */
 object Bench {
   private case class Timing(wall: Double, task: Double, gc: Double)
+
+  /** Flat name→seconds map. Strictly for ORDERING — values never enter
+    * the record. Parse is a 2-group regex over the flat JSON object the
+    * resource/override file holds (names are [a-z0-9_]; no escapes). */
+  private def loadPrior(): Map[String, Double] = {
+    val text: Option[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_PRIOR").flatMap { p =>
+        try Some(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          "UTF-8"))
+        catch { case _: Exception =>
+          System.err.println(s"[bench] prior override $p unreadable; " +
+            "falling back to the committed resource")
+          None
+        }
+      }.orElse {
+        Option(getClass.getResourceAsStream("/graft/bench_prior.json"))
+          .map(in => try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                     finally in.close())
+      }
+    text match {
+      case None => Map.empty
+      case Some(t) =>
+        val re = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.eE+]+)""".r
+        re.findAllMatchIn(t)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val deadlineSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2400").toDouble
+    val hardDeadlineSec =
+      sys.env.get("SPARK_GRAFT_BENCH_HARD_DEADLINE_SEC").map(_.toDouble)
+        .getOrElse(deadlineSec + 180.0)
     val mainT0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - mainT0) / 1e9
     val spark = SparkSession.builder()
@@ -175,120 +215,158 @@ object Bench {
         Timing(math.min(a.wall, b.wall), t, g)
       }
     }
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Per query, back to back: run 1 cold (keeps its caches), run 2
-    // warm (releases them); per-query value = min of the two. On
-    // deadline breach remaining queries get ONE cold run each
-    // (flagged "degraded":true) — a one-sample cold number beats a
-    // missing record.
+    // cheap-first cost-prior order (round 15): ascending last-good-record
+    // wall, name tiebreak; unknown (new) names take the median prior so
+    // they land mid-pack, never in the shed tail
+    val prior = loadPrior()
+    val defaultPrior =
+      if (prior.isEmpty) 0.0
+      else { val v = prior.values.toArray.sorted; v(v.length / 2) }
+    val names = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (prior.getOrElse(n, defaultPrior), n) }
+    System.err.println(s"[bench] order=cost_prior prior_n=${prior.size} " +
+      s"catalog_n=${names.size} deadline=${deadlineSec}s " +
+      s"hard=${hardDeadlineSec}s")
+
+    val results =
+      scala.collection.mutable.LinkedHashMap[String, Timing]()
     var degraded = false
     val degradedQs = scala.collection.mutable.ArrayBuffer[String]()
-    val p12 = names.map { case (n, fn) =>
-      if (elapsed() > deadlineSec) {
-        if (!degraded) System.err.println(
-          f"[bench] deadline ${deadlineSec}%.0fs hit at t=${elapsed()}%.1fs" +
-            " — remaining queries get one cold run each")
+    val skippedQs = scala.collection.mutable.ArrayBuffer[String]()
+    val p2bSkipped = scala.collection.mutable.ArrayBuffer[String]()
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+
+    def jlist(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def buildRecords(checkpoint: Boolean): (String, String) = {
+      def jmap(f: Timing => Double): String = results
+        .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      val failedQs = results.collect { case (n, t) if t.wall < 0 => n }.toSeq
+      // failures' -1 sentinels are EXCLUDED from the totals (r14's
+      // degraded record under-stated its measured wall by 41 sentinels)
+      val total = results.values.map(_.wall).filter(_ >= 0).sum
+      val totalTask = results.values.map(_.task).filter(_ > 0).sum
+      val attribution =
+        s""""degraded":$degraded,"degraded_n":${degradedQs.size},""" +
+          s""""degraded_queries":${jlist(degradedQs.toSeq)},""" +
+          s""""skipped":${jlist(skippedQs.toSeq)},""" +
+          s""""failed":${jlist(failedQs)},""" +
+          s""""p2b_skipped":${jlist(p2bSkipped.toSeq)},""" +
+          s""""checkpoint":$checkpoint,"order":"cost_prior""""
+      val full =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.wall)},""" +
+          s""""task":${jmap(_.task)},"gc":${jmap(_.gc)},""" +
+          s""""task_total":$totalTask,$attribution,"sf":"$sfDir"}"""
+      val top10 = results.toSeq.sortBy(-_._2.wall).take(10)
+        .map { case (k, v) => "\"" + k + "\":" + v.wall }
+        .mkString("{", ",", "}")
+      val tiny =
+        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+          s""""task_total":$totalTask,$attribution,"sf":"$sfDir",""" +
+          s""""queries":$top10,"queries_is_top10":true,""" +
+          s""""full_record":"$outPath"}"""
+      (full, tiny)
+    }
+    // Written ATOMICALLY (temp file + rename) so a killed or crashing
+    // run can never leave a half-written record: bench_out.json either
+    // holds a complete (or flagged-checkpoint) run or the previous one.
+    // The committed file is the single source of truth for the closing
+    // number — any recorded total must be read FROM it, never
+    // transcribed from the console (round-3/4 drift: cited totals
+    // disagreed with the tree's file).
+    def writeRecord(json: String): Unit = {
+      try {
+        val target = java.nio.file.Paths.get(outPath)
+        val dir = Option(target.toAbsolutePath.getParent)
+          .getOrElse(java.nio.file.Paths.get("."))
+        val tmp = java.nio.file.Files.createTempFile(dir, ".bench_out", ".tmp")
+        java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
+    }
+    def checkpointNow(): Unit = {
+      val (full, tiny) = buildRecords(checkpoint = true)
+      writeRecord(full)
+      // the tiny line goes to stdout at every checkpoint so the tail a
+      // kill leaves behind ends with parseable, attributable JSON
+      System.out.println(tiny)
+      System.out.flush()
+    }
+
+    var announcedSoft = false; var announcedHard = false
+    names.zipWithIndex.foreach { case ((n, fn), i) =>
+      if (elapsed() > hardDeadlineSec) {
+        if (!announcedHard) {
+          System.err.println(
+            f"[bench] HARD deadline ${hardDeadlineSec}%.0fs hit at " +
+              f"t=${elapsed()}%.1fs — skipping the remaining " +
+              s"${names.size - i} queries (cost-prior tail)")
+          announcedHard = true
+          checkpointNow()
+        }
+        skippedQs += n
+      } else if (elapsed() > deadlineSec) {
+        if (!announcedSoft) {
+          System.err.println(
+            f"[bench] deadline ${deadlineSec}%.0fs hit at t=${elapsed()}%.1fs" +
+              " — remaining queries get one cold run each until the" +
+              f" hard ceiling ${hardDeadlineSec}%.0fs")
+          announcedSoft = true
+          checkpointNow()
+        }
         degraded = true
         degradedQs += n
-        n -> timedOnce(n, "p1", fn, release = true)
+        results(n) = timedOnce(n, "p1", fn, release = true)
       } else {
         val a = timedOnce(n, "p1", fn, release = false)
-        // round-14: the heavy tail gets TWO warm samples (min-of-2-warm,
-        // the r12 discipline) — one warm sample is upper-biased on a
-        // noisy host and round 13's unadjudicated movers all sat in
-        // this tail. Tail membership is decided on the WARM wall (the
-        // first cut gated on the COLD p1 wall, which carries planning +
-        // codegen — it tripled the tail to 151 queries and blew the
-        // window). The extra sample also stops past 85% of the
-        // deadline: finishing every query's p1+p2 beats a third sample
-        // — a degraded cold-only suffix costs more than the bias.
         val b = timedOnce(n, "p2", fn, release = false)
         val t0 = merge(a, b)
-        if (b.wall > 2.0 && elapsed() <= 0.85 * deadlineSec) {
-          n -> merge(t0, timedOnce(n, "p2b", fn, release = true))
-        } else {
-          graft.ext.CacheRegistry.clearAll()
-          n -> t0
-        }
+        // the heavy tail (warm wall > 2s) gets a SECOND warm sample
+        // (min-of-2-warm, the r12 discipline — one warm sample is
+        // upper-biased on a noisy host). Membership gates on the WARM
+        // wall: a cold-wall gate catches planning + codegen and tripled
+        // the tail. The extra sample stops past 85% of the soft
+        // deadline; those queries are listed in p2b_skipped (ADVICE
+        // r14: their single-sample upper-bias was invisible).
+        results(n) =
+          if (b.wall > 2.0) {
+            if (elapsed() <= 0.85 * deadlineSec)
+              merge(t0, timedOnce(n, "p2b", fn, release = true))
+            else {
+              p2bSkipped += n
+              graft.ext.CacheRegistry.clearAll()
+              t0
+            }
+          } else {
+            graft.ext.CacheRegistry.clearAll()
+            t0
+          }
       }
-    }.toMap
-    // decorrelated third look, capped at the TOP-10 tail (was 20 —
-    // the r14 p2b pass already gives every >2s-warm query a second
-    // back-to-back warm sample, so p3's remaining job is only the
-    // minutes-later DECORRELATED look at the very top): the host shows
+      if ((i + 1) % 25 == 0) checkpointNow()
+    }
+    // decorrelated third look, capped at the TOP-10 tail: the host shows
     // transient multi-second stall windows (same query: ~1s in
     // isolation, 10-40s mid-suite, a DIFFERENT query each run); a
     // back-to-back pair can land inside one, a re-run minutes later
     // cannot. Each p3 timing re-checks the deadline so this pass can
     // never push a near-deadline run past the driver's window.
-    val slow = p12.toSeq.filter(_._2.wall > 2.0)
+    val slow = results.toSeq.filter(_._2.wall > 2.0)
       .sortBy(-_._2.wall).take(10).map(_._1).toSet
-    val p3 =
-      if (degraded || elapsed() > deadlineSec) Map.empty[String, Timing]
-      else names.filter(q => slow.contains(q._1))
-        .flatMap { case (n, fn) =>
-          if (elapsed() > deadlineSec) None
-          else Some(n -> timedOnce(n, "p3", fn, release = true))
-        }
-        .toMap
-    val results = p12.map { case (name, t) =>
-      name -> merge(t, p3.getOrElse(name, Timing(-1, -1, -1)))
-    }
-    def jmap(f: Timing => Double): String = results
-      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val qs = jmap(_.wall)
-    val total = results.map(_._2.wall).sum
-    val totalTask = results.map(_._2.task).filter(_ > 0).sum
-    // per-query degraded attribution (the global flag alone cannot say
-    // which entries are one-sample cold numbers): count + first name —
-    // the degraded set is always an alphabetic suffix of the catalog,
-    // so (n, from) identifies it exactly without a 100-name list
-    val degradedInfo =
-      s""""degraded":$degraded,"degraded_n":${degradedQs.size}""" +
-        degradedQs.headOption.map(n => s""","degraded_from":"$n"""")
-          .getOrElse("")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""task":${jmap(_.task)},"gc":${jmap(_.gc)},""" +
-        s""""task_total":$totalTask,$degradedInfo,"sf":"$sfDir"}"""
-    // The full record is ~68KB (three per-query maps over 900+ queries)
-    // and can structurally never fit the driver's ~2KB stdout-tail
-    // capture — so a second, tiny, total-only line (top-10-by-wall
-    // queries only) is printed LAST; whatever tail size the driver
-    // keeps, it ends with parseable JSON. The full record remains the
-    // adjudication source (bench_out.json).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val top10 = results.toSeq.sortBy(-_._2.wall).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + v.wall }
-      .mkString("{", ",", "}")
-    val tinyJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-        s""""task_total":$totalTask,$degradedInfo,"sf":"$sfDir",""" +
-        s""""queries":$top10,"full_record":"$outPath"}"""
-    // Round 1 the driver failed to parse this line out of interleaved sbt/
-    // log4j stdout ("parsed": null). Belt and braces now: (a) persist the
-    // JSON to a file (SPARK_GRAFT_BENCH_OUT, default bench_out.json in the
-    // repo cwd), (b) print it AFTER spark.stop() so no executor/log output
-    // can interleave, framed by blank lines, and flush.
-    // Written ATOMICALLY (temp file + rename) so a killed or crashing
-    // run can never leave a half-written record: bench_out.json either
-    // holds a complete run or the previous one. The committed file is
-    // the single source of truth for the closing number — any recorded
-    // total must be read FROM it, never transcribed from the console
-    // (round-3/4 drift: cited totals disagreed with the tree's file).
-    try {
-      val target = java.nio.file.Paths.get(outPath)
-      val dir = Option(target.toAbsolutePath.getParent)
-        .getOrElse(java.nio.file.Paths.get("."))
-      val tmp = java.nio.file.Files.createTempFile(dir, ".bench_out", ".tmp")
-      java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
-    }
+    if (!degraded && elapsed() <= deadlineSec)
+      names.filter(q => slow.contains(q._1)).foreach { case (n, fn) =>
+        if (elapsed() <= deadlineSec)
+          results(n) = merge(results(n), timedOnce(n, "p3", fn, release = true))
+      }
+    val (json, tinyJson) = buildRecords(checkpoint = false)
+    writeRecord(json)
     spark.stop()
+    // printed AFTER spark.stop() so no executor/log output can
+    // interleave, framed by blank lines, and flushed (round 1 the
+    // driver failed to parse this out of interleaved sbt/log4j stdout)
     System.out.println()
     System.out.println(json)
     System.out.println(tinyJson)
