@@ -63,9 +63,16 @@ private[queries] object ExtQSimilarity {
         iters = 3, dim = 64)),
 
 
-    // ---- float-tier ANN (rows-only: float fold is engine-dependent;
-    // uses the native codegen'd float_dot expression) -------------------
-    Q.dfOnly("x64_knn_float",
+    // ---- float-tier ANN (float fold is engine-dependent — DuckDB
+    // cannot re-derive the scores; uses the native codegen'd float_dot
+    // expression). Judged as a bound check since round 15 (the x63
+    // convention): the float top-3 set is compared per query against
+    // the deterministic quantized-exact top-3 twin (itself oracle-
+    // derivable — the x59 family), and each query's overlap must reach
+    // 2 of 3 — float-vs-int8 rank inversions are confined to
+    // near-ties, so only the boundary slot may disagree. The oracle
+    // asserts overlap_ok = TRUE over the same 20-query id set.
+    Q.df("x64_knn_float",
       (s, dir) => {
         graft.functions.FloatDot.register(s)
         val fn = graft.functions.TopKAggD.register(s, 3)
@@ -78,13 +85,22 @@ private[queries] object ExtQSimilarity {
         // bounded-heap top-k (same shape as the quantized tier): the
         // exchange carries 3 rows per partition per query, never the
         // full scored pair set
-        pairs.groupBy("qid")
+        val floatTop = pairs.groupBy("qid")
           .agg(call_function(fn, col("sim"), col("vec_id")).as("top"))
-          .select(col("qid"), posexplode(col("top")).as(Seq("i", "s")))
-          .select(col("qid"), col("s.id").as("vec_id"),
-            col("s.score").as("sim"), (col("i") + 1).cast("bigint").as("rn"))
-          .orderBy("qid", "rn")
-      }),
+          .select(col("qid"), explode(col("top.id")).as("vec_id"))
+        val exactTop = Similarity.knnQuantized(emb, 20, 3)
+          .select(col("qid"), col("vec_id"))
+        val hits = floatTop.join(exactTop, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("overlap"))
+        // left join from the full query-id set: a zero-overlap query
+        // must surface as overlap_ok=false, never as a missing row
+        q.select(col("qid")).join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            (coalesce(col("overlap"), lit(0L)) >= 2).as("overlap_ok"))
+          .orderBy("qid")
+      },
+      """SELECT vec_id AS qid, TRUE AS overlap_ok
+        |FROM embeddings WHERE vec_id < 20 ORDER BY qid""".stripMargin),
 
 
     // product-quantization ANN with exact re-rank. Oracle-exact since

@@ -11,15 +11,32 @@ private[queries] object ExtQStats {
 
   val qs: Seq[Q] = Seq(
 
-    // ---- approx sketches (rows-only: DuckDB's HLL differs by design) ---
-    Q.dfOnly("x63_approx_distinct",
+    // ---- approx sketches ------------------------------------------------
+    // DuckDB's HLL differs from Spark's by design, so the raw estimate
+    // can never hash-match an oracle. Since round 15 the approx tiers
+    // are judged as BOUND CHECKS instead of rows-only (VERDICT r14
+    // task #5): the query emits the EXACT twin (engine-identical) plus
+    // a boolean "estimate inside its error envelope" computed
+    // Spark-side; the oracle re-derives the exact columns and asserts
+    // the boolean as literal TRUE. A sketch drifting out of spec now
+    // FAILS the driver's hash compare instead of hiding in rows-only.
+    Q.df("x63_approx_distinct",
       (s, dir) => {
         val ev = Tables.load(s, dir, "events")
         ev.groupBy("event_type")
           .agg(approx_count_distinct(col("user_id")).as("approx_users"),
             countDistinct(col("user_id")).as("exact_users"))
+          // 3 standard errors of the default rsd 0.05 (the ExtSpec
+          // bound, floored at ±2 for tiny groups)
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")).cast("double")
+              <= greatest(lit(2.0), lit(0.15) * col("exact_users")))
+              .as("hll_ok"))
           .orderBy("event_type")
-      }),
+      },
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
 
     // histogram-sketch quantile estimation: one pass builds a 1024-bin
@@ -128,13 +145,54 @@ private[queries] object ExtQStats {
         |) p ORDER BY col_name""".stripMargin),
 
 
-    // the approx tier of x100 (rows-only like x63: HLL sketches are
-    // engine-specific): one scan, one aggregation, NO per-column Expand
-    // replication — the wide-table 100 TB profile; exact x100 stays
-    // judged alongside
-    Q.dfOnly("x112_profile_approx",
-      (s, dir) => graft.ext.Profile.profileApprox(
-        Tables.load(s, dir, "orders"))),
+    // the approx tier of x100: the HLL profile is one scan, one
+    // aggregation, NO per-column Expand replication — the wide-table
+    // 100 TB profile; exact x100 stays judged alongside.
+    // Judged as a bound check since round 15 (the x63 convention): the
+    // exact-profile twin joins in on col_name and the HLL estimate must
+    // sit inside 3 standard errors of rsd 0.05; the oracle re-derives
+    // the exact profile and asserts hll_ok = TRUE. The exact leg's
+    // Expand scan is oracle scaffolding, not the operator's cost —
+    // profileApprox alone stays Expand-free (PlanSpec pins it).
+    Q.df("x112_profile_approx",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val est = graft.ext.Profile.profileApprox(orders)
+          .select(col("col_name"), col("n_distinct").as("dist_est"))
+        graft.ext.Profile.profile(orders)
+          .join(est, Seq("col_name"))
+          .select(col("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"),
+            (abs(col("dist_est") - col("n_distinct")).cast("double")
+              <= greatest(lit(2.0), lit(0.15) * col("n_distinct")))
+              .as("hll_ok"))
+          .orderBy("col_name")
+      },
+      """SELECT col_name, n_rows, n_null, n_distinct, TRUE AS hll_ok FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*),
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_custkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*),
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_totalprice) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*),
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderdate) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*),
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderpriority) FROM orders
+        |) p ORDER BY col_name""".stripMargin),
 
 
     // Unicode text normalization (multilingual-corpus fold-in pass):
@@ -189,16 +247,31 @@ private[queries] object ExtQStats {
 
     // sketch tier of the x92 median gate (same pairing as exact x104 /
     // sketch x113): percentile_approx's mergeable one-pass summary in
-    // place of the exact per-group sort. Rows-only like every
-    // engine-specific sketch; ExtSpec pins the estimate inside the
-    // sketch's rank-error band around the exact median.
-    Q.dfOnly("x129_median_gate_approx",
+    // place of the exact per-group sort. Judged as a bound check since
+    // round 15 (the x63 convention): accuracy 100 bounds the rank error
+    // at n/100, so the estimate must land inside the exact p40..p60
+    // band (the loose ExtSpec band — robust to sketch internals);
+    // percentile_disc picks exact data elements, engine-identical, so
+    // the band itself is oracle-exact and DuckDB asserts in_band=TRUE.
+    Q.df("x129_median_gate_approx",
       (s, dir) => Tables.load(s, dir, "documents")
         .groupBy("source")
         .agg(percentile_approx(col("n_chars"), lit(0.5), lit(100))
-            .as("med_approx"),
-          count(lit(1)).as("n_docs"))
-        .orderBy("source")),
+            .cast("double").as("med_approx"),
+          count(lit(1)).as("n_docs"),
+          expr("CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY n_chars)" +
+            " AS BIGINT)").as("p40"),
+          expr("CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY n_chars)" +
+            " AS BIGINT)").as("p60"))
+        .select(col("source"), col("n_docs"), col("p40"), col("p60"),
+          (col("med_approx") >= col("p40") &&
+            col("med_approx") <= col("p60")).as("in_band"))
+        .orderBy("source"),
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(quantile_disc(n_chars, 0.4) AS BIGINT) AS p40,
+        |  CAST(quantile_disc(n_chars, 0.6) AS BIGINT) AS p60,
+        |  TRUE AS in_band
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
 
     // robust outlier detection via MAD (median absolute deviation):
@@ -886,14 +959,48 @@ private[queries] object ExtQStats {
         |ORDER BY ep""".stripMargin),
 
 
-    // sliding-HLL rolling actives: the approx tier beside exact x253 —
+    // sliding-HLL rolling actives: the approx tier beside exact x284 —
     // per-day sketches merged over the trailing window, so the window
     // slide replicates days x window SKETCHES, not activity x window
-    // rows. DataSketches estimates are engine-specific -> rows-only;
-    // the <=5% error bound vs the exact tier is spec-gated (ExtSpec)
-    Q.dfOnly("x287_rolling_active_approx",
-      (s, dir) => TimeSeries.rollingActiveUsersApprox(
-        Tables.load(s, dir, "events"), "user_id", "ts", 7)),
+    // rows. DataSketches estimates are engine-specific; judged as a
+    // bound check since round 15 (the x63 convention): the exact
+    // 7-day twin joins in on the same calendar grid, every dau/wau
+    // estimate must sit inside the 5% hard gate (lgK=12 -> rse ~1.6%;
+    // same envelope as the ExtSpec), and DuckDB re-derives the exact
+    // grid asserting dau_ok/wau_ok = TRUE.
+    Q.df("x287_rolling_active_approx",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val est = TimeSeries.rollingActiveUsersApprox(ev, "user_id", "ts", 7)
+        def ok(e: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =
+          abs(e - x).cast("double") <= greatest(lit(1.0), lit(0.05) * x)
+        TimeSeries.rollingActiveUsers(ev, "user_id", "ts", 7)
+          .join(est, Seq("ep"))
+          .select(col("ep"), col("dau"), col("wau"),
+            ok(col("dau_est"), col("dau")).as("dau_ok"),
+            ok(col("wau_est"), col("wau")).as("wau_ok"))
+          .orderBy("ep")
+      },
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS k,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') AS ep
+        |  FROM events),
+        |sp AS (SELECT min(ep) AS a, max(ep) AS b FROM act),
+        |dau AS (SELECT ep, CAST(count(*) AS BIGINT) AS dau
+        |        FROM act GROUP BY 1),
+        |contrib AS (
+        |  SELECT DISTINCT k, unnest(generate_series(ep,
+        |    least(ep + 6, sp.b))) AS ep
+        |  FROM act, sp),
+        |wau AS (SELECT ep, CAST(count(*) AS BIGINT) AS wau
+        |        FROM contrib GROUP BY 1),
+        |cal AS (SELECT unnest(generate_series(a, b)) AS ep FROM sp)
+        |SELECT CAST(cal.ep AS BIGINT) AS ep,
+        |  coalesce(dau.dau, 0) AS dau, coalesce(wau.wau, 0) AS wau,
+        |  TRUE AS dau_ok, TRUE AS wau_ok
+        |FROM cal LEFT JOIN dau ON dau.ep = cal.ep
+        |LEFT JOIN wau ON wau.ep = cal.ep
+        |ORDER BY ep""".stripMargin),
 
 
     // count-min calibration: every event type's exact count beside

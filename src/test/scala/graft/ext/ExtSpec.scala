@@ -570,17 +570,25 @@ class ExtSpec extends SparkSpec {
     assert(overThreshold.count() == 0)
   }
 
-  test("x63 HLL estimates stay within 3x the configured rsd of the in-query exact counts") {
-    // the in-suite oracle for rows-only x63: the query emits BOTH the
-    // HLL estimate and the exact distinct count; the estimate must sit
-    // inside 3 standard errors of Spark's default rsd (0.05)
-    val r = graft.SparkEntry.queries("x63_approx_distinct")(spark, dir).collect()
-    assert(r.nonEmpty)
-    r.foreach { row =>
+  test("x63 HLL estimates stay within 3x the configured rsd of the exact counts") {
+    // the raw-estimate invariant behind x63's judged bound column: the
+    // HLL estimate must sit inside 3 standard errors of Spark's
+    // default rsd (0.05). Checked on the raw aggregates here (the
+    // judged query folds this check into its hll_ok boolean, which the
+    // DuckDB oracle asserts as TRUE since round 15).
+    import org.apache.spark.sql.functions._
+    val raw = Tables.load(spark, dir, "events").groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("a"),
+        countDistinct(col("user_id")).as("e")).collect()
+    assert(raw.nonEmpty)
+    raw.foreach { row =>
       val approx = row.getLong(1); val exact = row.getLong(2)
       assert(math.abs(approx - exact) <= math.max(2.0, 3 * 0.05 * exact),
         s"$row")
     }
+    // and the judged output itself: every hll_ok true
+    val r = graft.SparkEntry.queries("x63_approx_distinct")(spark, dir).collect()
+    assert(r.nonEmpty && r.forall(_.getBoolean(2)), r.mkString(";"))
   }
 
   test("sequence packing matches a driver-side greedy replay") {
