@@ -865,12 +865,168 @@ object Fuzz {
          |LIMIT 500""".stripMargin
   }
 
+  // ---- round-15 grammar extension (shapes R-S) ---------------------------
+  //
+  // The two remaining untouched seams in the dialect-intersection
+  // grammar (VERDICT r14 next-round #6): (R) correlated SCALAR
+  // subqueries in the SELECT list + chained/self-referencing CTEs with
+  // re-aggregation — shape I only ever produced EXISTS/NOT EXISTS
+  // correlation and shape L a single linear CTE; (S) mixed-type
+  // CASE/COALESCE lattices over LEFT-JOIN NULLs with pinned-scale
+  // DECIMAL and DATE branches (type-coercion torture). Same
+  // dialect-intersection rules as A-Q: scalar subqueries are
+  // aggregated with equality correlation only (both engines
+  // decorrelate those identically); count(*) over an empty correlated
+  // group is 0 and sum/min are NULL in both engines (folded through
+  // coalesce); every CASE/COALESCE branch is explicitly CAST so no
+  // implicit coercion rule is ever exercised ACROSS engines — a
+  // mixed-scale lattice is normalized by an outer CAST to a superset
+  // scale (lossless — values are exact cents), then folded to BIGINT
+  // via an integer-valued multiply, so no decimal rounding tie can
+  // ever occur; DATE branches stay DATE end-to-end and exit through
+  // the shape-K double cast to STRING.
+
+  /** Shape R: correlated scalar subqueries + chained/self-joined CTEs. */
+  private def shapeScalarSub(r: Random): String = pick(r, Seq(0, 1, 2, 3)) match {
+    case 0 => // two correlated scalar aggregates in the SELECT list
+      val (a, b, corr) = pick(r, existsEdges)
+      val bi = pick(r, b.ints).name
+      s"""SELECT ${a.key.mkString(", ")},
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ${b.name}
+         |   WHERE $corr AND (${predicate(r, b)})) AS e1,
+         |  (SELECT CAST(coalesce(sum($bi % 97), 0) AS BIGINT)
+         |   FROM ${b.name} WHERE $corr) AS e2
+         |FROM ${a.name}
+         |WHERE (${predicate(r, a)})
+         |${orderTail(a.key)}
+         |LIMIT ${100 + r.nextInt(4) * 50}""".stripMargin
+    case 1 => // chained CTEs: b re-aggregates a, the final SELECT joins
+      // BOTH levels back together and aggregates once more
+      val (fact, fk, _, _) = pick(r, cteEdges)
+      val fi = pick(r, fact.ints).name
+      val m = pick(r, Seq(5, 8, 10, 13))
+      s"""WITH a AS (
+         |  SELECT $fk AS k, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum($fi % 97) AS BIGINT) AS s
+         |  FROM ${fact.name}
+         |  WHERE (${predicate(r, fact)})
+         |  GROUP BY $fk),
+         |b AS (
+         |  SELECT k % $m AS bucket, CAST(sum(n) AS BIGINT) AS tn,
+         |    CAST(max(s) AS BIGINT) AS ms, CAST(count(*) AS BIGINT) AS nk
+         |  FROM a GROUP BY k % $m)
+         |SELECT b.bucket, CAST(min(a.n) AS BIGINT) AS e1,
+         |  CAST(max(a.s) AS BIGINT) AS e2, CAST(max(b.tn) AS BIGINT) AS e3,
+         |  CAST(max(b.nk) AS BIGINT) AS e4
+         |FROM a JOIN b ON a.k % $m = b.bucket
+         |GROUP BY b.bucket
+         |ORDER BY bucket NULLS FIRST""".stripMargin
+    case 2 => // correlated scalar aggregate in BOTH the WHERE gate and
+      // the SELECT list
+      val (a, b, corr) = pick(r, existsEdges)
+      val bi = pick(r, b.ints).name
+      val k = 1 + r.nextInt(3)
+      s"""SELECT ${a.key.mkString(", ")},
+         |  (SELECT CAST(coalesce(min($bi), -1) AS BIGINT)
+         |   FROM ${b.name} WHERE $corr) AS e1
+         |FROM ${a.name}
+         |WHERE (SELECT count(*) FROM ${b.name}
+         |    WHERE $corr AND (${predicate(r, b)})) >= $k
+         |  AND (${predicate(r, a)})
+         |${orderTail(a.key)}
+         |LIMIT ${100 + r.nextInt(4) * 50}""".stripMargin
+    case _ => // one CTE referenced TWICE (self-join on the group grid)
+      val t = pick(r, singleTables)
+      val g = pick(r, t.strs).name
+      val ti = pick(r, t.ints).name
+      s"""WITH a AS (
+         |  SELECT $g AS g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum($ti % 97) AS BIGINT) AS s
+         |  FROM ${t.name}
+         |  WHERE (${predicate(r, t)})
+         |  GROUP BY $g)
+         |SELECT x.g AS g1, y.g AS g2, CAST(x.n + y.n AS BIGINT) AS e1,
+         |  CAST(abs(x.s - y.s) AS BIGINT) AS e2
+         |FROM a AS x JOIN a AS y ON x.g < y.g
+         |ORDER BY g1 NULLS FIRST, g2 NULLS FIRST""".stripMargin
+  }
+
+  /** LEFT-JOIN edges whose nullable side has ints + doubles + a date —
+    * the coercion lattices need all three branch types. */
+  private val coerceEdges = Seq(
+    (customer, orders, "o_custkey = c_custkey"),
+    (orders, lineitem, "l_orderkey = o_orderkey"),
+    (part, lineitem, "l_partkey = p_partkey"),
+    (supplier, lineitem, "l_suppkey = s_suppkey"))
+
+  /** Shape S: mixed-type CASE/COALESCE lattices over LEFT-JOIN NULLs. */
+  private def shapeCoerce(r: Random): String = {
+    val (a, b, on) = pick(r, coerceEdges)
+    val bk = b.key.head
+    val bd = pick(r, b.dbls).name
+    val bi = pick(r, b.ints).name
+    val bdate = pick(r, b.dates)
+    val keys = a.key ++ b.key
+    pick(r, Seq(0, 1, 2, 3)) match {
+      case 0 => // coalesce lattice: DECIMAL with a pinned fallback,
+        // DATE with a literal fallback, string CASE, NULLIF chain
+        val m = 2 + r.nextInt(9)
+        s"""SELECT ${keys.mkString(", ")},
+           |  CAST(CAST(coalesce(CAST($bd AS DECIMAL(18,2)), CAST(-1 AS DECIMAL(18,2))) AS DECIMAL(19,3)) * 1000 AS BIGINT) AS e1,
+           |  CAST(coalesce(CAST(${bdate.name} AS DATE), ${dateLit(r, b)}) AS STRING) AS e2,
+           |  CASE WHEN $bk IS NULL THEN 'none' WHEN (${atom(r, b)}) THEN 'hit' ELSE 'miss' END AS e3,
+           |  CAST(coalesce(NULLIF($bi % $m, ${r.nextInt(m)}), -9) AS BIGINT) AS e4
+           |FROM ${a.name} LEFT JOIN ${b.name} ON $on AND (${atom(r, b)})
+           |WHERE (${predicate(r, a)})
+           |${orderTail(keys)}
+           |LIMIT ${100 + r.nextInt(4) * 50}""".stripMargin
+      case 1 => // mixed-SCALE decimal CASE (12,2 vs 15,3 branches),
+        // normalized by the outer superset cast — lossless by scale
+        s"""SELECT ${keys.mkString(", ")},
+           |  CAST(CAST(CASE WHEN $bk IS NULL THEN CAST(-1 AS DECIMAL(12,2))
+           |    WHEN (${atom(r, b)}) THEN CAST($bd AS DECIMAL(12,2))
+           |    ELSE CAST($bd AS DECIMAL(15,3)) END AS DECIMAL(19,3)) * 1000 AS BIGINT) AS e1,
+           |  CAST(greatest(coalesce(CAST($bi % 13 AS BIGINT), -1), CAST(${pick(r, a.ints).name} % 13 AS BIGINT)) AS BIGINT) AS e2
+           |FROM ${a.name} LEFT JOIN ${b.name} ON $on
+           |WHERE (${predicate(r, a)})
+           |${orderTail(keys)}
+           |LIMIT ${100 + r.nextInt(4) * 50}""".stripMargin
+      case 2 => // aggregated lattice: the NULL-padded branches fold
+        // through exact-decimal sums and a sentinel-coalesced date min
+        val (gx, gk) = groupKeys(r, a)
+        s"""SELECT ${gx.mkString(", ")},
+           |  CAST(count(*) AS BIGINT) AS a0,
+           |  CAST(sum(CASE WHEN $bk IS NULL THEN 0 ELSE $bi % 97 END) AS BIGINT) AS a1,
+           |  CAST(CAST(sum(coalesce(CAST($bd AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2)))) * 100 AS DECIMAL(38,0)) AS BIGINT) % 999983 AS a2,
+           |  CAST(min(coalesce(CAST(${bdate.name} AS DATE), DATE '2099-12-31')) AS STRING) AS a3
+           |FROM ${a.name} LEFT JOIN ${b.name} ON $on AND (${atom(r, b)})
+           |WHERE (${predicate(r, a)})
+           |GROUP BY ${gk.mkString(", ")}
+           |${orderTail(gk)}""".stripMargin
+      case _ => // nested CASE with DATE-arithmetic branches + an
+        // EXTRACT/NULLIF chain over the nullable date
+        val k = 1 + r.nextInt(30)
+        val m = 1 + r.nextInt(12)
+        s"""SELECT ${keys.mkString(", ")},
+           |  CAST(CASE WHEN $bk IS NULL THEN DATE '1970-01-01'
+           |    WHEN (${atom(r, b)}) THEN CAST(${bdate.name} AS DATE)
+           |    ELSE CAST(CAST(${bdate.name} AS DATE) + INTERVAL '$k' DAY AS DATE) END AS STRING) AS e1,
+           |  CAST(coalesce(NULLIF(CAST(EXTRACT(MONTH FROM ${bdate.name}) AS BIGINT), $m), -1) AS BIGINT) AS e2,
+           |  CASE WHEN $bk IS NULL THEN '(none)' ELSE CAST(CAST($bi % 10 AS BIGINT) AS STRING) END AS e3
+           |FROM ${a.name} LEFT JOIN ${b.name} ON $on
+           |WHERE (${predicate(r, a)})
+           |${orderTail(keys)}
+           |LIMIT ${100 + r.nextInt(4) * 50}""".stripMargin
+    }
+  }
+
   // ---- registration -----------------------------------------------------
 
   /** Seeded query list. Indices 0-219 are the round-11 corpus across
     * shapes A-G (frozen byte-for-byte — the FuzzSpec digest pins them);
     * 220-399 are the round-12 extension across shapes H-M; 400-499 the
-    * round-13 extension (N-O); 500-599 the round-14 extension (P-Q).
+    * round-13 extension (N-O); 500-599 the round-14 extension (P-Q);
+    * 600-699 the round-15 extension (R-S).
     * Seeds are a fixed affine family — append NEW seeds to grow the
     * list; never renumber (names carry the index, and CORRECTNESS
     * history reads better when fz042 stays fz042). */
@@ -906,6 +1062,11 @@ object Fuzz {
     val r = new Random(0x5EEDL * 1000003L + i)
     val (tag, text) =
       if (i % 2 == 0) ("time", shapeTime(r)) else ("comp", shapeCompose(r))
+    Q.sql(f"fz$i%03d_$tag", text)
+  } ++ (600 until 700).map { i =>
+    val r = new Random(0x5EEDL * 1000003L + i)
+    val (tag, text) =
+      if (i % 2 == 0) ("csub", shapeScalarSub(r)) else ("coer", shapeCoerce(r))
     Q.sql(f"fz$i%03d_$tag", text)
   }
 }

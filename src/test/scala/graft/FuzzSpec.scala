@@ -19,8 +19,8 @@ class FuzzSpec extends AnyFunSuite {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  test("600 queries, every one oracle-checked (texts are their own oracle)") {
-    assert(queries.Fuzz.qs.size == 600)
+  test("700 queries, every one oracle-checked (texts are their own oracle)") {
+    assert(queries.Fuzz.qs.size == 700)
     assert(queries.Fuzz.qs.forall(_.oracle.isDefined))
   }
 
@@ -43,9 +43,15 @@ class FuzzSpec extends AnyFunSuite {
       "2bb949d1f8e572dea369528e16c11eb5")
   }
 
+  test("round-14 corpus (fz500-fz599) is frozen byte-for-byte") {
+    // The UNCHANGED round-14 pin (was the full-corpus digest then).
+    assert(digestOf(queries.Fuzz.qs.take(600)) ==
+      "d9ef4d78bec072b4e9a999ea8c08b9ca")
+  }
+
   test("generated texts are stable (digest pin)") {
     val digest = digestOf(queries.Fuzz.qs)
-    assert(digest == "d9ef4d78bec072b4e9a999ea8c08b9ca",
+    assert(digest == "b888131af8f92e9d7e27399e265b747e",
       s"fuzz corpus digest changed: $digest")
   }
 
