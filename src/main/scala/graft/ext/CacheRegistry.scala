@@ -61,7 +61,8 @@ object CacheRegistry {
   }
 
   /** Unpersist every pinned DataFrame and checkpoint RDD, and forget
-    * them. Also clears the memoized shingle index (Dedup.shingles3). */
+    * them. Also clears the memoized shingle index (Dedup.shingles3)
+    * and the memoized BPE merge fits (Bpe.learnMergesCollected). */
   def clearAll(): Unit = {
     pinned.synchronized {
       pinned.forEach(df => { df.unpersist(blocking = false); () })
@@ -72,5 +73,6 @@ object CacheRegistry {
       checkpointed.clear()
     }
     Dedup.clearShingleCache()
+    Bpe.clearFitCache()
   }
 }

