@@ -49,7 +49,14 @@ object Basket {
             maxBasket: Long = 1000L): DataFrame = {
     require(minConfPpm >= 0 && minConfPpm <= 1000000L,
       s"minConfPpm in [0, 1e6]; got $minConfPpm")
-    val p = pairsUnordered(tx, basketCol, itemCol, minSupport, maxBasket)
+    // pinned: the frequent-pair table is bounded by the support filter
+    // and consumed TWICE (forward + reversed direction) — unpinned,
+    // the whole pair-generation pipeline (basket self-join + pair
+    // aggregate, the expensive 90% of the operator) executed once per
+    // direction (measured: both 1.2M-row pair aggregates ran twice in
+    // the warm x189 plan, ~9s of its ~20s task at sf0.1)
+    val p = CacheRegistry.pin(
+      pairsUnordered(tx, basketCol, itemCol, minSupport, maxBasket))
     val fwd = p.select(col("item_a").as("antecedent"),
       col("item_b").as("consequent"), col("pair_cnt"),
       col("cnt_a").as("cnt_ant"), col("cnt_b").as("cnt_con"),

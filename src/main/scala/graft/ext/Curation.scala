@@ -426,11 +426,17 @@ object Curation {
     require(minSources >= 2, s"minSources must be >= 2; got $minSources")
     val st = CacheRegistry.pin(
       shingles3(docs, Seq("source")).select("source", "s").distinct())
-    val hot = st.groupBy("s").agg(count(lit(1)).as("p"))
+    // hot + flagged pinned: hot is read by the dropped count and the
+    // flag join; flagged by the size table and BOTH sides of the pair
+    // join — unpinned, the head-count + flag-join pipeline re-ran once
+    // per consumer (6 executions of the 135k-row index measured in the
+    // warm x342 plan at sf0.1)
+    val hot = CacheRegistry.pin(st.groupBy("s").agg(count(lit(1)).as("p"))
       .where(col("p") >= minSources)
-      .select("s")
+      .select("s"))
     val dropped = hot.agg(count(lit(1)).as("n_dropped"))
-    val flagged = st.join(hot.withColumn("is_hot", lit(true)), Seq("s"), "left")
+    val flagged = CacheRegistry.pin(
+      st.join(hot.withColumn("is_hot", lit(true)), Seq("s"), "left"))
     // sizes over EVERY source (a source whose whole index is head
     // shingles keeps its row with n = 0), so no cell vanishes and the
     // +n_dropped recovery identity stays visible per pair

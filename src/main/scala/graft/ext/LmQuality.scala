@@ -81,7 +81,10 @@ object LmQuality {
     // the model: bigram counts, bigram-prefix counts (rolled up from
     // the bigram counts — same integers, one less corpus pass),
     // vocabulary size
-    val bc = dbc.groupBy("w1", "w2").agg(sum("cnt").as("c2"))
+    // pinned: bc feeds the prefix rollup AND the pair-score join —
+    // unpinned, the corpus bigram aggregate ran once per consumer
+    val bc = CacheRegistry.pin(
+      dbc.groupBy("w1", "w2").agg(sum("cnt").as("c2")))
     val pc = bc.groupBy("w1").agg(sum("c2").as("c1"))
     val vocab = toks.select(explode(col("t")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
