@@ -928,18 +928,29 @@ object Dedup {
     var rounds = 0
     while (changed > 0) {
       rounds += 1
-      val viaNeighbor = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("cluster_id"), lit(false).as("own"))
-      // each doc contributes exactly one own=true row, so min(own label)
-      // is its previous label and the changed count needs no second pass
+      // per-node neighbor MINIMUM, bounded by the pair list and
+      // min-merged map-side — the round's only exchange carries one
+      // (node, min) row per map partition per touched node, never the
+      // label table. The old union formulation shuffled labels PLUS
+      // the neighbor observations by doc_id every round; here the
+      // label table is never shuffled at all in the broadcast regime
+      // (nbrMin rides the same nArcs gate as the edge side — it has at
+      // most one row per arc endpoint).
+      val nbrMin = Graph.nodeSide(
+        edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(col("src").as("doc_id"))
+          .agg(min("cluster_id").as("nbr")),
+        nArcs)
+      // least() skips the NULL nbr of isolated docs; init rows are
+      // unique by doc_id (documented fellegiSunter/clusters
+      // precondition), so the left join preserves cardinality exactly
+      // like the old per-doc groupBy did
       val obs = org.apache.spark.sql.Observation()
       val next = CacheRegistry.checkpoint(
-        labels.select(col("doc_id"), col("cluster_id"), lit(true).as("own"))
-          .union(viaNeighbor)
-          .groupBy("doc_id").agg(
-            min("cluster_id").as("cluster_id"),
-            min(when(col("own"), col("cluster_id"))).as("_prev"))
+        labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), col("nbr")).as("cluster_id"),
+            col("cluster_id").as("_prev"))
           .observe(obs,
             sum(when(col("cluster_id") =!= col("_prev"), 1L).otherwise(0L))
               .as("changed"))

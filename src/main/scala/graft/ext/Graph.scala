@@ -79,12 +79,28 @@ object Graph {
       edges.select(col("src"), col("dst")).distinct())
     val deg = CacheRegistry.checkpoint(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
-    val eDeg = CacheRegistry.checkpoint(
-      e.join(deg, e("src") === deg("node"))
-        .select(col("src"), col("dst"), col("deg")))
-    CacheRegistry.release(e)
-
     val n = deg.count() // one driver scalar
+    // In the broadcast regime (score table under the nodeSide cap) the
+    // per-round join preserves eDeg's partitioning, so holding eDeg
+    // PARTITIONED BY dst makes every round's contribution aggregate
+    // exchange-free (guide §2.4: two operations keyed the same way
+    // share one exchange — paid once at build instead of once per
+    // round). It must be a PIN, not a checkpoint: a localCheckpoint
+    // boundary erases the partitioning (LogicalRDD reports
+    // UnknownPartitioning — read off the committed x183/x169 plans)
+    // while an InMemoryRelation preserves it. Above the cap the rounds
+    // sort-merge on src, where the join output's src partitioning is
+    // the useful one — so the repartition is gated on the same count.
+    // node-sized deg broadcast under the same gate: the checkpointed
+    // deg has no stats, so the planner would otherwise sort-merge and
+    // pay a full arc-table exchange just to attach degrees
+    val eDegBase = e.join(nodeSide(deg, n), e("src") === deg("node"))
+      .select(col("src"), col("dst"), col("deg"))
+    val eDeg = CacheRegistry.pin(
+      if (n <= BroadcastNodeCap) eDegBase.repartition(col("dst"))
+      else eDegBase)
+    eDeg.count() // materialize before e's blocks are released below
+    CacheRegistry.release(e)
     require(n > 0, "pageRank needs a non-empty edge list")
     val init = scale / n
     val base = init * 15L / 100L
@@ -151,14 +167,21 @@ object Graph {
           Seq("node"), "left")
         .select(col("node"), col("deg"),
           coalesce(col("sd"), lit(0)).as("sd")))
-    val eDeg = CacheRegistry.checkpoint(
-      e.join(nodes.select(col("node"), col("deg")),
-          e("src") === col("node"))
-        .select(col("src"), col("dst"), col("deg")))
-    CacheRegistry.release(e)
-
     val ns = nodes.where(col("sd") === 1).count() // one driver scalar
     val nAll = nodes.count() // gates the per-round broadcast hint
+    // dst-partitioned PIN in the broadcast regime, for the same reason
+    // as [[pageRank]]: every round's contribution aggregate then
+    // reuses this one exchange instead of paying its own (guide §2.4;
+    // a checkpoint would erase the partitioning)
+    val eDegBase = e.join(
+        nodeSide(nodes.select(col("node"), col("deg")), nAll),
+        e("src") === col("node"))
+      .select(col("src"), col("dst"), col("deg"))
+    val eDeg = CacheRegistry.pin(
+      if (nAll <= BroadcastNodeCap) eDegBase.repartition(col("dst"))
+      else eDegBase)
+    eDeg.count() // materialize before e's blocks are released below
+    CacheRegistry.release(e)
     require(ns > 0, "personalizedPageRank needs >= 1 seed in the graph")
     val init = scale / ns
     val base = init * 15L / 100L
@@ -210,8 +233,20 @@ object Graph {
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 64,
       s"iterations must be in [1, 64]; got $iterations")
-    val e = CacheRegistry.checkpoint(
-      edges.select(col("src"), col("dst")).distinct())
+    // dst-partitioned BEFORE the dedup (the aggregate only needs
+    // same-key co-location, which the subset partitioning provides, so
+    // the build still costs ONE exchange), and PINNED rather than
+    // checkpointed (a localCheckpoint erases partitioning —
+    // UnknownPartitioning on the LogicalRDD): in the broadcast regime
+    // the per-round join preserves this partitioning and BOTH
+    // per-round aggregates — (dst, lbl) counts and the per-dst argmax
+    // — run exchange-free (guide §2.4). Above the cap the rounds
+    // sort-merge on src and re-exchange either way, so nothing is
+    // lost. The edge table is loop-invariant with a shallow lineage,
+    // so the checkpoint's lineage truncation bought nothing here.
+    val e = CacheRegistry.pin(
+      edges.select(col("src"), col("dst"))
+        .repartition(col("dst")).distinct())
     var cur: DataFrame = CacheRegistry.checkpoint(
       e.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lbl")))
@@ -323,7 +358,13 @@ object Graph {
     // idempotent (a no-op distinct) on an already-symmetric list
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var e = CacheRegistry.checkpoint(sym.distinct())
+    // src-partitioned before the dedup (same one-exchange build as the
+    // plain distinct — the dedup aggregate is satisfied by the subset
+    // partitioning): the per-round semi-joins preserve it in the
+    // broadcast regime, so every round's degree aggregate AND the
+    // src-side semi-join run exchange-free (guide §2.4)
+    var e = CacheRegistry.checkpoint(
+      sym.repartition(col("src")).distinct())
     // ONE degree aggregation per round serves BOTH consumers: the
     // round's (n_nodes, n_arcs) trajectory row and the next round's
     // keep set — the earlier shape paid a second arc-sized shuffle
