@@ -26,6 +26,27 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ids {
 
+  /** The shared zipWithIndex tail of every rank/epoch/layout operator:
+    * append `outName` = partition-prefix offset + local index (+ base)
+    * to an already-sorted frame. The RDD hop itself is the point (one
+    * count job, no SinglePartition window), but the round-trip is
+    * encoded with an explicit [[org.apache.spark.sql.Encoders.row]]
+    * encoder: `createDataFrame(RDD[Row], schema)` re-enters Catalyst
+    * through the generic per-row converter, which measured ~4x the
+    * task time of the codegen'd encoder serializer on the x374 file
+    * aggs (guide §1.2 "per-task work": same distributed shape, faster
+    * row boundary). */
+  private[graft] def zipIndexed(sorted: DataFrame, outName: String,
+                                base: Long): DataFrame = {
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outName, LongType, nullable = false))
+    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + base))
+    }
+    sorted.sparkSession.createDataset(numbered)(
+      org.apache.spark.sql.Encoders.row(schema)).toDF()
+  }
+
   /** (key, gid) with gid = 0-based dense rank of `key` in ascending
     * order. REQUIRES `key` values to be unique: with duplicates the
     * gid a given row gets depends on the sampled range-partition
@@ -45,12 +66,7 @@ object Ids {
           "duplicate keys would make gid partition-boundary-dependent")
     }
     val sorted = df.select(col(key)).orderBy(key)
-    val schema = StructType(sorted.schema.fields :+
-      StructField("gid", LongType, nullable = false))
-    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    sorted.sparkSession.createDataFrame(numbered, schema).orderBy(key)
+    zipIndexed(sorted, "gid", 0L).orderBy(key)
   }
 
   /** Generalized [[contiguousIds]]: number the rows of `df` 1-based in
@@ -63,11 +79,6 @@ object Ids {
   def rankByOrder(df: DataFrame, order: Seq[Column], keep: Seq[String],
                   outName: String): DataFrame = {
     val sorted = df.select(keep.map(col): _*).orderBy(order: _*)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(outName, LongType, nullable = false))
-    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    sorted.sparkSession.createDataFrame(numbered, schema)
+    zipIndexed(sorted, outName, 1L)
   }
 }

@@ -74,13 +74,7 @@ object Layout {
       col("p_partkey").bitwiseAND(255).cast("bigint").as("pk8"))
     def audit(layout: String, order: Seq[Column]): DataFrame = {
       val sorted = base.orderBy(order: _*)
-      val schema = StructType(sorted.schema.fields :+
-        StructField("gid", LongType, nullable = false))
-      val numbered = spark.createDataFrame(
-        sorted.rdd.zipWithIndex().map { case (r, i) =>
-          Row.fromSeq(r.toSeq :+ i)
-        }, schema)
-      numbered
+      Ids.zipIndexed(sorted, "gid", 0L)
         .groupBy((col("gid") / rowsPerFile).cast("bigint").as("file"))
         .agg(min("sz").as("lo_sz"), max("sz").as("hi_sz"),
           min("pk8").as("lo_pk"), max("pk8").as("hi_pk"))
@@ -278,13 +272,7 @@ object Layout {
       floor(col("l_quantity")).cast("bigint").bitwiseAND(mask).as("z"))
     def audit(layout: String, order: Seq[Column]): DataFrame = {
       val sorted = base.orderBy(order: _*)
-      val schema = StructType(sorted.schema.fields :+
-        StructField("gid", LongType, nullable = false))
-      val numbered = spark.createDataFrame(
-        sorted.rdd.zipWithIndex().map { case (r, i) =>
-          Row.fromSeq(r.toSeq :+ i)
-        }, schema)
-      numbered
+      Ids.zipIndexed(sorted, "gid", 0L)
         .groupBy((col("gid") / rowsPerFile).cast("bigint").as("file"))
         .agg(min("x").as("lox"), max("x").as("hix"),
           min("y").as("loy"), max("y").as("hiy"),
@@ -343,12 +331,7 @@ object Layout {
       col("l_linenumber").cast("bigint").as("ln"),
       col("l_partkey").cast("bigint").as("v"))
     val sorted = base.orderBy("ok", "ln", "v")
-    val schema = StructType(sorted.schema.fields :+
-      StructField("gid", LongType, nullable = false))
-    val files = spark.createDataFrame(
-        sorted.rdd.zipWithIndex().map { case (r, i) =>
-          Row.fromSeq(r.toSeq :+ i)
-        }, schema)
+    val files = Ids.zipIndexed(sorted, "gid", 0L)
       .groupBy((col("gid") / rowsPerFile).cast("bigint").as("file"))
       .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("nr"))
     // sweep 1: files with lo <= my hi (lo events sort BEFORE the hi
@@ -407,15 +390,11 @@ object Layout {
     val base = li.select(col("l_orderkey").cast("bigint").as("ok"),
       col("l_linenumber").cast("bigint").as("ln"),
       col("l_partkey").cast("bigint").as("v"))
-    val schema = StructType(base.schema.fields :+
-      StructField("gid", LongType, nullable = false))
     // the write-order model is the (ok, ln, v) sort — the same
     // deterministic stand-in for "order the rows arrived in" that
     // compactionCandidates uses (raw parquet row order is not an
     // engine-portable contract)
-    val rows = spark.createDataFrame(
-        base.orderBy("ok", "ln", "v").rdd.zipWithIndex()
-          .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, schema)
+    val rows = Ids.zipIndexed(base.orderBy("ok", "ln", "v"), "gid", 0L)
       .select(col("v"), col("gid"),
         (col("gid") / rowsPerFile).cast("bigint").as("chunk"))
     val wc = Window.partitionBy("chunk").orderBy("gid")
@@ -475,12 +454,7 @@ object Layout {
     val perSort = cols.map { sk =>
       val others = cols.filterNot(_ == sk)
       val sorted = base.orderBy((col(sk) +: others.map(col)): _*)
-      val schema = StructType(base.schema.fields :+
-        StructField("gid", LongType, nullable = false))
-      val files = spark.createDataFrame(
-          sorted.rdd.zipWithIndex().map { case (r, i) =>
-            Row.fromSeq(r.toSeq :+ i)
-          }, schema)
+      val files = Ids.zipIndexed(sorted, "gid", 0L)
         .groupBy((col("gid") / rowsPerFile).cast("bigint").as("file"))
         .agg(cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"),
           max(col(c)).as(s"mx_$c"))).head,
@@ -527,13 +501,34 @@ object Layout {
     require(parts >= 2 && parts <= 256,
       s"parts must be in [2, 256]; got $parts")
     val v = df.select(value.as("v"))
-    val hist = v.groupBy("v").agg(count(lit(1)).as("c"))
-    val cuts = v.agg(
-      expr(s"percentile_disc(${1.0 / parts}) WITHIN GROUP (ORDER BY v)")
-        .cast("long").as("b1"),
-      (2 until parts).map(i =>
-        expr(s"percentile_disc(${i.toDouble / parts})" +
-          " WITHIN GROUP (ORDER BY v)").cast("long").as(s"b$i")): _*)
+    // pinned: the histogram feeds the cut derivation, the census AND
+    // the total — one value scan for the whole operator
+    val hist = CacheRegistry.pin(v.groupBy("v").agg(count(lit(1)).as("c")))
+    // Discrete quantiles FROM THE HISTOGRAM instead of parts-1
+    // percentile_disc aggregates: each percentile_disc is an ordered-
+    // set aggregate that buffers EVERY value — parts-1 of them
+    // serialized the full column (parts-1)x into a one-row exchange
+    // and re-sorted it (parts-1)x in a single final-agg task (measured
+    // 6.8s single-task at sf0.1, guide §2.3/§5). The cumulative-count
+    // window runs over the bounded DISTINCT-value table only, and the
+    // integer cross-multiplied threshold (cum * parts >= i * n) is the
+    // exact percentile_disc definition — smallest member value whose
+    // cumulative fraction reaches i/parts — so results are
+    // bit-identical to the aggregate form the oracle still uses.
+    val cum = hist.withColumn("cum",
+      org.apache.spark.sql.functions.sum("c").over(
+        org.apache.spark.sql.expressions.Window.orderBy("v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+    val cuts = cum
+      .crossJoin(broadcast(hist.agg(sum("c").as("nt"))))
+      .agg(
+        min(when(col("cum") * parts >= col("nt") * 1, col("v")))
+          .cast("long").as("b1"),
+        (2 until parts).map(i =>
+          min(when(col("cum") * parts >= col("nt") * i, col("v")))
+            .cast("long").as(s"b$i")): _*)
     val bArr = (1 until parts).map(i => s"b$i").mkString(", ")
     hist.crossJoin(broadcast(cuts))
       .withColumn("part",

@@ -273,12 +273,7 @@ object Sampling {
         md5(concat(col("epoch").cast("string"), lit(":"),
           col(key).cast("string"))).as("h"))
       .orderBy("epoch", "h", key)
-    val schema = StructType(sorted.schema.fields :+
-      StructField("gid", LongType, nullable = false))
-    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(numbered, schema)
+    Ids.zipIndexed(sorted, "gid", 0L)
       .select(col("epoch"), col(key),
         (col("gid") - col("epoch") * n).as("ord"))
       .orderBy("epoch", "ord")
