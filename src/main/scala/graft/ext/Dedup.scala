@@ -451,10 +451,13 @@ object Dedup {
       case Some(f) => CacheRegistry.pin(stopFilteredShingles(docs, f))
       case None => shingles3(docs)
     }
-    val bandDf = maxDocFreq match {
+    // pinned: the band table feeds BOTH sides of the banding self-join
+    // — unpinned, the whole signature pipeline (dictionary md5^k +
+    // min-merge + band hash) executed once per side
+    val bandDf = CacheRegistry.pin(maxDocFreq match {
       case Some(_) => minhashBandTableFromShingles(sh, numHashes, bands)
       case None => minhashBandTable(docs, numHashes, bands)
-    }
+    })
     val a = bandDf.as("a"); val b = bandDf.as("b")
     // cand is consumed TWICE (as the broadcast doc filter and in the
     // final join) — cache it, or the whole signature pipeline

@@ -337,6 +337,8 @@ object Entity {
         clean.columns.contains(k) && dirty.columns.contains(k))),
       "blocking keys must be columns of both input frames")
     require(maxBlockRows >= 1, s"maxBlockRows must be >= 1; got $maxBlockRows")
+    require(fields.size <= 63,
+      s"agreement bitmask holds at most 63 fields; got ${fields.size}")
     // one 1-row frame per field: wa = bitlen(1e6 div max(u_ppm,1)) - 1
     val weights = fields.map { f =>
       clean.groupBy(col(f)).agg(count(lit(1)).as("c"))
@@ -390,10 +392,20 @@ object Entity {
           val ok = okTables(bk).select(bk.map(col): _*)
           (clean.join(ok, bk, "left_semi"), dirty.join(ok, bk, "left_semi"))
         }
+      // agreement flags packed into ONE bitmask long (bit i set iff
+      // field i agrees; a null comparison packs as 0, which is exactly
+      // how the old per-column max + when(...).otherwise(0) treated
+      // it): the pass-merging exchange below carries (id_a, id_b,
+      // mask) instead of (id_a, id_b, |fields| nullable booleans) —
+      // same information, ~half the shuffle bytes on the multi-million
+      // pair candidate exchange (guide §2.3 "narrower types")
       a.as("a").join(b.as("b"),
           bk.map(f => col(s"a.$f") === col(s"b.$f")).reduce(_ && _))
-        .select(col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
-          fields.map(f => (col(s"a.$f") === col(s"b.$f")).as(s"ag_$f")): _*)
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          fields.zipWithIndex.map { case (f, i) =>
+            when(col(s"a.$f") === col(s"b.$f"), lit(1L << i))
+              .otherwise(lit(0L))
+          }.reduce(_.bitwiseOR(_)).as("agmask"))
     }.reduce(_.unionByName(_))
     val base = clean.sparkSession.sessionState.conf.numShufflePartitions
     val width = math.max(base.toLong,
@@ -401,19 +413,21 @@ object Entity {
     val routed =
       if (width > base) cand.repartition(width, col("id_a"), col("id_b"))
       else cand
-    // the agreement flags are a pure function of the pair, so the
-    // pass-merging distinct is a (id_a, id_b)-keyed aggregate — which
+    // the agreement mask is a pure function of the pair, so the
+    // pass-merging distinct is a (id_a, id_b)-keyed bit_or — which
     // the pair-keyed repartition above satisfies directly (a distinct
     // over all columns would demand a second exchange on the full row)
-    val flagAggs = fields.map(f => max(col(s"ag_$f")).as(s"ag_$f"))
     val deduped = routed.groupBy("id_a", "id_b")
-      .agg(flagAggs.head, flagAggs.tail: _*)
+      .agg(expr("bit_or(agmask)").as("agmask"))
+    def agree(i: Int): Column =
+      col("agmask").bitwiseAND(lit(1L << i)) =!= 0L
     deduped.crossJoin(broadcast(weights))
       .select(col("id_a"), col("id_b"),
-        fields.map(f => when(col(s"ag_$f"), 1L).otherwise(0L))
+        fields.indices.map(i => when(agree(i), 1L).otherwise(0L))
           .reduce(_ + _).as("n_agree"),
-        fields.map(f => when(col(s"ag_$f"), col(s"wa_$f"))
-          .otherwise(lit(-4L))).reduce(_ + _).as("score"))
+        fields.zipWithIndex.map { case (f, i) =>
+          when(agree(i), col(s"wa_$f")).otherwise(lit(-4L))
+        }.reduce(_ + _).as("score"))
       .orderBy("id_a", "id_b")
   }
 
