@@ -1221,9 +1221,10 @@ object Dedup {
     * Output: (source, n_shingles, unique_shingles, novelty_ppm),
     * ordered by source. */
   def sourceNovelty(docs: DataFrame): DataFrame = {
-    val ss = shingles3(docs)
+    // pinned: consumed by the spread count and the per-source rollup
+    val ss = CacheRegistry.pin(shingles3(docs)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("shingle"), col("source")).distinct()
+      .select(col("shingle"), col("source")).distinct())
     val spread = ss.groupBy("shingle")
       .agg(count(lit(1)).as("n_sources"))
     ss.join(spread, Seq("shingle"))
@@ -1246,9 +1247,10 @@ object Dedup {
     * Jaccard should rise monotonically with est8; a flat curve means
     * the shingle space is too small for 8 hashes to discriminate).
     *
-    * Scale shape: the minhash dictionary is the same (doc, i) keyed
-    * min; agreement is a candidate-keyed join on 8 rows per side;
-    * the rollup is |est8 values| ≤ 9 rows.
+    * Scale shape: signatures come from the same md5^k dictionary
+    * pipeline as the band table, held WIDE (doc_id, m0..m7) and
+    * pinned; agreement is one row-local expression over the two
+    * doc-keyed joins; the rollup is |est8 values| ≤ 9 rows.
     *
     * Output: (est8, n_pairs, mean_jac_x10k, min_jac_x10k,
     * max_jac_x10k), ordered by est8. */
