@@ -270,7 +270,8 @@ class PlanSpec extends SparkSpec {
     }
     assert(fileScans.isEmpty, fileScans.mkString("\n"))
     val ps = p.toString
-    assert(ps.contains("InMemoryTableScan") || ps.contains("Scan ExistingRDD"), ps)
+    assert(ps.contains("InMemoryTableScan") || ps.contains("Scan ExistingRDD")
+      || ps.contains("SerializeFromObject"), ps)
     assert(out.count() > 0)
     ext.CacheRegistry.clearAll()
   }
@@ -367,8 +368,12 @@ class PlanSpec extends SparkSpec {
     // the global order-statistic table must come from the x132
     // machinery (range sort + zipWithIndex -> RDD boundary); a
     // data-sized SinglePartition would mean the corpus-wide
-    // row_number spelling sneaked back in
-    assert(p.contains("Scan ExistingRDD"), p)
+    // row_number spelling sneaked back in. Since round 15 the boundary
+    // re-enters SQL through the codegen'd row encoder, which plans as
+    // an ExternalRDD scan (was: createDataFrame's
+    // ExistingRDD) — detected by its SerializeFromObject boundary.
+    assert(p.contains("Scan ExistingRDD")
+      || p.contains("SerializeFromObject"), p)
     // the only SinglePartition exchanges allowed are scalar
     // aggregates over zero-column scans (the N total count) — every
     // occurrence must sit on an empty ReadSchema
@@ -795,8 +800,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("x408_shard_balance")
     // the (n_tok DESC, doc_id) rank must be the x132 machinery (range
     // sort + zipWithIndex -> RDD boundary); a corpus-sized Window would
-    // funnel the data through one task at 100 TB
-    assert(p.contains("Scan ExistingRDD"), p)
+    // funnel the data through one task at 100 TB (ExternalRDD since the
+    // round-15 encoder change)
+    assert(p.contains("Scan ExistingRDD")
+      || p.contains("SerializeFromObject"), p)
     // r13 (ADVICE): the grand token total is derived from the per-shard
     // aggregate itself — a global window over ≤`shards` rows — so the
     // ONLY documents scan lives behind the zipWithIndex RDD boundary. A
