@@ -57,21 +57,35 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    def atomicWrite(path: String, content: String): Unit = {
+    // `fatal = true` for the driver's compare prerequisite
+    // (oracle_sql.json — without it the round has no correctness
+    // artifact, so failing loudly is right); the exit-time
+    // manifest/_VERIFY_DONE writes are best-effort instead: an
+    // exotic-filesystem failure there must not abort a completed dump
+    // (ADVICE r14), and the temp file is cleaned up on any error.
+    def atomicWrite(path: String, content: String,
+                    fatal: Boolean = false): Unit = {
       val target = Paths.get(path)
       val dir = Option(target.toAbsolutePath.getParent)
         .getOrElse(Paths.get("."))
       val tmp = Files.createTempFile(dir, ".verify", ".tmp")
-      Files.write(tmp, content.getBytes("UTF-8"))
-      Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try {
+        Files.write(tmp, content.getBytes("UTF-8"))
+        Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Exception =>
+        try { Files.deleteIfExists(tmp); () } catch { case _: Exception => }
+        if (fatal) throw e
+        else System.err.println(
+          s"[verify] could not write $path: ${e.getMessage}")
+      }
     }
     // the driver's prerequisite goes down FIRST — a mid-run kill must
     // not cost the round its compare inputs
     val oracleJson = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    atomicWrite(s"$outDir/oracle_sql.json", oracleJson)
+    atomicWrite(s"$outDir/oracle_sql.json", oracleJson, fatal = true)
     System.err.println(
       f"[verify] t=${elapsed()}%.1fs oracle_sql.json written " +
         s"(${SparkEntry.oracleSql.size} entries)")
@@ -80,6 +94,10 @@ object Verify {
     val total = selected.size
     var ok = 0; var failed = 0; var skipped = 0
     val failures = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // skipped queries are recorded BY NAME (ADVICE r14: a reused outDir
+    // can hold stale dumps for now-skipped queries; the name list makes
+    // them distinguishable from current output)
+    val skippedQs = scala.collection.mutable.ArrayBuffer[String]()
     var announcedDeadline = false
     selected.zipWithIndex.foreach { case ((name, fn), i) =>
       if (deadlineSec > 0 && elapsed() > deadlineSec) {
@@ -91,6 +109,7 @@ object Verify {
           announcedDeadline = true
         }
         skipped += 1
+        skippedQs += name
       } else {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -112,6 +131,8 @@ object Verify {
       .map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
     val manifest =
       s"""{"total":$total,"ok":$ok,"failed":$failed,"skipped":$skipped,""" +
+        s""""skipped_queries":${
+          skippedQs.map(q(_)).mkString("[", ",", "]")},""" +
         f""""elapsed_sec":${elapsed()}%.1f,""" +
         s""""deadline_degraded":${skipped > 0},"failures":$failJson}"""
     atomicWrite(s"$outDir/verify_manifest.json", manifest)
