@@ -117,8 +117,11 @@ object Graph {
           contrib.select(col("dst").as("node"),
             (lit(base) + expr("85 * c div 100")).as("score"))
         else
+          // contrib (node-sized, consumed once, materialized by this
+          // round's checkpoint) broadcasts under the same gate, so the
+          // checkpointed deg side never shuffles or sorts per round
           deg.select(col("node"))
-            .join(contrib, col("node") === col("dst"), "left")
+            .join(nodeSide(contrib, n), col("node") === col("dst"), "left")
             .select(col("node"),
               (lit(base) + expr("85 * coalesce(c, 0L) div 100")).as("score"))
       if (i % checkpointEvery == 0 && i < iterations) {
@@ -195,7 +198,7 @@ object Graph {
         .groupBy(col("dst"))
         .agg(sum(expr("score div deg")).as("c"))
       cur = nodes.select(col("node"), col("sd"))
-        .join(contrib, col("node") === col("dst"), "left")
+        .join(nodeSide(contrib, nAll), col("node") === col("dst"), "left")
         .select(col("node"),
           (col("sd") * base + expr("85 * coalesce(c, 0L) div 100"))
             .cast("bigint").as("score"))
