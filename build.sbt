@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench contract wants the forked main's FINAL stdout line to
+// be bare parseable JSON. By default sbt re-logs forked stdout behind
+// "[info] " decoration (LoggedOutput) and then prints its own "[success]"
+// line — BENCH_rNN.json `parsed` was null for 15 straight rounds because of
+// exactly this. StdoutOutput passes the forked JVM's stdout through
+// undecorated; showSuccess drops the trailing "[success] Total time" line so
+// the tiny JSON line printed by Bench/Verify mains is genuinely last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude
+// it from the unused-key lint false positive
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

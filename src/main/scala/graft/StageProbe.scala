@@ -34,6 +34,15 @@ object StageProbe {
               f"out=${m.outputMetrics.recordsWritten}%10d  ${si.name.takeWhile(_ != '\n')}")
         }
     })
+    // exact bus drain on BOTH edges of the capture window: without the
+    // leading-edge drain, late-dispatching cold-run stage-completed
+    // events were attributed to the warm run (round-15 advice item);
+    // the old trailing sleep(1500) only guarded the tail
+    val busWait = BusDrain.waiter(spark)
+    def drain(): Unit =
+      if (!busWait.exists(w => try { w(); true }
+                              catch { case _: Throwable => false }))
+        Thread.sleep(1500)
     Tables.registerAll(spark, sfDir)
     spark.sql("SELECT count(*) FROM lineitem").collect()
     for (q <- args) {
@@ -41,11 +50,12 @@ object StageProbe {
       def once(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       once() // p1 cold: caches built, not captured
+      drain() // cold-run events must land BEFORE capture flips on
       capture = true
       val t0 = System.nanoTime()
       once() // p2 warm: captured
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1500) // let stage-completed events drain
+      drain() // warm-run events must land before capture flips off
       capture = false
       println(s"==== $q warm wall=" + f"$wall%.2f" + "s ====")
       stages.forEach(s => println(s))
