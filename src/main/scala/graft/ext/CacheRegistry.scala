@@ -45,12 +45,24 @@ object CacheRegistry {
     chk
   }
 
-  /** Unpersist and forget ONE checkpointed DataFrame's backing RDD —
-    * for iterative operators that supersede a frontier mid-workload
-    * (Dedup.clusters): without eager release, persisted blocks grow
-    * O(rounds * corpus) until clearAll. A df that was never registered
-    * (or already released) is a no-op. */
+  /** Unpersist and forget ONE checkpointed or pinned DataFrame — for
+    * iterative operators that supersede a frontier mid-workload
+    * (Dedup.clusters, kCoreTrajectory's per-round edge generations):
+    * without eager release, persisted blocks grow O(rounds * corpus)
+    * until clearAll. A pin is matched by REFERENCE (the exact DataFrame
+    * handed back by [[pin]]); a checkpoint by its backing RDD. A df
+    * that was never registered (or already released) is a no-op.
+    *
+    * Cluster-deployment caveat (same hazard class for both kinds): a
+    * released frame's blocks are gone and a pin whose lineage roots in
+    * a RELEASED checkpoint/pin cannot recompute lost blocks either —
+    * callers release a parent only after every downstream consumer is
+    * materialized, which local mode never re-reads. A deployment with
+    * executor loss would keep parents until the loop ends. */
   def release(df: DataFrame): Unit = {
+    pinned.synchronized {
+      if (pinned.remove(df)) { df.unpersist(blocking = false); () }
+    }
     df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach { rdd =>

@@ -860,6 +860,15 @@ object Dedup {
     * changed-row count is a free side-output. Superseded frontiers are
     * released as soon as the next one materializes, so persisted blocks
     * stay O(corpus), not O(rounds * corpus).
+    *
+    * PRECONDITION: every id in `pairs` (d1 AND d2) must appear in
+    * `docs.doc_id`, and doc_id must be unique. The round-15 neighbor-
+    * min rewrite attaches neighbor observations to the label table by
+    * LEFT join, so an edge endpoint absent from `docs` is inert — it
+    * neither gets a label nor bridges two components (the older
+    * union/groupBy form would have invented a label row for it). Every
+    * in-repo caller derives pairs from the doc table itself, which
+    * satisfies this by construction.
     * Output: (doc_id, cluster_id). */
   def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val (labels, _) = propagateMinLabels(pairs,
@@ -894,7 +903,9 @@ object Dedup {
     * `prior`: (doc_id, cluster_id); docs absent from it (today's new
     * arrivals) start at identity. Converges in rounds proportional to
     * how much the graph CHANGED, not its diameter — an unchanged graph
-    * verifies in one round (spec-pinned via the round counter). */
+    * verifies in one round (spec-pinned via the round counter).
+    * Same pairs-⊆-docs precondition as [[clusters]]: an edge endpoint
+    * absent from `docs` is inert under the neighbor-min formulation. */
   def clustersWarmStart(docs: DataFrame, pairs: DataFrame,
                         prior: DataFrame): DataFrame = {
     val init = docs

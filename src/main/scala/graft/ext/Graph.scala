@@ -68,6 +68,26 @@ object Graph {
   private[ext] def nodeSide(df: DataFrame, rows: Long): DataFrame =
     if (rows <= BroadcastNodeCap) broadcast(df) else df
 
+  /** ORDER-PRESERVING dictionary encoding of STRING node ids to dense
+    * longs for the iterative operators (guide §2.2/§2.3: narrower
+    * keys): every per-round join/aggregate/broadcast then runs on
+    * 8-byte longs instead of strings — the per-round broadcast build
+    * gets Spark's specialized long-keyed hash relation and the
+    * (dst)/(dst,lbl) aggregates hash fixed-width keys; measured 10x
+    * heavier string broadcast builds at sf1 were the round-15 flag on
+    * this family. gid is assigned by [[Ids.contiguousIds]] over the
+    * SORTED distinct node set, so gid order == Spark string order —
+    * the proof labelPropagation's min-label tie-break needs:
+    * min(gid) decodes to exactly min(string). PageRank-family scores
+    * depend only on graph structure, so any bijection preserves them;
+    * LPA additionally needs the monotonicity. Encoding is gated on the
+    * same node cap as the broadcast hints (a billion-node dictionary
+    * must not be built around a shuffle-regime plan) and on the node
+    * column actually being a string. Decode is one broadcast join on
+    * the node-sized dictionary at output time. */
+  private[ext] def nodeDict(nodeNames: DataFrame): DataFrame =
+    CacheRegistry.pin(Ids.contiguousIds(nodeNames, "name"))
+
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000000L,
                checkpointEvery: Int = 1,
@@ -75,43 +95,70 @@ object Graph {
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(iterations >= 1 && iterations <= 64,
       s"iterations must be in [1, 64]; got $iterations")
-    val e = CacheRegistry.checkpoint(
-      edges.select(col("src"), col("dst")).distinct())
-    val deg = CacheRegistry.checkpoint(
-      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
-    val n = deg.count() // one driver scalar
-    // In the broadcast regime (score table under the nodeSide cap) the
-    // per-round join preserves eDeg's partitioning, so holding eDeg
-    // PARTITIONED BY dst makes every round's contribution aggregate
-    // exchange-free (guide §2.4: two operations keyed the same way
-    // share one exchange — paid once at build instead of once per
-    // round). It must be a PIN, not a checkpoint: a localCheckpoint
-    // boundary erases the partitioning (LogicalRDD reports
-    // UnknownPartitioning — read off the committed x183/x169 plans)
-    // while an InMemoryRelation preserves it. Above the cap the rounds
-    // sort-merge on src, where the join output's src partitioning is
-    // the useful one — so the repartition is gated on the same count.
-    // node-sized deg broadcast under the same gate: the checkpointed
-    // deg has no stats, so the planner would otherwise sort-merge and
-    // pay a full arc-table exchange just to attach degrees
-    val eDegBase = e.join(nodeSide(deg, n), e("src") === deg("node"))
-      .select(col("src"), col("dst"), col("deg"))
-    val eDeg = CacheRegistry.pin(
-      if (n <= BroadcastNodeCap) eDegBase.repartition(col("dst"))
-      else eDegBase)
-    eDeg.count() // materialize before e's blocks are released below
-    CacheRegistry.release(e)
+    val arcsIn = edges.select(col("src"), col("dst"))
+    // node set + count FIRST (one node-sized aggregate over the raw
+    // arcs): gates both the broadcast hint and the dictionary
+    val nodesRaw = CacheRegistry.checkpoint(
+      arcsIn.select(col("src").as("name")).distinct())
+    val n = nodesRaw.count() // one driver scalar
     require(n > 0, "pageRank needs a non-empty edge list")
+    // string node ids under the broadcast cap run the rounds on dense
+    // longs (see [[nodeDict]])
+    val isStr = arcsIn.schema("src").dataType ==
+      org.apache.spark.sql.types.StringType
+    val dict: Option[DataFrame] =
+      if (isStr && n <= BroadcastNodeCap) Some(nodeDict(nodesRaw))
+      else None
+    // The arc table is the ONLY corpus-sized frame, and its build costs
+    // exactly ONE exchange in the broadcast regime: repartition(dst)
+    // BEFORE the dedup (subset partitioning satisfies the distinct's
+    // clustering — the LPA trick), with the encode joins fused into the
+    // same pass. It is a PIN, not a checkpoint — a localCheckpoint
+    // erases partitioning (UnknownPartitioning on the LogicalRDD, read
+    // off the committed round-15 plans) while an InMemoryRelation
+    // preserves it, so every round's contribution aggregate on dst is
+    // exchange-free (guide §2.4). Arcs no longer carry a deg column:
+    // score div deg is a function of the SOURCE node alone, so the
+    // division moved to the node-sized broadcast side (sdd below) —
+    // the round-15 eDeg shape paid an arc-sized deg-attach join at
+    // build and shipped an extra long per arc for nothing. Above the
+    // cap the rounds sort-merge on src and re-exchange either way, so
+    // the plain distinct checkpoint is kept there.
+    val arcs = dict match {
+      case Some(d) => CacheRegistry.pin(
+        arcsIn.join(broadcast(d.select(col("name").as("sname"),
+            col("gid").as("sgid"))), arcsIn("src") === col("sname"))
+          .join(broadcast(d.select(col("name").as("dname"),
+            col("gid").as("dgid"))), arcsIn("dst") === col("dname"))
+          .select(col("sgid").as("src"), col("dgid").as("dst"))
+          .repartition(col("dst")).distinct())
+      case None =>
+        if (n <= BroadcastNodeCap)
+          CacheRegistry.pin(arcsIn.repartition(col("dst")).distinct())
+        else CacheRegistry.checkpoint(arcsIn.distinct())
+    }
+    // the eager checkpoint materializes the arcs pin as a side effect
+    // (full scan); deg is node-sized — lineage truncation keeps every
+    // round's broadcast-build plan flat
+    val deg = CacheRegistry.checkpoint(
+      arcs.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    val degR = deg.select(col("node").as("dnode"), col("deg"))
     val init = scale / n
     val base = init * 15L / 100L
 
     var cur = deg.select(col("node"), lit(init).as("score"))
     var lastChk: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      val contrib = eDeg
-        .join(nodeSide(cur, n), eDeg("src") === cur("node"))
+      // per-source contribution computed on the NODE-SIZED side before
+      // the arc join: score div deg is constant across a source's
+      // out-arcs, so dividing here is |nodes| divisions instead of
+      // |arcs|, and the arc join ships one pre-divided long
+      val sdd = cur.join(nodeSide(degR, n), cur("node") === col("dnode"))
+        .select(cur("node").as("node"), expr("score div deg").as("sdd"))
+      val contrib = arcs
+        .join(nodeSide(sdd, n), arcs("src") === sdd("node"))
         .groupBy(col("dst"))
-        .agg(sum(expr("score div deg")).as("c"))
+        .agg(sum(col("sdd")).as("c"))
       cur =
         if (allNodesReceive)
           contrib.select(col("dst").as("node"),
@@ -131,7 +178,12 @@ object Graph {
         cur = chk
       }
     }
-    cur.orderBy("node")
+    dict match {
+      case Some(d) => // decode: one broadcast join on the node-sized dict
+        cur.join(broadcast(d), cur("node") === d("gid"))
+          .select(col("name").as("node"), col("score")).orderBy("node")
+      case None => cur.orderBy("node")
+    }
   }
 
   /** PERSONALIZED PageRank: teleport mass lands only on the `seeds`
@@ -162,30 +214,50 @@ object Graph {
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(iterations >= 1 && iterations <= 64,
       s"iterations must be in [1, 64]; got $iterations")
-    val e = CacheRegistry.checkpoint(
-      edges.select(col("src"), col("dst")).distinct())
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val arcsIn = edges.select(col("src"), col("dst"))
+    // node set + count first (same build shape as [[pageRank]])
+    val namesRaw = CacheRegistry.checkpoint(
+      arcsIn.select(col("src").as("name")).distinct())
+    val nAll = namesRaw.count() // gates the per-round broadcast hint
+    val isStr = arcsIn.schema("src").dataType ==
+      org.apache.spark.sql.types.StringType
+    val dict: Option[DataFrame] =
+      if (isStr && nAll <= BroadcastNodeCap) Some(nodeDict(namesRaw))
+      else None
+    // one-exchange arc build, encode fused, dst-partitioned PIN in the
+    // broadcast regime — see [[pageRank]]; arcs carry no deg column
+    val arcs = dict match {
+      case Some(d) => CacheRegistry.pin(
+        arcsIn.join(broadcast(d.select(col("name").as("sname"),
+            col("gid").as("sgid"))), arcsIn("src") === col("sname"))
+          .join(broadcast(d.select(col("name").as("dname"),
+            col("gid").as("dgid"))), arcsIn("dst") === col("dname"))
+          .select(col("sgid").as("src"), col("dgid").as("dst"))
+          .repartition(col("dst")).distinct())
+      case None =>
+        if (nAll <= BroadcastNodeCap)
+          CacheRegistry.pin(arcsIn.repartition(col("dst")).distinct())
+        else CacheRegistry.checkpoint(arcsIn.distinct())
+    }
+    val deg = arcs.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // the seed flag rides the node frame (encoded when the dictionary
+    // is on), so personalization adds zero extra shuffles; the eager
+    // checkpoint materializes the arcs pin as a side effect
+    val seedSet = dict match {
+      case Some(d) =>
+        seeds.select(col("node").as("sdname")).distinct()
+          .join(broadcast(d), col("sdname") === d("name"))
+          .select(col("gid").as("node"), lit(1).as("sd"))
+      case None =>
+        seeds.select(col("node"), lit(1).as("sd")).distinct()
+    }
     val nodes = CacheRegistry.checkpoint(
-      deg.join(seeds.select(col("node"), lit(1).as("sd")).distinct(),
-          Seq("node"), "left")
+      deg.join(seedSet, Seq("node"), "left")
         .select(col("node"), col("deg"),
           coalesce(col("sd"), lit(0)).as("sd")))
     val ns = nodes.where(col("sd") === 1).count() // one driver scalar
-    val nAll = nodes.count() // gates the per-round broadcast hint
-    // dst-partitioned PIN in the broadcast regime, for the same reason
-    // as [[pageRank]]: every round's contribution aggregate then
-    // reuses this one exchange instead of paying its own (guide §2.4;
-    // a checkpoint would erase the partitioning)
-    val eDegBase = e.join(
-        nodeSide(nodes.select(col("node"), col("deg")), nAll),
-        e("src") === col("node"))
-      .select(col("src"), col("dst"), col("deg"))
-    val eDeg = CacheRegistry.pin(
-      if (nAll <= BroadcastNodeCap) eDegBase.repartition(col("dst"))
-      else eDegBase)
-    eDeg.count() // materialize before e's blocks are released below
-    CacheRegistry.release(e)
     require(ns > 0, "personalizedPageRank needs >= 1 seed in the graph")
+    val degR = nodes.select(col("node").as("dnode"), col("deg"))
     val init = scale / ns
     val base = init * 15L / 100L
 
@@ -193,10 +265,13 @@ object Graph {
       (col("sd") * init).cast("bigint").as("score"))
     var lastChk: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      val contrib = eDeg
-        .join(nodeSide(cur, nAll), eDeg("src") === cur("node"))
+      // node-side division before the arc join — see [[pageRank]]
+      val sdd = cur.join(nodeSide(degR, nAll), cur("node") === col("dnode"))
+        .select(cur("node").as("node"), expr("score div deg").as("sdd"))
+      val contrib = arcs
+        .join(nodeSide(sdd, nAll), arcs("src") === sdd("node"))
         .groupBy(col("dst"))
-        .agg(sum(expr("score div deg")).as("c"))
+        .agg(sum(col("sdd")).as("c"))
       cur = nodes.select(col("node"), col("sd"))
         .join(nodeSide(contrib, nAll), col("node") === col("dst"), "left")
         .select(col("node"),
@@ -209,7 +284,12 @@ object Graph {
         cur = chk
       }
     }
-    cur.orderBy("node")
+    dict match {
+      case Some(d) => // decode: one broadcast join on the node-sized dict
+        cur.join(broadcast(d), cur("node") === d("gid"))
+          .select(col("name").as("node"), col("score")).orderBy("node")
+      case None => cur.orderBy("node")
+    }
   }
 
   /** Synchronous label propagation (community detection) on a
@@ -236,24 +316,55 @@ object Graph {
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 64,
       s"iterations must be in [1, 64]; got $iterations")
+    val arcs = edges.select(col("src"), col("dst"))
+    // node set + count FIRST (one node-sized aggregate over the raw
+    // arcs): it gates both the broadcast hint and the dictionary, and
+    // with the dictionary in hand the label INIT is the dictionary
+    // itself — the old separate distinct-over-pinned-arcs init job
+    // disappears
+    val nodesRaw = CacheRegistry.checkpoint(
+      arcs.select(col("src").as("name")).distinct())
+    val n = nodesRaw.count() // gates the per-round broadcast hint
+    val isStr = arcs.schema("src").dataType ==
+      org.apache.spark.sql.types.StringType
+    // long-encoded rounds under the broadcast gate (see [[nodeDict]]):
+    // label_0(v) = v and the plurality argmax tie-breaks toward the
+    // SMALLEST label, so the encoding must be order-preserving —
+    // contiguousIds assigns gid by sorted name, hence
+    // min(struct(-c, gid)) decodes to exactly min(struct(-c, name))
+    val dict: Option[DataFrame] =
+      if (isStr && n <= BroadcastNodeCap) Some(nodeDict(nodesRaw))
+      else None
     // dst-partitioned BEFORE the dedup (the aggregate only needs
     // same-key co-location, which the subset partitioning provides, so
-    // the build still costs ONE exchange), and PINNED rather than
-    // checkpointed (a localCheckpoint erases partitioning —
-    // UnknownPartitioning on the LogicalRDD): in the broadcast regime
-    // the per-round join preserves this partitioning and BOTH
-    // per-round aggregates — (dst, lbl) counts and the per-dst argmax
-    // — run exchange-free (guide §2.4). Above the cap the rounds
-    // sort-merge on src and re-exchange either way, so nothing is
-    // lost. The edge table is loop-invariant with a shallow lineage,
-    // so the checkpoint's lineage truncation bought nothing here.
-    val e = CacheRegistry.pin(
-      edges.select(col("src"), col("dst"))
-        .repartition(col("dst")).distinct())
-    var cur: DataFrame = CacheRegistry.checkpoint(
-      e.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl")))
-    val n = cur.count() // gates the per-round broadcast hint
+    // the build still costs ONE exchange — now hashing longs when the
+    // dictionary is on), and PINNED rather than checkpointed (a
+    // localCheckpoint erases partitioning — UnknownPartitioning on the
+    // LogicalRDD): in the broadcast regime the per-round join preserves
+    // this partitioning and BOTH per-round aggregates — (dst, lbl)
+    // counts and the per-dst argmax — run exchange-free (guide §2.4).
+    // Above the cap the rounds sort-merge on src and re-exchange either
+    // way, so nothing is lost. The edge table is loop-invariant with a
+    // shallow lineage, so a checkpoint's lineage truncation buys
+    // nothing here.
+    val e = CacheRegistry.pin(dict match {
+      case Some(d) =>
+        arcs.join(broadcast(d.select(col("name").as("sname"),
+            col("gid").as("sgid"))), arcs("src") === col("sname"))
+          .join(broadcast(d.select(col("name").as("dname"),
+            col("gid").as("dgid"))), arcs("dst") === col("dname"))
+          .select(col("sgid").as("src"), col("dgid").as("dst"))
+          .repartition(col("dst")).distinct()
+      case None =>
+        arcs.repartition(col("dst")).distinct()
+    })
+    var cur: DataFrame = dict match {
+      case Some(d) => CacheRegistry.checkpoint(
+        d.select(col("gid").as("node"), col("gid").as("lbl")))
+      case None => CacheRegistry.checkpoint(
+        nodesRaw.select(col("name").as("node"),
+          col("name").as("lbl")))
+    }
     var lastChk: Option[DataFrame] = Some(cur)
     for (i <- 1 to iterations) {
       cur = e.join(nodeSide(cur, n), e("src") === cur("node"))
@@ -269,7 +380,17 @@ object Graph {
         cur = chk
       }
     }
-    cur.select(col("node"), col("lbl").as("label")).orderBy("node")
+    dict match {
+      case Some(d) => // decode node AND label via two dict broadcasts
+        val dn = d.select(col("name").as("n_name"), col("gid").as("n_gid"))
+        val dl = d.select(col("name").as("l_name"), col("gid").as("l_gid"))
+        cur.join(broadcast(dn), cur("node") === col("n_gid"))
+          .join(broadcast(dl), cur("lbl") === col("l_gid"))
+          .select(col("n_name").as("node"), col("l_name").as("label"))
+          .orderBy("node")
+      case None =>
+        cur.select(col("node"), col("lbl").as("label")).orderBy("node")
+    }
   }
 
   /** Per-node triangle counts on an undirected graph, via the
@@ -359,39 +480,79 @@ object Graph {
     // canonical lo<hi edges would silently halve degrees — the
     // union+distinct makes any orientation convention correct, and is
     // idempotent (a no-op distinct) on an already-symmetric list
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // both orientations via ONE explode instead of union(edges,
+    // edges.mirror): a union executes the caller's (possibly
+    // un-checkpointed, e.g. x328's lineitem⨝orders) edge subtree once
+    // PER BRANCH in every pass that scans it — explode emits the same
+    // two arcs per input row in a single execution
+    val sym = edges.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+    // node set + count first: gates the broadcast hint for every round
+    // (nodes only shrink while peeling) and the dictionary; the output
+    // is (round, n_nodes, n_arcs) COUNTS only, so any bijective
+    // encoding is transparent and nothing ever decodes
+    val nodesRaw = CacheRegistry.checkpoint(
+      sym.select(col("src").as("name")).distinct())
+    val n0 = nodesRaw.count()
+    val isStr = sym.schema("src").dataType ==
+      org.apache.spark.sql.types.StringType
+    val dict: Option[DataFrame] =
+      if (isStr && n0 <= BroadcastNodeCap) Some(nodeDict(nodesRaw))
+      else None
     // src-partitioned before the dedup (same one-exchange build as the
     // plain distinct — the dedup aggregate is satisfied by the subset
-    // partitioning): the per-round semi-joins preserve it in the
-    // broadcast regime, so every round's degree aggregate AND the
-    // src-side semi-join run exchange-free (guide §2.4)
-    var e = CacheRegistry.checkpoint(
-      sym.repartition(col("src")).distinct())
+    // partitioning) and held as a PIN — a localCheckpoint would erase
+    // the partitioning (round-15 advice: the old repartition-then-
+    // checkpoint was a no-op). The per-round semi-joins preserve the
+    // partitioning in the broadcast regime, so every round's edge
+    // frame STAYS src-partitioned and its degree aggregate runs
+    // exchange-free (guide §2.4) — the old per-round checkpoint paid
+    // one Exchange hashpartitioning(src) per round for the rebuilt
+    // frame.
+    var e = CacheRegistry.pin(dict match {
+      case Some(d) =>
+        sym.join(broadcast(d.select(col("name").as("sname"),
+            col("gid").as("sgid"))), sym("src") === col("sname"))
+          .join(broadcast(d.select(col("name").as("dname"),
+            col("gid").as("dgid"))), sym("dst") === col("dname"))
+          .select(col("sgid").as("src"), col("dgid").as("dst"))
+          .repartition(col("src")).distinct()
+      case None => sym.repartition(col("src")).distinct()
+    })
     // ONE degree aggregation per round serves BOTH consumers: the
     // round's (n_nodes, n_arcs) trajectory row and the next round's
-    // keep set — the earlier shape paid a second arc-sized shuffle
-    // (countDistinct over e) per round for the same information. The
-    // node-sized degree table is checkpointed so its two reads never
-    // recompute the aggregation.
+    // keep set. deg stays a CHECKPOINT, not a pin — deliberately: the
+    // next round's edge frame references deg (via keep), and deg
+    // references this round's edge frame, so a pinned (lineage-
+    // carrying) deg makes the logical plan DOUBLE per round —
+    // analysis/canonicalization of the 2^rounds tree hangs the driver
+    // long before execution starts (measured: the all-pins variant
+    // never finished round 3 at sf0.1). Checkpointing the NODE-SIZED
+    // deg truncates exactly the doubling branch for the cost of
+    // materializing a 16k-row frame, while the arc-sized e stays a
+    // PIN whose src partitioning the broadcast semi-joins preserve —
+    // plan growth is linear in rounds and every round's degree
+    // aggregate is exchange-free.
     var deg = CacheRegistry.checkpoint(
       e.groupBy("src").agg(count(lit(1)).as("deg")))
-    // nodes only shrink while peeling, so the round-0 count gates the
-    // broadcast hint for every round
-    val n0 = deg.count()
     val traj = (1 to rounds).map { r =>
       val keep = deg.where(col("deg") >= k).select(col("src").as("node"))
-      val prev = e
-      e = CacheRegistry.checkpoint(
-        prev.join(nodeSide(keep.select(col("node").as("src")), n0),
+      val prevE = e; val prevDeg = deg
+      e = CacheRegistry.pin(
+        prevE.join(nodeSide(keep.select(col("node").as("src")), n0),
             Seq("src"), "left_semi")
           .join(nodeSide(keep.select(col("node").as("dst")), n0),
             Seq("dst"), "left_semi")
           .select("src", "dst"))
-      CacheRegistry.release(prev)
-      val prevDeg = deg
+      // the eager checkpoint materializes this round's e pin (full
+      // scan) and truncates deg's lineage; only then is the superseded
+      // generation released (a pin read during its parent's release
+      // could not recompute — see CacheRegistry.release's caveat)
       deg = CacheRegistry.checkpoint(
         e.groupBy("src").agg(count(lit(1)).as("deg")))
+      CacheRegistry.release(prevE)
       CacheRegistry.release(prevDeg)
       val row = deg.agg(count(lit(1)).as("n_nodes"),
         sum(col("deg")).as("n_arcs")).collect().head

@@ -515,14 +515,21 @@ object Layout {
     // exact percentile_disc definition — smallest member value whose
     // cumulative fraction reaches i/parts — so results are
     // bit-identical to the aggregate form the oracle still uses.
-    val cum = hist.withColumn("cum",
+    // Cut derivation runs over NON-NULL values only: percentile_disc
+    // ignores NULLs, whereas a NULL histogram group would sort NULLS
+    // FIRST into the cumulative window AND inflate nt, shifting every
+    // cut on a nullable column (round-15 advice). The census below
+    // keeps the full histogram — NULL rows land in part 0 under the
+    // `b < v` placement rule either way, exactly as before.
+    val nnHist = hist.where(col("v").isNotNull)
+    val cum = nnHist.withColumn("cum",
       org.apache.spark.sql.functions.sum("c").over(
         org.apache.spark.sql.expressions.Window.orderBy("v")
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)))
     val cuts = cum
-      .crossJoin(broadcast(hist.agg(sum("c").as("nt"))))
+      .crossJoin(broadcast(nnHist.agg(sum("c").as("nt"))))
       .agg(
         min(when(col("cum") * parts >= col("nt") * 1, col("v")))
           .cast("long").as("b1"),

@@ -34,10 +34,17 @@ private[queries] object ExtQGraph {
         // checkpoint BEFORE mirroring: the union references the
         // expensive join+distinct subtree twice (same trap
         // Dedup.clusters guards against)
+        // distinct on the (custkey, suppkey) LONG pair BEFORE building
+        // the string node ids: the prefixes make the concat injective,
+        // so the distinct sets are in bijection — but the exchange
+        // carries two longs instead of two strings and the concat runs
+        // once per DISTINCT pair instead of once per joined row
         val cs = graft.ext.CacheRegistry.checkpoint(
           li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-            .select(concat(lit("c"), col("o_custkey")).as("src"),
-              concat(lit("s"), col("l_suppkey")).as("dst")).distinct())
+            .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+            .distinct()
+            .select(concat(lit("c"), col("ck")).as("src"),
+              concat(lit("s"), col("sk")).as("dst")))
         Graph.pageRank(
           cs.union(cs.select(col("dst").as("src"), col("src").as("dst"))), 5,
           allNodesReceive = true) // symmetric: every node receives
@@ -251,10 +258,17 @@ private[queries] object ExtQGraph {
           .select(col("l_orderkey"), col("l_suppkey"))
         val ord = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
+        // distinct on the (custkey, suppkey) LONG pair BEFORE building
+        // the string node ids: the prefixes make the concat injective,
+        // so the distinct sets are in bijection — but the exchange
+        // carries two longs instead of two strings and the concat runs
+        // once per DISTINCT pair instead of once per joined row
         val cs = graft.ext.CacheRegistry.checkpoint(
           li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-            .select(concat(lit("c"), col("o_custkey")).as("src"),
-              concat(lit("s"), col("l_suppkey")).as("dst")).distinct())
+            .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+            .distinct()
+            .select(concat(lit("c"), col("ck")).as("src"),
+              concat(lit("s"), col("sk")).as("dst")))
         Graph.labelPropagation(
           cs.union(cs.select(col("dst").as("src"), col("src").as("dst"))), 4)
       },
@@ -432,10 +446,17 @@ private[queries] object ExtQGraph {
           .select(col("l_orderkey"), col("l_suppkey"))
         val ord = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
+        // distinct on the (custkey, suppkey) LONG pair BEFORE building
+        // the string node ids: the prefixes make the concat injective,
+        // so the distinct sets are in bijection — but the exchange
+        // carries two longs instead of two strings and the concat runs
+        // once per DISTINCT pair instead of once per joined row
         val cs = graft.ext.CacheRegistry.checkpoint(
           li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-            .select(concat(lit("c"), col("o_custkey")).as("src"),
-              concat(lit("s"), col("l_suppkey")).as("dst")).distinct())
+            .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+            .distinct()
+            .select(concat(lit("c"), col("ck")).as("src"),
+              concat(lit("s"), col("sk")).as("dst")))
         val edges = cs.union(
           cs.select(col("dst").as("src"), col("src").as("dst")))
         val seeds = ord.where(col("o_custkey") % 20 === 0)
