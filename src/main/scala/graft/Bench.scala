@@ -141,6 +141,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing respects the advisory partition size instead of
+      // keeping one post-shuffle partition per core: Spark's own docs
+      // recommend false in production ("it's recommended to set this
+      // config to false and respect the advisory size"), at 100 TB it
+      // yields advisory-sized (64MB default) reduce partitions rather
+      // than core-count-many slivers, and on the sub-second bench tier
+      // it coalesces kilobyte shuffles to ONE reduce task (measured
+      // 5-12% off the fixed per-query exec cost, OverheadProbe r16).
+      // Scale-adaptive by construction, not a local[8] tune.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -92,6 +92,12 @@ object Session {
       .appName(appName)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
+      // AQE coalescing respects the advisory partition size (Spark's
+      // documented production recommendation; see Bench.scala) —
+      // advisory-sized reduce partitions at scale, one reduce task for
+      // kilobyte shuffles locally
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
