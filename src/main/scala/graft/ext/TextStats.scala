@@ -487,13 +487,20 @@ object TextStats {
     * df^2 <= maxDocFreq * postings, linear in the index, never
     * corpus^2. Output: (d1, d2, num, n1sq, n2sq). */
   def tfidfPairs(docs: DataFrame, maxDocFreq: Int = 2): DataFrame = {
-    val tf = shingleTf(docs)
+    // pin the (doc, shingle, tf) table AND the rare-filtered weight
+    // table: tf is consumed by the df aggregate and the weight join,
+    // wts by the norms aggregate and BOTH self-join sides — unpinned,
+    // the tokenize pipeline executed twice and its exchange was read
+    // four times in the warm plan (round-16 StageProbe; the round-15
+    // pin-when-multi-consumed discipline, guide §2.4/§5)
+    val tf = CacheRegistry.pin(shingleTf(docs))
     val nn = docs.agg(count(lit(1)).as("n"))
     val rare = tf.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq)
-    val wts = tf.join(rare, "s").crossJoin(broadcast(nn))
-      .select(col("doc_id"), col("s"),
-        (col("tf") * expr("(100 * n) div df")).as("wt"))
+    val wts = CacheRegistry.pin(
+      tf.join(rare, "s").crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("s"),
+          (col("tf") * expr("(100 * n) div df")).as("wt")))
     val norms = wts.groupBy("doc_id")
       .agg(sum(col("wt") * col("wt")).as("nsq"))
     val a = wts.as("a"); val b = wts.as("b")

@@ -36,16 +36,39 @@ private[queries] object ExtQSimilarity {
             .select(lit(tier).as("tier"), col("hits"),
               expr("CAST(hits * 1000000 div 60 AS BIGINT)")
                 .as("recall_ppm"))
-        leg("ivf", Similarity.knnIvf(emb, 20, 3, 8))
-          .unionByName(leg("pq", Similarity.knnPQ(emb, 20, 3)))
-          .unionByName(leg("ivfpq", Similarity.searchIvfPq(
-            Similarity.ivfPqIndexAt(s, annIndexPath(dir, "ivfpq_raw"), emb),
-            emb, 20, 3)))
-          .unionByName(leg("residual", Similarity.searchIvfPq(
-            Similarity.ivfPqIndexAt(s, annIndexPath(dir, "ivfpq_res"), emb,
-              residual = true),
-            emb, 20, 3)))
-          .orderBy("tier")
+        // The four tiers are independent until the union, and each
+        // tier's FIT runs driver-side collect rounds during query
+        // construction — ~45 sub-0.5s-task jobs end to end, so the
+        // wall was serial job-launch latency, not compute. Building
+        // the tiers on a small thread pool overlaps the fit rounds
+        // (guide §2.6 "overlap independent jobs": Spark's scheduler
+        // happily runs several jobs at once; actions are sequential
+        // only because the driver calls them sequentially). Each
+        // tier's fitted centroids/codes — and the judged rows — are
+        // untouched; only the driver-side serialization of the fit
+        // loops changes.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try {
+          val tiers = Seq(
+            Future(("ivf", Similarity.knnIvf(emb, 20, 3, 8))),
+            Future(("pq", Similarity.knnPQ(emb, 20, 3))),
+            Future(("ivfpq", Similarity.searchIvfPq(
+              Similarity.ivfPqIndexAt(s, annIndexPath(dir, "ivfpq_raw"),
+                emb),
+              emb, 20, 3))),
+            Future(("residual", Similarity.searchIvfPq(
+              Similarity.ivfPqIndexAt(s, annIndexPath(dir, "ivfpq_res"),
+                emb, residual = true),
+              emb, 20, 3))))
+          tiers.map(f => Await.result(f, Duration.Inf))
+            .map { case (t, df) => leg(t, df) }
+            .reduce(_ unionByName _)
+            .orderBy("tier")
+        } finally pool.shutdown()
       },
       annRecallOracleSql(nQueries = 20, k = 3, dim = 64)),
 
