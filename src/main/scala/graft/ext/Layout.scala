@@ -20,6 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Evaluate independent layout candidates on a small thread pool:
+    * each candidate's zipWithIndex pays an eager count job (plus the
+    * range sort feeding it) during QUERY CONSTRUCTION, and the driver
+    * otherwise issues those jobs strictly serially — guide §2.6
+    * "overlap independent jobs": Spark's scheduler happily runs
+    * several jobs at once; actions are only sequential because the
+    * driver calls them sequentially. Result order == candidate order
+    * and each candidate is deterministic in isolation, so threading
+    * changes wall time only, never rows. */
+  private def parallelCandidates[A](xs: Seq[A])(f: A => DataFrame)
+      : Seq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(xs.size)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try xs.map(x => Future(f(x))).map(Await.result(_, Duration.Inf))
+    finally pool.shutdown()
+  }
+
   /** Interleave the low `bits` bits of a (odd positions) and b (even
     * positions) into a Morton key. Disjoint bit positions, so the
     * combine is a plain sum. */
@@ -265,11 +285,13 @@ object Layout {
     require(rowsPerFile >= 2, s"rowsPerFile >= 2; got $rowsPerFile")
     val spark = li.sparkSession
     val mask = (1 << bits) - 1
-    val base = li.select(col("l_orderkey").cast("bigint").as("ok"),
-      col("l_linenumber").cast("bigint").as("ln"),
-      col("l_suppkey").bitwiseAND(mask).cast("bigint").as("x"),
-      col("l_partkey").bitwiseAND(mask).cast("bigint").as("y"),
-      floor(col("l_quantity")).cast("bigint").bitwiseAND(mask).as("z"))
+    // pinned: all three layout sorts re-scanned the parquet source
+    val base = CacheRegistry.pin(
+      li.select(col("l_orderkey").cast("bigint").as("ok"),
+        col("l_linenumber").cast("bigint").as("ln"),
+        col("l_suppkey").bitwiseAND(mask).cast("bigint").as("x"),
+        col("l_partkey").bitwiseAND(mask).cast("bigint").as("y"),
+        floor(col("l_quantity")).cast("bigint").bitwiseAND(mask).as("z")))
     def audit(layout: String, order: Seq[Column]): DataFrame = {
       val sorted = base.orderBy(order: _*)
       Ids.zipIndexed(sorted, "gid", 0L)
@@ -291,11 +313,14 @@ object Layout {
     }
     val h2 = hilbertKeyNd(base, Seq(col("x"), col("y")), bits)
     val h3 = hilbertKeyNd(base, Seq(col("x"), col("y"), col("z")), bits)
-    audit("1_natural", Seq(col("ok"), col("ln"), col("x"), col("y"), col("z")))
-      .unionByName(audit("2_hilbert2d",
-        Seq(h2, col("x"), col("y"), col("z"))))
-      .unionByName(audit("3_hilbert3d",
-        Seq(h3, col("x"), col("y"), col("z"))))
+    parallelCandidates(Seq(
+        ("1_natural",
+          Seq(col("ok"), col("ln"), col("x"), col("y"), col("z"))),
+        ("2_hilbert2d", Seq(h2, col("x"), col("y"), col("z"))),
+        ("3_hilbert3d", Seq(h3, col("x"), col("y"), col("z"))))) {
+        case (n, o) => audit(n, o)
+      }
+      .reduce(_ unionByName _)
       .orderBy("layout")
   }
 
@@ -445,13 +470,16 @@ object Layout {
     require(rowsPerFile >= 2)
     val spark = li.sparkSession
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-    val base = li.select(cols.map(c => col(c).cast("bigint").as(c)): _*)
+    // pinned: five consumers (the global-bounds pass + four candidate
+    // sorts) each re-scanned the parquet source otherwise
+    val base = CacheRegistry.pin(
+      li.select(cols.map(c => col(c).cast("bigint").as(c)): _*))
     val bounds = base.agg(
       cols.flatMap(c => Seq(min(col(c)).as(s"lo_$c"),
         max(col(c)).as(s"hi_$c"))).head,
       cols.flatMap(c => Seq(min(col(c)).as(s"lo_$c"),
         max(col(c)).as(s"hi_$c"))).tail: _*)
-    val perSort = cols.map { sk =>
+    val perSort = parallelCandidates(cols) { sk =>
       val others = cols.filterNot(_ == sk)
       val sorted = base.orderBy((col(sk) +: others.map(col)): _*)
       val files = Ids.zipIndexed(sorted, "gid", 0L)
